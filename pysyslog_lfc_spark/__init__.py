@@ -1,0 +1,23 @@
+"""pysyslog_lfc_spark — a PySpark-native log/telemetry pipeline engine.
+
+A from-scratch reimplementation of the *capabilities* of
+``pysyslog/pysyslog-lfc`` (reference at ``/root/reference``) on Apache
+Spark: flows declared in INI config compile into composable
+``DataFrame -> DataFrame`` transforms (parse -> filter -> format ->
+sink), executed by Catalyst/Tungsten instead of a per-record asyncio
+loop (reference: ``src/pysyslog/flow.py:98-134``).
+
+Layout
+------
+- :mod:`pysyslog_lfc_spark.config`      INI -> dataclass IR (reference ``config.py:15-74``)
+- :mod:`pysyslog_lfc_spark.operators`   parsers / filters / formats / skew / aggregates
+- :mod:`pysyslog_lfc_spark.plans`       flow compiler + the flagship pipeline
+- :mod:`pysyslog_lfc_spark.sources`     table readers + deterministic data generator
+- :mod:`pysyslog_lfc_spark.sinks`       parquet warehouse with atomic commit + manifest resume
+- :mod:`pysyslog_lfc_spark.functions`   training-data ops: dedup, similarity, text stats
+- :mod:`pysyslog_lfc_spark.streaming`   Structured Streaming variants
+"""
+
+__version__ = "0.1.0"
+
+from pysyslog_lfc_spark.session import get_spark  # noqa: F401

@@ -1,0 +1,223 @@
+"""INI flow-config loader -> frozen dataclass IR.
+
+Keeps the reference's configuration surface (reference
+``src/pysyslog/config.py:15-74`` dataclasses, ``:103-229`` parsing
+rules) so existing ``pysyslog-lfc`` INI files compile unchanged, but
+the IR here is *compiled* to a Catalyst logical plan by
+:mod:`pysyslog_lfc_spark.plans.compiler` rather than interpreted per
+record.
+
+Grammar recap (reference-compatible):
+  [flow.NAME]     -> one flow; dotted keys ``input.type``,
+                     ``parser.type``, ``output.type``, ``output.format``,
+                     ``format.*``, ``filter.<fname>.<opt>``, ``channel``
+  [channel.NAME]  -> shared reliability queue config (batch engine maps
+                     this to shared staged tables; options preserved)
+  [settings]      -> engine-wide settings (free-form)
+  [use] include   -> glob of extra INI files merged in sorted order
+"""
+
+from __future__ import annotations
+
+import configparser
+from dataclasses import dataclass, field
+from glob import glob
+from pathlib import Path
+from typing import Mapping
+
+
+class ConfigError(ValueError):
+    """Invalid configuration (plan-time error, like reference ConfigError)."""
+
+
+@dataclass(frozen=True)
+class ComponentConfig:
+    type: str
+    options: Mapping[str, str] = field(default_factory=dict)
+
+    def option(self, name: str, default: str | None = None) -> str | None:
+        return self.options.get(name, default)
+
+    def flag(self, name: str, default: bool = False) -> bool:
+        raw = self.options.get(name)
+        if raw is None:
+            return default
+        return raw.strip().lower() in {"1", "true", "yes"}
+
+
+@dataclass(frozen=True)
+class FilterConfig:
+    name: str
+    component: ComponentConfig
+    stage: str = "parser"  # input | parser | output (reference flow.py:105-125)
+
+
+@dataclass(frozen=True)
+class ChannelConfig:
+    name: str
+    maxsize: int = 1000
+    ack_timeout: float = 30.0
+    retry_limit: int = 3
+
+
+@dataclass(frozen=True)
+class FlowConfig:
+    name: str
+    input: ComponentConfig
+    parser: ComponentConfig
+    output: ComponentConfig
+    output_format: str | None = None
+    format_options: Mapping[str, str] = field(default_factory=dict)
+    channel: str | None = None
+    filters: tuple[FilterConfig, ...] = ()
+
+
+@dataclass(frozen=True)
+class RuntimeConfig:
+    flows: tuple[FlowConfig, ...]
+    channels: Mapping[str, ChannelConfig]
+    settings: Mapping[str, str]
+
+    def get_flow(self, name: str) -> FlowConfig:
+        for f in self.flows:
+            if f.name == name:
+                return f
+        raise KeyError(name)
+
+    def get_channel(self, name: str) -> ChannelConfig:
+        return self.channels[name]
+
+
+# Security limits documented at reference docs/configuration/filters.md:113-119.
+_MAX_PATTERN_LEN = 1000
+_MAX_FIELD_LEN = 1000
+_MAX_STRING_LEN = 10000
+
+
+def _read_ini(text: str | None = None, path: str | Path | None = None) -> configparser.ConfigParser:
+    cp = configparser.ConfigParser(interpolation=None)
+    cp.optionxform = str  # preserve key case
+    if text is not None:
+        cp.read_string(text)
+    else:
+        assert path is not None
+        if not cp.read(str(path)):
+            raise ConfigError(f"unreadable config file: {path}")
+        pattern = cp.get("use", "include", fallback=None)
+        if pattern:
+            root = Path(path).parent
+            matches = (
+                sorted(glob(pattern)) if pattern.startswith("/") else sorted(str(p) for p in root.glob(pattern))
+            )
+            for inc in matches:
+                cp.read(inc)
+    return cp
+
+
+def _split_section(cp: configparser.ConfigParser, kind: str) -> list[tuple[str, Mapping[str, str]]]:
+    out = []
+    for section in cp.sections():
+        if section.startswith(kind + "."):
+            out.append((section.split(".", 1)[1], dict(cp[section])))
+    return out
+
+
+def _component(items: Mapping[str, str], prefix: str, where: str) -> ComponentConfig:
+    tkey = f"{prefix}.type"
+    if tkey not in items:
+        raise ConfigError(f"missing '{tkey}' in [{where}]")
+    opts = {
+        k[len(prefix) + 1 :]: v
+        for k, v in items.items()
+        if k.startswith(prefix + ".") and k != tkey
+    }
+    return ComponentConfig(type=items[tkey], options=opts)
+
+
+def _filters(flow_name: str, items: Mapping[str, str]) -> tuple[FilterConfig, ...]:
+    grouped: dict[str, dict[str, str]] = {}
+    for key, value in items.items():
+        if not key.startswith("filter"):
+            continue
+        rest = key[len("filter") :].lstrip(".")
+        if not rest:
+            continue
+        fname, _, opt = rest.partition(".")
+        if not opt:
+            fname, opt = "default", fname
+        grouped.setdefault(fname, {})[opt] = value
+
+    result = []
+    for fname in sorted(grouped):
+        opts = grouped[fname]
+        ftype = opts.get("type")
+        if not ftype:
+            raise ConfigError(f"filter '{fname}' in flow '{flow_name}' has no 'type'")
+        _validate_filter_limits(fname, flow_name, opts)
+        comp_opts = {k: v for k, v in opts.items() if k not in ("type", "stage")}
+        result.append(
+            FilterConfig(
+                name=fname,
+                component=ComponentConfig(type=ftype, options=comp_opts),
+                stage=opts.get("stage", "parser"),
+            )
+        )
+    return tuple(result)
+
+
+def _validate_filter_limits(fname: str, flow_name: str, opts: Mapping[str, str]) -> None:
+    where = f"filter '{fname}' in flow '{flow_name}'"
+    if len(opts.get("pattern", "")) > _MAX_PATTERN_LEN:
+        raise ConfigError(f"{where}: pattern exceeds {_MAX_PATTERN_LEN} chars")
+    if len(opts.get("field", "")) > _MAX_FIELD_LEN:
+        raise ConfigError(f"{where}: field name exceeds {_MAX_FIELD_LEN} chars")
+    if len(opts.get("value", "")) > _MAX_STRING_LEN:
+        raise ConfigError(f"{where}: value exceeds {_MAX_STRING_LEN} chars")
+
+
+def _parse(cp: configparser.ConfigParser) -> RuntimeConfig:
+    channels: dict[str, ChannelConfig] = {}
+    for name, items in _split_section(cp, "channel"):
+        try:
+            channels[name] = ChannelConfig(
+                name=name,
+                maxsize=int(items.get("maxsize", 1000)),
+                ack_timeout=float(items.get("ack_timeout", 30.0)),
+                retry_limit=int(items.get("retry_limit", 3)),
+            )
+        except ValueError as exc:
+            raise ConfigError(f"bad numeric option in [channel.{name}]: {exc}") from exc
+
+    flows = []
+    for name, items in _split_section(cp, "flow"):
+        channel = items.get("channel") or items.get("channel.name")
+        if channel and channel not in channels:
+            channels[channel] = ChannelConfig(name=channel)
+        flows.append(
+            FlowConfig(
+                name=name,
+                input=_component(items, "input", f"flow.{name}"),
+                parser=_component(items, "parser", f"flow.{name}"),
+                output=_component(items, "output", f"flow.{name}"),
+                output_format=items.get("output.format"),
+                format_options={
+                    k[len("format.") :]: v for k, v in items.items() if k.startswith("format.")
+                },
+                channel=channel,
+                filters=_filters(name, items),
+            )
+        )
+    if not flows:
+        raise ConfigError("configuration defines no [flow.*] sections")
+    settings = dict(cp["settings"]) if cp.has_section("settings") else {}
+    return RuntimeConfig(flows=tuple(flows), channels=channels, settings=settings)
+
+
+def load(path: str | Path) -> RuntimeConfig:
+    """Load a runtime config from an INI file (with [use] include globs)."""
+    return _parse(_read_ini(path=path))
+
+
+def loads(text: str) -> RuntimeConfig:
+    """Load a runtime config from an INI string (test entry point)."""
+    return _parse(_read_ini(text=text))

@@ -1,0 +1,12 @@
+"""Operator library: parsers, filters, formats, skew utilities, aggregates.
+
+Every operator compiles to a Catalyst ``Column`` expression or a
+``DataFrame -> DataFrame`` transform — whole-column, JVM-side,
+codegen-friendly. Pandas/Arrow UDF variants exist only where builtin
+functions cannot express the semantics (strict JSON render parity,
+opt-in vectorized regex extraction).
+"""
+
+from pysyslog_lfc_spark.operators.filters import compile_filter_predicate  # noqa: F401
+from pysyslog_lfc_spark.operators.parsers import compile_parser  # noqa: F401
+from pysyslog_lfc_spark.operators.formats import compile_format  # noqa: F401

@@ -1,0 +1,35 @@
+"""Arrow-batched pandas UDF builders.
+
+Kept in a module WITHOUT ``from __future__ import annotations``:
+PySpark infers the UDF eval type from real (non-string) type hints.
+These are the engine's only Python-side scalar paths, all opt-in.
+"""
+
+import json
+
+import pandas as pd
+from pyspark.sql import functions as F, types as T
+
+
+def make_json_dumps_udf(indent, sort_keys):
+    """Byte-exact ``json.dumps`` render (reference formats/json.py:22)."""
+
+    @F.pandas_udf(T.StringType())
+    def dumps(pdf: pd.DataFrame) -> pd.Series:
+        recs = pdf.to_dict("records")
+        return pd.Series([json.dumps(r, indent=indent, sort_keys=sort_keys) for r in recs])
+
+    return dumps
+
+
+def make_regex_extract_udf(pattern, names):
+    """Python-regex named-group extraction via ``Series.str.extract``."""
+    out_schema = T.StructType([T.StructField(n, T.StringType(), True) for n in names])
+
+    @F.pandas_udf(out_schema)
+    def extract(s: pd.Series) -> pd.DataFrame:
+        ext = s.str.extract(pattern)
+        ext.columns = list(names)
+        return ext
+
+    return extract

@@ -1,0 +1,116 @@
+"""Field filters compiled to Catalyst predicates.
+
+Reference semantics (``src/pysyslog/filters/field.py``):
+
+- operator table ``field.py:12-20``: eq ne gt ge lt le contains, plus
+  regex (``re.search``, ``field.py:44-48``);
+- the *configured constant* is coerced to the type of the *runtime
+  value* per record (``field.py:53-60``). With typed columns this
+  becomes a single plan-time coercion: we read the column's DataType
+  from the DataFrame schema and build a typed literal — same outcome
+  on homogeneous data, and a documented (stricter) divergence on
+  heterogeneous JSON fields, which the reference's own tests never
+  exercise (SURVEY.md §7 watch list);
+- missing/None field: ``contains``/``regex`` -> False
+  (``field.py:19,45``); ``eq``/``ne`` follow Python ``==``/``!=``
+  against None -> we use null-safe equality so ``eq`` is False and
+  ``ne`` is True for null vs non-null, matching the reference;
+  ordered comparisons on None raise in the reference -> here nulls are
+  simply dropped (documented divergence, strictly more robust);
+- documented numeric filter family ``between``/``outside`` with
+  ``invert`` (``docs/configuration/filters/numeric.md:29-70``);
+- documented list membership filter (``docs/configuration/filters.md:65``)
+  -> ``isin``.
+
+Filters AND together per stage (reference ``flow.py:136-140``); stage
+placement (input/parser/output, ``flow.py:105-125``) is handled by the
+flow compiler, which emits each predicate at the corresponding point of
+the transform chain — Catalyst then pushes deterministic predicates as
+deep as the scan (pushdown visible in ``explain``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F, types as T
+
+from pysyslog_lfc_spark.config import ComponentConfig, ConfigError
+
+_ORDERED_OPS = {"gt", "ge", "lt", "le"}
+_ALL_OPS = {"eq", "ne", "contains", "regex", "between", "outside", "in", "not_in"} | _ORDERED_OPS
+
+
+def _coerce_literal(raw: str, dtype: T.DataType):
+    """Plan-time version of reference ``FieldFilter._convert`` (field.py:53-60)."""
+    if raw is None:
+        return None
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return int(raw)
+    if isinstance(dtype, (T.FloatType, T.DoubleType, T.DecimalType)):
+        return float(raw)
+    if isinstance(dtype, T.BooleanType):
+        return str(raw).lower() in {"1", "true", "yes"}
+    return raw
+
+
+def compile_filter_predicate(
+    cfg: ComponentConfig,
+    field_type: T.DataType,
+    col: Column,
+) -> Column:
+    """Compile one filter config into a boolean Column over ``col``.
+
+    ``field_type`` is the resolved DataType of the target column (used
+    for constant coercion); ``col`` is the column expression the filter
+    applies to (the flow compiler resolves stage + field name to it).
+    """
+    op = cfg.option("op", "eq")
+    if op not in _ALL_OPS:
+        raise ConfigError(f"unsupported filter op '{op}'")
+
+    if op == "regex":
+        pattern = cfg.option("pattern") or cfg.option("value")
+        if not pattern:
+            raise ConfigError("regex filter requires 'pattern' or 'value'")
+        # reference: re.search(pattern, str(value)); None -> False (field.py:44-48)
+        return col.cast(T.StringType()).rlike(pattern)
+
+    if op == "contains":
+        value = cfg.option("value")
+        if value is None:
+            raise ConfigError("contains filter requires 'value'")
+        # null value -> null -> row dropped (== reference False, field.py:19)
+        return col.cast(T.StringType()).contains(F.lit(value))
+
+    if op in ("in", "not_in"):
+        raw = cfg.option("values") or cfg.option("value") or ""
+        items = [v.strip() for v in raw.split(",") if v.strip()]
+        if len(items) > 1000:  # docs/configuration/filters.md:115 list limit
+            raise ConfigError("list filter exceeds 1000 items")
+        typed = [_coerce_literal(v, field_type) for v in items]
+        pred = col.isin(typed)
+        return ~pred if op == "not_in" else pred
+
+    if op in ("between", "outside"):
+        lo = _coerce_literal(cfg.option("min"), field_type)
+        hi = _coerce_literal(cfg.option("max"), field_type)
+        if lo is None or hi is None:
+            raise ConfigError(f"{op} filter requires 'min' and 'max'")
+        # between inclusive / outside exclusive (filters/numeric.md:29-70)
+        pred = col.between(F.lit(lo), F.lit(hi)) if op == "between" else (col < F.lit(lo)) | (col > F.lit(hi))
+        if cfg.flag("invert"):
+            pred = ~pred
+        return pred
+
+    value = _coerce_literal(cfg.option("value"), field_type)
+    lit = F.lit(value)
+    if op == "eq":
+        return col.eqNullSafe(lit)
+    if op == "ne":
+        return ~col.eqNullSafe(lit)
+    if op == "gt":
+        return col > lit
+    if op == "ge":
+        return col >= lit
+    if op == "lt":
+        return col < lit
+    return col <= lit  # le

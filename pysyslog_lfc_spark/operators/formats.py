@@ -1,0 +1,97 @@
+"""Output formats compiled to scalar render expressions.
+
+- ``json`` (reference IMPL ``src/pysyslog/formats/json.py:11-22``):
+  default path is ``to_json(struct)`` — JVM-side, codegen'd. The
+  reference uses ``json.dumps`` whose default separators are
+  ``", "``/``": "`` while ``to_json`` emits compact JSON; content is
+  identical under JSON canonicalization (the comparison our golden
+  tests use). ``strict = true`` opts into an Arrow-batched pandas UDF
+  running real ``json.dumps`` (supports ``indent``) for byte-exact
+  parity — the documented slow path (SURVEY.md §4.2(6)).
+  ``sort_keys`` is applied at plan time by sorting struct fields.
+
+- ``text`` (reference IMPL ``src/pysyslog/formats/text.py:10-18``):
+  ``str.format``-style ``{field}`` templates compiled at plan time to a
+  ``concat`` of literals and casted columns — no Python at runtime.
+"""
+
+from __future__ import annotations
+
+import string
+from typing import Callable
+
+from pyspark.sql import Column, functions as F, types as T
+
+from pysyslog_lfc_spark.config import ConfigError
+
+FormatFn = Callable[[Column, T.StructType], Column]
+
+
+def compile_format(format_type: str | None, options: dict[str, str]) -> FormatFn | None:
+    if format_type is None:
+        return None
+    if format_type == "json":
+        return _json_format(options)
+    if format_type == "text":
+        return _text_format(options)
+    raise ConfigError(f"unknown output format '{format_type}'")
+
+
+def _bool_opt(options: dict[str, str], name: str, default: bool = False) -> bool:
+    raw = options.get(name)
+    return default if raw is None else raw.strip().lower() in {"1", "true", "yes"}
+
+
+def _json_format(options: dict[str, str]) -> FormatFn:
+    sort_keys = _bool_opt(options, "sort_keys")
+    strict = _bool_opt(options, "strict")
+    indent = options.get("indent")
+    indent_n = int(indent) if indent is not None else None
+    if indent_n is not None and not strict:
+        strict = True  # to_json cannot indent; fall to the parity UDF
+
+    def render(record: Column, schema: T.StructType) -> Column:
+        names = [f.name for f in schema.fields]
+        if sort_keys:
+            names = sorted(names)
+        struct = F.struct(*[record.getField(n).alias(n) for n in names])
+        if not strict:
+            return F.to_json(struct)
+        from pysyslog_lfc_spark.operators._pandas_udfs import make_json_dumps_udf
+
+        return make_json_dumps_udf(indent_n, sort_keys)(struct)
+
+    return render
+
+
+def _text_format(options: dict[str, str]) -> FormatFn:
+    template = options.get("template", "{message}")
+
+    # plan-time template compilation: literal runs + {field} refs
+    try:
+        parts = list(string.Formatter().parse(template))
+    except ValueError as exc:
+        raise ConfigError(f"bad text template {template!r}: {exc}") from exc
+
+    def render(record: Column, schema: T.StructType) -> Column:
+        cols: list[Column] = []
+        names = {f.name for f in schema.fields}
+        for literal, field_name, format_spec, conversion in parts:
+            if literal:
+                cols.append(F.lit(literal))
+            if field_name is None:
+                continue
+            if field_name == "":
+                raise ConfigError("positional {} not supported in text template")
+            if format_spec:
+                raise ConfigError(f"format spec '{format_spec}' not supported in text template")
+            if field_name not in names:
+                raise ConfigError(
+                    f"template field '{field_name}' not in record schema {sorted(names)}"
+                )
+            cols.append(record.getField(field_name).cast(T.StringType()))
+        if not cols:
+            return F.lit("")
+        return cols[0] if len(cols) == 1 else F.concat(*cols)
+
+    return render

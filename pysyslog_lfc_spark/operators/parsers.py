@@ -1,0 +1,283 @@
+"""Parsers compiled to whole-column projections.
+
+A parser maps a raw-line column to a typed ``record`` struct column and
+drops unparseable rows — the vectorized equivalent of the reference's
+``Parser.parse -> Optional[dict]`` (None => drop) contract
+(``src/pysyslog/components/base.py:38-43``).
+
+Implemented parser family (reference status in parentheses):
+
+- ``text``        (IMPL ``src/pysyslog/parsers/text.py:10-16``)
+- ``json``        (IMPL ``src/pysyslog/parsers/json.py:11-21``)
+- ``regex``       (DOC  ``docs/configuration/parsers.md:67-110``)
+- ``rfc3164``     (DOC  ``docs/configuration/parsers.md:9-65``)
+- ``passthrough`` (DOC  ``docs/configuration/parsers.md:112-151``)
+
+All default paths are pure Catalyst expressions (``from_json``,
+``regexp_extract``, arithmetic) — whole-stage-codegen'd, no Python in
+the hot loop. ``vectorized = pandas`` opts the regex family into an
+Arrow-batched pandas UDF (``Series.str.extract``) for cases needing
+exact Python-regex semantics.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from typing import Callable
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from pysyslog_lfc_spark.config import ComponentConfig, ConfigError
+
+ParserFn = Callable[[DataFrame, str], DataFrame]
+
+RECORD_COL = "record"
+
+
+def compile_parser(cfg: ComponentConfig) -> ParserFn:
+    try:
+        builder = _PARSERS[cfg.type]
+    except KeyError:
+        raise ConfigError(f"unknown parser type '{cfg.type}'") from None
+    return builder(cfg)
+
+
+# ---------------------------------------------------------------- text
+
+def _text(cfg: ComponentConfig) -> ParserFn:
+    def parse(df: DataFrame, raw: str = "value") -> DataFrame:
+        # rstrip("\n") equivalent; None raw => drop (parsers/text.py:13-16)
+        msg = F.regexp_replace(F.col(raw), r"\n+$", "")
+        return df.where(F.col(raw).isNotNull()).withColumn(
+            RECORD_COL, F.struct(msg.alias("message"))
+        )
+
+    return parse
+
+
+# ---------------------------------------------------------------- json
+
+_PY_TO_SPARK = {
+    str: T.StringType(),
+    bool: T.BooleanType(),  # must precede int (bool is an int subclass)
+    int: T.LongType(),
+    float: T.DoubleType(),
+}
+
+
+def _infer_json_schema(samples: list[str]) -> T.StructType:
+    """Driver-side schema inference over a small sample (plan time only).
+
+    Production flows should pass ``parser.schema`` (DDL string); this
+    mirrors the reference's fully dynamic records (parsers/json.py:21)
+    for small/test inputs without an RDD round trip.
+    """
+    fields: dict[str, T.DataType] = {}
+    for s in samples:
+        try:
+            obj = json.loads(s)
+        except (ValueError, TypeError):
+            continue
+        if not isinstance(obj, dict):
+            continue
+        for k, v in obj.items():
+            dt: T.DataType | None = None
+            for py, spark_t in _PY_TO_SPARK.items():
+                if isinstance(v, py):
+                    dt = spark_t
+                    break
+            if dt is None:
+                dt = T.StringType()
+            prev = fields.get(k)
+            if prev is None or (isinstance(prev, (T.LongType,)) and isinstance(dt, T.DoubleType)):
+                fields[k] = dt
+            elif prev != dt and not isinstance(dt, type(prev)):
+                if not (isinstance(prev, T.DoubleType) and isinstance(dt, T.LongType)):
+                    fields[k] = T.StringType()
+    if not fields:
+        raise ConfigError("json parser: could not infer schema from sample; set parser.schema")
+    return T.StructType([T.StructField(k, dt, True) for k, dt in fields.items()])
+
+
+def _json(cfg: ComponentConfig) -> ParserFn:
+    ddl = cfg.option("schema")
+    allow_null = cfg.flag("allow_null")
+
+    def parse(df: DataFrame, raw: str = "value") -> DataFrame:
+        if ddl:
+            schema = T.StructType.fromDDL(ddl)
+        else:
+            sample = [r[0] for r in df.select(raw).where(F.length(raw) > 0).limit(200).collect()]
+            schema = _infer_json_schema(sample)
+        out = df
+        if not allow_null:
+            # empty message => drop (parsers/json.py:19-20)
+            out = out.where(F.col(raw).isNotNull() & (F.length(raw) > 0))
+        out = out.withColumn(RECORD_COL, F.from_json(F.col(raw), schema))
+        # invalid JSON => null struct => drop (reference raises per record;
+        # a distributed engine drops and counts instead — lineage records it)
+        return out.where(F.col(RECORD_COL).isNotNull())
+
+    return parse
+
+
+# ---------------------------------------------------------------- regex
+
+def _translate_named_groups(pattern: str) -> str:
+    """Python ``(?P<name>...)`` -> Java ``(?<name>...)`` for JVM regex."""
+    return pattern.replace("(?P<", "(?<").replace("(?P=", r"\k<").replace(">", ">")
+
+
+_CAST_MAP = {
+    "int": T.LongType(),
+    "long": T.LongType(),
+    "float": T.DoubleType(),
+    "double": T.DoubleType(),
+    "bool": T.BooleanType(),
+    "string": T.StringType(),
+    "str": T.StringType(),
+}
+
+
+def _regex(cfg: ComponentConfig) -> ParserFn:
+    pattern = cfg.option("pattern")
+    if not pattern:
+        raise ConfigError("regex parser requires 'pattern'")
+    try:
+        compiled = re.compile(pattern)
+    except re.error as exc:
+        raise ConfigError(f"invalid regex parser pattern: {exc}") from exc
+    groups = compiled.groupindex  # name -> 1-based index
+    if not groups:
+        raise ConfigError("regex parser pattern needs named groups (?P<name>...)")
+    casts: dict[str, T.DataType] = {}
+    for spec in (cfg.option("types") or "").split(","):
+        if ":" in spec:
+            name, tname = spec.split(":", 1)
+            casts[name.strip()] = _CAST_MAP.get(tname.strip().lower(), T.StringType())
+    jpattern = _translate_named_groups(pattern)
+    use_pandas = (cfg.option("vectorized") or "").lower() == "pandas"
+
+    def parse_sql(df: DataFrame, raw: str = "value") -> DataFrame:
+        # re.search semantics: JVM regexp_extract also finds mid-string.
+        fields = []
+        for name, idx in groups.items():
+            c = F.regexp_extract(F.col(raw), jpattern, idx)
+            if name in casts:
+                c = c.cast(casts[name])
+            fields.append(c.alias(name))
+        return (
+            df.where(F.col(raw).rlike(jpattern))  # non-match => drop
+            .withColumn(RECORD_COL, F.struct(*fields))
+        )
+
+    def parse_pandas(df: DataFrame, raw: str = "value") -> DataFrame:
+        from pysyslog_lfc_spark.operators._pandas_udfs import make_regex_extract_udf
+
+        names = list(groups)
+        extract = make_regex_extract_udf(pattern, names)
+        matched = df.where(F.col(raw).rlike(jpattern)).withColumn(RECORD_COL, extract(F.col(raw)))
+        if casts:
+            fields = [
+                (F.col(f"{RECORD_COL}.{n}").cast(casts[n]) if n in casts else F.col(f"{RECORD_COL}.{n}")).alias(n)
+                for n in names
+            ]
+            matched = matched.withColumn(RECORD_COL, F.struct(*fields))
+        return matched
+
+    return parse_pandas if use_pandas else parse_sql
+
+
+# ---------------------------------------------------------------- rfc3164
+
+# <pri>MMM dd HH:MM:SS hostname program[pid]: message
+# (docs/configuration/parsers.md:31-57)
+_RFC3164 = (
+    r"^<(\d{1,3})>"
+    r"([A-Z][a-z]{2} [ 0-3]?\d \d{2}:\d{2}:\d{2}) "
+    r"(\S+) "
+    r"([^\s:\[]+)(?:\[(\d+)\])?: "
+    r"(.*)$"
+)
+
+
+def _rfc3164(cfg: ComponentConfig) -> ParserFn:
+    validate = cfg.flag("validate", True)
+    allow_invalid = cfg.flag("allow_invalid", False)
+
+    def parse(df: DataFrame, raw: str = "value") -> DataFrame:
+        v = F.col(raw)
+        pri = F.regexp_extract(v, _RFC3164, 1).cast(T.IntegerType())
+        ts_raw = F.regexp_extract(v, _RFC3164, 2)
+        host = F.regexp_extract(v, _RFC3164, 3)
+        program = F.regexp_extract(v, _RFC3164, 4)
+        pid = F.nullif(F.regexp_extract(v, _RFC3164, 5), F.lit("")).cast(T.IntegerType())
+        msg = F.regexp_extract(v, _RFC3164, 6)
+        # "Oct  1" / "Oct 1" -> "Oct 01" so one to_timestamp pattern suffices
+        ts_norm = F.regexp_replace(ts_raw, r"^([A-Z][a-z]{2})\s+(\d)(?=\s)", "$1 0$2")
+        # RFC3164 has no year; pin 2000 (leap year) for a parseable TimestampType
+        ts = F.try_to_timestamp(F.concat(F.lit("2000 "), ts_norm), F.lit("yyyy MMM dd HH:mm:ss"))
+
+        matched = v.rlike(_RFC3164)
+        valid = matched
+        if validate:
+            valid = (
+                matched
+                & (pri <= 191)  # priority 0-191 => facility 0-23, severity 0-7
+                & ts.isNotNull()  # month/day/time ranges (parsers.md:52-57)
+                & (F.length(host) <= 255)
+                & host.rlike(r"^[A-Za-z0-9.\-]+$")
+                & (F.length(program) <= 32)
+            )
+
+        rec = F.struct(
+            pri.alias("priority"),
+            (pri / 8).cast(T.IntegerType()).alias("facility"),
+            (pri % 8).cast(T.IntegerType()).alias("severity"),
+            ts_raw.alias("timestamp"),
+            ts.alias("ts"),
+            host.alias("hostname"),
+            program.alias("program"),
+            pid.alias("pid"),
+            msg.alias("message"),
+        )
+        if allow_invalid:
+            # keep invalid rows, fields null (parsers.md allow_invalid)
+            return df.withColumn(
+                RECORD_COL,
+                F.when(valid, rec).otherwise(
+                    F.struct(
+                        *[F.lit(None).cast(t).alias(n) for n, t in [
+                            ("priority", T.IntegerType()), ("facility", T.IntegerType()),
+                            ("severity", T.IntegerType()), ("timestamp", T.StringType()),
+                            ("ts", T.TimestampType()), ("hostname", T.StringType()),
+                            ("program", T.StringType()), ("pid", T.IntegerType()),
+                        ]],
+                        v.alias("message"),
+                    )
+                ),
+            )
+        return df.where(valid).withColumn(RECORD_COL, rec)
+
+    return parse
+
+
+# ---------------------------------------------------------------- passthrough
+
+def _passthrough(cfg: ComponentConfig) -> ParserFn:
+    def parse(df: DataFrame, raw: str = "value") -> DataFrame:
+        return df.where(F.col(raw).isNotNull()).withColumn(
+            RECORD_COL, F.struct(F.col(raw).alias("message"))
+        )
+
+    return parse
+
+
+_PARSERS = {
+    "text": _text,
+    "json": _json,
+    "regex": _regex,
+    "rfc3164": _rfc3164,
+    "passthrough": _passthrough,
+}

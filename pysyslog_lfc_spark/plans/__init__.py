@@ -1,0 +1,4 @@
+"""Plan compilation: FlowConfig -> DataFrame transform chains, plus the
+flagship parse -> enrich -> route -> aggregate pipeline."""
+
+from pysyslog_lfc_spark.plans.compiler import CompiledFlow, compile_flow, run_flow  # noqa: F401

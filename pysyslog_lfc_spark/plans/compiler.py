@@ -1,0 +1,175 @@
+"""Compile a FlowConfig into a Catalyst transform chain.
+
+The reference interprets a flow per record in two asyncio loops
+(``src/pysyslog/flow.py:98-134``); here the same stage order becomes a
+declarative DataFrame chain and Catalyst plans it:
+
+    raw lines
+      -> input-stage filters  (record is {"raw": raw}; flow.py:105)
+      -> parse                (None => drop; flow.py:107-109)
+      -> parser-stage filters (flow.py:110-111)
+      -> render               (flow.py:113)
+      -> output-stage filters (evaluate the *record*, sink receives the
+                               *rendered* payload; flow.py:122-127)
+      -> sink projection
+
+Stage placement maps to predicate position in the chain — Catalyst's
+predicate pushdown then moves input-stage filters below the parse
+projection automatically, reproducing the reference's "cheap pre-filter"
+optimization (docs/configuration/filters.md:138-143) for free.
+
+Missing-field semantics: the reference looks fields up with
+``record.get(field)`` => None (``filters/field.py:44``). We resolve
+fields at plan time; a field absent from the record schema compiles to
+a typed null literal, so eq=>False / ne=>True / contains,regex=>False —
+identical outcomes without per-row dict lookups.
+
+Channel/ack/retry (``channels.py:22-121``) has no runtime equivalent:
+deterministic recompute + atomic sink commit (see
+:mod:`pysyslog_lfc_spark.sinks`) gives exactly-once where the reference
+gives at-least-once.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F, types as T
+
+from pysyslog_lfc_spark.config import ConfigError, FilterConfig, FlowConfig
+from pysyslog_lfc_spark.operators.filters import compile_filter_predicate
+from pysyslog_lfc_spark.operators.formats import compile_format
+from pysyslog_lfc_spark.operators.parsers import RECORD_COL, compile_parser
+
+RAW_COL = "value"
+RENDERED_COL = "rendered"
+
+_STAGES = ("input", "parser", "output")
+
+
+@dataclass(frozen=True)
+class CompiledFlow:
+    """A flow compiled to a pure ``DataFrame -> DataFrame`` transform.
+
+    Input: a DataFrame with a raw string column (default ``value``).
+    Output: columns ``value`` (raw), ``record`` (struct), ``rendered``
+    (string when a format is configured, else the record struct).
+    """
+
+    name: str
+    transform: Callable[[DataFrame], DataFrame]
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        return self.transform(df)
+
+
+def _stage_filters(cfg: FlowConfig) -> dict[str, list[FilterConfig]]:
+    by_stage: dict[str, list[FilterConfig]] = {s: [] for s in _STAGES}
+    for fc in cfg.filters:
+        if fc.stage not in by_stage:
+            raise ConfigError(f"unknown filter stage '{fc.stage}' (flow '{cfg.name}')")
+        if fc.component.type != "field":
+            raise ConfigError(f"unknown filter type '{fc.component.type}' (flow '{cfg.name}')")
+        by_stage[fc.stage].append(fc)
+    return by_stage
+
+
+def _record_field(df: DataFrame, name: str) -> tuple[T.DataType, Column]:
+    """Resolve a record field to (type, column); absent => typed null."""
+    schema: T.StructType = df.schema[RECORD_COL].dataType  # type: ignore[assignment]
+    for f in schema.fields:
+        if f.name == name:
+            return f.dataType, F.col(RECORD_COL).getField(name)
+    return T.StringType(), F.lit(None).cast(T.StringType())
+
+
+def compile_flow(cfg: FlowConfig, raw_col: str = RAW_COL) -> CompiledFlow:
+    parse = compile_parser(cfg.parser)
+    render = compile_format(cfg.output_format, dict(cfg.format_options))
+    filters = _stage_filters(cfg)
+
+    def transform(df: DataFrame) -> DataFrame:
+        # input-stage: record is {"raw": raw} (flow.py:105)
+        for fc in filters["input"]:
+            field = fc.component.option("field")
+            if field == "raw":
+                col, dtype = F.col(raw_col), df.schema[raw_col].dataType
+            else:
+                col, dtype = F.lit(None).cast(T.StringType()), T.StringType()
+            df = df.where(compile_filter_predicate(fc.component, dtype, col))
+
+        df = parse(df, raw_col)
+
+        for fc in filters["parser"]:
+            dtype, col = _record_field(df, fc.component.option("field", ""))
+            df = df.where(compile_filter_predicate(fc.component, dtype, col))
+
+        record_schema: T.StructType = df.schema[RECORD_COL].dataType  # type: ignore[assignment]
+        if render is not None:
+            df = df.withColumn(RENDERED_COL, render(F.col(RECORD_COL), record_schema))
+        else:
+            df = df.withColumn(RENDERED_COL, F.col(RECORD_COL))  # flow.py:113 no-format
+
+        # output-stage filters see the record, the sink gets `rendered`
+        for fc in filters["output"]:
+            dtype, col = _record_field(df, fc.component.option("field", ""))
+            df = df.where(compile_filter_predicate(fc.component, dtype, col))
+        return df
+
+    return CompiledFlow(name=cfg.name, transform=transform)
+
+
+# ------------------------------------------------------------------ runner
+
+def lines_df(spark: SparkSession, lines: list[str]) -> DataFrame:
+    """Memory input (reference ``inputs/memory.py:12-40``) as a DataFrame."""
+    return spark.createDataFrame([(ln,) for ln in lines], f"{RAW_COL} string")
+
+
+def run_flow(
+    spark: SparkSession,
+    cfg: FlowConfig,
+    lines: list[str] | None = None,
+    input_df: DataFrame | None = None,
+) -> list:
+    """Execute one flow end-to-end and return the sink payloads.
+
+    Memory-output analog (reference ``outputs/memory.py:10-18``): the
+    returned list is the rendered records, for golden-output tests.
+    Batch order is not defined in a distributed engine — callers
+    compare as multisets (SURVEY.md §5.1 note).
+    """
+    if input_df is None:
+        if cfg.input.type == "memory":
+            input_df = lines_df(spark, lines or [])
+        elif cfg.input.type in ("file", "text"):
+            path = cfg.input.option("path")
+            if not path:
+                raise ConfigError(f"flow '{cfg.name}': input.path required for file input")
+            input_df = spark.read.text(path)
+        elif cfg.input.type == "parquet":
+            path = cfg.input.option("path")
+            if not path:
+                raise ConfigError(f"flow '{cfg.name}': input.path required for parquet input")
+            col = cfg.input.option("column", RAW_COL)
+            input_df = spark.read.parquet(path).select(F.col(col).alias(RAW_COL))
+        else:
+            raise ConfigError(f"unknown input type '{cfg.input.type}'")
+
+    out = compile_flow(cfg)(input_df)
+
+    if cfg.output.type in ("memory", "stdout", "flaky"):
+        rows = out.select(RENDERED_COL).collect()
+        payloads = [r[0].asDict() if hasattr(r[0], "asDict") else r[0] for r in rows]
+        if cfg.output.type == "stdout":
+            for p in payloads:
+                print(p)
+        return payloads
+    if cfg.output.type in ("file", "parquet"):
+        path = cfg.output.option("path")
+        if not path:
+            raise ConfigError(f"flow '{cfg.name}': output.path required")
+        out.select(RENDERED_COL).write.mode(cfg.output.option("mode", "append")).parquet(path)
+        return []
+    raise ConfigError(f"unknown output type '{cfg.output.type}'")

@@ -1,0 +1,126 @@
+"""Golden-flow parity tests, ported from the reference's own tests.
+
+G1 <- /root/reference/tests/test_flow_runtime.py:12-43
+G2 <- /root/reference/test_example_config.py:23-51
+G3 <- /root/reference/test_example_config.py:61-96
+
+The reference asserts ordered lists; a distributed engine defines no
+row order, so assertions compare multisets (SURVEY.md §5.1).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pysyslog_lfc_spark import config
+from pysyslog_lfc_spark.plans.compiler import run_flow
+
+G1_CONFIG = """
+[flow.demo]
+input.type = memory
+parser.type = json
+output.type = memory
+output.format = text
+format.template = {message}
+filter.allow.type = field
+filter.allow.field = level
+filter.allow.op = eq
+filter.allow.value = info
+filter.allow.stage = parser
+"""
+
+
+def test_g1_filter_and_template_render(spark):
+    cfg = config.loads(G1_CONFIG)
+    out = run_flow(
+        spark,
+        cfg.get_flow("demo"),
+        lines=[
+            '{"message": "accepted", "level": "info"}',
+            '{"message": "ignored", "level": "debug"}',
+        ],
+    )
+    assert out == ["accepted"]
+
+
+G2_CONFIG = """
+[flow.demo]
+input.type = memory
+parser.type = json
+output.type = memory
+output.format = json
+"""
+
+
+def test_g2_demo_json_roundtrip(spark):
+    cfg = config.loads(G2_CONFIG)
+    out = run_flow(
+        spark,
+        cfg.get_flow("demo"),
+        lines=[
+            '{"message": "test1", "level": "info"}',
+            '{"message": "test2", "level": "debug"}',
+        ],
+    )
+    # content-equal under JSON canonicalization (FIXTURES.md G2)
+    parsed = sorted(json.loads(o)["message"] for o in out)
+    assert parsed == ["test1", "test2"]
+    assert all(json.loads(o)["level"] in ("info", "debug") for o in out)
+
+
+G3_CONFIG = """
+[flow.filtered]
+input.type = memory
+parser.type = text
+output.type = memory
+output.format = text
+format.template = ERROR: {message}
+filter.errors.type = field
+filter.errors.field = message
+filter.errors.op = contains
+filter.errors.value = ERROR
+"""
+
+
+def test_g3_contains_filter_prefix_template(spark):
+    cfg = config.loads(G3_CONFIG)
+    out = run_flow(
+        spark,
+        cfg.get_flow("filtered"),
+        lines=["This is an ERROR message", "This is a normal message"],
+    )
+    assert out == ["ERROR: This is an ERROR message"]
+
+
+def test_g2_strict_json_matches_python_dumps(spark):
+    cfg = config.loads(
+        G2_CONFIG.replace("output.format = json", "output.format = json\nformat.strict = true")
+    )
+    out = run_flow(spark, cfg.get_flow("demo"), lines=['{"message": "test1", "level": "info"}'])
+    assert out == [json.dumps({"message": "test1", "level": "info"})]
+
+
+def test_reliable_flow_with_named_channel(spark):
+    # reference test_example_config.py "reliable" flow: channel-backed, 2-in/2-out
+    cfg = config.loads(
+        """
+[channel.reliable]
+maxsize = 10
+retry_limit = 2
+
+[flow.reliable]
+input.type = memory
+parser.type = json
+output.type = memory
+output.format = text
+format.template = {message}
+channel = reliable
+"""
+    )
+    assert cfg.get_channel("reliable").retry_limit == 2
+    out = run_flow(
+        spark,
+        cfg.get_flow("reliable"),
+        lines=['{"message": "a"}', '{"message": "b"}'],
+    )
+    assert sorted(out) == ["a", "b"]
