@@ -1,0 +1,79 @@
+"""spark-submit entry point for the flagship pipeline.
+
+Usage (local stand-in for a multi-executor cluster)::
+
+    spark-submit --master local[32] \
+        --py-files pysyslog_lfc_spark.zip \
+        jobs/pipeline_job.py \
+        --input /path/to/sequences_parquet \
+        --warehouse /path/to/warehouse \
+        --job-id job-1 [--buckets 64] [--generate N_ROWS]
+
+Prints one JSON line with row counters and throughput. Re-running the
+same --job-id after a crash resumes at bucket granularity.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="sequences parquet dir (or to-generate target)")
+    ap.add_argument("--warehouse", required=True)
+    ap.add_argument("--job-id", default="job-1")
+    ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--generate", type=int, default=0, help="generate N rows into --input first")
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--persist", action="store_true")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("pysyslog-lfc-pipeline").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    from pysyslog_lfc_spark.plans.pipeline import run_pipeline
+    from pysyslog_lfc_spark.sources.datagen import source_lookup_df, write_sequences
+    from pysyslog_lfc_spark.sources.readers import read_sequences
+
+    if args.generate:
+        write_sequences(spark, args.input, args.generate, seed=args.seed)
+
+    seq = read_sequences(spark, args.input)
+    lookup = source_lookup_df(spark)
+
+    t0 = time.monotonic()
+    result = run_pipeline(
+        spark,
+        seq,
+        lookup,
+        args.warehouse,
+        job_id=args.job_id,
+        n_buckets=args.buckets,
+        persist=args.persist,
+    )
+    elapsed = time.monotonic() - t0
+
+    rows = result.metrics.get("rows_in", 0)
+    print(
+        json.dumps(
+            {
+                "job_id": args.job_id,
+                "elapsed_sec": round(elapsed, 3),
+                "rows": rows,
+                "sequences_per_sec": round(rows / elapsed, 1) if elapsed else None,
+                "metrics": result.metrics,
+                "sinks": {k: len(v.buckets_committed) for k, v in result.sinks.items()},
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

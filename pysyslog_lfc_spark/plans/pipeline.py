@@ -1,0 +1,206 @@
+"""The flagship job: parse -> enrich -> route -> aggregate (north star).
+
+One shared scan of the tokenized-sequence table fans out to three sink
+tables with per-sink aggregates, lineage and metrics written alongside,
+and bucket-granular checkpoint/resume:
+
+    scan(sequences)                      # column-pruned parquet/Iceberg scan
+      -> bucket = pmod(xxhash64(doc_id), K)        # deterministic work units
+      -> vectorized RFC3164-style parse (regexp_extract, pri math)
+      -> broadcast hash join with source_lookup on `source`
+      -> routing predicates (FIXTURES.md §3)
+      -> per sink: filter -> atomic bucketed write (tokens byte-identical)
+      -> per sink: groupBy(source, severity).count() aggregate table
+      -> _lineage per (stage, partition) + _metrics counters
+    (resume: committed buckets are anti-filtered before recompute)
+
+Scale notes (the 1000-executor / 100 TB view):
+- the lookup side is tiny (one row per source) => explicit
+  ``F.broadcast`` — the enrich join never shuffles the fact table;
+- routing + parse are pure Catalyst expressions => whole-stage codegen,
+  no Python in the hot loop;
+- the wide ``tokens`` column is carried but never shuffled: sink writes
+  are map-side (no exchange before write), and the aggregate is
+  computed from the *written* sink's pruned columns (source, severity),
+  so the shuffle for groupBy moves 2 small columns, never token arrays;
+- Zipf-hot ``source`` keys: the groupBy does map-side partial
+  aggregation (source x severity cardinality is tiny) and AQE skew
+  handling stays on; the salted-join utility in operators/skew.py
+  covers the non-broadcastable case.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from pysyslog_lfc_spark.sinks import BUCKET_COL, CommitStats, ParquetWarehouse
+
+SINK_COLUMNS = [
+    "doc_id", "tokens", "n_tok", "source", "severity", "facility",
+    "site", "owner", "rendered",
+]
+
+# <pri>MMM dd HH:MM:SS host prog[pid]: doc=<id> n=<n>  (FIXTURES.md §1)
+_MSG_PATTERN = r"^<(\d{1,3})>([A-Z][a-z]{2} [0-3]\d \d{2}:\d{2}:\d{2}) (\S+) (\S+?)\[(\d+)\]: (.*)$"
+
+
+@dataclass
+class PipelineResult:
+    job_id: str
+    warehouse: ParquetWarehouse
+    sinks: dict[str, CommitStats] = field(default_factory=dict)
+    aggregates: list[str] = field(default_factory=list)
+    metrics: dict[str, int] = field(default_factory=dict)
+
+
+def routing_predicates() -> dict[str, F.Column]:
+    """FIXTURES.md §3 routing rules over parsed+enriched columns."""
+    errors = F.col("severity") <= 3
+    app = F.col("message").contains("doc=") & (F.col("env") == "prod")
+    return {
+        "sink_errors": errors,
+        "sink_app": app,
+        "sink_catchall": ~errors & ~app,
+    }
+
+
+def parse_stage(df: DataFrame) -> DataFrame:
+    """Vectorized grok-style parse of the RFC3164 message column.
+
+    Pure regexp_extract + priority arithmetic (facility = pri/8,
+    severity = pri%8 — reference docs/configuration/parsers.md:48-51),
+    all JVM-side.
+    """
+    v = F.col("message")
+    pri = F.regexp_extract(v, _MSG_PATTERN, 1).cast("int")
+    return df.withColumns(
+        {
+            "priority": pri,
+            "facility": (pri / 8).cast("int"),
+            "severity": F.pmod(pri, F.lit(8)).cast("int"),
+            "hostname": F.regexp_extract(v, _MSG_PATTERN, 3),
+            "program": F.regexp_extract(v, _MSG_PATTERN, 4),
+            "parse_ok": v.rlike(_MSG_PATTERN),
+        }
+    )
+
+
+def enrich_stage(df: DataFrame, lookup: DataFrame) -> DataFrame:
+    """Broadcast hash join — the lookup is one row per source."""
+    return df.join(F.broadcast(lookup), "source", "left")
+
+
+def render_stage(df: DataFrame) -> DataFrame:
+    return df.withColumn(
+        "rendered",
+        F.format_string(
+            "sev=%d fac=%d site=%s owner=%s %s",
+            F.col("severity"), F.col("facility"), F.col("site"), F.col("owner"), F.col("message"),
+        ),
+    )
+
+
+def run_pipeline(
+    spark: SparkSession,
+    sequences: DataFrame,
+    lookup: DataFrame,
+    warehouse_root: str,
+    job_id: str = "job-1",
+    n_buckets: int = 64,
+    resume: bool = True,
+    persist: bool = False,
+    fail_on: tuple[str, int] | None = None,
+) -> PipelineResult:
+    """Execute the full fan-out pipeline with bucket-granular resume.
+
+    ``fail_on=(sink_table, bucket)`` injects a crash for resume tests.
+    ``persist`` caches the enriched frame across the three sink writes —
+    recompute is usually cheaper than materializing token arrays, so the
+    default is off (measured in bench.py).
+    """
+    wh = ParquetWarehouse(warehouse_root)
+    result = PipelineResult(job_id=job_id, warehouse=wh)
+
+    df = sequences.withColumn(
+        BUCKET_COL, F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
+    )
+    df = parse_stage(df)
+    df = enrich_stage(df, lookup)
+    df = render_stage(df)
+    routes = routing_predicates()
+    df = df.withColumns({f"is_{name}": pred for name, pred in routes.items()})
+
+    if persist:
+        df = df.persist()
+
+    # ---- lineage per (stage=routed, partition): in/out/dropped counts
+    lineage = (
+        df.groupBy(F.spark_partition_id().alias("partition_id"))
+        .agg(
+            F.count(F.lit(1)).alias("rows_in"),
+            F.sum(F.col("parse_ok").cast("long")).alias("parse_ok"),
+            *[
+                F.sum(F.col(f"is_{name}").cast("long")).alias(f"rows_{name}")
+                for name in routes
+            ],
+        )
+        .withColumn("job_id", F.lit(job_id))
+    )
+
+    # ---- per-sink routed writes (tokens pass through untouched)
+    for name in routes:
+        committed = wh.committed_buckets(name, job_id) if resume else set()
+        pending = df.where(F.col(f"is_{name}"))
+        if committed:
+            pending = pending.where(~F.col(BUCKET_COL).isin(sorted(committed)))
+        sink_df = pending.select(BUCKET_COL, *SINK_COLUMNS)
+        fail_bucket = fail_on[1] if fail_on and fail_on[0] == name else None
+        stats = wh.commit_bucketed(sink_df, name, job_id, fail_on_bucket=fail_bucket)
+        result.sinks[name] = CommitStats(
+            name, tuple(sorted(set(stats.buckets_committed) | committed)), stats.buckets_skipped
+        )
+
+    # ---- per-sink aggregates, computed FROM the committed sink data so
+    # they stay consistent under resume; scan is pruned to 2 tiny columns
+    for name in routes:
+        if wh.exists(name):
+            agg = (
+                wh.read(spark, name)
+                .where(F.col("job") == job_id)
+                .groupBy("source", "severity")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .withColumn("flow", F.lit(name))
+            )
+        else:  # routed-empty sink still gets a (schema-stable) aggregate table
+            agg = spark.createDataFrame([], "source string, severity int, cnt long, flow string")
+        wh.commit_single(agg, f"{name}_agg", job_id)
+        result.aggregates.append(f"{name}_agg")
+
+    # ---- lineage + metrics tables
+    wh.commit_single(lineage, "_lineage", job_id)
+    totals = (
+        wh.read(spark, "_lineage")
+        .where(F.col("job") == job_id)
+        .agg(
+            F.sum("rows_in").alias("rows_in"),
+            F.sum("parse_ok").alias("parse_ok"),
+            *[F.sum(f"rows_{name}").alias(f"rows_{name}") for name in routes],
+        )
+        .collect()[0]
+        .asDict()
+    )
+    result.metrics = {k: int(v or 0) for k, v in totals.items()}
+    metrics_rows = [(k, v) for k, v in result.metrics.items()]
+    wh.commit_single(
+        spark.createDataFrame(metrics_rows, "counter string, value long").withColumn(
+            "job_id", F.lit(job_id)
+        ),
+        "_metrics",
+        job_id,
+    )
+
+    if persist:
+        df.unpersist()
+    return result

@@ -1,0 +1,130 @@
+"""Parquet warehouse with atomic, partition-granular commits.
+
+Replaces the reference's at-least-once channel (ack/nack/redelivery,
+``src/pysyslog/channels.py:22-121``) with exactly-once batch semantics:
+deterministic recompute + atomic directory rename as the commit point.
+
+Layout per sink table::
+
+    <root>/<table>/bucket=<B>/job=<job_id>/part-*.parquet
+
+A bucket directory appears under the table path only via ``os.replace``
+(atomic on one filesystem) from a staging area — so a killed job leaves
+either a fully committed bucket or nothing; the staging leftovers are
+ignored and cleaned. The committed-bucket set IS the manifest (directory
+existence), so there is no window where data and manifest disagree.
+
+Resume: a restarted job lists committed buckets per (table, job_id) and
+filters them out of the recompute — partition-granular restart per the
+north rule. This mirrors what an Iceberg snapshot commit would give us;
+the sandbox has no Iceberg jar, and this module is the config-point to
+swap one in (SURVEY.md §7 step 0).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+import uuid
+from dataclasses import dataclass
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+BUCKET_COL = "bucket"
+_BUCKET_RE = re.compile(r"^bucket=(\d+)$")
+
+
+@dataclass(frozen=True)
+class CommitStats:
+    table: str
+    buckets_committed: tuple[int, ...]
+    buckets_skipped: tuple[int, ...]
+
+
+class ParquetWarehouse:
+    def __init__(self, root: str | Path) -> None:
+        self.root = Path(root)
+        self.root.mkdir(parents=True, exist_ok=True)
+
+    # ------------------------------------------------------------ paths
+    def table_path(self, table: str) -> Path:
+        return self.root / table
+
+    def _staging(self, table: str) -> Path:
+        return self.root / "_staging" / f"{table}-{uuid.uuid4().hex[:12]}"
+
+    # ------------------------------------------------------------ manifest
+    def committed_buckets(self, table: str, job_id: str) -> set[int]:
+        tdir = self.table_path(table)
+        if not tdir.exists():
+            return set()
+        out = set()
+        for entry in tdir.iterdir():
+            m = _BUCKET_RE.match(entry.name)
+            if m and (entry / f"job={job_id}").exists():
+                out.add(int(m.group(1)))
+        return out
+
+    # ------------------------------------------------------------ write
+    def commit_bucketed(
+        self,
+        df: DataFrame,
+        table: str,
+        job_id: str,
+        fail_on_bucket: int | None = None,
+    ) -> CommitStats:
+        """Write ``df`` (must carry a ``bucket`` int column) atomically.
+
+        One distributed write into staging partitioned by bucket, then
+        one atomic rename per bucket into the table. ``fail_on_bucket``
+        injects a crash before that bucket's commit (resume tests,
+        reference analog: FlakyMemoryOutput in tests/test_flow_runtime.py:46-55).
+        """
+        staging = self._staging(table)
+        df.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(str(staging))
+
+        tdir = self.table_path(table)
+        tdir.mkdir(parents=True, exist_ok=True)
+        committed: list[int] = []
+        skipped: list[int] = []
+        try:
+            for entry in sorted(staging.iterdir()):
+                m = _BUCKET_RE.match(entry.name)
+                if not m:
+                    continue
+                bucket = int(m.group(1))
+                if fail_on_bucket is not None and bucket == fail_on_bucket:
+                    raise RuntimeError(f"injected failure before committing bucket {bucket}")
+                dest_dir = tdir / entry.name
+                dest_dir.mkdir(exist_ok=True)
+                dest = dest_dir / f"job={job_id}"
+                if dest.exists():
+                    skipped.append(bucket)
+                    continue
+                os.replace(entry, dest)  # the commit point
+                committed.append(bucket)
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+        return CommitStats(table, tuple(committed), tuple(skipped))
+
+    def commit_single(self, df: DataFrame, table: str, job_id: str) -> CommitStats:
+        """Atomic unbucketed commit (aggregate/lineage/metrics tables)."""
+        staging = self._staging(table)
+        df.write.mode("overwrite").parquet(str(staging))
+        dest = self.table_path(table) / f"job={job_id}"
+        dest.parent.mkdir(parents=True, exist_ok=True)
+        if dest.exists():
+            shutil.rmtree(dest)
+        os.replace(staging, dest)
+        return CommitStats(table, (0,), ())
+
+    # ------------------------------------------------------------ read
+    def read(self, spark: SparkSession, table: str) -> DataFrame:
+        tdir = self.table_path(table)
+        return spark.read.option("basePath", str(tdir)).parquet(str(tdir))
+
+    def exists(self, table: str) -> bool:
+        tdir = self.table_path(table)
+        return tdir.exists() and any(tdir.iterdir())

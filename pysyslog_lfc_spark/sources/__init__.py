@@ -1,0 +1,4 @@
+"""Sources: table readers + deterministic synthetic data generation."""
+
+from pysyslog_lfc_spark.sources.datagen import sequences_df, source_lookup_df  # noqa: F401
+from pysyslog_lfc_spark.sources.readers import read_table, read_sequences  # noqa: F401

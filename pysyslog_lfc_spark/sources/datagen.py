@@ -1,0 +1,124 @@
+"""Deterministic synthetic data generation — fully distributed.
+
+Generates the authoritative input shape from BASELINE.json
+``input_hint``: ``(doc_id string, tokens array<int32>, n_tok int32,
+source string)`` plus a derived RFC3164-style ``message`` column so
+grok parsing is testable end-to-end (FIXTURES.md §1).
+
+Everything is a Catalyst expression over ``spark.range`` — no driver
+loops, no Python UDFs, no wall-clock: the same (n_rows, seed) always
+yields identical bytes, at any parallelism, which is what makes
+deterministic recompute a valid replacement for the reference's
+ack/retry channel (``channels.py:55-79``).
+
+``source`` is Zipf-skewed across 32 hosts so hot-key handling
+(salting, AQE skew join) is actually exercised (FIXTURES.md §1).
+Timestamps live inside year 2000 to round-trip through the rfc3164
+parser's pinned year.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+N_SOURCES = 32
+VOCAB = 50257
+EPOCH_2000 = 946684800  # 2000-01-01T00:00:00Z
+
+
+def _h(*cols: Column | int, seed: int) -> Column:
+    return F.xxhash64(*[c if isinstance(c, Column) else F.lit(c) for c in cols], F.lit(seed))
+
+
+def _zipf_index(u: Column, n: int, s: float = 1.2) -> Column:
+    """Inverse-CDF Zipf draw: index in [0, n) from uniform u in [0,1)."""
+    weights = [1.0 / (k + 1) ** s for k in range(n)]
+    total = sum(weights)
+    cum, acc = [], 0.0
+    for w in weights[:-1]:
+        acc += w / total
+        cum.append(acc)
+    thresholds = F.array(*[F.lit(c) for c in cum])
+    return F.size(F.filter(thresholds, lambda t: t <= u))
+
+
+def sequences_df(
+    spark: SparkSession,
+    n_rows: int,
+    seed: int = 42,
+    n_sources: int = N_SOURCES,
+    partitions: int | None = None,
+) -> DataFrame:
+    """The primary tokenized-sequence table, deterministically seeded."""
+    rng = spark.range(0, n_rows, numPartitions=partitions) if partitions else spark.range(n_rows)
+    idc = F.col("id")
+
+    doc_id = F.format_string("doc-%010d", idc)
+    n_tok = (F.pmod(_h(idc, seed=seed), F.lit(505)) + 8).cast("int")
+    tokens = F.transform(
+        F.sequence(F.lit(0), n_tok - 1),
+        lambda i: F.pmod(_h(idc, i.cast("long"), seed=seed + 1), F.lit(VOCAB)).cast("int"),
+    )
+    u = F.pmod(_h(idc, seed=seed + 2), F.lit(1_000_000)) / 1_000_000.0
+    src_idx = _zipf_index(u, n_sources)
+    source = F.format_string("host-%02d", src_idx)
+
+    severity = F.pmod(_h(doc_id, seed=seed + 3), F.lit(8)).cast("int")
+    facility = F.pmod(_h(source, seed=seed + 4), F.lit(24)).cast("int")
+    pri = facility * 8 + severity
+    prog = F.format_string("prog%02d", F.pmod(_h(idc, seed=seed + 5), F.lit(20)))
+    pid = (F.pmod(_h(idc, seed=seed + 6), F.lit(32000)) + 1).cast("int")
+    # deterministic step inside year 2000 (no leap-day edge: cap at 360d)
+    ts = F.timestamp_seconds(F.lit(EPOCH_2000) + F.pmod(idc * 7919, F.lit(360 * 86400)))
+    ts_str = F.date_format(ts, "MMM dd HH:mm:ss")
+    message = F.format_string(
+        "<%d>%s %s %s[%d]: doc=%s n=%d", pri, ts_str, source, prog, pid, doc_id, n_tok
+    )
+
+    return rng.select(
+        doc_id.alias("doc_id"),
+        tokens.alias("tokens"),
+        n_tok.alias("n_tok"),
+        source.alias("source"),
+        message.alias("message"),
+    )
+
+
+def source_lookup_df(spark: SparkSession, n_sources: int = N_SOURCES, seed: int = 42) -> DataFrame:
+    """Enrichment lookup — one row per source, broadcast-join side
+    (FIXTURES.md §2; enrichment concept: reference etc/pysyslog/conf.d/enrich.ini).
+    """
+
+    def stable(name: str, mod: int) -> int:
+        dig = hashlib.sha256(f"{seed}:{name}".encode()).digest()
+        return int.from_bytes(dig[:8], "big") % mod
+
+    rows = []
+    for k in range(n_sources):
+        src = f"host-{k:02d}"
+        rows.append(
+            (
+                src,
+                "dc-east" if stable(src, 2) == 0 else "dc-west",
+                f"team-{stable(src, 5)}",
+                "prod" if stable(src, 4) != 0 else "staging",
+                stable(src, 4),  # severity_floor 0-3
+            )
+        )
+    return spark.createDataFrame(
+        rows, "source string, site string, owner string, env string, severity_floor int"
+    )
+
+
+def write_sequences(
+    spark: SparkSession,
+    path: str,
+    n_rows: int,
+    seed: int = 42,
+    partitions: int | None = None,
+) -> None:
+    sequences_df(spark, n_rows, seed=seed, partitions=partitions).write.mode(
+        "overwrite"
+    ).parquet(path)

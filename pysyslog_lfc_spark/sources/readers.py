@@ -1,0 +1,35 @@
+"""Table readers.
+
+The engine-primary scan is an Iceberg table of pre-tokenized sequences
+(BASELINE.json ``input_hint``); the sandbox has no Iceberg jar, so the
+reader falls back to a parquet directory with identical schema. The
+swap is config-only: pass ``catalog.db.table`` to use a metastore
+table, or a path for parquet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+SEQUENCES_SCHEMA = "doc_id string, tokens array<int>, n_tok int, source string"
+
+
+def read_table(spark: SparkSession, ref: str) -> DataFrame:
+    """Read either an Iceberg/metastore table name or a parquet path."""
+    if "/" in ref or ref.endswith(".parquet"):
+        return spark.read.parquet(ref)
+    return spark.read.table(ref)
+
+
+def read_sequences(spark: SparkSession, ref: str) -> DataFrame:
+    """Read the primary sequence table, pruning to the engine schema.
+
+    Column pruning matters at 10^12 rows: select only the declared
+    columns so the wide ``tokens`` array is never read by stages that
+    don't need it (Catalyst prunes per-stage below this).
+    """
+    df = read_table(spark, ref)
+    cols = ["doc_id", "tokens", "n_tok", "source"]
+    if "message" in df.columns:
+        cols.append("message")
+    return df.select(*cols)

@@ -1,0 +1,128 @@
+"""Flagship pipeline correctness: routed-row sets per sink, token-array
+equality per routed row, per-sink aggregate counts vs an independent
+DuckDB oracle, and bucket-granular resume (north star / FIXTURES.md §3-4).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from pysyslog_lfc_spark.plans.pipeline import run_pipeline, routing_predicates
+from pysyslog_lfc_spark.sinks import ParquetWarehouse
+from pysyslog_lfc_spark.sources.datagen import sequences_df, source_lookup_df
+
+N_ROWS = 5000
+
+
+@pytest.fixture(scope="module")
+def data(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("pipeline")
+    seq_path = str(root / "sequences")
+    sequences_df(spark, N_ROWS, seed=42, partitions=8).write.mode("overwrite").parquet(seq_path)
+    lookup = source_lookup_df(spark)
+    return root, seq_path, lookup
+
+
+def _oracle(seq_path: str, lookup_pdf):
+    """Independent DuckDB computation of routed sets + aggregates."""
+    con = duckdb.connect()
+    con.register("lookup", lookup_pdf)
+    con.execute(
+        f"""
+        CREATE VIEW enriched AS
+        SELECT s.*,
+               CAST(regexp_extract(s.message, '^<(\\d+)>', 1) AS INT) % 8 AS severity,
+               CAST(regexp_extract(s.message, '^<(\\d+)>', 1) AS INT) // 8 AS facility,
+               l.site, l.owner, l.env, l.severity_floor
+        FROM read_parquet('{seq_path}/*.parquet') s
+        LEFT JOIN lookup l USING (source)
+        """
+    )
+    routes = {
+        "sink_errors": "severity <= 3",
+        "sink_app": "contains(message, 'doc=') AND env = 'prod'",
+        "sink_catchall": "NOT (severity <= 3) AND NOT (contains(message, 'doc=') AND env = 'prod')",
+    }
+    docs = {
+        name: {r[0] for r in con.execute(f"SELECT doc_id FROM enriched WHERE {pred}").fetchall()}
+        for name, pred in routes.items()
+    }
+    aggs = {
+        name: {
+            (r[0], r[1]): r[2]
+            for r in con.execute(
+                f"SELECT source, severity, count(*) FROM enriched WHERE {pred} GROUP BY 1, 2"
+            ).fetchall()
+        }
+        for name, pred in routes.items()
+    }
+    con.close()
+    return docs, aggs
+
+
+def test_pipeline_routing_aggregates_and_token_equality(spark, data):
+    root, seq_path, lookup = data
+    wh_root = str(root / "wh_main")
+    seq = spark.read.parquet(seq_path)
+    result = run_pipeline(spark, seq, lookup, wh_root, job_id="j1", n_buckets=16)
+
+    oracle_docs, oracle_aggs = _oracle(seq_path, lookup.toPandas())
+    wh = ParquetWarehouse(wh_root)
+
+    assert result.metrics["rows_in"] == N_ROWS
+    assert result.metrics["parse_ok"] == N_ROWS
+
+    for name in routing_predicates():
+        sink = wh.read(spark, name)
+        got_docs = {r[0] for r in sink.select("doc_id").collect()}
+        assert got_docs == oracle_docs[name], f"routed-row set mismatch for {name}"
+
+        # per-row token-array equality vs input (BASELINE.json invariant)
+        joined = sink.alias("s").join(seq.alias("i"), "doc_id")
+        n_bad = joined.where(F.col("s.tokens") != F.col("i.tokens")).count()
+        assert n_bad == 0, f"{name}: {n_bad} rows with token drift"
+        assert sink.where(F.size("tokens") != F.col("n_tok")).count() == 0
+
+        agg = wh.read(spark, f"{name}_agg")
+        got_agg = {(r["source"], r["severity"]): r["cnt"] for r in agg.collect()}
+        assert got_agg == oracle_aggs[name], f"aggregate mismatch for {name}"
+        assert agg.select("flow").distinct().collect()[0][0] == name
+
+
+def test_pipeline_resume_after_injected_failure(spark, data):
+    root, seq_path, lookup = data
+    seq = spark.read.parquet(seq_path)
+    wh_fail = str(root / "wh_resume")
+    wh_ref = str(root / "wh_uninterrupted")
+
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_pipeline(
+            spark, seq, lookup, wh_fail, job_id="j2", n_buckets=16, fail_on=("sink_app", 7)
+        )
+    wh = ParquetWarehouse(wh_fail)
+    partial = wh.committed_buckets("sink_app", "j2")
+    assert partial and 7 not in partial  # some buckets landed, crash point did not
+
+    # restart: only uncommitted buckets are reprocessed
+    result = run_pipeline(spark, seq, lookup, wh_fail, job_id="j2", n_buckets=16, resume=True)
+    ref = run_pipeline(spark, seq, lookup, wh_ref, job_id="j2", n_buckets=16)
+
+    for name in routing_predicates():
+        got = sorted(
+            tuple(r) for r in wh.read(spark, name).select("doc_id", "n_tok").collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in ParquetWarehouse(wh_ref).read(spark, name).select("doc_id", "n_tok").collect()
+        )
+        assert got == want, f"resume produced different content for {name}"
+        # exactly-once: every bucket committed exactly one job dir
+        tdir = wh.table_path(name)
+        for bdir in tdir.glob("bucket=*"):
+            assert len(list(bdir.glob("job=*"))) == 1
+
+    assert set(result.sinks["sink_app"].buckets_committed) == set(
+        ref.sinks["sink_app"].buckets_committed
+    )
