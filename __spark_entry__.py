@@ -1,38 +1,56 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship parse -> enrich -> route ->
+aggregate query on /root/testdata/sf0.001. ``queries()`` /
+``oracle_sql()`` expose every implemented operator from SURVEY.md §2
+plus the training-data extensions (dedup / similarity / text analysis);
+the pairs live in :mod:`pysyslog_lfc_spark.plans.driver_queries`.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from pysyslog_lfc_spark.plans import driver_queries as DQ
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: the north-star shape —
+    vectorized parse (json props) -> broadcast-hash-join enrichment
+    (customer lookup) -> rule routing -> per-sink aggregate counts."""
+    sf = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    cust = spark.read.parquet(f"{sf}/customer.parquet")
+    parsed = ev.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+    enriched = parsed.join(
+        F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+        parsed.user_id == F.col("c_custkey"),
+        "left",
+    )
+    route = (
+        F.when(F.col("event_type") == "error", F.lit("sink_errors"))
+        .when((F.col("k") >= 50) & F.col("event_type").isin("purchase", "signup"), F.lit("sink_money"))
+        .otherwise(F.lit("sink_catchall"))
+    )
+    return (
+        enriched.withColumn("route", route)
+        .groupBy("route", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator (SURVEY.md §2 + training-data
+    extensions); each callable takes (spark, sf_dir) -> DataFrame."""
+    return DQ.all_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per query; approximate operators
+    (ann_lsh_topk) are intentionally omitted -> rows-only check."""
+    return DQ.all_oracles()

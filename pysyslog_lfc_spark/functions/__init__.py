@@ -1,0 +1,33 @@
+"""Training-data operations: dedup, similarity search, text analysis,
+multimodal column plumbing.
+
+These extend the log-pipeline engine with the operators a large-scale
+training-data pipeline needs (the reference has none of these — they are
+the "beyond the reference" surface). All hot paths are Catalyst
+expressions (whole-stage codegen); Python appears only in the clearly
+marked multimodal decode stubs (Arrow-batched ``mapInPandas``).
+"""
+
+from pysyslog_lfc_spark.functions.text import (  # noqa: F401
+    portable_hash60,
+    tokenize,
+    token_count,
+    quality_features,
+    lang_id,
+    fingerprint,
+    shingles,
+)
+from pysyslog_lfc_spark.functions.dedup import (  # noqa: F401
+    exact_dedup,
+    ngram_jaccard_pairs,
+    minhash_signatures,
+    minhash_lsh_pairs,
+    simhash,
+    simhash_pairs,
+    embedding_near_dup,
+)
+from pysyslog_lfc_spark.functions.similarity import (  # noqa: F401
+    cosine_sim,
+    brute_force_topk,
+    lsh_ann_topk,
+)

@@ -1,0 +1,280 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+Design for 100 TB:
+
+- **Exact** dedup is one hash-groupBy — map-side partial agg, the
+  shuffle moves (hash, id) pairs only, never document bodies.
+- **N-gram Jaccard** generates candidates with a shared-shingle
+  self-join (no false negatives) and verifies with the exact Jaccard
+  formula; ``max_shingle_freq`` caps join fan-out from
+  stop-shingles at scale (off by default so results equal the
+  brute-force oracle).
+- **MinHash + LSH** is the scale path: signatures are 64 independent
+  min-hashes computed in one exploded aggregate; banding turns the
+  quadratic pair search into an equi-join on (band, band_hash);
+  candidates are then verified with exact Jaccard so the output has no
+  false positives (false-negative probability at j=0.8 with 16 bands of
+  4 rows is (1-0.8^4)^16 ≈ 2e-4 per pair).
+- **SimHash** is a per-row 60-bit signature (pure expression over the
+  token array); near-dup pairs join on 15-bit band equality (pigeonhole:
+  hamming ≤ 3 over 4 bands guarantees ≥1 identical band).
+- **Embedding near-dup**: cosine over float vectors; brute-force
+  all-pairs intra-bucket; pair generation can be pre-bucketed by LSH
+  (see similarity.py) at scale.
+
+The reference engine has no dedup surface; this is the training-data
+extension. Hashes that must agree with the DuckDB oracle use
+``portable_hash60``; internal-only hashes (MinHash perms) use
+``xxhash64`` which is cheaper.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from pysyslog_lfc_spark.functions.text import portable_hash60, shingles
+
+MINHASH_PERMS = 64
+LSH_BANDS = 16  # 16 bands x 4 rows = 64 perms
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups keyed by md5(text): representative id
+    (min), group size. One hash-groupBy; shuffles (hash, id) only."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def _shingled(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("_id"), shingles(F.col(text_col), n).alias("_sh")
+    ).withColumn("_n_sh", F.size("_sh"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by word-``n``-gram Jaccard ≥ ``threshold``.
+
+    Exact: candidates = pairs sharing ≥1 shingle (a self equi-join on
+    the exploded shingle column — no false negatives), verified with
+    |∩| / (|A|+|B|-|∩|). ``max_shingle_freq`` (scale knob) drops
+    shingles shared by more than that many docs before the join,
+    bounding worst-case fan-out at a small false-negative cost.
+    """
+    sh = _shingled(df, text_col, id_col, n)
+    ex = sh.select("_id", "_n_sh", F.explode("_sh").alias("_s"))
+    if max_shingle_freq is not None:
+        freq = ex.groupBy("_s").agg(F.count(F.lit(1)).alias("_f"))
+        ex = ex.join(freq.where(F.col("_f") <= max_shingle_freq).select("_s"), "_s")
+    a = ex.select(F.col("_id").alias("id_a"), F.col("_n_sh").alias("n_a"), "_s")
+    b = ex.select(F.col("_id").alias("id_b"), F.col("_n_sh").alias("n_b"), "_s")
+    pairs = (
+        a.join(b, "_s")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared")), 4
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return pairs.select("id_a", "id_b", "jaccard")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    perms: int = MINHASH_PERMS,
+) -> DataFrame:
+    """64-permutation MinHash signature per document.
+
+    Computed as a single explode + groupBy with ``perms`` min()
+    aggregates of seeded xxhash64 — map-side partial aggregation means
+    the shuffle carries one signature row per (doc, partition), never
+    the shingle stream.
+    """
+    sh = _shingled(df, text_col, id_col, n)
+    ex = sh.select("_id", F.explode("_sh").alias("_s"))
+    aggs = [
+        F.min(F.xxhash64(F.col("_s"), F.lit(i))).alias(f"mh_{i}") for i in range(perms)
+    ]
+    return ex.groupBy("_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    bands: int = LSH_BANDS,
+    perms: int = MINHASH_PERMS,
+) -> DataFrame:
+    """MinHash-LSH candidate generation + exact-Jaccard verification.
+
+    Banding: signature split into ``bands`` bands of ``perms//bands``
+    rows; band key = xxhash64 of the band's values; candidates = pairs
+    equal in ≥1 band (equi-join on (band_idx, band_hash) — never a
+    cross join). Verification recomputes exact Jaccard on the candidate
+    pairs only, so output precision is 1.0 and the LSH step is purely a
+    pruning strategy.
+    """
+    rows_per_band = perms // bands
+    sigs = minhash_signatures(df, text_col, id_col, n, perms)
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("bh"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select("_id", F.explode(band_cols).alias("bk")).select(
+        "_id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
+    )
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bh"])
+        .where(F.col("x._id") < F.col("y._id"))
+        .select(F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"))
+        .distinct()
+    )
+    # exact verification on candidates only
+    sh = _shingled(df, text_col, id_col, n)
+    a = sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"), F.col("_n_sh").alias("n_a"))
+    b = sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"), F.col("_n_sh").alias("n_b"))
+    verified = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("n_shared", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared")), 4
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return verified.select("id_a", "id_b", "jaccard")
+
+
+SIMHASH_BITS = 60  # 15 hex chars of md5 → agrees with the DuckDB oracle
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """60-bit SimHash per document over unigram token hashes.
+
+    bit b of the signature = 1 iff Σ_words (2·bit_b(h(word)) − 1) > 0.
+    Pure array expressions (one pass building the hash array, then 60
+    aggregate folds) — whole-stage codegen, no shuffle at all.
+    """
+    words = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
+    hashed = df.select(
+        F.col(id_col), F.transform(words, lambda w: portable_hash60(w)).alias("_h")
+    )
+    def bit_vote(bit: int) -> Column:
+        def merge(acc: Column, h: Column) -> Column:
+            return acc + (F.shiftright(h, bit).bitwiseAND(F.lit(1)) * 2 - 1).cast("int")
+
+        return F.aggregate(F.col("_h"), F.lit(0), merge)
+
+    sig = F.lit(0).cast("long")
+    for b in range(SIMHASH_BITS):
+        vote = bit_vote(b)
+        sig = sig + F.when(vote > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
+    return hashed.select(F.col(id_col), sig.alias("simhash"))
+
+
+def _hamming60(a: Column, b: Column) -> Column:
+    x = a.bitwiseXOR(b)
+    return F.bit_count(x)
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with SimHash hamming distance ≤ ``max_hamming``.
+
+    Pigeonhole banding: split 60 bits into ``bands`` 15-bit bands; any
+    pair within distance ``bands - 1`` shares at least one identical
+    band, so an equi-join on (band_idx, band_bits) finds all of them
+    without a cross join. Verified by exact popcount on the XOR.
+    """
+    assert max_hamming < bands, "pigeonhole requires max_hamming < bands"
+    sigs = simhash(df, text_col, id_col)
+    width = SIMHASH_BITS // bands
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("bits"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select(
+        F.col(id_col).alias("_id"), F.col("simhash"), F.explode(band_arr).alias("bk")
+    ).select("_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.bits").alias("bits"))
+    pairs = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bits"])
+        .where(F.col("x._id") < F.col("y._id"))
+        .select(
+            F.col("x._id").alias("id_a"),
+            F.col("y._id").alias("id_b"),
+            _hamming60(F.col("x.simhash"), F.col("y.simhash")).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+    return pairs
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos ≥ threshold).
+
+    Brute-force all-pairs; at scale, bucket first with
+    :func:`similarity.lsh_ann_topk`'s hyperplane signatures and run
+    this within buckets. Vectors normalized once before the join so the
+    pair expression is a plain dot product.
+    """
+    from pysyslog_lfc_spark.functions.similarity import _normalized, _dot
+
+    nrm = _normalized(df, vec_col, id_col)
+    a = nrm.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"))
+    b = nrm.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(_dot(F.col("va"), F.col("vb")), 4))
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

@@ -1,0 +1,199 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary
+columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
+
+The container has no image/audio codecs, so the *decode kernels* are
+stubs: ``decode="fake"`` produces a deterministic fake (seeded from the
+payload bytes) with the real output schema and batch shape;
+``decode="real"`` raises ``NotImplementedError`` at the exact point a
+codec (Pillow / torchaudio / pyav) would be called. Everything
+Spark-side — schemas, partitioning, Arrow batch iteration, UDF
+signatures — is real and tested.
+
+Scale notes: binary payloads ride in Arrow record batches
+(``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds executor
+memory per batch); decode stages are embarrassingly parallel map-only
+(no shuffle); metadata-only stages (filtering by width/duration) never
+touch the payload column thanks to Catalyst column pruning — filter on
+metadata BEFORE the decode stage so pruned rows never cross into
+Python.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+from typing import Literal
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+# ---- canonical schemas ----------------------------------------------------
+
+IMAGE_META = T.StructType(
+    [
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("format", T.StringType()),
+    ]
+)
+
+AUDIO_META = T.StructType(
+    [
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("codec", T.StringType()),
+    ]
+)
+
+VIDEO_META = T.StructType(
+    [
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("fps", T.DoubleType()),
+    ]
+)
+
+FEATURE_DIM = 16  # deterministic-fake feature vector size
+
+
+def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Deterministic stand-in for a real decode+embed kernel: features
+    derived from sha256 of the payload, so tests are reproducible and
+    byte-sensitive (any payload change changes the features)."""
+    out = []
+    for i in range(dim):
+        dig = hashlib.sha256(payload + i.to_bytes(2, "big")).digest()
+        out.append(int.from_bytes(dig[:4], "big") / 2**32)
+    return out
+
+
+def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Test helper: synthesize an image-shaped (payload, meta) pair from
+    a text column — pure expressions, deterministic."""
+    payload = F.encode(F.col(text_col), "utf-8").cast("binary")
+    h = F.abs(F.xxhash64(F.col(text_col)))
+    meta = F.struct(
+        (F.pmod(h, F.lit(1920)) + 16).cast("int").alias("width"),
+        (F.pmod(h, F.lit(1080)) + 16).cast("int").alias("height"),
+        F.lit("png").alias("format"),
+    )
+    return df.withColumns({"payload": payload, "image_meta": meta})
+
+
+def image_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    decode: Literal["fake", "real"] = "fake",
+    dim: int = FEATURE_DIM,
+) -> DataFrame:
+    """Decode → feature-extract stage over an image binary column.
+
+    Arrow-batched ``mapInPandas``; output keeps all input columns except
+    the payload (dropped post-decode so the wide binary never travels
+    further) and appends ``features: array<float>``.
+    """
+    out_fields = [f for f in df.schema.fields if f.name != payload_col]
+    out_schema = T.StructType(
+        out_fields + [T.StructField("features", T.ArrayType(T.FloatType()))]
+    )
+    keep = [f.name for f in out_fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode == "real":
+                raise NotImplementedError(
+                    "real image decode requires Pillow; not available in this container"
+                )
+            feats = [_fake_features(bytes(p), dim) for p in pdf[payload_col]]
+            out = pdf[keep].copy()
+            out["features"] = feats
+            yield out
+
+    return df.mapInPandas(run, out_schema)
+
+
+def resize_images(
+    df: DataFrame,
+    payload_col: str = "payload",
+    meta_col: str = "image_meta",
+    max_side: int = 256,
+    decode: Literal["fake", "real"] = "fake",
+) -> DataFrame:
+    """Resize stage: payload in, payload out, metadata updated.
+
+    The fake kernel truncates the payload proportionally to the area
+    ratio (deterministic, size-monotone) and rewrites width/height; the
+    real kernel is the marked stub.
+    """
+    schema = df.schema
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode == "real":
+                raise NotImplementedError(
+                    "real image resize requires Pillow; not available in this container"
+                )
+            new_payloads, new_meta = [], []
+            for payload, meta in zip(pdf[payload_col], pdf[meta_col]):
+                w, h = int(meta["width"]), int(meta["height"])
+                scale = min(1.0, max_side / max(w, h))
+                nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+                ratio = (nw * nh) / (w * h)
+                raw = bytes(payload)
+                new_payloads.append(raw[: max(1, int(len(raw) * ratio))])
+                new_meta.append({"width": nw, "height": nh, "format": meta["format"]})
+            out = pdf.copy()
+            out[payload_col] = new_payloads
+            out[meta_col] = new_meta
+            yield out
+
+    return df.mapInPandas(run, schema)
+
+
+def sample_video_frames(
+    df: DataFrame,
+    payload_col: str = "payload",
+    meta_col: str = "video_meta",
+    every_n: int = 10,
+    decode: Literal["fake", "real"] = "fake",
+) -> DataFrame:
+    """Frame-sampling stage: one output row per sampled frame
+    (explode-shaped in Python because frame extraction needs the codec).
+    Output: input columns minus payload, plus (frame_idx, frame_payload).
+    """
+    out_fields = [f for f in df.schema.fields if f.name != payload_col]
+    out_schema = T.StructType(
+        out_fields
+        + [
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame_payload", T.BinaryType()),
+        ]
+    )
+    keep = [f.name for f in out_fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode == "real":
+                raise NotImplementedError(
+                    "real frame extraction requires pyav; not available in this container"
+                )
+            rows = []
+            for i in range(len(pdf)):
+                meta = pdf[meta_col].iloc[i]
+                payload = bytes(pdf[payload_col].iloc[i])
+                base = {k: pdf[k].iloc[i] for k in keep}
+                for fi in range(0, int(meta["n_frames"]), every_n):
+                    rows.append(
+                        {
+                            **base,
+                            "frame_idx": fi,
+                            "frame_payload": hashlib.sha256(
+                                payload + fi.to_bytes(4, "big")
+                            ).digest(),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=keep + ["frame_idx", "frame_payload"])
+
+    return df.mapInPandas(run, out_schema)

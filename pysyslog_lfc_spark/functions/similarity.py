@@ -1,0 +1,179 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+- :func:`brute_force_topk` — exact cosine top-k; the correctness
+  baseline. Query side is broadcast (queries ≪ corpus), so the corpus
+  never shuffles: each executor scans its partitions once and emits k
+  rows per query per partition before the final TakeOrdered.
+- :func:`lsh_ann_topk` — random-hyperplane LSH: sign-bit signatures
+  from deterministic hyperplanes (seeded, expression-generated — no
+  stored model), candidates = corpus rows whose signature matches a
+  query's in ≥ ``min_band_matches`` bands, then exact cosine re-rank
+  within candidates. This is the 100 TB path: the equi-join on band
+  keys replaces the full cross product.
+
+All math is Catalyst expressions (`zip_with`/`aggregate`); vectors are
+L2-normalized once up front so every comparison is a plain dot product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _norm(v: Column) -> Column:
+    return F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def _normalized(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return df.select(
+        F.col(id_col).alias("_id"),
+        F.transform(v, lambda x: x / _norm(v)).alias("_v"),
+    )
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    Output: (query_id, neighbor_id, rank, cos). Ties broken by
+    neighbor_id so ranking is fully deterministic. The queries frame is
+    explicitly broadcast — the join is a BroadcastNestedLoopJoin over
+    the corpus scan, no corpus shuffle; the per-query rank is a window
+    over (query_id) whose shuffle carries only (ids, score).
+    """
+    c = _normalized(corpus, vec_col, id_col)
+    q = _normalized(queries, vec_col, id_col).select(
+        F.col("_id").alias("query_id"), F.col("_v").alias("_qv")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("_id").alias("neighbor_id"),
+            F.round(_dot(F.col("_v"), F.col("_qv")), 4).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+N_PLANES = 16  # signature bits
+N_BANDS = 4  # 4 bands x 4 bits
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from a seeded hash — no
+    RNG state, reproducible across runs/resumes."""
+    import hashlib
+    import struct
+
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            dig = hashlib.sha256(f"{seed}:{p}:{d}".encode()).digest()
+            (u,) = struct.unpack(">Q", dig[:8])
+            row.append((u / 2**64) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = N_PLANES,
+    n_bands: int = N_BANDS,
+    min_band_matches: int = 1,
+) -> DataFrame:
+    """Approximate top-k: hyperplane-LSH candidate generation + exact
+    cosine re-rank. Candidates come from an equi-join on (band, bits);
+    recall is tuned by n_planes/n_bands (more bands → more candidates).
+    Output schema matches :func:`brute_force_topk` for drop-in use.
+    """
+    dim = len(corpus.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes)
+    width = n_planes // n_bands
+
+    def signature(vcol: Column) -> Column:
+        bits = [
+            (
+                F.aggregate(
+                    F.zip_with(
+                        vcol,
+                        F.array(*[F.lit(w) for w in plane]),
+                        lambda x, y: x * y,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                > 0
+            ).cast("int")
+            for plane in planes
+        ]
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    sum(
+                        (bits[b * width + i] * (1 << i) for i in range(width)),
+                        F.lit(0),
+                    ).alias("bits"),
+                )
+                for b in range(n_bands)
+            ]
+        )
+
+    c = _normalized(corpus, vec_col, id_col)
+    q = _normalized(queries, vec_col, id_col)
+    cb = c.select("_id", "_v", F.explode(signature(F.col("_v"))).alias("bk")).select(
+        "_id", "_v", "bk.band", "bk.bits"
+    )
+    qb = q.select(
+        F.col("_id").alias("query_id"), F.col("_v").alias("_qv"),
+        F.explode(signature(F.col("_v"))).alias("bk"),
+    ).select("query_id", "_qv", "bk.band", "bk.bits")
+    cand = (
+        cb.join(F.broadcast(qb), ["band", "bits"])
+        .where(F.col("_id") != F.col("query_id"))
+        .groupBy("query_id", "_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bands_matched"),
+            F.first("_v").alias("_v"),
+            F.first("_qv").alias("_qv"),
+        )
+        .where(F.col("n_bands_matched") >= min_band_matches)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        cand.select(
+            "query_id",
+            F.col("_id").alias("neighbor_id"),
+            F.round(_dot(F.col("_v"), F.col("_qv")), 4).alias("cos"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )

@@ -1,0 +1,133 @@
+"""Text analysis operators: tokenization, quality scoring, language ID,
+fingerprinting.
+
+Everything here is a pure Catalyst column expression — no Python UDFs —
+so the operators run inside whole-stage codegen and scale linearly with
+executors. Where a deterministic hash must agree with the DuckDB oracle,
+we use :func:`portable_hash60` (md5-hex prefix → 60-bit int), which both
+engines compute byte-identically.
+
+The reference engine (pysyslog-lfc) has no text-analysis surface; these
+operators are the training-data extension mandated by the build spec.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Stopword list used for quality scoring (operator parameter, not a
+# linguistic claim). Kept tiny and fixed so the oracle can inline it.
+STOPWORDS = ["the", "a", "of", "and", "to", "in"]
+
+# Marker vocabularies for the n-gram/keyword language-ID heuristic.
+# Deterministic scoring: score(lang) = #occurrences of that lang's
+# markers; predicted language = argmax, ties broken alphabetically.
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "die", "und", "nicht", "das"],
+    "en": ["the", "and", "of", "a", "to"],
+    "es": ["el", "la", "que", "los", "una"],
+    "fr": ["le", "la", "les", "une", "des"],
+    "zh": ["de5", "shi4", "le5", "zai4", "he2"],
+}
+
+
+def portable_hash60(col: Column) -> Column:
+    """Deterministic 60-bit hash identical in Spark and DuckDB.
+
+    Spark:  conv(substr(md5(x),1,15), 16, 10)::bigint
+    DuckDB: ('0x' || substr(md5(x),1,15))::BIGINT
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def tokenize(col: Column) -> Column:
+    """Whitespace tokenizer: split on runs of whitespace, drop empties.
+
+    Matches DuckDB ``list_filter(string_split_regex(text,'\\s+'), w -> w != '')``.
+    """
+    return F.filter(F.split(col, r"\s+"), lambda w: w != "")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokenize(col))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """BPE-ish sub-word token estimate: words plus one extra token per
+    4 chars beyond the first 4 of each word (a cheap deterministic proxy
+    for sub-word splitting, expressible in ANSI SQL for the oracle)."""
+    words = tokenize(col)
+    per_word = F.transform(
+        words, lambda w: F.lit(1) + F.floor((F.length(w) - 1) / 4).cast("int")
+    )
+    return F.aggregate(per_word, F.lit(0), lambda acc, x: acc + x)
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring features: length, word stats, stopword ratio and a
+    composite quality score in [0,1]. All ratios rounded to 4 decimals so
+    the float values hash-match the oracle."""
+    t = F.col(text_col)
+    words = tokenize(t)
+    n_words = F.size(words)
+    n_stop = F.size(F.filter(words, lambda w: F.lower(w).isin(STOPWORDS)))
+    raw_avg = F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w)) / F.greatest(
+        n_words, F.lit(1)
+    )
+    raw_stop = n_stop / F.greatest(n_words, F.lit(1))
+    # composite score: long-enough docs with moderate stopword use win.
+    # Computed from UNROUNDED components; exported as a floor-permille
+    # integer because floor of bit-identical doubles is engine-portable
+    # while decimal rounding of near-tie doubles is not.
+    raw_score = (
+        F.least(n_words / F.lit(100.0), F.lit(1.0)) * 0.5
+        + F.least(raw_stop * 5.0, F.lit(1.0)) * 0.3
+        + F.least(raw_avg / F.lit(8.0), F.lit(1.0)) * 0.2
+    )
+    return df.withColumns(
+        {
+            "n_words": n_words,
+            "avg_word_len": F.round(raw_avg, 4),
+            "stopword_ratio": F.round(raw_stop, 4),
+            "quality_score": F.round(raw_score, 4),
+            "quality_permille": F.floor(raw_score * 1000).cast("int"),
+        }
+    )
+
+
+def lang_id(col: Column) -> Column:
+    """Keyword-marker language ID. score(lang) = marker occurrences in
+    the token stream; argmax wins, alphabetical tie-break, 'und'
+    (undetermined) when every score is zero."""
+    words = tokenize(F.lower(col))
+    pred = F.lit("und")
+    best = F.lit(0)
+    # iterate in REVERSE alphabetical order so that on ties the
+    # alphabetically-first language is what survives the > comparison
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        score = F.size(F.filter(words, lambda w: w.isin(LANG_MARKERS[lang])))
+        pred = F.when(score > best, F.lit(lang)).otherwise(pred)
+        best = F.greatest(score, best)
+    return pred
+
+
+def fingerprint(col: Column, n_words: int = 8) -> Column:
+    """Document fingerprint: 60-bit hash of the first ``n_words``
+    normalized tokens — a cheap rolling-hash-style prefix signature used
+    for fast first-pass clustering of near-identical documents."""
+    head = F.array_join(F.slice(tokenize(F.lower(col)), 1, n_words), " ")
+    return portable_hash60(head)
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the token stream (sorted, so the
+    array itself is deterministic across partitionings)."""
+    words = tokenize(F.lower(col))
+    k = F.size(words) - (n - 1)
+    grams = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), k), lambda i: F.array_join(F.slice(words, i, n), " ")
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_sort(F.array_distinct(grams))

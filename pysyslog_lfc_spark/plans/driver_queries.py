@@ -1,0 +1,843 @@
+"""Driver-contract queries: one (Spark callable, DuckDB oracle SQL) pair
+per implemented operator from SURVEY.md §2 plus the training-data
+extensions.
+
+Conventions (driver compare is row-count + schema + order-insensitive
+value hash, columns sorted by name):
+- every computed column is aliased IDENTICALLY in Spark and SQL;
+- float outputs are ``round(x, n)`` on BOTH sides;
+- rankings order by the *rounded* score with an id tie-break so the
+  selected top-k set is engine-independent;
+- hashes that must agree across engines use the portable md5-prefix
+  hash (functions/text.py::portable_hash60).
+
+Each query docstring cites the reference operator(s) it demonstrates
+(paths into /root/reference, see SURVEY.md §2).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F, types as T
+
+from pysyslog_lfc_spark.config import ComponentConfig, loads as load_config
+from pysyslog_lfc_spark.operators.filters import compile_filter_predicate
+from pysyslog_lfc_spark.plans.compiler import compile_flow
+from pysyslog_lfc_spark.plans.pipeline import parse_stage
+from pysyslog_lfc_spark.functions import dedup as DD, similarity as SIM, text as TX
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# =====================================================================
+# Flow-engine operators (reference parity surface)
+# =====================================================================
+
+@query(
+    "flow_filter_field",
+    """
+    SELECT event_id, user_id, value FROM events
+    WHERE event_type = 'error' AND value > 5
+    """,
+)
+def flow_filter_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field filter ops eq/gt (reference src/pysyslog/filters/field.py:12-20)
+    compiled to Catalyst predicates with plan-time constant coercion
+    (field.py:53-60)."""
+    ev = _t(spark, sf_dir, "events")
+    p1 = compile_filter_predicate(
+        ComponentConfig("field", {"field": "event_type", "op": "eq", "value": "error"}),
+        T.StringType(), F.col("event_type"),
+    )
+    p2 = compile_filter_predicate(
+        ComponentConfig("field", {"field": "value", "op": "gt", "value": "5"}),
+        T.DoubleType(), F.col("value"),
+    )
+    return ev.where(p1 & p2).select("event_id", "user_id", "value")
+
+
+@query(
+    "flow_filter_between",
+    """
+    SELECT event_id, event_type, value FROM events
+    WHERE value BETWEEN 5 AND 20 AND NOT (user_id BETWEEN 10 AND 200)
+    """,
+)
+def flow_filter_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric between (inclusive) + invert flag (reference
+    docs/configuration/filters/numeric.md:29-70)."""
+    ev = _t(spark, sf_dir, "events")
+    keep = compile_filter_predicate(
+        ComponentConfig("field", {"field": "value", "op": "between", "min": "5", "max": "20"}),
+        T.DoubleType(), F.col("value"),
+    )
+    inv = compile_filter_predicate(
+        ComponentConfig(
+            "field",
+            {"field": "user_id", "op": "between", "min": "10", "max": "200", "invert": "true"},
+        ),
+        T.LongType(), F.col("user_id"),
+    )
+    return ev.where(keep & inv).select("event_id", "event_type", "value")
+
+
+@query(
+    "flow_filter_regex",
+    r"""
+    SELECT doc_id FROM documents
+    WHERE regexp_matches(text, 'merge (batch|window)') AND contains(text, 'customer')
+    """,
+)
+def flow_filter_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regex (re.search ≡ rlike) + contains filters (reference
+    filters/field.py:19,36-48)."""
+    docs = _t(spark, sf_dir, "documents")
+    rx = compile_filter_predicate(
+        ComponentConfig("field", {"field": "text", "op": "regex", "pattern": "merge (batch|window)"}),
+        T.StringType(), F.col("text"),
+    )
+    ct = compile_filter_predicate(
+        ComponentConfig("field", {"field": "text", "op": "contains", "value": "customer"}),
+        T.StringType(), F.col("text"),
+    )
+    return docs.where(rx & ct).select("doc_id")
+
+
+_KFLOW_INI = """
+[flow.kflow]
+input.type = memory
+parser.type = json
+parser.schema = k int
+filter.keep.type = field
+filter.keep.stage = parser
+filter.keep.field = k
+filter.keep.op = ge
+filter.keep.value = 50
+output.type = memory
+output.format = text
+format.template = k={k}
+"""
+
+
+@query(
+    "flow_parse_json",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+           'k=' || json_extract_string(props, '$.k') AS rendered
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50
+    """,
+)
+def flow_parse_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END compiled flow from INI config: json parse -> field
+    filter -> text-template render (reference tests/test_flow_runtime.py:13-43
+    shape; config grammar config.py:103-229; parser parsers/json.py:11-21;
+    format formats/text.py:10-18)."""
+    cfg = load_config(_KFLOW_INI).get_flow("kflow")
+    ev = _t(spark, sf_dir, "events").select("event_id", F.col("props").alias("value"))
+    out = compile_flow(cfg)(ev)
+    return out.select(
+        "event_id", F.col("record.k").alias("k"), F.col("rendered").alias("rendered")
+    )
+
+
+@query(
+    "flow_parse_rfc3164",
+    r"""
+    WITH lines AS (
+      SELECT event_id,
+             printf('<%d>%s host-%02d prog%02d[%d]: evt=%d',
+                    (user_id % 24) * 8 + (event_id % 8),
+                    strftime(ts, '%b %d %H:%M:%S'),
+                    user_id % 32, event_id % 20, 1 + (event_id % 32000), event_id
+             ) AS message
+      FROM events
+    )
+    SELECT event_id,
+           CAST(regexp_extract(message, '^<(\d{1,3})>', 1) AS INTEGER) AS priority,
+           CAST(CAST(regexp_extract(message, '^<(\d{1,3})>', 1) AS INTEGER) // 8 AS INTEGER) AS facility,
+           CAST(CAST(regexp_extract(message, '^<(\d{1,3})>', 1) AS INTEGER) % 8 AS INTEGER) AS severity,
+           regexp_extract(message,
+             '^<(\d{1,3})>([A-Z][a-z]{2} [0-3]\d \d{2}:\d{2}:\d{2}) (\S+) (\S+?)\[(\d+)\]: (.*)$', 3
+           ) AS hostname,
+           regexp_extract(message,
+             '^<(\d{1,3})>([A-Z][a-z]{2} [0-3]\d \d{2}:\d{2}:\d{2}) (\S+) (\S+?)\[(\d+)\]: (.*)$', 4
+           ) AS program
+    FROM lines
+    """,
+)
+def flow_parse_rfc3164(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized RFC3164-style grok parse: priority math facility=pri/8,
+    severity=pri%8 (reference docs/configuration/parsers.md:46-65) as pure
+    regexp_extract expressions — whole-stage codegen, no Python. Message
+    lines are synthesized deterministically from `events` so the oracle
+    can build the identical strings."""
+    ev = _t(spark, sf_dir, "events")
+    pri = (F.col("user_id") % 24) * 8 + (F.col("event_id") % 8)
+    msg = F.format_string(
+        "<%d>%s host-%02d prog%02d[%d]: evt=%d",
+        pri,
+        F.date_format("ts", "MMM dd HH:mm:ss"),
+        F.col("user_id") % 32,
+        F.col("event_id") % 20,
+        (F.col("event_id") % 32000) + 1,
+        F.col("event_id"),
+    )
+    parsed = parse_stage(ev.select("event_id", msg.alias("message")))
+    return parsed.select(
+        "event_id",
+        F.col("priority").cast("int").alias("priority"),
+        F.col("facility").cast("int").alias("facility"),
+        F.col("severity").cast("int").alias("severity"),
+        "hostname",
+        "program",
+    )
+
+
+@query(
+    "flow_format_render",
+    """
+    SELECT event_id,
+           to_json(struct_pack(event_id := event_id, event_type := event_type)) AS rendered_json,
+           printf('evt=%s id=%d', event_type, event_id) AS rendered_text
+    FROM events WHERE event_type IN ('signup', 'purchase')
+    """,
+)
+def flow_format_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """format.json (json.dumps ≡ to_json(struct)) and format.text
+    template rendering (reference formats/json.py:11-22, formats/text.py:10-18)."""
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type").isin("signup", "purchase"))
+    return ev.select(
+        "event_id",
+        F.to_json(F.struct("event_id", "event_type")).alias("rendered_json"),
+        F.format_string("evt=%s id=%d", F.col("event_type"), F.col("event_id")).alias(
+            "rendered_text"
+        ),
+    )
+
+
+@query(
+    "flow_route_fanout",
+    """
+    SELECT route, count(*) AS n FROM (
+      SELECT CASE WHEN event_type = 'error' THEN 'sink_errors'
+                  WHEN value >= 15 AND event_type IN ('purchase', 'signup') THEN 'sink_money'
+                  ELSE 'sink_catchall' END AS route
+      FROM events
+    ) GROUP BY route
+    """,
+)
+def flow_route_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based routing fan-out (north star; reference output routing =
+    one flow per sink, runtime.py:20-32): routing predicates evaluated
+    once in a single pass, per-sink row counts = per-sink aggregates."""
+    ev = _t(spark, sf_dir, "events")
+    route = (
+        F.when(F.col("event_type") == "error", F.lit("sink_errors"))
+        .when(
+            (F.col("value") >= 15) & F.col("event_type").isin("purchase", "signup"),
+            F.lit("sink_money"),
+        )
+        .otherwise(F.lit("sink_catchall"))
+    )
+    return ev.select(route.alias("route")).groupBy("route").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "flow_enrich_broadcast",
+    """
+    SELECT c_mktsegment, count(*) AS n_events, round(avg(e.value), 4) AS avg_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def flow_enrich_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lookup-table enrichment as an explicit broadcast hash join (north
+    star; reference enrichment stub etc/pysyslog/conf.d/enrich.ini) —
+    the fact side never shuffles."""
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+@query(
+    "flow_agg_counts",
+    """
+    SELECT event_type, date_trunc('hour', ts) AS hour_ts, count(*) AS n
+    FROM events GROUP BY event_type, date_trunc('hour', ts)
+    """,
+)
+def flow_agg_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metrics counters: count by (label, hour) (reference
+    docs/configuration/outputs/metrics.md:36-43) — partial+final hash
+    aggregation, shuffle carries only the tiny label columns."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("hour_ts"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "flow_gauge_last",
+    """
+    SELECT user_id, event_id AS last_event_id, value AS last_value FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def flow_gauge_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gauge = latest value per label (reference
+    docs/configuration/outputs/metrics.md:44-48): window row_number
+    desc = 1, deterministic tie-break on event_id."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("value").alias("last_value"),
+        )
+    )
+
+
+@query(
+    "flow_alert_window",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, count(*) AS n_errors
+    FROM events WHERE event_type = 'error'
+    GROUP BY date_trunc('hour', ts) HAVING count(*) >= 5
+    """,
+)
+def flow_alert_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alert: fire when ≥ threshold matches within a time window
+    (reference docs/configuration/outputs/alert.md:9-67) — tumbling
+    window aggregate + threshold filter."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.where(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("hour", "ts").alias("window_start"))
+        .agg(F.count(F.lit(1)).alias("n_errors"))
+        .where(F.col("n_errors") >= 5)
+    )
+
+
+@query(
+    "flow_histogram",
+    """
+    SELECT CAST(floor(value / 5) AS INTEGER) AS bucket,
+           CAST(floor(value / 5) AS INTEGER) * 5e0 AS bucket_lo,
+           count(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def flow_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram metric: bucketize + count (reference
+    docs/configuration/outputs/metrics.md:49-61)."""
+    ev = _t(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / 5).cast("int")
+    return (
+        ev.select(bucket.alias("bucket"), (bucket * 5.0).alias("bucket_lo"))
+        .groupBy("bucket", "bucket_lo")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "flow_union_fanin",
+    """
+    SELECT event_id, 'errors' AS flow FROM events WHERE event_type = 'error'
+    UNION ALL
+    SELECT event_id, 'big_value' AS flow FROM events WHERE value >= 18
+    """,
+)
+def flow_union_fanin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flow fan-in: two flows writing one sink = unionByName (SURVEY.md
+    §2.7 set ops)."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.where(F.col("event_type") == "error").select("event_id", F.lit("errors").alias("flow"))
+    b = ev.where(F.col("value") >= 18).select("event_id", F.lit("big_value").alias("flow"))
+    return a.unionByName(b)
+
+
+@query(
+    "window_dedup_first",
+    """
+    SELECT user_id, event_type, event_id AS first_event_id FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def window_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first dedup per key (dropDuplicates with deterministic
+    ordering — streaming analog uses watermark + dropDuplicates)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(F.asc("ts"), F.asc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", F.col("event_id").alias("first_event_id"))
+    )
+
+
+# =====================================================================
+# Relational gap map (SURVEY.md §2.7): joins / top-k / multi-join aggs
+# =====================================================================
+
+@query(
+    "topk_orders",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k (reference SQL example docs/configuration/outputs/postgresql.md:71-77)
+    — plans as TakeOrderedAndProject, no full sort."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "anti_join_customers",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (
+      SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+    )
+    """,
+)
+def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_anti join (list-membership drop filter,
+    docs/configuration/filters.md:65, at table scale): customers with
+    no order since 2000."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "semi_join_suppliers",
+    """
+    SELECT s_suppkey, s_name FROM supplier
+    WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem WHERE l_quantity >= 45)
+    """,
+)
+def semi_join_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi join (list-membership keep filter)."""
+    sup = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 45)
+    return sup.join(li, sup.s_suppkey == li.l_suppkey, "left_semi").select(
+        "s_suppkey", "s_name"
+    )
+
+
+@query(
+    "agg_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: the headline wide-agg benchmark
+    (map-side partial agg; scan prunes to 7 of 11 columns)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "join3_top_revenue",
+    """
+    SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey LIMIT 10
+    """,
+)
+def join3_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped 3-way join + agg + top-k. customer is the small
+    side => broadcast; lineitem↔orders co-shuffle on the join key once."""
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@query(
+    "join5_nation_revenue",
+    """
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM region JOIN nation ON n_regionkey = r_regionkey
+                JOIN customer ON c_nationkey = n_nationkey
+                JOIN orders ON o_custkey = c_custkey
+                JOIN lineitem ON l_orderkey = o_orderkey
+                JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def join5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped star join: every dimension broadcast, single
+    shuffle for the orders↔lineitem join + final tiny agg."""
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(sup),
+            (li.l_suppkey == sup.s_suppkey) & (sup.s_nationkey == cust.c_nationkey),
+        )
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+# =====================================================================
+# Training-data operations: dedup / similarity / text analysis
+# =====================================================================
+
+@query(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content hash (functions/dedup.py)."""
+    return DD.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+_JACCARD_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), w -> w != '') AS ws
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(ws[i : i + 2], ' ') AS s
+  FROM (SELECT doc_id, ws, unnest(range(1, greatest(len(ws) - 1, 1))) AS i FROM toks)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       round(n_shared / (sa.n + sb.n - n_shared), 4) AS jaccard
+FROM cand JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(n_shared / (sa.n + sb.n - n_shared), 4) >= {t}
+"""
+
+
+@query("dedup_ngram_jaccard", _JACCARD_ORACLE.format(t="0.2"))
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram Jaccard near-dup pairs: shared-shingle equi-join candidate
+    generation (no false negatives) + exact verification."""
+    return DD.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.2)
+
+
+@query("dedup_minhash_lsh", _JACCARD_ORACLE.format(t="0.2"))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) + LSH(16 bands) candidates, exact-Jaccard verified —
+    same final answer as brute force (oracle), quadratically less work."""
+    return DD.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.2)
+
+
+_SIMHASH_ORACLE = r"""
+WITH words AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'), w -> w != '')) AS w
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM words
+),
+votes AS (
+  SELECT doc_id, bits.b AS b,
+         SUM(CASE WHEN (h >> bits.b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM hashed CROSS JOIN (SELECT unnest(range(60)) AS b) bits
+  GROUP BY doc_id, bits.b
+),
+sig AS (
+  SELECT doc_id,
+         SUM(CASE WHEN vote > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+  FROM votes GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+@query("dedup_simhash", _SIMHASH_ORACLE)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(60-bit, portable md5 hash) near-dup pairs, hamming ≤ 3,
+    found via 15-bit pigeonhole band join (never a cross join)."""
+    pairs = DD.simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+    return pairs.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+@query(
+    "dedup_embedding_cosine",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.35
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cos ≥ 0.35)."""
+    return DD.embedding_near_dup(_t(spark, sf_dir, "embeddings"), threshold=0.35)
+
+
+@query(
+    "ann_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 5),
+         scored AS (
+           SELECT query_id, vec_id AS neighbor_id,
+                  round(list_cosine_similarity(qv, v), 4) AS cos
+           FROM q CROSS JOIN c
+         )
+    SELECT query_id, neighbor_id, rank, cos FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 (exact ANN baseline): broadcast query
+    side, corpus scans once, ranking on rounded score + id tie-break."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.brute_force_topk(
+        emb.where(F.col("vec_id") >= 5), emb.where(F.col("vec_id") < 5), k=10
+    )
+
+
+@query("ann_lsh_topk")  # approximate: no SQL oracle; driver records rows-only
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-10 (the 100 TB scale path; recall
+    vs brute force asserted in tests/test_functions.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.lsh_ann_topk(
+        emb.where(F.col("vec_id") >= 5), emb.where(F.col("vec_id") < 5), k=10
+    )
+
+
+@query(
+    "text_token_stats",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), w -> w != '') AS ws,
+             list_filter(string_split_regex(lower(text), '\s+'), w -> w != '') AS lws
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(ws) AS INTEGER) AS n_words,
+           CAST(list_sum(list_transform(ws, w -> 1 + (length(w) - 1) // 4)) AS INTEGER) AS bpe_tokens,
+           ('0x' || substr(md5(array_to_string(lws[1:8], ' ')), 1, 15))::BIGINT AS fp
+    FROM toks
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish estimate) and document
+    fingerprint (portable rolling-prefix hash)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count(F.col("text")).cast("int").alias("n_words"),
+        TX.bpe_ish_token_count(F.col("text")).cast("int").alias("bpe_tokens"),
+        TX.fingerprint(F.col("text")).alias("fp"),
+    )
+
+
+@query(
+    "text_quality",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\s+'), w -> w != '') AS ws
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id,
+             CAST(len(ws) AS INTEGER) AS n_words,
+             list_sum(list_transform(ws, w -> length(w))) / greatest(len(ws), 1) AS raw_avg,
+             len(list_filter(ws, w -> list_contains(['the','a','of','and','to','in'], lower(w)))) / greatest(len(ws), 1) AS raw_stop
+      FROM toks
+    )
+    SELECT doc_id, n_words,
+           round(raw_avg, 4) AS avg_word_len,
+           round(raw_stop, 4) AS stopword_ratio,
+           CAST(floor((least(n_words / 100e0, 1e0) * 5e-1
+                       + least(raw_stop * 5e0, 1e0) * 3e-1
+                       + least(raw_avg / 8e0, 1e0) * 2e-1) * 1000) AS INTEGER) AS quality_permille
+    FROM feat
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/stopword/word-shape features + composite
+    score (functions/text.py::quality_features)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = TX.quality_features(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_words").cast("int").alias("n_words"),
+        "avg_word_len",
+        "stopword_ratio",
+        "quality_permille",
+    )
+
+
+_LANGID_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), w -> w != '') AS ws
+  FROM documents
+),
+scores AS (
+  SELECT doc_id,
+         len(list_filter(ws, w -> list_contains(['der','die','und','nicht','das'], w))) AS s_de,
+         len(list_filter(ws, w -> list_contains(['the','and','of','a','to'], w))) AS s_en,
+         len(list_filter(ws, w -> list_contains(['el','la','que','los','una'], w))) AS s_es,
+         len(list_filter(ws, w -> list_contains(['le','la','les','une','des'], w))) AS s_fr,
+         len(list_filter(ws, w -> list_contains(['de5','shi4','le5','zai4','he2'], w))) AS s_zh
+  FROM toks
+)
+SELECT doc_id,
+       CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) <= 0 THEN 'und'
+            WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+            WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+            WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+            WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+            ELSE 'zh' END AS pred_lang
+FROM scores
+"""
+
+
+@query("text_langid", _LANGID_ORACLE)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID (deterministic argmax, alphabetical
+    tie-break)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.lang_id(F.col("text")).alias("pred_lang"))
+
+
+@query(
+    "doc_stats_by_source",
+    """
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           round(avg(n_chars), 4) AS avg_chars
+    FROM documents GROUP BY source
+    """,
+)
+def doc_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus stats (partial agg; 2-column scan)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+# =====================================================================
+
+def all_queries() -> dict[str, QueryFn]:
+    return dict(_QUERIES)
+
+
+def all_oracles() -> dict[str, str]:
+    return dict(_ORACLES)
