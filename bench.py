@@ -1,0 +1,107 @@
+"""Round benchmark: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line.
+
+Headline metric = the north-star pipeline (parse -> enrich -> route ->
+aggregate over the tokenized-sequence table, BASELINE.json `metric`),
+reported as sequences/sec. `queries` carries per-query wall seconds for
+the representative operator set at the bench scale factor.
+
+Scaling-efficiency evidence (local[8] vs local[32]) lives in
+BENCH/run_scaling.py -> BENCH/BASELINE.md; this script is the per-round
+feedback loop.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+PIPELINE_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "400000"))
+
+# representative operator set, timed individually at sf_dir scale
+BENCH_QUERIES = [
+    "flow_parse_rfc3164",
+    "flow_parse_json",
+    "flow_enrich_broadcast",
+    "flow_route_fanout",
+    "flow_agg_counts",
+    "flow_gauge_last",
+    "agg_pricing_summary",
+    "join3_top_revenue",
+    "join5_nation_revenue",
+    "topk_orders",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "ann_cosine_topk",
+    "text_quality",
+    "text_token_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.0
+
+    from pysyslog_lfc_spark.session import get_spark
+    from pysyslog_lfc_spark.sources.datagen import sequences_df, source_lookup_df
+    from pysyslog_lfc_spark.plans.pipeline import run_pipeline
+    from pysyslog_lfc_spark.plans import driver_queries as DQ
+
+    spark = get_spark("bench", master=f"local[{cpus}]")
+
+    # ---- headline: flagship pipeline throughput ------------------------
+    work = tempfile.mkdtemp(prefix="bench_pipeline_")
+    try:
+        seq_path = os.path.join(work, "seq")
+        sequences_df(spark, PIPELINE_ROWS, partitions=int(cpus) * 2).write.mode(
+            "overwrite"
+        ).parquet(seq_path)
+        lookup = source_lookup_df(spark)
+        seqs = spark.read.parquet(seq_path)
+        t0 = time.time()
+        run_pipeline(
+            spark, seqs, lookup, os.path.join(work, "wh"), job_id="bench", resume=False
+        )
+        pipeline_sec = time.time() - t0
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    seq_per_sec = PIPELINE_ROWS / pipeline_sec
+
+    # ---- per-query timings at sf_dir -----------------------------------
+    queries = DQ.all_queries()
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = queries[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        _ = n
+
+    print(
+        json.dumps(
+            {
+                "metric": "end-to-end parse→enrich→route→aggregate throughput",
+                "value": round(seq_per_sec, 1),
+                "unit": "sequences/sec",
+                "queries": timings,
+                "sf": sf,
+                "pipeline_rows": PIPELINE_ROWS,
+                "pipeline_sec": round(pipeline_sec, 3),
+                "cpus": int(cpus),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

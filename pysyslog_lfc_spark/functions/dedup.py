@@ -109,10 +109,14 @@ def minhash_signatures(
     the shingle stream.
     """
     sh = _shingled(df, text_col, id_col, n)
-    ex = sh.select("_id", F.explode("_sh").alias("_s"))
-    aggs = [
-        F.min(F.xxhash64(F.col("_s"), F.lit(i))).alias(f"mh_{i}") for i in range(perms)
-    ]
+    # hash each variable-length shingle string ONCE, then derive the
+    # `perms` permutations by re-hashing the fixed-width 64-bit value —
+    # far cheaper than `perms` string hashes (and ANSI-safe: no
+    # overflowing LCG multiplies)
+    ex = sh.select("_id", F.explode("_sh").alias("_s")).select(
+        "_id", F.xxhash64("_s").alias("_h")
+    )
+    aggs = [F.min(F.xxhash64("_h", F.lit(i))).alias(f"mh_{i}") for i in range(perms)]
     return ex.groupBy("_id").agg(*aggs)
 
 
@@ -183,24 +187,26 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     """60-bit SimHash per document over unigram token hashes.
 
     bit b of the signature = 1 iff Σ_words (2·bit_b(h(word)) − 1) > 0.
-    Pure array expressions (one pass building the hash array, then 60
-    aggregate folds) — whole-stage codegen, no shuffle at all.
+    Explode + codegen'd sum aggregates (one per bit): vote_b > 0 iff
+    #set-bits_b * 2 > n_words. Stays in whole-stage codegen — a
+    higher-order aggregate fold would be interpreted per element and is
+    ~10x slower (measured in bench.py).
     """
     words = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
-    hashed = df.select(
-        F.col(id_col), F.transform(words, lambda w: portable_hash60(w)).alias("_h")
+    ex = df.select(F.col(id_col), F.explode(words).alias("_w")).select(
+        id_col, portable_hash60(F.col("_w")).alias("_h")
     )
-    def bit_vote(bit: int) -> Column:
-        def merge(acc: Column, h: Column) -> Column:
-            return acc + (F.shiftright(h, bit).bitwiseAND(F.lit(1)) * 2 - 1).cast("int")
-
-        return F.aggregate(F.col("_h"), F.lit(0), merge)
-
+    aggs = [
+        F.sum(F.shiftright("_h", b).bitwiseAND(F.lit(1))).alias(f"c_{b}")
+        for b in range(SIMHASH_BITS)
+    ] + [F.count(F.lit(1)).alias("_n")]
+    counts = ex.groupBy(id_col).agg(*aggs)
     sig = F.lit(0).cast("long")
     for b in range(SIMHASH_BITS):
-        vote = bit_vote(b)
-        sig = sig + F.when(vote > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
-    return hashed.select(F.col(id_col), sig.alias("simhash"))
+        sig = sig + F.when(
+            F.col(f"c_{b}") * 2 > F.col("_n"), F.lit(2**b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return counts.select(F.col(id_col), sig.alias("simhash"))
 
 
 def _hamming60(a: Column, b: Column) -> Column:
@@ -259,22 +265,61 @@ def embedding_near_dup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.9,
+    n_blocks: int = 8,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos ≥ threshold).
 
-    Brute-force all-pairs; at scale, bucket first with
-    :func:`similarity.lsh_ann_topk`'s hyperplane signatures and run
-    this within buckets. Vectors normalized once before the join so the
-    pair expression is a plain dot product.
+    Blocked all-pairs matmul: vectors are L2-normalized once
+    (columnar), assigned to ``n_blocks`` blocks, and every block pair
+    (i ≤ j) becomes one ``applyInPandas`` group that computes the full
+    similarity block with one BLAS matmul and emits only pairs over
+    threshold. Shuffle volume is (n_blocks+1) x corpus — never the
+    quadratic pair set — and per-task memory is two blocks of vectors,
+    so ``n_blocks`` is the memory/parallelism knob at scale. (An
+    expression-tree zip_with dot over the joined pair set is ~50x
+    slower: higher-order exprs are interpreted per element.)
     """
-    from pysyslog_lfc_spark.functions.similarity import _normalized, _dot
+    import numpy as np
+    import pandas as pd
 
-    nrm = _normalized(df, vec_col, id_col)
-    a = nrm.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"))
-    b = nrm.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", F.round(_dot(F.col("va"), F.col("vb")), 4))
-        .where(F.col("cos") >= threshold)
-        .select("id_a", "id_b", "cos")
+    from pysyslog_lfc_spark.functions.similarity import _normalized
+
+    spark = df.sparkSession
+    nrm = _normalized(df, vec_col, id_col).withColumn(
+        "_blk", F.pmod(F.col("_id"), F.lit(n_blocks)).cast("int")
+    )
+    pairs = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)], "bi int, bj int"
+    )
+    left = nrm.join(F.broadcast(pairs), F.col("_blk") == F.col("bi")).withColumn(
+        "_side", F.lit(0)
+    )
+    right = nrm.join(F.broadcast(pairs), F.col("_blk") == F.col("bj")).withColumn(
+        "_side", F.lit(1)
+    )
+    both = left.unionByName(right)
+
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        a = pdf[pdf["_side"] == 0]
+        b = pdf[pdf["_side"] == 1]
+        if a.empty or b.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cos": "float64"}
+            )
+        ids_a = a["_id"].to_numpy()
+        ids_b = b["_id"].to_numpy()
+        s = np.stack(a["_v"].to_numpy()) @ np.stack(b["_v"].to_numpy()).T
+        s = np.round(s, 4)
+        same_block = int(pdf["bi"].iloc[0]) == int(pdf["bj"].iloc[0])
+        mask = s >= threshold
+        if same_block:
+            # rows appear on both sides: keep each unordered pair once
+            mask &= ids_a[:, None] < ids_b[None, :]
+        ia, ib = np.nonzero(mask)
+        lo = np.minimum(ids_a[ia], ids_b[ib])
+        hi = np.maximum(ids_a[ia], ids_b[ib])
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cos": s[ia, ib]})
+
+    return both.groupBy("bi", "bj").applyInPandas(
+        block_pairs, "id_a long, id_b long, cos double"
     )

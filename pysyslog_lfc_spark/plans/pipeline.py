@@ -110,15 +110,24 @@ def run_pipeline(
     job_id: str = "job-1",
     n_buckets: int = 64,
     resume: bool = True,
-    persist: bool = False,
+    persist: bool = True,
     fail_on: tuple[str, int] | None = None,
 ) -> PipelineResult:
     """Execute the full fan-out pipeline with bucket-granular resume.
 
     ``fail_on=(sink_table, bucket)`` injects a crash for resume tests.
-    ``persist`` caches the enriched frame across the three sink writes —
-    recompute is usually cheaper than materializing token arrays, so the
-    default is off (measured in bench.py).
+
+    Execution shape (measured in bench.py; see BENCH/BASELINE.md):
+    scan+parse+enrich runs ONCE, then is repartitioned by work bucket —
+    the single payload shuffle in the whole job — and persisted, so the
+    lineage aggregate and all three sink writes read the cached columnar
+    batches instead of re-parsing (4 scans -> 1). Bucket-aligned
+    partitioning also means each dynamic-partition write task owns
+    exactly one bucket: file count per sink = n_buckets, not
+    n_tasks x n_buckets (the small-files explosion that killed the
+    unaligned version). ``persist=False`` falls back to recompute-per-
+    sink (for memory-constrained runs; at cluster scale use
+    StorageLevel DISK_ONLY instead).
     """
     wh = ParquetWarehouse(warehouse_root)
     result = PipelineResult(job_id=job_id, warehouse=wh)
@@ -131,6 +140,8 @@ def run_pipeline(
     df = render_stage(df)
     routes = routing_predicates()
     df = df.withColumns({f"is_{name}": pred for name, pred in routes.items()})
+    # one shuffle: co-locate each bucket on one task for every sink write
+    df = df.repartition(n_buckets, F.col(BUCKET_COL))
 
     if persist:
         df = df.persist()
