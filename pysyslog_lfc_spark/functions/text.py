@@ -102,9 +102,9 @@ def lang_id(col: Column) -> Column:
     words = tokenize(F.lower(col))
     pred = F.lit("und")
     best = F.lit(0)
-    # iterate in REVERSE alphabetical order so that on ties the
-    # alphabetically-first language is what survives the > comparison
-    for lang in sorted(LANG_MARKERS, reverse=True):
+    # forward alphabetical order + strict '>' => on ties the
+    # alphabetically-first language keeps the slot
+    for lang in sorted(LANG_MARKERS):
         score = F.size(F.filter(words, lambda w: w.isin(LANG_MARKERS[lang])))
         pred = F.when(score > best, F.lit(lang)).otherwise(pred)
         best = F.greatest(score, best)

@@ -1,0 +1,215 @@
+"""Tests for the training-data operators (functions/): dedup,
+similarity, text analysis, multimodal plumbing.
+
+Mirrors the reference's test granularity (golden outputs per operator,
+SURVEY.md §5) on tiny deterministic inputs, plus property-style checks
+(LSH vs brute-force agreement) on the driver testdata.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pysyslog_lfc_spark.functions import dedup as DD
+from pysyslog_lfc_spark.functions import multimodal as MM
+from pysyslog_lfc_spark.functions import similarity as SIM
+from pysyslog_lfc_spark.functions import text as TX
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat today again"),
+            (2, "the cat sat on the mat today againX"),  # near-dup of 1
+            (3, "a completely different document about spark engines"),
+            (4, "the cat sat on the mat today again"),  # exact dup of 1
+            (5, "tiny"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+# ------------------------------------------------------------- text ops
+
+def test_tokenize_and_counts(spark):
+    df = spark.createDataFrame([("  a  bb\tccc\n",), ("", ), ("x y",)], "text string")
+    out = df.select(
+        TX.token_count(F.col("text")).alias("n"),
+        TX.bpe_ish_token_count(F.col("text")).alias("bpe"),
+    ).collect()
+    assert [r.n for r in out] == [3, 0, 2]
+    # bpe-ish: 'a'->1, 'bb'->1, 'ccc'->1 = 3; ''->0; 'x','y' -> 2
+    assert [r.bpe for r in out] == [3, 0, 2]
+
+
+def test_shingles_short_doc_is_empty(spark):
+    df = spark.createDataFrame([("one two",), ("one two three four",)], "text string")
+    out = df.select(TX.shingles(F.col("text"), 3).alias("sh")).collect()
+    assert out[0].sh == []
+    assert sorted(out[1].sh) == ["one two three", "two three four"]
+
+
+def test_fingerprint_prefix_sensitivity(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h TAIL1"),
+            (2, "a b c d e f g h TAIL2"),  # same first 8 words
+            (3, "z b c d e f g h TAIL1"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = {r.doc_id: r.fp for r in df.select("doc_id", TX.fingerprint(F.col("text")).alias("fp")).collect()}
+    assert fps[1] == fps[2]
+    assert fps[1] != fps[3]
+
+
+def test_lang_id_markers_and_tie(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of a to"),
+            (2, "der hund und die katze nicht"),
+            (3, "xyz qrs tuv"),  # no markers -> und
+            (4, "la la"),        # es/fr tie on 'la' -> alphabetical: es
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.lang for r in df.select("doc_id", TX.lang_id(F.col("text")).alias("lang")).collect()}
+    assert out == {1: "en", 2: "de", 3: "und", 4: "es"}
+
+
+def test_quality_features_ranges(spark, docs):
+    out = TX.quality_features(docs).collect()
+    for r in out:
+        assert 0 <= r.quality_score <= 1.0001
+        assert 0 <= r.stopword_ratio <= 1
+        assert r.quality_permille == int(r.quality_score * 1000) or abs(
+            r.quality_permille - r.quality_score * 1000
+        ) <= 1  # floor vs round
+
+
+# ------------------------------------------------------------- dedup
+
+def test_exact_dedup_groups(spark, docs):
+    out = DD.exact_dedup(docs).collect()
+    groups = {r.keep_id: r.n_dups for r in out}
+    assert groups[1] == 2  # docs 1 and 4
+    assert groups[2] == 1
+    assert len(out) == 4
+
+
+def test_ngram_jaccard_finds_near_dups(spark, docs):
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in DD.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0  # exact dup
+    assert (1, 2) in pairs and 0.5 <= pairs[(1, 2)] < 1.0  # near dup
+    assert (2, 4) in pairs
+    assert not any(3 in p or 5 in p for p in pairs)
+
+
+def test_minhash_lsh_matches_bruteforce(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    brute = {(r.id_a, r.id_b) for r in DD.ngram_jaccard_pairs(docs, threshold=0.2).collect()}
+    lsh = {(r.id_a, r.id_b) for r in DD.minhash_lsh_pairs(docs, threshold=0.2).collect()}
+    assert lsh == brute  # exact-verified LSH: no false positives, and
+    # (16 bands x 4 rows) recall leaves no missing pair on this data
+
+
+def test_simhash_exact_dup_is_identical(spark, docs):
+    sigs = {r.doc_id: r.simhash for r in DD.simhash(docs).collect()}
+    assert sigs[1] == sigs[4]
+    pairs = {(r.id_a, r.id_b): r.hamming for r in DD.simhash_pairs(docs, max_hamming=3).collect()}
+    assert pairs[(1, 4)] == 0
+
+
+def test_embedding_near_dup_blocked_equals_all_pairs(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(120)
+    got = {(r.id_a, r.id_b): r.cos for r in DD.embedding_near_dup(emb, threshold=0.25).collect()}
+    # independent brute force via numpy on the driver
+    import numpy as np
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = [r.vec_id for r in rows]
+    m = np.array([r.embedding for r in rows], dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    s = np.round(m @ m.T, 4)
+    want = {}
+    for i in range(len(ids)):
+        for j in range(len(ids)):
+            if ids[i] < ids[j] and s[i, j] >= 0.25:
+                want[(ids[i], ids[j])] = s[i, j]
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9
+
+
+# ------------------------------------------------------------- similarity
+
+def test_brute_force_topk_ranks_exactly(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    corpus, queries = emb.where(F.col("vec_id") >= 3), emb.where(F.col("vec_id") < 3)
+    out = SIM.brute_force_topk(corpus, queries, k=5).collect()
+    assert len(out) == 15
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        cos = [r.cos for r in rows]
+        assert cos == sorted(cos, reverse=True)
+        assert [r.rank for r in rows] == [1, 2, 3, 4, 5]
+
+
+def test_lsh_ann_recall(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    corpus, queries = emb.where(F.col("vec_id") >= 3), emb.where(F.col("vec_id") < 3)
+    brute = {(r.query_id, r.neighbor_id) for r in SIM.brute_force_topk(corpus, queries, k=10).collect()}
+    approx = {(r.query_id, r.neighbor_id) for r in SIM.lsh_ann_topk(corpus, queries, k=10).collect()}
+    # approximate: just require meaningful overlap (recall >= 0.2 on
+    # random vectors with 16 planes) and correct shape
+    assert len(approx) <= 30
+    assert len(brute & approx) / len(brute) >= 0.2
+
+
+# ------------------------------------------------------------- multimodal
+
+def test_multimodal_image_features_deterministic(spark, docs):
+    with_bin = MM.attach_binary_payload(docs)
+    out1 = {r.doc_id: r.features for r in MM.image_features(with_bin).collect()}
+    out2 = {r.doc_id: r.features for r in MM.image_features(with_bin).collect()}
+    assert out1 == out2
+    assert len(out1[1]) == MM.FEATURE_DIM
+    assert out1[1] == out1[4]  # same text -> same payload -> same features
+    assert out1[1] != out1[2]
+    # payload column dropped post-decode
+    cols = MM.image_features(with_bin).columns
+    assert "payload" not in cols and "features" in cols
+
+
+def test_multimodal_real_decode_is_marked_stub(spark, docs):
+    with_bin = MM.attach_binary_payload(docs)
+    with pytest.raises(Exception) as ei:
+        MM.image_features(with_bin, decode="real").collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(ei.value, NotImplementedError)
+
+
+def test_multimodal_resize_updates_meta(spark, docs):
+    with_bin = MM.attach_binary_payload(docs)
+    out = MM.resize_images(with_bin, max_side=64).collect()
+    for r in out:
+        assert max(r.image_meta.width, r.image_meta.height) <= 64
+
+
+def test_multimodal_frame_sampling(spark):
+    df = spark.createDataFrame([(1, b"vid-bytes")], "vid_id long, payload binary").withColumn(
+        "video_meta",
+        F.struct(
+            F.lit(640).alias("width"), F.lit(480).alias("height"),
+            F.lit(25).alias("n_frames"), F.lit(12.5).alias("fps"),
+        ),
+    )
+    out = MM.sample_video_frames(df, every_n=10).collect()
+    assert [r.frame_idx for r in out] == [0, 10, 20]
+    assert all(len(r.frame_payload) == 32 for r in out)
