@@ -1,0 +1,16 @@
+"""Structured Streaming mode.
+
+The reference engine is a forever-running stream daemon
+(``runtime.py:45-53 run_forever``); batch mode is our primary target
+(SURVEY.md §1.3) but every compiled flow transform is stream-safe, so
+the same ``CompiledFlow`` runs unchanged on ``readStream`` inputs.
+"""
+
+from pysyslog_lfc_spark.streaming.flows import (  # noqa: F401
+    stream_json_lines,
+    run_flow_stream,
+    fanout_foreach_batch,
+    windowed_alert_stream,
+    streaming_dedup,
+    stateful_source_gauge,
+)

@@ -1,0 +1,177 @@
+"""Streaming flow execution: readStream -> compiled transforms -> sinks.
+
+Mappings from the reference's daemon mode (SURVEY.md §2.1/§2.5/§2.6):
+
+- ``input.file`` tail + rotation  -> file streaming source (listing
+  handles rotation natively)                       [stream_json_lines]
+- flow pipeline (parse/filter/render) -> the SAME CompiledFlow used in
+  batch: pure column transforms are stream-safe    [run_flow_stream]
+- fan-out to N sinks              -> foreachBatch: one micro-batch scan,
+  N filtered atomic writes                         [fanout_foreach_batch]
+- output.alert threshold window   -> watermark + tumbling window count
+  (late data handled by the watermark, cooldown = window dedup)
+                                                   [windowed_alert_stream]
+- channel redelivery dedup        -> withWatermark + dropDuplicates
+                                                   [streaming_dedup]
+- gauge "latest value per label"  -> applyInPandasWithState keyed state
+                                                   [stateful_source_gauge]
+
+All stateful operators bound their state with watermarks — unbounded
+state is the classic streaming OOM at 10^12-row scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from pysyslog_lfc_spark.config import FlowConfig
+from pysyslog_lfc_spark.plans.compiler import RAW_COL, compile_flow
+from pysyslog_lfc_spark.sinks import ParquetWarehouse
+
+
+def stream_json_lines(spark: SparkSession, path: str) -> DataFrame:
+    """File streaming source of raw text lines (reference input.file,
+    docs/configuration/inputs.md:39-82; rotation = new files listed)."""
+    return spark.readStream.format("text").load(path).withColumnRenamed("value", RAW_COL)
+
+
+def run_flow_stream(
+    spark: SparkSession,
+    cfg: FlowConfig,
+    source: DataFrame,
+    query_name: str,
+    output_mode: str = "append",
+):
+    """Run one compiled flow on a streaming source into a memory sink.
+
+    Returns the StreamingQuery; results land in the in-memory table
+    ``query_name`` (the streaming analog of the reference MemoryOutput,
+    outputs/memory.py:10-18).
+    """
+    out = compile_flow(cfg)(source).select(F.col("rendered").cast("string").alias("rendered"))
+    return (
+        out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def fanout_foreach_batch(
+    transformed: DataFrame,
+    routes: dict[str, F.Column],
+    warehouse_root: str,
+    checkpoint_dir: str,
+    job_id: str = "stream",
+    select_cols: list[str] | None = None,
+):
+    """Streaming fan-out: one micro-batch, N filtered sink writes.
+
+    ``foreachBatch`` gives exactly-once per sink when combined with the
+    checkpoint (epoch id dedupes replayed batches via the job=epoch
+    directory commit — a replayed epoch overwrites its own directory,
+    never duplicates)."""
+    wh = ParquetWarehouse(warehouse_root)
+    flagged = transformed.withColumns({f"is_{n}": p for n, p in routes.items()})
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.persist()
+        try:
+            for name in routes:
+                sink = batch_df.where(F.col(f"is_{name}"))
+                if select_cols:
+                    sink = sink.select(*select_cols)
+                wh.commit_single(sink, name, f"{job_id}-epoch{epoch_id}")
+        finally:
+            batch_df.unpersist()
+
+    return (
+        flagged.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_alert_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    match_col: str = "is_match",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    threshold: int = 5,
+) -> DataFrame:
+    """Alert operator (reference docs/configuration/outputs/alert.md:9-67):
+    fire once per window with ≥ threshold matches; the watermark bounds
+    state and admits late data up to its horizon."""
+    return (
+        events.where(F.col(match_col))
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+        .where(F.col("n_matches") >= threshold)
+        .select(F.col("w.start").alias("window_start"), "n_matches")
+    )
+
+
+def streaming_dedup(
+    df: DataFrame, key_cols: list[str], ts_col: str = "ts", watermark: str = "1 hour"
+) -> DataFrame:
+    """Channel-redelivery dedup analog (reference channels.py:102-121
+    redelivers; consumers dedup): keep first occurrence per key within
+    the watermark horizon — state is bounded by the watermark."""
+    return df.withWatermark(ts_col, watermark).dropDuplicates(key_cols)
+
+
+_GAUGE_SCHEMA = T.StructType(
+    [
+        T.StructField("source", T.StringType()),
+        T.StructField("last_value", T.DoubleType()),
+        T.StructField("n_seen", T.LongType()),
+    ]
+)
+_GAUGE_STATE = T.StructType(
+    [
+        T.StructField("last_value", T.DoubleType()),
+        T.StructField("last_ts", T.DoubleType()),
+        T.StructField("n_seen", T.LongType()),
+    ]
+)
+
+
+def stateful_source_gauge(
+    df: DataFrame, ts_col: str = "ts", value_col: str = "value", key_col: str = "source"
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-key
+    gauge = latest value by event time + running count (reference gauge
+    metric, docs/configuration/outputs/metrics.md:44-48, which the
+    per-record reference engine gets for free and a distributed stream
+    must keep as keyed state)."""
+    import pandas as pd
+
+    def update(key, pdfs, state: GroupState):
+        last_value, last_ts, n_seen = (
+            state.get if state.exists else (None, float("-inf"), 0)
+        )
+        for pdf in pdfs:
+            for _, row in pdf.sort_values(ts_col).iterrows():
+                t = row[ts_col].timestamp() if hasattr(row[ts_col], "timestamp") else float(row[ts_col])
+                if t >= last_ts:
+                    last_ts, last_value = t, float(row[value_col])
+                n_seen += 1
+        state.update((last_value, last_ts, n_seen))
+        yield pd.DataFrame(
+            {"source": [key[0]], "last_value": [last_value], "n_seen": [n_seen]}
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=_GAUGE_SCHEMA,
+        stateStructType=_GAUGE_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,150 @@
+"""Structured Streaming mode tests: same flow semantics as batch,
+availableNow triggers for determinism."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from pysyslog_lfc_spark import config
+from pysyslog_lfc_spark.streaming import (
+    fanout_foreach_batch,
+    run_flow_stream,
+    stateful_source_gauge,
+    stream_json_lines,
+    streaming_dedup,
+    windowed_alert_stream,
+)
+
+FLOW_INI = """
+[flow.sfilter]
+input.type = file
+parser.type = json
+parser.schema = level string, message string
+filter.keep.type = field
+filter.keep.field = level
+filter.keep.op = eq
+filter.keep.value = info
+output.type = memory
+output.format = text
+format.template = {message}
+"""
+
+
+def _write_lines(dirpath, name, records):
+    dirpath.mkdir(parents=True, exist_ok=True)
+    (dirpath / name).write_text("\n".join(json.dumps(r) for r in records) + "\n")
+
+
+def test_stream_flow_matches_batch_semantics(spark, tmp_path):
+    """The reference golden flow (tests/test_flow_runtime.py:12-43) run
+    in streaming mode: only level=info survives, rendered via template."""
+    src = tmp_path / "in"
+    _write_lines(src, "a.json", [
+        {"level": "info", "message": "accepted"},
+        {"level": "debug", "message": "rejected"},
+        {"level": "info", "message": "second"},
+    ])
+    cfg = config.loads(FLOW_INI).get_flow("sfilter")
+    q = run_flow_stream(spark, cfg, stream_json_lines(spark, str(src)), "sink_t1")
+    q.awaitTermination(60)
+    got = sorted(r.rendered for r in spark.sql("SELECT * FROM sink_t1").collect())
+    assert got == ["accepted", "second"]
+
+
+def test_stream_fanout_foreach_batch(spark, tmp_path):
+    events = spark.createDataFrame(
+        [(i, "error" if i % 3 == 0 else "view", float(i)) for i in range(30)],
+        "event_id long, event_type string, value double",
+    )
+    src = tmp_path / "fan_in"
+    src.mkdir()
+    events.coalesce(1).write.mode("overwrite").parquet(str(src / "p"))
+    stream = spark.readStream.schema("event_id long, event_type string, value double").parquet(
+        str(src / "p")
+    )
+    routes = {
+        "s_err": F.col("event_type") == "error",
+        "s_rest": F.col("event_type") != "error",
+    }
+    q = fanout_foreach_batch(
+        stream, routes, str(tmp_path / "wh"), str(tmp_path / "ckpt"),
+        select_cols=["event_id", "event_type", "value"],
+    )
+    q.awaitTermination(120)
+    import duckdb
+
+    n_err = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{tmp_path}/wh/s_err/job=*/*.parquet')"
+    ).fetchone()[0]
+    n_rest = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{tmp_path}/wh/s_rest/job=*/*.parquet')"
+    ).fetchone()[0]
+    assert n_err == 10 and n_rest == 20
+
+
+def test_windowed_alert_stream(spark, tmp_path):
+    rows = []
+    # 6 matches in hour 10 (fires), 2 in hour 11 (does not)
+    for i in range(6):
+        rows.append((f"2024-01-01 10:0{i}:00", True))
+    for i in range(2):
+        rows.append((f"2024-01-01 11:0{i}:00", True))
+    df = spark.createDataFrame(rows, "ts_s string, is_match boolean").withColumn(
+        "ts", F.col("ts_s").cast("timestamp")
+    )
+    src = tmp_path / "alert_in"
+    df.coalesce(1).write.mode("overwrite").parquet(str(src))
+    stream = spark.readStream.schema(df.schema).parquet(str(src))
+    alerts = windowed_alert_stream(stream, threshold=5)
+    q = (
+        alerts.writeStream.format("memory").queryName("alerts_t")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM alerts_t").collect()
+    assert len(got) == 1
+    assert got[0].n_matches == 6
+    assert got[0].window_start.hour == 10
+
+
+def test_streaming_dedup(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("k1", "2024-01-01 10:00:00"), ("k1", "2024-01-01 10:05:00"), ("k2", "2024-01-01 10:01:00")],
+        "k string, ts_s string",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    src = tmp_path / "dedup_in"
+    df.coalesce(1).write.mode("overwrite").parquet(str(src))
+    stream = spark.readStream.schema(df.schema).parquet(str(src))
+    q = (
+        streaming_dedup(stream, ["k"]).writeStream.format("memory")
+        .queryName("dedup_t").outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r.k for r in spark.sql("SELECT * FROM dedup_t").collect())
+    assert got == ["k1", "k2"]
+
+
+def test_stateful_source_gauge(spark, tmp_path):
+    df = spark.createDataFrame(
+        [
+            ("hostA", "2024-01-01 10:00:00", 1.0),
+            ("hostA", "2024-01-01 10:30:00", 7.5),
+            ("hostA", "2024-01-01 10:10:00", 3.0),
+            ("hostB", "2024-01-01 09:00:00", 2.0),
+        ],
+        "source string, ts_s string, value double",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    src = tmp_path / "gauge_in"
+    df.coalesce(1).write.mode("overwrite").parquet(str(src))
+    stream = spark.readStream.schema(df.schema).parquet(str(src))
+    q = (
+        stateful_source_gauge(stream).writeStream.format("memory")
+        .queryName("gauge_t").outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {r.source: (r.last_value, r.n_seen) for r in spark.sql("SELECT * FROM gauge_t").collect()}
+    assert got["hostA"] == (7.5, 3)  # latest by event time, not arrival order
+    assert got["hostB"] == (2.0, 1)
