@@ -1,0 +1,47 @@
+"""CLI entry point: ``python -m pysyslog_lfc_spark.cli -c main.ini``.
+
+Reference EP1 (``cli.py:15-42``: ``pysyslog -c config``) re-expressed
+for batch Spark: load INI (with ``[use] include`` globs), compile every
+flow, execute once over the configured inputs, print per-flow summary.
+The reference daemon loops forever; a table-driven batch engine runs to
+completion — rerun (or schedule) for new data, or use
+:mod:`pysyslog_lfc_spark.streaming` for continuous mode.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_argument_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="pysyslog-lfc-spark")
+    ap.add_argument("-c", "--config", required=True, help="INI flow config path")
+    ap.add_argument("--master", default=None, help="spark master (default: env/local)")
+    ap.add_argument("--show", type=int, default=5, help="memory-sink rows to print per flow")
+    return ap
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_argument_parser().parse_args(argv)
+
+    from pysyslog_lfc_spark import config as cfgmod
+    from pysyslog_lfc_spark.plans.runtime import run_runtime
+    from pysyslog_lfc_spark.session import get_spark
+
+    cfg = cfgmod.load(args.config)
+    spark = get_spark("pysyslog-lfc-spark-cli", master=args.master)
+    result = run_runtime(spark, cfg)
+    summary = {
+        "flows": {
+            **{k: {"rows": len(v), "head": v[: args.show]} for k, v in result.outputs.items()},
+            **{k: {"written": p} for k, p in result.written.items()},
+        }
+    }
+    print(json.dumps(summary, default=str))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

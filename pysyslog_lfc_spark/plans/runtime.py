@@ -1,0 +1,124 @@
+"""Runtime: execute every flow of a RuntimeConfig (reference
+``runtime.py:17-53`` builds one Flow per FlowConfig and runs them all
+concurrently; here each flow compiles to a DataFrame plan and Spark's
+scheduler runs the resulting jobs).
+
+Additions over single-flow ``run_flow``:
+
+- **flow chaining** (reference ``input.flow``,
+  docs/configuration/inputs.md:84-127): a flow whose input is another
+  flow consumes that flow's *parsed record* stream. Chained upstreams
+  are resolved topologically; an upstream fanned out to >1 consumer is
+  persisted so its parse work runs once (the reference re-enqueues
+  per-message; we reuse the columnar result).
+- **shared channels** (reference ``channels.py:124-139``): flows that
+  declare the same ``channel`` share one staged DataFrame boundary —
+  in batch mode this is just the persisted upstream, and the channel's
+  reliability semantics (ack/redeliver) are subsumed by deterministic
+  recompute + atomic sink commit (SURVEY.md §2.6).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from pysyslog_lfc_spark.config import ConfigError, FlowConfig, RuntimeConfig
+from pysyslog_lfc_spark.operators.parsers import RECORD_COL
+from pysyslog_lfc_spark.plans.compiler import RAW_COL, compile_flow, lines_df
+
+
+@dataclass
+class RuntimeResult:
+    outputs: dict[str, list] = field(default_factory=dict)  # memory-sink payloads
+    written: dict[str, str] = field(default_factory=dict)  # flow -> sink path
+
+
+def _topo_order(flows: list[FlowConfig]) -> list[FlowConfig]:
+    by_name = {f.name: f for f in flows}
+    seen: dict[str, int] = {}
+    order: list[FlowConfig] = []
+
+    def visit(f: FlowConfig, stack: tuple[str, ...]) -> None:
+        if seen.get(f.name) == 2:
+            return
+        if f.name in stack:
+            raise ConfigError(f"flow chain cycle: {' -> '.join(stack + (f.name,))}")
+        seen[f.name] = 1
+        if f.input.type == "flow":
+            up = f.input.option("source") or f.input.option("name")
+            if not up or up not in by_name:
+                raise ConfigError(f"flow '{f.name}': unknown upstream flow '{up}'")
+            visit(by_name[up], stack + (f.name,))
+        seen[f.name] = 2
+        order.append(f)
+
+    for f in flows:
+        visit(f, ())
+    return order
+
+
+def run_runtime(
+    spark: SparkSession,
+    cfg: RuntimeConfig,
+    inputs: dict[str, list[str] | DataFrame] | None = None,
+) -> RuntimeResult:
+    """Execute all flows (reference EP1/EP3, ``runtime.py:45-60``).
+
+    ``inputs`` maps flow name -> injected lines (memory input analog,
+    ``inputs/memory.py:37-40 send``) or a ready raw DataFrame.
+    """
+    inputs = inputs or {}
+    flows = _topo_order(list(cfg.flows))
+    result = RuntimeResult()
+    transformed: dict[str, DataFrame] = {}
+    consumers: dict[str, int] = {}
+    for f in flows:
+        if f.input.type == "flow":
+            up = f.input.option("source") or f.input.option("name")
+            consumers[up] = consumers.get(up, 0) + 1
+
+    for f in flows:
+        if f.input.type == "flow":
+            up = f.input.option("source") or f.input.option("name")
+            upstream = transformed[up]
+            # downstream consumes the upstream's parsed record rendered
+            # as its raw input (reference: memory channel carries the
+            # rendered payload, flow.py:113-114)
+            src = upstream.select(
+                F.col("rendered").cast("string").alias(RAW_COL)
+            )
+        elif f.input.type == "memory":
+            inj = inputs.get(f.name, [])
+            src = inj if isinstance(inj, DataFrame) else lines_df(spark, list(inj))
+        elif f.input.type in ("file", "text"):
+            path = f.input.option("path")
+            if not path:
+                raise ConfigError(f"flow '{f.name}': input.path required")
+            src = spark.read.text(path).withColumnRenamed("value", RAW_COL)
+        elif f.input.type == "parquet":
+            path = f.input.option("path")
+            col = f.input.option("column", RAW_COL)
+            src = spark.read.parquet(path).select(F.col(col).alias(RAW_COL))
+        else:
+            raise ConfigError(f"unknown input type '{f.input.type}' (flow '{f.name}')")
+
+        out = compile_flow(f)(src)
+        if consumers.get(f.name, 0) > 1:
+            out = out.persist()  # fanned-out upstream: parse once
+        transformed[f.name] = out
+
+        if f.output.type in ("memory", "stdout"):
+            rows = out.select("rendered").collect()
+            payloads = [r[0].asDict() if hasattr(r[0], "asDict") else r[0] for r in rows]
+            result.outputs[f.name] = payloads
+        elif f.output.type in ("file", "parquet"):
+            path = f.output.option("path")
+            if not path:
+                raise ConfigError(f"flow '{f.name}': output.path required")
+            out.select("rendered").write.mode(f.output.option("mode", "append")).parquet(path)
+            result.written[f.name] = path
+        else:
+            raise ConfigError(f"unknown output type '{f.output.type}' (flow '{f.name}')")
+    return result

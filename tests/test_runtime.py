@@ -1,0 +1,111 @@
+"""Runtime tests: multi-flow execution, flow chaining, CLI entry.
+
+Mirrors reference runtime construction (runtime.py:17-37) and the
+flow-input chaining documented at docs/configuration/inputs.md:84-127.
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+from pysyslog_lfc_spark import config
+from pysyslog_lfc_spark.plans.runtime import run_runtime
+
+CHAIN_INI = """
+[flow.upstream]
+input.type = memory
+parser.type = json
+parser.schema = level string, message string
+output.type = memory
+output.format = json
+
+[flow.errors_only]
+input.type = flow
+input.source = upstream
+parser.type = json
+parser.schema = level string, message string
+filter.err.type = field
+filter.err.field = level
+filter.err.op = eq
+filter.err.value = error
+output.type = memory
+output.format = text
+format.template = E:{message}
+
+[flow.infos_only]
+input.type = flow
+input.source = upstream
+parser.type = json
+parser.schema = level string, message string
+filter.inf.type = field
+filter.inf.field = level
+filter.inf.op = eq
+filter.inf.value = info
+output.type = memory
+output.format = text
+format.template = I:{message}
+"""
+
+
+def test_runtime_multi_flow_chaining(spark):
+    cfg = config.loads(CHAIN_INI)
+    lines = [
+        json.dumps({"level": "error", "message": "boom"}),
+        json.dumps({"level": "info", "message": "fine"}),
+        json.dumps({"level": "error", "message": "bang"}),
+    ]
+    res = run_runtime(spark, cfg, inputs={"upstream": lines})
+    assert len(res.outputs["upstream"]) == 3
+    assert sorted(res.outputs["errors_only"]) == ["E:bang", "E:boom"]
+    assert res.outputs["infos_only"] == ["I:fine"]
+
+
+def test_runtime_chain_cycle_rejected(spark):
+    bad = """
+[flow.a]
+input.type = flow
+input.source = b
+parser.type = text
+output.type = memory
+
+[flow.b]
+input.type = flow
+input.source = a
+parser.type = text
+output.type = memory
+"""
+    import pytest
+
+    from pysyslog_lfc_spark.config import ConfigError
+
+    with pytest.raises(ConfigError, match="cycle"):
+        run_runtime(spark, config.loads(bad))
+
+
+def test_cli_end_to_end(tmp_path):
+    """EP1: config file + file input -> CLI -> JSON summary on stdout."""
+    data = tmp_path / "in.log"
+    data.write_text("hello world\nsecond line\n")
+    ini = tmp_path / "main.ini"
+    ini.write_text(
+        f"""
+[flow.tail]
+input.type = file
+input.path = {data}
+parser.type = text
+output.type = memory
+output.format = text
+format.template = [t] {{message}}
+"""
+    )
+    out = subprocess.run(
+        [sys.executable, "-m", "pysyslog_lfc_spark.cli", "-c", str(ini), "--master", "local[2]"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = [ln for ln in out.stdout.splitlines() if ln.strip().startswith("{")][-1]
+    summary = json.loads(line)
+    assert summary["flows"]["tail"]["rows"] == 2
+    assert sorted(summary["flows"]["tail"]["head"]) == ["[t] hello world", "[t] second line"]
