@@ -1,0 +1,87 @@
+"""Metrics output operators (reference ``output.metrics``,
+docs/configuration/outputs/metrics.md:9-103 — documented, unimplemented
+in the reference; MISSING_COMPONENTS.md confirms).
+
+Each metric family compiles to a tiny aggregate whose shuffle carries
+only label columns (the wide payload is pruned at the scan):
+
+- counter  -> groupBy(labels).count()
+- gauge    -> latest value per label set (window row_number desc = 1)
+- histogram-> bucketize + count per bucket, plus +Inf/sum/count rows as
+  separate columns (Prometheus histogram shape)
+
+``prometheus_render`` turns any of them into the text exposition format
+(reference: Prometheus export on :9090, metrics.md:93-103) as a string
+column — a format-stage render, writable by any sink.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def counter(df: DataFrame, labels: list[str], match: Column | None = None) -> DataFrame:
+    """Counter metric: event count per label set (metrics.md:36-43);
+    ``match`` is the pattern predicate (pre-filter)."""
+    if match is not None:
+        df = df.where(match)
+    return df.groupBy(*labels).agg(F.count(F.lit(1)).alias("value"))
+
+
+def gauge(
+    df: DataFrame, labels: list[str], value_col: str, ts_col: str, tie_break: str | None = None
+) -> DataFrame:
+    """Gauge metric: latest value per label set (metrics.md:44-48)."""
+    order = [F.desc(ts_col)] + ([F.desc(tie_break)] if tie_break else [])
+    w = Window.partitionBy(*labels).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(*labels, F.col(value_col).alias("value"))
+    )
+
+
+def histogram(
+    df: DataFrame, value_col: str, buckets: list[float], labels: list[str] | None = None
+) -> DataFrame:
+    """Histogram metric: cumulative bucket counts + sum + count
+    (metrics.md:49-61). ``le`` follows Prometheus semantics (counts are
+    cumulative; the +Inf bucket equals the total count)."""
+    labels = labels or []
+    v = F.col(value_col)
+    # arbitrary edges -> when-chain (F.width_bucket covers uniform grids)
+    expr = F.lit("+Inf")
+    for edge in sorted(buckets, reverse=True):
+        expr = F.when(v <= edge, F.lit(str(edge))).otherwise(expr)
+    per_bucket = df.groupBy(*labels, expr.alias("le")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum(v).alias("s")
+    )
+    # cumulative counts in ascending bucket order
+    order = F.when(F.col("le") == "+Inf", F.lit(float("inf"))).otherwise(
+        F.col("le").cast("double")
+    )
+    w = Window.partitionBy(*[F.col(c) for c in labels]).orderBy(order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_bucket.select(
+        *labels,
+        "le",
+        F.sum("n").over(w).alias("value"),
+        F.sum("s").over(w).alias("running_sum"),
+    )
+
+
+def prometheus_render(
+    df: DataFrame, metric_name: str, labels: list[str], value_col: str = "value"
+) -> DataFrame:
+    """Render metric rows to Prometheus text exposition lines."""
+    if labels:
+        label_expr = F.concat_ws(
+            ",", *[F.format_string(f'{c}="%s"', F.col(c)) for c in labels]
+        )
+        line = F.format_string(
+            f"{metric_name}{{%s}} %s", label_expr, F.col(value_col).cast("string")
+        )
+    else:
+        line = F.format_string(f"{metric_name} %s", F.col(value_col).cast("string"))
+    return df.select(line.alias("line"))

@@ -1,0 +1,108 @@
+"""Extended sink adapters beyond the parquet warehouse.
+
+Reference outputs that map onto external systems (all documented,
+unimplemented in the reference — MISSING_COMPONENTS.md:60-76):
+
+- ``output.postgresql`` (docs/configuration/outputs/postgresql.md:9-48)
+  -> :func:`write_jdbc` — Spark's built-in JDBC batch INSERT; the
+  reference's batch_size/pool knobs map to ``batchsize`` /
+  ``numPartitions`` options. Needs a JDBC driver jar on the cluster;
+  unit tests cover option mapping only (no PG server in the sandbox).
+- ``output.tcp`` (docs/configuration/outputs.md:55-114)
+  -> :func:`write_tcp` — per-partition socket client with
+  retry/backoff. Forwarding 10^12 rows over one TCP stream is an
+  anti-pattern at scale; partitioned sockets at least parallelize, but
+  prefer a real broker (Kafka) off this code path.
+- ``output.file`` rotation (docs/configuration/outputs.md:9-53)
+  -> :func:`write_rotated_files` — rotation by size maps to
+  ``maxRecordsPerFile``; gzip of rotated files maps to codec choice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    user: str | None = None,
+    password: str | None = None,
+    batch_size: int = 1000,
+    num_partitions: int | None = None,
+    mode: str = "append",
+) -> None:
+    """PostgreSQL/JDBC sink (reference postgresql.md:22-33 options:
+    host/port/database/table/batch_size -> url/table/batchsize)."""
+    writer = df.write.format("jdbc").option("url", url).option("dbtable", table)
+    writer = writer.option("batchsize", str(batch_size))
+    if user:
+        writer = writer.option("user", user)
+    if password:
+        writer = writer.option("password", password)
+    if num_partitions:
+        writer = writer.option("numPartitions", str(num_partitions))
+    writer.mode(mode).save()
+
+
+def write_tcp(
+    df: DataFrame,
+    host: str,
+    port: int,
+    rendered_col: str = "rendered",
+    retries: int = 3,
+    backoff_s: float = 0.5,
+    newline: bytes = b"\n",
+) -> int:
+    """TCP forwarder (reference outputs.md:55-114: host/port/ssl/pool/
+    retries). One socket per partition; returns rows sent. Retries with
+    exponential backoff per partition (reference retry_limit analog)."""
+    def send_partition(rows) -> list[int]:
+        import socket
+        import time as _t
+
+        payload = [str(r[0]).encode() + newline for r in rows]
+        if not payload:
+            return [0]
+        last_err: Exception | None = None
+        for attempt in range(retries + 1):
+            try:
+                with socket.create_connection((host, port), timeout=30) as sock:
+                    for chunk in payload:
+                        sock.sendall(chunk)
+                return [len(payload)]
+            except OSError as e:  # pragma: no cover - exercised via test server
+                last_err = e
+                _t.sleep(backoff_s * (2**attempt))
+        raise last_err  # type: ignore[misc]
+
+    counts = (
+        df.select(rendered_col)
+        .rdd.mapPartitions(send_partition)
+        .collect()
+    )
+    return sum(counts)
+
+
+def write_rotated_files(
+    df: DataFrame,
+    path: str,
+    max_records_per_file: int = 100_000,
+    compression: str = "gzip",
+    fmt: str = "text",
+    rendered_col: str = "rendered",
+    mode: str = "append",
+) -> None:
+    """File sink with rotation semantics (reference outputs.md:9-53:
+    max_size/max_files/compress) — the table format rotates natively:
+    ``maxRecordsPerFile`` bounds file size, codec compresses every
+    file, retention is a warehouse policy not a writer loop."""
+    (
+        df.select(rendered_col)
+        .write.option("maxRecordsPerFile", str(max_records_per_file))
+        .option("compression", compression)
+        .mode(mode)
+        .format(fmt)
+        .save(path)
+    )

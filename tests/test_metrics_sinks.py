@@ -1,0 +1,94 @@
+"""Tests for metrics operators and extended sinks (TCP via a live local
+server; JDBC/file-rotation option mapping)."""
+
+from __future__ import annotations
+
+import gzip
+import socketserver
+import threading
+
+from pyspark.sql import functions as F
+
+from pysyslog_lfc_spark.operators import metrics as M
+from pysyslog_lfc_spark import sinks_ext
+
+
+def _events(spark):
+    return spark.createDataFrame(
+        [
+            ("hostA", "error", 1.0, "2024-01-01 10:00:00"),
+            ("hostA", "error", 2.0, "2024-01-01 11:00:00"),
+            ("hostA", "info", 9.0, "2024-01-01 09:00:00"),
+            ("hostB", "error", 7.0, "2024-01-01 10:30:00"),
+        ],
+        "source string, level string, value double, ts_s string",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp"))
+
+
+def test_counter(spark):
+    out = {(r.source, r.level): r.value for r in M.counter(_events(spark), ["source", "level"]).collect()}
+    assert out == {("hostA", "error"): 2, ("hostA", "info"): 1, ("hostB", "error"): 1}
+
+
+def test_counter_with_match(spark):
+    out = M.counter(_events(spark), ["source"], match=F.col("level") == "error").collect()
+    assert {(r.source): r.value for r in out} == {"hostA": 2, "hostB": 1}
+
+
+def test_gauge_latest_by_ts(spark):
+    out = {r.source: r.value for r in M.gauge(_events(spark), ["source"], "value", "ts").collect()}
+    assert out == {"hostA": 2.0, "hostB": 7.0}
+
+
+def test_histogram_cumulative(spark):
+    out = {r.le: r.value for r in M.histogram(_events(spark), "value", [1.0, 5.0]).collect()}
+    # values 1,2,9,7 -> le=1.0: 1; le=5.0: 2 (cumulative); +Inf: 4
+    assert out == {"1.0": 1, "5.0": 2, "+Inf": 4}
+
+
+def test_prometheus_render(spark):
+    counts = M.counter(_events(spark), ["source", "level"])
+    lines = sorted(r.line for r in M.prometheus_render(counts, "log_total", ["source", "level"]).collect())
+    assert 'log_total{source="hostA",level="error"} 2' in lines
+
+
+class _Collector(socketserver.StreamRequestHandler):
+    def handle(self):
+        for line in self.rfile:
+            self.server.received.append(line.decode().strip())  # type: ignore[attr-defined]
+
+
+def test_tcp_sink_against_live_server(spark):
+    srv = socketserver.ThreadingTCPServer(("127.0.0.1", 0), _Collector)
+    srv.received = []  # type: ignore[attr-defined]
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        df = spark.createDataFrame([("a",), ("b",), ("c",)], "rendered string")
+        sent = sinks_ext.write_tcp(df.coalesce(2), "127.0.0.1", port)
+        assert sent == 3
+        import time
+
+        for _ in range(50):
+            if len(srv.received) == 3:  # type: ignore[attr-defined]
+                break
+            time.sleep(0.1)
+        assert sorted(srv.received) == ["a", "b", "c"]  # type: ignore[attr-defined]
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_rotated_file_sink(spark, tmp_path):
+    df = spark.createDataFrame([(f"line{i}",) for i in range(10)], "rendered string")
+    out = tmp_path / "rot"
+    sinks_ext.write_rotated_files(
+        df.coalesce(1), str(out), max_records_per_file=4, compression="gzip", mode="overwrite"
+    )
+    files = sorted(out.glob("part-*.txt.gz"))
+    assert len(files) == 3  # 4 + 4 + 2 rows -> rotation by size works
+    lines = []
+    for f in files:
+        lines += gzip.decompress(f.read_bytes()).decode().splitlines()
+    assert sorted(lines) == sorted(f"line{i}" for i in range(10))
