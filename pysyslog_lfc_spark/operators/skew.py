@@ -1,0 +1,108 @@
+"""Skew handling: salted joins and salted two-phase aggregation for hot
+keys (north rule: "AQE skew handling and salted keys for hot sources").
+
+The synthetic `source` column is Zipf-distributed (sources/datagen.py),
+so the hottest key owns ~30% of all rows — a naive shuffle on `source`
+puts a third of 10^12 rows on one reducer. Two complementary remedies:
+
+- AQE skew-join splitting (on by default in session.py) fixes shuffle
+  joins at runtime by splitting oversized partitions;
+- explicit salting fixes what AQE cannot: single-hot-key groupBys and
+  non-splittable join patterns. Deterministic salt =
+  pmod(xxhash64(salt_src), S) so reruns/resume recompute identically.
+
+``salted_broadcast_join``: for lookups small enough to broadcast,
+salting is unnecessary (no shuffle at all) — that is the preferred
+enrichment path (plans/pipeline.py). ``salted_shuffle_join`` is for
+lookup sides too big to broadcast: the fact side gets a random-ish but
+deterministic salt, the lookup side is exploded S times, and the join
+key becomes (key, salt) — the hot key now spreads over S reducers.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+SALT_COL = "_salt"
+
+
+def with_salt(df: DataFrame, salt_src: str, n_salts: int) -> DataFrame:
+    """Deterministic salt in [0, n_salts) derived from a high-cardinality
+    column (NOT the hot key itself)."""
+    return df.withColumn(
+        SALT_COL, F.pmod(F.xxhash64(F.col(salt_src)), F.lit(n_salts)).cast("int")
+    )
+
+
+def explode_salts(lookup: DataFrame, n_salts: int) -> DataFrame:
+    """Replicate the lookup side once per salt value."""
+    return lookup.withColumn(
+        SALT_COL, F.explode(F.array(*[F.lit(i) for i in range(n_salts)]).cast("array<int>"))
+    )
+
+
+def salted_shuffle_join(
+    fact: DataFrame,
+    lookup: DataFrame,
+    key: str,
+    salt_src: str,
+    n_salts: int = 16,
+    how: str = "left",
+) -> DataFrame:
+    """Shuffle join on (key, salt): hot keys spread across n_salts
+    reducers; lookup rows are replicated n_salts times (acceptable when
+    the lookup is much smaller than the fact table but above the
+    broadcast threshold)."""
+    f = with_salt(fact, salt_src, n_salts)
+    lkp = explode_salts(lookup, n_salts)
+    return f.join(lkp, [key, SALT_COL], how).drop(SALT_COL)
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[Column, "Callable[[Column], Column]"]],
+    salt_src: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase salted aggregation for algebraic aggregates.
+
+    ``aggs`` maps output name -> (partial_agg_expr, merge_agg_expr over
+    the partial column). Phase 1 groups by (keys + salt) — the hot key
+    splits across n_salts reducers; phase 2 merges the n_salts partial
+    rows per key (tiny).
+
+    Note: for SUM/COUNT/MIN/MAX over low-cardinality keys, Spark's own
+    map-side partial aggregation already bounds reducer load and this
+    is unnecessary; salting matters for high-cardinality-intermediate
+    aggs (collect_set, exact distinct) on skewed keys.
+    """
+    partial_exprs = [expr.alias(f"_p_{name}") for name, (expr, _) in aggs.items()]
+    merge_exprs = [
+        merge(F.col(f"_p_{name}")).alias(name) for name, (_, merge) in aggs.items()
+    ]
+    salted = with_salt(df, salt_src, n_salts)
+    partial = salted.groupBy(*keys, SALT_COL).agg(*partial_exprs)
+    return partial.groupBy(*keys).agg(*merge_exprs)
+
+
+def salted_distinct_count(
+    df: DataFrame, keys: list[str], distinct_col: str, salt_src: str, n_salts: int = 16
+) -> DataFrame:
+    """Exact distinct count per (possibly hot) key without funnelling
+    the hot key's whole value set through one reducer: phase 1 dedups
+    (keys, salt, value), phase 2 sums per-salt distinct counts — valid
+    because the deterministic salt partitions the value space when
+    ``salt_src == distinct_col``."""
+    salted = df.withColumn(
+        SALT_COL, F.pmod(F.xxhash64(F.col(salt_src)), F.lit(n_salts)).cast("int")
+    )
+    per_salt = (
+        salted.select(*keys, SALT_COL, distinct_col)
+        .distinct()
+        .groupBy(*keys, SALT_COL)
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    return per_salt.groupBy(*keys).agg(F.sum("_n").alias(f"n_distinct_{distinct_col}"))

@@ -1,0 +1,70 @@
+"""Salted-join / salted-agg correctness: identical results to the naive
+plan on Zipf-skewed data."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pysyslog_lfc_spark.operators import skew
+from pysyslog_lfc_spark.sources.datagen import sequences_df, source_lookup_df
+
+
+def test_salted_shuffle_join_equals_plain_join(spark):
+    seqs = sequences_df(spark, 2000).select("doc_id", "source")
+    lookup = source_lookup_df(spark)
+    plain = seqs.join(lookup, "source", "left").select("doc_id", "site", "owner")
+    salted = skew.salted_shuffle_join(
+        seqs, lookup, key="source", salt_src="doc_id", n_salts=8
+    ).select("doc_id", "site", "owner")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_agg_equals_plain_agg(spark):
+    seqs = sequences_df(spark, 2000).select("source", "n_tok")
+    plain = {
+        (r.source): (r.total, r.n)
+        for r in seqs.groupBy("source")
+        .agg(F.sum("n_tok").alias("total"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    salted = {
+        (r.source): (r.total, r.n)
+        for r in skew.salted_agg(
+            seqs.withColumn("_rid", F.monotonically_increasing_id()),
+            keys=["source"],
+            aggs={
+                "total": (F.sum("n_tok"), lambda c: F.sum(c)),
+                "n": (F.count(F.lit(1)), lambda c: F.sum(c)),
+            },
+            salt_src="_rid",
+            n_salts=8,
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_salted_distinct_count(spark):
+    seqs = sequences_df(spark, 3000).select("source", "doc_id")
+    plain = {
+        r.source: r.n
+        for r in seqs.groupBy("source").agg(F.countDistinct("doc_id").alias("n")).collect()
+    }
+    salted = {
+        r.source: r.n_distinct_doc_id
+        for r in skew.salted_distinct_count(
+            seqs, ["source"], "doc_id", salt_src="doc_id", n_salts=8
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_zipf_skew_is_real(spark):
+    """The generator really is skewed (the hot key motivates salting)."""
+    counts = (
+        sequences_df(spark, 5000)
+        .groupBy("source")
+        .count()
+        .orderBy(F.desc("count"))
+        .collect()
+    )
+    assert counts[0]["count"] > 4 * counts[5]["count"]
