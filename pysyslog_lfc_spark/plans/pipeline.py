@@ -37,6 +37,9 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from pysyslog_lfc_spark.sinks import BUCKET_COL, CommitStats, ParquetWarehouse
 
+# `message` is intentionally NOT persisted to sinks: `rendered` carries
+# its content and the parse stage is deterministic — re-deriving beats
+# writing the bytes 3x at 10^12-row scale
 SINK_COLUMNS = [
     "doc_id", "tokens", "n_tok", "source", "severity", "facility",
     "site", "owner", "rendered",

@@ -1,0 +1,58 @@
+"""UDF <-> SQL parity: the regex parser's pure-SQL path
+(regexp_extract) and its pandas-UDF path (Series.str.extract) must
+produce identical records (SURVEY.md §7 step 6 parity requirement).
+Plus property-based filter coercion checks (reference field.py:53-60).
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F, types as T
+
+from pysyslog_lfc_spark.config import ComponentConfig
+from pysyslog_lfc_spark.operators.filters import compile_filter_predicate
+from pysyslog_lfc_spark.operators.parsers import compile_parser
+
+PATTERN = r"(?P<host>\S+) (?P<pid>\d+) (?P<msg>.*)"
+
+
+def test_regex_parser_sql_vs_pandas_parity(spark):
+    lines = [
+        ("web-01 4242 GET /index",),
+        ("db-02 7 checkpoint complete",),
+        ("not matching anything useful!",),  # matches: host/pid fails -> drop
+        ("cache-9 99999 evicted 12 keys",),
+    ]
+    df = spark.createDataFrame(lines, "value string")
+    sql_parse = compile_parser(ComponentConfig("regex", {"pattern": PATTERN}))
+    pd_parse = compile_parser(
+        ComponentConfig("regex", {"pattern": PATTERN, "vectorized": "pandas"})
+    )
+    a = sorted(map(tuple, sql_parse(df).select("record.*").collect()))
+    b = sorted(map(tuple, pd_parse(df).select("record.*").collect()))
+    assert a == b
+    assert len(a) == 3  # non-matching line dropped on both paths
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    values=st.lists(st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=8),
+    threshold=st.integers(min_value=-1000, max_value=1000),
+    op=st.sampled_from(["eq", "ne", "gt", "ge", "lt", "le"]),
+)
+def test_filter_coercion_matches_python_semantics(spark, values, threshold, op):
+    """The compiled predicate over a typed column equals Python's
+    operator on the same ints (reference coerces config constants to the
+    runtime type, field.py:53-60; our coercion is plan-time)."""
+    import operator as pyop
+
+    ops = {"eq": pyop.eq, "ne": pyop.ne, "gt": pyop.gt, "ge": pyop.ge, "lt": pyop.lt, "le": pyop.le}
+    df = spark.createDataFrame([(v,) for v in values], "x long")
+    pred = compile_filter_predicate(
+        ComponentConfig("field", {"field": "x", "op": op, "value": str(threshold)}),
+        T.LongType(),
+        F.col("x"),
+    )
+    got = sorted(r.x for r in df.where(pred).collect())
+    want = sorted(v for v in values if ops[op](v, threshold))
+    assert got == want
