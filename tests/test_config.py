@@ -1,0 +1,104 @@
+"""Config loader fidelity tests (reference tests/test_config_loader.py:8-43
+and the [use] include mechanism, config.py:103-115). No Spark needed."""
+
+from __future__ import annotations
+
+import pytest
+
+from pysyslog_lfc_spark import config
+from pysyslog_lfc_spark.config import ConfigError
+
+INI = """
+[settings]
+metrics = enabled
+
+[channel.reliable]
+maxsize = 500
+ack_timeout = 7.5
+retry_limit = 2
+
+[flow.demo]
+input.type = memory
+parser.type = json
+output.type = memory
+output.format = json
+format.sort_keys = true
+channel = reliable
+filter.lvl.type = field
+filter.lvl.field = level
+filter.lvl.op = eq
+filter.lvl.value = info
+filter.lvl.stage = parser
+"""
+
+
+def test_config_loader_parses_flows_and_channels():
+    cfg = config.loads(INI)
+    flow = cfg.get_flow("demo")
+    assert flow.input.type == "memory"
+    assert flow.parser.type == "json"
+    assert flow.output.type == "memory"
+    assert flow.output_format == "json"
+    assert flow.format_options.get("sort_keys") == "true"
+    assert flow.channel == "reliable"
+    ch = cfg.get_channel("reliable")
+    assert (ch.maxsize, ch.ack_timeout, ch.retry_limit) == (500, 7.5, 2)
+    assert cfg.settings.get("metrics") == "enabled"
+    f = flow.filters[0]
+    assert f.name == "lvl" and f.stage == "parser"
+    assert f.component.options["op"] == "eq"
+
+
+def test_filter_requires_type():
+    bad = """
+[flow.x]
+input.type = memory
+parser.type = text
+output.type = memory
+filter.f.field = level
+filter.f.op = eq
+filter.f.value = a
+"""
+    with pytest.raises(ConfigError):
+        config.loads(bad)
+
+
+def test_no_flows_is_error():
+    with pytest.raises(ConfigError):
+        config.loads("[settings]\nmetrics = enabled\n")
+
+
+def test_filter_security_limits():
+    bad = f"""
+[flow.x]
+input.type = memory
+parser.type = text
+output.type = memory
+filter.f.type = field
+filter.f.field = message
+filter.f.op = regex
+filter.f.pattern = {'a' * 1001}
+"""
+    with pytest.raises(ConfigError):
+        config.loads(bad)
+
+
+def test_use_include_globs(tmp_path):
+    (tmp_path / "extra.ini").write_text(
+        "[flow.extra]\ninput.type = memory\nparser.type = text\noutput.type = memory\n"
+    )
+    main = tmp_path / "main.ini"
+    main.write_text(
+        f"""
+[use]
+include = {tmp_path}/extra.ini
+
+[flow.main]
+input.type = memory
+parser.type = text
+output.type = memory
+"""
+    )
+    cfg = config.load(str(main))
+    names = {f.name for f in cfg.flows}
+    assert names == {"main", "extra"}
