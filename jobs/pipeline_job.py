@@ -28,6 +28,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--job-id", default="job-1")
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--generate", type=int, default=0, help="generate N rows into --input first")
+    ap.add_argument(
+        "--gen-partitions", type=int, default=128,
+        help="input file/partition count for --generate (sets task size "
+        "and the resume/bucket granularity downstream)",
+    )
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--persist", action="store_true")
     args = ap.parse_args(argv)
@@ -42,7 +47,9 @@ def main(argv: list[str] | None = None) -> int:
     from pysyslog_lfc_spark.sources.readers import read_sequences
 
     if args.generate:
-        write_sequences(spark, args.input, args.generate, seed=args.seed)
+        write_sequences(
+            spark, args.input, args.generate, seed=args.seed, partitions=args.gen_partitions
+        )
 
     seq = read_sequences(spark, args.input)
     lookup = source_lookup_df(spark)

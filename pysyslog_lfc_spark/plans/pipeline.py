@@ -35,7 +35,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from pysyslog_lfc_spark.sinks import BUCKET_COL, CommitStats, ParquetWarehouse
+from pysyslog_lfc_spark.sinks import BUCKET_COL, ROUTE_COL, CommitStats, ParquetWarehouse
 
 # `message` is intentionally NOT persisted to sinks: `rendered` carries
 # its content and the parse stage is deterministic — re-deriving beats
@@ -113,45 +113,56 @@ def run_pipeline(
     job_id: str = "job-1",
     n_buckets: int = 64,
     resume: bool = True,
-    persist: bool = True,
+    persist: bool = False,
     fail_on: tuple[str, int] | None = None,
 ) -> PipelineResult:
     """Execute the full fan-out pipeline with bucket-granular resume.
 
     ``fail_on=(sink_table, bucket)`` injects a crash for resume tests.
 
-    Execution shape (measured in bench.py; see BENCH/BASELINE.md):
-    scan+parse+enrich runs ONCE, then is repartitioned by work bucket —
-    the single payload shuffle in the whole job — and persisted, so the
-    lineage aggregate and all three sink writes read the cached columnar
-    batches instead of re-parsing (4 scans -> 1). Bucket-aligned
-    partitioning also means each dynamic-partition write task owns
-    exactly one bucket: file count per sink = n_buckets, not
-    n_tasks x n_buckets (the small-files explosion that killed the
-    unaligned version). ``persist=False`` falls back to recompute-per-
-    sink (for memory-constrained runs; at cluster scale use
-    StorageLevel DISK_ONLY instead).
+    Execution shape — ZERO-SHUFFLE single-pass fan-out (measured in
+    bench.py / BENCH/BASELINE.md; earlier repartition+persist and
+    write-per-sink designs were 3-10x slower and anti-scaled with
+    threads because they moved the token payload through shuffle, cache
+    and three encode passes):
+
+    - work bucket = pmod(spark_partition_id, n_buckets) — resume at
+      *input-partition* granularity (the north star's own granularity),
+      deterministic for a static input dir + fixed split config, and
+      free: no hash shuffle of the payload;
+    - each row is exploded into the routes it matches and ONE
+      distributed write partitioned by (route, bucket) lands every sink
+      in a single scan: tokens are read, decoded and encoded exactly
+      once; every stage is map-side (scan -> expressions -> write), so
+      throughput scales with executors;
+    - the lineage aggregate recomputes from the scan with the token
+      column pruned (Catalyst reads 3 small columns; measured ~5% of
+      job time) rather than forcing a payload cache;
+    - per-sink aggregates read back the committed sinks (2-column scan)
+      so they stay consistent under resume.
+
+    ``persist`` caches the enriched frame (payload included) — only
+    useful when recompute is expensive relative to memory (not here).
     """
     wh = ParquetWarehouse(warehouse_root)
     result = PipelineResult(job_id=job_id, warehouse=wh)
 
     df = sequences.withColumn(
-        BUCKET_COL, F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
+        BUCKET_COL, F.pmod(F.spark_partition_id(), F.lit(n_buckets)).cast("int")
     )
     df = parse_stage(df)
     df = enrich_stage(df, lookup)
     df = render_stage(df)
     routes = routing_predicates()
     df = df.withColumns({f"is_{name}": pred for name, pred in routes.items()})
-    # one shuffle: co-locate each bucket on one task for every sink write
-    df = df.repartition(n_buckets, F.col(BUCKET_COL))
 
     if persist:
         df = df.persist()
 
-    # ---- lineage per (stage=routed, partition): in/out/dropped counts
+    # ---- lineage per (stage=routed, bucket): in/out/dropped counts.
+    # Catalyst prunes `tokens` from this scan — lineage is cheap.
     lineage = (
-        df.groupBy(F.spark_partition_id().alias("partition_id"))
+        df.groupBy(F.col(BUCKET_COL).alias("partition_id"))
         .agg(
             F.count(F.lit(1)).alias("rows_in"),
             F.sum(F.col("parse_ok").cast("long")).alias("parse_ok"),
@@ -163,49 +174,71 @@ def run_pipeline(
         .withColumn("job_id", F.lit(job_id))
     )
 
-    # ---- per-sink routed writes (tokens pass through untouched)
+    # ---- single-pass routed write (tokens pass through untouched)
+    committed = {
+        name: (wh.committed_buckets(name, job_id) if resume else set()) for name in routes
+    }
+    route_arr = F.array_compact(
+        F.array(*[F.when(F.col(f"is_{name}"), F.lit(name)) for name in routes])
+    )
+    routed = df.withColumn(ROUTE_COL, F.explode(route_arr))
+    for name, bkts in committed.items():
+        if bkts:  # resume: skip (route, bucket) pairs already committed
+            routed = routed.where(
+                ~((F.col(ROUTE_COL) == name) & F.col(BUCKET_COL).isin(sorted(bkts)))
+            )
+    sink_df = routed.select(ROUTE_COL, BUCKET_COL, *SINK_COLUMNS)
+    stats = wh.commit_routed(sink_df, list(routes), job_id, fail_on=fail_on)
     for name in routes:
-        committed = wh.committed_buckets(name, job_id) if resume else set()
-        pending = df.where(F.col(f"is_{name}"))
-        if committed:
-            pending = pending.where(~F.col(BUCKET_COL).isin(sorted(committed)))
-        sink_df = pending.select(BUCKET_COL, *SINK_COLUMNS)
-        fail_bucket = fail_on[1] if fail_on and fail_on[0] == name else None
-        stats = wh.commit_bucketed(sink_df, name, job_id, fail_on_bucket=fail_bucket)
         result.sinks[name] = CommitStats(
-            name, tuple(sorted(set(stats.buckets_committed) | committed)), stats.buckets_skipped
+            name,
+            tuple(sorted(set(stats[name].buckets_committed) | committed[name])),
+            stats[name].buckets_skipped,
         )
 
     # ---- per-sink aggregates, computed FROM the committed sink data so
-    # they stay consistent under resume; scan is pruned to 2 tiny columns
+    # they stay consistent under resume. ONE distributed job for all
+    # sinks (union of 2-column pruned scans); the per-sink tables are
+    # then written from the collected (tiny) result — serial fixed cost
+    # is 1 scan job + 3 trivial writes instead of 3 scan jobs.
+    agg_schema = "source string, severity int, cnt long, flow string"
+    union = None
     for name in routes:
         if wh.exists(name):
-            agg = (
+            part = (
                 wh.read(spark, name)
                 .where(F.col("job") == job_id)
-                .groupBy("source", "severity")
-                .agg(F.count(F.lit(1)).alias("cnt"))
+                .select("source", "severity")
                 .withColumn("flow", F.lit(name))
             )
-        else:  # routed-empty sink still gets a (schema-stable) aggregate table
-            agg = spark.createDataFrame([], "source string, severity int, cnt long, flow string")
-        wh.commit_single(agg, f"{name}_agg", job_id)
+            union = part if union is None else union.unionByName(part)
+    agg_rows = (
+        union.groupBy("flow", "source", "severity")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+        if union is not None
+        else []
+    )
+    for name in routes:
+        rows = [
+            (r["source"], r["severity"], r["cnt"], name) for r in agg_rows if r["flow"] == name
+        ]
+        wh.commit_single(spark.createDataFrame(rows, agg_schema), f"{name}_agg", job_id)
         result.aggregates.append(f"{name}_agg")
 
-    # ---- lineage + metrics tables
-    wh.commit_single(lineage, "_lineage", job_id)
-    totals = (
-        wh.read(spark, "_lineage")
-        .where(F.col("job") == job_id)
-        .agg(
-            F.sum("rows_in").alias("rows_in"),
-            F.sum("parse_ok").alias("parse_ok"),
-            *[F.sum(f"rows_{name}").alias(f"rows_{name}") for name in routes],
-        )
-        .collect()[0]
-        .asDict()
+    # ---- lineage + metrics tables (totals folded driver-side from the
+    # collected lineage rows — no second scan of the lineage table)
+    lineage_rows = lineage.collect()
+    lineage_schema = (
+        "partition_id int, rows_in long, parse_ok long, "
+        + ", ".join(f"rows_{name} long" for name in routes)
+        + ", job_id string"
     )
-    result.metrics = {k: int(v or 0) for k, v in totals.items()}
+    wh.commit_single(spark.createDataFrame(lineage_rows, lineage_schema), "_lineage", job_id)
+    counters = ["rows_in", "parse_ok"] + [f"rows_{name}" for name in routes]
+    result.metrics = {
+        c: int(sum(r[c] or 0 for r in lineage_rows)) for c in counters
+    }
     metrics_rows = [(k, v) for k, v in result.metrics.items()]
     wh.commit_single(
         spark.createDataFrame(metrics_rows, "counter string, value long").withColumn(

@@ -24,10 +24,18 @@ def get_spark(
     if shuffle_partitions is None:
         n = master[master.find("[") + 1 : master.find("]")] if "[" in master else cpus
         shuffle_partitions = 32 if n == "*" else max(8, int(n))
+    # ParallelGC: the token-array workload allocates at a rate that
+    # collapses G1 at high thread counts (measured 39-88s vs 16-23s for
+    # a 1.6M-row parquet rewrite at local[32]; BENCH/BASELINE.md) —
+    # throughput GC suits batch executors, and real clusters set this
+    # via spark.executor.extraJavaOptions the same way
+    gc_opts = "-XX:+UseParallelGC"
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.extraJavaOptions", gc_opts)
+        .config("spark.executor.extraJavaOptions", gc_opts)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

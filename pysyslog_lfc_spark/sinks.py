@@ -33,6 +33,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 
 BUCKET_COL = "bucket"
+ROUTE_COL = "route"
 _BUCKET_RE = re.compile(r"^bucket=(\d+)$")
 
 
@@ -108,6 +109,58 @@ class ParquetWarehouse:
         finally:
             shutil.rmtree(staging, ignore_errors=True)
         return CommitStats(table, tuple(committed), tuple(skipped))
+
+    def commit_routed(
+        self,
+        df: DataFrame,
+        routes: list[str],
+        job_id: str,
+        fail_on: tuple[str, int] | None = None,
+    ) -> dict[str, CommitStats]:
+        """Single-pass fan-out commit: ``df`` carries ``route`` and
+        ``bucket`` columns; ONE distributed write partitioned by
+        (route, bucket) into staging, then one atomic rename per
+        (route, bucket) into each route's own table.
+
+        This is the scale path for N-sink routing: one scan, zero
+        shuffles (bucket = input-partition-derived), each task writes at
+        most |routes| files, and the token payload is decoded/encoded
+        exactly once instead of once per sink. ``fail_on=(route,
+        bucket)`` injects a crash before that rename (resume tests).
+        """
+        staging = self._staging("routed")
+        df.write.mode("overwrite").partitionBy(ROUTE_COL, BUCKET_COL).parquet(str(staging))
+
+        out: dict[str, CommitStats] = {}
+        try:
+            for name in routes:
+                committed: list[int] = []
+                skipped: list[int] = []
+                rdir = staging / f"{ROUTE_COL}={name}"
+                tdir = self.table_path(name)
+                tdir.mkdir(parents=True, exist_ok=True)
+                if rdir.exists():
+                    for entry in sorted(rdir.iterdir()):
+                        m = _BUCKET_RE.match(entry.name)
+                        if not m:
+                            continue
+                        bucket = int(m.group(1))
+                        if fail_on is not None and fail_on == (name, bucket):
+                            raise RuntimeError(
+                                f"injected failure before committing {name} bucket {bucket}"
+                            )
+                        dest_dir = tdir / entry.name
+                        dest_dir.mkdir(exist_ok=True)
+                        dest = dest_dir / f"job={job_id}"
+                        if dest.exists():
+                            skipped.append(bucket)
+                            continue
+                        os.replace(entry, dest)  # the commit point
+                        committed.append(bucket)
+                out[name] = CommitStats(name, tuple(committed), tuple(skipped))
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+        return out
 
     def commit_single(self, df: DataFrame, table: str, job_id: str) -> CommitStats:
         """Atomic unbucketed commit (aggregate/lineage/metrics tables)."""

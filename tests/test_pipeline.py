@@ -93,6 +93,17 @@ def test_pipeline_routing_aggregates_and_token_equality(spark, data):
 
 def test_pipeline_resume_after_injected_failure(spark, data):
     root, seq_path, lookup = data
+    # buckets derive from scan partitions (resume = partition granularity);
+    # cap the split size at the file-open cost so each of the 8 fixture
+    # files becomes exactly one (non-empty) scan partition
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "4194304")
+    try:
+        _resume_scenario(spark, root, seq_path, lookup)
+    finally:
+        spark.conf.unset("spark.sql.files.maxPartitionBytes")
+
+
+def _resume_scenario(spark, root, seq_path, lookup):
     seq = spark.read.parquet(seq_path)
     wh_fail = str(root / "wh_resume")
     wh_ref = str(root / "wh_uninterrupted")
