@@ -22,7 +22,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-PIPELINE_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "400000"))
+PIPELINE_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "1600000"))
+# tmpfs when available: the sandbox's single shared virtio disk is a
+# fixed throughput floor that a multi-executor cluster doesn't have
+# (same rationale as BENCH/run_scaling.py)
+WORKDIR = "/dev/shm" if os.path.isdir("/dev/shm") else None
 
 # representative operator set, timed individually at sf_dir scale
 BENCH_QUERIES = [
@@ -59,7 +63,7 @@ def main() -> None:
     spark = get_spark("bench", master=f"local[{cpus}]")
 
     # ---- headline: flagship pipeline throughput ------------------------
-    work = tempfile.mkdtemp(prefix="bench_pipeline_")
+    work = tempfile.mkdtemp(prefix="bench_pipeline_", dir=WORKDIR)
     try:
         seq_path = os.path.join(work, "seq")
         sequences_df(spark, PIPELINE_ROWS, partitions=int(cpus) * 2).write.mode(
