@@ -32,7 +32,8 @@ CONFS = [
     "--conf", "spark.sql.session.timeZone=UTC",
     "--conf", "spark.ui.enabled=false",
     "--conf", "spark.ui.showConsoleProgress=false",
-    # zstd shifts write cost from (non-scaling) disk bytes to (scaling) CPU
+    # snappy: cheapest CPU per byte — keeps the benchmark measuring the
+    # pipeline, not the codec, and write bytes land on tmpfs anyway
     "--conf", "spark.sql.parquet.compression.codec=snappy",
 ]
 

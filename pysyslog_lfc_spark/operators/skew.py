@@ -89,15 +89,19 @@ def salted_agg(
 
 
 def salted_distinct_count(
-    df: DataFrame, keys: list[str], distinct_col: str, salt_src: str, n_salts: int = 16
+    df: DataFrame, keys: list[str], distinct_col: str, n_salts: int = 16
 ) -> DataFrame:
     """Exact distinct count per (possibly hot) key without funnelling
     the hot key's whole value set through one reducer: phase 1 dedups
-    (keys, salt, value), phase 2 sums per-salt distinct counts — valid
-    because the deterministic salt partitions the value space when
-    ``salt_src == distinct_col``."""
+    (keys, salt, value), phase 2 sums per-salt distinct counts.
+
+    The salt is always derived from ``distinct_col`` — that is the only
+    correct choice: it partitions the *value space*, so each distinct
+    value lands under exactly one salt and the phase-2 sum never
+    double-counts. (A caller-chosen salt source could map one value to
+    several salts for the same key, inflating the count.)"""
     salted = df.withColumn(
-        SALT_COL, F.pmod(F.xxhash64(F.col(salt_src)), F.lit(n_salts)).cast("int")
+        SALT_COL, F.pmod(F.xxhash64(F.col(distinct_col)), F.lit(n_salts)).cast("int")
     )
     per_salt = (
         salted.select(*keys, SALT_COL, distinct_col)

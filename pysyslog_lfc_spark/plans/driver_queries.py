@@ -624,11 +624,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.2)
 
 
-@query("dedup_minhash_lsh", _JACCARD_ORACLE.format(t="0.2"))
+@query("dedup_minhash_lsh", _JACCARD_ORACLE.format(t="0.9"))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64) + LSH(16 bands) candidates, exact-Jaccard verified —
-    same final answer as brute force (oracle), quadratically less work."""
-    return DD.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.2)
+    same final answer as brute force (oracle), quadratically less work.
+
+    Threshold 0.9 keeps the exact-equality gate sound for ANY input:
+    with 16 bands x 4 rows the per-pair miss probability for a
+    qualifying pair is (1 - j^4)^16 <= (1 - 0.9^4)^16 ~= 4e-8, so
+    candidate recall is effectively 1 above the threshold (mid-range
+    thresholds like 0.2 would make the gate depend on the fixture
+    having no mid-similarity pairs)."""
+    return DD.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.9)
 
 
 _SIMHASH_ORACLE = r"""
@@ -753,7 +760,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     feat AS (
       SELECT doc_id,
              CAST(len(ws) AS INTEGER) AS n_words,
-             list_sum(list_transform(ws, w -> length(w))) / greatest(len(ws), 1) AS raw_avg,
+             coalesce(list_sum(list_transform(ws, w -> length(w))), 0) / greatest(len(ws), 1) AS raw_avg,
              len(list_filter(ws, w -> list_contains(['the','a','of','and','to','in'], lower(w)))) / greatest(len(ws), 1) AS raw_stop
       FROM toks
     )

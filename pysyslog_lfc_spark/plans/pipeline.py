@@ -5,7 +5,7 @@ tables with per-sink aggregates, lineage and metrics written alongside,
 and bucket-granular checkpoint/resume:
 
     scan(sequences)                      # column-pruned parquet/Iceberg scan
-      -> bucket = pmod(xxhash64(doc_id), K)        # deterministic work units
+      -> bucket = pmod(xxhash64(input_file | doc_id), K)  # planner-independent work units
       -> vectorized RFC3164-style parse (regexp_extract, pri math)
       -> broadcast hash join with source_lookup on `source`
       -> routing predicates (FIXTURES.md §3)
@@ -56,6 +56,33 @@ class PipelineResult:
     sinks: dict[str, CommitStats] = field(default_factory=dict)
     aggregates: list[str] = field(default_factory=list)
     metrics: dict[str, int] = field(default_factory=dict)
+
+
+def bucket_expr(n_buckets: int) -> F.Column:
+    """Planner-independent resume bucket (narrow expression, no shuffle).
+
+    File-backed scans bucket by input-file identity: split planning
+    (``maxPartitionBytes``, core count, file coalescing) changes which
+    *task* reads a row but never which *file* it came from, so a resumed
+    run reproduces the same bucket per row under any split config. A
+    task reads one-to-few files, so the routed write still opens only
+    ~|routes| concurrent files per task — same write amplification as
+    the old ``spark_partition_id`` scheme, without its fragility (a
+    re-planned scan used to remap rows into already-committed buckets,
+    silently dropping them from the resume recompute).
+
+    Non-file inputs (memory tables, post-shuffle frames — where
+    ``input_file_name()`` is empty) fall back to a content hash of
+    ``doc_id``: equally planner-independent, at the cost of each task
+    touching up to ``n_buckets`` output files (Spark's dynamic-partition
+    write sorts rows by partition key per task, so writers open
+    sequentially, not concurrently).
+    """
+    fname = F.input_file_name()
+    h = F.when(fname != F.lit(""), F.xxhash64(fname)).otherwise(
+        F.xxhash64(F.col("doc_id"))
+    )
+    return F.pmod(h, F.lit(n_buckets)).cast("int")
 
 
 def routing_predicates() -> dict[str, F.Column]:
@@ -126,10 +153,10 @@ def run_pipeline(
     threads because they moved the token payload through shuffle, cache
     and three encode passes):
 
-    - work bucket = pmod(spark_partition_id, n_buckets) — resume at
-      *input-partition* granularity (the north star's own granularity),
-      deterministic for a static input dir + fixed split config, and
-      free: no hash shuffle of the payload;
+    - work bucket = hash(input file) (content-hash fallback for
+      non-file inputs; see :func:`bucket_expr`) — resume at input-file
+      granularity, deterministic across split re-planning and cluster
+      size, and free: no hash shuffle of the payload;
     - each row is exploded into the routes it matches and ONE
       distributed write partitioned by (route, bucket) lands every sink
       in a single scan: tokens are read, decoded and encoded exactly
@@ -147,9 +174,7 @@ def run_pipeline(
     wh = ParquetWarehouse(warehouse_root)
     result = PipelineResult(job_id=job_id, warehouse=wh)
 
-    df = sequences.withColumn(
-        BUCKET_COL, F.pmod(F.spark_partition_id(), F.lit(n_buckets)).cast("int")
-    )
+    df = sequences.withColumn(BUCKET_COL, bucket_expr(n_buckets))
     df = parse_stage(df)
     df = enrich_stage(df, lookup)
     df = render_stage(df)
@@ -198,10 +223,10 @@ def run_pipeline(
 
     # ---- per-sink aggregates, computed FROM the committed sink data so
     # they stay consistent under resume. ONE distributed job for all
-    # sinks (union of 2-column pruned scans); the per-sink tables are
-    # then written from the collected (tiny) result — serial fixed cost
-    # is 1 scan job + 3 trivial writes instead of 3 scan jobs.
-    agg_schema = "source string, severity int, cnt long, flow string"
+    # sinks (union of 2-column pruned scans) whose result is written
+    # distributed, partitioned by flow — the aggregate never lands on
+    # the driver, so source x severity cardinality can grow 100x
+    # without a driver bottleneck.
     union = None
     for name in routes:
         if wh.exists(name):
@@ -212,19 +237,20 @@ def run_pipeline(
                 .withColumn("flow", F.lit(name))
             )
             union = part if union is None else union.unionByName(part)
-    agg_rows = (
-        union.groupBy("flow", "source", "severity")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .collect()
-        if union is not None
-        else []
-    )
-    for name in routes:
-        rows = [
-            (r["source"], r["severity"], r["cnt"], name) for r in agg_rows if r["flow"] == name
-        ]
-        wh.commit_single(spark.createDataFrame(rows, agg_schema), f"{name}_agg", job_id)
-        result.aggregates.append(f"{name}_agg")
+    if union is not None:
+        agg_df = (
+            union.groupBy("flow", "source", "severity")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select("source", "severity", "cnt", "flow")
+        )
+        wh.commit_per_flow(agg_df, {name: f"{name}_agg" for name in routes}, job_id)
+    else:
+        empty = spark.createDataFrame(
+            [], "source string, severity int, cnt long, flow string"
+        )
+        for name in routes:
+            wh.commit_single(empty, f"{name}_agg", job_id)
+    result.aggregates.extend(f"{name}_agg" for name in routes)
 
     # ---- lineage + metrics tables (totals folded driver-side from the
     # collected lineage rows — no second scan of the lineage table)

@@ -80,8 +80,10 @@ class ParquetWarehouse:
 
         One distributed write into staging partitioned by bucket, then
         one atomic rename per bucket into the table. ``fail_on_bucket``
-        injects a crash before that bucket's commit (resume tests,
-        reference analog: FlakyMemoryOutput in tests/test_flow_runtime.py:46-55).
+        injects a crash before committing the k-th staged bucket
+        (ordinal, so tests stay independent of which hash values the
+        input produced; reference analog: FlakyMemoryOutput in
+        tests/test_flow_runtime.py:46-55).
         """
         staging = self._staging(table)
         df.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(str(staging))
@@ -96,7 +98,7 @@ class ParquetWarehouse:
                 if not m:
                     continue
                 bucket = int(m.group(1))
-                if fail_on_bucket is not None and bucket == fail_on_bucket:
+                if fail_on_bucket is not None and len(committed) == fail_on_bucket:
                     raise RuntimeError(f"injected failure before committing bucket {bucket}")
                 dest_dir = tdir / entry.name
                 dest_dir.mkdir(exist_ok=True)
@@ -123,10 +125,12 @@ class ParquetWarehouse:
         (route, bucket) into each route's own table.
 
         This is the scale path for N-sink routing: one scan, zero
-        shuffles (bucket = input-partition-derived), each task writes at
-        most |routes| files, and the token payload is decoded/encoded
-        exactly once instead of once per sink. ``fail_on=(route,
-        bucket)`` injects a crash before that rename (resume tests).
+        shuffles (bucket = input-file-derived), each task writes at
+        most ~|routes| files, and the token payload is decoded/encoded
+        exactly once instead of once per sink. ``fail_on=(route, k)``
+        injects a crash before committing the k-th staged bucket of
+        that route — ordinal, so resume tests stay independent of
+        which hash values the input happened to produce.
         """
         staging = self._staging("routed")
         df.write.mode("overwrite").partitionBy(ROUTE_COL, BUCKET_COL).parquet(str(staging))
@@ -145,7 +149,7 @@ class ParquetWarehouse:
                         if not m:
                             continue
                         bucket = int(m.group(1))
-                        if fail_on is not None and fail_on == (name, bucket):
+                        if fail_on is not None and fail_on == (name, len(committed)):
                             raise RuntimeError(
                                 f"injected failure before committing {name} bucket {bucket}"
                             )
@@ -161,6 +165,43 @@ class ParquetWarehouse:
         finally:
             shutil.rmtree(staging, ignore_errors=True)
         return out
+
+    def commit_per_flow(
+        self, df: DataFrame, tables: dict[str, str], job_id: str
+    ) -> list[str]:
+        """Distributed fan-out of a (small) aggregate frame into one
+        table per flow: ONE write partitioned by flow value, then one
+        atomic rename per flow dir — the rows never touch the driver,
+        so aggregate cardinality can scale without a collect bottleneck.
+
+        ``tables`` maps flow value -> destination table name. A flow
+        with no rows gets an empty (schema-preserving) table so readers
+        never hit a missing path. ``df`` must carry a ``flow`` column.
+        """
+        staging = self._staging("per_flow")
+        # duplicate the partition column so the data files keep `flow`
+        part = df.withColumn("_flow_part", df["flow"])
+        part.write.mode("overwrite").partitionBy("_flow_part").parquet(str(staging))
+        written: list[str] = []
+        empties: list[str] = []
+        try:
+            for flow, table in tables.items():
+                src = staging / f"_flow_part={flow}"
+                dest = self.table_path(table) / f"job={job_id}"
+                dest.parent.mkdir(parents=True, exist_ok=True)
+                if dest.exists():
+                    shutil.rmtree(dest)
+                if src.exists():
+                    os.replace(src, dest)
+                    written.append(table)
+                else:
+                    empties.append(flow)
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+        for flow in empties:
+            self.commit_single(df.where(df["flow"] == flow).limit(0), tables[flow], job_id)
+            written.append(tables[flow])
+        return written
 
     def commit_single(self, df: DataFrame, table: str, job_id: str) -> CommitStats:
         """Atomic unbucketed commit (aggregate/lineage/metrics tables)."""

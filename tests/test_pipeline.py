@@ -93,31 +93,48 @@ def test_pipeline_routing_aggregates_and_token_equality(spark, data):
 
 def test_pipeline_resume_after_injected_failure(spark, data):
     root, seq_path, lookup = data
-    # buckets derive from scan partitions (resume = partition granularity);
-    # cap the split size at the file-open cost so each of the 8 fixture
-    # files becomes exactly one (non-empty) scan partition
-    spark.conf.set("spark.sql.files.maxPartitionBytes", "4194304")
-    try:
-        _resume_scenario(spark, root, seq_path, lookup)
-    finally:
-        spark.conf.unset("spark.sql.files.maxPartitionBytes")
+    # no split-config pinning: buckets derive from input files/content,
+    # so resume is planner-independent by construction
+    _resume_scenario(spark, root, seq_path, lookup, tag="same")
 
 
-def _resume_scenario(spark, root, seq_path, lookup):
+def test_pipeline_resume_under_replanned_scan(spark, data):
+    """A resumed run must match the uninterrupted run even when the scan
+    is split completely differently (tiny maxPartitionBytes => many more
+    tasks than the first attempt). Guards the planner-independence of
+    bucket_expr — the old partition-id bucketing silently lost rows here.
+    """
+    root, seq_path, lookup = data
+    _resume_scenario(
+        spark, root, seq_path, lookup, tag="replanned", resume_split_bytes="65536"
+    )
+
+
+def _resume_scenario(spark, root, seq_path, lookup, tag, resume_split_bytes=None):
     seq = spark.read.parquet(seq_path)
-    wh_fail = str(root / "wh_resume")
-    wh_ref = str(root / "wh_uninterrupted")
+    wh_fail = str(root / f"wh_resume_{tag}")
+    wh_ref = str(root / f"wh_uninterrupted_{tag}")
 
+    # fail_on is ordinal: crash before committing sink_app's 3rd bucket
     with pytest.raises(RuntimeError, match="injected failure"):
         run_pipeline(
-            spark, seq, lookup, wh_fail, job_id="j2", n_buckets=16, fail_on=("sink_app", 7)
+            spark, seq, lookup, wh_fail, job_id="j2", n_buckets=16, fail_on=("sink_app", 2)
         )
     wh = ParquetWarehouse(wh_fail)
     partial = wh.committed_buckets("sink_app", "j2")
-    assert partial and 7 not in partial  # some buckets landed, crash point did not
+    assert len(partial) == 2  # exactly the two buckets before the crash point
 
-    # restart: only uncommitted buckets are reprocessed
-    result = run_pipeline(spark, seq, lookup, wh_fail, job_id="j2", n_buckets=16, resume=True)
+    # restart (optionally under different split planning): only
+    # uncommitted buckets are reprocessed
+    if resume_split_bytes is not None:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", resume_split_bytes)
+    try:
+        result = run_pipeline(
+            spark, seq, lookup, wh_fail, job_id="j2", n_buckets=16, resume=True
+        )
+    finally:
+        if resume_split_bytes is not None:
+            spark.conf.unset("spark.sql.files.maxPartitionBytes")
     ref = run_pipeline(spark, seq, lookup, wh_ref, job_id="j2", n_buckets=16)
 
     for name in routing_predicates():

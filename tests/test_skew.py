@@ -52,7 +52,7 @@ def test_salted_distinct_count(spark):
     salted = {
         r.source: r.n_distinct_doc_id
         for r in skew.salted_distinct_count(
-            seqs, ["source"], "doc_id", salt_src="doc_id", n_salts=8
+            seqs, ["source"], "doc_id", n_salts=8
         ).collect()
     }
     assert plain == salted
