@@ -21,3 +21,12 @@ Layout
 __version__ = "0.1.0"
 
 from pysyslog_lfc_spark.session import get_spark  # noqa: F401
+from pysyslog_lfc_spark.registry import (  # noqa: F401
+    ComponentRegistry,
+    default_registry,
+    register_filter,
+    register_format,
+    register_input,
+    register_output,
+    register_parser,
+)

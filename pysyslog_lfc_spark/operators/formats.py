@@ -27,14 +27,17 @@ from pysyslog_lfc_spark.config import ConfigError
 FormatFn = Callable[[Column, T.StructType], Column]
 
 
-def compile_format(format_type: str | None, options: dict[str, str]) -> FormatFn | None:
+def compile_format(
+    format_type: str | None, options: dict[str, str], registry=None
+) -> FormatFn | None:
+    """Resolve the format family through the component registry
+    (reference registry.py:54-55 create_format); None = record
+    passthrough (flow.py:113)."""
     if format_type is None:
         return None
-    if format_type == "json":
-        return _json_format(options)
-    if format_type == "text":
-        return _text_format(options)
-    raise ConfigError(f"unknown output format '{format_type}'")
+    from pysyslog_lfc_spark.registry import default_registry
+
+    return (registry or default_registry()).create_format(format_type, options)
 
 
 def _bool_opt(options: dict[str, str], name: str, default: bool = False) -> bool:
@@ -95,3 +98,9 @@ def _text_format(options: dict[str, str]) -> FormatFn:
         return cols[0] if len(cols) == 1 else F.concat(*cols)
 
     return render
+
+
+BUILTIN_FORMATS = {
+    "json": _json_format,
+    "text": _text_format,
+}

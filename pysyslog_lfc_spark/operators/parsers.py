@@ -35,12 +35,14 @@ ParserFn = Callable[[DataFrame, str], DataFrame]
 RECORD_COL = "record"
 
 
-def compile_parser(cfg: ComponentConfig) -> ParserFn:
-    try:
-        builder = _PARSERS[cfg.type]
-    except KeyError:
-        raise ConfigError(f"unknown parser type '{cfg.type}'") from None
-    return builder(cfg)
+def compile_parser(cfg: ComponentConfig, registry=None) -> ParserFn:
+    """Resolve the parser family through the component registry
+    (reference registry.py:42-43 create_parser), so user-registered
+    parsers are first-class; unknown names raise ConfigError at plan
+    time (registry.py:64-66)."""
+    from pysyslog_lfc_spark.registry import default_registry
+
+    return (registry or default_registry()).create_parser(cfg)
 
 
 # ---------------------------------------------------------------- text
@@ -274,7 +276,7 @@ def _passthrough(cfg: ComponentConfig) -> ParserFn:
     return parse
 
 
-_PARSERS = {
+BUILTIN_PARSERS = {
     "text": _text,
     "json": _json,
     "regex": _regex,

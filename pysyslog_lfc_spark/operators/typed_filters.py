@@ -1,0 +1,495 @@
+"""Typed filter catalog compiled to Catalyst predicates.
+
+The reference documents 18 typed filter families by name
+(``docs/configuration/filters.md:53-83``: basic text/numeric/regex/
+field, data-type boolean/list/timestamp/level, network ip/port/
+protocol/hostname, format url/email/json/mime, special hash/uuid/
+version/path) but ships no per-type implementation (only
+``filters/numeric.md`` exists). Here every family is a *filter
+factory* — ``(ComponentConfig, DataType, Column) -> Column`` — built
+purely from builtin column functions (``rlike``, ``split``,
+``try_cast``, ``try_to_timestamp``, bitwise ops), so each predicate is
+whole-stage-codegen'd and pushdown-eligible; no family needs a UDF.
+
+ANSI-safety: PySpark 4 runs ANSI mode, where a plain CAST of malformed
+input throws. Every string->number/timestamp conversion here uses the
+``try_`` variants, so invalid values become nulls and null predicates
+drop the row — matching the reference's validate-then-compare contract.
+
+All families register as builtins in
+:mod:`pysyslog_lfc_spark.registry`; user-defined families join via
+``register_filter(name, factory)``.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import Column, functions as F, types as T
+
+from pysyslog_lfc_spark.config import ComponentConfig, ConfigError
+from pysyslog_lfc_spark.operators.filters import compile_filter_predicate
+
+# ----------------------------------------------------------------- helpers
+
+_IP_RE = r"^((25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)$"
+_UUID_RE = r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"
+_EMAIL_RE = r"^[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}$"
+_HOSTNAME_RE = (
+    r"^[A-Za-z0-9]([A-Za-z0-9\-]{0,61}[A-Za-z0-9])?"
+    r"(\.[A-Za-z0-9]([A-Za-z0-9\-]{0,61}[A-Za-z0-9])?)*$"
+)
+_URL_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
+_URL_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/:?#]+)"
+_MIME_RE = r"^[A-Za-z0-9][A-Za-z0-9!#$&^_.+\-]*/[A-Za-z0-9][A-Za-z0-9!#$&^_.+\-]*$"
+_VERSION_RE = r"^\d+(\.\d+)*$"
+
+_HASH_LENGTHS = {"md5": 32, "sha1": 40, "sha256": 64, "sha512": 128}
+
+LEVEL_NAMES = {
+    # RFC5424 severity names + common aliases -> numeric severity
+    "emergency": 0, "emerg": 0, "panic": 0,
+    "alert": 1,
+    "critical": 2, "crit": 2,
+    "error": 3, "err": 3,
+    "warning": 4, "warn": 4,
+    "notice": 5,
+    "informational": 6, "info": 6,
+    "debug": 7,
+}
+
+
+def _s(col: Column) -> Column:
+    return col.cast(T.StringType())
+
+
+def _required(cfg: ComponentConfig, name: str) -> str:
+    v = cfg.option(name)
+    if v is None or v == "":
+        raise ConfigError(f"{cfg.type} filter requires '{name}'")
+    return v
+
+
+def _invert(cfg: ComponentConfig, pred: Column) -> Column:
+    return ~pred if cfg.flag("invert") else pred
+
+
+def _ip_num(s: Column) -> Column:
+    p = F.split(s, r"\.")
+    octet = [F.try_element_at(p, F.lit(i + 1)).try_cast("long") for i in range(4)]
+    return (
+        octet[0] * F.lit(16777216)
+        + octet[1] * F.lit(65536)
+        + octet[2] * F.lit(256)
+        + octet[3]
+    )
+
+
+def _parse_cidr(subnet: str) -> tuple[int, int]:
+    try:
+        base, _, plen_s = subnet.partition("/")
+        plen = int(plen_s) if plen_s else 32
+        parts = [int(o) for o in base.split(".")]
+        if len(parts) != 4 or not all(0 <= o <= 255 for o in parts) or not 0 <= plen <= 32:
+            raise ValueError(subnet)
+    except ValueError as exc:
+        raise ConfigError(f"ip filter: bad subnet '{subnet}'") from exc
+    num = (parts[0] << 24) | (parts[1] << 16) | (parts[2] << 8) | parts[3]
+    mask = 0 if plen == 0 else (~((1 << (32 - plen)) - 1)) & 0xFFFFFFFF
+    return num & mask, mask
+
+
+def _level_num(col: Column, dtype: T.DataType) -> Column:
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return col.cast("int")
+    mapping = F.create_map(
+        *[x for name, num in LEVEL_NAMES.items() for x in (F.lit(name), F.lit(num))]
+    )
+    # numeric strings pass through; names map; unknown -> null (drop)
+    return F.coalesce(_s(col).try_cast("int"), mapping[F.lower(_s(col))])
+
+
+def _level_lit(raw: str) -> int:
+    key = raw.strip().lower()
+    if key in LEVEL_NAMES:
+        return LEVEL_NAMES[key]
+    try:
+        return int(key)
+    except ValueError:
+        raise ConfigError(f"level filter: unknown level '{raw}'") from None
+
+
+def _ts_col(col: Column, dtype: T.DataType, fmt: str | None) -> Column:
+    if isinstance(dtype, T.TimestampType):
+        return col
+    if fmt:
+        return F.try_to_timestamp(_s(col), F.lit(fmt))
+    return F.try_to_timestamp(_s(col))
+
+
+def _ts_lit(raw: str) -> Column:
+    try:
+        return F.lit(datetime.datetime.fromisoformat(raw))
+    except ValueError as exc:
+        raise ConfigError(f"timestamp filter: bad timestamp '{raw}'") from exc
+
+
+def _version_norm(s: Column) -> Column:
+    # strip pre-release/build suffix, split, zero-pad to 4 x 8 digits so
+    # string comparison == numeric componentwise comparison
+    core = F.regexp_extract(s, r"^(\d+(?:\.\d+)*)", 1)
+    parts = F.split(core, r"\.")
+    comps = [
+        F.lpad(F.coalesce(F.try_element_at(parts, F.lit(i + 1)), F.lit("0")), 8, "0")
+        for i in range(4)
+    ]
+    return F.when(s.rlike(r"^\d+(\.\d+)*"), F.concat(*comps))
+
+
+def _version_norm_lit(raw: str) -> str:
+    comps = (raw.split("-")[0].split("+")[0].split(".") + ["0", "0", "0", "0"])[:4]
+    try:
+        return "".join(f"{int(c):08d}" for c in comps)
+    except ValueError as exc:
+        raise ConfigError(f"version filter: bad version '{raw}'") from exc
+
+
+# ----------------------------------------------------------------- families
+
+def _text_filter(cfg: ComponentConfig, dtype: T.DataType, col: Column) -> Column:
+    """Text comparisons: field ops over the stringified column, plus
+    startswith/endswith/length bounds."""
+    op = cfg.option("op", "eq")
+    s = _s(col)
+    if op == "startswith":
+        return _invert(cfg, s.startswith(_required(cfg, "value")))
+    if op == "endswith":
+        return _invert(cfg, s.endswith(_required(cfg, "value")))
+    if op == "length_between":
+        lo, hi = int(_required(cfg, "min")), int(_required(cfg, "max"))
+        return _invert(cfg, F.length(s).between(lo, hi))
+    return compile_filter_predicate(cfg, T.StringType(), s)
+
+
+def _numeric_filter(cfg: ComponentConfig, dtype: T.DataType, col: Column) -> Column:
+    """Numeric comparisons (docs/configuration/filters/numeric.md):
+    field ops over a try_cast double."""
+    n = col if isinstance(dtype, T.NumericType) else _s(col).try_cast("double")
+    return compile_filter_predicate(cfg, T.DoubleType(), n)
+
+
+def _boolean_filter(cfg: ComponentConfig, dtype: T.DataType, col: Column) -> Column:
+    op = cfg.option("op", "is_true")
+    if isinstance(dtype, T.BooleanType):
+        b = col
+    else:
+        lowered = F.lower(_s(col))
+        b = F.when(lowered.isin("1", "true", "yes", "on"), F.lit(True)).when(
+            lowered.isin("0", "false", "no", "off"), F.lit(False)
+        )
+    if op == "is_true":
+        return _invert(cfg, b.eqNullSafe(F.lit(True)))
+    if op == "is_false":
+        return _invert(cfg, b.eqNullSafe(F.lit(False)))
+    if op == "eq":
+        want = _required(cfg, "value").strip().lower() in {"1", "true", "yes", "on"}
+        return _invert(cfg, b.eqNullSafe(F.lit(want)))
+    if op == "valid":
+        return _invert(cfg, b.isNotNull())
+    raise ConfigError(f"boolean filter: unsupported op '{op}'")
+
+
+def _list_filter(cfg: ComponentConfig, dtype: T.DataType, col: Column) -> Column:
+    """List membership (docs/configuration/filters.md list filter):
+    in/not_in via the field compiler (<=1000 items enforced there)."""
+    op = cfg.option("op", "in")
+    if op not in ("in", "not_in"):
+        raise ConfigError(f"list filter: unsupported op '{op}'")
+    return compile_filter_predicate(cfg, dtype, col)
+
+
+def _timestamp_filter(cfg: ComponentConfig, dtype: T.DataType, col: Column) -> Column:
+    op = cfg.option("op", "valid")
+    ts = _ts_col(col, dtype, cfg.option("format"))
+    if op == "valid":
+        return _invert(cfg, ts.isNotNull())
+    if op in ("before", "lt"):
+        return _invert(cfg, ts < _ts_lit(_required(cfg, "value")))
+    if op in ("after", "gt"):
+        return _invert(cfg, ts > _ts_lit(_required(cfg, "value")))
+    if op == "between":
+        return _invert(
+            cfg, ts.between(_ts_lit(_required(cfg, "min")), _ts_lit(_required(cfg, "max")))
+        )
+    if op == "eq":
+        return _invert(cfg, ts.eqNullSafe(_ts_lit(_required(cfg, "value"))))
+    raise ConfigError(f"timestamp filter: unsupported op '{op}'")
+
+
+def _level_filter(cfg: ComponentConfig, dtype: T.DataType, col: Column) -> Column:
+    """Syslog level compare: names (RFC5424 severities + aliases) and
+    numerics are interchangeable in both the column and the config."""
+    op = cfg.option("op", "eq")
+    num = _level_num(col, dtype)
+    if op == "valid":
+        return _invert(cfg, num.between(0, 7))
+    if op == "in":
+        raw = cfg.option("values") or _required(cfg, "value")
+        items = [_level_lit(v) for v in raw.split(",") if v.strip()]
+        return _invert(cfg, num.isin(items))
+    if op == "between":
+        lo, hi = _level_lit(_required(cfg, "min")), _level_lit(_required(cfg, "max"))
+        return _invert(cfg, num.between(lo, hi))
+    lit = F.lit(_level_lit(_required(cfg, "value")))
+    preds = {
+        "eq": num.eqNullSafe(lit), "ne": ~num.eqNullSafe(lit),
+        "lt": num < lit, "le": num <= lit, "gt": num > lit, "ge": num >= lit,
+        # severity semantics: numerically smaller = MORE severe
+        "at_least": num <= lit, "at_most": num >= lit,
+    }
+    if op not in preds:
+        raise ConfigError(f"level filter: unsupported op '{op}'")
+    return _invert(cfg, preds[op])
+
+
+def _ip_filter(cfg: ComponentConfig, dtype: T.DataType, col: Column) -> Column:
+    op = cfg.option("op", "valid")
+    s = _s(col)
+    valid = s.rlike(_IP_RE)
+    private = valid & (
+        s.startswith("10.")
+        | s.startswith("192.168.")
+        | s.startswith("127.")
+        | (s.startswith("172.") & _ip_num(s).between(0xAC100000, 0xAC1FFFFF))
+    )
+    if op == "valid":
+        return _invert(cfg, valid)
+    if op == "private":
+        return _invert(cfg, private)
+    if op == "public":
+        return _invert(cfg, valid & ~private)
+    if op == "in_subnet":
+        base, mask = _parse_cidr(_required(cfg, "subnet") if cfg.option("subnet") else _required(cfg, "value"))
+        return _invert(cfg, valid & (_ip_num(s).bitwiseAND(F.lit(mask)) == F.lit(base)))
+    if op == "eq":
+        return _invert(cfg, valid & (s == _required(cfg, "value")))
+    raise ConfigError(f"ip filter: unsupported op '{op}'")
+
+
+def _port_filter(cfg: ComponentConfig, dtype: T.DataType, col: Column) -> Column:
+    op = cfg.option("op", "valid")
+    n = col.cast("long") if isinstance(dtype, T.NumericType) else _s(col).try_cast("long")
+    valid = n.between(0, 65535)
+    ranges = {
+        "valid": valid,
+        "well_known": n.between(0, 1023),
+        "registered": n.between(1024, 49151),
+        "dynamic": n.between(49152, 65535),
+    }
+    if op in ranges:
+        return _invert(cfg, ranges[op])
+    if op == "eq":
+        return _invert(cfg, n.eqNullSafe(F.lit(int(_required(cfg, "value")))))
+    if op == "between":
+        lo, hi = int(_required(cfg, "min")), int(_required(cfg, "max"))
+        return _invert(cfg, n.between(lo, hi))
+    raise ConfigError(f"port filter: unsupported op '{op}'")
+
+
+_KNOWN_PROTOCOLS = (
+    "tcp", "udp", "icmp", "sctp", "http", "https", "ftp", "ssh", "smtp",
+    "dns", "dhcp", "ntp", "snmp", "tls", "quic", "grpc",
+)
+
+
+def _protocol_filter(cfg: ComponentConfig, dtype: T.DataType, col: Column) -> Column:
+    op = cfg.option("op", "valid")
+    p = F.lower(_s(col))
+    if op == "valid":
+        return _invert(cfg, p.isin(*_KNOWN_PROTOCOLS))
+    if op == "eq":
+        return _invert(cfg, p == _required(cfg, "value").lower())
+    if op == "in":
+        raw = cfg.option("values") or _required(cfg, "value")
+        return _invert(cfg, p.isin([v.strip().lower() for v in raw.split(",") if v.strip()]))
+    raise ConfigError(f"protocol filter: unsupported op '{op}'")
+
+
+def _hostname_filter(cfg: ComponentConfig, dtype: T.DataType, col: Column) -> Column:
+    op = cfg.option("op", "valid")
+    h = F.lower(_s(col))
+    valid = h.rlike(_HOSTNAME_RE) & (F.length(h) <= 255)
+    if op == "valid":
+        return _invert(cfg, valid)
+    if op == "eq":
+        return _invert(cfg, h == _required(cfg, "value").lower())
+    if op in ("suffix", "domain"):
+        want = _required(cfg, "value").lower()
+        want = want if want.startswith(".") else "." + want
+        return _invert(cfg, h.endswith(want) | (h == want[1:]))
+    raise ConfigError(f"hostname filter: unsupported op '{op}'")
+
+
+def _url_filter(cfg: ComponentConfig, dtype: T.DataType, col: Column) -> Column:
+    op = cfg.option("op", "valid")
+    s = _s(col)
+    scheme = F.lower(F.nullif(F.regexp_extract(s, _URL_SCHEME_RE, 1), F.lit("")))
+    host = F.lower(F.nullif(F.regexp_extract(s, _URL_HOST_RE, 1), F.lit("")))
+    if op == "valid":
+        return _invert(cfg, scheme.isNotNull() & host.isNotNull())
+    if op == "scheme":
+        return _invert(cfg, scheme == _required(cfg, "value").lower())
+    if op == "host_eq":
+        return _invert(cfg, host == _required(cfg, "value").lower())
+    if op == "host_suffix":
+        want = _required(cfg, "value").lower()
+        want = want if want.startswith(".") else "." + want
+        return _invert(cfg, host.endswith(want) | (host == want[1:]))
+    raise ConfigError(f"url filter: unsupported op '{op}'")
+
+
+def _email_filter(cfg: ComponentConfig, dtype: T.DataType, col: Column) -> Column:
+    op = cfg.option("op", "valid")
+    e = F.lower(_s(col))
+    valid = e.rlike(_EMAIL_RE)
+    if op == "valid":
+        return _invert(cfg, valid)
+    if op == "eq":
+        return _invert(cfg, e == _required(cfg, "value").lower())
+    if op == "domain":
+        return _invert(
+            cfg, valid & (F.regexp_extract(e, r"@(.+)$", 1) == _required(cfg, "value").lower())
+        )
+    raise ConfigError(f"email filter: unsupported op '{op}'")
+
+
+def _json_filter(cfg: ComponentConfig, dtype: T.DataType, col: Column) -> Column:
+    op = cfg.option("op", "valid")
+    s = _s(col)
+    if op == "valid":
+        return _invert(cfg, F.try_parse_json(s).isNotNull())
+    if op == "has_key":
+        key = _required(cfg, "key") if cfg.option("key") else _required(cfg, "value")
+        return _invert(cfg, F.get_json_object(s, f"$.{key}").isNotNull())
+    if op == "eq":
+        key = _required(cfg, "key")
+        return _invert(cfg, F.get_json_object(s, f"$.{key}") == _required(cfg, "value"))
+    raise ConfigError(f"json filter: unsupported op '{op}'")
+
+
+def _mime_filter(cfg: ComponentConfig, dtype: T.DataType, col: Column) -> Column:
+    op = cfg.option("op", "valid")
+    m = F.lower(_s(col))
+    if op == "valid":
+        return _invert(cfg, m.rlike(_MIME_RE))
+    if op == "eq":
+        return _invert(cfg, m == _required(cfg, "value").lower())
+    if op in ("type", "type_eq"):
+        return _invert(
+            cfg,
+            m.rlike(_MIME_RE)
+            & (F.regexp_extract(m, r"^([^/]+)/", 1) == _required(cfg, "value").lower()),
+        )
+    raise ConfigError(f"mime filter: unsupported op '{op}'")
+
+
+def _hash_filter(cfg: ComponentConfig, dtype: T.DataType, col: Column) -> Column:
+    op = cfg.option("op", "valid")
+    h = F.lower(_s(col))
+    algo = (cfg.option("algo") or "").lower()
+    if algo and algo not in _HASH_LENGTHS:
+        raise ConfigError(f"hash filter: unknown algo '{algo}'")
+    if algo:
+        valid = h.rlike(rf"^[0-9a-f]{{{_HASH_LENGTHS[algo]}}}$")
+    else:
+        valid = h.rlike(r"^[0-9a-f]+$") & F.length(h).isin(
+            *sorted(set(_HASH_LENGTHS.values()))
+        )
+    if op == "valid":
+        return _invert(cfg, valid)
+    if op == "eq":
+        return _invert(cfg, h == _required(cfg, "value").lower())
+    raise ConfigError(f"hash filter: unsupported op '{op}'")
+
+
+def _uuid_filter(cfg: ComponentConfig, dtype: T.DataType, col: Column) -> Column:
+    op = cfg.option("op", "valid")
+    u = F.lower(_s(col))
+    valid = u.rlike(_UUID_RE)
+    if op == "valid":
+        return _invert(cfg, valid)
+    if op == "version":
+        v = _required(cfg, "value").strip()
+        if v not in set("12345678"):
+            raise ConfigError(f"uuid filter: bad version '{v}'")
+        return _invert(cfg, valid & (F.substring(u, 15, 1) == v))
+    if op == "eq":
+        return _invert(cfg, u == _required(cfg, "value").lower())
+    raise ConfigError(f"uuid filter: unsupported op '{op}'")
+
+
+def _version_filter(cfg: ComponentConfig, dtype: T.DataType, col: Column) -> Column:
+    op = cfg.option("op", "valid")
+    s = _s(col)
+    if op == "valid":
+        return _invert(cfg, s.rlike(_VERSION_RE))
+    norm = _version_norm(s)
+    if op == "between":
+        lo = _version_norm_lit(_required(cfg, "min"))
+        hi = _version_norm_lit(_required(cfg, "max"))
+        return _invert(cfg, norm.between(lo, hi))
+    lit = F.lit(_version_norm_lit(_required(cfg, "value")))
+    preds = {
+        "eq": norm.eqNullSafe(lit), "ne": norm.isNotNull() & ~norm.eqNullSafe(lit),
+        "gt": norm > lit, "ge": norm >= lit, "lt": norm < lit, "le": norm <= lit,
+    }
+    if op not in preds:
+        raise ConfigError(f"version filter: unsupported op '{op}'")
+    return _invert(cfg, preds[op])
+
+
+def _path_filter(cfg: ComponentConfig, dtype: T.DataType, col: Column) -> Column:
+    op = cfg.option("op", "valid")
+    p = _s(col)
+    if op == "valid":
+        return _invert(cfg, p.isNotNull() & (F.length(p) > 0) & ~p.contains("\x00"))
+    if op == "absolute":
+        return _invert(cfg, p.startswith("/"))
+    if op == "relative":
+        return _invert(cfg, p.isNotNull() & ~p.startswith("/"))
+    if op == "extension":
+        want = _required(cfg, "value").lower().lstrip(".")
+        return _invert(cfg, F.lower(F.regexp_extract(p, r"\.([^./\\]+)$", 1)) == want)
+    if op == "under":
+        d = _required(cfg, "value")
+        d = d if d.endswith("/") else d + "/"
+        return _invert(cfg, p.startswith(d))
+    if op == "basename_eq":
+        return _invert(
+            cfg, F.element_at(F.split(p, "/"), -1) == _required(cfg, "value")
+        )
+    if op in ("eq", "ne", "contains", "regex"):
+        return compile_filter_predicate(cfg, T.StringType(), p)
+    raise ConfigError(f"path filter: unsupported op '{op}'")
+
+
+BUILTIN_TYPED_FILTERS = {
+    "text": _text_filter,
+    "numeric": _numeric_filter,
+    "boolean": _boolean_filter,
+    "list": _list_filter,
+    "timestamp": _timestamp_filter,
+    "level": _level_filter,
+    "ip": _ip_filter,
+    "port": _port_filter,
+    "protocol": _protocol_filter,
+    "hostname": _hostname_filter,
+    "url": _url_filter,
+    "email": _email_filter,
+    "json": _json_filter,
+    "mime": _mime_filter,
+    "hash": _hash_filter,
+    "uuid": _uuid_filter,
+    "version": _version_filter,
+    "path": _path_filter,
+}

@@ -38,12 +38,11 @@ from typing import Callable
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F, types as T
 
 from pysyslog_lfc_spark.config import ConfigError, FilterConfig, FlowConfig
-from pysyslog_lfc_spark.operators.filters import compile_filter_predicate
 from pysyslog_lfc_spark.operators.formats import compile_format
 from pysyslog_lfc_spark.operators.parsers import RECORD_COL, compile_parser
+from pysyslog_lfc_spark.plans.io import RAW_COL, RENDERED_COL, lines_df
 
-RAW_COL = "value"
-RENDERED_COL = "rendered"
+__all__ = ["CompiledFlow", "RAW_COL", "RENDERED_COL", "compile_flow", "lines_df", "run_flow"]
 
 _STAGES = ("input", "parser", "output")
 
@@ -64,13 +63,15 @@ class CompiledFlow:
         return self.transform(df)
 
 
-def _stage_filters(cfg: FlowConfig) -> dict[str, list[FilterConfig]]:
+def _stage_filters(cfg: FlowConfig, registry) -> dict[str, list[FilterConfig]]:
     by_stage: dict[str, list[FilterConfig]] = {s: [] for s in _STAGES}
     for fc in cfg.filters:
         if fc.stage not in by_stage:
             raise ConfigError(f"unknown filter stage '{fc.stage}' (flow '{cfg.name}')")
-        if fc.component.type != "field":
-            raise ConfigError(f"unknown filter type '{fc.component.type}' (flow '{cfg.name}')")
+        try:
+            registry.resolve("filter", fc.component.type)  # plan-time name check
+        except ConfigError as exc:
+            raise ConfigError(f"{exc} (flow '{cfg.name}')") from None
         by_stage[fc.stage].append(fc)
     return by_stage
 
@@ -84,10 +85,13 @@ def _record_field(df: DataFrame, name: str) -> tuple[T.DataType, Column]:
     return T.StringType(), F.lit(None).cast(T.StringType())
 
 
-def compile_flow(cfg: FlowConfig, raw_col: str = RAW_COL) -> CompiledFlow:
-    parse = compile_parser(cfg.parser)
-    render = compile_format(cfg.output_format, dict(cfg.format_options))
-    filters = _stage_filters(cfg)
+def compile_flow(cfg: FlowConfig, raw_col: str = RAW_COL, registry=None) -> CompiledFlow:
+    from pysyslog_lfc_spark.registry import default_registry
+
+    reg = registry or default_registry()
+    parse = compile_parser(cfg.parser, registry=reg)
+    render = compile_format(cfg.output_format, dict(cfg.format_options), registry=reg)
+    filters = _stage_filters(cfg, reg)
 
     def transform(df: DataFrame) -> DataFrame:
         # input-stage: record is {"raw": raw} (flow.py:105)
@@ -97,13 +101,13 @@ def compile_flow(cfg: FlowConfig, raw_col: str = RAW_COL) -> CompiledFlow:
                 col, dtype = F.col(raw_col), df.schema[raw_col].dataType
             else:
                 col, dtype = F.lit(None).cast(T.StringType()), T.StringType()
-            df = df.where(compile_filter_predicate(fc.component, dtype, col))
+            df = df.where(reg.create_filter_predicate(fc.component, dtype, col))
 
         df = parse(df, raw_col)
 
         for fc in filters["parser"]:
             dtype, col = _record_field(df, fc.component.option("field", ""))
-            df = df.where(compile_filter_predicate(fc.component, dtype, col))
+            df = df.where(reg.create_filter_predicate(fc.component, dtype, col))
 
         record_schema: T.StructType = df.schema[RECORD_COL].dataType  # type: ignore[assignment]
         if render is not None:
@@ -114,7 +118,7 @@ def compile_flow(cfg: FlowConfig, raw_col: str = RAW_COL) -> CompiledFlow:
         # output-stage filters see the record, the sink gets `rendered`
         for fc in filters["output"]:
             dtype, col = _record_field(df, fc.component.option("field", ""))
-            df = df.where(compile_filter_predicate(fc.component, dtype, col))
+            df = df.where(reg.create_filter_predicate(fc.component, dtype, col))
         return df
 
     return CompiledFlow(name=cfg.name, transform=transform)
@@ -122,54 +126,27 @@ def compile_flow(cfg: FlowConfig, raw_col: str = RAW_COL) -> CompiledFlow:
 
 # ------------------------------------------------------------------ runner
 
-def lines_df(spark: SparkSession, lines: list[str]) -> DataFrame:
-    """Memory input (reference ``inputs/memory.py:12-40``) as a DataFrame."""
-    return spark.createDataFrame([(ln,) for ln in lines], f"{RAW_COL} string")
-
-
 def run_flow(
     spark: SparkSession,
     cfg: FlowConfig,
     lines: list[str] | None = None,
     input_df: DataFrame | None = None,
+    registry=None,
 ) -> list:
     """Execute one flow end-to-end and return the sink payloads.
 
-    Memory-output analog (reference ``outputs/memory.py:10-18``): the
-    returned list is the rendered records, for golden-output tests.
+    Input and output resolve through the component registry (reference
+    registry.py:39-52), so user-registered sources/sinks work from INI
+    configs. Memory-output analog (reference ``outputs/memory.py:10-18``):
+    the returned list is the rendered records, for golden-output tests.
     Batch order is not defined in a distributed engine — callers
     compare as multisets (SURVEY.md §5.1 note).
     """
+    from pysyslog_lfc_spark.registry import default_registry
+
+    reg = registry or default_registry()
     if input_df is None:
-        if cfg.input.type == "memory":
-            input_df = lines_df(spark, lines or [])
-        elif cfg.input.type in ("file", "text"):
-            path = cfg.input.option("path")
-            if not path:
-                raise ConfigError(f"flow '{cfg.name}': input.path required for file input")
-            input_df = spark.read.text(path)
-        elif cfg.input.type == "parquet":
-            path = cfg.input.option("path")
-            if not path:
-                raise ConfigError(f"flow '{cfg.name}': input.path required for parquet input")
-            col = cfg.input.option("column", RAW_COL)
-            input_df = spark.read.parquet(path).select(F.col(col).alias(RAW_COL))
-        else:
-            raise ConfigError(f"unknown input type '{cfg.input.type}'")
-
-    out = compile_flow(cfg)(input_df)
-
-    if cfg.output.type in ("memory", "stdout", "flaky"):
-        rows = out.select(RENDERED_COL).collect()
-        payloads = [r[0].asDict() if hasattr(r[0], "asDict") else r[0] for r in rows]
-        if cfg.output.type == "stdout":
-            for p in payloads:
-                print(p)
-        return payloads
-    if cfg.output.type in ("file", "parquet"):
-        path = cfg.output.option("path")
-        if not path:
-            raise ConfigError(f"flow '{cfg.name}': output.path required")
-        out.select(RENDERED_COL).write.mode(cfg.output.option("mode", "append")).parquet(path)
-        return []
-    raise ConfigError(f"unknown output type '{cfg.output.type}'")
+        input_df = reg.create_input(spark, cfg, inject=lines)
+    out = compile_flow(cfg, registry=reg)(input_df)
+    payloads = reg.create_output(out, cfg)
+    return payloads if payloads is not None else []

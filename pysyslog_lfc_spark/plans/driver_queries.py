@@ -121,6 +121,242 @@ def flow_filter_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.where(rx & ct).select("doc_id")
 
 
+# ------------------------------------------------------------ typed filters
+# (docs/configuration/filters.md:53-83 catalog; compiled predicates in
+# operators/typed_filters.py — registry-resolved like any component)
+
+_LEVEL_NAMES_SQL = "['emergency','alert','critical','error','warning','notice','info','debug']"
+_LEVEL_NAMES = ["emergency", "alert", "critical", "error", "warning", "notice", "info", "debug"]
+
+
+@query(
+    "flow_filter_level",
+    f"""
+    SELECT event_id, {_LEVEL_NAMES_SQL}[1 + event_id % 8] AS level_name
+    FROM events WHERE event_id % 8 <= 4
+    """,
+)
+def flow_filter_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level filter: name<->severity mapping + at_least (numerically <=)
+    compare (docs/configuration/filters.md:64 level family)."""
+    from pysyslog_lfc_spark.operators.typed_filters import _level_filter
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "level_name",
+        F.element_at(
+            F.array(*[F.lit(n) for n in _LEVEL_NAMES]), (F.col("event_id") % 8 + 1).cast("int")
+        ),
+    )
+    pred = _level_filter(
+        ComponentConfig("level", {"op": "at_least", "value": "warning"}),
+        T.StringType(), F.col("level_name"),
+    )
+    return ev.where(pred).select("event_id", "level_name")
+
+
+_IP_SQL = """
+    SELECT event_id,
+           printf('%d.%d.%d.%d',
+                  [10, 172, 192, 8][1 + CAST(event_id % 4 AS INTEGER)],
+                  user_id % 256, event_id % 256, 1 + user_id % 254) AS ip
+    FROM events
+"""
+
+
+@query(
+    "flow_filter_ip",
+    f"""
+    WITH ips AS ({_IP_SQL})
+    SELECT event_id, ip FROM ips
+    WHERE regexp_matches(ip, '^10\\.')
+       OR (regexp_matches(ip, '^172\\.') AND CAST(string_split(ip, '.')[2] AS INTEGER) BETWEEN 16 AND 31)
+       OR regexp_matches(ip, '^192\\.168\\.')
+    """,
+)
+def flow_filter_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IP filter op=private (RFC1918 + loopback) as a pure-codegen
+    predicate (docs/configuration/filters.md:67 ip family)."""
+    from pysyslog_lfc_spark.operators.typed_filters import _ip_filter
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ip",
+        F.format_string(
+            "%d.%d.%d.%d",
+            F.element_at(
+                F.array(F.lit(10), F.lit(172), F.lit(192), F.lit(8)),
+                (F.col("event_id") % 4 + 1).cast("int"),
+            ),
+            F.col("user_id") % 256, F.col("event_id") % 256, F.col("user_id") % 254 + 1,
+        ),
+    )
+    pred = _ip_filter(ComponentConfig("ip", {"op": "private"}), T.StringType(), F.col("ip"))
+    return ev.where(pred).select("event_id", "ip")
+
+
+@query(
+    "flow_filter_timestamp",
+    """
+    SELECT event_id, ts FROM events
+    WHERE ts BETWEEN TIMESTAMP '2024-01-03 00:00:00' AND TIMESTAMP '2024-01-05 12:00:00'
+    """,
+)
+def flow_filter_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp filter op=between over a native timestamp column
+    (docs/configuration/filters.md:63 timestamp family)."""
+    from pysyslog_lfc_spark.operators.typed_filters import _timestamp_filter
+
+    ev = _t(spark, sf_dir, "events")
+    pred = _timestamp_filter(
+        ComponentConfig(
+            "timestamp",
+            {"op": "between", "min": "2024-01-03T00:00:00", "max": "2024-01-05T12:00:00"},
+        ),
+        T.TimestampType(), F.col("ts"),
+    )
+    return ev.where(pred).select("event_id", "ts")
+
+
+@query(
+    "flow_filter_uuid",
+    """
+    WITH u AS (
+      SELECT event_id,
+             substr(md5(CAST(event_id AS VARCHAR)), 1, 8) || '-' ||
+             substr(md5(CAST(event_id AS VARCHAR)), 9, 4) || '-' ||
+             substr(md5(CAST(event_id AS VARCHAR)), 13, 4) || '-' ||
+             substr(md5(CAST(event_id AS VARCHAR)), 17, 4) || '-' ||
+             substr(md5(CAST(event_id AS VARCHAR)), 21, 12) AS uid
+      FROM events
+    )
+    SELECT event_id, uid FROM u WHERE substr(uid, 15, 1) = '4'
+    """,
+)
+def flow_filter_uuid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UUID filter op=version (hex digit 13 of the canonical form;
+    docs/configuration/filters.md:80 uuid family)."""
+    from pysyslog_lfc_spark.operators.typed_filters import _uuid_filter
+
+    h = F.md5(F.col("event_id").cast("string"))
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "uid",
+        F.concat_ws(
+            "-",
+            F.substring(h, 1, 8), F.substring(h, 9, 4), F.substring(h, 13, 4),
+            F.substring(h, 17, 4), F.substring(h, 21, 12),
+        ),
+    )
+    pred = _uuid_filter(ComponentConfig("uuid", {"op": "version", "value": "4"}),
+                        T.StringType(), F.col("uid"))
+    return ev.where(pred).select("event_id", "uid")
+
+
+@query(
+    "flow_filter_url",
+    """
+    WITH urls AS (
+      SELECT event_id,
+             CASE CAST(event_id % 3 AS INTEGER)
+               WHEN 0 THEN printf('https://%s.example.com/e/%d', event_type, event_id)
+               WHEN 1 THEN printf('ftp://files.example.org/%d', event_id)
+               ELSE printf('not a url %d', event_id)
+             END AS url
+      FROM events
+    )
+    SELECT event_id, url FROM urls
+    WHERE regexp_matches(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/:?#]+)')
+      AND (lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/:?#]+)', 1)) LIKE '%.example.com'
+           OR lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/:?#]+)', 1)) = 'example.com')
+    """,
+)
+def flow_filter_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL filter op=host_suffix (scheme+host extracted by regex, no
+    UDF; docs/configuration/filters.md:75 url family)."""
+    from pysyslog_lfc_spark.operators.typed_filters import _url_filter
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "url",
+        F.when(
+            F.col("event_id") % 3 == 0,
+            F.format_string("https://%s.example.com/e/%d", F.col("event_type"), F.col("event_id")),
+        )
+        .when(
+            F.col("event_id") % 3 == 1,
+            F.format_string("ftp://files.example.org/%d", F.col("event_id")),
+        )
+        .otherwise(F.format_string("not a url %d", F.col("event_id"))),
+    )
+    pred = _url_filter(
+        ComponentConfig("url", {"op": "host_suffix", "value": "example.com"}),
+        T.StringType(), F.col("url"),
+    )
+    return ev.where(pred).select("event_id", "url")
+
+
+# ------------------------------------------------------------ parser family
+
+_REGEX_FLOW_INI = r"""
+[flow.rx]
+input.type = memory
+parser.type = regex
+parser.pattern = user=(?P<user>\d+) type=(?P<type>\w+) v=(?P<v>[0-9.]+)
+parser.types = user:int, v:double
+output.type = memory
+"""
+
+
+@query(
+    "flow_parse_regex",
+    r"""
+    WITH lines AS (
+      SELECT event_id,
+             printf('user=%d type=%s v=%.2f', user_id, event_type, value) AS line
+      FROM events
+    )
+    SELECT event_id,
+           CAST(regexp_extract(line, 'user=(\d+)', 1) AS BIGINT) AS user,
+           regexp_extract(line, 'type=(\w+)', 1) AS type,
+           CAST(regexp_extract(line, 'v=([0-9.]+)', 1) AS DOUBLE) AS v
+    FROM lines
+    WHERE regexp_matches(line, 'user=(\d+) type=(\w+) v=([0-9.]+)')
+    """,
+)
+def flow_parse_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parser.regex: named groups -> typed record fields, non-match =>
+    drop (docs/configuration/parsers.md:67-110; SQL path — the pandas
+    path is asserted equivalent in tests/test_parser_parity.py)."""
+    cfg = load_config(_REGEX_FLOW_INI).get_flow("rx")
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.format_string("user=%d type=%s v=%.2f", "user_id", "event_type", "value").alias("value"),
+    )
+    out = compile_flow(cfg)(ev)
+    return out.select(
+        "event_id",
+        F.col("record.user").alias("user"),
+        F.col("record.type").alias("type"),
+        F.col("record.v").alias("v"),
+    )
+
+
+@query(
+    "flow_parse_text",
+    """
+    SELECT doc_id, text AS message FROM documents
+    """,
+)
+def flow_parse_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parser.text: trailing-newline strip + message record
+    (src/pysyslog/parsers/text.py:10-16)."""
+    cfg = load_config(
+        "[flow.t]\ninput.type = memory\nparser.type = text\noutput.type = memory\n"
+    ).get_flow("t")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(F.col("text"), F.lit("\n\n")).alias("value")
+    )
+    out = compile_flow(cfg)(docs)
+    return out.select("doc_id", F.col("record.message").alias("message"))
+
+
 _KFLOW_INI = """
 [flow.kflow]
 input.type = memory

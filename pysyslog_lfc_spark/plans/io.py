@@ -1,0 +1,160 @@
+"""Builtin input/output component factories.
+
+The reference resolves inputs/outputs through its registry
+(``src/pysyslog/components/registry.py:81-110``: memory input, stdout/
+memory outputs) and documents file/tcp/postgresql sinks
+(``docs/configuration/outputs.md``). Here each is a factory over
+DataFrames:
+
+- input factory ``(spark, flow_cfg, inject) -> DataFrame`` producing a
+  one-string-column frame (``RAW_COL``);
+- output factory ``(df, flow_cfg) -> list | None`` — memory-style sinks
+  return the collected payload list (golden tests compare as
+  multisets), distributed sinks write and return ``None``.
+
+The ``flow`` input (flow chaining) is intentionally NOT here: chaining
+is plan orchestration handled by :mod:`pysyslog_lfc_spark.plans.runtime`,
+not a leaf source.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from pysyslog_lfc_spark.config import ConfigError, FlowConfig
+
+RAW_COL = "value"
+RENDERED_COL = "rendered"
+
+
+# ------------------------------------------------------------------ inputs
+
+def lines_df(spark: SparkSession, lines: list[str]) -> DataFrame:
+    """Memory input (reference ``inputs/memory.py:12-40``) as a DataFrame."""
+    return spark.createDataFrame([(ln,) for ln in lines], f"{RAW_COL} string")
+
+
+def _memory_input(spark: SparkSession, cfg: FlowConfig, inject) -> DataFrame:
+    if isinstance(inject, DataFrame):
+        return inject
+    return lines_df(spark, list(inject or []))
+
+
+def _file_input(spark: SparkSession, cfg: FlowConfig, inject) -> DataFrame:
+    path = cfg.input.option("path")
+    if not path:
+        raise ConfigError(f"flow '{cfg.name}': input.path required for file input")
+    return spark.read.text(path).withColumnRenamed("value", RAW_COL)
+
+
+def _parquet_input(spark: SparkSession, cfg: FlowConfig, inject) -> DataFrame:
+    path = cfg.input.option("path")
+    if not path:
+        raise ConfigError(f"flow '{cfg.name}': input.path required for parquet input")
+    col = cfg.input.option("column", RAW_COL)
+    return spark.read.parquet(path).select(F.col(col).alias(RAW_COL))
+
+
+BUILTIN_INPUTS = {
+    "memory": _memory_input,
+    "file": _file_input,
+    "text": _file_input,
+    "parquet": _parquet_input,
+}
+
+
+# ------------------------------------------------------------------ outputs
+
+def _collect_payloads(df: DataFrame) -> list:
+    rows = df.select(RENDERED_COL).collect()
+    return [r[0].asDict() if hasattr(r[0], "asDict") else r[0] for r in rows]
+
+
+def _memory_output(df: DataFrame, cfg: FlowConfig):
+    return _collect_payloads(df)
+
+
+def _stdout_output(df: DataFrame, cfg: FlowConfig):
+    payloads = _collect_payloads(df)
+    for p in payloads:
+        print(p)
+    return payloads
+
+
+def _parquet_output(df: DataFrame, cfg: FlowConfig):
+    path = cfg.output.option("path")
+    if not path:
+        raise ConfigError(f"flow '{cfg.name}': output.path required")
+    df.select(RENDERED_COL).write.mode(cfg.output.option("mode", "append")).parquet(path)
+    return None
+
+
+def _rotating_file_output(df: DataFrame, cfg: FlowConfig):
+    """output.file with rotation (docs/configuration/outputs.md:9-53):
+    max_size -> maxRecordsPerFile, compress -> codec."""
+    from pysyslog_lfc_spark.sinks_ext import write_rotated_files
+
+    path = cfg.output.option("path")
+    if not path:
+        raise ConfigError(f"flow '{cfg.name}': output.path required")
+    write_rotated_files(
+        df,
+        path,
+        max_records_per_file=int(cfg.output.option("max_records", "100000")),
+        compression=cfg.output.option("compress", "gzip"),
+        fmt=cfg.output.option("file_format", "text"),
+        rendered_col=RENDERED_COL,
+        mode=cfg.output.option("mode", "append"),
+    )
+    return None
+
+
+def _tcp_output(df: DataFrame, cfg: FlowConfig):
+    """output.tcp (docs/configuration/outputs.md:55-114)."""
+    from pysyslog_lfc_spark.sinks_ext import write_tcp
+
+    host = cfg.output.option("host")
+    port = cfg.output.option("port")
+    if not host or not port:
+        raise ConfigError(f"flow '{cfg.name}': output.host and output.port required")
+    write_tcp(
+        df.withColumn(RENDERED_COL, F.col(RENDERED_COL).cast("string")),
+        host,
+        int(port),
+        rendered_col=RENDERED_COL,
+        retries=int(cfg.output.option("retries", "3")),
+    )
+    return None
+
+
+def _postgresql_output(df: DataFrame, cfg: FlowConfig):
+    """output.postgresql (docs/configuration/outputs/postgresql.md:9-48)."""
+    from pysyslog_lfc_spark.sinks_ext import write_jdbc
+
+    host = cfg.output.option("host", "localhost")
+    port = cfg.output.option("port", "5432")
+    database = cfg.output.option("database")
+    table = cfg.output.option("table")
+    if not database or not table:
+        raise ConfigError(f"flow '{cfg.name}': output.database and output.table required")
+    write_jdbc(
+        df.select(RENDERED_COL),
+        url=f"jdbc:postgresql://{host}:{port}/{database}",
+        table=table,
+        user=cfg.output.option("user"),
+        password=cfg.output.option("password"),
+        batch_size=int(cfg.output.option("batch_size", "1000")),
+    )
+    return None
+
+
+BUILTIN_OUTPUTS = {
+    "memory": _memory_output,
+    "flaky": _memory_output,
+    "stdout": _stdout_output,
+    "file": _parquet_output,
+    "parquet": _parquet_output,
+    "rotating_file": _rotating_file_output,
+    "tcp": _tcp_output,
+    "postgresql": _postgresql_output,
+}

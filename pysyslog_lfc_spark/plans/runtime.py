@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from pysyslog_lfc_spark.config import ConfigError, FlowConfig, RuntimeConfig
 from pysyslog_lfc_spark.operators.parsers import RECORD_COL
-from pysyslog_lfc_spark.plans.compiler import RAW_COL, compile_flow, lines_df
+from pysyslog_lfc_spark.plans.compiler import RAW_COL, compile_flow
 
 
 @dataclass
@@ -63,12 +63,18 @@ def run_runtime(
     spark: SparkSession,
     cfg: RuntimeConfig,
     inputs: dict[str, list[str] | DataFrame] | None = None,
+    registry=None,
 ) -> RuntimeResult:
     """Execute all flows (reference EP1/EP3, ``runtime.py:45-60``).
 
     ``inputs`` maps flow name -> injected lines (memory input analog,
-    ``inputs/memory.py:37-40 send``) or a ready raw DataFrame.
+    ``inputs/memory.py:37-40 send``) or a ready raw DataFrame. Leaf
+    inputs and outputs resolve through the component registry; only the
+    ``flow`` input (chaining) is orchestrated here.
     """
+    from pysyslog_lfc_spark.registry import default_registry
+
+    reg = registry or default_registry()
     inputs = inputs or {}
     flows = _topo_order(list(cfg.flows))
     result = RuntimeResult()
@@ -89,36 +95,23 @@ def run_runtime(
             src = upstream.select(
                 F.col("rendered").cast("string").alias(RAW_COL)
             )
-        elif f.input.type == "memory":
-            inj = inputs.get(f.name, [])
-            src = inj if isinstance(inj, DataFrame) else lines_df(spark, list(inj))
-        elif f.input.type in ("file", "text"):
-            path = f.input.option("path")
-            if not path:
-                raise ConfigError(f"flow '{f.name}': input.path required")
-            src = spark.read.text(path).withColumnRenamed("value", RAW_COL)
-        elif f.input.type == "parquet":
-            path = f.input.option("path")
-            col = f.input.option("column", RAW_COL)
-            src = spark.read.parquet(path).select(F.col(col).alias(RAW_COL))
         else:
-            raise ConfigError(f"unknown input type '{f.input.type}' (flow '{f.name}')")
+            try:
+                src = reg.create_input(spark, f, inject=inputs.get(f.name))
+            except ConfigError as exc:
+                raise ConfigError(f"{exc} (flow '{f.name}')") from None
 
-        out = compile_flow(f)(src)
+        out = compile_flow(f, registry=reg)(src)
         if consumers.get(f.name, 0) > 1:
             out = out.persist()  # fanned-out upstream: parse once
         transformed[f.name] = out
 
-        if f.output.type in ("memory", "stdout"):
-            rows = out.select("rendered").collect()
-            payloads = [r[0].asDict() if hasattr(r[0], "asDict") else r[0] for r in rows]
+        try:
+            payloads = reg.create_output(out, f)
+        except ConfigError as exc:
+            raise ConfigError(f"{exc} (flow '{f.name}')") from None
+        if payloads is not None:
             result.outputs[f.name] = payloads
-        elif f.output.type in ("file", "parquet"):
-            path = f.output.option("path")
-            if not path:
-                raise ConfigError(f"flow '{f.name}': output.path required")
-            out.select("rendered").write.mode(f.output.option("mode", "append")).parquet(path)
-            result.written[f.name] = path
         else:
-            raise ConfigError(f"unknown output type '{f.output.type}' (flow '{f.name}')")
+            result.written[f.name] = f.output.option("path", f.output.type)
     return result

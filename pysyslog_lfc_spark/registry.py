@@ -1,0 +1,147 @@
+"""Component registry: the flow engine's extension API.
+
+Mirrors the reference's dynamic component resolution
+(``src/pysyslog/components/registry.py:24-66``: ``register_<kind>`` /
+``create_<kind>`` with an unknown-name error, builtins table at
+``registry.py:81-110``) — with one Spark-first twist: what you register
+is a plan-time *compiler*, not a per-record class. A parser factory
+returns a ``DataFrame -> DataFrame`` transform, a filter factory
+returns a boolean ``Column``, a format factory returns a render
+``Column`` expression. Registering a component therefore extends the
+query-plan vocabulary; it never puts Python in the hot loop unless the
+factory itself opts into a pandas UDF.
+
+Factory signatures:
+
+- parser: ``(ComponentConfig) -> ParserFn``            (operators/parsers.py)
+- filter: ``(ComponentConfig, DataType, Column) -> Column``
+- format: ``(options: dict[str, str]) -> FormatFn``     (operators/formats.py)
+- input:  ``(SparkSession, FlowConfig, inject) -> DataFrame`` where
+  ``inject`` is the caller-provided payload for memory-style inputs
+  (``list[str] | DataFrame | None``)
+- output: ``(DataFrame, FlowConfig) -> list | None`` — a list of sink
+  payloads for memory-style sinks, ``None`` for distributed writes
+
+Unknown names raise :class:`ConfigError` at plan time, reproducing the
+reference's ``KeyError("Unknown {kind} type ...")`` behavior
+(``registry.py:64-66``) as a config error.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+from pysyslog_lfc_spark.config import ConfigError
+
+_KINDS = ("input", "parser", "filter", "format", "output")
+
+
+class ComponentRegistry:
+    def __init__(self, include_builtins: bool = True) -> None:
+        self._tables: dict[str, dict[str, Callable[..., Any]]] = {k: {} for k in _KINDS}
+        if include_builtins:
+            _register_builtins(self)
+
+    # ------------------------------------------------------------ register
+    def register(self, kind: str, name: str, factory: Callable[..., Any]) -> None:
+        if kind not in self._tables:
+            raise ConfigError(f"unknown component kind '{kind}'")
+        self._tables[kind][name] = factory
+
+    def register_input(self, name: str, factory: Callable[..., Any]) -> None:
+        self.register("input", name, factory)
+
+    def register_parser(self, name: str, factory: Callable[..., Any]) -> None:
+        self.register("parser", name, factory)
+
+    def register_filter(self, name: str, factory: Callable[..., Any]) -> None:
+        self.register("filter", name, factory)
+
+    def register_format(self, name: str, factory: Callable[..., Any]) -> None:
+        self.register("format", name, factory)
+
+    def register_output(self, name: str, factory: Callable[..., Any]) -> None:
+        self.register("output", name, factory)
+
+    # ------------------------------------------------------------ resolve
+    def resolve(self, kind: str, name: str) -> Callable[..., Any]:
+        try:
+            return self._tables[kind][name]
+        except KeyError:
+            raise ConfigError(f"unknown {kind} type '{name}'") from None
+
+    def has(self, kind: str, name: str) -> bool:
+        return name in self._tables.get(kind, {})
+
+    def available(self, kind: str) -> list[str]:
+        return sorted(self._tables[kind])
+
+    # ------------------------------------------------------------ create
+    def create_parser(self, cfg) -> Any:
+        return self.resolve("parser", cfg.type)(cfg)
+
+    def create_filter_predicate(self, cfg, field_type, col) -> Any:
+        return self.resolve("filter", cfg.type)(cfg, field_type, col)
+
+    def create_format(self, format_type: str, options: dict[str, str]) -> Any:
+        return self.resolve("format", format_type)(options)
+
+    def create_input(self, spark, flow_cfg, inject=None) -> Any:
+        return self.resolve("input", flow_cfg.input.type)(spark, flow_cfg, inject)
+
+    def create_output(self, df, flow_cfg) -> Any:
+        return self.resolve("output", flow_cfg.output.type)(df, flow_cfg)
+
+
+def _register_builtins(reg: ComponentRegistry) -> None:
+    # imports are local to avoid a registry <-> operators import cycle
+    from pysyslog_lfc_spark.operators import filters as _filters
+    from pysyslog_lfc_spark.operators import formats as _formats
+    from pysyslog_lfc_spark.operators import parsers as _parsers
+    from pysyslog_lfc_spark.operators import typed_filters as _typed
+    from pysyslog_lfc_spark.plans import io as _io
+
+    for name, factory in _parsers.BUILTIN_PARSERS.items():
+        reg.register_parser(name, factory)
+    reg.register_filter("field", lambda cfg, t, c: _filters.compile_filter_predicate(cfg, t, c))
+    for name, factory in _typed.BUILTIN_TYPED_FILTERS.items():
+        reg.register_filter(name, factory)
+    for name, factory in _formats.BUILTIN_FORMATS.items():
+        reg.register_format(name, factory)
+    for name, factory in _io.BUILTIN_INPUTS.items():
+        reg.register_input(name, factory)
+    for name, factory in _io.BUILTIN_OUTPUTS.items():
+        reg.register_output(name, factory)
+
+
+_default: ComponentRegistry | None = None
+
+
+def default_registry() -> ComponentRegistry:
+    """The process-wide registry (lazily built so user modules imported
+    before first use can still monkey-patch builtin tables)."""
+    global _default
+    if _default is None:
+        _default = ComponentRegistry()
+    return _default
+
+
+# module-level conveniences mirroring the reference's flat API
+def register_parser(name: str, factory: Callable[..., Any]) -> None:
+    default_registry().register_parser(name, factory)
+
+
+def register_filter(name: str, factory: Callable[..., Any]) -> None:
+    default_registry().register_filter(name, factory)
+
+
+def register_format(name: str, factory: Callable[..., Any]) -> None:
+    default_registry().register_format(name, factory)
+
+
+def register_input(name: str, factory: Callable[..., Any]) -> None:
+    default_registry().register_input(name, factory)
+
+
+def register_output(name: str, factory: Callable[..., Any]) -> None:
+    default_registry().register_output(name, factory)

@@ -1,0 +1,271 @@
+"""Component registry: custom parser/format/filter/output registration
+from INI flows, plan-time unknown-name errors (reference
+src/pysyslog/components/registry.py:24-66 + builtins table :81-110),
+and the typed filter catalog (docs/configuration/filters.md:53-83).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from pysyslog_lfc_spark import config
+from pysyslog_lfc_spark.config import ComponentConfig, ConfigError
+from pysyslog_lfc_spark.operators.parsers import RECORD_COL
+from pysyslog_lfc_spark.operators.typed_filters import BUILTIN_TYPED_FILTERS
+from pysyslog_lfc_spark.plans.compiler import run_flow
+from pysyslog_lfc_spark.registry import ComponentRegistry
+
+
+# ------------------------------------------------------------ registration
+
+def _kv_parser(cfg):
+    """Custom parser: 'a=1 b=2' -> record struct with configured fields."""
+    fields = [f.strip() for f in (cfg.option("fields") or "").split(",") if f.strip()]
+    if not fields:
+        raise ConfigError("kv parser requires 'fields'")
+
+    def parse(df, raw="value"):
+        cols = [
+            F.regexp_extract(F.col(raw), rf"(?:^|\s){name}=(\S+)", 1).alias(name)
+            for name in fields
+        ]
+        return df.withColumn(RECORD_COL, F.struct(*cols))
+
+    return parse
+
+
+def _csv_format(options):
+    sep = options.get("sep", ",")
+
+    def render(record, schema):
+        cols = [record.getField(f.name).cast(T.StringType()) for f in schema.fields]
+        return F.concat_ws(sep, *cols)
+
+    return render
+
+
+def test_custom_parser_and_format_from_ini(spark):
+    reg = ComponentRegistry()
+    reg.register_parser("kv", _kv_parser)
+    reg.register_format("csv", _csv_format)
+    cfg = config.loads(
+        """[flow.custom]
+input.type = memory
+parser.type = kv
+parser.fields = host,port
+output.type = memory
+output.format = csv
+format.sep = |
+"""
+    ).get_flow("custom")
+    got = run_flow(spark, cfg, lines=["host=web1 port=443", "port=80 host=web2"], registry=reg)
+    assert sorted(got) == ["web1|443", "web2|80"]
+
+
+def test_custom_output_sink(spark):
+    captured = {}
+
+    def _capture_output(df, flow_cfg):
+        captured["rows"] = df.count()
+        return None
+
+    reg = ComponentRegistry()
+    reg.register_output("capture", _capture_output)
+    cfg = config.loads(
+        """[flow.cap]
+input.type = memory
+parser.type = text
+output.type = capture
+"""
+    ).get_flow("cap")
+    assert run_flow(spark, cfg, lines=["a", "b", "c"], registry=reg) == []
+    assert captured["rows"] == 3
+
+
+def test_unknown_names_fail_at_plan_time(spark):
+    reg = ComponentRegistry()
+    flow = config.loads(
+        """[flow.bad]
+input.type = memory
+parser.type = nope
+output.type = memory
+"""
+    ).get_flow("bad")
+    with pytest.raises(ConfigError, match="unknown parser type 'nope'"):
+        run_flow(spark, flow, lines=[], registry=reg)
+
+    flow2 = config.loads(
+        """[flow.badf]
+input.type = memory
+parser.type = text
+filter.f.type = made_up
+filter.f.field = message
+output.type = memory
+"""
+    ).get_flow("badf")
+    with pytest.raises(ConfigError, match="unknown filter type 'made_up'"):
+        run_flow(spark, flow2, lines=["x"], registry=reg)
+
+    with pytest.raises(ConfigError, match="unknown output type 'zzz'"):
+        run_flow(
+            spark,
+            config.loads(
+                "[flow.bo]\ninput.type = memory\nparser.type = text\noutput.type = zzz\n"
+            ).get_flow("bo"),
+            lines=["x"],
+            registry=reg,
+        )
+
+
+def test_registration_does_not_leak_across_registries():
+    reg = ComponentRegistry()
+    reg.register_parser("mine", _kv_parser)
+    assert reg.has("parser", "mine")
+    assert not ComponentRegistry().has("parser", "mine")
+
+
+# ------------------------------------------------------------ typed filters
+
+def _pred(spark, ftype, opts, values, dtype=T.StringType()):
+    """Evaluate a typed filter over a list of values; return kept set."""
+    factory = BUILTIN_TYPED_FILTERS[ftype]
+    df = spark.createDataFrame([(v,) for v in values], T.StructType([T.StructField("v", dtype)]))
+    pred = factory(ComponentConfig(ftype, opts), dtype, F.col("v"))
+    return {r[0] for r in df.where(pred).collect()}
+
+
+def test_ip_filter(spark):
+    ips = ["10.1.2.3", "192.168.0.9", "172.20.1.1", "172.32.0.1", "8.8.8.8",
+           "256.1.1.1", "1.2.3", "not-an-ip", None]
+    assert _pred(spark, "ip", {"op": "valid"}, ips) == {
+        "10.1.2.3", "192.168.0.9", "172.20.1.1", "172.32.0.1", "8.8.8.8"
+    }
+    assert _pred(spark, "ip", {"op": "private"}, ips) == {
+        "10.1.2.3", "192.168.0.9", "172.20.1.1"
+    }
+    assert _pred(spark, "ip", {"op": "public"}, ips) == {"172.32.0.1", "8.8.8.8"}
+    assert _pred(spark, "ip", {"op": "in_subnet", "subnet": "10.1.0.0/16"}, ips) == {"10.1.2.3"}
+    with pytest.raises(ConfigError, match="bad subnet"):
+        _pred(spark, "ip", {"op": "in_subnet", "subnet": "10.1.0.0/40"}, ips)
+
+
+def test_port_level_boolean_filters(spark):
+    ports = ["22", "443", "8080", "50000", "70000", "-1", "x", None]
+    assert _pred(spark, "port", {"op": "valid"}, ports) == {"22", "443", "8080", "50000"}
+    assert _pred(spark, "port", {"op": "well_known"}, ports) == {"22", "443"}
+    assert _pred(spark, "port", {"op": "dynamic"}, ports) == {"50000"}
+
+    levels = ["error", "warning", "info", "debug", "6", "bogus", None]
+    # at_least error => severity number <= 3
+    assert _pred(spark, "level", {"op": "at_least", "value": "error"}, levels) == {"error"}
+    assert _pred(spark, "level", {"op": "at_least", "value": "warning"}, levels) == {
+        "error", "warning"
+    }
+    assert _pred(spark, "level", {"op": "eq", "value": "6"}, levels) == {"info", "6"}
+    assert _pred(spark, "level", {"op": "in", "value": "info,debug"}, levels) == {
+        "info", "debug", "6"
+    }
+
+    bools = ["true", "0", "YES", "off", "maybe", None]
+    assert _pred(spark, "boolean", {"op": "is_true"}, bools) == {"true", "YES"}
+    assert _pred(spark, "boolean", {"op": "is_false"}, bools) == {"0", "off"}
+    assert _pred(spark, "boolean", {"op": "valid"}, bools) == {"true", "0", "YES", "off"}
+
+
+def test_timestamp_filter(spark):
+    ts = ["2024-01-01 00:00:00", "2024-06-15 12:00:00", "2025-01-01 00:00:00", "junk", None]
+    assert _pred(spark, "timestamp", {"op": "valid"}, ts) == set(ts[:3])
+    assert _pred(
+        spark, "timestamp",
+        {"op": "between", "min": "2024-03-01T00:00:00", "max": "2024-12-31T00:00:00"},
+        ts,
+    ) == {"2024-06-15 12:00:00"}
+    assert _pred(spark, "timestamp", {"op": "after", "value": "2024-12-31T00:00:00"}, ts) == {
+        "2025-01-01 00:00:00"
+    }
+
+
+def test_format_filters(spark):
+    urls = ["https://api.example.com/v1?q=1", "ftp://files.example.org/x",
+            "http://example.com", "nourl.com/x", None]
+    assert _pred(spark, "url", {"op": "valid"}, urls) == set(urls[:3])
+    assert _pred(spark, "url", {"op": "scheme", "value": "https"}, urls) == {urls[0]}
+    assert _pred(spark, "url", {"op": "host_suffix", "value": "example.com"}, urls) == {
+        urls[0], urls[2]
+    }
+
+    emails = ["A.User@Example.COM", "bad@@x", "x@y.io", None]
+    assert _pred(spark, "email", {"op": "valid"}, emails) == {"A.User@Example.COM", "x@y.io"}
+    assert _pred(spark, "email", {"op": "domain", "value": "example.com"}, emails) == {
+        "A.User@Example.COM"
+    }
+
+    js = ['{"a": 1}', "[1,2]", "{broken", None]
+    assert _pred(spark, "json", {"op": "valid"}, js) == {'{"a": 1}', "[1,2]"}
+    assert _pred(spark, "json", {"op": "has_key", "key": "a"}, js) == {'{"a": 1}'}
+
+    mimes = ["text/html", "application/vnd.api+json", "bogus", None]
+    assert _pred(spark, "mime", {"op": "valid"}, mimes) == set(mimes[:2])
+    assert _pred(spark, "mime", {"op": "type", "value": "application"}, mimes) == {mimes[1]}
+
+
+def test_special_filters(spark):
+    uuids = ["123e4567-e89b-42d3-a456-426614174000",
+             "123E4567-E89B-12D3-A456-426614174000", "nope", None]
+    assert _pred(spark, "uuid", {"op": "valid"}, uuids) == set(uuids[:2])
+    assert _pred(spark, "uuid", {"op": "version", "value": "4"}, uuids) == {uuids[0]}
+
+    hashes = ["d41d8cd98f00b204e9800998ecf8427e",  # md5 (32)
+              "da39a3ee5e6b4b0d3255bfef95601890afd80709",  # sha1 (40)
+              "zz", None]
+    assert _pred(spark, "hash", {"op": "valid"}, hashes) == set(hashes[:2])
+    assert _pred(spark, "hash", {"op": "valid", "algo": "md5"}, hashes) == {hashes[0]}
+
+    versions = ["1.2.3", "1.10.0", "2.0", "0.9.9-rc1", "junk", None]
+    assert _pred(spark, "version", {"op": "valid"}, versions) == {"1.2.3", "1.10.0", "2.0"}
+    assert _pred(spark, "version", {"op": "ge", "value": "1.10"}, versions) == {
+        "1.10.0", "2.0"
+    }
+    assert _pred(spark, "version", {"op": "lt", "value": "1.0.0"}, versions) == {"0.9.9-rc1"}
+
+    paths = ["/var/log/app.log", "rel/x.TXT", "/etc/passwd", None]
+    assert _pred(spark, "path", {"op": "absolute"}, paths) == {"/var/log/app.log", "/etc/passwd"}
+    assert _pred(spark, "path", {"op": "extension", "value": "txt"}, paths) == {"rel/x.TXT"}
+    assert _pred(spark, "path", {"op": "under", "value": "/var/log"}, paths) == {
+        "/var/log/app.log"
+    }
+    assert _pred(spark, "path", {"op": "basename_eq", "value": "passwd"}, paths) == {
+        "/etc/passwd"
+    }
+
+
+def test_typed_filters_from_ini_flow(spark):
+    """Typed filters compose in INI flows at any stage like field filters."""
+    cfg = config.loads(
+        """[flow.net]
+input.type = memory
+parser.type = json
+parser.schema = ip string, port int, level string
+filter.a.type = ip
+filter.a.field = ip
+filter.a.op = private
+filter.b.type = port
+filter.b.field = port
+filter.b.op = well_known
+filter.c.type = level
+filter.c.field = level
+filter.c.op = at_least
+filter.c.value = warning
+output.type = memory
+output.format = text
+format.template = {ip}:{port}
+"""
+    ).get_flow("net")
+    lines = [
+        '{"ip": "10.0.0.1", "port": 22, "level": "error"}',
+        '{"ip": "10.0.0.2", "port": 22, "level": "info"}',      # too mild
+        '{"ip": "8.8.8.8", "port": 22, "level": "error"}',       # public
+        '{"ip": "10.0.0.3", "port": 8080, "level": "error"}',    # not well-known
+    ]
+    assert run_flow(spark, cfg, lines=lines) == ["10.0.0.1:22"]
