@@ -282,10 +282,10 @@ def embedding_near_dup(
     import numpy as np
     import pandas as pd
 
-    from pysyslog_lfc_spark.functions.similarity import _normalized
+    from pysyslog_lfc_spark.functions.similarity import _np_mat, _np_normalize, _raw_vec
 
     spark = df.sparkSession
-    nrm = _normalized(df, vec_col, id_col).withColumn(
+    nrm = _raw_vec(df, vec_col, id_col).withColumn(
         "_blk", F.pmod(F.col("_id"), F.lit(n_blocks)).cast("int")
     )
     pairs = spark.createDataFrame(
@@ -308,7 +308,9 @@ def embedding_near_dup(
             )
         ids_a = a["_id"].to_numpy()
         ids_b = b["_id"].to_numpy()
-        s = np.stack(a["_v"].to_numpy()) @ np.stack(b["_v"].to_numpy()).T
+        # normalize inside the batch (one BLAS pass) — expression-side
+        # per-element normalization is interpreted O(dim^2) per row
+        s = _np_normalize(_np_mat(a["_v"])) @ _np_normalize(_np_mat(b["_v"])).T
         s = np.round(s, 4)
         same_block = int(pdf["bi"].iloc[0]) == int(pdf["bj"].iloc[0])
         mask = s >= threshold

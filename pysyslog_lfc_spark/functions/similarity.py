@@ -1,18 +1,24 @@
 """Similarity search over embedding columns (`array<float>`).
 
 - :func:`brute_force_topk` — exact cosine top-k; the correctness
-  baseline. Query side is broadcast (queries ≪ corpus), so the corpus
-  never shuffles: each executor scans its partitions once and emits k
-  rows per query per partition before the final TakeOrdered.
+  baseline. The (small, by contract) query set is collected to a numpy
+  matrix and scored against the corpus with ONE BLAS matmul per Arrow
+  batch (``mapInPandas``); each batch emits only its local top-k per
+  query, so the rank shuffle carries ~k x queries x batches id/score
+  rows — never the full pair set and never any vectors.
 - :func:`lsh_ann_topk` — random-hyperplane LSH: sign-bit signatures
-  from deterministic hyperplanes (seeded, expression-generated — no
-  stored model), candidates = corpus rows whose signature matches a
-  query's in ≥ ``min_band_matches`` bands, then exact cosine re-rank
-  within candidates. This is the 100 TB path: the equi-join on band
-  keys replaces the full cross product.
+  from deterministic hyperplanes (seeded, no stored model), candidates
+  = corpus rows sharing ≥ ``min_band_matches`` band keys with a query,
+  then exact cosine re-rank within candidates. This is the 100 TB
+  path: the equi-join on band keys replaces the full cross product,
+  candidates travel as bare id-pairs (vectors re-joined once,
+  broadcast side = the candidate set), and signatures are one BLAS
+  matmul per batch.
 
-All math is Catalyst expressions (`zip_with`/`aggregate`); vectors are
-L2-normalized once up front so every comparison is a plain dot product.
+Scoring math runs in numpy over Arrow batches. (The previous
+``aggregate``/``zip_with`` expression dot product evaluated in the
+expression interpreter — measured ~50x slower per element; see
+functions/dedup.py embedding_near_dup for the same finding.)
 """
 
 from __future__ import annotations
@@ -21,6 +27,8 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def _dot(a: Column, b: Column) -> Column:
+    """Expression-tree dot product — interpreted, NOT codegen. Kept for
+    small/one-off comparisons and tests; hot paths use numpy batches."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
     )
@@ -35,11 +43,48 @@ def cosine_sim(a: Column, b: Column) -> Column:
 
 
 def _normalized(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    """L2-normalize with the norm computed ONCE per row. (Folding
+    ``_norm`` into the per-element transform lambda re-evaluates the
+    whole aggregate per element — O(dim^2) interpreted work per row.)"""
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    return df.select(
-        F.col(id_col).alias("_id"),
-        F.transform(v, lambda x: x / _norm(v)).alias("_v"),
+    return (
+        df.select(F.col(id_col).alias("_id"), v.alias("_vr"))
+        .withColumn("_n", _norm(F.col("_vr")))
+        .select(
+            "_id", F.transform("_vr", lambda x: x / F.col("_n")).alias("_v")
+        )
     )
+
+
+def _raw_vec(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    """Bare (id, vector) projection — kernels that already run numpy
+    normalize in the batch (one BLAS pass) instead of in expressions."""
+    return df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+
+
+def _np_mat(series) -> "object":
+    import numpy as np
+
+    return np.stack(series.to_numpy()).astype("float64", copy=False)
+
+
+def _np_normalize(mat):
+    import numpy as np
+
+    return mat / np.linalg.norm(mat, axis=1, keepdims=True)
+
+
+def _query_matrix(queries: DataFrame, vec_col: str, id_col: str):
+    """Collect the query side to (ids, L2-normalized matrix). Queries
+    are small by contract (they are broadcast either way); collecting
+    lets every corpus task score them with one BLAS call."""
+    import numpy as np
+
+    rows = queries.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype="int64")
+    mat = np.array([r[1] for r in rows], dtype="float64")
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    return ids, mat
 
 
 def brute_force_topk(
@@ -51,24 +96,50 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k neighbors for each query vector.
 
-    Output: (query_id, neighbor_id, rank, cos). Ties broken by
-    neighbor_id so ranking is fully deterministic. The queries frame is
-    explicitly broadcast — the join is a BroadcastNestedLoopJoin over
-    the corpus scan, no corpus shuffle; the per-query rank is a window
-    over (query_id) whose shuffle carries only (ids, score).
+    Output: (query_id, neighbor_id, rank, cos), cos rounded to 4 and
+    ties broken by neighbor_id so the ranking is fully deterministic.
+    Per-batch local top-k under the same total order (-cos, id) makes
+    the global window rank exact: the global top-k is a subset of the
+    union of local top-k sets.
     """
-    c = _normalized(corpus, vec_col, id_col)
-    q = _normalized(queries, vec_col, id_col).select(
-        F.col("_id").alias("query_id"), F.col("_v").alias("_qv")
-    )
-    scored = (
-        c.join(F.broadcast(q), F.col("_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("_id").alias("neighbor_id"),
-            F.round(_dot(F.col("_v"), F.col("_qv")), 4).alias("cos"),
-        )
-    )
+    import numpy as np
+    import pandas as pd
+
+    q_ids, q_mat = _query_matrix(queries, vec_col, id_col)
+    c = _raw_vec(corpus, vec_col, id_col)
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["_id"].to_numpy()
+            m = _np_normalize(_np_mat(pdf["_v"]))
+            sims = np.round(m @ q_mat.T, 4)  # (nb, nq)
+            take = min(k, len(ids))
+            out_q, out_n, out_c = [], [], []
+            for qi in range(len(q_ids)):
+                col = sims[:, qi]
+                mask = ids != q_ids[qi]  # exclude self-match
+                cand = np.nonzero(mask)[0]
+                if cand.size == 0:
+                    continue
+                # local top-k under the global total order (-cos, id)
+                order = np.lexsort((ids[cand], -col[cand]))[:take]
+                sel = cand[order]
+                out_q.append(np.full(sel.size, q_ids[qi]))
+                out_n.append(ids[sel])
+                out_c.append(col[sel])
+            if not out_q:
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "cos": np.concatenate(out_c),
+                }
+            )
+
+    scored = c.mapInPandas(score, "query_id long, neighbor_id long, cos double")
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -83,7 +154,8 @@ N_BANDS = 4  # 4 bands x 4 bits
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes from a seeded hash — no
-    RNG state, reproducible across runs/resumes."""
+    RNG state, reproducible across runs/resumes (and inlinable into the
+    DuckDB oracle, plans/driver_queries.py ann_lsh_topk)."""
     import hashlib
     import struct
 
@@ -98,6 +170,39 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
     return planes
 
 
+def _band_signatures(df: DataFrame, planes, n_bands: int, id_out: str) -> DataFrame:
+    """(id, vec) -> (id, band, bits): one BLAS matmul per Arrow batch.
+    Sign bits are scale-invariant, so raw (un-normalized) vectors give
+    the same signature as normalized ones."""
+    import numpy as np
+    import pandas as pd
+
+    p_mat = np.array(planes, dtype="float64")  # (n_planes, dim)
+    n_planes = p_mat.shape[0]
+    width = n_planes // n_bands
+    weights = (1 << np.arange(width)).astype("int64")
+
+    def sig(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            bits = (_np_mat(pdf["_v"]) @ p_mat.T) > 0  # (n, n_planes)
+            band_bits = np.stack(
+                [bits[:, b * width : (b + 1) * width] @ weights for b in range(n_bands)],
+                axis=1,
+            )  # (n, n_bands)
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    id_out: np.repeat(pdf["_id"].to_numpy(), n_bands),
+                    "band": np.tile(np.arange(n_bands, dtype="int32"), n),
+                    "bits": band_bits.reshape(-1),
+                }
+            )
+
+    return df.mapInPandas(sig, f"{id_out} long, band int, bits long")
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -107,73 +212,75 @@ def lsh_ann_topk(
     n_planes: int = N_PLANES,
     n_bands: int = N_BANDS,
     min_band_matches: int = 1,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: hyperplane-LSH candidate generation + exact
     cosine re-rank. Candidates come from an equi-join on (band, bits);
     recall is tuned by n_planes/n_bands (more bands → more candidates).
     Output schema matches :func:`brute_force_topk` for drop-in use.
+
+    Scale shape: the band join moves (id, band, bits) triples only;
+    candidate dedup (groupBy) moves bare id-pairs; vectors are
+    re-attached by broadcasting the (small) candidate set against the
+    corpus scan, so the corpus' vector payload is never shuffled.
+    ``dim`` should be passed when known (it is a schema-level fact);
+    the fallback probes one row at plan time.
     """
-    dim = len(corpus.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])  # plan-time probe (fallback)
     planes = _hyperplanes(dim, n_planes)
+
+    q_ids, q_mat = _query_matrix(queries, vec_col, id_col)
+    c = _raw_vec(corpus, vec_col, id_col)
+    cb = _band_signatures(c, planes, n_bands, "_id")
+
+    import numpy as np
+    import pandas as pd
+
+    qsig_bits = (q_mat @ np.array(planes, dtype="float64").T) > 0
     width = n_planes // n_bands
+    weights = (1 << np.arange(width)).astype("int64")
+    q_rows = [
+        (int(q_ids[i]), int(b), int(qsig_bits[i, b * width : (b + 1) * width] @ weights))
+        for i in range(len(q_ids))
+        for b in range(n_bands)
+    ]
+    qb = corpus.sparkSession.createDataFrame(q_rows, "query_id long, band int, bits long")
 
-    def signature(vcol: Column) -> Column:
-        bits = [
-            (
-                F.aggregate(
-                    F.zip_with(
-                        vcol,
-                        F.array(*[F.lit(w) for w in plane]),
-                        lambda x, y: x * y,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                )
-                > 0
-            ).cast("int")
-            for plane in planes
-        ]
-        return F.array(
-            *[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    sum(
-                        (bits[b * width + i] * (1 << i) for i in range(width)),
-                        F.lit(0),
-                    ).alias("bits"),
-                )
-                for b in range(n_bands)
-            ]
-        )
-
-    c = _normalized(corpus, vec_col, id_col)
-    q = _normalized(queries, vec_col, id_col)
-    cb = c.select("_id", "_v", F.explode(signature(F.col("_v"))).alias("bk")).select(
-        "_id", "_v", "bk.band", "bk.bits"
-    )
-    qb = q.select(
-        F.col("_id").alias("query_id"), F.col("_v").alias("_qv"),
-        F.explode(signature(F.col("_v"))).alias("bk"),
-    ).select("query_id", "_qv", "bk.band", "bk.bits")
     cand = (
         cb.join(F.broadcast(qb), ["band", "bits"])
         .where(F.col("_id") != F.col("query_id"))
         .groupBy("query_id", "_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_bands_matched"),
-            F.first("_v").alias("_v"),
-            F.first("_qv").alias("_qv"),
-        )
+        .agg(F.count(F.lit(1)).alias("n_bands_matched"))
         .where(F.col("n_bands_matched") >= min_band_matches)
+        .select("query_id", "_id")
     )
+
+    # re-rank: broadcast the candidate id-pairs against the corpus scan
+    # (map-side), then score candidate vectors against the in-memory
+    # query matrix — one BLAS multiply per batch, no vector shuffle
+    with_vec = c.join(F.broadcast(cand), "_id")
+    q_index = {int(q): i for i, q in enumerate(q_ids)}
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vecs = _np_normalize(_np_mat(pdf["_v"]))
+            qi = pdf["query_id"].map(q_index).to_numpy()
+            cos = np.round((vecs * q_mat[qi]).sum(axis=1), 4)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(),
+                    "neighbor_id": pdf["_id"].to_numpy(),
+                    "cos": cos,
+                }
+            )
+
+    scored = with_vec.mapInPandas(score, "query_id long, neighbor_id long, cos double")
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
-        cand.select(
-            "query_id",
-            F.col("_id").alias("neighbor_id"),
-            F.round(_dot(F.col("_v"), F.col("_qv")), 4).alias("cos"),
-        )
-        .withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos")
     )

@@ -948,13 +948,62 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_lsh_topk")  # approximate: no SQL oracle; driver records rows-only
+def _lsh_oracle_sql(dim: int = 64, n_planes: int = 16, n_bands: int = 4, k: int = 10) -> str:
+    """Generate the DuckDB replica of lsh_ann_topk: the hyperplanes are
+    deterministic (seeded SHA-256, functions/similarity.py::_hyperplanes),
+    so their constants inline into SQL — band-match candidate generation
+    + exact rounded-cosine re-rank, exactly the Spark plan's semantics.
+    Sign bits are scale-invariant, so the oracle skips normalization."""
+    planes = SIM._hyperplanes(dim, n_planes)
+    width = n_planes // n_bands
+
+    def band_bits(vcol: str, b: int) -> str:
+        terms = []
+        for i in range(width):
+            plane = planes[b * width + i]
+            dot = " + ".join(f"{vcol}[{d + 1}]*({plane[d]!r})" for d in range(dim))
+            terms.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << i} ELSE 0 END)")
+        return " + ".join(terms)
+
+    csig = "\n      UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, {band_bits('v', b)} AS bits FROM c"
+        for b in range(n_bands)
+    )
+    qsig = "\n      UNION ALL ".join(
+        f"SELECT query_id, {b} AS band, {band_bits('qv', b)} AS bits FROM q"
+        for b in range(n_bands)
+    )
+    return f"""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 5),
+         q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+         csig AS ({csig}),
+         qsig AS ({qsig}),
+         cand AS (
+           SELECT DISTINCT qsig.query_id, csig.vec_id
+           FROM csig JOIN qsig USING (band, bits)
+           WHERE csig.vec_id != qsig.query_id
+         ),
+         scored AS (
+           SELECT cand.query_id, cand.vec_id AS neighbor_id,
+                  round(list_cosine_similarity(q.qv, c.v), 4) AS cos
+           FROM cand JOIN c ON c.vec_id = cand.vec_id JOIN q ON q.query_id = cand.query_id
+         )
+    SELECT query_id, neighbor_id, rank, cos FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@query("ann_lsh_topk", _lsh_oracle_sql())
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate top-10 (the 100 TB scale path; recall
-    vs brute force asserted in tests/test_functions.py)."""
+    vs brute force asserted in tests/test_functions.py). The oracle SQL
+    is generated with the deterministic plane constants inlined, so even
+    the approximate path gets full rows+schema+hash verification."""
     emb = _t(spark, sf_dir, "embeddings")
     return SIM.lsh_ann_topk(
-        emb.where(F.col("vec_id") >= 5), emb.where(F.col("vec_id") < 5), k=10
+        emb.where(F.col("vec_id") >= 5), emb.where(F.col("vec_id") < 5), k=10, dim=64
     )
 
 
