@@ -33,7 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from pysyslog_lfc_spark.functions.text import portable_hash60, shingles
+from pysyslog_lfc_spark.functions.text import portable_hash60, portable_hash60_hi, shingles
 
 MINHASH_PERMS = 64
 LSH_BANDS = 16  # 16 bands x 4 rows = 64 perms
@@ -214,12 +214,27 @@ def _hamming60(a: Column, b: Column) -> Column:
     return F.bit_count(x)
 
 
+def _cap_band_freq(banded: DataFrame, max_band_freq: int | None) -> DataFrame:
+    """Scale knob: drop band keys shared by more than ``max_band_freq``
+    rows before the self-join. A hot band key produces O(freq^2) pairs;
+    at 10^9+ docs boilerplate/near-empty documents can collapse into a
+    handful of keys and go quadratic. Capping trades those pairs away
+    (bounded false negatives) for bounded fan-out. None = exact."""
+    if max_band_freq is None:
+        return banded
+    freq = banded.groupBy("band", "bits").agg(F.count(F.lit(1)).alias("_f"))
+    return banded.join(
+        freq.where(F.col("_f") <= max_band_freq).select("band", "bits"), ["band", "bits"]
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
     bands: int = 4,
+    max_band_freq: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs with SimHash hamming distance ≤ ``max_hamming``.
 
@@ -227,6 +242,12 @@ def simhash_pairs(
     pair within distance ``bands - 1`` shares at least one identical
     band, so an equi-join on (band_idx, band_bits) finds all of them
     without a cross join. Verified by exact popcount on the XOR.
+
+    15-bit bands give only 32,768 buckets per band — fine to ~10^6
+    docs, quadratic past that. This variant exists for its DuckDB
+    oracle (portable md5 bits); the scale path is
+    :func:`simhash_wide_pairs` (120-bit signature, 30-bit bands)
+    with ``max_band_freq`` as the fan-out bound.
     """
     assert max_hamming < bands, "pigeonhole requires max_hamming < bands"
     sigs = simhash(df, text_col, id_col)
@@ -245,6 +266,7 @@ def simhash_pairs(
     banded = sigs.select(
         F.col(id_col).alias("_id"), F.col("simhash"), F.explode(band_arr).alias("bk")
     ).select("_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.bits").alias("bits"))
+    banded = _cap_band_freq(banded, max_band_freq)
     pairs = (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "bits"])
@@ -253,6 +275,92 @@ def simhash_pairs(
             F.col("x._id").alias("id_a"),
             F.col("y._id").alias("id_b"),
             _hamming60(F.col("x.simhash"), F.col("y.simhash")).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+    return pairs
+
+
+SIMHASH_WIDE_BITS = 120  # two 60-bit md5 slices (portable_hash60 / _hi)
+
+
+def simhash_wide(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """120-bit SimHash as two 60-bit words (sim_lo, sim_hi) — the
+    scale-hardened signature: 4 bands of 30 bits = 2^30 buckets per
+    band, so band buckets stay sub-quadratic to ~10^9 docs. One md5
+    per word feeds both halves; the per-bit vote sums are all codegen'd
+    aggregates like :func:`simhash`."""
+    half = SIMHASH_WIDE_BITS // 2
+    words = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
+    ex = df.select(F.col(id_col), F.explode(words).alias("_w")).select(
+        id_col,
+        portable_hash60(F.col("_w")).alias("_h0"),
+        portable_hash60_hi(F.col("_w")).alias("_h1"),
+    )
+    aggs = [
+        F.sum(F.shiftright(f"_h{w}", b).bitwiseAND(F.lit(1))).alias(f"c_{w}_{b}")
+        for w in range(2)
+        for b in range(half)
+    ] + [F.count(F.lit(1)).alias("_n")]
+    counts = ex.groupBy(id_col).agg(*aggs)
+    sigs = []
+    for w in range(2):
+        sig = F.lit(0).cast("long")
+        for b in range(half):
+            sig = sig + F.when(
+                F.col(f"c_{w}_{b}") * 2 > F.col("_n"), F.lit(2**b).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        sigs.append(sig)
+    return counts.select(F.col(id_col), sigs[0].alias("sim_lo"), sigs[1].alias("sim_hi"))
+
+
+def simhash_wide_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_band_freq: int | None = None,
+) -> DataFrame:
+    """Scale path for SimHash near-dup: 120-bit signature, pigeonhole
+    equi-join on 30-bit bands (2^30 keys/band vs 2^15 in
+    :func:`simhash_pairs`), optional ``max_band_freq`` fan-out cap.
+    Output: (id_a, id_b, hamming) with exact popcount verification.
+    """
+    assert max_hamming < bands, "pigeonhole requires max_hamming < bands"
+    width = SIMHASH_WIDE_BITS // bands  # 30
+    per_word = 60 // width  # bands per signature word
+    sigs = simhash_wide(df, text_col, id_col)
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(
+                    F.col("sim_lo" if b < per_word else "sim_hi"),
+                    (b % per_word) * width,
+                )
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("bits"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select(
+        F.col(id_col).alias("_id"), "sim_lo", "sim_hi", F.explode(band_arr).alias("bk")
+    ).select("_id", "sim_lo", "sim_hi", F.col("bk.band").alias("band"), F.col("bk.bits").alias("bits"))
+    banded = _cap_band_freq(banded, max_band_freq)
+    pairs = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bits"])
+        .where(F.col("x._id") < F.col("y._id"))
+        .select(
+            F.col("x._id").alias("id_a"),
+            F.col("y._id").alias("id_b"),
+            (
+                F.bit_count(F.col("x.sim_lo").bitwiseXOR(F.col("y.sim_lo")))
+                + F.bit_count(F.col("x.sim_hi").bitwiseXOR(F.col("y.sim_hi")))
+            ).alias("hamming"),
         )
         .distinct()
         .where(F.col("hamming") <= max_hamming)
@@ -324,4 +432,88 @@ def embedding_near_dup(
 
     return both.groupBy("bi", "bj").applyInPandas(
         block_pairs, "id_a long, id_b long, cos double"
+    )
+
+
+def embedding_near_dup_lsh(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    dim: int | None = None,
+    max_band_freq: int | None = None,
+) -> DataFrame:
+    """Scale path for embedding near-dup: hyperplane-LSH pre-bucketing
+    + the BLAS block kernel *intra-bucket only*.
+
+    :func:`embedding_near_dup` computes O(n^2) dot products by
+    construction (exact oracle baseline). Here each vector lands in
+    ``n_bands`` (band, bits) buckets (signature = one BLAS matmul per
+    Arrow batch against deterministic seeded hyperplanes, see
+    functions/similarity.py); all-pairs scoring runs within a bucket
+    only, so total compute is Σ_bucket |bucket|^2 ≪ n^2 for spread
+    buckets. Pairs are exact-cosine verified in-kernel => precision 1.0
+    vs the exact operator; recall is the band-match probability
+    (~95% at cos 0.9 with 16 planes / 4 bands). ``max_band_freq``
+    skips degenerate buckets (e.g. the all-zeros signature of
+    near-duplicate boilerplate) to bound worst-case fan-out.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pysyslog_lfc_spark.functions.similarity import (
+        _hyperplanes,
+        _np_mat,
+        _np_normalize,
+        _raw_vec,
+    )
+
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])  # plan-time probe (fallback)
+    p_mat = np.array(_hyperplanes(dim, n_planes), dtype="float64")
+    width = n_planes // n_bands
+    weights = (1 << np.arange(width)).astype("int64")
+
+    def sig(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            bits = (_np_mat(pdf["_v"]) @ p_mat.T) > 0
+            band_bits = np.stack(
+                [bits[:, b * width : (b + 1) * width] @ weights for b in range(n_bands)],
+                axis=1,
+            )
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "_id": np.repeat(pdf["_id"].to_numpy(), n_bands),
+                    "band": np.tile(np.arange(n_bands, dtype="int32"), n),
+                    "bits": band_bits.reshape(-1),
+                    "_v": [v for v in pdf["_v"] for _ in range(n_bands)],
+                }
+            )
+
+    raw = _raw_vec(df, vec_col, id_col)
+    vec_ddl = raw.schema["_v"].dataType.simpleString()
+    banded = raw.mapInPandas(sig, f"_id long, band int, bits long, _v {vec_ddl}")
+    banded = _cap_band_freq(banded, max_band_freq)
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cos": "float64"}
+            )
+        ids = pdf["_id"].to_numpy()
+        m = _np_normalize(_np_mat(pdf["_v"]))
+        s = np.round(m @ m.T, 4)
+        mask = (s >= threshold) & (ids[:, None] < ids[None, :])
+        ia, ib = np.nonzero(mask)
+        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib], "cos": s[ia, ib]})
+
+    return (
+        banded.groupBy("band", "bits")
+        .applyInPandas(bucket_pairs, "id_a long, id_b long, cos double")
+        .distinct()  # a pair may co-bucket in several bands
     )

@@ -40,6 +40,16 @@ def portable_hash60(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def portable_hash60_hi(col: Column) -> Column:
+    """Second independent 60-bit slice of the same md5 (hex chars
+    17..31) — gives 120 portable bits total with one md5 per value.
+
+    Spark:  conv(substr(md5(x),17,15), 16, 10)::bigint
+    DuckDB: ('0x' || substr(md5(x),17,15))::BIGINT
+    """
+    return F.conv(F.substring(F.md5(col), 17, 15), 16, 10).cast("long")
+
+
 def tokenize(col: Column) -> Column:
     """Whitespace tokenizer: split on runs of whitespace, drop empties.
 

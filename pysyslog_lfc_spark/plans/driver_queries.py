@@ -923,6 +923,99 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.embedding_near_dup(_t(spark, sf_dir, "embeddings"), threshold=0.35)
 
 
+def _band_bits_sql(vcol: str, b: int, planes, width: int, dim: int) -> str:
+    """SQL for one LSH band key: sign bits of the plane dot products,
+    packed little-endian (matches functions/similarity.py banding)."""
+    terms = []
+    for i in range(width):
+        plane = planes[b * width + i]
+        dot = " + ".join(f"{vcol}[{d + 1}]*({plane[d]!r})" for d in range(dim))
+        terms.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << i} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def _embedding_lsh_oracle_sql(
+    dim: int = 64, n_planes: int = 16, n_bands: int = 4, threshold: str = "0.35"
+) -> str:
+    """DuckDB replica of embedding_near_dup_lsh: same inlined
+    hyperplane band keys as the ANN oracle, candidate pairs = band-key
+    self-join, exact rounded-cosine verify at the threshold."""
+    planes = SIM._hyperplanes(dim, n_planes)
+    width = n_planes // n_bands
+    sig = "\n      UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, {_band_bits_sql('v', b, planes, width, dim)} AS bits FROM e"
+        for b in range(n_bands)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         sig AS ({sig}),
+         cand AS (
+           SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+           FROM sig x JOIN sig y USING (band, bits)
+           WHERE x.vec_id < y.vec_id
+         )
+    SELECT id_a, id_b,
+           round(list_cosine_similarity(a.v, b.v), 4) AS cos
+    FROM cand JOIN e a ON a.vec_id = id_a JOIN e b ON b.vec_id = id_b
+    WHERE round(list_cosine_similarity(a.v, b.v), 4) >= {threshold}
+    """
+
+
+@query("dedup_embedding_lsh", _embedding_lsh_oracle_sql())
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for embedding near-dup: LSH pre-bucketing + BLAS
+    block kernel intra-bucket (functions/dedup.py::embedding_near_dup_lsh)
+    — sub-quadratic candidate generation; the oracle replicates the
+    deterministic band keys so even the approximate path is
+    hash-verified."""
+    return DD.embedding_near_dup_lsh(
+        _t(spark, sf_dir, "embeddings"), threshold=0.35, dim=64
+    )
+
+
+_SIMHASH_WIDE_ORACLE = r"""
+WITH words AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'), w -> w != '')) AS w
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(w), 1, 15))::BIGINT AS h0,
+         ('0x' || substr(md5(w), 17, 15))::BIGINT AS h1
+  FROM words
+),
+votes AS (
+  SELECT doc_id, bits.b AS b,
+         SUM(CASE WHEN (h0 >> bits.b) & 1 = 1 THEN 1 ELSE -1 END) AS v0,
+         SUM(CASE WHEN (h1 >> bits.b) & 1 = 1 THEN 1 ELSE -1 END) AS v1
+  FROM hashed CROSS JOIN (SELECT unnest(range(60)) AS b) bits
+  GROUP BY doc_id, bits.b
+),
+sig AS (
+  SELECT doc_id,
+         SUM(CASE WHEN v0 > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS lo,
+         SUM(CASE WHEN v1 > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS hi
+  FROM votes GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS INTEGER) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+"""
+
+
+@query("dedup_simhash_wide", _SIMHASH_WIDE_ORACLE)
+def dedup_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-hardened SimHash: 120-bit signature (two portable md5
+    slices), 30-bit pigeonhole bands (2^30 keys/band vs 2^15 in
+    dedup_simhash) — functions/dedup.py::simhash_wide_pairs. The
+    oracle brute-forces hamming over the same signatures; the banded
+    join is provably equivalent below max_hamming < bands."""
+    pairs = DD.simhash_wide_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+    return pairs.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
 @query(
     "ann_cosine_topk",
     """
@@ -958,12 +1051,7 @@ def _lsh_oracle_sql(dim: int = 64, n_planes: int = 16, n_bands: int = 4, k: int 
     width = n_planes // n_bands
 
     def band_bits(vcol: str, b: int) -> str:
-        terms = []
-        for i in range(width):
-            plane = planes[b * width + i]
-            dot = " + ".join(f"{vcol}[{d + 1}]*({plane[d]!r})" for d in range(dim))
-            terms.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << i} ELSE 0 END)")
-        return " + ".join(terms)
+        return _band_bits_sql(vcol, b, planes, width, dim)
 
     csig = "\n      UNION ALL ".join(
         f"SELECT vec_id, {b} AS band, {band_bits('v', b)} AS bits FROM c"

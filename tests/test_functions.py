@@ -145,6 +145,67 @@ def test_embedding_near_dup_blocked_equals_all_pairs(spark):
         assert abs(got[k] - want[k]) < 1e-9
 
 
+def test_simhash_wide_band_join_matches_bruteforce(spark):
+    """The 120-bit banded equi-join finds exactly the pairs a brute
+    hamming scan over the same signatures finds (pigeonhole has no
+    false negatives; popcount verify has no false positives)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(150)
+    sigs = DD.simhash_wide(docs).collect()
+    want = set()
+    for i, a in enumerate(sigs):
+        for b in sigs[i + 1 :]:
+            ham = bin(a.sim_lo ^ b.sim_lo).count("1") + bin(a.sim_hi ^ b.sim_hi).count("1")
+            if ham <= 3:
+                want.add((min(a.doc_id, b.doc_id), max(a.doc_id, b.doc_id)))
+    got = {(r.id_a, r.id_b) for r in DD.simhash_wide_pairs(docs, max_hamming=3).collect()}
+    assert got == want
+    assert want  # fixture near-dups must exercise the path
+
+
+def test_simhash_band_freq_cap_bounds_fanout(spark, docs):
+    full = {(r.id_a, r.id_b) for r in DD.simhash_pairs(docs, max_hamming=3).collect()}
+    capped = {
+        (r.id_a, r.id_b)
+        for r in DD.simhash_pairs(docs, max_hamming=3, max_band_freq=1).collect()
+    }
+    assert capped <= full  # the cap only ever removes pairs
+    wide_capped = {
+        (r.id_a, r.id_b)
+        for r in DD.simhash_wide_pairs(docs, max_hamming=3, max_band_freq=100).collect()
+    }
+    wide_full = {(r.id_a, r.id_b) for r in DD.simhash_wide_pairs(docs, max_hamming=3).collect()}
+    assert wide_capped == wide_full  # generous cap changes nothing
+
+
+def test_embedding_near_dup_lsh_subset_and_recall(spark):
+    """LSH-bucketed near-dup: every pair it reports is a true pair of
+    the exact blocked operator (in-kernel cosine verify => precision
+    1.0); recall at high threshold stays high (band-match probability
+    ~95% per pair at cos 0.9 with 16 planes / 4 bands). The driver
+    fixture has no cos>=0.9 pairs (max 0.51), so plant deterministic
+    near-duplicates: a jittered copy of each of 50 vectors."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    rows = emb.select("vec_id", "embedding").limit(50).collect()
+    rng = np.random.default_rng(42)
+    dups = [
+        (int(r.vec_id) + 100000,
+         [float(x) for x in (np.array(r.embedding) + rng.normal(0, 0.02, len(r.embedding)))])
+        for r in rows
+    ]
+    corpus = emb.select("vec_id", "embedding").unionByName(
+        spark.createDataFrame(dups, "vec_id long, embedding array<float>")
+    )
+    exact = {(r.id_a, r.id_b): r.cos for r in DD.embedding_near_dup(corpus, threshold=0.9).collect()}
+    lsh = {(r.id_a, r.id_b): r.cos for r in DD.embedding_near_dup_lsh(corpus, threshold=0.9, dim=64).collect()}
+    assert set(lsh) <= set(exact)
+    assert len(exact) >= 50  # the planted near-dups
+    assert len(lsh) / len(exact) >= 0.8
+    for k, v in lsh.items():
+        assert abs(v - exact[k]) < 1e-9
+
+
 # ------------------------------------------------------------- similarity
 
 def test_brute_force_topk_ranks_exactly(spark):
