@@ -35,6 +35,12 @@ def main(argv: list[str] | None = None) -> int:
     )
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--persist", action="store_true")
+    ap.add_argument(
+        "--warehouse-format",
+        default="parquet",
+        choices=["parquet", "iceberg"],
+        help="sink table format (iceberg needs the runtime jar + catalog conf)",
+    )
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -63,6 +69,7 @@ def main(argv: list[str] | None = None) -> int:
         job_id=args.job_id,
         n_buckets=args.buckets,
         persist=args.persist,
+        warehouse_format=args.warehouse_format,
     )
     elapsed = time.monotonic() - t0
 

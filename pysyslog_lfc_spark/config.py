@@ -70,6 +70,26 @@ class FlowConfig:
     format_options: Mapping[str, str] = field(default_factory=dict)
     channel: str | None = None
     filters: tuple[FilterConfig, ...] = ()
+    # non-component flow options: enabled, batch_size, parallel.*,
+    # max_retries, retry_interval (docs/configuration/flows.md:103-150)
+    options: Mapping[str, str] = field(default_factory=dict)
+
+    @property
+    def enabled(self) -> bool:
+        return self.options.get("enabled", "true").strip().lower() in {"1", "true", "yes"}
+
+    @property
+    def workers(self) -> int | None:
+        """parallel.workers -> plan parallelism (flows.md:113-116)."""
+        raw = self.options.get("parallel.workers")
+        return int(raw) if raw else None
+
+    @property
+    def batch_size(self) -> int | None:
+        """parallel.batch_size / batch_size -> Arrow batch rows
+        (flows.md:117-122, 131-133)."""
+        raw = self.options.get("parallel.batch_size") or self.options.get("batch_size")
+        return int(raw) if raw else None
 
 
 @dataclass(frozen=True)
@@ -86,6 +106,36 @@ class RuntimeConfig:
 
     def get_channel(self, name: str) -> ChannelConfig:
         return self.channels[name]
+
+    def setting(self, name: str, default: str | None = None) -> str | None:
+        return self.settings.get(name, default)
+
+    @property
+    def metrics_enabled(self) -> bool:
+        """[settings] metrics (docs/configuration/main.md:24-26)."""
+        return self.settings.get("metrics", "enabled").strip().lower() != "disabled"
+
+    @property
+    def flush_every_seconds(self) -> float | None:
+        """[settings] flush_every (main.md:20) -> streaming trigger."""
+        raw = self.settings.get("flush_every")
+        return parse_duration(raw) if raw else None
+
+
+def parse_duration(raw: str) -> float:
+    """'500ms' / '5s' / '1m' / '2h' -> seconds (reference duration
+    grammar, docs/configuration/main.md flush_every / retry_interval)."""
+    s = raw.strip().lower()
+    for suffix, mult in (("ms", 0.001), ("s", 1.0), ("m", 60.0), ("h", 3600.0)):
+        if s.endswith(suffix) and s[: -len(suffix)].strip():
+            try:
+                return float(s[: -len(suffix)]) * mult
+            except ValueError:
+                break
+    try:
+        return float(s)
+    except ValueError:
+        raise ConfigError(f"bad duration '{raw}'") from None
 
 
 # Security limits documented at reference docs/configuration/filters.md:113-119.
@@ -193,6 +243,12 @@ def _parse(cp: configparser.ConfigParser) -> RuntimeConfig:
         channel = items.get("channel") or items.get("channel.name")
         if channel and channel not in channels:
             channels[channel] = ChannelConfig(name=channel)
+        component_prefixes = ("input.", "parser.", "output.", "format.", "filter", "name.")
+        flow_opts = {
+            k: v
+            for k, v in items.items()
+            if not k.startswith(component_prefixes) and k not in ("channel", "channel.name")
+        }
         flows.append(
             FlowConfig(
                 name=name,
@@ -205,6 +261,7 @@ def _parse(cp: configparser.ConfigParser) -> RuntimeConfig:
                 },
                 channel=channel,
                 filters=_filters(name, items),
+                options=flow_opts,
             )
         )
     if not flows:

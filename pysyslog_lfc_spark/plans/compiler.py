@@ -32,6 +32,7 @@ gives at-least-once.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 from dataclasses import dataclass
 from typing import Callable
 
@@ -94,6 +95,14 @@ def compile_flow(cfg: FlowConfig, raw_col: str = RAW_COL, registry=None) -> Comp
     filters = _stage_filters(cfg, reg)
 
     def transform(df: DataFrame) -> DataFrame:
+        # parallel.workers (flows.md:113-116): the reference fans one
+        # flow over N worker coroutines; the Spark analog is an N-way
+        # repartition of the flow's input so exactly N tasks execute
+        # the (map-side) pipeline. Only applied when configured — by
+        # default split planning decides parallelism, which is what you
+        # want at scale.
+        if cfg.workers:
+            df = df.repartition(cfg.workers)
         # input-stage: record is {"raw": raw} (flow.py:105)
         for fc in filters["input"]:
             field = fc.component.option("field")
@@ -148,5 +157,27 @@ def run_flow(
     if input_df is None:
         input_df = reg.create_input(spark, cfg, inject=lines)
     out = compile_flow(cfg, registry=reg)(input_df)
-    payloads = reg.create_output(out, cfg)
+    with flow_batch_size(spark, cfg):
+        payloads = reg.create_output(out, cfg)
     return payloads if payloads is not None else []
+
+
+@contextmanager
+def flow_batch_size(spark: SparkSession, cfg: FlowConfig):
+    """parallel.batch_size / batch_size (flows.md:117-122,131-133) ->
+    Arrow record batch rows for this flow's execution. Spark's analog
+    of the reference's per-flow message batching is the Arrow transfer
+    batch on the pandas-UDF path; the conf is restored afterwards."""
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    if not cfg.batch_size:
+        yield
+        return
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, str(cfg.batch_size))
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)

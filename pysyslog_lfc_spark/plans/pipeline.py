@@ -35,7 +35,13 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from pysyslog_lfc_spark.sinks import BUCKET_COL, ROUTE_COL, CommitStats, ParquetWarehouse
+from pysyslog_lfc_spark.sinks import (
+    BUCKET_COL,
+    ROUTE_COL,
+    CommitStats,
+    ParquetWarehouse,
+    warehouse_for,
+)
 
 # `message` is intentionally NOT persisted to sinks: `rendered` carries
 # its content and the parse stage is deterministic — re-deriving beats
@@ -142,6 +148,7 @@ def run_pipeline(
     resume: bool = True,
     persist: bool = False,
     fail_on: tuple[str, int] | None = None,
+    warehouse_format: str = "parquet",
 ) -> PipelineResult:
     """Execute the full fan-out pipeline with bucket-granular resume.
 
@@ -171,7 +178,7 @@ def run_pipeline(
     ``persist`` caches the enriched frame (payload included) — only
     useful when recompute is expensive relative to memory (not here).
     """
-    wh = ParquetWarehouse(warehouse_root)
+    wh = warehouse_for(spark, warehouse_root, warehouse_format)
     result = PipelineResult(job_id=job_id, warehouse=wh)
 
     df = sequences.withColumn(BUCKET_COL, bucket_expr(n_buckets))

@@ -35,6 +35,35 @@ class RuntimeResult:
     written: dict[str, str] = field(default_factory=dict)  # flow -> sink path
 
 
+_LOG_LEVELS = {"debug": "DEBUG", "info": "INFO", "warning": "WARN", "error": "ERROR"}
+
+
+def apply_settings(spark: SparkSession, cfg: RuntimeConfig) -> dict[str, str]:
+    """Wire [settings] (docs/configuration/main.md:9-70) into the
+    session. Returns the applied conf for inspection/tests.
+
+    - log_level -> sparkContext.setLogLevel
+    - max_buffer -> Arrow batch ceiling (the engine-wide analog of the
+      reference's in-memory buffer bound; per-flow batch_size overrides
+      it around that flow's execution)
+    - flush_every -> consumed by streaming flows as the micro-batch
+      trigger (streaming/flows.py, via RuntimeConfig.flush_every_seconds)
+    - buffering / buffer_type / on_overflow have no batch-engine
+      meaning: Spark's shuffle + AQE subsume them (documented no-ops)
+    - metrics -> RuntimeConfig.metrics_enabled (pipeline _metrics table)
+    """
+    applied: dict[str, str] = {}
+    level = cfg.setting("log_level")
+    if level:
+        spark.sparkContext.setLogLevel(_LOG_LEVELS.get(level.strip().lower(), "WARN"))
+        applied["log_level"] = level
+    max_buffer = cfg.setting("max_buffer")
+    if max_buffer:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", max_buffer)
+        applied["spark.sql.execution.arrow.maxRecordsPerBatch"] = max_buffer
+    return applied
+
+
 def _topo_order(flows: list[FlowConfig]) -> list[FlowConfig]:
     by_name = {f.name: f for f in flows}
     seen: dict[str, int] = {}
@@ -72,11 +101,15 @@ def run_runtime(
     inputs and outputs resolve through the component registry; only the
     ``flow`` input (chaining) is orchestrated here.
     """
+    from pysyslog_lfc_spark.plans.compiler import flow_batch_size
     from pysyslog_lfc_spark.registry import default_registry
 
     reg = registry or default_registry()
+    apply_settings(spark, cfg)
     inputs = inputs or {}
-    flows = _topo_order(list(cfg.flows))
+    # enabled = false (flows.md:127-129): flow stays in the config (a
+    # chained downstream may reference it) but does not execute
+    flows = [f for f in _topo_order(list(cfg.flows)) if f.enabled]
     result = RuntimeResult()
     transformed: dict[str, DataFrame] = {}
     consumers: dict[str, int] = {}
@@ -107,7 +140,8 @@ def run_runtime(
         transformed[f.name] = out
 
         try:
-            payloads = reg.create_output(out, f)
+            with flow_batch_size(spark, f):
+                payloads = reg.create_output(out, f)
         except ConfigError as exc:
             raise ConfigError(f"{exc} (flow '{f.name}')") from None
         if payloads is not None:

@@ -30,7 +30,9 @@ import uuid
 from dataclasses import dataclass
 from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from pysyslog_lfc_spark.config import ConfigError
 
 BUCKET_COL = "bucket"
 ROUTE_COL = "route"
@@ -222,3 +224,111 @@ class ParquetWarehouse:
     def exists(self, table: str) -> bool:
         tdir = self.table_path(table)
         return tdir.exists() and any(tdir.iterdir())
+
+
+# ---------------------------------------------------------------- dispatch
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True iff the iceberg-spark runtime jar is on the JVM classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+class IcebergWarehouse:
+    """Iceberg-backed sink — the north star's native table format.
+
+    Requires the ``iceberg-spark-runtime`` jar plus a configured
+    catalog (``spark.sql.catalog.<name>`` confs). The commit mapping
+    vs :class:`ParquetWarehouse` is 1:1 by design: the atomic
+    bucket-directory rename becomes an Iceberg snapshot commit of the
+    bucket's rows (``writeTo(...).append()`` is a single atomic
+    snapshot), and the committed-bucket manifest becomes a distinct
+    scan of the table's (job, bucket) columns — Iceberg's metadata
+    tables make that a manifest-only read. Not exercisable in this
+    sandbox (no jar); :func:`warehouse_for` refuses cleanly instead of
+    failing deep inside a write.
+    """
+
+    def __init__(self, spark: SparkSession, catalog: str, namespace: str = "pysyslog") -> None:
+        self.spark = spark
+        self.catalog = catalog
+        self.namespace = namespace
+        self.spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {catalog}.{namespace}")
+
+    def _qualified(self, table: str) -> str:
+        return f"{self.catalog}.{self.namespace}.{table}"
+
+    def committed_buckets(self, table: str, job_id: str) -> set[int]:
+        try:
+            rows = self.spark.sql(
+                f"SELECT DISTINCT {BUCKET_COL} FROM {self._qualified(table)} WHERE job = '{job_id}'"
+            ).collect()
+        except Exception:
+            return set()
+        return {int(r[0]) for r in rows}
+
+    def commit_routed(self, df: DataFrame, routes: list[str], job_id: str, fail_on=None):
+        out: dict[str, CommitStats] = {}
+        tagged = df.withColumn("job", F.lit(job_id)) if "job" not in df.columns else df
+        for name in routes:
+            part = tagged.where(F.col(ROUTE_COL) == name).drop(ROUTE_COL)
+            qual = self._qualified(name)
+            if self._table_exists(qual):
+                part.writeTo(qual).append()
+            else:
+                part.writeTo(qual).partitionedBy(F.col(BUCKET_COL)).create()
+            rows = self.spark.sql(
+                f"SELECT DISTINCT {BUCKET_COL} FROM {qual} WHERE job = '{job_id}'"
+            ).collect()
+            out[name] = CommitStats(name, tuple(sorted(int(r[0]) for r in rows)), ())
+        return out
+
+    def commit_single(self, df: DataFrame, table: str, job_id: str) -> CommitStats:
+        qual = self._qualified(table)
+        tagged = df.withColumn("job", F.lit(job_id)) if "job" not in df.columns else df
+        if self._table_exists(qual):
+            tagged.writeTo(qual).append()
+        else:
+            tagged.writeTo(qual).create()
+        return CommitStats(table, (0,), ())
+
+    def commit_per_flow(self, df: DataFrame, tables: dict[str, str], job_id: str) -> list[str]:
+        written = []
+        for flow, table in tables.items():
+            self.commit_single(df.where(df["flow"] == flow), table, job_id)
+            written.append(table)
+        return written
+
+    def read(self, spark: SparkSession, table: str) -> DataFrame:
+        return spark.table(self._qualified(table))
+
+    def exists(self, table: str) -> bool:
+        return self._table_exists(self._qualified(table))
+
+    def _table_exists(self, qualified: str) -> bool:
+        return self.spark.catalog.tableExists(qualified)
+
+
+def warehouse_for(
+    spark: SparkSession,
+    root: str | Path,
+    fmt: str = "parquet",
+    catalog: str = "pysyslog_cat",
+):
+    """Sink-format config point (SURVEY.md §7 step 0): ``parquet`` ->
+    the atomic-rename warehouse (always available); ``iceberg`` -> the
+    catalog-backed warehouse when the runtime jar is present, a clear
+    plan-time error otherwise."""
+    if fmt == "parquet":
+        return ParquetWarehouse(root)
+    if fmt == "iceberg":
+        if not iceberg_available(spark):
+            raise ConfigError(
+                "warehouse format 'iceberg' requires the iceberg-spark-runtime "
+                "jar and a spark.sql.catalog.* configuration"
+            )
+        return IcebergWarehouse(spark, catalog)
+    raise ConfigError(f"unknown warehouse format '{fmt}'")

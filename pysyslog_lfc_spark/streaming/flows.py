@@ -27,7 +27,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from pysyslog_lfc_spark.config import FlowConfig
+from pysyslog_lfc_spark.config import FlowConfig, RuntimeConfig
 from pysyslog_lfc_spark.plans.compiler import RAW_COL, compile_flow
 from pysyslog_lfc_spark.sinks import ParquetWarehouse
 
@@ -38,25 +38,40 @@ def stream_json_lines(spark: SparkSession, path: str) -> DataFrame:
     return spark.readStream.format("text").load(path).withColumnRenamed("value", RAW_COL)
 
 
+def trigger_from_settings(cfg: RuntimeConfig | None) -> dict:
+    """[settings] flush_every (docs/configuration/main.md:20) -> the
+    micro-batch trigger: the reference flushes its buffer every
+    ``flush_every``; the streaming analog is a processing-time trigger
+    of the same period. No setting -> drain-everything (availableNow),
+    the batch-parity default used by tests."""
+    secs = cfg.flush_every_seconds if cfg is not None else None
+    if secs:
+        ms = int(secs * 1000)
+        return {"processingTime": f"{ms} milliseconds"}
+    return {"availableNow": True}
+
+
 def run_flow_stream(
     spark: SparkSession,
     cfg: FlowConfig,
     source: DataFrame,
     query_name: str,
     output_mode: str = "append",
+    trigger: dict | None = None,
 ):
     """Run one compiled flow on a streaming source into a memory sink.
 
     Returns the StreamingQuery; results land in the in-memory table
     ``query_name`` (the streaming analog of the reference MemoryOutput,
-    outputs/memory.py:10-18).
+    outputs/memory.py:10-18). ``trigger`` defaults to availableNow;
+    pass :func:`trigger_from_settings` output to honor flush_every.
     """
     out = compile_flow(cfg)(source).select(F.col("rendered").cast("string").alias("rendered"))
     return (
         out.writeStream.format("memory")
         .queryName(query_name)
         .outputMode(output_mode)
-        .trigger(availableNow=True)
+        .trigger(**(trigger or {"availableNow": True}))
         .start()
     )
 

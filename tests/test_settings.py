@@ -1,0 +1,137 @@
+"""§2.8 parallelism/buffering knobs: [settings] and per-flow
+parallel.workers / batch_size / enabled actually land in the session
+and the plan (docs/configuration/main.md:9-70, flows.md:103-150).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pysyslog_lfc_spark import config
+from pysyslog_lfc_spark.config import ConfigError, parse_duration
+from pysyslog_lfc_spark.plans.compiler import compile_flow, lines_df
+from pysyslog_lfc_spark.plans.runtime import apply_settings, run_runtime
+from pysyslog_lfc_spark.registry import ComponentRegistry
+from pysyslog_lfc_spark.streaming.flows import trigger_from_settings
+
+
+def test_parse_duration():
+    assert parse_duration("500ms") == 0.5
+    assert parse_duration("5s") == 5.0
+    assert parse_duration("1m") == 60.0
+    assert parse_duration("2h") == 7200.0
+    assert parse_duration("3") == 3.0
+    with pytest.raises(ConfigError):
+        parse_duration("fast")
+
+
+def test_flow_options_parsed():
+    cfg = config.loads(
+        """[flow.p]
+input.type = memory
+parser.type = text
+parallel.workers = 3
+parallel.batch_size = 250
+output.type = memory
+
+[settings]
+flush_every = 5s
+metrics = disabled
+max_buffer = 5000
+"""
+    )
+    f = cfg.get_flow("p")
+    assert f.workers == 3 and f.batch_size == 250 and f.enabled
+    assert cfg.flush_every_seconds == 5.0
+    assert not cfg.metrics_enabled
+
+
+def test_workers_sets_plan_parallelism(spark):
+    cfg = config.loads(
+        "[flow.p]\ninput.type = memory\nparser.type = text\n"
+        "parallel.workers = 3\noutput.type = memory\n"
+    ).get_flow("p")
+    out = compile_flow(cfg)(lines_df(spark, [f"line {i}" for i in range(20)]))
+    assert out.rdd.getNumPartitions() == 3
+
+
+def test_batch_size_lands_in_arrow_conf_during_flow(spark):
+    seen = {}
+
+    def _probe_output(df, flow_cfg):
+        seen["batch"] = df.sparkSession.conf.get(
+            "spark.sql.execution.arrow.maxRecordsPerBatch"
+        )
+        return []
+
+    reg = ComponentRegistry()
+    reg.register_output("probe", _probe_output)
+    cfg = config.loads(
+        "[flow.b]\ninput.type = memory\nparser.type = text\n"
+        "batch_size = 123\noutput.type = probe\n"
+    )
+    before = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    run_runtime(spark, cfg, inputs={"b": ["x"]}, registry=reg)
+    assert seen["batch"] == "123"
+    # restored after the flow
+    assert spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None) == before
+
+
+def test_disabled_flow_is_skipped(spark):
+    cfg = config.loads(
+        """[flow.on]
+input.type = memory
+parser.type = text
+output.type = memory
+
+[flow.off]
+input.type = memory
+parser.type = text
+enabled = false
+output.type = memory
+"""
+    )
+    res = run_runtime(spark, cfg, inputs={"on": ["a"], "off": ["b"]})
+    assert "on" in res.outputs and "off" not in res.outputs
+
+
+def test_apply_settings_and_trigger(spark):
+    cfg = config.loads(
+        """[flow.x]
+input.type = memory
+parser.type = text
+output.type = memory
+
+[settings]
+log_level = warning
+max_buffer = 4096
+flush_every = 2s
+"""
+    )
+    applied = apply_settings(spark, cfg)
+    try:
+        assert applied["spark.sql.execution.arrow.maxRecordsPerBatch"] == "4096"
+        assert spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch") == "4096"
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+    assert trigger_from_settings(cfg) == {"processingTime": "2000 milliseconds"}
+    assert trigger_from_settings(None) == {"availableNow": True}
+
+
+def test_warehouse_format_dispatch(spark, tmp_path):
+    from pysyslog_lfc_spark.sinks import (
+        IcebergWarehouse,
+        ParquetWarehouse,
+        iceberg_available,
+        warehouse_for,
+    )
+
+    wh = warehouse_for(spark, tmp_path / "wh", "parquet")
+    assert isinstance(wh, ParquetWarehouse)
+    with pytest.raises(ConfigError, match="unknown warehouse format"):
+        warehouse_for(spark, tmp_path / "wh", "orc")
+    if iceberg_available(spark):  # pragma: no cover - no jar in sandbox
+        assert isinstance(warehouse_for(spark, tmp_path / "wh", "iceberg"), IcebergWarehouse)
+    else:
+        with pytest.raises(ConfigError, match="iceberg-spark-runtime"):
+            warehouse_for(spark, tmp_path / "wh", "iceberg")
