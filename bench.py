@@ -43,10 +43,15 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_simhash_wide",
     "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
     "ann_cosine_topk",
+    "ann_lsh_topk",
     "text_quality",
     "text_token_stats",
+    "flow_parse_regex",
+    "flow_filter_ip",
 ]
 
 

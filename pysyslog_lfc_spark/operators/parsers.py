@@ -11,6 +11,8 @@ Implemented parser family (reference status in parentheses):
 - ``json``        (IMPL ``src/pysyslog/parsers/json.py:11-21``)
 - ``regex``       (DOC  ``docs/configuration/parsers.md:67-110``)
 - ``rfc3164``     (DOC  ``docs/configuration/parsers.md:9-65``)
+- ``rfc5424``     (public RFC 5424 §6 grammar; north-star "RFC3164/
+  RFC5424-style records" — the reference documents rfc3164 only)
 - ``passthrough`` (DOC  ``docs/configuration/parsers.md:112-151``)
 
 All default paths are pure Catalyst expressions (``from_json``,
@@ -265,6 +267,66 @@ def _rfc3164(cfg: ComponentConfig) -> ParserFn:
     return parse
 
 
+# ---------------------------------------------------------------- rfc5424
+
+# <PRI>VERSION TIMESTAMP HOSTNAME APP-NAME PROCID MSGID SD MSG
+# (RFC 5424 §6 public grammar; the north star names "RFC3164/RFC5424-
+# style records" — the reference documents only rfc3164, so this parser
+# follows the public spec directly)
+_RFC5424 = (
+    r"^<(\d{1,3})>(\d) "
+    r"(-|\S+) "  # timestamp (ISO8601 or nil)
+    r"(-|\S+) "  # hostname
+    r"(-|\S+) "  # app-name
+    r"(-|\S+) "  # procid
+    r"(-|\S+) "  # msgid
+    r"(-|(?:\[.*?\])+)"  # structured data: nil or one+ [sd] elements
+    r"(?: (.*))?$"  # msg (optional)
+)
+
+
+def _rfc5424(cfg: ComponentConfig) -> ParserFn:
+    validate = cfg.flag("validate", True)
+
+    def parse(df: DataFrame, raw: str = "value") -> DataFrame:
+        v = F.col(raw)
+        g = [F.regexp_extract(v, _RFC5424, i) for i in range(10)]
+        nil = lambda c: F.nullif(c, F.lit("-"))  # noqa: E731 - RFC nil value
+        pri = g[1].cast(T.IntegerType())
+        ts = F.try_to_timestamp(nil(g[3]))
+        sd = nil(g[8])
+        # first SD element: id + params as a map (keys/values extracted
+        # by paired regexp_extract_all — values may contain spaces)
+        sd_first = F.regexp_extract(sd, r"^\[(.*?)\]", 1)
+        sd_id = F.regexp_extract(sd_first, r"^(\S+)", 1)
+        sd_params = F.map_from_arrays(
+            F.regexp_extract_all(sd_first, F.lit(r'([\w.@-]+)="'), 1),
+            F.regexp_extract_all(sd_first, F.lit(r'="([^"]*)"'), 1),
+        )
+        matched = v.rlike(_RFC5424)
+        valid = matched
+        if validate:
+            valid = matched & (pri <= 191) & (nil(g[3]).isNull() | ts.isNotNull())
+        rec = F.struct(
+            pri.alias("priority"),
+            (pri / 8).cast(T.IntegerType()).alias("facility"),
+            F.pmod(pri, F.lit(8)).cast(T.IntegerType()).alias("severity"),
+            g[2].cast(T.IntegerType()).alias("version"),
+            ts.alias("ts"),
+            nil(g[4]).alias("hostname"),
+            nil(g[5]).alias("app_name"),
+            nil(g[6]).alias("procid"),
+            nil(g[7]).alias("msgid"),
+            sd.alias("structured_data"),
+            F.when(sd.isNotNull(), sd_id).alias("sd_id"),
+            F.when(sd.isNotNull(), sd_params).alias("sd_params"),
+            F.nullif(g[9], F.lit("")).alias("message"),
+        )
+        return df.where(valid).withColumn(RECORD_COL, rec)
+
+    return parse
+
+
 # ---------------------------------------------------------------- passthrough
 
 def _passthrough(cfg: ComponentConfig) -> ParserFn:
@@ -281,5 +343,6 @@ BUILTIN_PARSERS = {
     "json": _json,
     "regex": _regex,
     "rfc3164": _rfc3164,
+    "rfc5424": _rfc5424,
     "passthrough": _passthrough,
 }

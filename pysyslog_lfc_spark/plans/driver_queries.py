@@ -338,6 +338,60 @@ def flow_parse_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RFC5424_FLOW_INI = """
+[flow.s5424]
+input.type = memory
+parser.type = rfc5424
+output.type = memory
+"""
+
+
+@query(
+    "flow_parse_rfc5424",
+    """
+    SELECT event_id,
+           CAST((user_id % 24) * 8 + (event_id % 8) AS INTEGER) AS priority,
+           CAST(event_id % 8 AS INTEGER) AS severity,
+           printf('host-%02d', user_id % 32) AS hostname,
+           'app' || CAST(event_id % 20 AS VARCHAR) AS app_name,
+           date_trunc('second', ts) AS ts,
+           event_type AS k,
+           'evt=' || CAST(event_id AS VARCHAR) AS message
+    FROM events
+    """,
+)
+def flow_parse_rfc5424(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parser.rfc5424 (public RFC 5424 §6 grammar; north-star
+    "RFC3164/RFC5424-style records"): pri/version/ISO-timestamp/header
+    fields + structured-data param map, all regexp_extract +
+    map_from_arrays codegen. The oracle recomputes every field directly
+    from the source columns — fully independent of the parse regex."""
+    cfg = load_config(_RFC5424_FLOW_INI).get_flow("s5424")
+    ev = _t(spark, sf_dir, "events")
+    line = F.format_string(
+        '<%d>1 %s host-%02d app%d %d ID%d [ctx@1 k="%s"] evt=%d',
+        (F.col("user_id") % 24) * 8 + F.col("event_id") % 8,
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+        F.col("user_id") % 32,
+        F.col("event_id") % 20,
+        F.col("event_id") % 32000 + 1,
+        F.col("event_id") % 100,
+        F.col("event_type"),
+        F.col("event_id"),
+    )
+    out = compile_flow(cfg)(ev.select("event_id", line.alias("value")))
+    return out.select(
+        "event_id",
+        F.col("record.priority").alias("priority"),
+        F.col("record.severity").alias("severity"),
+        F.col("record.hostname").alias("hostname"),
+        F.col("record.app_name").alias("app_name"),
+        F.col("record.ts").alias("ts"),
+        F.col("record.sd_params")["k"].alias("k"),
+        F.col("record.message").alias("message"),
+    )
+
+
 @query(
     "flow_parse_text",
     """

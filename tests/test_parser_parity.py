@@ -56,3 +56,35 @@ def test_filter_coercion_matches_python_semantics(spark, values, threshold, op):
     got = sorted(r.x for r in df.where(pred).collect())
     want = sorted(v for v in values if ops[op](v, threshold))
     assert got == want
+
+
+def test_rfc5424_parser_fields_and_validation(spark):
+    """RFC 5424 §6 grammar: header fields, nil values, structured-data
+    param map (values may contain spaces), invalid-priority drop."""
+    from pysyslog_lfc_spark import config
+    from pysyslog_lfc_spark.plans.compiler import compile_flow, lines_df
+
+    cfg = config.loads(
+        "[flow.s]\ninput.type = memory\nparser.type = rfc5424\noutput.type = memory\n"
+    ).get_flow("s")
+    lines = [
+        '<165>1 2003-10-11T22:14:15.003Z mymachine evntslog 1234 ID47 '
+        '[ex@32473 iut="3" eventSource="App Server"] BOM entry',
+        '<34>1 2003-10-11T22:14:15Z host.example su - ID47 - su root failed',
+        "<13>1 - - - - - - all nil",
+        "garbage",
+        "<999>1 2003-10-11T22:14:15Z h app - - - pri out of range",
+    ]
+    rows = {r.priority: r for r in (
+        compile_flow(cfg)(lines_df(spark, lines)).select("record.*").collect()
+    )}
+    assert set(rows) == {165, 34, 13}  # garbage + pri>191 dropped
+    full = rows[165]
+    assert (full.facility, full.severity, full.version) == (20, 5, 1)
+    assert full.hostname == "mymachine" and full.procid == "1234"
+    assert full.sd_id == "ex@32473"
+    assert full.sd_params == {"iut": "3", "eventSource": "App Server"}
+    assert full.message == "BOM entry"
+    nil = rows[13]
+    assert nil.hostname is None and nil.ts is None and nil.structured_data is None
+    assert rows[34].procid is None and rows[34].ts is not None
