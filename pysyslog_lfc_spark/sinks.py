@@ -225,6 +225,108 @@ class ParquetWarehouse:
         tdir = self.table_path(table)
         return tdir.exists() and any(tdir.iterdir())
 
+    # ------------------------------------------------------------ maintenance
+    def _commit_dirs(self, table: str) -> list[Path]:
+        tdir = self.table_path(table)
+        if not tdir.exists():
+            return []
+        return sorted(
+            d for pat in ("bucket=*/job=*", "job=*") for d in tdir.glob(pat) if d.is_dir()
+        )
+
+    def compact(
+        self,
+        spark: SparkSession,
+        table: str,
+        target_records_per_file: int = 1_000_000,
+        min_files: int = 2,
+    ) -> int:
+        """Rewrite multi-file commit dirs into few large files.
+
+        Bucket-granular commits are great for resume but accrete small
+        files (the classic 100 TB warehouse tax: each executor task
+        contributes a file per commit). Compaction preserves the
+        ``bucket=*/job=*`` layout — the resume manifest (directory
+        existence) stays valid — and swaps each rewritten dir in with
+        the same two-rename discipline as commits: write ``.new``,
+        rename old to ``.old``, rename ``.new`` in, drop ``.old``. A
+        crash at any point leaves a state :meth:`repair` resolves to
+        exactly one complete copy. Returns the number of dirs rewritten.
+        """
+        self.repair(table)
+        done = 0
+        for d in self._commit_dirs(table):
+            files = [f for f in d.iterdir() if f.suffix == ".parquet"]
+            if len(files) < min_files:
+                continue
+            new = d.with_name(d.name + ".new")
+            old = d.with_name(d.name + ".old")
+            shutil.rmtree(new, ignore_errors=True)
+            (
+                spark.read.parquet(str(d))
+                .coalesce(1)
+                .write.option("maxRecordsPerFile", str(target_records_per_file))
+                .mode("overwrite")
+                .parquet(str(new))
+            )
+            os.replace(d, old)
+            os.replace(new, d)
+            shutil.rmtree(old)
+            done += 1
+        return done
+
+    def repair(self, table: str) -> int:
+        """Resolve interrupted compactions: a ``.old`` with no live dir
+        is rolled forward from ``.new`` (or back from ``.old``); stray
+        ``.new`` next to a live dir is discarded. Idempotent."""
+        fixed = 0
+        tdir = self.table_path(table)
+        if not tdir.exists():
+            return 0
+        for old in list(tdir.glob("**/job=*.old")):
+            live = old.with_name(old.name[: -len(".old")])
+            new = old.with_name(live.name + ".new")
+            if not live.exists():
+                os.replace(new if new.exists() else old, live)
+            shutil.rmtree(old, ignore_errors=True)
+            fixed += 1
+        for new in list(tdir.glob("**/job=*.new")):
+            shutil.rmtree(new, ignore_errors=True)
+            fixed += 1
+        return fixed
+
+    def retain_jobs(
+        self,
+        table: str,
+        keep: set[str] | None = None,
+        max_jobs: int | None = None,
+    ) -> list[str]:
+        """Retention policy (reference output.file max_files analog at
+        table granularity): drop commits for job ids not in ``keep``,
+        or keep only the ``max_jobs`` most recent (by commit mtime).
+        Returns the removed job ids."""
+        dirs = self._commit_dirs(table)
+        by_job: dict[str, list[Path]] = {}
+        for d in dirs:
+            by_job.setdefault(d.name.split("=", 1)[1], []).append(d)
+        if keep is None:
+            if max_jobs is None:
+                raise ValueError("retain_jobs needs keep or max_jobs")
+            recent = sorted(
+                by_job, key=lambda j: max(d.stat().st_mtime for d in by_job[j]), reverse=True
+            )
+            keep = set(recent[:max_jobs])
+        removed = []
+        for job, jdirs in by_job.items():
+            if job in keep:
+                continue
+            for d in jdirs:
+                shutil.rmtree(d)
+                if d.parent.name.startswith("bucket=") and not any(d.parent.iterdir()):
+                    d.parent.rmdir()  # drop now-empty bucket dir
+            removed.append(job)
+        return sorted(removed)
+
 
 # ---------------------------------------------------------------- dispatch
 

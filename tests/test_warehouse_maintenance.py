@@ -1,0 +1,81 @@
+"""Warehouse maintenance: compaction (small-file rewrite with
+crash-safe swap + repair) and job retention.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pysyslog_lfc_spark.sinks import BUCKET_COL, ParquetWarehouse
+
+
+@pytest.fixture()
+def wh(spark, tmp_path):
+    w = ParquetWarehouse(tmp_path / "wh")
+    df = (
+        spark.range(0, 2000)
+        .withColumn(BUCKET_COL, (F.col("id") % 4).cast("int"))
+        .repartition(8)  # several files per bucket dir
+    )
+    w.commit_bucketed(df, "t", "j1")
+    return w
+
+
+def _files(d):
+    return [f for f in d.glob("**/*.parquet")]
+
+
+def test_compact_reduces_files_preserves_data(spark, wh):
+    before = wh.read(spark, "t")
+    rows_before = sorted(r.id for r in before.collect())
+    n_files_before = len(_files(wh.table_path("t")))
+    assert n_files_before > 4  # multiple files per bucket
+
+    rewritten = wh.compact(spark, "t")
+    assert rewritten == 4  # one rewrite per bucket commit dir
+    assert len(_files(wh.table_path("t"))) == 4  # one file per bucket
+    after = wh.read(spark, "t")
+    assert sorted(r.id for r in after.collect()) == rows_before
+    # manifest unchanged: resume still sees the committed buckets
+    assert wh.committed_buckets("t", "j1") == {0, 1, 2, 3}
+    # idempotent: nothing left to rewrite
+    assert wh.compact(spark, "t") == 0
+
+
+def test_repair_resolves_interrupted_swap(spark, wh):
+    d = wh.table_path("t") / "bucket=0" / "job=j1"
+    rows = sorted(r.id for r in spark.read.parquet(str(d)).collect())
+    # simulate a crash after `old` was renamed away but before `new`
+    # was renamed in
+    new = d.with_name("job=j1.new")
+    old = d.with_name("job=j1.old")
+    os.replace(d, old)
+    os.makedirs(new)
+    spark.read.parquet(str(old)).coalesce(1).write.mode("overwrite").parquet(str(new))
+    assert not d.exists()
+
+    wh.repair("t")
+    assert d.exists() and not old.exists() and not new.exists()
+    assert sorted(r.id for r in spark.read.parquet(str(d)).collect()) == rows
+    assert wh.committed_buckets("t", "j1") == {0, 1, 2, 3}
+
+
+def test_retain_jobs(spark, wh):
+    df2 = (
+        spark.range(2000, 2100)
+        .withColumn(BUCKET_COL, (F.col("id") % 4).cast("int"))
+    )
+    wh.commit_bucketed(df2, "t", "j2")
+    assert wh.committed_buckets("t", "j2") == {0, 1, 2, 3}
+
+    removed = wh.retain_jobs("t", keep={"j2"})
+    assert removed == ["j1"]
+    assert wh.committed_buckets("t", "j1") == set()
+    got = sorted(r.id for r in wh.read(spark, "t").collect())
+    assert got == list(range(2000, 2100))
+
+    with pytest.raises(ValueError):
+        wh.retain_jobs("t")
