@@ -7,9 +7,11 @@ the same ``CompiledFlow`` runs unchanged on ``readStream`` inputs.
 """
 
 from pysyslog_lfc_spark.streaming.flows import (  # noqa: F401
+    alert_with_cooldown,
     stream_json_lines,
     run_flow_stream,
     fanout_foreach_batch,
+    trigger_from_settings,
     windowed_alert_stream,
     streaming_dedup,
     stateful_source_gauge,

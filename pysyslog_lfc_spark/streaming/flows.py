@@ -133,6 +133,62 @@ def windowed_alert_stream(
     )
 
 
+_COOLDOWN_STATE = T.StructType([T.StructField("last_fired", T.DoubleType())])
+
+
+def alert_with_cooldown(
+    alerts: DataFrame,
+    key_col: str = "rule",
+    ts_col: str = "window_start",
+    cooldown_s: float = 300.0,
+    payload_cols: list[str] | None = None,
+):
+    """Cooldown suppression between alerts (reference
+    docs/configuration/outputs/alert.md:17,67: "Cooldown period between
+    alerts"): after a key fires, further alerts for it are swallowed
+    until ``cooldown_s`` of event time has passed. Keyed state = the
+    last fired timestamp only, so state size is O(distinct keys)
+    regardless of alert volume.
+
+    Input: candidate alert rows (e.g. :func:`windowed_alert_stream`
+    output plus a rule/key column). Output: the surviving alerts with
+    ``fired_at`` (epoch seconds).
+    """
+    import pandas as pd
+
+    payload_cols = payload_cols or ["n_matches"]
+    out_schema = T.StructType(
+        [T.StructField(key_col, T.StringType()), T.StructField("fired_at", T.DoubleType())]
+        + [alerts.schema[c] for c in payload_cols]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        (last_fired,) = state.get if state.exists else (float("-inf"),)
+        fired = []
+        for pdf in pdfs:
+            for _, row in pdf.sort_values(ts_col).iterrows():
+                t = (
+                    row[ts_col].timestamp()
+                    if hasattr(row[ts_col], "timestamp")
+                    else float(row[ts_col])
+                )
+                if t >= last_fired + cooldown_s:
+                    last_fired = t
+                    fired.append(
+                        [key[0], t] + [row[c] for c in payload_cols]
+                    )
+        state.update((last_fired,))
+        yield pd.DataFrame(fired, columns=[key_col, "fired_at"] + payload_cols)
+
+    return alerts.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=_COOLDOWN_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_dedup(
     df: DataFrame, key_cols: list[str], ts_col: str = "ts", watermark: str = "1 hour"
 ) -> DataFrame:

@@ -148,3 +148,33 @@ def test_stateful_source_gauge(spark, tmp_path):
     got = {r.source: (r.last_value, r.n_seen) for r in spark.sql("SELECT * FROM gauge_t").collect()}
     assert got["hostA"] == (7.5, 3)  # latest by event time, not arrival order
     assert got["hostB"] == (2.0, 1)
+
+
+def test_alert_with_cooldown(spark, tmp_path):
+    """Reference alert cooldown (outputs/alert.md:17): once a rule
+    fires, subsequent alerts inside the cooldown window are swallowed;
+    the first alert past the horizon fires again."""
+    from pysyslog_lfc_spark.streaming import alert_with_cooldown
+
+    rows = [
+        ("r1", "2024-01-01 10:00:00", 6),
+        ("r1", "2024-01-01 10:02:00", 9),   # inside 300s cooldown -> swallowed
+        ("r1", "2024-01-01 10:06:00", 7),   # past cooldown -> fires
+        ("r2", "2024-01-01 10:01:00", 5),   # independent key -> fires
+    ]
+    df = spark.createDataFrame(rows, "rule string, ts_s string, n_matches long").withColumn(
+        "window_start", F.col("ts_s").cast("timestamp")
+    ).drop("ts_s")
+    src = tmp_path / "cooldown_in"
+    df.coalesce(1).write.mode("overwrite").parquet(str(src))
+    stream = spark.readStream.schema(df.schema).parquet(str(src))
+    q = (
+        alert_with_cooldown(stream, cooldown_s=300.0)
+        .writeStream.format("memory").queryName("cooldown_t")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.rule, r.n_matches) for r in spark.sql("SELECT * FROM cooldown_t").collect()
+    )
+    assert got == [("r1", 6), ("r1", 7), ("r2", 5)]
