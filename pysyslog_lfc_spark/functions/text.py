@@ -131,7 +131,23 @@ def fingerprint(col: Column, n_words: int = 8) -> Column:
 
 def shingles(col: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of the token stream (sorted, so the
-    array itself is deterministic across partitionings)."""
+    array itself is deterministic across partitionings).
+
+    Arrow-batched pandas kernel: the expression-tree formulation
+    (``transform(sequence(..), i -> array_join(slice(words, i, n)))``
+    + ``array_distinct`` + ``array_sort``) runs in the interpreter and
+    ``array_distinct`` is O(k^2) string compares per row — measured
+    ~11 s just to shingle 5k docs at sf0.1; the batch kernel does the
+    same work in ~1 s and scales linearly."""
+    from pysyslog_lfc_spark.operators._pandas_udfs import make_shingles_udf
+
+    return make_shingles_udf(n)(col)
+
+
+def shingles_expr(col: Column, n: int = 3) -> Column:
+    """Pure-expression shingles (no Python) — identical output to
+    :func:`shingles`; kept for UDF-free plans and as the parity check
+    in tests."""
     words = tokenize(F.lower(col))
     k = F.size(words) - (n - 1)
     grams = F.when(

@@ -22,6 +22,31 @@ def make_json_dumps_udf(indent, sort_keys):
     return dumps
 
 
+def make_shingles_udf(n):
+    """Distinct sorted word n-gram shingles per document (lowercased,
+    whitespace-tokenized) — semantics identical to
+    functions/text.py::shingles_expr, ~10x faster than the interpreted
+    expression tree."""
+    import re
+
+    ws = re.compile(r"\s+")
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def sh(s: pd.Series) -> pd.Series:
+        out = []
+        for text in s:
+            if text is None:
+                out.append([])
+                continue
+            toks = [w for w in ws.split(text.lower()) if w]
+            out.append(
+                sorted({" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)})
+            )
+        return pd.Series(out)
+
+    return sh
+
+
 def make_regex_extract_udf(pattern, names):
     """Python-regex named-group extraction via ``Series.str.extract``."""
     out_schema = T.StructType([T.StructField(n, T.StringType(), True) for n in names])

@@ -274,3 +274,14 @@ def test_multimodal_frame_sampling(spark):
     out = MM.sample_video_frames(df, every_n=10).collect()
     assert [r.frame_idx for r in out] == [0, 10, 20]
     assert all(len(r.frame_payload) == 32 for r in out)
+
+
+def test_shingles_pandas_kernel_matches_expression(spark):
+    """The Arrow-batched shingle kernel is byte-identical to the
+    pure-expression formulation (which stays as the UDF-free fallback)."""
+    from pysyslog_lfc_spark.functions.text import shingles, shingles_expr
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(300)
+    a = docs.select("doc_id", shingles(F.col("text")).alias("s")).alias("a")
+    b = docs.select("doc_id", shingles_expr(F.col("text")).alias("s")).alias("b")
+    assert a.join(b, "doc_id").where(F.col("a.s") != F.col("b.s")).count() == 0
