@@ -148,6 +148,101 @@ def brute_force_topk(
     )
 
 
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_stride: int = 37,
+    n_probe: int = 3,
+) -> DataFrame:
+    """IVF-flat approximate top-k: coarse-centroid cells + probe.
+
+    The inverted-file structure (Jégou et al., public IVF literature):
+    corpus vectors are assigned to their nearest coarse centroid; a
+    query scores only the vectors in its ``n_probe`` nearest cells.
+    Centroids here are a deterministic corpus sample
+    (``id % centroid_stride == 0``) so the whole index is reproducible
+    and the DuckDB oracle can replicate it cell-for-cell; swapping in
+    k-means-trained centroids is a drop-in (any small DataFrame of
+    (cid, vector) works the same).
+
+    Scale shape: the centroid set is tiny and broadcast (in-memory
+    numpy matrix in each assignment batch — one BLAS matmul per batch);
+    the cell assignment shuffles bare (id, cell) pairs; candidate
+    scoring re-joins vectors by broadcasting the probed-cell list, so
+    corpus vectors never shuffle. Cell sizes ~ n/centroids; probing
+    n_probe cells scans ~ n_probe/centroids of the corpus instead of
+    all of it.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cent_rows = (
+        corpus.where(F.col(id_col) % centroid_stride == 0)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    c_ids = np.array([r[0] for r in cent_rows], dtype="int64")
+    c_mat = _np_normalize(np.array([r[1] for r in cent_rows], dtype="float64"))
+    q_ids, q_mat = _query_matrix(queries, vec_col, id_col)
+
+    def nearest_cells(mat, top: int):
+        sims = mat @ c_mat.T  # (n, n_cent)
+        # total order (-cos, cid): argsort on lexicographic keys
+        order = np.lexsort((np.broadcast_to(c_ids, sims.shape), -sims), axis=1)
+        return c_ids[order[:, :top]]
+
+    c = _raw_vec(corpus, vec_col, id_col)
+
+    def assign(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cells = nearest_cells(_np_normalize(_np_mat(pdf["_v"])), 1)[:, 0]
+            yield pd.DataFrame({"_id": pdf["_id"].to_numpy(), "cell": cells})
+
+    assigned = c.mapInPandas(assign, "_id long, cell long")
+
+    probe_cells = nearest_cells(q_mat, min(n_probe, len(c_ids)))
+    probe_rows = [
+        (int(q_ids[i]), int(cell)) for i in range(len(q_ids)) for cell in probe_cells[i]
+    ]
+    probes = corpus.sparkSession.createDataFrame(probe_rows, "query_id long, cell long")
+
+    cand = (
+        assigned.join(F.broadcast(probes), "cell")
+        .where(F.col("_id") != F.col("query_id"))
+        .select("query_id", "_id")
+    )
+    with_vec = c.join(F.broadcast(cand), "_id")
+    q_index = {int(q): i for i, q in enumerate(q_ids)}
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vecs = _np_normalize(_np_mat(pdf["_v"]))
+            qi = pdf["query_id"].map(q_index).to_numpy()
+            cos = np.round((vecs * q_mat[qi]).sum(axis=1), 4)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(),
+                    "neighbor_id": pdf["_id"].to_numpy(),
+                    "cos": cos,
+                }
+            )
+
+    scored = with_vec.mapInPandas(score, "query_id long, neighbor_id long, cos double")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
 N_PLANES = 16  # signature bits
 N_BANDS = 4  # 4 bands x 4 bits
 

@@ -1150,6 +1150,60 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_ivf_topk",
+    """
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 5),
+         q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+         cent AS (SELECT vec_id AS cid, v AS cv FROM c WHERE vec_id % 37 = 0),
+         assign AS (
+           SELECT vec_id, cid FROM (
+             SELECT c.vec_id, cent.cid,
+                    row_number() OVER (
+                      PARTITION BY c.vec_id
+                      ORDER BY list_cosine_similarity(c.v, cent.cv) DESC, cent.cid
+                    ) AS rn
+             FROM c CROSS JOIN cent
+           ) WHERE rn = 1
+         ),
+         probes AS (
+           SELECT query_id, cid FROM (
+             SELECT q.query_id, cent.cid,
+                    row_number() OVER (
+                      PARTITION BY q.query_id
+                      ORDER BY list_cosine_similarity(q.qv, cent.cv) DESC, cent.cid
+                    ) AS rn
+             FROM q CROSS JOIN cent
+           ) WHERE rn <= 3
+         ),
+         cand AS (
+           SELECT p.query_id, a.vec_id FROM probes p JOIN assign a USING (cid)
+           WHERE a.vec_id != p.query_id
+         ),
+         scored AS (
+           SELECT cand.query_id, cand.vec_id AS neighbor_id,
+                  round(list_cosine_similarity(q.qv, c.v), 4) AS cos
+           FROM cand JOIN c ON c.vec_id = cand.vec_id JOIN q USING (query_id)
+         )
+    SELECT query_id, neighbor_id, rank, cos FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN (functions/similarity.py::ivf_ann_topk): coarse
+    cells from a deterministic centroid sample, n_probe=3 nearest cells
+    scanned per query, exact rounded-cosine re-rank — the oracle
+    replicates the index cell-for-cell, so the approximate path is
+    fully hash-verified."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.ivf_ann_topk(
+        emb.where(F.col("vec_id") >= 5), emb.where(F.col("vec_id") < 5),
+        k=10, centroid_stride=37, n_probe=3,
+    )
+
+
+@query(
     "text_token_stats",
     r"""
     WITH toks AS (

@@ -362,3 +362,18 @@ def test_multimodal_real_raw_video_frame_slicing(spark):
         arr = MM.decode_ppm(bytes(r.frame_payload))
         assert arr.shape == (h, w, 3)
         assert (arr == r.frame_idx * 10).all()  # the actual frame bytes
+
+
+def test_ivf_ann_recall_and_shape(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    corpus, queries = emb.where(F.col("vec_id") >= 5), emb.where(F.col("vec_id") < 5)
+    brute = {(r.query_id, r.neighbor_id) for r in SIM.brute_force_topk(corpus, queries, k=10).collect()}
+    out = SIM.ivf_ann_topk(corpus, queries, k=10, centroid_stride=11, n_probe=4).collect()
+    ivf = {(r.query_id, r.neighbor_id) for r in out}
+    # exactly k results per query, deterministic ranks
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    for ranks in per_q.values():
+        assert sorted(ranks) == list(range(1, 11))
+    assert len(brute & ivf) / len(brute) >= 0.2  # probing a fraction of cells
