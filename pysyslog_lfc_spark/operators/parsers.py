@@ -193,6 +193,83 @@ def _regex(cfg: ComponentConfig) -> ParserFn:
     return parse_pandas if use_pandas else parse_sql
 
 
+# ---------------------------------------------------------------- grok
+
+# Public grok pattern library (the common core of the logstash-style
+# pattern set — names and regexes are public knowledge). The north star
+# calls for "vectorized grok/regex parsing"; grok compiles to the regex
+# parser's plan, so it inherits both the SQL and the pandas path.
+GROK_PATTERNS: dict[str, str] = {
+    "WORD": r"\w+",
+    "NOTSPACE": r"\S+",
+    "DATA": r".*?",
+    "GREEDYDATA": r".*",
+    "INT": r"[+-]?\d+",
+    "NUMBER": r"[+-]?\d+(?:\.\d+)?",
+    "BASE16NUM": r"(?:0[xX])?[0-9a-fA-F]+",
+    "IPV4": r"(?:\d{1,3}\.){3}\d{1,3}",
+    "HOSTNAME": r"[A-Za-z0-9][A-Za-z0-9.\-]*",
+    "IPORHOST": r"(?:(?:\d{1,3}\.){3}\d{1,3}|[A-Za-z0-9][A-Za-z0-9.\-]*)",
+    "HOSTPORT": r"\S+:\d+",
+    "USER": r"[a-zA-Z0-9._-]+",
+    "UUID": r"[0-9a-fA-F]{8}-(?:[0-9a-fA-F]{4}-){3}[0-9a-fA-F]{12}",
+    "LOGLEVEL": r"(?:[Tt]race|TRACE|[Dd]ebug|DEBUG|[Ii]nfo|INFO|[Nn]otice|NOTICE|[Ww]arn(?:ing)?|WARN(?:ING)?|[Ee]rr(?:or)?|ERR(?:OR)?|[Cc]rit(?:ical)?|CRIT(?:ICAL)?|[Aa]lert|ALERT|[Ff]atal|FATAL)",
+    "TIMESTAMP_ISO8601": r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(?:\.\d+)?(?:Z|[+-]\d{2}:?\d{2})?",
+    "SYSLOGTIMESTAMP": r"[A-Z][a-z]{2} [ 0-3]?\d \d{2}:\d{2}:\d{2}",
+    "HTTPDATE": r"\d{2}/\w{3}/\d{4}:\d{2}:\d{2}:\d{2} [+-]\d{4}",
+    "QS": r'"[^"]*"',
+    "PATH": r"(?:/[\w.:,~-]*)+",
+}
+
+_GROK_REF = re.compile(r"%\{(\w+)(?::(\w+))?(?::(\w+))?\}")
+
+# grok type suffix -> regex parser cast spec
+_GROK_TYPES = {"int": "int", "long": "long", "float": "double", "double": "double"}
+
+
+def grok_to_regex(pattern: str, library: dict[str, str] | None = None) -> tuple[str, dict[str, str]]:
+    """Expand ``%{PATTERN:name[:type]}`` references into a named-group
+    Python regex + cast map. Unnamed references (``%{IPV4}``) expand to
+    non-capturing groups. Unknown pattern names are plan-time errors."""
+    lib = {**GROK_PATTERNS, **(library or {})}
+    casts: dict[str, str] = {}
+
+    def repl(m: re.Match) -> str:
+        pname, field, typ = m.group(1), m.group(2), m.group(3)
+        if pname not in lib:
+            raise ConfigError(f"grok parser: unknown pattern '%{{{pname}}}'")
+        body = lib[pname]
+        if not field:
+            return f"(?:{body})"
+        if typ:
+            if typ not in _GROK_TYPES:
+                raise ConfigError(f"grok parser: unknown type '{typ}' for field '{field}'")
+            casts[field] = _GROK_TYPES[typ]
+        return f"(?P<{field}>{body})"
+
+    out = _GROK_REF.sub(repl, pattern)
+    if "%{" in out:
+        raise ConfigError(f"grok parser: malformed pattern reference in {pattern!r}")
+    return out, casts
+
+
+def _grok(cfg: ComponentConfig) -> ParserFn:
+    pattern = cfg.option("pattern")
+    if not pattern:
+        raise ConfigError("grok parser requires 'pattern'")
+    extra = {}
+    for spec in (cfg.option("definitions") or "").split(";"):
+        if "=" in spec:
+            name, _, body = spec.partition("=")
+            extra[name.strip()] = body.strip()
+    regex, casts = grok_to_regex(pattern, extra)
+    opts = dict(cfg.options)
+    opts["pattern"] = regex
+    explicit = [s for s in (opts.get("types") or "").split(",") if s.strip()]
+    opts["types"] = ", ".join(explicit + [f"{k}:{v}" for k, v in casts.items()])
+    return _regex(ComponentConfig("regex", opts))
+
+
 # ---------------------------------------------------------------- rfc3164
 
 # <pri>MMM dd HH:MM:SS hostname program[pid]: message
@@ -342,6 +419,7 @@ BUILTIN_PARSERS = {
     "text": _text,
     "json": _json,
     "regex": _regex,
+    "grok": _grok,
     "rfc3164": _rfc3164,
     "rfc5424": _rfc5424,
     "passthrough": _passthrough,

@@ -338,6 +338,62 @@ def flow_parse_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GROK_FLOW_INI = r"""
+[flow.grok]
+input.type = memory
+parser.type = grok
+parser.pattern = %{IPV4:client} %{USER:user} "%{WORD:method} %{PATH:path}" %{INT:status:int} %{NUMBER:ms:float}
+output.type = memory
+"""
+
+
+@query(
+    "flow_parse_grok",
+    """
+    WITH lines AS (
+      SELECT event_id,
+             printf('%d.%d.%d.%d user%d "GET /e/%d" %d %.2f',
+                    10 + CAST(event_id % 4 AS INTEGER), user_id % 256, event_id % 256, 1 + user_id % 254,
+                    user_id, event_id, 200 + CAST(event_id % 4 AS INTEGER) * 101, value) AS line
+      FROM events
+    )
+    SELECT event_id,
+           regexp_extract(line, '^(\\S+) ', 1) AS client,
+           'user' || CAST(user_id AS VARCHAR) AS user,
+           'GET' AS method,
+           '/e/' || CAST(event_id AS VARCHAR) AS path,
+           200 + CAST(event_id % 4 AS INTEGER) * 101 AS status,
+           CAST(printf('%.2f', value) AS DOUBLE) AS ms
+    FROM lines JOIN events USING (event_id)
+    """,
+)
+def flow_parse_grok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parser.grok (north star: "vectorized grok/regex parsing"):
+    %{PATTERN:name:type} references compile to the regex parser's
+    codegen plan (operators/parsers.py::grok_to_regex); typed casts
+    come from the grok type suffixes. Oracle recomputes each field
+    directly from the source columns."""
+    cfg = load_config(_GROK_FLOW_INI).get_flow("grok")
+    ev = _t(spark, sf_dir, "events")
+    line = F.format_string(
+        '%d.%d.%d.%d user%d "GET /e/%d" %d %.2f',
+        F.col("event_id") % 4 + 10, F.col("user_id") % 256,
+        F.col("event_id") % 256, F.col("user_id") % 254 + 1,
+        F.col("user_id"), F.col("event_id"),
+        (F.col("event_id") % 4).cast("int") * 101 + 200, F.col("value"),
+    )
+    out = compile_flow(cfg)(ev.select("event_id", line.alias("value")))
+    return out.select(
+        "event_id",
+        F.col("record.client").alias("client"),
+        F.col("record.user").alias("user"),
+        F.col("record.method").alias("method"),
+        F.col("record.path").alias("path"),
+        F.col("record.status").cast("int").alias("status"),
+        F.col("record.ms").alias("ms"),
+    )
+
+
 _RFC5424_FLOW_INI = """
 [flow.s5424]
 input.type = memory

@@ -6,6 +6,7 @@ Plus property-based filter coercion checks (reference field.py:53-60).
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F, types as T
 
@@ -88,3 +89,34 @@ def test_rfc5424_parser_fields_and_validation(spark):
     nil = rows[13]
     assert nil.hostname is None and nil.ts is None and nil.structured_data is None
     assert rows[34].procid is None and rows[34].ts is not None
+
+
+def test_grok_parser_library_types_and_errors(spark):
+    """grok -> named-group regex compilation (public logstash-style
+    pattern library): typed casts, custom definitions, unnamed refs,
+    unknown-pattern plan-time error, non-match drop."""
+    from pysyslog_lfc_spark import config
+    from pysyslog_lfc_spark.config import ConfigError
+    from pysyslog_lfc_spark.operators.parsers import grok_to_regex
+    from pysyslog_lfc_spark.plans.compiler import compile_flow, lines_df
+
+    rx, casts = grok_to_regex("%{IPV4:ip} %{INT:code:int} %{IPV4}")
+    assert "(?P<ip>" in rx and "(?P<code>" in rx and "(?:" in rx
+    assert casts == {"code": "int"}
+    with pytest.raises(ConfigError, match="unknown pattern"):
+        grok_to_regex("%{NOPE:x}")
+
+    cfg = config.loads(
+        """[flow.g]
+input.type = memory
+parser.type = grok
+parser.pattern = %{SEV:level} %{IPV4:client} %{INT:status:int}
+parser.definitions = SEV = (?:low|high)
+output.type = memory
+"""
+    ).get_flow("g")
+    rows = compile_flow(cfg)(
+        lines_df(spark, ["high 10.0.0.1 200", "low 8.8.8.8 404", "garbage"])
+    ).select("record.*").collect()
+    got = {(r.level, r.client, r.status) for r in rows}
+    assert got == {("high", "10.0.0.1", 200), ("low", "8.8.8.8", 404)}
