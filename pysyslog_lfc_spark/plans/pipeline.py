@@ -138,6 +138,34 @@ def render_stage(df: DataFrame) -> DataFrame:
     )
 
 
+def transformed_frame(
+    sequences: DataFrame, lookup: DataFrame, n_buckets: int
+) -> tuple[DataFrame, dict[str, F.Column]]:
+    """The pipeline's transform chain (bucket -> parse -> enrich ->
+    render -> route flags) as one frame — exposed so plan tests can
+    assert the physical shape (zero shuffles, broadcast enrich)."""
+    df = sequences.withColumn(BUCKET_COL, bucket_expr(n_buckets))
+    df = parse_stage(df)
+    df = enrich_stage(df, lookup)
+    df = render_stage(df)
+    routes = routing_predicates()
+    return df.withColumns({f"is_{name}": pred for name, pred in routes.items()}), routes
+
+
+def routed_frame(
+    sequences: DataFrame, lookup: DataFrame, n_buckets: int
+) -> DataFrame:
+    """The exact frame the single-pass fan-out write consumes (rows
+    exploded into their matching routes) — for plan assertions."""
+    df, routes = transformed_frame(sequences, lookup, n_buckets)
+    route_arr = F.array_compact(
+        F.array(*[F.when(F.col(f"is_{name}"), F.lit(name)) for name in routes])
+    )
+    return df.withColumn(ROUTE_COL, F.explode(route_arr)).select(
+        ROUTE_COL, BUCKET_COL, *SINK_COLUMNS
+    )
+
+
 def run_pipeline(
     spark: SparkSession,
     sequences: DataFrame,
@@ -181,12 +209,7 @@ def run_pipeline(
     wh = warehouse_for(spark, warehouse_root, warehouse_format)
     result = PipelineResult(job_id=job_id, warehouse=wh)
 
-    df = sequences.withColumn(BUCKET_COL, bucket_expr(n_buckets))
-    df = parse_stage(df)
-    df = enrich_stage(df, lookup)
-    df = render_stage(df)
-    routes = routing_predicates()
-    df = df.withColumns({f"is_{name}": pred for name, pred in routes.items()})
+    df, routes = transformed_frame(sequences, lookup, n_buckets)
 
     if persist:
         df = df.persist()
