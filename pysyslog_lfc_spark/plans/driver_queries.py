@@ -852,6 +852,48 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_percentiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.95), 4) AS p95,
+           round(quantile_cont(value, 0.99), 4) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per key (Spark `percentile` ==
+    DuckDB `quantile_cont` semantics). At 100 TB you'd reach for
+    approx_percentile (t-digest sketch, no exact sort) — exact here so
+    the oracle gate can hash-match."""
+    ev = _t(spark, sf_dir, "events")
+    pct = F.percentile("value", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)))
+    return ev.groupBy("event_type").agg(
+        F.round(F.element_at(pct, 1), 4).alias("p50"),
+        F.round(F.element_at(pct, 2), 4).alias("p95"),
+        F.round(F.element_at(pct, 3), 4).alias("p99"),
+    )
+
+
+@query(
+    "salted_distinct_users",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS n_distinct_user_id
+    FROM events GROUP BY event_type
+    """,
+)
+def salted_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct count via the two-phase salted plan
+    (operators/skew.py::salted_distinct_count): the hot key's value set
+    spreads over n_salts reducers instead of funnelling through one —
+    the skew-safe formulation of COUNT(DISTINCT) at 10^12 rows."""
+    from pysyslog_lfc_spark.operators import skew
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    return skew.salted_distinct_count(ev, ["event_type"], "user_id", n_salts=16)
+
+
+@query(
     "join3_top_revenue",
     """
     SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
