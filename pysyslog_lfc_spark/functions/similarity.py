@@ -148,6 +148,84 @@ def brute_force_topk(
     )
 
 
+def kmeans_centroids(
+    df: DataFrame,
+    k: int = 16,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 7,
+):
+    """Spherical k-means coarse centroids for IVF, trained with Lloyd
+    iterations expressed as DataFrame ops.
+
+    Per iteration: (1) assignment — one BLAS matmul per Arrow batch
+    against the broadcast centroid matrix, emitting bare (cell, pos,
+    val) triples via posexplode; (2) update — ``groupBy(cell, pos)``
+    sum/count (map-side partial agg, shuffle is k x dim doubles per
+    partition), collected to the driver (k x dim is small by
+    definition) and re-normalized (spherical k-means: centroids live on
+    the unit sphere, so cosine argmax == dot argmax). Init is a seeded
+    hash-ordered sample — fully deterministic.
+
+    Returns (inertia_history, centroid_matrix) where inertia is the
+    mean max-cosine of the assignment (higher = tighter cells).
+    """
+    import numpy as np
+
+    init_rows = (
+        df.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+        .limit(k)
+        .collect()
+    )
+    c_mat = _np_normalize(np.array([r[1] for r in init_rows], dtype="float64"))
+    raw = _raw_vec(df, vec_col, id_col)
+    history: list[float] = []
+
+    for _ in range(iters):
+        mat = c_mat  # bind for the closure
+
+        def assign(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                v = _np_normalize(_np_mat(pdf["_v"]))
+                sims = v @ mat.T
+                cell = sims.argmax(axis=1)
+                # spherical k-means averages the NORMALIZED vectors
+                yield pd.DataFrame(
+                    {"cell": cell, "best": sims.max(axis=1), "_v": list(v)}
+                )
+
+        assigned = raw.mapInPandas(assign, "cell int, best double, _v array<double>")
+        stats = (
+            assigned.select("cell", "best", F.posexplode("_v").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"), F.sum("best").alias("b"))
+            .collect()
+        )
+        dim = c_mat.shape[1]
+        sums = np.zeros((k, dim))
+        counts = np.zeros(k)
+        tot_best = 0.0
+        tot_n = 0
+        for r in stats:
+            sums[r["cell"], r["pos"]] = r["s"]
+            if r["pos"] == 0:
+                counts[r["cell"]] = r["n"]
+                tot_best += r["b"]
+                tot_n += r["n"]
+        history.append(tot_best / max(tot_n, 1))
+        live = counts > 0
+        new = c_mat.copy()
+        new[live] = sums[live] / counts[live, None]
+        c_mat = _np_normalize(new)
+    return history, c_mat
+
+
 def ivf_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -156,6 +234,7 @@ def ivf_ann_topk(
     id_col: str = "vec_id",
     centroid_stride: int = 37,
     n_probe: int = 3,
+    centroids=None,
 ) -> DataFrame:
     """IVF-flat approximate top-k: coarse-centroid cells + probe.
 
@@ -179,13 +258,18 @@ def ivf_ann_topk(
     import numpy as np
     import pandas as pd
 
-    cent_rows = (
-        corpus.where(F.col(id_col) % centroid_stride == 0)
-        .select(id_col, vec_col)
-        .collect()
-    )
-    c_ids = np.array([r[0] for r in cent_rows], dtype="int64")
-    c_mat = _np_normalize(np.array([r[1] for r in cent_rows], dtype="float64"))
+    if centroids is not None:
+        # e.g. the kmeans_centroids matrix: cells keyed by row index
+        c_mat = _np_normalize(np.asarray(centroids, dtype="float64"))
+        c_ids = np.arange(len(c_mat), dtype="int64")
+    else:
+        cent_rows = (
+            corpus.where(F.col(id_col) % centroid_stride == 0)
+            .select(id_col, vec_col)
+            .collect()
+        )
+        c_ids = np.array([r[0] for r in cent_rows], dtype="int64")
+        c_mat = _np_normalize(np.array([r[1] for r in cent_rows], dtype="float64"))
     q_ids, q_mat = _query_matrix(queries, vec_col, id_col)
 
     def nearest_cells(mat, top: int):

@@ -377,3 +377,24 @@ def test_ivf_ann_recall_and_shape(spark):
     for ranks in per_q.values():
         assert sorted(ranks) == list(range(1, 11))
     assert len(brute & ivf) / len(brute) >= 0.2  # probing a fraction of cells
+
+
+def test_kmeans_centroids_train_and_ivf(spark):
+    """Spherical k-means Lloyd iterations improve assignment tightness
+    (mean max-cosine non-decreasing within FP noise); trained centroids
+    plug into ivf_ann_topk."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    corpus, queries = emb.where(F.col("vec_id") >= 5), emb.where(F.col("vec_id") < 5)
+    history, cents = SIM.kmeans_centroids(corpus, k=8, iters=4)
+    assert len(history) == 4 and cents.shape == (8, 64)
+    assert history[-1] >= history[0] - 1e-9  # training tightened the cells
+    import numpy as np
+    assert np.allclose(np.linalg.norm(cents, axis=1), 1.0)  # unit sphere
+
+    out = SIM.ivf_ann_topk(corpus, queries, k=10, n_probe=3, centroids=cents).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert len(per_q) == 5
+    for ranks in per_q.values():
+        assert sorted(ranks) == list(range(1, 11))
