@@ -161,13 +161,17 @@ def minhash_lsh_pairs(
         .select(F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"))
         .distinct()
     )
-    # exact verification on candidates only
+    # exact verification on candidates only. The candidate set is tiny
+    # relative to the corpus, so it broadcasts into BOTH shingle scans:
+    # each scan filters map-side (no full-corpus array shuffle) and the
+    # final equi-join moves candidate docs' arrays only.
     sh = _shingled(df, text_col, id_col, n)
     a = sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"), F.col("_n_sh").alias("n_a"))
     b = sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"), F.col("_n_sh").alias("n_b"))
+    a_f = a.join(F.broadcast(cand), "id_a")
+    b_f = b.join(F.broadcast(cand.select("id_b").distinct()), "id_b")
     verified = (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
+        a_f.join(b_f, "id_b")
         .withColumn("n_shared", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",
