@@ -13,7 +13,7 @@ operators are the training-data extension mandated by the build spec.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # Stopword list used for quality scoring (operator parameter, not a
 # linguistic claim). Kept tiny and fixed so the oracle can inline it.
@@ -127,6 +127,89 @@ def fingerprint(col: Column, n_words: int = 8) -> Column:
     for fast first-pass clustering of near-identical documents."""
     head = F.array_join(F.slice(tokenize(F.lower(col)), 1, n_words), " ")
     return portable_hash60(head)
+
+
+# PII patterns kept to conservative regex syntax that Java regex (Spark)
+# and RE2 (DuckDB) interpret identically. Redaction order matters: emails
+# first (their host part would otherwise survive as a non-IP), then IPs.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def pii_counts(col: Column) -> tuple[Column, Column]:
+    """(n_emails, n_ips) match counts — codegen ``regexp_extract_all``,
+    portable to DuckDB ``len(regexp_extract_all(..))``."""
+    return (
+        F.size(F.regexp_extract_all(col, F.lit(EMAIL_RE), 0)),
+        F.size(F.regexp_extract_all(col, F.lit(IPV4_RE), 0)),
+    )
+
+
+def redact_pii(col: Column) -> Column:
+    """Scrub emails then IPv4s to fixed placeholder tokens — the
+    sanitization pass a log pipeline runs before logs leave the trust
+    boundary (the reference formats records verbatim,
+    /root/reference/src/pysyslog/formats/json.py; redaction is the
+    training-data extension). Pure ``regexp_replace`` — whole-stage
+    codegen, no Python."""
+    no_mail = F.regexp_replace(col, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(no_mail, IPV4_RE, "<IP>")
+
+
+def repetition_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document:
+
+      - ``n_words``          token count
+      - ``top_word_permille``  floor(1000 * most-frequent-token count / n_words)
+      - ``dup_gram_permille``  floor(1000 * (1 - distinct 2-grams / total 2-grams))
+
+    High values of either flag boilerplate / degenerate repetition
+    (Rae et al. 2021 "Scaling Language Models" quality filters, §A1.1).
+
+    Plan shape: posexplode the token stream once, derive 2-grams with a
+    ``lead`` window (codegen — avoids the interpreted HOF trap measured
+    in :func:`shingles`), then two partial-aggregated groupBys joined on
+    ``id_col``. Every shuffle is keyed on the doc id, so AQE coalesces
+    the exchanges; nothing is quadratic in document length.
+    """
+    words = df.select(
+        F.col(id_col), F.posexplode(tokenize(F.lower(F.col(text_col)))).alias("pos", "w")
+    )
+    win = Window.partitionBy(id_col).orderBy("pos")
+    grams = (
+        words.withColumn("nw", F.lead("w").over(win))
+        .where(F.col("nw").isNotNull())
+        .select(F.col(id_col), F.concat_ws(" ", "w", "nw").alias("g"))
+    )
+    word_stats = (
+        words.groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("wc").cast("long").alias("n_words"),
+            F.max("wc").alias("top_wc"),
+        )
+    )
+    gram_stats = grams.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.countDistinct("g").alias("n_distinct_grams"),
+    )
+    out = word_stats.join(gram_stats, id_col, "left")
+    return out.select(
+        id_col,
+        "n_words",
+        F.floor(F.col("top_wc") * 1000.0 / F.col("n_words")).cast("int").alias(
+            "top_word_permille"
+        ),
+        F.coalesce(
+            F.floor(
+                (1.0 - F.col("n_distinct_grams") / F.col("n_grams")) * 1000.0
+            ).cast("int"),
+            F.lit(0),
+        ).alias("dup_gram_permille"),
+    )
 
 
 def shingles(col: Column, n: int = 3) -> Column:

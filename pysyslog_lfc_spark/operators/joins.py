@@ -1,0 +1,107 @@
+"""As-of (nearest-earlier) join — a relational operator Spark lacks
+natively and the reference engine (a per-record flow pipeline,
+/root/reference/src/pysyslog/flow.py) cannot express at all; part of
+the SURVEY.md §2.7 gap map.
+
+Semantics: for every left row, attach the payload of the right row with
+the same key and the greatest ``right_ts <= left_ts`` (backward
+inclusive — pandas ``merge_asof`` default, DuckDB ``ASOF JOIN``).
+
+Implementation is the union-and-carry-forward trick, NOT a range join:
+
+    1. union left and right rows into one stream tagged by side,
+    2. one hash shuffle on the key + in-partition sort on
+       ``(ts, side, tiebreak)`` with right rows ordered before left
+       rows at equal ts (that makes the match inclusive),
+    3. ``last(right_payload, ignorenulls=True)`` over the running
+       window carries the newest right payload forward onto each left
+       row.
+
+Cost: ONE shuffle of |L| + |R| rows and a per-partition sort — the same
+as a regular sort-merge join, with no risk of the O(|L| x |R|)
+intermediate a naive ``l.ts >= r.ts`` range-join condition produces.
+This is the plan that survives 100 TB: a range join on a hot key
+explodes quadratically; this stays linear in the partition size.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: Sequence[str] | None = None,
+    tolerance_seconds: int | None = None,
+    right_tiebreak: str | None = None,
+) -> DataFrame:
+    """Backward-inclusive as-of LEFT join.
+
+    Returns every left row plus ``right_cols`` (NULL when no right row
+    precedes it) and ``asof_gap_us`` (microsecond distance to the match).
+
+    ``right_tiebreak``: when several right rows share the same
+    ``(key, ts)``, the one with the LARGEST tiebreak value wins
+    (deterministic). Callers who need a different rule should
+    pre-aggregate the right side.
+
+    ``tolerance_seconds``: matches farther back than this are nulled
+    out (pandas ``merge_asof(tolerance=...)`` semantics).
+    """
+    on = list(on)
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in on and c != right_ts]
+    right_cols = list(right_cols)
+    clash = set(right_cols) & set(left.columns)
+    if clash:
+        raise ValueError(f"right_cols collide with left columns: {sorted(clash)}")
+
+    payload = F.struct(
+        F.col(right_ts).alias("__rts"), *[F.col(c) for c in right_cols]
+    )
+    r = right.select(
+        *on,
+        F.col(right_ts).alias("__ats"),
+        F.lit(0).alias("__side"),
+        (F.col(right_tiebreak) if right_tiebreak else F.lit(0)).alias("__tie"),
+        payload.alias("__rpay"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in on],
+    )
+    l = left.select(
+        *on,
+        F.col(left_ts).alias("__ats"),
+        F.lit(1).alias("__side"),
+        F.lit(0).alias("__tie"),
+        F.lit(None).cast(r.schema["__rpay"].dataType).alias("__rpay"),
+        *[F.col(c) for c in left.columns if c not in on],
+    )
+    u = r.unionByName(l.select(*r.columns))
+
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("__ats", "__side", "__tie")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.withColumn("__m", F.last("__rpay", ignorenulls=True).over(w))
+    out = carried.where(F.col("__side") == 1)
+
+    # timestamp_diff handles TIMESTAMP and TIMESTAMP_NTZ alike
+    # (unix_micros rejects NTZ, which is what parquet scans produce here)
+    gap = F.timestamp_diff("MICROSECOND", F.col("__m.__rts"), F.col("__ats"))
+    if tolerance_seconds is not None:
+        keep = gap <= F.lit(int(tolerance_seconds) * 1_000_000)
+        out = out.withColumn("__m", F.when(keep, F.col("__m")))
+        gap = F.timestamp_diff("MICROSECOND", F.col("__m.__rts"), F.col("__ats"))
+
+    return out.select(
+        *on,
+        *[F.col(c) for c in left.columns if c not in on],
+        *[F.col(f"__m.{c}").alias(c) for c in right_cols],
+        gap.alias("asof_gap_us"),
+    )

@@ -1,0 +1,56 @@
+"""Deterministic hash-based sampling — the reproducible alternative to
+``df.sample()`` for training-data curation.
+
+``df.sample`` draws from a per-partition RNG: the kept set changes with
+partitioning, retries, and cluster size — unacceptable when a 100 TB
+curation run must be resumable and auditable. These operators key the
+keep/drop decision on a portable content hash
+(functions/text.py::portable_hash60), so
+
+  - the same row always gets the same verdict (resume-safe, and the
+    DuckDB oracle can replay the exact decision),
+  - sampling composes with the pipeline's checkpoint/resume model the
+    same way the routed-write bucket hash does
+    (plans/pipeline.py::bucket_expr),
+  - no shuffle at all: the filter is a pure codegen predicate pushed
+    onto the scan.
+
+The reference engine has no sampling surface; this is part of the
+training-data extension mandated by the build spec.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from pysyslog_lfc_spark.functions.text import portable_hash60
+
+
+def sample_key(id_col: Column, salt: str) -> Column:
+    """1000-sided deterministic die per row: uniform in [0, 1000).
+
+    Spark:  pmod of the portable 60-bit md5 hash of ``salt || ':' || id``
+    DuckDB: ``('0x'||substr(md5(salt||':'||id),1,15))::BIGINT % 1000``
+    (the hash is non-negative, so ``%`` agrees between engines).
+    """
+    return portable_hash60(F.concat(F.lit(salt + ":"), id_col.cast("string"))) % 1000
+
+
+def hash_sample(
+    df: DataFrame, id_col: str, permille: int, salt: str = "sample"
+) -> DataFrame:
+    """Keep ~``permille``/1000 of rows, decided per row by content hash."""
+    return df.where(sample_key(F.col(id_col), salt) < F.lit(int(permille)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    permille_col: Column,
+    salt: str = "sample",
+) -> DataFrame:
+    """Per-stratum rates: ``permille_col`` is any integer column
+    expression in [0, 1000] giving the keep rate for that row's stratum
+    (a CASE on the stratum column, a broadcast-joined rates table, ...).
+    Still a pure filter — no shuffle, no RNG."""
+    return df.where(sample_key(F.col(id_col), salt) < permille_col)

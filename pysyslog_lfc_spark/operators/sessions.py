@@ -1,0 +1,113 @@
+"""Sessionization and per-series delta operators.
+
+Log/telemetry pipelines constantly need "group this user's events into
+sessions separated by idle gaps" and "rate = delta(value)/delta(t) per
+series" — the streaming cousins live in ``streaming/flows.py``; these
+are the batch forms, expressed as single-shuffle window plans so they
+hold at 100 TB: one hash partition on the session/series key, an
+in-partition sort, and pure codegen expressions after that. No Python
+runs per row.
+
+The reference engine has no relational window surface (SURVEY.md §2.7
+gap map); sessionization is the canonical demonstration of what the
+Spark graft adds on top of the reference's per-record flow semantics
+(reference flow model: /root/reference/src/pysyslog/flow.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def sessionize(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Assign a per-key session index: a new session starts whenever the
+    gap since the previous event (strictly) exceeds ``gap_seconds``.
+
+    Adds two columns:
+      - ``session_idx``  1-based session number within the key
+      - ``is_session_start``  1 on the row that opened the session
+
+    Plan shape: ONE shuffle (hash on ``key_cols``), one in-partition
+    sort, then lag + running sum — all whole-stage codegen. Scales with
+    the number of distinct keys; a single hot key degrades to one
+    partition's sort, which is the theoretical minimum for gap-based
+    sessionization (the running sum is inherently sequential per key).
+
+    Gap arithmetic uses integer epoch seconds (``unix_timestamp``,
+    floor) so results are engine-portable for the DuckDB oracle
+    (``epoch_us(ts) // 1000000``).
+    """
+    order = [F.col(ts_col)]
+    if order_tiebreak:
+        order.append(F.col(order_tiebreak))
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    epoch = F.unix_timestamp(F.col(ts_col))
+    prev = F.lag(epoch).over(w)
+    new_session = F.when(
+        prev.isNull() | ((epoch - prev) > F.lit(gap_seconds)), F.lit(1)
+    ).otherwise(F.lit(0))
+    running = Window.partitionBy(*key_cols).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.withColumn("is_session_start", new_session).withColumn(
+        "session_idx", F.sum("is_session_start").over(running).cast("int")
+    )
+
+
+def session_stats(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    value_col: str | None = None,
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Collapse each ``(key, session_idx)`` group to one summary row:
+    start/end epoch seconds, event count, and (optionally) the value
+    sum. The session assignment and the aggregation shuffle on the same
+    key prefix, so AQE coalesces them into a single exchange."""
+    s = sessionize(df, key_cols, ts_col, gap_seconds, order_tiebreak)
+    epoch = F.unix_timestamp(F.col(ts_col))
+    aggs = [
+        F.min(epoch).alias("session_start_sec"),
+        F.max(epoch).alias("session_end_sec"),
+        F.count(F.lit(1)).alias("n_events"),
+    ]
+    if value_col is not None:
+        aggs.append(F.round(F.sum(value_col), 4).alias("sum_value"))
+    return s.groupBy(*key_cols, "session_idx").agg(*aggs)
+
+
+def series_deltas(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Per-series consecutive deltas — the batch form of a counter-rate
+    computation (PromQL ``rate()`` over a gauge/counter series; the
+    reference's gauge metrics keep only last-value state,
+    /root/reference/src/pysyslog/outputs/metrics.py).
+
+    Adds ``dt_sec`` (integer epoch-second gap to the previous point of
+    the same series) and ``dvalue`` (value change, rounded to 4dp for
+    oracle portability). First point of each series has NULL deltas.
+    Single shuffle on ``key_cols``; everything else codegen.
+    """
+    order = [F.col(ts_col)]
+    if order_tiebreak:
+        order.append(F.col(order_tiebreak))
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    epoch = F.unix_timestamp(F.col(ts_col))
+    return df.withColumn("dt_sec", epoch - F.lag(epoch).over(w)).withColumn(
+        "dvalue", F.round(F.col(value_col) - F.lag(value_col).over(w), 4)
+    )

@@ -25,7 +25,13 @@ from pysyslog_lfc_spark.config import ComponentConfig, loads as load_config
 from pysyslog_lfc_spark.operators.filters import compile_filter_predicate
 from pysyslog_lfc_spark.plans.compiler import compile_flow
 from pysyslog_lfc_spark.plans.pipeline import parse_stage
-from pysyslog_lfc_spark.functions import dedup as DD, similarity as SIM, text as TX
+from pysyslog_lfc_spark.functions import (
+    decontaminate as DC,
+    dedup as DD,
+    similarity as SIM,
+    text as TX,
+)
+from pysyslog_lfc_spark.operators import joins as J, sampling as SAMP, sessions as SESS
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -1417,6 +1423,285 @@ def doc_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("total_chars"),
         F.round(F.avg("n_chars"), 4).alias("avg_chars"),
     )
+
+
+# =====================================================================
+# Sessionization / series analytics / as-of join (SURVEY §2.7 gap map)
+# =====================================================================
+
+@query(
+    "sessionize_user_events",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, value, ts, epoch_us(ts) // 1000000 AS es
+      FROM events
+    ),
+    flag AS (
+      SELECT user_id, value, es,
+             CASE WHEN lag(es) OVER w IS NULL OR es - lag(es) OVER w > 28800
+                  THEN 1 ELSE 0 END AS ns,
+             ts, event_id
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, value, es,
+             CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS INTEGER) AS session_idx
+      FROM flag
+    )
+    SELECT user_id, session_idx,
+           min(es) AS session_start_sec, max(es) AS session_end_sec,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM sess GROUP BY user_id, session_idx
+    """,
+)
+def sessionize_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (8 h idle gap): one shuffle on user_id,
+    lag + running-sum session assignment, then per-session rollup — the
+    canonical log-analytics operator the reference's per-record flow
+    model cannot express (SURVEY.md §2.7 gap map)."""
+    ev = _t(spark, sf_dir, "events")
+    return SESS.session_stats(
+        ev, ["user_id"], "ts", gap_seconds=28800, value_col="value",
+        order_tiebreak="event_id",
+    )
+
+
+@query(
+    "series_rate_deltas",
+    """
+    WITH e AS (
+      SELECT user_id, event_type, event_id, value, ts,
+             epoch_us(ts) // 1000000 AS es
+      FROM events
+    ),
+    d AS (
+      SELECT event_id,
+             es - lag(es) OVER w AS dt_sec,
+             round(value - lag(value) OVER w, 4) AS dvalue
+      FROM e WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+    )
+    SELECT event_id, dt_sec, dvalue FROM d WHERE dt_sec IS NOT NULL
+    """,
+)
+def series_rate_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series consecutive deltas (batch counter-rate; reference
+    gauge metrics keep only last-value state —
+    src/pysyslog/outputs/metrics.py). Single shuffle on the series key."""
+    ev = _t(spark, sf_dir, "events")
+    d = SESS.series_deltas(
+        ev, ["user_id", "event_type"], "ts", "value", order_tiebreak="event_id"
+    )
+    return d.where(F.col("dt_sec").isNotNull()).select("event_id", "dt_sec", "dvalue")
+
+
+@query(
+    "asof_last_click",
+    """
+    WITH l AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'error'
+    ),
+    r AS (
+      SELECT user_id, ts, max(event_id) AS click_id
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    )
+    SELECT l.event_id, r.click_id, epoch_us(l.ts) - epoch_us(r.ts) AS asof_gap_us
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: attach the most recent prior 'click' to every 'error'
+    event per user. Implemented as the union-and-carry-forward plan
+    (operators/joins.py) — one shuffle of |L|+|R| rows, never a range
+    join — checked against DuckDB's native ASOF LEFT JOIN."""
+    ev = _t(spark, sf_dir, "events")
+    l = ev.where(F.col("event_type") == "error").select("user_id", "event_id", "ts")
+    r = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    res = J.asof_join(l, r, on=["user_id"], left_ts="ts", right_ts="ts",
+                      right_cols=["click_id"])
+    return res.select("event_id", "click_id", "asof_gap_us")
+
+
+# =====================================================================
+# Training-data curation: decontamination, PII, sampling, repetition
+# =====================================================================
+
+@query(
+    "decontaminate_docs",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), w -> w != '') AS ws
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(ws[i : i + 7], ' ') AS s
+      FROM (SELECT doc_id, ws, unnest(range(1, greatest(len(ws) - 6, 1))) AS i
+            FROM toks)
+    ),
+    bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0)
+    SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_hit_grams
+    FROM sh a JOIN bench b ON a.s = b.s
+    WHERE a.doc_id % 20 != 0
+    GROUP BY a.doc_id
+    """,
+)
+def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: 8-gram overlap between the corpus and
+    a held-out benchmark slice (doc_id % 20 == 0). Benchmark grams are
+    broadcast; the corpus never shuffles (functions/decontaminate.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    corpus = docs.where(F.col("doc_id") % 20 != 0)
+    return DC.ngram_overlap(corpus, bench, n=8)
+
+
+_PII_ORACLE = (
+    """
+    WITH aug AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 3 = 0
+               THEN text || ' contact u' || CAST(doc_id AS VARCHAR)
+                    || '@mail.example.com now'
+             WHEN doc_id % 3 = 1
+               THEN text || ' from 10.' || CAST(doc_id % 200 AS VARCHAR)
+                    || '.0.' || CAST(doc_id % 250 AS VARCHAR) || ' port 22'
+             ELSE text END AS t
+      FROM documents
+    )
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(t, '"""
+    + TX.EMAIL_RE
+    + """')) AS INTEGER) AS n_emails,
+      CAST(len(regexp_extract_all(t, '"""
+    + TX.IPV4_RE
+    + """')) AS INTEGER) AS n_ips,
+      ('0x' || substr(md5(
+         regexp_replace(regexp_replace(t, '"""
+    + TX.EMAIL_RE
+    + """', '<EMAIL>', 'g'), '"""
+    + TX.IPV4_RE
+    + """', '<IP>', 'g')), 1, 15))::BIGINT AS red_hash
+    FROM aug
+    """
+)
+
+
+@query("pii_redact", _PII_ORACLE)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII sanitization: email/IPv4 detection counts + redacted-text
+    hash. The PII is synthesized deterministically onto the fixture text
+    (doc_id mod 3 decides email / IP / clean) so the redaction path is
+    exercised on every class; both engines build the identical string."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    aug = (
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.col("text"), F.lit(" contact u"), d.cast("string"),
+                F.lit("@mail.example.com now"),
+            ),
+        )
+        .when(
+            d % 3 == 1,
+            F.concat(
+                F.col("text"), F.lit(" from 10."), (d % 200).cast("string"),
+                F.lit(".0."), (d % 250).cast("string"), F.lit(" port 22"),
+            ),
+        )
+        .otherwise(F.col("text"))
+    )
+    n_emails, n_ips = TX.pii_counts(aug)
+    return docs.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_ips.alias("n_ips"),
+        TX.portable_hash60(TX.redact_pii(aug)).alias("red_hash"),
+    )
+
+
+@query(
+    "sample_stratified",
+    """
+    WITH k AS (
+      SELECT source,
+        100 + ('0x' || substr(md5(source), 1, 15))::BIGINT % 800 AS permille,
+        ('0x' || substr(md5('samp:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+          % 1000 AS die
+      FROM documents
+    )
+    SELECT source, CAST(max(permille) AS INTEGER) AS permille,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN die < permille THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM k GROUP BY source
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-source keep rate derived
+    from the source name hash, keep decision from the doc_id hash — a
+    pure codegen filter, no shuffle, no RNG, replayable on resume
+    (operators/sampling.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    permille = (F.lit(100) + TX.portable_hash60(F.col("source")) % 800).cast("int")
+    kept = (
+        (SAMP.sample_key(F.col("doc_id"), "samp") < permille).cast("long")
+    )
+    return (
+        docs.select("source", permille.alias("permille"), kept.alias("kept"))
+        .groupBy("source")
+        .agg(
+            F.max("permille").alias("permille"),
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("kept").alias("n_kept"),
+        )
+    )
+
+
+@query(
+    "text_repetition",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), w -> w != '') AS ws
+      FROM documents
+    ),
+    words AS (
+      SELECT doc_id, ws[i] AS w
+      FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM toks)
+    ),
+    wc AS (SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w),
+    wstats AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words, max(c) AS top_wc
+      FROM wc GROUP BY doc_id
+    ),
+    grams AS (
+      SELECT doc_id, array_to_string(ws[i : i + 1], ' ') AS g
+      FROM (SELECT doc_id, ws, unnest(range(1, greatest(len(ws), 1))) AS i
+            FROM toks)
+    ),
+    gstats AS (
+      SELECT doc_id, count(*) AS n_grams, count(DISTINCT g) AS nd
+      FROM grams GROUP BY doc_id
+    )
+    SELECT w.doc_id, w.n_words,
+      CAST(floor(top_wc * 1000.0 / n_words) AS INTEGER) AS top_word_permille,
+      CAST(coalesce(floor((1.0 - nd * 1.0 / n_grams) * 1000.0), 0) AS INTEGER)
+        AS dup_gram_permille
+    FROM wstats w LEFT JOIN gstats g ON w.doc_id = g.doc_id
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals: top-word fraction and
+    duplicate-2-gram fraction per document (functions/text.py::
+    repetition_features — posexplode + lead window, all codegen)."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.repetition_features(docs)
 
 
 # =====================================================================

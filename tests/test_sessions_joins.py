@@ -1,0 +1,246 @@
+"""Unit semantics for sessionization, series deltas, as-of join,
+deterministic sampling, decontamination, repetition features, and PII
+redaction — the driver queries check these against DuckDB at sf0.01;
+here we pin the hand-computable edge cases."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from pysyslog_lfc_spark.functions.decontaminate import decontaminate, ngram_overlap
+from pysyslog_lfc_spark.functions.text import (
+    pii_counts,
+    redact_pii,
+    repetition_features,
+)
+from pysyslog_lfc_spark.operators.joins import asof_join
+from pysyslog_lfc_spark.operators.sampling import hash_sample, stratified_sample
+from pysyslog_lfc_spark.operators.sessions import (
+    series_deltas,
+    session_stats,
+    sessionize,
+)
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ts(sec: int) -> dt.datetime:
+    return T0 + dt.timedelta(seconds=sec)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp, value double")
+
+
+class TestSessionize:
+    def test_gap_boundary_is_strict(self, spark):
+        # gaps of exactly gap_seconds stay in the same session; +1 splits
+        df = _events(
+            spark,
+            [
+                (1, 1, _ts(0), 1.0),
+                (1, 2, _ts(600), 1.0),      # gap == 600 -> same session
+                (1, 3, _ts(1201), 1.0),     # gap == 601 -> new session
+                (2, 4, _ts(0), 1.0),        # other key unaffected
+            ],
+        )
+        out = sessionize(df, ["user_id"], "ts", gap_seconds=600, order_tiebreak="event_id")
+        got = {r["event_id"]: r["session_idx"] for r in out.collect()}
+        assert got == {1: 1, 2: 1, 3: 2, 4: 1}
+
+    def test_session_stats_rollup(self, spark):
+        df = _events(
+            spark,
+            [
+                (1, 1, _ts(0), 2.0),
+                (1, 2, _ts(100), 3.0),
+                (1, 3, _ts(10_000), 5.0),
+            ],
+        )
+        out = session_stats(df, ["user_id"], "ts", 600, value_col="value",
+                            order_tiebreak="event_id")
+        rows = {r["session_idx"]: r for r in out.collect()}
+        assert rows[1]["n_events"] == 2 and rows[1]["sum_value"] == 5.0
+        assert rows[1]["session_start_sec"] == int(T0.timestamp())
+        assert rows[2]["n_events"] == 1 and rows[2]["sum_value"] == 5.0
+
+    def test_series_deltas(self, spark):
+        df = _events(spark, [(1, 1, _ts(0), 10.0), (1, 2, _ts(30), 12.5)])
+        out = series_deltas(df, ["user_id"], "ts", "value", order_tiebreak="event_id")
+        rows = {r["event_id"]: r for r in out.collect()}
+        assert rows[1]["dt_sec"] is None and rows[1]["dvalue"] is None
+        assert rows[2]["dt_sec"] == 30 and rows[2]["dvalue"] == 2.5
+
+
+class TestAsofJoin:
+    def _frames(self, spark):
+        left = spark.createDataFrame(
+            [(1, 10, _ts(100)), (1, 11, _ts(50)), (2, 12, _ts(100))],
+            "user_id long, event_id long, ts timestamp",
+        )
+        right = spark.createDataFrame(
+            [(1, 100, _ts(50)), (1, 101, _ts(99)), (2, 102, _ts(101))],
+            "user_id long, rid long, ts timestamp",
+        )
+        return left, right
+
+    def test_backward_inclusive(self, spark):
+        left, right = self._frames(spark)
+        out = asof_join(left, right, on=["user_id"], right_cols=["rid"])
+        got = {r["event_id"]: (r["rid"], r["asof_gap_us"]) for r in out.collect()}
+        assert got[10] == (101, 1_000_000)   # newest prior
+        assert got[11] == (100, 0)           # equal ts matches (inclusive)
+        assert got[12] == (None, None)       # right row is in the future
+
+    def test_tolerance_nulls_stale_matches(self, spark):
+        left, right = self._frames(spark)
+        out = asof_join(left, right, on=["user_id"], right_cols=["rid"],
+                        tolerance_seconds=0)
+        got = {r["event_id"]: r["rid"] for r in out.collect()}
+        assert got == {10: None, 11: 100, 12: None}
+
+    def test_right_tiebreak_picks_largest(self, spark):
+        left = spark.createDataFrame(
+            [(1, 10, _ts(100))], "user_id long, event_id long, ts timestamp"
+        )
+        right = spark.createDataFrame(
+            [(1, 7, _ts(60)), (1, 9, _ts(60)), (1, 8, _ts(60))],
+            "user_id long, rid long, ts timestamp",
+        )
+        out = asof_join(left, right, on=["user_id"], right_cols=["rid"],
+                        right_tiebreak="rid")
+        assert out.collect()[0]["rid"] == 9
+
+    def test_matches_pandas_merge_asof(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        rng = np.random.RandomState(7)
+        lpd = pd.DataFrame({
+            "key": rng.randint(0, 5, 200),
+            "lid": np.arange(200),
+            "t": rng.randint(0, 10_000, 200),
+        })
+        rpd = pd.DataFrame({
+            "key": rng.randint(0, 5, 150),
+            "rid": np.arange(150),
+            "t": rng.randint(0, 10_000, 150),
+        })
+        # merge_asof needs sort & unique right (key,t); drop dup times
+        rpd = rpd.sort_values("rid").drop_duplicates(["key", "t"], keep="last")
+        exp = pd.merge_asof(
+            lpd.assign(ts=pd.to_datetime(lpd.t, unit="s")).sort_values("ts"),
+            rpd.assign(ts=pd.to_datetime(rpd.t, unit="s")).sort_values("ts"),
+            on="ts", by="key", direction="backward",
+        ).set_index("lid")["rid"]
+
+        l = spark.createDataFrame(
+            [(int(k), int(i), _ts(int(t))) for k, i, t in zip(lpd.key, lpd.lid, lpd.t)],
+            "key long, lid long, ts timestamp",
+        )
+        r = spark.createDataFrame(
+            [(int(k), int(i), _ts(int(t))) for k, i, t in zip(rpd.key, rpd.rid, rpd.t)],
+            "key long, rid long, ts timestamp",
+        )
+        out = asof_join(l, r, on=["key"], right_cols=["rid"])
+        got = {row["lid"]: row["rid"] for row in out.collect()}
+        for lid, rid in exp.items():
+            want = None if pd.isna(rid) else int(rid)
+            assert got[lid] == want, f"lid={lid}: got {got[lid]}, want {want}"
+
+    def test_column_clash_rejected(self, spark):
+        left, right = self._frames(spark)
+        try:
+            asof_join(left, right.withColumnRenamed("rid", "event_id"),
+                      on=["user_id"], right_cols=["event_id"])
+        except ValueError as e:
+            assert "collide" in str(e)
+        else:
+            raise AssertionError("expected ValueError on column clash")
+
+
+class TestSampling:
+    def test_deterministic_and_salted(self, spark):
+        df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+        a = {r["doc_id"] for r in hash_sample(df, "doc_id", 300).collect()}
+        b = {r["doc_id"] for r in hash_sample(df, "doc_id", 300).collect()}
+        assert a == b                       # replayable
+        assert 0.2 < len(a) / 2000 < 0.4    # ~30%
+        c = {r["doc_id"] for r in hash_sample(df, "doc_id", 300, salt="other").collect()}
+        assert a != c                       # salt changes the draw
+
+    def test_rate_monotone_subset(self, spark):
+        # raising the rate only ADDS rows (same die, higher cut) — the
+        # property that makes downsampling decisions auditable
+        df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+        small = {r["doc_id"] for r in hash_sample(df, "doc_id", 100).collect()}
+        big = {r["doc_id"] for r in hash_sample(df, "doc_id", 500).collect()}
+        assert small < big
+
+    def test_stratified_rates(self, spark):
+        df = (
+            spark.range(0, 4000)
+            .withColumnRenamed("id", "doc_id")
+            .withColumn("src", F.when(F.col("doc_id") % 2 == 0, "a").otherwise("b"))
+        )
+        rate = F.when(F.col("src") == "a", 100).otherwise(900)
+        out = stratified_sample(df, "doc_id", rate).groupBy("src").count().collect()
+        got = {r["src"]: r["count"] for r in out}
+        assert 0.05 < got["a"] / 2000 < 0.15
+        assert 0.85 < got["b"] / 2000 < 0.95
+
+
+class TestDecontaminate:
+    def _docs(self, spark):
+        bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+        rows = [
+            (0, bench_text),                                   # benchmark
+            (1, "prefix " + bench_text + " suffix"),           # contains the 8-gram
+            (2, "alpha beta gamma delta nothing else here at all"),  # only short overlap
+            (3, "totally unrelated words in this document body ok"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_overlap_counts(self, spark):
+        docs = self._docs(spark)
+        bench = docs.where("doc_id = 0")
+        corpus = docs.where("doc_id != 0")
+        hits = {r["doc_id"]: r["n_hit_grams"] for r in ngram_overlap(corpus, bench, n=8).collect()}
+        assert hits == {1: 1}  # doc 2 shares only a 4-gram, doc 3 nothing
+
+    def test_decontaminate_drops_hits(self, spark):
+        docs = self._docs(spark)
+        bench = docs.where("doc_id = 0")
+        corpus = docs.where("doc_id != 0")
+        kept = {r["doc_id"] for r in decontaminate(corpus, bench, n=8).collect()}
+        assert kept == {2, 3}
+
+
+class TestTextCuration:
+    def test_repetition_features(self, spark):
+        df = spark.createDataFrame([(1, "a a a b")], "doc_id long, text string")
+        r = repetition_features(df).collect()[0]
+        # words: a,a,a,b -> top 3/4; grams: "a a","a a","a b" -> 1 dup of 3
+        assert r["n_words"] == 4
+        assert r["top_word_permille"] == 750
+        assert r["dup_gram_permille"] == 333
+
+    def test_single_word_doc(self, spark):
+        df = spark.createDataFrame([(1, "solo")], "doc_id long, text string")
+        r = repetition_features(df).collect()[0]
+        assert (r["n_words"], r["top_word_permille"], r["dup_gram_permille"]) == (1, 1000, 0)
+
+    def test_pii_redaction(self, spark):
+        df = spark.createDataFrame(
+            [(1, "mail bob.smith+x@corp.example.org from 192.168.0.1 ok 999.1.2.3")],
+            "doc_id long, text string",
+        )
+        n_em, n_ip = pii_counts(F.col("text"))
+        out = df.select(
+            n_em.alias("e"), n_ip.alias("i"), redact_pii(F.col("text")).alias("t")
+        ).collect()[0]
+        assert out["e"] == 1
+        assert out["i"] == 2  # the regex is syntactic: 999.1.2.3 matches too
+        assert out["t"] == "mail <EMAIL> from <IP> ok <IP>"
