@@ -41,6 +41,14 @@ def main(argv: list[str] | None = None) -> int:
         choices=["parquet", "iceberg"],
         help="sink table format (iceberg needs the runtime jar + catalog conf)",
     )
+    ap.add_argument(
+        "--auto-compact",
+        type=int,
+        default=0,
+        metavar="MIN_FILES",
+        help="after commit, rewrite sink commit dirs holding >= MIN_FILES "
+        "parquet files into one (crash-safe two-rename swap; 0 = off)",
+    )
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -70,6 +78,7 @@ def main(argv: list[str] | None = None) -> int:
         n_buckets=args.buckets,
         persist=args.persist,
         warehouse_format=args.warehouse_format,
+        auto_compact_min_files=args.auto_compact or None,
     )
     elapsed = time.monotonic() - t0
 

@@ -55,11 +55,24 @@ def _parquet_input(spark: SparkSession, cfg: FlowConfig, inject) -> DataFrame:
     return spark.read.parquet(path).select(F.col(col).alias(RAW_COL))
 
 
+def _socket_input(spark: SparkSession, cfg: FlowConfig, inject) -> DataFrame:
+    """Streaming-only input: returns a STREAMING DataFrame (run it via
+    streaming/flows.py::run_flow_stream, not the batch runtime)."""
+    from pysyslog_lfc_spark.streaming.flows import stream_socket_lines
+
+    host = cfg.input.option("host", "localhost")
+    port = cfg.input.option("port")
+    if not port:
+        raise ConfigError(f"flow '{cfg.name}': input.port required for socket input")
+    return stream_socket_lines(spark, host, int(port))
+
+
 BUILTIN_INPUTS = {
     "memory": _memory_input,
     "file": _file_input,
     "text": _file_input,
     "parquet": _parquet_input,
+    "socket": _socket_input,
 }
 
 

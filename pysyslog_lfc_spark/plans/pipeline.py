@@ -62,6 +62,7 @@ class PipelineResult:
     sinks: dict[str, CommitStats] = field(default_factory=dict)
     aggregates: list[str] = field(default_factory=list)
     metrics: dict[str, int] = field(default_factory=dict)
+    compacted: dict[str, int] = field(default_factory=dict)
 
 
 def bucket_expr(n_buckets: int) -> F.Column:
@@ -177,10 +178,18 @@ def run_pipeline(
     persist: bool = False,
     fail_on: tuple[str, int] | None = None,
     warehouse_format: str = "parquet",
+    auto_compact_min_files: int | None = None,
 ) -> PipelineResult:
     """Execute the full fan-out pipeline with bucket-granular resume.
 
     ``fail_on=(sink_table, bucket)`` injects a crash for resume tests.
+
+    ``auto_compact_min_files``: when set, sink commit dirs that accreted
+    at least this many parquet files are rewritten in place after the
+    job commits (small-file maintenance piggybacked on the write job —
+    the recurring warehouse tax at 10^12-row scale; the swap is the
+    crash-safe two-rename from :meth:`ParquetWarehouse.compact`, so a
+    kill mid-compaction never loses a committed bucket).
 
     Execution shape — ZERO-SHUFFLE single-pass fan-out (measured in
     bench.py / BENCH/BASELINE.md; earlier repartition+persist and
@@ -303,6 +312,14 @@ def run_pipeline(
         "_metrics",
         job_id,
     )
+
+    # ---- optional piggybacked small-file compaction (parquet warehouse
+    # only: Iceberg tables do this via their own rewrite actions)
+    if auto_compact_min_files is not None and hasattr(wh, "compact"):
+        for name in routes:
+            result.compacted[name] = wh.compact(
+                spark, name, min_files=auto_compact_min_files
+            )
 
     if persist:
         df.unpersist()

@@ -9,6 +9,7 @@ the same ``CompiledFlow`` runs unchanged on ``readStream`` inputs.
 from pysyslog_lfc_spark.streaming.flows import (  # noqa: F401
     alert_with_cooldown,
     stream_json_lines,
+    stream_socket_lines,
     run_flow_stream,
     fanout_foreach_batch,
     trigger_from_settings,

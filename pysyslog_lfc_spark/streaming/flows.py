@@ -38,6 +38,26 @@ def stream_json_lines(spark: SparkSession, path: str) -> DataFrame:
     return spark.readStream.format("text").load(path).withColumnRenamed("value", RAW_COL)
 
 
+def stream_socket_lines(spark: SparkSession, host: str, port: int) -> DataFrame:
+    """Socket streaming source of raw text lines (reference ``input.tcp``
+    listener, docs/configuration/inputs.md — with the direction flipped
+    to Spark's model: the reference BINDS and accepts senders, Spark's
+    socket source CONNECTS to a line-emitting endpoint, so the pairing
+    is a relay that listens for syslog senders and re-emits lines).
+
+    Dev/demo source by design: not replayable, so no exactly-once on
+    failure — production streams should enter through a replayable log
+    (files, Kafka-style) exactly as Spark's own docs caveat this source.
+    """
+    return (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", int(port))
+        .load()
+        .withColumnRenamed("value", RAW_COL)
+    )
+
+
 def trigger_from_settings(cfg: RuntimeConfig | None) -> dict:
     """[settings] flush_every (docs/configuration/main.md:20) -> the
     micro-batch trigger: the reference flushes its buffer every
@@ -58,6 +78,7 @@ def run_flow_stream(
     query_name: str,
     output_mode: str = "append",
     trigger: dict | None = None,
+    registry=None,
 ):
     """Run one compiled flow on a streaming source into a memory sink.
 
@@ -65,8 +86,13 @@ def run_flow_stream(
     ``query_name`` (the streaming analog of the reference MemoryOutput,
     outputs/memory.py:10-18). ``trigger`` defaults to availableNow;
     pass :func:`trigger_from_settings` output to honor flush_every.
+    ``registry`` resolves custom parser/filter/format components exactly
+    as in batch (same ``compile_flow``), so user plugins are stream-safe
+    for free.
     """
-    out = compile_flow(cfg)(source).select(F.col("rendered").cast("string").alias("rendered"))
+    out = compile_flow(cfg, registry=registry)(source).select(
+        F.col("rendered").cast("string").alias("rendered")
+    )
     return (
         out.writeStream.format("memory")
         .queryName(query_name)

@@ -154,3 +154,31 @@ def _resume_scenario(spark, root, seq_path, lookup, tag, resume_split_bytes=None
     assert set(result.sinks["sink_app"].buckets_committed) == set(
         ref.sinks["sink_app"].buckets_committed
     )
+
+
+def test_pipeline_auto_compact_preserves_data(spark, data):
+    """Piggybacked small-file compaction: multi-file commit dirs are
+    rewritten to single files after commit, with routed-row sets
+    byte-identical to an uncompacted run."""
+    root, seq_path, lookup = data
+    seq = spark.read.parquet(seq_path)
+
+    # 8 input files into 4 buckets -> 2 files per commit dir
+    wh_root = str(root / "wh_autocompact")
+    result = run_pipeline(
+        spark, seq, lookup, wh_root, job_id="jc", n_buckets=4,
+        auto_compact_min_files=2,
+    )
+    assert sum(result.compacted.values()) > 0
+
+    ref_root = str(root / "wh_autocompact_ref")
+    run_pipeline(spark, seq, lookup, ref_root, job_id="jc", n_buckets=4)
+
+    wh, ref = ParquetWarehouse(wh_root), ParquetWarehouse(ref_root)
+    for name in routing_predicates():
+        got = {r[0] for r in wh.read(spark, name).select("doc_id").collect()}
+        want = {r[0] for r in ref.read(spark, name).select("doc_id").collect()}
+        assert got == want, f"compaction changed rows for {name}"
+        for d in wh._commit_dirs(name):
+            files = [f for f in d.iterdir() if f.suffix == ".parquet"]
+            assert len(files) == 1, f"{d} not compacted"

@@ -178,3 +178,119 @@ def test_alert_with_cooldown(spark, tmp_path):
         (r.rule, r.n_matches) for r in spark.sql("SELECT * FROM cooldown_t").collect()
     )
     assert got == [("r1", 6), ("r1", 7), ("r2", 5)]
+
+
+def test_socket_source_flow(spark):
+    """Socket streaming source end-to-end: a line-emitting TCP endpoint
+    feeds the same compiled flow (parse json -> filter level -> render);
+    only level=info lines reach the sink (reference input.tcp family,
+    direction flipped to Spark's connect-model)."""
+    import socketserver
+    import threading
+    import time
+
+    from pysyslog_lfc_spark.streaming import stream_socket_lines
+
+    stop_evt = threading.Event()
+    payload = (
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"level": "info", "message": "sock-a"},
+                {"level": "debug", "message": "dropped"},
+                {"level": "info", "message": "sock-b"},
+            ]
+        )
+        + "\n"
+    )
+
+    class Handler(socketserver.BaseRequestHandler):
+        def handle(self):
+            self.request.sendall(payload.encode())
+            stop_evt.wait(60)  # keep the connection open while Spark reads
+
+    srv = socketserver.ThreadingTCPServer(("127.0.0.1", 0), Handler)
+    srv.daemon_threads = True
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+
+    cfg = config.loads(FLOW_INI).get_flow("sfilter")
+    q = run_flow_stream(
+        spark,
+        cfg,
+        stream_socket_lines(spark, "127.0.0.1", port),
+        "sock_sink",
+        trigger={"processingTime": "250 milliseconds"},
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            got = sorted(r.rendered for r in spark.sql("SELECT * FROM sock_sink").collect())
+            if len(got) >= 2:
+                break
+            time.sleep(0.5)
+        assert got == ["sock-a", "sock-b"]
+    finally:
+        q.stop()
+        stop_evt.set()
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_socket_input_factory_is_streaming(spark):
+    """INI `input.type = socket` resolves through the registry to a
+    STREAMING DataFrame (port is required; never started here)."""
+    from pysyslog_lfc_spark.plans.io import BUILTIN_INPUTS
+    from pysyslog_lfc_spark.config import ConfigError
+
+    cfg = config.loads(
+        "[flow.s]\ninput.type = socket\ninput.port = 19999\nparser.type = passthrough\n"
+        "output.type = memory\noutput.format = text\nformat.template = {m}\n"
+    ).get_flow("s")
+    df = BUILTIN_INPUTS["socket"](spark, cfg, None)
+    assert df.isStreaming and df.columns == ["value"]
+
+    bad = config.loads(
+        "[flow.s2]\ninput.type = socket\nparser.type = passthrough\noutput.type = memory\n"
+        "output.format = text\nformat.template = {m}\n"
+    ).get_flow("s2")
+    with pytest.raises(ConfigError):
+        BUILTIN_INPUTS["socket"](spark, bad, None)
+
+
+def test_stream_custom_parser_via_registry(spark, tmp_path):
+    """A user-registered parser (plan-time compiler) runs unchanged in
+    streaming mode — plugin parity between batch and stream (reference
+    registry.py:24-52 has no streaming analog at all)."""
+    from pysyslog_lfc_spark.operators.parsers import RECORD_COL
+    from pysyslog_lfc_spark.registry import ComponentRegistry
+
+    def kv_parser(pcfg):
+        fields = [f.strip() for f in (pcfg.option("fields") or "").split(",")]
+
+        def parse(df, raw="value"):
+            cols = [
+                F.regexp_extract(F.col(raw), rf"(?:^|\s){name}=(\S+)", 1).alias(name)
+                for name in fields
+            ]
+            return df.withColumn(RECORD_COL, F.struct(*cols))
+
+        return parse
+
+    reg = ComponentRegistry()
+    reg.register_parser("kv", kv_parser)
+
+    src = tmp_path / "kv_in"
+    src.mkdir()
+    (src / "a.log").write_text("host=web1 port=443\nhost=web2 port=80\n")
+
+    cfg = config.loads(
+        "[flow.kvs]\ninput.type = file\nparser.type = kv\nparser.fields = host,port\n"
+        "output.type = memory\noutput.format = text\nformat.template = {host}:{port}\n"
+    ).get_flow("kvs")
+    q = run_flow_stream(
+        spark, cfg, stream_json_lines(spark, str(src)), "kv_sink", registry=reg
+    )
+    q.awaitTermination(60)
+    got = sorted(r.rendered for r in spark.sql("SELECT * FROM kv_sink").collect())
+    assert got == ["web1:443", "web2:80"]
