@@ -52,6 +52,11 @@ BENCH_QUERIES = [
     "text_token_stats",
     "flow_parse_regex",
     "flow_filter_ip",
+    "sessionize_user_events",
+    "asof_last_click",
+    "decontaminate_docs",
+    "sample_stratified",
+    "text_repetition",
 ]
 
 

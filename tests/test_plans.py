@@ -84,3 +84,40 @@ def test_scan_pushdown_and_pruning(noaqe):
     assert pushed and any("event_type" in p or "value" in p for p in pushed), plan
     schemas = re.findall(r"ReadSchema: ([^\n]+)", plan)
     assert schemas and "props" not in schemas[0]  # unused wide column pruned
+
+def test_asof_join_single_shuffle_no_range_join(noaqe):
+    """The as-of join must stay the union-and-carry-forward plan: ONE
+    hash exchange of L+R (plus window sort), never a BroadcastNestedLoop
+    or cartesian range join that explodes at scale."""
+    plan = plan_of(DQ.all_queries()["asof_last_click"](noaqe, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    # one exchange for the window key, one for the right-side pre-agg
+    assert n_shuffles(plan) <= 2, plan
+
+
+def test_sessionize_single_shuffle(noaqe):
+    """Sessionization = one hash partition on the session key; the
+    session-index window and the rollup reuse that partitioning."""
+    plan = plan_of(DQ.all_queries()["sessionize_user_events"](noaqe, SF))
+    assert n_shuffles(plan) == 1, plan
+
+
+def test_decontaminate_broadcasts_benchmark(noaqe):
+    """Corpus side must never shuffle: benchmark grams broadcast into a
+    hash join; the only exchange is the final per-doc count."""
+    plan = plan_of(DQ.all_queries()["decontaminate_docs"](noaqe, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # exactly two exchanges: the distinct on the (tiny) benchmark gram
+    # side and the per-doc hit count — neither moves corpus text
+    assert n_shuffles(plan) <= 2, plan
+
+
+def test_sample_is_pure_scan_filter(noaqe):
+    """Deterministic sampling is a filter on the scan — the only
+    exchange is the per-source aggregate."""
+    plan = plan_of(DQ.all_queries()["sample_stratified"](noaqe, SF))
+    assert n_shuffles(plan) == 1, plan
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
