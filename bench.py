@@ -57,6 +57,8 @@ BENCH_QUERIES = [
     "decontaminate_docs",
     "sample_stratified",
     "text_repetition",
+    "time_bucket_counts",
+    "anomaly_zscore",
 ]
 
 

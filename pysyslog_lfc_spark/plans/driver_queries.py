@@ -1527,6 +1527,107 @@ def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("event_id", "click_id", "asof_gap_us")
 
 
+@query(
+    "time_bucket_counts",
+    """
+    SELECT epoch_us(date_trunc('day', ts)) // 1000000 AS bucket_sec,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def time_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window (1 day) rollup — the batch form of the
+    hypertable/continuous-aggregate pattern; partial aggregation makes
+    this a single small shuffle regardless of input size."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.unix_timestamp(F.date_trunc("day", F.col("ts"))).alias("bucket_sec"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+@query(
+    "pivot_user_event_matrix",
+    """
+    SELECT user_id,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+           CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+    FROM events GROUP BY user_id
+    """,
+)
+def pivot_user_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long -> wide feature matrix): per-user event-type counts.
+    Explicit value list keeps the plan a single-pass hash aggregate —
+    no values-discovery job, no second shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = ev.groupBy("user_id").pivot("event_type", types).count().na.fill(0)
+    return out.select(
+        "user_id", *[F.col(t).alias(f"n_{t}") for t in types]
+    )
+
+
+@query(
+    "rollup_order_stats",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical grouping sets (ROLLUP): per (status, priority),
+    per status, and grand total in ONE pass — Spark expands the
+    grouping sets inside a single aggregate, no N-pass union."""
+    o = _t(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+@query(
+    "anomaly_zscore",
+    """
+    WITH stats AS (
+      SELECT event_id, event_type, value,
+             avg(value) OVER w AS mu,
+             stddev_samp(value) OVER w AS sigma
+      FROM events WINDOW w AS (PARTITION BY event_type)
+    )
+    SELECT event_id, event_type, value
+    FROM stats WHERE value > mu + 3 * sigma
+    """,
+)
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series z-score outliers (value > mean + 3 sigma within the
+    event_type) — the alerting-side anomaly staple. Unbounded analytic
+    window: one shuffle on the series key, stats computed once per
+    partition, no self-join."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    mu = F.avg("value").over(w)
+    sigma = F.stddev_samp("value").over(w)
+    return (
+        ev.withColumn("_thr", mu + 3 * sigma)
+        .where(F.col("value") > F.col("_thr"))
+        .select("event_id", "event_type", "value")
+    )
+
+
 # =====================================================================
 # Training-data curation: decontamination, PII, sampling, repetition
 # =====================================================================
