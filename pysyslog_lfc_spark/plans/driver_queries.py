@@ -1528,6 +1528,29 @@ def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_centroids",
+    """
+    SELECT label, i - 1 AS pos, round(avg(embedding[i]), 4) AS c
+    FROM (SELECT label, embedding,
+                 unnest(range(1, len(embedding) + 1)) AS i
+          FROM embeddings)
+    GROUP BY label, i
+    """,
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class embedding centroids (the building block of
+    classifier-based quality filtering and nearest-centroid labeling).
+    posexplode + hash aggregate: one shuffle on (label, pos), partial
+    aggregation map-side, no vectors ever collected to the driver."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("x"), 4).alias("c"))
+    )
+
+
+@query(
     "time_bucket_counts",
     """
     SELECT epoch_us(date_trunc('day', ts)) // 1000000 AS bucket_sec,

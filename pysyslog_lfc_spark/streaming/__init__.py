@@ -10,6 +10,7 @@ from pysyslog_lfc_spark.streaming.flows import (  # noqa: F401
     alert_with_cooldown,
     stream_json_lines,
     stream_socket_lines,
+    session_window_stream,
     run_flow_stream,
     fanout_foreach_batch,
     trigger_from_settings,

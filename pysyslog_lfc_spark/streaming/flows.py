@@ -58,6 +58,52 @@ def stream_socket_lines(spark: SparkSession, host: str, port: int) -> DataFrame:
     )
 
 
+def session_window_stream(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    value_col: str | None = None,
+) -> DataFrame:
+    """Streaming gap-based sessionization — the stream twin of
+    ``operators/sessions.py::sessionize`` using Spark's native
+    ``session_window`` state operator: a session closes once the
+    watermark passes its end, so state is bounded by (keys x open
+    sessions), never by stream length.
+
+    Boundary semantics differ from batch by one epsilon: an event
+    exactly ``gap`` after the previous one OPENS a new session here
+    (window [t, t+gap) has closed) but EXTENDS the session in the batch
+    operator (strict ``> gap`` test). Identical for every non-boundary
+    input; tests assert parity on gap-free fixtures.
+
+    Output-mode note: in ``append`` mode a session is emitted only once
+    the watermark passes its end — the stream's final sessions stay
+    open until later data advances the watermark (correct for a
+    forever-running daemon; tests use ``complete`` for a bounded
+    fixture).
+    """
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts_col).alias("first_ts"),
+        F.max(ts_col).alias("last_ts"),
+    ]
+    if value_col is not None:
+        aggs.append(F.round(F.sum(value_col), 4).alias("sum_value"))
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(*key_cols, F.session_window(F.col(ts_col), gap))
+        .agg(*aggs)
+        .select(
+            *key_cols,
+            F.col("session_window.start").alias("session_start"),
+            *[c for c in ("n_events", "first_ts", "last_ts", "sum_value")
+              if value_col is not None or c != "sum_value"],
+        )
+    )
+
+
 def trigger_from_settings(cfg: RuntimeConfig | None) -> dict:
     """[settings] flush_every (docs/configuration/main.md:20) -> the
     micro-batch trigger: the reference flushes its buffer every

@@ -294,3 +294,49 @@ def test_stream_custom_parser_via_registry(spark, tmp_path):
     q.awaitTermination(60)
     got = sorted(r.rendered for r in spark.sql("SELECT * FROM kv_sink").collect())
     assert got == ["web1:443", "web2:80"]
+
+
+def test_session_window_stream_matches_batch_sessionize(spark, tmp_path):
+    """Streaming session_window produces the same per-session rollup as
+    the batch sessionize operator (fixture avoids the one boundary case
+    where their gap semantics differ by an epsilon)."""
+    import datetime as dt
+
+    from pysyslog_lfc_spark.operators.sessions import session_stats
+    from pysyslog_lfc_spark.streaming import session_window_stream
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for user in range(5):
+        t = 0
+        for burst in range(3):
+            for i in range(user + 2):          # burst of events 10s apart
+                rows.append((user, eid, t0 + dt.timedelta(seconds=t), 1.0))
+                eid += 1
+                t += 10
+            t += 3600 + user * 7 + 13          # idle gap >> 600s, never == 600
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp, value double")
+
+    batch = {
+        (r["user_id"], r["session_start_sec"], r["n_events"], r["sum_value"])
+        for r in session_stats(
+            df, ["user_id"], "ts", 600, value_col="value", order_tiebreak="event_id"
+        ).collect()
+    }
+
+    src = tmp_path / "sess_in"
+    df.coalesce(1).write.mode("overwrite").parquet(str(src))
+    stream = spark.readStream.schema(df.schema).parquet(str(src))
+    q = (
+        session_window_stream(stream, ["user_id"], "ts", gap="600 seconds",
+                              watermark="1 second", value_col="value")
+        .writeStream.format("memory").queryName("sess_t")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], int(r["first_ts"].timestamp()), r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM sess_t").collect()
+    }
+    assert got == batch
