@@ -1,0 +1,99 @@
+"""Single-box bottleneck characterization for the scaling evidence.
+
+Two microbenchmarks that separate the candidate explanations for
+sub-linear thread scaling on this shared host:
+
+1. ALU probe — fixed pure-compute work on one thread, alone vs with 7
+   busy spinner cores. A ratio > 1 would indicate per-core frequency
+   scaling (turbo) differences between the N and 4N thread counts.
+2. Memory-bandwidth probe — streaming numpy array arithmetic (the same
+   access pattern as the token-array pipeline), one stream vs 8
+   concurrent streams. The per-core ratio is the bandwidth tax the
+   8-thread configuration pays on ONE shared memory bus; a real
+   4N-executor cluster adds 4N independent buses and does not pay it.
+
+Usage: python BENCH/membw_probe.py   (prints one JSON line)
+"""
+
+from __future__ import annotations
+
+import json
+import multiprocessing as mp
+import time
+
+import numpy as np
+
+N_ELEM = 25_000_000  # 200 MB per stream
+
+
+def _spin(stop) -> None:
+    x = 1.0
+    while not stop.is_set():
+        for _ in range(100_000):
+            x = x * 1.0000001 + 0.1
+
+
+def _alu_fixed_work() -> float:
+    x = 1.0
+    t0 = time.perf_counter()
+    for _ in range(30):
+        for _ in range(1_000_000):
+            x = x * 1.0000001 + 0.1
+    return time.perf_counter() - t0
+
+
+def _bw_once() -> float:
+    a = np.ones(N_ELEM)
+    t0 = time.perf_counter()
+    for _ in range(10):
+        b = a * 1.000001
+        a = b + 0.1
+    return 20 * a.nbytes / (time.perf_counter() - t0) / 1e9  # GB/s
+
+
+def _bw_worker(q) -> None:
+    q.put(_bw_once())
+
+
+def main() -> None:
+    # --- ALU: alone vs 8 busy cores
+    alone = min(_alu_fixed_work() for _ in range(3))
+    stop = mp.Event()
+    procs = [mp.Process(target=_spin, args=(stop,)) for _ in range(7)]
+    for p in procs:
+        p.start()
+    time.sleep(1)
+    busy = min(_alu_fixed_work() for _ in range(3))
+    stop.set()
+    for p in procs:
+        p.join()
+
+    # --- bandwidth: 1 stream vs 8 streams
+    q: mp.Queue = mp.Queue()
+    p = mp.Process(target=_bw_worker, args=(q,))
+    p.start()
+    single = q.get()
+    p.join()
+    q = mp.Queue()
+    procs = [mp.Process(target=_bw_worker, args=(q,)) for _ in range(8)]
+    for p in procs:
+        p.start()
+    vals = [q.get() for _ in range(8)]
+    for p in procs:
+        p.join()
+
+    print(
+        json.dumps(
+            {
+                "alu_slowdown_8core": round(busy / alone, 3),
+                "membw_single_gbps": round(single, 2),
+                "membw_8stream_percore_gbps": round(sum(vals) / 8, 2),
+                "membw_8stream_aggregate_gbps": round(sum(vals), 2),
+                "membw_percore_tax_8x": round(single / (sum(vals) / 8), 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
