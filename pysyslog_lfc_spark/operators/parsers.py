@@ -129,8 +129,11 @@ def _json(cfg: ComponentConfig) -> ParserFn:
 # ---------------------------------------------------------------- regex
 
 def _translate_named_groups(pattern: str) -> str:
-    """Python ``(?P<name>...)`` -> Java ``(?<name>...)`` for JVM regex."""
-    return pattern.replace("(?P<", "(?<").replace("(?P=", r"\k<").replace(">", ">")
+    """Python ``(?P<name>...)`` -> Java ``(?<name>...)`` and backrefs
+    ``(?P=name)`` -> ``\\k<name>`` for JVM regex."""
+    return re.sub(
+        r"\(\?P=(\w+)\)", r"\\k<\1>", pattern.replace("(?P<", "(?<")
+    )
 
 
 _CAST_MAP = {

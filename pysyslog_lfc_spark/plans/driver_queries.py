@@ -1528,6 +1528,66 @@ def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "topk_words_per_source",
+    r"""
+    WITH words AS (
+      SELECT source,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                w -> w != '')) AS w
+      FROM documents
+    ),
+    wc AS (SELECT source, w, CAST(count(*) AS BIGINT) AS cnt
+           FROM words GROUP BY source, w),
+    rk AS (SELECT source, w AS word, cnt,
+                  CAST(row_number() OVER (PARTITION BY source
+                                          ORDER BY cnt DESC, w) AS INTEGER) AS rnk
+           FROM wc)
+    SELECT source, word, cnt, rnk FROM rk WHERE rnk <= 5
+    """,
+)
+def topk_words_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k frequent terms ("top talkers"): explode + partial
+    hash agg + rank window over the already-aggregated (group, term)
+    counts — the window sees one row per distinct term, never the raw
+    stream. Deterministic tie-break on the term."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "source", F.explode(TX.tokenize(F.lower(F.col("text")))).alias("word")
+    )
+    wc = words.groupBy("source", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("source").orderBy(F.col("cnt").desc(), F.col("word"))
+    return (
+        wc.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= 5)
+        .select("source", "word", "cnt", "rnk")
+    )
+
+
+@query(
+    "json_props_stats",
+    """
+    SELECT event_type,
+           CAST(count(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS n_with_k,
+           CAST(sum(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS sum_k,
+           CAST(max(CAST(props->>'$.k' AS INTEGER)) AS INTEGER) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON-path extraction (``get_json_object``) over a
+    string payload column + aggregate — the "pull one field out of the
+    blob" staple that complements the schema-full ``parser.json``
+    (reference parsers/json.py). Codegen path, no Python."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count(k).alias("n_with_k"),
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@query(
     "embedding_centroids",
     """
     SELECT label, i - 1 AS pos, round(avg(embedding[i]), 4) AS c
@@ -1637,16 +1697,20 @@ def rollup_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-series z-score outliers (value > mean + 3 sigma within the
-    event_type) — the alerting-side anomaly staple. Unbounded analytic
-    window: one shuffle on the series key, stats computed once per
-    partition, no self-join."""
+    event_type) — the alerting-side anomaly staple.
+
+    Deliberately NOT an unbounded analytic window: PARTITION BY a
+    low-cardinality series key would funnel the whole table through
+    #series tasks. Instead: map-side partial aggregate to a tiny
+    (series, mu, sigma) frame, broadcast it back, filter — the fact
+    table never shuffles at all."""
     ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type")
-    mu = F.avg("value").over(w)
-    sigma = F.stddev_samp("value").over(w)
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("_mu"), F.stddev_samp("value").alias("_sigma")
+    )
     return (
-        ev.withColumn("_thr", mu + 3 * sigma)
-        .where(F.col("value") > F.col("_thr"))
+        ev.join(F.broadcast(stats), "event_type")
+        .where(F.col("value") > F.col("_mu") + 3 * F.col("_sigma"))
         .select("event_id", "event_type", "value")
     )
 

@@ -120,3 +120,23 @@ output.type = memory
     ).select("record.*").collect()
     got = {(r.level, r.client, r.status) for r in rows}
     assert got == {("high", "10.0.0.1", 200), ("low", "8.8.8.8", 404)}
+
+
+def test_regex_parser_backreference_translation(spark):
+    """Python `(?P=name)` backrefs translate to JVM `\\k<name>` — the
+    pattern matches only lines whose open/close tags agree, identically
+    on the SQL and pandas paths."""
+    pat = r"<(?P<tag>\w+)>(?P<body>\w+)</(?P=tag)>"
+    lines = [
+        ("<err>disk</err>",),
+        ("<err>mismatch</warn>",),   # backref fails -> drop
+        ("<ok>fine</ok>",),
+    ]
+    df = spark.createDataFrame(lines, "value string")
+    sql_parse = compile_parser(ComponentConfig("regex", {"pattern": pat}))
+    pd_parse = compile_parser(
+        ComponentConfig("regex", {"pattern": pat, "vectorized": "pandas"})
+    )
+    a = sorted(map(tuple, sql_parse(df).select("record.*").collect()))
+    b = sorted(map(tuple, pd_parse(df).select("record.*").collect()))
+    assert a == b == [("err", "disk"), ("ok", "fine")]

@@ -121,3 +121,15 @@ def test_sample_is_pure_scan_filter(noaqe):
     plan = plan_of(DQ.all_queries()["sample_stratified"](noaqe, SF))
     assert n_shuffles(plan) == 1, plan
     assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_anomaly_stats_broadcast_back(noaqe):
+    """Z-score filtering must broadcast the tiny per-series stats frame;
+    the fact table itself never hash-shuffles (a window PARTITION BY a
+    low-cardinality series key would funnel everything into #series
+    tasks)."""
+    plan = plan_of(DQ.all_queries()["anomaly_zscore"](noaqe, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the only exchange feeds the stats aggregate, not the fact scan
+    assert n_shuffles(plan) <= 1, plan

@@ -109,3 +109,20 @@ format.template = [t] {{message}}
     summary = json.loads(line)
     assert summary["flows"]["tail"]["rows"] == 2
     assert sorted(summary["flows"]["tail"]["head"]) == ["[t] hello world", "[t] second line"]
+
+
+def test_webaccess_example_ini(spark):
+    """etc/webaccess.ini end-to-end: grok parse with typed casts +
+    numeric/ip typed filters + template render (the CLI demo config)."""
+    import os
+
+    from pysyslog_lfc_spark import config
+    from pysyslog_lfc_spark.plans.compiler import run_flow
+
+    os.chdir("/root/repo")  # input.path is repo-relative
+    cfg = config.load("etc/webaccess.ini").get_flow("web_errors")
+    got = sorted(run_flow(spark, cfg))
+    assert got == [
+        "10.0.0.5 alice GET /missing -> 404",
+        "10.0.0.9 bob GET /api/orders/7 -> 500",
+    ]
