@@ -409,6 +409,66 @@ def _rfc5424(cfg: ComponentConfig) -> ParserFn:
 
 # ---------------------------------------------------------------- passthrough
 
+def _logfmt(cfg: ComponentConfig) -> ParserFn:
+    """logfmt parser (``k=v`` pairs, the Heroku/Go-ecosystem structured
+    log line format — public spec by convention: brandur.org/logfmt).
+
+    Options:
+      - ``fields`` (required): comma list of keys to project as record
+        columns (order = record column order);
+      - ``types``: optional comma list matching ``fields`` (string|int|
+        long|float|double|bool), cast with ``try_cast`` (bad value ⇒
+        null, reference allow-invalid convention);
+      - ``require``: comma list of keys that must be present or the
+        line is dropped (default: drop only lines with NO parsed pair).
+
+    Pure codegen: one ``str_to_map`` over a pre-tokenized pair stream;
+    no Python. Quoted values (``k="a b"``) keep their spaces: pairs are
+    matched with a regex that treats a quoted span as one token.
+    """
+    fields = [f.strip() for f in (cfg.option("fields") or "").split(",") if f.strip()]
+    if not fields:
+        raise ConfigError("logfmt parser requires 'fields'")
+    types = [t.strip() for t in (cfg.option("types") or "").split(",") if t.strip()]
+    if types and len(types) != len(fields):
+        raise ConfigError("logfmt parser: 'types' length must match 'fields'")
+    require = [
+        r.strip() for r in (cfg.option("require") or "").split(",") if r.strip()
+    ]
+    bad = set(require) - set(fields)
+    if bad:
+        raise ConfigError(f"logfmt parser: 'require' keys not in fields: {sorted(bad)}")
+
+    # one k=v pair per element; values may be bare tokens or "quoted"
+    pair_re = r'(\w+)=("[^"]*"|\S*)'
+
+    def parse(df: DataFrame, raw: str = "value") -> DataFrame:
+        pairs = F.regexp_extract_all(F.col(raw), F.lit(pair_re), 0)
+        kv = F.str_to_map(F.array_join(pairs, "\x1e"), F.lit("\x1e"), F.lit("="))
+        cols = []
+        for i, name in enumerate(fields):
+            v = F.try_element_at(kv, F.lit(name))
+            # strip surrounding quotes from quoted values
+            v = F.when(
+                v.rlike('^".*"$'), F.regexp_replace(v, '^"(.*)"$', r"$1")
+            ).otherwise(v)
+            if types and types[i] != "string":
+                spark_t = {"int": "int", "long": "long", "float": "double",
+                           "double": "double", "bool": "boolean"}.get(types[i])
+                if spark_t is None:
+                    raise ConfigError(f"logfmt parser: unknown type '{types[i]}'")
+                v = v.try_cast(spark_t)
+            cols.append(v.alias(name))
+        out = df.withColumn(RECORD_COL, F.struct(*cols)).where(
+            F.size(pairs) > 0
+        )
+        for r in require:
+            out = out.where(F.col(f"{RECORD_COL}.{r}").isNotNull())
+        return out
+
+    return parse
+
+
 def _passthrough(cfg: ComponentConfig) -> ParserFn:
     def parse(df: DataFrame, raw: str = "value") -> DataFrame:
         return df.where(F.col(raw).isNotNull()).withColumn(
@@ -425,5 +485,6 @@ BUILTIN_PARSERS = {
     "grok": _grok,
     "rfc3164": _rfc3164,
     "rfc5424": _rfc5424,
+    "logfmt": _logfmt,
     "passthrough": _passthrough,
 }

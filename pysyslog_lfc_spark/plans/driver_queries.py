@@ -1528,6 +1528,52 @@ def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "flow_parse_logfmt",
+    """
+    WITH lines AS (
+      SELECT 'evt=' || event_type || ' user=' || CAST(user_id AS VARCHAR)
+             || ' val=' || CAST(value AS VARCHAR) || ' id=' || CAST(event_id AS VARCHAR)
+             AS line
+      FROM events
+    )
+    SELECT regexp_extract(line, 'evt=(\\S*)', 1) AS evt,
+           CAST(regexp_extract(line, 'user=(\\S*)', 1) AS BIGINT) AS usr,
+           CAST(regexp_extract(line, 'id=(\\S*)', 1) AS BIGINT) AS rec_id
+    FROM lines
+    WHERE regexp_extract(line, 'evt=(\\S*)', 1) = 'error'
+    """,
+)
+def flow_parse_logfmt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """logfmt (k=v) parser family over a synthesized line stream — both
+    engines build the identical logfmt line from events, then parse it
+    back (operators/parsers.py::_logfmt: regexp pair scan + str_to_map,
+    pure codegen)."""
+    from pysyslog_lfc_spark.operators.parsers import compile_parser
+
+    ev = _t(spark, sf_dir, "events")
+    lines = ev.select(
+        F.concat(
+            F.lit("evt="), F.col("event_type"),
+            F.lit(" user="), F.col("user_id").cast("string"),
+            F.lit(" val="), F.col("value").cast("string"),
+            F.lit(" id="), F.col("event_id").cast("string"),
+        ).alias("value")
+    )
+    parse = compile_parser(
+        ComponentConfig(
+            "logfmt",
+            {"fields": "evt,user,id", "types": "string,long,long", "require": "evt"},
+        )
+    )
+    rec = parse(lines)
+    return rec.select(
+        F.col("record.evt").alias("evt"),
+        F.col("record.user").alias("usr"),
+        F.col("record.id").alias("rec_id"),
+    ).where(F.col("evt") == "error")
+
+
+@query(
     "topk_words_per_source",
     r"""
     WITH words AS (

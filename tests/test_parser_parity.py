@@ -140,3 +140,39 @@ def test_regex_parser_backreference_translation(spark):
     a = sorted(map(tuple, sql_parse(df).select("record.*").collect()))
     b = sorted(map(tuple, pd_parse(df).select("record.*").collect()))
     assert a == b == [("err", "disk"), ("ok", "fine")]
+
+
+def test_logfmt_parser(spark):
+    """logfmt family: quoted values keep spaces, types try_cast (bad
+    value => null), `require` drops lines missing the key, pairless
+    lines drop entirely."""
+    lines = [
+        ('level=info msg="disk is full" code=7',),
+        ('level=warn msg=short code=notanint',),   # bad int -> null code
+        ('msg="no level here" code=1',),           # missing require -> drop
+        ("free text without any pairs",),          # no pairs -> drop
+    ]
+    df = spark.createDataFrame(lines, "value string")
+    parse = compile_parser(
+        ComponentConfig(
+            "logfmt",
+            {"fields": "level,msg,code", "types": "string,string,int",
+             "require": "level"},
+        )
+    )
+    got = sorted(map(tuple, parse(df).select("record.*").collect()))
+    assert got == [
+        ("info", "disk is full", 7),
+        ("warn", "short", None),
+    ]
+
+
+def test_logfmt_parser_config_errors(spark):
+    from pysyslog_lfc_spark.config import ConfigError
+
+    with pytest.raises(ConfigError):
+        compile_parser(ComponentConfig("logfmt", {}))
+    with pytest.raises(ConfigError):
+        compile_parser(ComponentConfig("logfmt", {"fields": "a,b", "types": "int"}))
+    with pytest.raises(ConfigError):
+        compile_parser(ComponentConfig("logfmt", {"fields": "a", "require": "zz"}))
