@@ -1,0 +1,101 @@
+"""Sequence packing: concatenate variable-length documents into
+fixed-capacity training rows (the "concat-and-chunk" packing used for
+LLM pretraining batches — public practice since GPT-2; documents are
+concatenated in a deterministic order and the stream is cut every
+``capacity`` tokens, with attention masks handling the joins).
+
+Two layers:
+
+- :func:`pack_assignments` — the DISTRIBUTED planning layer: assign
+  every document a ``(group, pack_id, offset)`` with a window cumsum
+  per group. One shuffle on the group key; pure codegen; deterministic
+  for any partitioning (ordering is total per group). This layer is
+  SQL-expressible and oracle-checked by the driver gate.
+- :func:`pack_tokens` — the ASSEMBLY layer: explode each doc's token
+  array onto the global token stream positions and regroup by
+  ``capacity``-sized chunk. Token arrays never hit the driver; the
+  chunk regroup shuffles each token exactly once, which is the lower
+  bound for a repacking that crosses document boundaries.
+
+At 100 TB the planning layer is what matters: per-group streams keep
+the cumsum windows parallel (group = source/shard), and the heavy
+token shuffle is a single stage keyed by (group, pack_id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def pack_assignments(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    size_col: str,
+    capacity: int,
+) -> DataFrame:
+    """Assign docs to packs: concatenated in ``id_col`` order per group,
+    the stream is cut every ``capacity`` units.
+
+    Adds:
+      - ``start_off``  global stream offset of the doc's first unit
+      - ``pack_id``    pack containing the doc's FIRST unit
+                       (floor(start_off / capacity))
+      - ``end_pack``   pack containing the doc's LAST unit — docs with
+                       ``pack_id != end_pack`` straddle a cut (attention
+                       masking territory, counted by the caller)
+    """
+    w = Window.partitionBy(group_col).orderBy(id_col)
+    cum = F.sum(size_col).over(w)
+    start = (cum - F.col(size_col)).cast("long")
+    return df.withColumns(
+        {
+            "start_off": start,
+            "pack_id": F.floor(start / capacity).cast("int"),
+            "end_pack": F.floor((cum - 1) / capacity).cast("int"),
+        }
+    )
+
+
+def pack_tokens(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    tokens_col: str,
+    capacity: int,
+) -> DataFrame:
+    """Assemble the actual packed rows: one row per (group, pack_id)
+    with exactly ``capacity`` tokens (the final partial pack keeps its
+    remainder length).
+
+    posexplode puts every token at its global stream offset; the
+    regroup keys on (group, chunk) and ``array_agg`` respects the
+    in-chunk position sort. Each token is shuffled once.
+    """
+    sized = df.withColumn("_n", F.size(tokens_col))
+    planned = pack_assignments(sized, group_col, id_col, "_n", capacity)
+    stream = planned.select(
+        group_col,
+        F.col("start_off"),
+        F.posexplode(tokens_col).alias("_pos", "_tok"),
+    ).select(
+        group_col,
+        (F.col("start_off") + F.col("_pos")).alias("_off"),
+        "_tok",
+    )
+    chunked = stream.withColumn(
+        "pack_id", F.floor(F.col("_off") / capacity).cast("int")
+    ).withColumn("_slot", (F.col("_off") % capacity).cast("int"))
+    return (
+        chunked.groupBy(group_col, "pack_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("_slot", "_tok"))
+            ).alias("_pairs")
+        )
+        .select(
+            group_col,
+            "pack_id",
+            F.transform(F.col("_pairs"), lambda p: p["_tok"]).alias("tokens"),
+        )
+    )

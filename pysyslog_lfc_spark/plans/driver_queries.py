@@ -1528,6 +1528,45 @@ def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pack_documents",
+    """
+    WITH a AS (
+      SELECT source, doc_id, n_chars,
+             sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+      FROM documents
+    ),
+    p AS (
+      SELECT source, n_chars,
+             CAST(floor((cum - n_chars) / 4096e0) AS INTEGER) AS pack_id,
+             CAST(floor((cum - 1) / 4096e0) AS INTEGER) AS end_pack
+      FROM a
+    )
+    SELECT source, pack_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_units,
+           CAST(sum(CASE WHEN end_pack != pack_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_straddle
+    FROM p GROUP BY source, pack_id
+    """,
+)
+def pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing planning layer (functions/packing.py): concat
+    docs per source in doc_id order, cut every 4096 units; per-pack
+    rollup counts docs, units, and boundary-straddling docs. One window
+    shuffle on the group key, one (coalesced) aggregate."""
+    from pysyslog_lfc_spark.functions.packing import pack_assignments
+
+    docs = _t(spark, sf_dir, "documents")
+    p = pack_assignments(docs, "source", "doc_id", "n_chars", 4096)
+    return p.groupBy("source", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_units"),
+        F.sum((F.col("end_pack") != F.col("pack_id")).cast("long")).alias("n_straddle"),
+    )
+
+
+@query(
     "flow_parse_logfmt",
     """
     WITH lines AS (

@@ -398,3 +398,50 @@ def test_kmeans_centroids_train_and_ivf(spark):
     assert len(per_q) == 5
     for ranks in per_q.values():
         assert sorted(ranks) == list(range(1, 11))
+
+
+class TestPacking:
+    def test_pack_tokens_invariants(self, spark):
+        """Packed output: every token preserved in stream order, every
+        pack exactly `capacity` tokens except each group's last."""
+        from pysyslog_lfc_spark.functions.packing import pack_tokens
+        from pysyslog_lfc_spark.sources.datagen import sequences_df
+
+        seq = sequences_df(spark, 300, seed=7, partitions=4)
+        cap = 257  # prime: packs never align with doc boundaries
+        packed = pack_tokens(seq, "source", "doc_id", "tokens", cap).collect()
+
+        by_group: dict = {}
+        for r in packed:
+            by_group.setdefault(r["source"], {})[r["pack_id"]] = list(r["tokens"])
+
+        rows = seq.select("source", "doc_id", "tokens").collect()
+        docs: dict = {}
+        for r in rows:
+            docs.setdefault(r["source"], []).append((r["doc_id"], list(r["tokens"])))
+
+        for src, doclist in docs.items():
+            stream = [t for _, toks in sorted(doclist) for t in toks]
+            packs = by_group[src]
+            # contiguous pack ids from 0
+            assert sorted(packs) == list(range(len(packs)))
+            reassembled = [t for i in sorted(packs) for t in packs[i]]
+            assert reassembled == stream, f"token stream mangled for {src}"
+            for i in sorted(packs)[:-1]:
+                assert len(packs[i]) == cap
+            assert 0 < len(packs[max(packs)]) <= cap
+
+    def test_pack_assignments_matches_tokens(self, spark):
+        """The planning layer's pack_id for each doc equals the pack its
+        first token lands in during assembly."""
+        from pysyslog_lfc_spark.functions.packing import pack_assignments
+        from pysyslog_lfc_spark.sources.datagen import sequences_df
+        from pyspark.sql import functions as F
+
+        seq = sequences_df(spark, 200, seed=9, partitions=4).withColumn(
+            "n_tok2", F.size("tokens")
+        )
+        p = pack_assignments(seq, "source", "doc_id", "n_tok2", 100)
+        for r in p.select("start_off", "pack_id", "end_pack", "n_tok2").collect():
+            assert r["pack_id"] == r["start_off"] // 100
+            assert r["end_pack"] == (r["start_off"] + r["n_tok2"] - 1) // 100
