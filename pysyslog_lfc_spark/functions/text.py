@@ -240,3 +240,17 @@ def shingles_expr(col: Column, n: int = 3) -> Column:
         ),
     ).otherwise(F.array().cast("array<string>"))
     return F.array_sort(F.array_distinct(grams))
+
+
+def compression_ratio(col: Column, level: int = 6) -> Column:
+    """zlib compression ratio in permille (compressed*1000//raw) — the
+    redundancy quality signal used by C4/Gopher-class corpus filters:
+    boilerplate and degenerate repetition compress far below prose.
+
+    This is deliberately a Python-side op (zlib has no Catalyst/DuckDB
+    equivalent) done the right way: Arrow-batched pandas UDF, zlib
+    releases the GIL, no per-row Python calls — pytest-verified rather
+    than oracle-checked (operators/_pandas_udfs.py)."""
+    from pysyslog_lfc_spark.operators._pandas_udfs import make_compression_ratio_udf
+
+    return make_compression_ratio_udf(level)(col)

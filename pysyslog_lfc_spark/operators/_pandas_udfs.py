@@ -58,3 +58,27 @@ def make_regex_extract_udf(pattern, names):
         return ext
 
     return extract
+
+
+def make_compression_ratio_udf(level=6):
+    """zlib compressed-size / raw-size per document (permille int).
+
+    The C4/Gopher-style redundancy signal: heavily repetitive or
+    templated text compresses far below natural prose. Arrow-batched
+    (one Python hop per ~10k rows, zlib releases the GIL); NULL or
+    empty text -> NULL.
+    """
+    import zlib
+
+    @F.pandas_udf(T.IntegerType())
+    def ratio(s: pd.Series) -> pd.Series:
+        out = []
+        for text in s:
+            if not text:
+                out.append(None)
+                continue
+            raw = text.encode("utf-8", "surrogatepass")
+            out.append(len(zlib.compress(raw, level)) * 1000 // len(raw))
+        return pd.Series(out, dtype="Int64")
+
+    return ratio

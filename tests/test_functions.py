@@ -445,3 +445,38 @@ class TestPacking:
         for r in p.select("start_off", "pack_id", "end_pack", "n_tok2").collect():
             assert r["pack_id"] == r["start_off"] // 100
             assert r["end_pack"] == (r["start_off"] + r["n_tok2"] - 1) // 100
+
+
+class TestCompressionRatio:
+    def test_repetitive_compresses_below_prose(self, spark):
+        from pysyslog_lfc_spark.functions.text import compression_ratio
+        from pyspark.sql import functions as F
+
+        rows = [
+            (1, "spam " * 400),                             # degenerate repetition
+            (2, "the quick brown fox jumps over the lazy dog; "
+                "pack my box with five dozen liquor jugs; "
+                "sphinx of black quartz judge my vow. " * 12),  # prose-ish
+            (3, None),
+            (4, ""),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: r["ratio"]
+            for r in df.select(
+                "doc_id", compression_ratio(F.col("text")).alias("ratio")
+            ).collect()
+        }
+        assert got[3] is None and got[4] is None
+        assert got[1] < got[2] < 1000          # repetition << prose < raw
+        assert got[1] < 50                     # "spam spam..." collapses
+
+    def test_deterministic(self, spark):
+        from pysyslog_lfc_spark.functions.text import compression_ratio
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame([(i, f"doc {i} body " * (i + 1)) for i in range(50)],
+                                   "doc_id long, text string")
+        a = df.select("doc_id", compression_ratio(F.col("text")).alias("r")).collect()
+        b = df.select("doc_id", compression_ratio(F.col("text")).alias("r")).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
