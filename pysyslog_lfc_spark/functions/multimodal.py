@@ -390,3 +390,104 @@ def sample_video_frames(
             yield pd.DataFrame(rows, columns=keep + ["frame_idx", "frame_payload"])
 
     return df.mapInPandas(run, out_schema)
+
+
+def _ahash64(gray) -> int:
+    """64-bit average hash of an 8x8 grayscale block grid (the classic
+    public aHash: bit i = block mean > global mean)."""
+    import numpy as np
+
+    h, w = gray.shape
+    ys = np.array_split(np.arange(h), 8)
+    xs = np.array_split(np.arange(w), 8)
+    blocks = np.array(
+        [[gray[y[0] : y[-1] + 1, x[0] : x[-1] + 1].mean() for x in xs] for y in ys]
+    )
+    bits = (blocks > blocks.mean()).flatten()
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    return v - (1 << 64) if v >= (1 << 63) else v  # signed 64-bit for LongType
+
+
+def image_ahash(
+    df: DataFrame,
+    payload_col: str = "payload",
+    meta_col: str = "image_meta",
+    decode: Literal["fake", "real"] = "fake",
+) -> DataFrame:
+    """Perceptual hash stage: appends ``ahash: long`` (64-bit average
+    hash) and drops the payload. ``decode="real"`` parses PPM with
+    numpy; ``decode="fake"`` derives a deterministic payload-seeded
+    hash so plumbing tests run without codecs. Arrow-batched
+    ``mapInPandas`` like every decode stage here."""
+    import numpy as np
+
+    out_fields = [f for f in df.schema.fields if f.name != payload_col]
+    out_schema = T.StructType(out_fields + [T.StructField("ahash", T.LongType())])
+    keep = [f.name for f in out_fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for i in range(len(pdf)):
+                payload = bytes(pdf[payload_col].iloc[i])
+                if decode == "real" or payload.startswith(b"P6"):
+                    arr = decode_ppm(payload)
+                    gray = arr.astype("float64").mean(axis=2)
+                    hashes.append(_ahash64(gray))
+                elif decode == "fake":
+                    dig = hashlib.sha256(b"ahash:" + payload).digest()
+                    v = int.from_bytes(dig[:8], "big")
+                    hashes.append(v - (1 << 64) if v >= (1 << 63) else v)
+                else:
+                    raise NotImplementedError(
+                        "real aHash requires a decodable payload (PPM in this container)"
+                    )
+            out = pdf[keep].copy()
+            out["ahash"] = pd.Series(hashes, dtype="int64")
+            yield out
+
+    return df.mapInPandas(run, out_schema)
+
+
+def image_near_dup_pairs(
+    hashed: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "ahash",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-duplicate image pairs by aHash hamming distance — the same
+    pigeonhole band equi-join as text SimHash (functions/dedup.py):
+    any pair within distance ``bands - 1`` shares one of ``bands``
+    identical 16-bit bands, so candidates come from an equi-join, never
+    a cross product. Exact popcount verifies."""
+    assert max_hamming < bands, "pigeonhole requires max_hamming < bands"
+    width = 64 // bands
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col(hash_col), b * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("bits"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = hashed.select(
+        F.col(id_col).alias("_id"), F.col(hash_col).alias("_h"), F.explode(band_arr).alias("bk")
+    ).select("_id", "_h", F.col("bk.band").alias("band"), F.col("bk.bits").alias("bits"))
+    return (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bits"])
+        .where(F.col("x._id") < F.col("y._id"))
+        .select(
+            F.col("x._id").alias("id_a"),
+            F.col("y._id").alias("id_b"),
+            F.bit_count(F.col("x._h").bitwiseXOR(F.col("y._h"))).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

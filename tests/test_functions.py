@@ -480,3 +480,45 @@ class TestCompressionRatio:
         a = df.select("doc_id", compression_ratio(F.col("text")).alias("r")).collect()
         b = df.select("doc_id", compression_ratio(F.col("text")).alias("r")).collect()
         assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+class TestImageNearDup:
+    def _ppm_df(self, spark):
+        import numpy as np
+
+        from pysyslog_lfc_spark.functions.multimodal import encode_ppm
+
+        rng = np.random.RandomState(11)
+        base = rng.randint(0, 256, (32, 32, 3)).astype(np.uint8)
+        near = base.copy()
+        near[0, 0] = [0, 0, 0]                       # one pixel changed
+        other = rng.randint(0, 256, (32, 32, 3)).astype(np.uint8)
+        rows = [
+            (1, bytearray(encode_ppm(base))),
+            (2, bytearray(encode_ppm(near))),
+            (3, bytearray(encode_ppm(other))),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, payload binary")
+
+    def test_ahash_near_dup_pairs(self, spark):
+        from pysyslog_lfc_spark.functions.multimodal import (
+            image_ahash,
+            image_near_dup_pairs,
+        )
+
+        hashed = image_ahash(self._ppm_df(spark), decode="real")
+        pairs = image_near_dup_pairs(hashed, max_hamming=3).collect()
+        got = {(r["id_a"], r["id_b"]) for r in pairs}
+        assert (1, 2) in got           # one-pixel change -> tiny hamming
+        assert (1, 3) not in got and (2, 3) not in got
+
+    def test_fake_hash_deterministic_and_payload_sensitive(self, spark):
+        from pysyslog_lfc_spark.functions.multimodal import image_ahash
+
+        df = spark.createDataFrame(
+            [(1, bytearray(b"payload-a")), (2, bytearray(b"payload-a")),
+             (3, bytearray(b"payload-b"))],
+            "doc_id long, payload binary",
+        )
+        got = {r["doc_id"]: r["ahash"] for r in image_ahash(df, decode="fake").collect()}
+        assert got[1] == got[2] != got[3]
