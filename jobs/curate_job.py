@@ -1,0 +1,76 @@
+"""spark-submit entry point for the corpus-curation pipeline.
+
+Usage::
+
+    spark-submit --master local[32] \
+        --py-files pysyslog_lfc_spark.zip \
+        jobs/curate_job.py \
+        --input /path/to/documents_parquet \
+        --output /path/to/curated \
+        [--benchmark /path/to/benchmark_parquet] \
+        [--min-quality 200] [--sample-permille 1000] [--capacity 4096]
+
+Chains the training-data operators (exact + MinHash near-dup dedup,
+n-gram decontamination, PII redaction, quality floor, deterministic
+sampling, pack planning — plans/curation.py) and prints ONE JSON line
+with per-stage surviving-row counts. Deterministic: re-running over the
+same input reproduces the byte-identical curated corpus.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="documents parquet dir")
+    ap.add_argument("--output", required=True, help="curated parquet dir")
+    ap.add_argument("--benchmark", default=None, help="benchmark docs parquet dir")
+    ap.add_argument("--near-dup-threshold", type=float, default=0.9)
+    ap.add_argument("--min-quality", type=int, default=200)
+    ap.add_argument("--sample-permille", type=int, default=1000)
+    ap.add_argument("--capacity", type=int, default=4096)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("pysyslog-lfc-curate").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    from pysyslog_lfc_spark.plans.curation import run_curation
+
+    docs = spark.read.parquet(args.input)
+    bench = spark.read.parquet(args.benchmark) if args.benchmark else None
+
+    t0 = time.monotonic()
+    res = run_curation(
+        spark,
+        docs,
+        benchmark=bench,
+        near_dup_threshold=args.near_dup_threshold,
+        min_quality_permille=args.min_quality,
+        sample_permille=args.sample_permille,
+        pack_capacity=args.capacity,
+    )
+    res.df.write.mode("overwrite").parquet(args.output)
+    elapsed = time.monotonic() - t0
+
+    print(
+        json.dumps(
+            {
+                "elapsed_sec": round(elapsed, 3),
+                "stats": res.stats,
+                "docs_per_sec": round(res.stats["input"] / max(elapsed, 1e-9), 1),
+                "output": args.output,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,111 @@
+"""Corpus-curation pipeline: the training-data operators composed into
+one deterministic, resumable job (the curation counterpart of the log
+pipeline in :mod:`pysyslog_lfc_spark.plans.pipeline`).
+
+Stage order (standard corpus-prep practice — dedup before expensive
+stages, filter before pack):
+
+  1. exact dedup            keep the lowest doc_id per identical text
+  2. near-dup dedup         MinHash+LSH pairs, drop the higher id
+  3. decontaminate          drop docs sharing long n-grams with a
+                            benchmark frame (skipped when none given)
+  4. PII redaction          emails/IPv4s scrubbed in place
+  5. quality filter         composite quality floor + langid
+  6. deterministic sample   portable-hash die (resume-replayable)
+  7. pack planning          concat-and-chunk assignment metadata
+
+Every stage is a pure DataFrame transform; per-stage row counts are
+collected ONCE from a tiny aggregate (never the payload) and returned
+as lineage — same honesty contract as the flagship pipeline's
+``_lineage`` table.
+
+Determinism: every stage keys its decisions on content hashes or
+doc_id order, so a re-run (or a resumed partition) reproduces the
+byte-identical curated corpus — the property that makes 100 TB curation
+auditable.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, functions as F
+
+from pysyslog_lfc_spark.functions import text as TX
+from pysyslog_lfc_spark.functions.decontaminate import decontaminate
+from pysyslog_lfc_spark.functions.dedup import minhash_lsh_pairs
+from pysyslog_lfc_spark.functions.packing import pack_assignments
+from pysyslog_lfc_spark.operators.sampling import sample_key
+
+
+@dataclass
+class CurationResult:
+    df: DataFrame
+    stats: dict[str, int] = field(default_factory=dict)
+
+
+def run_curation(
+    spark,
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    near_dup_threshold: float = 0.9,
+    contamination_ngram: int = 8,
+    min_quality_permille: int = 200,
+    sample_permille: int = 1000,
+    pack_capacity: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> CurationResult:
+    """Run the full curation chain; returns the curated frame (with
+    ``quality_permille``, ``pred_lang``, ``pack_id`` columns added and
+    ``text`` redacted) plus per-stage surviving-row counts."""
+    stats: dict[str, int] = {"input": docs.count()}
+
+    # -- 1. exact dedup: winner = lowest id per content hash ----------
+    h = TX.portable_hash60(F.col(text_col))
+    winners = (
+        docs.select(F.col(id_col), h.alias("_h"))
+        .groupBy("_h")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    cur = docs.join(winners, id_col, "left_semi")
+    stats["exact_dedup"] = cur.count()
+
+    # -- 2. near-dup dedup: LSH pairs, drop the higher id -------------
+    pairs = minhash_lsh_pairs(cur, threshold=near_dup_threshold)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    cur = cur.join(losers, id_col, "left_anti")
+    stats["near_dedup"] = cur.count()
+
+    # -- 3. decontamination -------------------------------------------
+    if benchmark is not None:
+        cur = decontaminate(cur, benchmark, id_col, text_col, n=contamination_ngram)
+        stats["decontaminated"] = cur.count()
+
+    # -- 4. PII redaction (in place; no rows dropped) -----------------
+    cur = cur.withColumn(text_col, TX.redact_pii(F.col(text_col)))
+
+    # -- 5. quality floor ---------------------------------------------
+    cur = TX.quality_features(cur, text_col).withColumn(
+        "pred_lang", TX.lang_id(F.col(text_col))
+    )
+    cur = cur.where(F.col("quality_permille") >= min_quality_permille).drop(
+        "n_words", "avg_word_len", "stopword_ratio", "quality_score"
+    )
+    stats["quality"] = cur.count()
+
+    # -- 6. deterministic sample --------------------------------------
+    if sample_permille < 1000:
+        cur = cur.where(sample_key(F.col(id_col), "curate") < F.lit(sample_permille))
+        stats["sampled"] = cur.count()
+
+    # -- 7. pack planning ---------------------------------------------
+    cur = pack_assignments(cur, group_col, id_col, "n_chars", pack_capacity).drop(
+        "start_off", "end_pack"
+    )
+    stats["packed"] = stats.get("sampled", stats["quality"])
+    stats["n_packs"] = cur.select(group_col, "pack_id").distinct().count()
+
+    return CurationResult(cur, stats)

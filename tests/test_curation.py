@@ -1,0 +1,49 @@
+"""Curation pipeline: stage counts, determinism, and end-to-end output
+shape over the real sf0.001 documents table."""
+
+from __future__ import annotations
+
+from pysyslog_lfc_spark.plans.curation import run_curation
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_curation_stage_monotone_and_output(spark):
+    docs = _docs(spark)
+    bench = docs.where("doc_id % 20 = 0")
+    corpus = docs.where("doc_id % 20 != 0")
+    res = run_curation(spark, corpus, benchmark=bench, sample_permille=800)
+    s = res.stats
+    assert s["input"] >= s["exact_dedup"] >= s["near_dedup"] >= s["decontaminated"]
+    assert s["decontaminated"] >= s["quality"] >= s["sampled"]
+    assert s["sampled"] > 0 and s["n_packs"] > 0
+
+    out = res.df
+    for col in ("doc_id", "text", "source", "quality_permille", "pred_lang", "pack_id"):
+        assert col in out.columns, col
+    rows = out.count()
+    assert rows == s["sampled"]
+    # redaction happened in place: no raw emails survive
+    assert out.where("text rlike '[A-Za-z0-9._%+-]+@'").count() == 0
+
+
+def test_curation_is_deterministic(spark):
+    docs = _docs(spark)
+    a = run_curation(spark, docs, sample_permille=700)
+    b = run_curation(spark, docs, sample_permille=700)
+    assert a.stats == b.stats
+    ra = sorted(map(tuple, a.df.select("doc_id", "pack_id").collect()))
+    rb = sorted(map(tuple, b.df.select("doc_id", "pack_id").collect()))
+    assert ra == rb
+
+
+def test_near_dup_stage_drops_known_duplicates(spark):
+    """The fixture corpus contains seeded near-duplicates (FIXTURES.md);
+    the near-dup stage must remove at least one of each pair."""
+    docs = _docs(spark)
+    res = run_curation(spark, docs, min_quality_permille=0, sample_permille=1000)
+    assert res.stats["near_dedup"] < res.stats["exact_dedup"]
