@@ -56,11 +56,21 @@ def run_curation(
     id_col: str = "doc_id",
     text_col: str = "text",
     group_col: str = "source",
+    collect_stats: bool = True,
 ) -> CurationResult:
     """Run the full curation chain; returns the curated frame (with
     ``quality_permille``, ``pred_lang``, ``pack_id`` columns added and
-    ``text`` redacted) plus per-stage surviving-row counts."""
-    stats: dict[str, int] = {"input": docs.count()}
+    ``text`` redacted) plus per-stage surviving-row counts.
+
+    Cost note: per-stage counts are actions — without a cache boundary
+    each one would re-run every upstream stage (the MinHash stage in
+    particular). The frame is persisted right after the near-dup drop,
+    so the expensive prefix executes ONCE; the later counts recompute
+    only cheap column work. ``collect_stats=False`` skips all mid-chain
+    actions for production runs that only want the final corpus."""
+    stats: dict[str, int] = {}
+    if collect_stats:
+        stats["input"] = docs.count()
 
     # -- 1. exact dedup: winner = lowest id per content hash ----------
     h = TX.portable_hash60(F.col(text_col))
@@ -71,18 +81,23 @@ def run_curation(
         .select(id_col)
     )
     cur = docs.join(winners, id_col, "left_semi")
-    stats["exact_dedup"] = cur.count()
+    if collect_stats:
+        stats["exact_dedup"] = cur.count()
 
     # -- 2. near-dup dedup: LSH pairs, drop the higher id -------------
     pairs = minhash_lsh_pairs(cur, threshold=near_dup_threshold)
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    cur = cur.join(losers, id_col, "left_anti")
-    stats["near_dedup"] = cur.count()
+    # cache boundary: everything above (shingling, 64 min-aggs, band
+    # join, verify join) runs exactly once
+    cur = cur.join(losers, id_col, "left_anti").persist()
+    if collect_stats:
+        stats["near_dedup"] = cur.count()
 
     # -- 3. decontamination -------------------------------------------
     if benchmark is not None:
         cur = decontaminate(cur, benchmark, id_col, text_col, n=contamination_ngram)
-        stats["decontaminated"] = cur.count()
+        if collect_stats:
+            stats["decontaminated"] = cur.count()
 
     # -- 4. PII redaction (in place; no rows dropped) -----------------
     cur = cur.withColumn(text_col, TX.redact_pii(F.col(text_col)))
@@ -94,18 +109,20 @@ def run_curation(
     cur = cur.where(F.col("quality_permille") >= min_quality_permille).drop(
         "n_words", "avg_word_len", "stopword_ratio", "quality_score"
     )
-    stats["quality"] = cur.count()
+    if collect_stats:
+        stats["quality"] = cur.count()
 
     # -- 6. deterministic sample --------------------------------------
     if sample_permille < 1000:
         cur = cur.where(sample_key(F.col(id_col), "curate") < F.lit(sample_permille))
-        stats["sampled"] = cur.count()
+        if collect_stats:
+            stats["sampled"] = cur.count()
 
     # -- 7. pack planning ---------------------------------------------
     cur = pack_assignments(cur, group_col, id_col, "n_chars", pack_capacity).drop(
         "start_off", "end_pack"
     )
-    stats["packed"] = stats.get("sampled", stats["quality"])
-    stats["n_packs"] = cur.select(group_col, "pack_id").distinct().count()
+    if collect_stats:
+        stats["n_packs"] = cur.select(group_col, "pack_id").distinct().count()
 
     return CurationResult(cur, stats)
