@@ -54,3 +54,19 @@ def stratified_sample(
     (a CASE on the stratum column, a broadcast-joined rates table, ...).
     Still a pure filter — no shuffle, no RNG."""
     return df.where(sample_key(F.col(id_col), salt) < permille_col)
+
+
+def upsample_by_weight(
+    df: DataFrame, id_col: str, weight_col: Column, copy_col: str = "copy_idx"
+) -> DataFrame:
+    """Deterministic mixture upsampling: repeat each row ``weight``
+    times (integer column expression >= 0), tagging copies 1..w — the
+    "repeat high-quality sources N epochs" step of training-data
+    mixture construction. ``explode(sequence(1, w))`` is pure codegen
+    and map-side: output size = sum(weights) with no shuffle; rows with
+    weight 0 drop out (sequence(1,0) is empty after the guard)."""
+    w = weight_col.cast("int")
+    seq = F.when(w >= 1, F.sequence(F.lit(1), w)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return df.withColumn(copy_col, F.explode(seq))

@@ -1528,6 +1528,31 @@ def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mixture_upsample",
+    """
+    WITH w AS (
+      SELECT doc_id, source,
+             1 + ('0x' || substr(md5('mix:' || source), 1, 15))::BIGINT % 3 AS wt
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(unnest(range(1, wt + 1)) AS INTEGER) AS copy_idx
+    FROM w
+    """,
+)
+def mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture upsampling (operators/sampling.py::
+    upsample_by_weight): per-source epoch weight in {1,2,3} derived
+    from the source-name hash; each doc repeats weight times with a
+    copy index. Pure map-side explode — no shuffle at all."""
+    docs = _t(spark, sf_dir, "documents")
+    wt = F.lit(1) + TX.portable_hash60(F.concat(F.lit("mix:"), F.col("source"))) % 3
+    out = SAMP.upsample_by_weight(
+        docs.select("doc_id", "source"), "doc_id", wt
+    )
+    return out.select("doc_id", "source", F.col("copy_idx").cast("int").alias("copy_idx"))
+
+
+@query(
     "pack_documents",
     """
     WITH a AS (
