@@ -1528,6 +1528,36 @@ def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_ahash_fake",
+    """
+    WITH h AS (
+      SELECT doc_id, sha256('ahash:' || text) AS hx FROM documents
+    )
+    SELECT doc_id,
+           (('0x' || substr(hx, 1, 8))::BIGINT
+             - CASE WHEN ('0x' || substr(hx, 1, 8))::BIGINT >= 2147483648
+                    THEN 4294967296 ELSE 0 END) * 4294967296
+           + ('0x' || substr(hx, 9, 8))::BIGINT AS ahash
+    FROM h
+    """,
+)
+def multimodal_ahash_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal decode stage under the oracle gate: binary
+    payloads synthesized from document text ride through the Arrow
+    ``mapInPandas`` aHash stage (functions/multimodal.py::image_ahash,
+    deterministic sha256-seeded fake decode), and DuckDB replays the
+    hash byte-for-byte (signed-64 assembled from two 32-bit hex
+    slices). Proves the payload plumbing — schema, batching, signed
+    long conversion — not just the kernels."""
+    from pysyslog_lfc_spark.functions.multimodal import image_ahash
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").cast("binary").alias("payload")
+    )
+    return image_ahash(docs, decode="fake")
+
+
+@query(
     "mixture_upsample",
     """
     WITH w AS (
