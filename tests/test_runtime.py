@@ -119,9 +119,13 @@ def test_webaccess_example_ini(spark):
     from pysyslog_lfc_spark import config
     from pysyslog_lfc_spark.plans.compiler import run_flow
 
+    prev = os.getcwd()
     os.chdir("/root/repo")  # input.path is repo-relative
-    cfg = config.load("etc/webaccess.ini").get_flow("web_errors")
-    got = sorted(run_flow(spark, cfg))
+    try:
+        cfg = config.load("etc/webaccess.ini").get_flow("web_errors")
+        got = sorted(run_flow(spark, cfg))
+    finally:
+        os.chdir(prev)
     assert got == [
         "10.0.0.5 alice GET /missing -> 404",
         "10.0.0.9 bob GET /api/orders/7 -> 500",
