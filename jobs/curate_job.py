@@ -34,6 +34,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--min-quality", type=int, default=200)
     ap.add_argument("--sample-permille", type=int, default=1000)
     ap.add_argument("--capacity", type=int, default=4096)
+    ap.add_argument(
+        "--emit-packed",
+        default=None,
+        metavar="DIR",
+        help="also write fixed-capacity packed token rows (hash-tokenizer "
+        "stand-in; functions/packing.py) to DIR",
+    )
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -57,6 +64,12 @@ def main(argv: list[str] | None = None) -> int:
         pack_capacity=args.capacity,
     )
     res.df.write.mode("overwrite").parquet(args.output)
+    if args.emit_packed:
+        from pysyslog_lfc_spark.plans.curation import emit_packed_tokens
+
+        emit_packed_tokens(res.df, args.capacity).write.mode("overwrite").parquet(
+            args.emit_packed
+        )
     elapsed = time.monotonic() - t0
 
     print(
@@ -66,6 +79,7 @@ def main(argv: list[str] | None = None) -> int:
                 "stats": res.stats,
                 "docs_per_sec": round(res.stats["input"] / max(elapsed, 1e-9), 1),
                 "output": args.output,
+                "packed_output": args.emit_packed,
             }
         )
     )

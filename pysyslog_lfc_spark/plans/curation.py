@@ -126,3 +126,35 @@ def run_curation(
         stats["n_packs"] = cur.select(group_col, "pack_id").distinct().count()
 
     return CurationResult(cur, stats)
+
+
+def hash_token_ids(col, vocab_size: int = 65536):
+    """Stand-in tokenizer: whitespace words -> deterministic int ids via
+    the portable hash (a real BPE would be a vocabulary broadcast join;
+    the id mapping is the only stubbed step — the array plumbing and
+    packing downstream are real). Pure codegen."""
+    return F.transform(
+        TX.tokenize(F.lower(col)),
+        lambda w: F.pmod(TX.portable_hash60(w), F.lit(vocab_size)).cast("int"),
+    )
+
+
+def emit_packed_tokens(
+    curated: DataFrame,
+    capacity: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    vocab_size: int = 65536,
+) -> DataFrame:
+    """Turn the curated corpus into actual fixed-capacity training rows:
+    tokenize, concat per group in ``id_col`` order, chunk every
+    ``capacity`` tokens (functions/packing.py::pack_tokens). Returns
+    ``(group, pack_id, tokens, n_tok)``."""
+    from pysyslog_lfc_spark.functions.packing import pack_tokens
+
+    toked = curated.select(
+        group_col, id_col, hash_token_ids(F.col(text_col), vocab_size).alias("tokens")
+    )
+    packed = pack_tokens(toked, group_col, id_col, "tokens", capacity)
+    return packed.withColumn("n_tok", F.size("tokens"))

@@ -47,3 +47,36 @@ def test_near_dup_stage_drops_known_duplicates(spark):
     docs = _docs(spark)
     res = run_curation(spark, docs, min_quality_permille=0, sample_permille=1000)
     assert res.stats["near_dedup"] < res.stats["exact_dedup"]
+
+
+def test_emit_packed_tokens_conservation(spark):
+    """Packed output conserves every token of the curated corpus and
+    fills every non-final pack to exactly capacity."""
+    from pyspark.sql import functions as F
+
+    from pysyslog_lfc_spark.plans.curation import (
+        emit_packed_tokens,
+        hash_token_ids,
+        run_curation,
+    )
+
+    docs = _docs(spark)
+    res = run_curation(spark, docs, min_quality_permille=0, sample_permille=1000)
+    cap = 512
+    packed = emit_packed_tokens(res.df, cap)
+
+    total_doc_tokens = (
+        res.df.select(F.size(hash_token_ids(F.col("text"))).alias("n"))
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    rows = packed.select("source", "pack_id", "n_tok").collect()
+    assert sum(r["n_tok"] for r in rows) == total_doc_tokens
+    last_per_src = {}
+    for r in rows:
+        last_per_src[r["source"]] = max(last_per_src.get(r["source"], -1), r["pack_id"])
+    for r in rows:
+        if r["pack_id"] != last_per_src[r["source"]]:
+            assert r["n_tok"] == cap, (r["source"], r["pack_id"], r["n_tok"])
+        else:
+            assert 0 < r["n_tok"] <= cap
