@@ -521,3 +521,127 @@ def embedding_near_dup_lsh(
         .applyInPandas(bucket_pairs, "id_a long, id_b long, cos double")
         .distinct()  # a pair may co-bucket in several bands
     )
+
+
+# ---------------------------------------------------------------------
+# Connected components: near-dup pairs -> duplicate clusters
+# ---------------------------------------------------------------------
+
+def _edge_checksum(edges: DataFrame) -> tuple[int, int]:
+    # bit_xor, not sum: ANSI mode makes a long-sum of 2^63-range hashes
+    # throw ARITHMETIC_OVERFLOW; xor is overflow-free and still
+    # order-insensitive.
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("chk"),
+    ).collect()[0]
+    return int(row["n"]), int(row["chk"])
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star: every neighbor v > u links to min(N(u) ∪ {u})."""
+    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m = sym.groupBy("u").agg(F.min("v").alias("_mn")).select(
+        "u", F.least("_mn", "u").alias("m")
+    )
+    return (
+        sym.join(m, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star: direct edges high->low; every smaller neighbor (and
+    the center) links to the minimum smaller neighbor."""
+    directed = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).where(F.col("u") != F.col("v"))
+    m = directed.groupBy("u").agg(F.min("v").alias("m"))
+    relinked = directed.join(m, "u").select(
+        F.col("v").alias("u"), F.col("m").alias("v")
+    )
+    centers = m.select(F.col("u"), F.col("m").alias("v"))
+    return (
+        relinked.union(centers)
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over an undirected pair list via alternating
+    large-star / small-star rounds (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14) — converges in
+    O(log² n) rounds on ANY graph shape, so a pathological near-dup
+    chain of length 10⁹ cannot force a 10⁹-round label propagation.
+    Each round is two groupBy-join pairs over bare (long, long) edges —
+    document bodies never enter the graph.
+
+    Returns (node, component) with component = min doc id reachable;
+    every node that appears in ``pairs`` is present (roots map to
+    themselves). Iterative by nature: the driver loop runs until the
+    edge-set checksum reaches a fixpoint (each check is one tiny agg).
+
+    Reference has no dedup surface; this generalizes the reference's
+    exactly-once "pick one winner" semantics (SURVEY §2.6) to duplicate
+    groups: one canonical doc per transitive near-dup cluster.
+    """
+    # localCheckpoint (eager) both caches the round's edge set and cuts
+    # the logical plan: without it the plan tree doubles per round
+    # (each round references the previous DF twice), so by round ~10
+    # Catalyst re-analysis dominates the actual work.
+    edges = pairs.select(
+        F.col(id_a).cast("long").alias("u"), F.col(id_b).cast("long").alias("v")
+    ).where(F.col("u") != F.col("v")).distinct().localCheckpoint(eager=True)
+    all_nodes = (
+        edges.select(F.col("u").alias("node"))
+        .union(edges.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    prev = _edge_checksum(edges)
+    for _ in range(max_iter):
+        nxt = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        cur = _edge_checksum(nxt)
+        edges = nxt
+        if cur == prev:  # star fixpoint: every edge is (child, root)
+            break
+        prev = cur
+
+    comp = edges.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = all_nodes.join(
+        comp.select(F.col("node")), "node", "left_anti"
+    ).select("node", F.col("node").alias("component"))
+    out = comp.union(roots)
+    return out
+
+
+def dedup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.9,
+    n: int = 3,
+) -> DataFrame:
+    """Transitive near-dup clusters: MinHash-LSH pairs → connected
+    components. Returns (doc_id, cluster_id) for every doc that has at
+    least one near-dup (cluster_id = min doc id of the cluster; docs
+    with no near-dup are omitted — they are their own singleton).
+
+    This is the SlimPajama/RefinedWeb-style dedup unit: keep
+    ``cluster_id`` (the canonical doc), drop the rest — strictly
+    stronger than per-pair loser-dropping, which keeps every *local*
+    minimum of the pair graph (a doc smaller than all its neighbors
+    survives even when a smaller doc exists two hops away)."""
+    pairs = minhash_lsh_pairs(df, text_col, id_col, n=n, threshold=threshold)
+    cc = connected_components(pairs)
+    return cc.select(
+        F.col("node").alias(id_col), F.col("component").alias("cluster_id")
+    )

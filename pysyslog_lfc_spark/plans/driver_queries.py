@@ -1032,6 +1032,39 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.9)
 
 
+_CLUSTER_ORACLE = (
+    "WITH RECURSIVE pairs AS (\n"
+    + _JACCARD_ORACLE.format(t="0.9")
+    + """
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach AS (
+  SELECT u AS node, u AS comp FROM edges
+  UNION
+  SELECT e.u AS node, r.comp AS comp FROM edges e JOIN reach r ON r.node = e.v
+)
+SELECT node AS doc_id, min(comp) AS cluster_id FROM reach GROUP BY node
+"""
+)
+
+
+@query("dedup_clusters_cc", _CLUSTER_ORACLE)
+def dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters: MinHash-LSH pairs -> distributed
+    connected components (alternating large-star/small-star, O(log^2 n)
+    rounds — a 10^9-node dup chain cannot force 10^9 label-propagation
+    rounds). Oracle: DuckDB recursive-CTE min-label propagation over
+    the exact-Jaccard pair set.
+
+    Generalizes the reference's "exactly one winner" delivery semantics
+    (SURVEY §2.6) to duplicate groups: one canonical doc per cluster."""
+    return DD.dedup_clusters(_t(spark, sf_dir, "documents"), threshold=0.9)
+
+
 _SIMHASH_ORACLE = r"""
 WITH words AS (
   SELECT doc_id,

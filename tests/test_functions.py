@@ -522,3 +522,67 @@ class TestImageNearDup:
         )
         got = {r["doc_id"]: r["ahash"] for r in image_ahash(df, decode="fake").collect()}
         assert got[1] == got[2] != got[3]
+
+
+# ------------------------------------------- connected components / clusters
+
+class TestConnectedComponents:
+    def _cc(self, spark, edges):
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        out = DD.connected_components(df)
+        return {r.node: r.component for r in out.collect()}
+
+    def test_chain_and_isolated_pair(self, spark):
+        # chain 1-2-3-4 (worst case for naive label propagation) + pair 10-11
+        got = self._cc(spark, [(1, 2), (2, 3), (3, 4), (10, 11)])
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    def test_reversed_chain_and_self_loops(self, spark):
+        got = self._cc(spark, [(9, 8), (8, 7), (7, 7), (5, 5), (7, 6)])
+        # self-loop-only node 5 is dropped (u != v filter leaves it edgeless)
+        assert got == {6: 6, 7: 6, 8: 6, 9: 6}
+
+    def test_random_graph_matches_union_find(self, spark):
+        import random
+
+        rng = random.Random(42)
+        nodes = list(range(200))
+        edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(150)]
+        edges = [(a, b) for a, b in edges if a != b]
+
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {}
+        for a, b in edges:
+            for n in (a, b):
+                want[n] = find(n)
+
+        assert self._cc(spark, edges) == want
+
+    def test_dedup_clusters_transitive(self, spark):
+        # A ~ B ~ C by single-word edits, but A vs C may differ by 2 words:
+        # per-pair loser-dropping could keep both A-cluster minima; clusters
+        # must assign all three to min doc id.
+        base = "the quick brown fox jumps over the lazy dog near the river bank today"
+        docs = spark.createDataFrame(
+            [
+                (30, base),
+                (20, base.replace("quick", "quicker")),
+                (10, base.replace("quick", "quicker").replace("dog", "cat")),
+                (99, "completely unrelated text about distributed query planning"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r.cluster_id for r in DD.dedup_clusters(docs, threshold=0.3).collect()}
+        assert out == {10: 10, 20: 10, 30: 10}
