@@ -469,6 +469,84 @@ def _logfmt(cfg: ComponentConfig) -> ParserFn:
     return parse
 
 
+_CSV_TYPES = {
+    "string": "string",
+    "int": "int",
+    "long": "long",
+    "float": "double",
+    "double": "double",
+    "bool": "boolean",
+    "timestamp": "timestamp",
+}
+
+
+def _csv(cfg: ComponentConfig) -> ParserFn:
+    """parser.csv: delimiter-separated values with RFC 4180-style
+    quoting, compiled to Spark's native ``from_csv`` (JVM Univocity
+    parser — whole-column, zero Python; the vectorized equivalent of
+    the reference's per-record ``Parser.parse`` contract,
+    src/pysyslog/components/base.py:38-43).
+
+    Options:
+      - ``fields`` (required): comma list of output column names;
+      - ``types``: optional comma list matching ``fields``
+        (string|int|long|float|double|bool|timestamp) — parsed
+        PERMISSIVE, so an uncastable token yields a null field, the
+        reference allow-invalid convention;
+      - ``delimiter`` (default ``,``): single character; ``\\t`` for TSV;
+      - ``quote`` (default ``"``): quote character (RFC 4180 doubling
+        for embedded quotes);
+      - ``require``: comma list of keys that must be non-null or the
+        line is dropped (default: drop only all-null lines).
+    """
+    fields = [f.strip() for f in (cfg.option("fields") or "").split(",") if f.strip()]
+    if not fields:
+        raise ConfigError("csv parser requires 'fields'")
+    types = [t.strip() for t in (cfg.option("types") or "").split(",") if t.strip()]
+    if types and len(types) != len(fields):
+        raise ConfigError("csv parser: 'types' length must match 'fields'")
+    for t_ in types:
+        if t_ not in _CSV_TYPES:
+            raise ConfigError(f"csv parser: unknown type '{t_}'")
+    delimiter = cfg.option("delimiter") or ","
+    if delimiter == r"\t":
+        delimiter = "\t"
+    if len(delimiter) != 1:
+        raise ConfigError("csv parser: 'delimiter' must be one character")
+    quote = cfg.option("quote") or '"'
+    require = [r.strip() for r in (cfg.option("require") or "").split(",") if r.strip()]
+    bad = set(require) - set(fields)
+    if bad:
+        raise ConfigError(f"csv parser: 'require' keys not in fields: {sorted(bad)}")
+
+    ddl = ", ".join(
+        f"`{n}` {_CSV_TYPES[types[i] if types else 'string']}"
+        for i, n in enumerate(fields)
+    )
+    # escape = quote char => RFC 4180 `""` doubling denotes an embedded quote
+    options = {
+        "sep": delimiter,
+        "quote": quote,
+        "escape": cfg.option("escape") or quote,
+        "mode": "PERMISSIVE",
+    }
+
+    def parse(df: DataFrame, raw: str = "value") -> DataFrame:
+        rec = F.from_csv(F.col(raw), ddl, options)
+        out = df.where(F.col(raw).isNotNull()).withColumn(RECORD_COL, rec)
+        # drop lines where nothing parsed (reference invalid => drop)
+        any_set = None
+        for n in fields:
+            c = F.col(f"{RECORD_COL}.{n}").isNotNull()
+            any_set = c if any_set is None else (any_set | c)
+        out = out.where(any_set)
+        for r in require:
+            out = out.where(F.col(f"{RECORD_COL}.{r}").isNotNull())
+        return out
+
+    return parse
+
+
 def _passthrough(cfg: ComponentConfig) -> ParserFn:
     def parse(df: DataFrame, raw: str = "value") -> DataFrame:
         return df.where(F.col(raw).isNotNull()).withColumn(
@@ -486,5 +564,6 @@ BUILTIN_PARSERS = {
     "rfc3164": _rfc3164,
     "rfc5424": _rfc5424,
     "logfmt": _logfmt,
+    "csv": _csv,
     "passthrough": _passthrough,
 }

@@ -1701,6 +1701,54 @@ def flow_parse_logfmt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "flow_parse_csv",
+    """
+    WITH lines AS (
+      SELECT CAST(event_id AS VARCHAR) || ';' || event_type || ';'
+             || CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR) AS line
+      FROM events
+    )
+    SELECT CAST(split_part(line, ';', 1) AS BIGINT) AS rec_id,
+           split_part(line, ';', 2) AS etype,
+           CAST(split_part(line, ';', 3) AS BIGINT) AS centival
+    FROM lines
+    WHERE CAST(split_part(line, ';', 3) AS BIGINT) >= 500
+    """,
+)
+def flow_parse_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parser.csv (delimiter-separated, RFC 4180 quoting) over a
+    synthesized line stream — both engines build the identical
+    semicolon-CSV line from events, then parse it back
+    (operators/parsers.py::_csv: native from_csv, JVM-side, zero
+    Python). Mirrors the reference's parser->filter stage placement
+    (docs/configuration/parsers.md)."""
+    from pysyslog_lfc_spark.operators.parsers import compile_parser
+
+    ev = _t(spark, sf_dir, "events")
+    lines = ev.select(
+        F.concat_ws(
+            ";",
+            F.col("event_id").cast("string"),
+            F.col("event_type"),
+            F.floor(F.col("value") * 100).cast("long").cast("string"),
+        ).alias("value")
+    )
+    parse = compile_parser(
+        ComponentConfig(
+            "csv",
+            {"fields": "rec_id,etype,centival", "types": "long,string,long",
+             "delimiter": ";"},
+        )
+    )
+    rec = parse(lines)
+    return rec.select(
+        F.col("record.rec_id").alias("rec_id"),
+        F.col("record.etype").alias("etype"),
+        F.col("record.centival").alias("centival"),
+    ).where(F.col("centival") >= 500)
+
+
+@query(
     "topk_words_per_source",
     r"""
     WITH words AS (

@@ -176,3 +176,54 @@ def test_logfmt_parser_config_errors(spark):
         compile_parser(ComponentConfig("logfmt", {"fields": "a,b", "types": "int"}))
     with pytest.raises(ConfigError):
         compile_parser(ComponentConfig("logfmt", {"fields": "a", "require": "zz"}))
+
+
+def test_csv_parser(spark):
+    """csv family: RFC 4180 quoting (embedded delimiter + doubled
+    quotes), try-cast-style PERMISSIVE nulls, all-null lines drop,
+    `require` drops lines missing the key."""
+    lines = [
+        ('1,"a, b",3.5',),            # quoted embedded comma
+        ('2,plain,notafloat',),       # bad double -> null score
+        (',,',),                      # nothing parsed -> drop
+        ('3,"say ""hi""",7.25',),     # doubled quote -> embedded quote
+        ('4,,1.0',),                  # missing require (name) -> drop
+    ]
+    df = spark.createDataFrame(lines, "value string")
+    parse = compile_parser(
+        ComponentConfig(
+            "csv",
+            {"fields": "id,name,score", "types": "int,string,double",
+             "require": "name"},
+        )
+    )
+    got = sorted(map(tuple, parse(df).select("record.*").collect()))
+    assert got == [
+        (1, "a, b", 3.5),
+        (2, "plain", None),
+        (3, 'say "hi"', 7.25),
+    ]
+
+
+def test_csv_parser_tsv_and_errors(spark):
+    from pysyslog_lfc_spark.config import ConfigError
+
+    df = spark.createDataFrame([("x\t9",), ("free text",)], "value string")
+    parse = compile_parser(
+        ComponentConfig("csv", {"fields": "k,n", "types": "string,int",
+                                "delimiter": r"\t"})
+    )
+    got = sorted(map(tuple, parse(df).select("record.*").collect()))
+    # 'free text' has no tab: k='free text', n=null — still a parsed line
+    assert got == [("free text", None), ("x", 9)]
+
+    with pytest.raises(ConfigError):
+        compile_parser(ComponentConfig("csv", {}))
+    with pytest.raises(ConfigError):
+        compile_parser(ComponentConfig("csv", {"fields": "a,b", "types": "int"}))
+    with pytest.raises(ConfigError):
+        compile_parser(ComponentConfig("csv", {"fields": "a", "types": "blob"}))
+    with pytest.raises(ConfigError):
+        compile_parser(ComponentConfig("csv", {"fields": "a", "delimiter": ";;"}))
+    with pytest.raises(ConfigError):
+        compile_parser(ComponentConfig("csv", {"fields": "a", "require": "zz"}))
