@@ -49,6 +49,64 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def span_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 10,
+) -> DataFrame:
+    """Repeated-span removal (the C4-corpus cleaning rule, Raffel et al.
+    2020 §2.2, applied at word-span rather than three-sentence
+    granularity): split each document into consecutive ``width``-word
+    spans, drop every span whose exact text already occurred anywhere
+    earlier in the corpus (first occurrence in ``(doc_id, position)``
+    order wins), and reassemble the survivors in document order.
+
+    Returns (id, clean_text, n_spans, spans_kept).
+
+    100 TB design: exactly two shuffles — a hash partition by span text
+    for the first-occurrence window (spans are short strings with
+    near-uniform distribution, so no skew hazard), then a groupBy id to
+    reassemble. Span generation is a codegen-planned non-overlapping
+    ``sequence``/``slice`` projection — O(n_words) per document, unlike
+    the overlapping-shingle case that needs the pandas kernel."""
+    words = F.split(F.col(text_col), " ")
+    n_spans = F.ceil(F.size(words) / F.lit(width)).cast("int")
+    spans = F.transform(
+        F.sequence(F.lit(0), n_spans - 1),
+        lambda i: F.array_join(F.slice(words, i * width + 1, width), " "),
+    )
+    ex = df.select(F.col(id_col), F.posexplode(spans).alias("span_pos", "span"))
+    from pyspark.sql import Window
+
+    first = Window.partitionBy("span").orderBy(id_col, "span_pos")
+    kept = (
+        ex.withColumn("_rn", F.row_number().over(first))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    agg = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("span_pos", "span"))),
+                lambda s: s["span"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("int").alias("spans_kept"),
+    )
+    return (
+        df.select(F.col(id_col), n_spans.alias("n_spans"))
+        .join(agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.col("n_spans"),
+            F.coalesce("spans_kept", F.lit(0)).alias("spans_kept"),
+        )
+    )
+
+
 def _shingled(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     return df.select(
         F.col(id_col).alias("_id"), shingles(F.col(text_col), n).alias("_sh")

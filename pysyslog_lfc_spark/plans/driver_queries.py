@@ -988,6 +988,45 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.exact_dedup(_t(spark, sf_dir, "documents"))
 
 
+@query(
+    "dedup_spans",
+    """
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    spans AS (
+      SELECT doc_id,
+             unnest(range(CAST(ceil(len(ws) / 10.0) AS BIGINT))) AS span_pos,
+             unnest(list_transform(range(CAST(ceil(len(ws) / 10.0) AS BIGINT)),
+                    i -> array_to_string(ws[i*10+1 : i*10+10], ' '))) AS span
+      FROM docs
+    ),
+    kept AS (
+      SELECT doc_id, span_pos, span,
+             row_number() OVER (PARTITION BY span ORDER BY doc_id, span_pos) AS rn
+      FROM spans
+    ),
+    agg AS (
+      SELECT doc_id,
+             string_agg(span, ' ' ORDER BY span_pos) AS clean_text,
+             CAST(count(*) AS INTEGER) AS spans_kept
+      FROM kept WHERE rn = 1 GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(a.clean_text, '') AS clean_text,
+           CAST(ceil(len(d.ws) / 10.0) AS INTEGER) AS n_spans,
+           coalesce(a.spans_kept, 0) AS spans_kept
+    FROM docs d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style repeated-span removal (Raffel et al. 2020 §2.2 at
+    10-word-span granularity): global first occurrence wins, documents
+    reassembled from surviving spans (functions/dedup.py::span_dedup —
+    two shuffles total, span partition + doc reassembly)."""
+    return DD.span_dedup(_t(spark, sf_dir, "documents"), width=10)
+
+
 _JACCARD_ORACLE = r"""
 WITH toks AS (
   SELECT doc_id,

@@ -586,3 +586,25 @@ class TestConnectedComponents:
         )
         out = {r.doc_id: r.cluster_id for r in DD.dedup_clusters(docs, threshold=0.3).collect()}
         assert out == {10: 10, 20: 10, 30: 10}
+
+
+def test_span_dedup_first_occurrence_wins(spark):
+    """Repeated 3-word span appears in doc a (pos 0) and doc b: b loses
+    it; a shorter trailing span survives; a doc whose every span is a
+    repeat collapses to empty text."""
+    rep = "alpha beta gamma"
+    docs = spark.createDataFrame(
+        [
+            ("a", rep + " delta epsilon zeta tail"),
+            ("b", "one two three " + rep),       # span 'alpha beta gamma' dropped
+            ("c", rep),                          # fully duplicate -> empty
+        ],
+        "doc_id string, text string",
+    )
+    out = {r.doc_id: r for r in DD.span_dedup(docs, width=3).collect()}
+    assert out["a"].clean_text == "alpha beta gamma delta epsilon zeta tail"
+    assert (out["a"].n_spans, out["a"].spans_kept) == (3, 3)
+    assert out["b"].clean_text == "one two three"
+    assert (out["b"].n_spans, out["b"].spans_kept) == (2, 1)
+    assert out["c"].clean_text == ""
+    assert (out["c"].n_spans, out["c"].spans_kept) == (1, 0)
