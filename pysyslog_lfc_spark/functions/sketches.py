@@ -1,0 +1,66 @@
+"""Mergeable distinct-count sketches for corpus-scale profiling.
+
+The reference engine keeps per-flow counters only
+(``src/pysyslog/outputs/metrics.py``); profiling a 10^12-row corpus
+additionally needs cardinality estimates that do not hold the full
+distinct set. The KMV sketch here is chosen over HyperLogLog because it
+is *deterministic given the portable hash*, so the DuckDB oracle can
+replay the identical arithmetic and the driver gate compares exact
+values, not tolerances.
+
+100 TB design: stage 1 is a (group, hash) ``distinct`` — map-side
+partial aggregation shrinks each partition to its distinct set before
+the shuffle; stage 2 keeps the k smallest hashes per group. A KMV
+synopsis is mergeable by construction (union two sets, re-take the k
+smallest), which is exactly what the partial aggregation exploits — the
+same property that would let sketches be maintained incrementally per
+partition and folded at read time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from pysyslog_lfc_spark.functions.text import portable_hash60
+
+_TWO60 = float(1 << 60)
+
+
+def approx_distinct_kmv(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    k: int = 32,
+) -> DataFrame:
+    """K-minimum-values distinct-count estimate per group (Bar-Yossef
+    et al. 2002): hash every value to 60 portable bits, keep the k
+    smallest distinct hashes per group, estimate
+
+        d ≈ (k - 1) / normalized k-th minimum      (exact when n < k)
+
+    Returns (group..., distinct_est: long). Standard error is about
+    1/sqrt(k-2) (~18% at k=32, ~13% at k=64).
+
+    The hash, ordering, and float arithmetic are all engine-portable,
+    so the DuckDB oracle reproduces the estimate bit-for-bit — the
+    driver gate checks exact equality, unlike HLL whose register layout
+    is engine-private.
+    """
+    if k < 2:
+        raise ValueError("approx_distinct_kmv requires k >= 2")
+    g = [F.col(c) for c in group_cols]
+    d = df.select(
+        *g, portable_hash60(F.col(value_col).cast("string")).alias("_h")
+    ).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("_h")
+    topk = d.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
+    agg = topk.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("_n"), F.max("_h").alias("_kth")
+    )
+    est = F.when(F.col("_n") < k, F.col("_n").cast("double")).otherwise(
+        F.lit(float(k - 1) * _TWO60) / F.col("_kth").cast("double")
+    )
+    return agg.select(
+        *[F.col(c) for c in group_cols],
+        F.floor(est).cast("long").alias("distinct_est"),
+    )

@@ -900,6 +900,42 @@ def salted_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "approx_distinct_kmv",
+    """
+    WITH d AS (
+      SELECT DISTINCT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM events
+    ),
+    rk AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM d
+    ),
+    agg AS (
+      SELECT event_type, count(*) AS n, max(h) AS kth
+      FROM rk WHERE rn <= 32 GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(floor(CASE WHEN n < 32 THEN CAST(n AS DOUBLE)
+                           ELSE 31 * 1152921504606846976.0 / CAST(kth AS DOUBLE)
+                      END) AS BIGINT) AS distinct_est
+    FROM agg
+    """,
+)
+def approx_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-user sketch per event type
+    (functions/sketches.py::approx_distinct_kmv): mergeable synopsis,
+    deterministic portable-hash arithmetic, so the oracle compares the
+    *estimate* bit-for-bit — the sketch-based complement to the exact
+    salted plan in `salted_distinct_users`."""
+    from pysyslog_lfc_spark.functions import sketches
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    return sketches.approx_distinct_kmv(ev, "user_id", ["event_type"], k=32)
+
+
+@query(
     "join3_top_revenue",
     """
     SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,

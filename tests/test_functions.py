@@ -608,3 +608,21 @@ def test_span_dedup_first_occurrence_wins(spark):
     assert (out["b"].n_spans, out["b"].spans_kept) == (2, 1)
     assert out["c"].clean_text == ""
     assert (out["c"].n_spans, out["c"].spans_kept) == (1, 0)
+
+
+def test_kmv_sketch_accuracy_and_exact_small_groups(spark):
+    """KMV estimate: exact when a group has fewer than k distinct
+    values; within the ~1/sqrt(k-2) error envelope on a 1000-distinct
+    group at k=64."""
+    from pysyslog_lfc_spark.functions.sketches import approx_distinct_kmv
+
+    rows = [("big", f"u{i}") for i in range(1000)] * 2
+    rows += [("small", f"v{i}") for i in range(7)]
+    df = spark.createDataFrame(rows, "grp string, uid string")
+    out = {r.grp: r.distinct_est for r in
+           approx_distinct_kmv(df, "uid", ["grp"], k=64).collect()}
+    assert out["small"] == 7
+    assert abs(out["big"] - 1000) / 1000 < 0.4  # 3 sigma at k=64
+
+    with pytest.raises(ValueError):
+        approx_distinct_kmv(df, "uid", ["grp"], k=1)
