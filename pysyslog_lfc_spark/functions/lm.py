@@ -1,0 +1,94 @@
+"""Statistical language-model quality scoring, CCNet-style.
+
+CCNet (Wenzek et al. 2020) filters web text by perplexity under a
+KenLM model trained on a trusted reference corpus. This module is the
+engine-native analog: train add-one-smoothed word-bigram counts on a
+reference slice of the corpus, then score every document by its average
+bigram log-probability. Everything is counts + a broadcast join, so
+the whole operator is declarative DataFrame code (no Python in the hot
+path) and the DuckDB oracle can replay it exactly.
+
+100 TB design: the model is built from a *bounded reference sample*
+(CCNet uses Wikipedia, here a language slice) so its bigram table stays
+small enough to broadcast — scoring is then a map-side join over the
+full corpus with zero shuffle on the big side; only the per-doc
+aggregate shuffles (doc_id, logprob) pairs. Set ``broadcast_model=False``
+to fall back to a shuffle join if a model ever outgrows the broadcast
+threshold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from pysyslog_lfc_spark.functions.text import tokenize
+
+
+def _bigrams(df: DataFrame, text_col: str, keep_cols: list[str]) -> DataFrame:
+    """(keep_cols..., w1, w2) — one row per consecutive word pair.
+    Non-overlapping slices + arrays_zip: codegen-planned, O(n_words)."""
+    ws = tokenize(F.col(text_col))
+    z = F.arrays_zip(
+        F.slice(ws, 1, F.size(ws) - 1).alias("w1"),
+        F.slice(ws, 2, F.size(ws) - 1).alias("w2"),
+    )
+    return df.select(*keep_cols, F.explode(z).alias("_bg")).select(
+        *keep_cols, F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2")
+    )
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    model_df: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Score each document by its average add-one-smoothed bigram
+    log-probability under a model trained on ``model_df`` (defaults to
+    scoring corpus itself):
+
+        p(w2 | w1) = (c(w1 w2) + 1) / (c(w1) + V)
+
+    Returns (id, logprob_permille: bigint nullable, n_bigrams: bigint)
+    where ``logprob_permille = floor(1000 * avg ln p)`` — the permille
+    floor keeps the float comparison engine-portable. Documents with
+    fewer than two tokens get a null score and ``n_bigrams = 0``.
+    Lower (more negative) scores = less reference-like text; threshold
+    or bucket downstream exactly like CCNet's perplexity terciles.
+    """
+    model_df = model_df if model_df is not None else df
+    mwords = model_df.select(F.explode(tokenize(F.col(text_col))).alias("w"))
+    uni = mwords.groupBy("w").agg(F.count(F.lit(1)).alias("_c1"))
+    vdf = mwords.agg(F.countDistinct("w").alias("_V"))
+    bi = (
+        _bigrams(model_df, text_col, [])
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("_c12"))
+    )
+    if broadcast_model:
+        bi, uni = F.broadcast(bi), F.broadcast(uni)
+
+    db = _bigrams(df, text_col, [id_col])
+    p = (F.coalesce(F.col("_c12"), F.lit(0)) + 1) / (
+        F.coalesce(F.col("_c1"), F.lit(0)) + F.col("_V")
+    )
+    scored = (
+        db.join(bi, ["w1", "w2"], "left")
+        .join(uni, db["w1"] == uni["w"], "left")
+        .crossJoin(F.broadcast(vdf))
+        .select(F.col(id_col), F.log(p).alias("_lp"))
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.floor(F.avg("_lp") * 1000).cast("long").alias("logprob_permille"),
+        F.count(F.lit(1)).alias("n_bigrams"),
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("logprob_permille"),
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        )
+    )

@@ -936,6 +936,62 @@ def approx_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lm_quality_score",
+    r"""
+    WITH mtoks AS (
+      SELECT list_filter(string_split_regex(text, '\s+'), w -> w != '') AS ws
+      FROM documents WHERE lang = 'en'
+    ),
+    muni AS (
+      SELECT w, count(*) AS c1
+      FROM (SELECT unnest(ws) AS w FROM mtoks) GROUP BY w
+    ),
+    vocab AS (
+      SELECT count(DISTINCT w) AS V FROM (SELECT unnest(ws) AS w FROM mtoks)
+    ),
+    mbi AS (
+      SELECT w1, w2, count(*) AS c12 FROM (
+        SELECT ws[i] AS w1, ws[i+1] AS w2
+        FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM mtoks)
+      ) GROUP BY w1, w2
+    ),
+    dtoks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\s+'), w -> w != '') AS ws
+      FROM documents
+    ),
+    dbi AS (
+      SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+      FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM dtoks)
+    ),
+    scored AS (
+      SELECT doc_id,
+             ln((coalesce(c12, 0) + 1) / (coalesce(c1, 0) + V)) AS lp
+      FROM dbi LEFT JOIN mbi USING (w1, w2)
+               LEFT JOIN muni ON dbi.w1 = muni.w, vocab
+    ),
+    agg AS (
+      SELECT doc_id, CAST(floor(avg(lp) * 1000) AS BIGINT) AS logprob_permille,
+             count(*) AS n_bigrams
+      FROM scored GROUP BY doc_id
+    )
+    SELECT d.doc_id, a.logprob_permille, coalesce(a.n_bigrams, 0) AS n_bigrams
+    FROM (SELECT doc_id FROM documents) d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality filter (Wenzek et al. 2020): add-one
+    bigram model trained on the English slice, every document scored by
+    avg bigram log-prob via a broadcast model join
+    (functions/lm.py::bigram_lm_score — zero shuffle on the corpus
+    side, permille-floored for engine portability)."""
+    from pysyslog_lfc_spark.functions import lm
+
+    docs = _t(spark, sf_dir, "documents")
+    model = docs.where(F.col("lang") == "en")
+    return lm.bigram_lm_score(docs, model_df=model)
+
+
+@query(
     "join3_top_revenue",
     """
     SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,

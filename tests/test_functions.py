@@ -626,3 +626,27 @@ def test_kmv_sketch_accuracy_and_exact_small_groups(spark):
 
     with pytest.raises(ValueError):
         approx_distinct_kmv(df, "uid", ["grp"], k=1)
+
+
+def test_bigram_lm_score_separates_inliers_from_gibberish(spark):
+    """Docs made of model-frequent bigrams score higher (less negative)
+    than out-of-vocabulary gibberish; sub-2-token docs get null score."""
+    from pysyslog_lfc_spark.functions.lm import bigram_lm_score
+
+    model = spark.createDataFrame(
+        [("m1", "the cat sat on the mat"), ("m2", "the cat ran on the grass")],
+        "doc_id string, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            ("in", "the cat sat on the mat"),
+            ("out", "zxq qwv jjk plm vvb nnm"),
+            ("tiny", "one"),
+        ],
+        "doc_id string, text string",
+    )
+    out = {r.doc_id: r for r in bigram_lm_score(docs, model_df=model).collect()}
+    assert out["in"].logprob_permille > out["out"].logprob_permille
+    assert out["tiny"].logprob_permille is None
+    assert out["tiny"].n_bigrams == 0
+    assert out["in"].n_bigrams == 5
