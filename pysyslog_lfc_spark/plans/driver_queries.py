@@ -1990,6 +1990,64 @@ def time_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rollup_incremental",
+    """
+    SELECT (epoch_us(ts) // 1000000 // 86400) * 86400 AS bucket_sec,
+           event_type,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_centival,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained daily rollup (plans/rollup.py): events
+    are folded in as three separate batches of mergeable partials (plus
+    one duplicate delivery, skipped by the bucket/job ledger), then the
+    read-time merge must equal the oracle's one-shot GROUP BY — the
+    continuous-aggregate pattern with exactly-once increments."""
+    import shutil
+    import tempfile
+
+    from pysyslog_lfc_spark.plans.rollup import (
+        RollupSpec, read_rollup, update_rollup,
+    )
+    from pysyslog_lfc_spark.sinks import ParquetWarehouse
+
+    spec = RollupSpec(
+        name="events_daily",
+        time_col="ts",
+        granularity="day",
+        keys=("event_type",),
+        sums=("centival",),
+        mins=("value",),
+        maxs=("value",),
+    )
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "centival", F.floor(F.col("value") * 100).cast("long")
+    )
+    tmp = tempfile.mkdtemp(prefix="rollup_q_")
+    try:
+        wh = ParquetWarehouse(tmp)
+        for k in range(3):
+            update_rollup(wh, spec, ev.where(F.col("event_id") % 3 == k), f"b{k}")
+        update_rollup(wh, spec, ev.where(F.col("event_id") % 3 == 1), "b1")  # dup
+        out = read_rollup(spark, wh, spec).select(
+            "bucket_sec",
+            "event_type",
+            "cnt",
+            "sum_centival",
+            F.col("min_value"),
+            F.col("max_value"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
     "pivot_user_event_matrix",
     """
     SELECT user_id,

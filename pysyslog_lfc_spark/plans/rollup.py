@@ -1,0 +1,123 @@
+"""Incrementally-maintained time-bucket rollups (continuous
+aggregates) over the parquet warehouse.
+
+The reference engine recomputes its metrics tables per run
+(``src/pysyslog/outputs/metrics.py`` keeps in-process counters); a
+10^12-row corpus needs the hypertable/continuous-aggregate pattern
+instead: each arriving batch contributes *mergeable partial
+aggregates* (count / sum / min / max per time bucket and key), and the
+rollup is the read-time merge of all partials.
+
+Exactly-once without a transaction log: partials are committed through
+:meth:`ParquetWarehouse.commit_bucketed` with ``bucket`` = the time
+bucket id and ``job`` = the batch id, so
+
+- a re-applied batch is a no-op (its ``job=`` dirs already exist — the
+  same atomic-rename ledger the flagship pipeline uses for resume);
+- a batch killed mid-commit resumes at bucket granularity, filling
+  only the missing ``(bucket, job)`` dirs;
+- readers always see complete partials (rename is the commit point).
+
+100 TB design: an increment shuffles one partial-agg row per
+(bucket, key) — independent of batch row count (map-side combine).
+Reads merge ~n_batches rows per group; :meth:`ParquetWarehouse.compact`
+bounds file counts without touching the ``job=`` ledger. Time buckets
+partition the table, so reads over a time range prune directories.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from pysyslog_lfc_spark.sinks import CommitStats, ParquetWarehouse
+
+_GRANULARITY_SECS = {"minute": 60, "hour": 3600, "day": 86400}
+
+
+@dataclass(frozen=True)
+class RollupSpec:
+    """Declarative rollup definition.
+
+    ``sums``/``mins``/``maxs`` name input columns; a row count is
+    always maintained. All partials are mergeable, so any set of
+    increments merges to the same answer as one full aggregation —
+    averages derive at read time as ``sum / count``.
+    """
+
+    name: str
+    time_col: str
+    granularity: str = "hour"
+    keys: tuple[str, ...] = ()
+    sums: tuple[str, ...] = ()
+    mins: tuple[str, ...] = ()
+    maxs: tuple[str, ...] = ()
+
+    def __post_init__(self) -> None:
+        if self.granularity not in _GRANULARITY_SECS:
+            raise ValueError(
+                f"granularity must be one of {sorted(_GRANULARITY_SECS)}"
+            )
+
+    @property
+    def table(self) -> str:
+        return f"rollup_{self.name}"
+
+    @property
+    def bucket_secs(self) -> int:
+        return _GRANULARITY_SECS[self.granularity]
+
+
+def _partials(spec: RollupSpec, batch: DataFrame) -> DataFrame:
+    bucket = (
+        F.floor(F.unix_timestamp(F.col(spec.time_col)) / spec.bucket_secs)
+        .cast("long")
+        .alias("bucket")
+    )
+    aggs = [F.count(F.lit(1)).alias("cnt")]
+    aggs += [F.sum(c).alias(f"sum_{c}") for c in spec.sums]
+    aggs += [F.min(c).alias(f"min_{c}") for c in spec.mins]
+    aggs += [F.max(c).alias(f"max_{c}") for c in spec.maxs]
+    return batch.groupBy(bucket, *spec.keys).agg(*aggs)
+
+
+def update_rollup(
+    wh: ParquetWarehouse,
+    spec: RollupSpec,
+    batch: DataFrame,
+    batch_id: str,
+    fail_on_bucket: int | None = None,
+) -> CommitStats:
+    """Fold one batch into the rollup: aggregate to partials (one
+    shuffle, map-side combined) and commit them bucket-atomically under
+    ``job=batch_id``. Idempotent per (bucket, batch_id)."""
+    return wh.commit_bucketed(
+        _partials(spec, batch), spec.table, batch_id, fail_on_bucket=fail_on_bucket
+    )
+
+
+def read_rollup(
+    spark: SparkSession, wh: ParquetWarehouse, spec: RollupSpec
+) -> DataFrame:
+    """Merge all committed partials into the final rollup: one row per
+    (bucket_sec, keys...) with cnt / sum_* / min_* / max_* and derived
+    avg_* columns."""
+    df = wh.read(spark, spec.table)
+    merged = df.groupBy("bucket", *spec.keys).agg(
+        F.sum("cnt").alias("cnt"),
+        *[F.sum(f"sum_{c}").alias(f"sum_{c}") for c in spec.sums],
+        *[F.min(f"min_{c}").alias(f"min_{c}") for c in spec.mins],
+        *[F.max(f"max_{c}").alias(f"max_{c}") for c in spec.maxs],
+    )
+    out = merged.select(
+        (F.col("bucket") * spec.bucket_secs).alias("bucket_sec"),
+        *spec.keys,
+        "cnt",
+        *[F.col(f"sum_{c}") for c in spec.sums],
+        *[F.col(f"min_{c}") for c in spec.mins],
+        *[F.col(f"max_{c}") for c in spec.maxs],
+    )
+    for c in spec.sums:
+        out = out.withColumn(f"avg_{c}", F.col(f"sum_{c}") / F.col("cnt"))
+    return out

@@ -1,0 +1,98 @@
+"""Incremental rollup maintenance: merge-equals-recompute, batch
+idempotence, crash resume at bucket granularity, compaction safety."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from pysyslog_lfc_spark.plans.rollup import RollupSpec, read_rollup, update_rollup
+from pysyslog_lfc_spark.sinks import ParquetWarehouse
+
+SPEC = RollupSpec(
+    name="ev",
+    time_col="ts",
+    granularity="hour",
+    keys=("etype",),
+    sums=("v",),
+    mins=("v",),
+    maxs=("v",),
+)
+
+
+@pytest.fixture()
+def events(spark):
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = [
+        (i, base + dt.timedelta(minutes=7 * i), ["a", "b"][i % 2], float(i % 13))
+        for i in range(300)
+    ]
+    return spark.createDataFrame(rows, "event_id long, ts timestamp, etype string, v double")
+
+
+def _full(events):
+    return {
+        tuple(r)
+        for r in events.groupBy(
+            (F.floor(F.unix_timestamp("ts") / 3600) * 3600).alias("bucket_sec"),
+            "etype",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("v").alias("sum_v"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+            (F.sum("v") / F.count(F.lit(1))).alias("avg_v"),
+        )
+        .collect()
+    }
+
+
+def _read(spark, wh):
+    return {tuple(r) for r in read_rollup(spark, wh, SPEC).collect()}
+
+
+def test_incremental_merge_equals_full_recompute(spark, tmp_path, events):
+    wh = ParquetWarehouse(tmp_path / "wh")
+    for k in range(3):
+        update_rollup(wh, SPEC, events.where(F.col("event_id") % 3 == k), f"b{k}")
+    assert _read(spark, wh) == _full(events)
+
+
+def test_reapplied_batch_is_noop(spark, tmp_path, events):
+    wh = ParquetWarehouse(tmp_path / "wh")
+    b0 = events.where(F.col("event_id") % 3 == 0)
+    update_rollup(wh, SPEC, b0, "b0")
+    update_rollup(wh, SPEC, events.where(F.col("event_id") % 3 != 0), "rest")
+    want = _read(spark, wh)
+    stats = update_rollup(wh, SPEC, b0, "b0")  # duplicate delivery
+    assert stats.buckets_committed == () and len(stats.buckets_skipped) > 0
+    assert _read(spark, wh) == want
+
+
+def test_crash_mid_commit_resumes_at_bucket_granularity(spark, tmp_path, events):
+    wh = ParquetWarehouse(tmp_path / "wh")
+    update_rollup(wh, SPEC, events.where(F.col("event_id") % 3 == 0), "b0")
+    b1 = events.where(F.col("event_id") % 3 == 1)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        update_rollup(wh, SPEC, b1, "b1", fail_on_bucket=1)
+    stats = update_rollup(wh, SPEC, b1, "b1")  # resume
+    assert len(stats.buckets_skipped) == 1  # the bucket committed before the crash
+    update_rollup(wh, SPEC, events.where(F.col("event_id") % 3 == 2), "b2")
+    assert _read(spark, wh) == _full(events)
+
+
+def test_compaction_preserves_rollup(spark, tmp_path, events):
+    wh = ParquetWarehouse(tmp_path / "wh")
+    for k in range(3):
+        update_rollup(wh, SPEC, events.where(F.col("event_id") % 3 == k), f"b{k}")
+    want = _read(spark, wh)
+    wh.compact(spark, SPEC.table, min_files=1)
+    assert _read(spark, wh) == want
+
+
+def test_bad_granularity_rejected():
+    with pytest.raises(ValueError, match="granularity"):
+        RollupSpec(name="x", time_col="ts", granularity="fortnight")
