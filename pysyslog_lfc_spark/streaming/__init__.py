@@ -11,6 +11,7 @@ from pysyslog_lfc_spark.streaming.flows import (  # noqa: F401
     stream_json_lines,
     stream_socket_lines,
     session_window_stream,
+    stream_stream_join,
     run_flow_stream,
     fanout_foreach_batch,
     trigger_from_settings,

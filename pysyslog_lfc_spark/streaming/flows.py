@@ -104,6 +104,46 @@ def session_window_stream(
     )
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    watermark: str = "10 minutes",
+    max_lag: str = "5 minutes",
+    prefix: str = "r_",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: correlate two event
+    streams on a key within ``±max_lag`` event time — the streaming
+    analog of the enrichment join when the lookup side is itself a
+    stream (e.g. matching error events to the requests that caused
+    them; the reference's single-process runtime can only do this by
+    buffering one stream in memory, src/pysyslog/runtime.py:45-53).
+
+    State stays bounded: the watermark lets Spark discard buffered rows
+    older than (watermark + max_lag) on BOTH sides — the time-range
+    predicate is what makes the right side's state evictable, so
+    always pass a finite ``max_lag`` on an unbounded stream.
+
+    Works identically on batch DataFrames (``withWatermark`` is a
+    no-op in batch), which is what the batch-parity test exploits.
+    """
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    lag = F.expr(f"INTERVAL {max_lag}")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}") - lag)
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + lag)
+    )
+    rcols = [c for c in right.columns if c != key]
+    return l.join(r, cond, "inner").select(
+        *[F.col(f"l.{c}") for c in left.columns],
+        *[F.col(f"r.{c}").alias(f"{prefix}{c}") for c in rcols],
+    )
+
+
 def trigger_from_settings(cfg: RuntimeConfig | None) -> dict:
     """[settings] flush_every (docs/configuration/main.md:20) -> the
     micro-batch trigger: the reference flushes its buffer every

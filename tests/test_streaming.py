@@ -340,3 +340,45 @@ def test_session_window_stream_matches_batch_sessionize(spark, tmp_path):
         for r in spark.sql("SELECT * FROM sess_t").collect()
     }
     assert got == batch
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream join equals the same join run in
+    batch: requests correlated with errors on user within ±120s."""
+    import datetime as dt
+
+    from pysyslog_lfc_spark.streaming import stream_stream_join
+
+    t0 = dt.datetime(2024, 3, 1)
+    reqs, errs = [], []
+    for i in range(200):
+        u = i % 7
+        reqs.append((u, t0 + dt.timedelta(seconds=30 * i), f"req-{i}"))
+        if i % 3 == 0:
+            # error lands 0..180s after the request: some in, some out of lag
+            errs.append((u, t0 + dt.timedelta(seconds=30 * i + (i % 7) * 30),
+                         500 + (i % 3)))
+    req_df = spark.createDataFrame(reqs, "user long, ts timestamp, rid string")
+    err_df = spark.createDataFrame(errs, "user long, ts timestamp, code int")
+
+    def key(r):
+        return (r["user"], r["ts"], r["rid"], r["r_ts"], r["r_code"])
+
+    batch = {key(r) for r in stream_stream_join(
+        req_df, err_df, "user", max_lag="120 seconds").collect()}
+    assert batch  # fixture produces matches
+
+    ldir, rdir = tmp_path / "reqs", tmp_path / "errs"
+    req_df.coalesce(1).write.mode("overwrite").parquet(str(ldir))
+    err_df.coalesce(1).write.mode("overwrite").parquet(str(rdir))
+    ls = spark.readStream.schema(req_df.schema).parquet(str(ldir))
+    rs = spark.readStream.schema(err_df.schema).parquet(str(rdir))
+    q = (
+        stream_stream_join(ls, rs, "user", watermark="1 second",
+                           max_lag="120 seconds")
+        .writeStream.format("memory").queryName("ssj_t")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {key(r) for r in spark.sql("SELECT * FROM ssj_t").collect()}
+    assert got == batch
