@@ -1,0 +1,65 @@
+"""URL/domain blocklist filtering — the C4-style source-level cleanup
+step (Raffel et al. 2020 §2.2 filter "any page on a blocklist").
+
+All column work is codegen regex (scheme/host extraction shared with
+``operators/typed_filters.py``'s url family); the blocklist itself
+joins as a broadcast anti-join, so the corpus side never shuffles.
+At 100 TB a blocklist of even millions of domains is a few tens of MB
+— comfortably broadcastable; the normalized-domain equi-join (rather
+than a suffix LIKE per entry) keeps the probe O(1) per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_URL_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/:?#]+)"
+
+
+def url_domain(col: Column) -> Column:
+    """Lower-cased host with a leading ``www.`` stripped; null when the
+    value does not parse as a URL."""
+    host = F.lower(F.nullif(F.regexp_extract(col, _URL_HOST_RE, 1), F.lit("")))
+    return F.regexp_replace(host, r"^www\.", "")
+
+
+def registrable_domain(col: Column) -> Column:
+    """Cheap registrable-domain heuristic: the last two dot-labels of
+    the host (``a.b.example.com -> example.com``). A public-suffix
+    list would be more precise for ccTLD registries (``.co.uk``); this
+    matches the blocklist's own normalization so lookups stay an
+    equi-join."""
+    return F.nullif(
+        F.regexp_extract(url_domain(col), r"([^.]+\.[^.]+)$", 1), F.lit("")
+    )
+
+
+def domain_blocklist_filter(
+    df: DataFrame,
+    url_col: str,
+    blocked_domains: list[str],
+    include_subdomains: bool = True,
+    keep_invalid: bool = False,
+) -> DataFrame:
+    """Drop rows whose URL's domain is on the blocklist.
+
+    ``include_subdomains=True`` matches on the registrable domain so
+    ``sub.bad.example`` is caught by a ``bad.example`` entry; otherwise
+    the full (www-stripped) host must match exactly. Rows whose URL
+    does not parse are dropped unless ``keep_invalid``.
+    """
+    spark = df.sparkSession
+    norm = sorted({d.lower().lstrip(".").removeprefix("www.") for d in blocked_domains})
+    bl = spark.createDataFrame([(d,) for d in norm], "_blocked_domain string")
+    key = registrable_domain(F.col(url_col)) if include_subdomains else url_domain(
+        F.col(url_col)
+    )
+    probe = df.withColumn("_domain_key", key)
+    if not keep_invalid:
+        probe = probe.where(F.col("_domain_key").isNotNull())
+    out = probe.join(
+        F.broadcast(bl),
+        probe["_domain_key"] == bl["_blocked_domain"],
+        "left_anti",
+    )
+    return out.drop("_domain_key")

@@ -56,6 +56,38 @@ def stratified_sample(
     return df.where(sample_key(F.col(id_col), salt) < permille_col)
 
 
+def split_assign(
+    df: DataFrame,
+    id_col: str,
+    permille: tuple[int, ...] = (980, 10, 10),
+    names: tuple[str, ...] = ("train", "val", "test"),
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: the portable hash die
+    lands in consecutive permille ranges, so every row's split is a
+    pure function of (salt, id) — stable across partitioning, reruns,
+    and engines (the DuckDB oracle replays the identical CASE). The
+    assignment is a zero-shuffle codegen projection.
+
+    ``permille`` must sum to 1000; splits are contiguous hash ranges,
+    so growing ``val`` later keeps prior ``train`` rows in train (no
+    leakage when re-splitting with the same salt).
+    """
+    if len(permille) != len(names):
+        raise ValueError("permille and names must have the same length")
+    if sum(permille) != 1000:
+        raise ValueError(f"permille must sum to 1000, got {sum(permille)}")
+    key = sample_key(F.col(id_col), salt)
+    expr = None
+    hi = 0
+    for p, name in zip(permille, names):
+        hi += p
+        branch = F.when(key < hi, F.lit(name))
+        expr = branch if expr is None else expr.when(key < hi, F.lit(name))
+    return df.withColumn(out_col, expr)
+
+
 def upsample_by_weight(
     df: DataFrame, id_col: str, weight_col: Column, copy_col: str = "copy_idx"
 ) -> DataFrame:

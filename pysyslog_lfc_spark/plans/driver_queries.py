@@ -992,6 +992,83 @@ def lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "split_train_val_test",
+    """
+    SELECT doc_id,
+           CASE WHEN h < 900 THEN 'train'
+                WHEN h < 950 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id,
+             ('0x' || substr(md5('split:' || doc_id), 1, 15))::BIGINT % 1000 AS h
+      FROM documents
+    )
+    """,
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 split assignment
+    (operators/sampling.py::split_assign): a pure-projection hash die,
+    stable across partitioning and engines — the auditable alternative
+    to randomSplit for corpus curation."""
+    docs = _t(spark, sf_dir, "documents")
+    return SAMP.split_assign(
+        docs, "doc_id", permille=(900, 50, 50)
+    ).select("doc_id", "split")
+
+
+@query(
+    "filter_domain_blocklist",
+    r"""
+    WITH urls AS (
+      SELECT event_id,
+             CASE CAST(event_id % 4 AS INTEGER)
+               WHEN 0 THEN printf('https://www.blocked-site.com/p/%d', event_id)
+               WHEN 1 THEN printf('https://cdn.assets.blocked-site.com/%d', event_id)
+               WHEN 2 THEN printf('https://docs.example.org/%d', event_id)
+               ELSE printf('not a url %d', event_id)
+             END AS url
+      FROM events
+    ),
+    keyed AS (
+      SELECT event_id, url,
+             nullif(regexp_extract(
+               regexp_replace(
+                 lower(nullif(regexp_extract(url,
+                   '^[A-Za-z][A-Za-z0-9+.\-]*://([^/:?#]+)', 1), '')),
+                 '^www\.', ''),
+               '([^.]+\.[^.]+)$', 1), '') AS k
+      FROM urls
+    )
+    SELECT event_id, url FROM keyed
+    WHERE k IS NOT NULL AND k != 'blocked-site.com'
+    """,
+)
+def filter_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style domain blocklist (functions/blocklist.py): registrable-
+    domain normalization catches subdomains and www prefixes; the list
+    probes as a broadcast anti-join, zero shuffle on the corpus side."""
+    from pysyslog_lfc_spark.functions.blocklist import domain_blocklist_filter
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "url",
+        F.when(
+            F.col("event_id") % 4 == 0,
+            F.format_string("https://www.blocked-site.com/p/%d", F.col("event_id")),
+        )
+        .when(
+            F.col("event_id") % 4 == 1,
+            F.format_string("https://cdn.assets.blocked-site.com/%d", F.col("event_id")),
+        )
+        .when(
+            F.col("event_id") % 4 == 2,
+            F.format_string("https://docs.example.org/%d", F.col("event_id")),
+        )
+        .otherwise(F.format_string("not a url %d", F.col("event_id"))),
+    ).select("event_id", "url")
+    return domain_blocklist_filter(ev, "url", ["blocked-site.com"])
+
+
+@query(
     "join3_top_revenue",
     """
     SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,

@@ -650,3 +650,53 @@ def test_bigram_lm_score_separates_inliers_from_gibberish(spark):
     assert out["tiny"].logprob_permille is None
     assert out["tiny"].n_bigrams == 0
     assert out["in"].n_bigrams == 5
+
+
+def test_domain_blocklist_filter(spark):
+    """Blocklist: subdomains + www caught via registrable domain,
+    invalid urls dropped (kept with keep_invalid), exact-host mode
+    spares subdomains."""
+    from pysyslog_lfc_spark.functions.blocklist import domain_blocklist_filter
+
+    rows = [
+        (1, "https://www.bad.example/x"),
+        (2, "https://deep.sub.bad.example/y"),
+        (3, "https://good.example/z"),
+        (4, "not a url"),
+        (5, "http://BAD.EXAMPLE/upper"),
+    ]
+    df = spark.createDataFrame(rows, "id int, url string")
+    kept = sorted(r.id for r in
+                  domain_blocklist_filter(df, "url", ["bad.example"]).collect())
+    assert kept == [3]
+    kept = sorted(r.id for r in domain_blocklist_filter(
+        df, "url", ["bad.example"], keep_invalid=True).collect())
+    assert kept == [3, 4]
+    # exact-host mode: only the bare/www host matches
+    kept = sorted(r.id for r in domain_blocklist_filter(
+        df, "url", ["bad.example"], include_subdomains=False).collect())
+    assert kept == [2, 3]
+
+
+def test_split_assign_deterministic_and_contiguous(spark):
+    """Split assignment is partitioning-independent, covers every row,
+    and keeps train rows stable when val/test grow with the same salt."""
+    from pysyslog_lfc_spark.operators.sampling import split_assign
+
+    df = spark.createDataFrame([(f"d{i}",) for i in range(2000)], "doc_id string")
+    a = {r.doc_id: r.split for r in split_assign(df, "doc_id").collect()}
+    b = {r.doc_id: r.split for r in
+         split_assign(df.repartition(13), "doc_id").collect()}
+    assert a == b
+    counts = {s: list(a.values()).count(s) for s in ("train", "val", "test")}
+    assert counts["train"] > 1900 and counts["val"] > 0 and counts["test"] > 0
+
+    # re-split with a bigger eval share: nothing moves INTO train
+    wide = {r.doc_id: r.split for r in split_assign(
+        df, "doc_id", permille=(900, 50, 50)).collect()}
+    assert all(a[d] == "train" for d, s in wide.items() if s == "train")
+
+    with pytest.raises(ValueError, match="sum to 1000"):
+        split_assign(df, "doc_id", permille=(500, 100), names=("a", "b"))
+    with pytest.raises(ValueError, match="same length"):
+        split_assign(df, "doc_id", permille=(900, 100), names=("a",))
