@@ -59,6 +59,12 @@ BENCH_QUERIES = [
     "text_repetition",
     "time_bucket_counts",
     "anomaly_zscore",
+    "flow_parse_csv",
+    "dedup_spans",
+    "lm_quality_score",
+    "approx_distinct_kmv",
+    "filter_domain_blocklist",
+    "rollup_incremental",
 ]
 
 

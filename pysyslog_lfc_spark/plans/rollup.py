@@ -97,6 +97,33 @@ def update_rollup(
     )
 
 
+def rollup_stream(
+    events: DataFrame,
+    wh: ParquetWarehouse,
+    spec: RollupSpec,
+    checkpoint_dir: str,
+    trigger: dict | None = None,
+):
+    """Maintain the rollup from a stream: each micro-batch folds in via
+    :func:`update_rollup` with the epoch id as the batch id, so the
+    bucket/job ledger de-duplicates replayed epochs — foreachBatch's
+    at-least-once redelivery becomes exactly-once, the same contract
+    the flagship streaming fan-out uses
+    (streaming/flows.py::fanout_foreach_batch).
+
+    Returns the started StreamingQuery."""
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        update_rollup(wh, spec, batch_df, f"epoch{epoch_id}")
+
+    return (
+        events.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )
+
+
 def read_rollup(
     spark: SparkSession, wh: ParquetWarehouse, spec: RollupSpec
 ) -> DataFrame:

@@ -96,3 +96,17 @@ def test_compaction_preserves_rollup(spark, tmp_path, events):
 def test_bad_granularity_rejected():
     with pytest.raises(ValueError, match="granularity"):
         RollupSpec(name="x", time_col="ts", granularity="fortnight")
+
+
+def test_rollup_stream_foreach_batch(spark, tmp_path, events):
+    """Streaming maintenance: a file-source stream folded through
+    foreachBatch produces the same rollup as the batch aggregate."""
+    from pysyslog_lfc_spark.plans.rollup import rollup_stream
+
+    src = tmp_path / "stream_in"
+    events.coalesce(2).write.mode("overwrite").parquet(str(src))
+    wh = ParquetWarehouse(tmp_path / "wh")
+    stream = spark.readStream.schema(events.schema).parquet(str(src))
+    q = rollup_stream(stream, wh, SPEC, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    assert _read(spark, wh) == _full(events)
