@@ -28,7 +28,7 @@ import json
 import re
 from typing import Callable
 
-from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql import Column, DataFrame, functions as F, types as T
 
 from pysyslog_lfc_spark.config import ComponentConfig, ConfigError
 
@@ -547,6 +547,67 @@ def _csv(cfg: ComponentConfig) -> ParserFn:
     return parse
 
 
+def _cef(cfg: ComponentConfig) -> ParserFn:
+    """parser.cef: ArcSight Common Event Format (public spec:
+    ``CEF:version|vendor|product|device_version|signature_id|name|
+    severity|extensions``), the SIEM-interchange sibling of the
+    rfc3164/rfc5424 family.
+
+    Header: split on unescaped pipes (``\\|`` escapes a literal pipe,
+    Java-regex lookbehind) limited to 8 parts so pipes inside the
+    extension block survive; ``\\|``/``\\\\`` unescaped in header
+    values. A leading syslog transport prefix before ``CEF:`` is
+    tolerated and stripped.
+
+    Extensions: ``key=value`` pairs where values may contain spaces
+    (lazy match up to the next ``key=`` token, Java-regex lookahead);
+    project requested keys via ``extensions`` (comma list), typed with
+    ``types`` like the logfmt/csv families. Lines without a ``CEF:``
+    marker or with a malformed header drop (reference invalid => drop
+    convention). Pure codegen: regexp + split, no Python.
+    """
+    ext_fields = [
+        f.strip() for f in (cfg.option("extensions") or "").split(",") if f.strip()
+    ]
+    types = [t.strip() for t in (cfg.option("types") or "").split(",") if t.strip()]
+    if types and len(types) != len(ext_fields):
+        raise ConfigError("cef parser: 'types' length must match 'extensions'")
+    for t_ in types:
+        if t_ not in _CSV_TYPES:
+            raise ConfigError(f"cef parser: unknown type '{t_}'")
+
+    def _unesc(c: Column) -> Column:
+        return F.regexp_replace(F.regexp_replace(c, r"\\\|", "|"), r"\\\\", r"\\")
+
+    def parse(df: DataFrame, raw: str = "value") -> DataFrame:
+        body = F.nullif(
+            F.regexp_extract(F.col(raw), r"CEF:(.*)$", 1), F.lit("")
+        )
+        parts = F.split(body, r"(?<!\\)\|", 8)
+        ok = body.isNotNull() & (F.size(parts) >= 8)
+        ext = F.element_at(parts, 8)
+        cols = [
+            F.element_at(parts, 1).try_cast("int").alias("cef_version"),
+            _unesc(F.element_at(parts, 2)).alias("vendor"),
+            _unesc(F.element_at(parts, 3)).alias("product"),
+            _unesc(F.element_at(parts, 4)).alias("device_version"),
+            _unesc(F.element_at(parts, 5)).alias("signature_id"),
+            _unesc(F.element_at(parts, 6)).alias("name"),
+            F.element_at(parts, 7).try_cast("int").alias("severity"),
+        ]
+        for i, k in enumerate(ext_fields):
+            v = F.nullif(
+                F.regexp_extract(ext, rf"(?:^|\s){k}=(.*?)(?=\s+\w+=|$)", 1),
+                F.lit(""),
+            )
+            if types and types[i] != "string":
+                v = v.try_cast(_CSV_TYPES[types[i]])
+            cols.append(v.alias(k))
+        return df.where(ok).withColumn(RECORD_COL, F.struct(*cols))
+
+    return parse
+
+
 def _passthrough(cfg: ComponentConfig) -> ParserFn:
     def parse(df: DataFrame, raw: str = "value") -> DataFrame:
         return df.where(F.col(raw).isNotNull()).withColumn(
@@ -565,5 +626,6 @@ BUILTIN_PARSERS = {
     "rfc5424": _rfc5424,
     "logfmt": _logfmt,
     "csv": _csv,
+    "cef": _cef,
     "passthrough": _passthrough,
 }

@@ -1957,6 +1957,70 @@ def flow_parse_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "flow_parse_cef",
+    """
+    WITH lines AS (
+      SELECT event_id,
+             printf('CEF:0|PySyslog|Engine|1.0|%d|%s|%d|src=10.0.%d.%d code=%d',
+                    event_id % 20, event_type, event_id % 10,
+                    (user_id // 256) % 256, user_id % 256,
+                    CAST(floor(value * 100) AS BIGINT)) AS line
+      FROM events
+    ),
+    p AS (
+      SELECT event_id, string_split(line, '|') AS parts,
+             regexp_extract(line, 'src=([^ ]+)', 1) AS src,
+             CAST(regexp_extract(line, 'code=([^ ]+)', 1) AS BIGINT) AS code
+      FROM lines
+    )
+    SELECT event_id,
+           CAST(replace(parts[1], 'CEF:', '') AS INTEGER) AS cef_version,
+           parts[2] AS vendor,
+           parts[5] AS signature_id,
+           parts[6] AS name,
+           CAST(parts[7] AS INTEGER) AS severity,
+           src, code
+    FROM p WHERE CAST(parts[7] AS INTEGER) >= 5
+    """,
+)
+def flow_parse_cef(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parser.cef (ArcSight CEF, public spec) over a synthesized line
+    stream: both engines build the identical CEF record from events and
+    parse it back (operators/parsers.py::_cef — codegen split/regexp;
+    escape and spaced-value cases are pytest-covered since the oracle's
+    RE2 lacks lookarounds)."""
+    from pysyslog_lfc_spark.operators.parsers import compile_parser
+
+    ev = _t(spark, sf_dir, "events")
+    lines = ev.select(
+        "event_id",
+        F.format_string(
+            "CEF:0|PySyslog|Engine|1.0|%d|%s|%d|src=10.0.%d.%d code=%d",
+            F.col("event_id") % 20,
+            F.col("event_type"),
+            F.col("event_id") % 10,
+            F.floor(F.col("user_id") / 256) % 256,
+            F.col("user_id") % 256,
+            F.floor(F.col("value") * 100).cast("long"),
+        ).alias("value"),
+    )
+    parse = compile_parser(
+        ComponentConfig("cef", {"extensions": "src,code", "types": "string,long"})
+    )
+    rec = parse(lines)
+    return rec.select(
+        "event_id",
+        F.col("record.cef_version").alias("cef_version"),
+        F.col("record.vendor").alias("vendor"),
+        F.col("record.signature_id").alias("signature_id"),
+        F.col("record.name").alias("name"),
+        F.col("record.severity").alias("severity"),
+        F.col("record.src").alias("src"),
+        F.col("record.code").alias("code"),
+    ).where(F.col("severity") >= 5)
+
+
+@query(
     "topk_words_per_source",
     r"""
     WITH words AS (

@@ -227,3 +227,38 @@ def test_csv_parser_tsv_and_errors(spark):
         compile_parser(ComponentConfig("csv", {"fields": "a", "delimiter": ";;"}))
     with pytest.raises(ConfigError):
         compile_parser(ComponentConfig("csv", {"fields": "a", "require": "zz"}))
+
+
+def test_cef_parser(spark):
+    """CEF family: header split on unescaped pipes, escape unwinding,
+    syslog prefix tolerated, spaced extension values, typed casts,
+    lines without a CEF marker drop."""
+    lines = [
+        ("CEF:0|Vendor|Thing|1.0|100|Port scan|7|src=10.0.0.1 msg=slow scan "
+         "detected dst=10.0.0.9",),
+        ("<13>Oct 11 22:14:15 host CEF:0|A\\|B|P|2|42|Pipe\\\\Name|3|src=1.2.3.4",),
+        ("no cef here",),
+        ("CEF:0|short|header",),  # < 8 header parts -> drop
+    ]
+    df = spark.createDataFrame(lines, "value string")
+    parse = compile_parser(
+        ComponentConfig(
+            "cef",
+            {"extensions": "src,msg,dst", "types": "string,string,string"},
+        )
+    )
+    rows = {r.signature_id: r for r in parse(df).select("record.*").collect()}
+    assert set(rows) == {"100", "42"}
+    full = rows["100"]
+    assert (full.cef_version, full.vendor, full.severity) == (0, "Vendor", 7)
+    assert full.src == "10.0.0.1" and full.dst == "10.0.0.9"
+    assert full.msg == "slow scan detected"
+    esc = rows["42"]
+    assert esc.vendor == "A|B" and esc.name == "Pipe\\Name"
+    assert esc.src == "1.2.3.4" and esc.msg is None
+
+    from pysyslog_lfc_spark.config import ConfigError
+    with pytest.raises(ConfigError):
+        compile_parser(ComponentConfig("cef", {"extensions": "a,b", "types": "int"}))
+    with pytest.raises(ConfigError):
+        compile_parser(ComponentConfig("cef", {"extensions": "a", "types": "blob"}))
