@@ -1,7 +1,7 @@
-"""As-of (nearest-earlier) join — a relational operator Spark lacks
-natively and the reference engine (a per-record flow pipeline,
-/root/reference/src/pysyslog/flow.py) cannot express at all; part of
-the SURVEY.md §2.7 gap map.
+"""As-of (nearest-earlier) join and bucketed range join — relational
+operators Spark lacks natively and the reference engine (a per-record
+flow pipeline, /root/reference/src/pysyslog/flow.py) cannot express at
+all; part of the SURVEY.md §2.7 gap map.
 
 Semantics: for every left row, attach the payload of the right row with
 the same key and the greatest ``right_ts <= left_ts`` (backward
@@ -104,4 +104,92 @@ def asof_join(
         *[F.col(c) for c in left.columns if c not in on],
         *[F.col(f"__m.{c}").alias(c) for c in right_cols],
         gap.alias("asof_gap_us"),
+    )
+
+
+def range_enrich(
+    facts: DataFrame,
+    ranges: DataFrame,
+    value_col: str,
+    range_start: str = "start",
+    range_end: str = "end",
+    payload_cols: Sequence[str] | None = None,
+    bucket_bits: int = 16,
+    how: str = "inner",
+    broadcast_ranges: bool = True,
+) -> DataFrame:
+    """Point-in-interval enrichment (GeoIP-style: attach the range row
+    whose ``[start, end]`` contains the fact's ``value_col``).
+
+    The naive plan — ``facts JOIN ranges ON v BETWEEN start AND end`` —
+    has no equi-key, so Spark falls back to BroadcastNestedLoopJoin:
+    every fact row probes EVERY range row, O(|F| x |R|) comparisons.
+    Fine at 10^3 ranges, fatal at GeoIP scale (10^6+ blocks, 10^12
+    facts).
+
+    This is the bucketed (a.k.a. binned) range join instead:
+
+        1. explode each range into the fixed-width value buckets it
+           spans: ``sequence(start >> b, end >> b)`` — for CIDR-like
+           data choose ``bucket_bits`` near the typical prefix length
+           so most ranges land in ~1 bucket,
+        2. equi-join facts on ``value >> b == bucket`` (hash join,
+           broadcastable when the exploded dim is small),
+        3. re-check the exact ``BETWEEN`` as a post-join filter.
+
+    The join is a plain hash equi-join — partitionable, AQE-friendly,
+    and broadcast when ``broadcast_ranges`` (the default: GeoIP tables
+    are MBs against TBs of facts). Overlapping ranges yield one output
+    row per containing range (same as the SQL BETWEEN join).
+
+    ``how``: ``inner`` drops unmatched facts; ``left`` keeps them with
+    NULL payloads (deduplicating the bucket fan-out so an unmatched
+    fact appears exactly once).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"range_enrich: how must be inner|left, got {how!r}")
+    if payload_cols is None:
+        payload_cols = [
+            c for c in ranges.columns if c not in (range_start, range_end)
+        ]
+    payload_cols = list(payload_cols)
+    clash = set(payload_cols) & set(facts.columns)
+    if clash:
+        raise ValueError(f"payload_cols collide with fact columns: {sorted(clash)}")
+
+    b = int(bucket_bits)
+    v = F.col(value_col).cast("long")
+
+    # shiftright, not division: exact on the full long range (float
+    # division loses precision past 2^53 and truncates toward zero)
+    exploded = ranges.select(
+        F.col(range_start).cast("long").alias("__rs"),
+        F.col(range_end).cast("long").alias("__re"),
+        *[F.col(c) for c in payload_cols],
+    ).withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.shiftright(F.col("__rs"), b), F.shiftright(F.col("__re"), b)
+            )
+        ),
+    )
+    if broadcast_ranges:
+        exploded = F.broadcast(exploded)
+
+    # each fact derives exactly ONE bucket, so putting the exact BETWEEN
+    # into the join condition gives textbook SQL join semantics for both
+    # inner and left — no dedup or anti-join pass needed: an unmatched
+    # fact yields one NULL-payload row, an overlapped fact one row per
+    # containing range
+    f = facts.withColumn("__bucket", F.shiftright(v, b))
+    fv = f[value_col].cast("long")
+    cond = (
+        (f["__bucket"] == exploded["__bucket"])
+        & fv.between(exploded["__rs"], exploded["__re"])
+    )
+    joined = f.join(exploded, cond, how)
+    return joined.select(
+        *[f[c] for c in facts.columns],
+        *[exploded[c] for c in payload_cols],
     )

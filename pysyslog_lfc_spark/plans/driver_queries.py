@@ -1769,6 +1769,56 @@ def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "enrich_geoip_range",
+    """
+    WITH ranges AS (
+      SELECT n_name AS geo_name, n_regionkey AS geo_region,
+             n_nationkey * 16777216 AS r_start,
+             n_nationkey * 16777216 + (n_regionkey + 1) * 3000000 - 1 AS r_end
+      FROM nation
+    ),
+    facts AS (
+      SELECT event_id, (event_id * 2654435761) % 419430400 AS ip
+      FROM events
+    )
+    SELECT f.event_id, f.ip, r.geo_name, r.geo_region
+    FROM facts f JOIN ranges r ON f.ip BETWEEN r.r_start AND r.r_end
+    """,
+)
+def enrich_geoip_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoIP-style range enrichment: attach the CIDR-like block
+    containing each event's synthesized IP. The reference documents IP
+    enrichment only as a point-lookup filter family
+    (docs/configuration/filters.md ip filters); range containment at
+    scale needs the bucketed range join (operators/joins.py::
+    range_enrich) — ranges exploded into 2^16-wide buckets, facts
+    hash-equi-joined on bucket (broadcast), exact BETWEEN re-checked —
+    never Spark's BroadcastNestedLoopJoin fallback. Blocks are
+    deliberately unaligned (3M x (region+1) spans, gaps at each block
+    tail) so multi-bucket ranges and unmatched facts are exercised.
+    DuckDB's IEJoin BETWEEN plan is the oracle."""
+    nat = _t(spark, sf_dir, "nation")
+    ranges = nat.select(
+        F.col("n_name").alias("geo_name"),
+        F.col("n_regionkey").alias("geo_region"),
+        (F.col("n_nationkey").cast("long") * 16777216).alias("r_start"),
+        (
+            F.col("n_nationkey").cast("long") * 16777216
+            + (F.col("n_regionkey").cast("long") + 1) * 3000000
+            - 1
+        ).alias("r_end"),
+    )
+    facts = _t(spark, sf_dir, "events").select(
+        "event_id",
+        ((F.col("event_id") * F.lit(2654435761)) % 419430400).alias("ip"),
+    )
+    return J.range_enrich(
+        facts, ranges, "ip", range_start="r_start", range_end="r_end",
+        payload_cols=["geo_name", "geo_region"], bucket_bits=16,
+    )
+
+
+@query(
     "multimodal_ahash_fake",
     """
     WITH h AS (

@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from pysyslog_lfc_spark.functions.decontaminate import decontaminate, ngram_overlap
@@ -244,3 +246,65 @@ class TestTextCuration:
         assert out["e"] == 1
         assert out["i"] == 2  # the regex is syntactic: 999.1.2.3 matches too
         assert out["t"] == "mail <EMAIL> from <IP> ok <IP>"
+
+
+class TestRangeEnrich:
+    """Bucketed range join (operators/joins.py::range_enrich)."""
+
+    def _tables(self, spark):
+        facts = spark.createDataFrame(
+            [(1, 5), (2, 70_000), (3, 150_000), (4, 999_999), (5, 70_000)],
+            "fid int, v long",
+        )
+        # r10 spans multiple 2^16 buckets; 999_999 falls in a gap;
+        # 70_000 sits where r10 and r20 overlap
+        ranges = spark.createDataFrame(
+            [(0, 131_071, "r10"), (65_536, 80_000, "r20"), (200_000, 200_001, "r30")],
+            "start long, end long, tag string",
+        )
+        return facts, ranges
+
+    def test_inner_matches_sql_between(self, spark):
+        facts, ranges = self._tables(spark)
+        from pysyslog_lfc_spark.operators.joins import range_enrich
+
+        got = {
+            (r.fid, r.tag)
+            for r in range_enrich(facts, ranges, "v", bucket_bits=16).collect()
+        }
+        want = {
+            (f.fid, r.tag)
+            for f in facts.collect()
+            for r in ranges.collect()
+            if r.start <= f.v <= r.end
+        }
+        assert got == want and ("2", ) != want  # overlap produces both rows
+
+    def test_left_keeps_unmatched_once(self, spark):
+        facts, ranges = self._tables(spark)
+        from pysyslog_lfc_spark.operators.joins import range_enrich
+
+        rows = range_enrich(facts, ranges, "v", how="left", bucket_bits=16).collect()
+        by_fid = {}
+        for r in rows:
+            by_fid.setdefault(r.fid, []).append(r.tag)
+        assert sorted(by_fid[2]) == ["r10", "r20"]  # overlap: one row per range
+        assert by_fid[4] == [None]                  # gap: exactly one NULL row
+        assert by_fid[1] == ["r10"]
+
+    def test_plan_is_broadcast_hash_join(self, spark):
+        facts, ranges = self._tables(spark)
+        from pysyslog_lfc_spark.operators.joins import range_enrich
+
+        plan = range_enrich(facts, ranges, "v")._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_validation(self, spark):
+        facts, ranges = self._tables(spark)
+        from pysyslog_lfc_spark.operators.joins import range_enrich
+
+        with pytest.raises(ValueError):
+            range_enrich(facts, ranges, "v", how="full")
+        with pytest.raises(ValueError):
+            range_enrich(facts, ranges.withColumnRenamed("tag", "fid"), "v")
