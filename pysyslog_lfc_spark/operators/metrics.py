@@ -85,3 +85,63 @@ def prometheus_render(
     else:
         line = F.format_string(f"{metric_name} %s", F.col(value_col).cast("string"))
     return df.select(line.alias("line"))
+
+
+def histogram_quantile(
+    hist: DataFrame, q: float, labels: list[str] | None = None
+) -> DataFrame:
+    """PromQL-style ``histogram_quantile(q, ...)`` over ``histogram()``
+    output (reference exposes histograms via the Prometheus exposition,
+    metrics.md:49-61; quantile estimation from cumulative ``le``
+    buckets is the public PromQL rule):
+
+    - find the first bucket whose cumulative count reaches
+      ``q * total``,
+    - linearly interpolate inside it (uniform-within-bucket
+      assumption): ``lo + (hi - lo) * (rank - cum_below) / bucket_n``,
+    - the lowest bucket interpolates from 0; a quantile landing in
+      ``+Inf`` clamps to the highest finite edge.
+
+    Runs on already-aggregated bucket rows (|labels| x |edges| rows),
+    so the per-label window is trivially cheap — the 100 TB fact
+    stream was reduced by ``histogram()``'s single partial-agg shuffle
+    before this operator ever sees it. Mergeable: histograms from
+    shards/rounds can be summed per (labels, le) and re-fed here.
+    """
+    if not 0.0 <= q <= 1.0:
+        raise ValueError(f"histogram_quantile: q must be in [0,1], got {q}")
+    labels = labels or []
+    edge = F.when(F.col("le") == "+Inf", F.lit(float("inf"))).otherwise(
+        F.col("le").cast("double")
+    )
+    w = Window.partitionBy(*[F.col(c) for c in labels]).orderBy(edge)
+    wall = Window.partitionBy(*[F.col(c) for c in labels])
+    hi_finite = F.max(
+        F.when(F.col("le") != "+Inf", F.col("le").cast("double"))
+    ).over(wall)
+    ranked = (
+        hist.withColumn("_edge", edge)
+        .withColumn("_total", F.max("value").over(wall))
+        .withColumn("_below", F.coalesce(F.lag("value").over(w), F.lit(0.0)))
+        .withColumn("_lo", F.coalesce(F.lag("_edge").over(w), F.lit(0.0)))
+        .withColumn("_hi_fin", hi_finite)
+        .withColumn("_rank", F.lit(float(q)) * F.col("_total"))
+    )
+    hit = (
+        ranked.where(F.col("value") >= F.col("_rank"))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+    )
+    est = (
+        F.when(F.col("_edge") == float("inf"), F.col("_hi_fin"))
+        # degenerate: rank falls on an empty bucket boundary (q=0 with
+        # an empty first bucket) — clamp to the edge, don't 0/0
+        .when(F.col("value") == F.col("_below"), F.col("_edge"))
+        .otherwise(
+            F.col("_lo")
+            + (F.col("_edge") - F.col("_lo"))
+            * (F.col("_rank") - F.col("_below"))
+            / (F.col("value") - F.col("_below"))
+        )
+    )
+    return hit.select(*labels, est.alias("quantile"))

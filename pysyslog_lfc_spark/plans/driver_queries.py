@@ -1819,6 +1819,71 @@ def enrich_geoip_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "metrics_histogram_quantile",
+    """
+    WITH qs AS (
+      SELECT * FROM (VALUES ('p50', 0.5e0), ('p95', 0.95e0), ('p99', 0.99e0))
+        AS t(q, qv)
+    ),
+    b AS (
+      SELECT event_type,
+             CASE WHEN value <= 5 THEN 5e0 WHEN value <= 10 THEN 10e0
+                  WHEN value <= 25 THEN 25e0 WHEN value <= 50 THEN 50e0
+                  WHEN value <= 100 THEN 100e0 WHEN value <= 250 THEN 250e0
+                  ELSE 'inf'::DOUBLE END AS edge,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT event_type, edge,
+             CAST(sum(n) OVER (PARTITION BY event_type ORDER BY edge
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum,
+             CAST(coalesce(sum(n) OVER (PARTITION BY event_type ORDER BY edge
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE) AS below,
+             coalesce(lag(edge) OVER (PARTITION BY event_type ORDER BY edge), 0e0) AS lo,
+             CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE) AS total
+      FROM b
+    ),
+    sel AS (
+      SELECT event_type, q, edge, lo, below, cum, qv * total AS rank,
+             row_number() OVER (PARTITION BY event_type, q ORDER BY edge) AS rn
+      FROM c CROSS JOIN qs
+      WHERE cum >= qv * total
+    )
+    SELECT event_type, q,
+           CASE WHEN isinf(edge) THEN 250e0
+                WHEN cum = below THEN edge
+                ELSE lo + (edge - lo) * (rank - below) / (cum - below) END AS quantile
+    FROM sel WHERE rn = 1
+    """,
+)
+def metrics_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``histogram_quantile`` over the Prometheus-shape
+    histogram metric (operators/metrics.py::histogram +
+    histogram_quantile; reference documents histograms at
+    docs/configuration/outputs/metrics.md:49-61). p50/p95/p99 of
+    events.value per event_type from cumulative ``le`` buckets —
+    interpolated inside the hit bucket, +Inf hits clamped to the
+    highest finite edge. The fact stream collapses in ``histogram()``'s
+    single partial-agg shuffle; quantile math runs on |labels|x|edges|
+    rows. The oracle replays bucketing, cumulation, and interpolation
+    with the identical IEEE expression order."""
+    from pysyslog_lfc_spark.operators.metrics import histogram, histogram_quantile
+
+    ev = _t(spark, sf_dir, "events")
+    hist = histogram(
+        ev, "value", [5.0, 10.0, 25.0, 50.0, 100.0, 250.0], labels=["event_type"]
+    )
+    parts = [
+        histogram_quantile(hist, qv, ["event_type"]).select(
+            "event_type", F.lit(lbl).alias("q"), "quantile"
+        )
+        for lbl, qv in (("p50", 0.5), ("p95", 0.95), ("p99", 0.99))
+    ]
+    return parts[0].unionByName(parts[1]).unionByName(parts[2])
+
+
+@query(
     "multimodal_ahash_fake",
     """
     WITH h AS (

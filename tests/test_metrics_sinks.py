@@ -92,3 +92,42 @@ def test_rotated_file_sink(spark, tmp_path):
     for f in files:
         lines += gzip.decompress(f.read_bytes()).decode().splitlines()
     assert sorted(lines) == sorted(f"line{i}" for i in range(10))
+
+
+def test_histogram_quantile_interpolation(spark):
+    """PromQL semantics: interpolate inside the hit bucket, first
+    bucket interpolates from 0, +Inf hit clamps to the top finite
+    edge."""
+    import pytest
+
+    # 10 values in (0,10], 80 in (10,20], 10 in (20, inf)
+    vals = (
+        [(float(i),) for i in range(1, 11)]
+        + [(10.0 + i * 0.125,) for i in range(1, 81)]
+        + [(100.0 + i,) for i in range(10)]
+    )
+    df = spark.createDataFrame(vals, "v double")
+    hist = M.histogram(df, "v", [10.0, 20.0])
+    got = {  # q -> estimate
+        q: M.histogram_quantile(hist, q).collect()[0]["quantile"]
+        for q in (0.5, 0.05, 0.99)
+    }
+    # rank 50 -> bucket (10,20], below=10, n=80: 10 + 10*(50-10)/80 = 15
+    assert got[0.5] == pytest.approx(15.0)
+    # rank 5 -> first bucket, interpolates from lo=0: 0 + 10*5/10 = 5
+    assert got[0.05] == pytest.approx(5.0)
+    # rank 99 -> +Inf bucket -> clamp to 20
+    assert got[0.99] == pytest.approx(20.0)
+
+    with pytest.raises(ValueError):
+        M.histogram_quantile(hist, 1.5)
+
+
+def test_histogram_quantile_per_label(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0)] * 9 + [("a", 50.0)] + [("b", 50.0)] * 10,
+        "k string, v double",
+    )
+    hist = M.histogram(df, "v", [10.0, 100.0], labels=["k"])
+    got = {r["k"]: r["quantile"] for r in M.histogram_quantile(hist, 0.5, ["k"]).collect()}
+    assert got["a"] < 10.0 and got["b"] > 10.0
