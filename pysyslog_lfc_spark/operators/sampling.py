@@ -102,3 +102,63 @@ def upsample_by_weight(
         F.array().cast("array<int>")
     )
     return df.withColumn(copy_col, F.explode(seq))
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    id_col: str,
+    weight_col: Column,
+    k: int,
+    group_cols: list[str] | None = None,
+    salt: str = "wsample",
+    rank_col: str = "sample_rank",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: keep the
+    ``k`` rows (per group) whose exponential race keys win —
+    Efraimidis–Spirakis A-ES, the standard one-pass distributed
+    algorithm (key = -ln(u)/w; the k smallest keys are a weighted
+    sample without replacement). ``u`` comes from the portable content
+    hash, not an RNG, so the draw is resume-safe and engine-replayable
+    like every other sampler here.
+
+    Scale shape: a single ``row_number() OVER (PARTITION BY group)``
+    funnels the whole table through |groups| tasks — the classic
+    low-cardinality window trap. Instead, phase 1 ranks within
+    ``(group, input partition)`` (cardinality |groups| x |partitions|,
+    spreads over the cluster) and keeps k per cell; phase 2 re-ranks
+    the surviving |groups| x |partitions| x k rows — exact, because the
+    global top-k is contained in the union of per-cell top-ks and the
+    ``(key, id)`` order is total.
+
+    Weights must be > 0; rows with NULL or non-positive weight drop.
+    """
+    if k < 1:
+        raise ValueError(f"weighted_sample_topk: k must be >= 1, got {k}")
+    group_cols = list(group_cols or [])
+    m = 1 << 30
+    u = (
+        (portable_hash60(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))) % m)
+        .cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(m))
+    w = weight_col.cast("double")
+    keyed = df.where(w.isNotNull() & (w > 0)).withColumn(
+        "__eskey", -F.ln(u) / w
+    )
+
+    from pyspark.sql import Window
+
+    local = Window.partitionBy(
+        *group_cols, F.spark_partition_id()
+    ).orderBy("__eskey", id_col)
+    survivors = (
+        keyed.withColumn("__rn", F.row_number().over(local))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+    final = Window.partitionBy(*group_cols).orderBy("__eskey", id_col)
+    return (
+        survivors.withColumn(rank_col, F.row_number().over(final))
+        .where(F.col(rank_col) <= k)
+        .drop("__eskey")
+    )

@@ -1884,6 +1884,42 @@ def metrics_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sample_weighted_topk",
+    """
+    WITH keyed AS (
+      SELECT source, doc_id, n_chars,
+             -ln((('0x' || substr(md5('wsample:' || doc_id), 1, 15))::BIGINT
+                    % 1073741824 + 0.5e0) / 1073741824e0)
+               / CAST(n_chars AS DOUBLE) AS eskey
+      FROM documents
+      WHERE n_chars IS NOT NULL AND n_chars > 0
+    )
+    SELECT source, doc_id, n_chars, CAST(rn AS INT) AS sample_rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY source ORDER BY eskey, doc_id) AS rn
+      FROM keyed
+    )
+    WHERE rn <= 15
+    """,
+)
+def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-ES,
+    public algorithm): 15 docs per source, probability proportional to
+    n_chars, randomness from the portable content hash so the draw is
+    deterministic and the oracle replays it exactly. Two-phase top-k
+    (operators/sampling.py::weighted_sample_topk) — per-(group,
+    partition) rank then a tiny global re-rank — so no low-cardinality
+    window funnel. The ln() key is selection-only (never output), so
+    last-ulp libm differences cannot break hash parity."""
+    from pysyslog_lfc_spark.operators.sampling import weighted_sample_topk
+
+    docs = _t(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    return weighted_sample_topk(
+        docs, "doc_id", F.col("n_chars"), k=15, group_cols=["source"]
+    )
+
+
+@query(
     "multimodal_ahash_fake",
     """
     WITH h AS (

@@ -308,3 +308,56 @@ class TestRangeEnrich:
             range_enrich(facts, ranges, "v", how="full")
         with pytest.raises(ValueError):
             range_enrich(facts, ranges.withColumnRenamed("tag", "fid"), "v")
+
+
+class TestWeightedSample:
+    """Efraimidis–Spirakis weighted sampling (operators/sampling.py)."""
+
+    def test_two_phase_equals_single_window(self, spark):
+        from pyspark.sql import Window
+        from pysyslog_lfc_spark.functions.text import portable_hash60
+        from pysyslog_lfc_spark.operators.sampling import weighted_sample_topk
+
+        df = spark.createDataFrame(
+            [(f"g{i % 3}", i, float(1 + i % 7)) for i in range(500)],
+            "g string, id long, w double",
+        ).repartition(8)
+        got = {
+            (r.g, r.id, r.sample_rank)
+            for r in weighted_sample_topk(
+                df, "id", F.col("w"), k=5, group_cols=["g"]
+            ).collect()
+        }
+        m = 1 << 30
+        u = (
+            (portable_hash60(F.concat(F.lit("wsample:"), F.col("id").cast("string"))) % m)
+            .cast("double") + F.lit(0.5)
+        ) / F.lit(float(m))
+        ref = (
+            df.withColumn("k", -F.ln(u) / F.col("w"))
+            .withColumn("rn", F.row_number().over(Window.partitionBy("g").orderBy("k", "id")))
+            .where(F.col("rn") <= 5)
+        )
+        want = {(r.g, r.id, r.rn) for r in ref.collect()}
+        assert got == want and len(got) == 15
+
+    def test_weight_bias_and_validation(self, spark):
+        from pysyslog_lfc_spark.operators.sampling import weighted_sample_topk
+
+        # ids 0..499 weight 1, ids 500..599 weight 100: heavy rows should
+        # dominate the sample despite being 6x rarer
+        df = spark.createDataFrame(
+            [(i, 1.0) for i in range(500)] + [(i, 100.0) for i in range(500, 600)],
+            "id long, w double",
+        )
+        picked = [r.id for r in weighted_sample_topk(df, "id", F.col("w"), k=50).collect()]
+        heavy = sum(1 for i in picked if i >= 500)
+        assert heavy > 30  # E[heavy] ~ 48 of 50
+
+        # non-positive / null weights drop
+        bad = spark.createDataFrame([(1, 0.0), (2, -3.0), (3, None), (4, 2.0)],
+                                    "id long, w double")
+        assert [r.id for r in weighted_sample_topk(bad, "id", F.col("w"), k=10).collect()] == [4]
+
+        with pytest.raises(ValueError):
+            weighted_sample_topk(df, "id", F.col("w"), k=0)
