@@ -254,3 +254,95 @@ def compression_ratio(col: Column, level: int = 6) -> Column:
     from pysyslog_lfc_spark.operators._pandas_udfs import make_compression_ratio_udf
 
     return make_compression_ratio_udf(level)(col)
+
+
+def build_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 1,
+    specials: tuple[str, ...] = (),
+    lowercase: bool = False,
+) -> DataFrame:
+    """Frequency-ranked vocabulary table — the tokenizer-training step
+    of an LLM data pipeline: ``(token, n, token_id)`` with ids assigned
+    by descending count (ties broken by token text, so the table is a
+    pure function of the corpus), ``specials`` pinned to ids 0..k-1.
+
+    Scale shape: explode + one partial-agg shuffle on token collapses
+    the corpus to |V| rows; the only non-distributed step is the final
+    rank, a single-task window over the ALREADY-AGGREGATED vocab —
+    bounded by vocab size (~10^6-10^7 short rows even at 100 TB of
+    text), not by corpus size. min_count pruning happens before the
+    rank, post-aggregation.
+    """
+    from pyspark.sql import Window
+
+    tok = tokenize(F.col(text_col))
+    if lowercase:
+        tok = F.transform(tok, lambda w: F.lower(w))
+    counts = (
+        df.select(F.explode(tok).alias("token"))
+        .where(~F.col("token").isin(*specials) if specials else F.lit(True))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= min_count)
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    ranked = counts.withColumn(
+        "token_id", F.row_number().over(w) - 1 + len(specials)
+    )
+    if not specials:
+        return ranked
+    spark = df.sparkSession
+    sp = spark.createDataFrame(
+        [(s, 0, i) for i, s in enumerate(specials)], "token string, n long, token_id int"
+    )
+    return sp.unionByName(ranked)
+
+
+def encode_tokens(
+    df: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "token_ids",
+    unk_id: int | None = None,
+) -> DataFrame:
+    """Map each document's tokens to vocab ids — the encode step after
+    :func:`build_vocab`. Out-of-vocabulary tokens map to ``unk_id``, or
+    drop when it is None. Position order is preserved.
+
+    Plan shape: only ``(id, pos, token)`` explodes — the document
+    payload never rides the token stream. The token→id lookup is a
+    BROADCAST join (a vocab is MBs against TBs of corpus), the regroup
+    is ONE shuffle of narrow ``(id, pos, tid)`` rows, and the payload
+    re-attaches by a final join on ``id_col`` (broadcast-eligible or
+    co-partitioned with the regroup under AQE).
+    """
+    v = F.broadcast(vocab.select("token", "token_id"))
+    pos = df.select(
+        F.col(id_col),
+        F.posexplode(tokenize(F.col(text_col))).alias("__pos", "__tok"),
+    )
+    joined = pos.join(v, pos["__tok"] == v["token"], "left")
+    id_expr = (
+        F.coalesce(F.col("token_id"), F.lit(int(unk_id)))
+        if unk_id is not None
+        else F.col("token_id")
+    )
+    keyed = joined.withColumn("__tid", id_expr).where(F.col("__tid").isNotNull())
+    encoded = (
+        keyed.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__pos"), F.col("__tid")))
+            ).alias("__packed")
+        )
+        .select(
+            id_col,
+            F.transform(F.col("__packed"), lambda s: s["__tid"]).alias(out_col),
+        )
+    )
+    return df.join(encoded, id_col, "left").withColumn(
+        out_col, F.coalesce(F.col(out_col), F.array().cast("array<int>"))
+    )

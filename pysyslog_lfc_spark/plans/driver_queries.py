@@ -2282,6 +2282,122 @@ def time_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "vocab_build",
+    r"""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                    w -> w != '')) AS token
+      FROM documents
+    ),
+    counts AS (
+      SELECT token, count(*) AS n FROM toks GROUP BY token HAVING count(*) >= 5
+    )
+    SELECT token, n,
+           CAST(row_number() OVER (ORDER BY n DESC, token) - 1 AS INT) AS token_id
+    FROM counts
+    """,
+)
+def vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ranked vocabulary (tokenizer-training step,
+    functions/text.py::build_vocab): explode + ONE partial-agg shuffle
+    collapses the corpus to |V| rows; the only single-task step is the
+    final rank over the already-aggregated vocab (bounded by vocab
+    size, not corpus size). Ids are a pure function of the corpus
+    (count desc, token asc), so the oracle reproduces them exactly."""
+    from pysyslog_lfc_spark.functions.text import build_vocab
+
+    docs = _t(spark, sf_dir, "documents")
+    return build_vocab(docs, "text", min_count=5, lowercase=True)
+
+
+@query(
+    "vocab_encode",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(generate_series(1, len(l))) AS pos, l
+      FROM (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'), w -> w != '') AS l
+        FROM documents
+      )
+    ),
+    counts AS (
+      SELECT l[pos] AS token, count(*) AS n
+      FROM toks GROUP BY 1 HAVING count(*) >= 5
+    ),
+    vocab AS (
+      SELECT token, CAST(row_number() OVER (ORDER BY n DESC, token) AS INT) AS token_id
+      FROM counts
+    ),
+    enc AS (
+      SELECT t.doc_id,
+             list(coalesce(v.token_id, 0) ORDER BY t.pos) AS token_ids
+      FROM toks t LEFT JOIN vocab v ON t.l[pos] = v.token
+      GROUP BY t.doc_id
+    )
+    SELECT d.doc_id, coalesce(e.token_ids, []) AS token_ids,
+           CAST(len(coalesce(e.token_ids, [])) AS INT) AS n_ids
+    FROM documents d LEFT JOIN enc e USING (doc_id)
+    """,
+)
+def vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus encoding against the built vocab (functions/text.py::
+    encode_tokens): broadcast token→id join, narrow (id, pos, tid)
+    regroup shuffle, payload re-attached by id. OOV tokens map to the
+    pinned ``<unk>`` id 0. Array outputs hash directly (both engines
+    stringify lists identically)."""
+    from pysyslog_lfc_spark.functions.text import build_vocab, encode_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    lowered = docs.select("doc_id", F.lower(F.col("text")).alias("text"))
+    vocab = build_vocab(lowered, "text", min_count=5, specials=("<unk>",))
+    enc = encode_tokens(lowered, vocab, id_col="doc_id", unk_id=0)
+    return enc.select(
+        "doc_id", "token_ids", F.size("token_ids").alias("n_ids")
+    )
+
+
+@query(
+    "sliding_window_counts",
+    """
+    WITH e AS (
+      SELECT epoch_us(ts) // 1000000 AS es, event_type, value FROM events
+    ),
+    w AS (
+      SELECT (es // 7200 - i) * 7200 AS window_sec, event_type, value
+      FROM e CROSS JOIN (SELECT unnest(range(0, 3)) AS i) s
+    )
+    SELECT window_sec, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM w GROUP BY 1, 2
+    """,
+)
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window rollup (6 h windows sliding every 2 h) — the
+    overlapping-window companion to `time_bucket_counts`' tumbling
+    buckets. Spark's `F.window` fans each event into width/slide = 3
+    windows map-side (a codegen explode, no pre-shuffle), then ONE
+    partial-agg shuffle of (window, type) groups — the same plan shape
+    a 100 TB stream needs. The oracle replays the fan-out with an
+    explicit 0..2 hop join."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours", "2 hours").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_sec"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
     "rollup_incremental",
     """
     SELECT (epoch_us(ts) // 1000000 // 86400) * 86400 AS bucket_sec,

@@ -700,3 +700,35 @@ def test_split_assign_deterministic_and_contiguous(spark):
         split_assign(df, "doc_id", permille=(500, 100), names=("a", "b"))
     with pytest.raises(ValueError, match="same length"):
         split_assign(df, "doc_id", permille=(900, 100), names=("a",))
+
+
+class TestVocab:
+    """build_vocab / encode_tokens (functions/text.py)."""
+
+    def test_build_and_encode_roundtrip(self, spark):
+        from pysyslog_lfc_spark.functions.text import build_vocab, encode_tokens
+
+        docs = spark.createDataFrame(
+            [(1, "a b a c a b"), (2, "b c d"), (3, "")],
+            "doc_id long, text string",
+        )
+        vocab = build_vocab(docs, "text", min_count=2, specials=("<unk>",))
+        by_tok = {r.token: (r.token_id, r.n) for r in vocab.collect()}
+        # a:3, b:3, c:2; d dropped by min_count; <unk> pinned to 0
+        assert by_tok["<unk>"] == (0, 0)
+        assert by_tok["a"] == (1, 3) and by_tok["b"] == (2, 3) and by_tok["c"] == (3, 2)
+        assert "d" not in by_tok
+
+        enc = {r.doc_id: r.token_ids for r in
+               encode_tokens(docs, vocab, unk_id=0).collect()}
+        assert enc[1] == [1, 2, 1, 3, 1, 2]   # position order preserved
+        assert enc[2] == [2, 3, 0]            # OOV 'd' -> unk
+        assert enc[3] == []                   # empty doc -> empty array
+
+    def test_encode_drops_oov_without_unk(self, spark):
+        from pysyslog_lfc_spark.functions.text import build_vocab, encode_tokens
+
+        docs = spark.createDataFrame([(1, "x y x z")], "doc_id long, text string")
+        vocab = build_vocab(docs, "text", min_count=2)  # only 'x' survives
+        enc = encode_tokens(docs, vocab).collect()[0]
+        assert enc.token_ids == [0, 0]
