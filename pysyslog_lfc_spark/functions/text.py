@@ -346,3 +346,54 @@ def encode_tokens(
     return df.join(encoded, id_col, "left").withColumn(
         out_col, F.coalesce(F.col(out_col), F.array().cast("array<int>"))
     )
+
+
+def tfidf(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+) -> DataFrame:
+    """Per-(doc, term) TF-IDF weights: ``tf * ln(n_docs / df)`` — the
+    classic IR weighting, the building block for sparse document
+    similarity and keyword extraction in a curation pipeline.
+
+    Plan shape: the corpus explodes once into narrow ``(id, token)``
+    rows, term frequencies partial-aggregate on (id, token), document
+    frequencies partial-aggregate on token (|V| rows), and the idf
+    table re-attaches by BROADCAST join — the corpus-sized side never
+    shuffles twice. ``n_docs`` comes from a one-row aggregate
+    cross-joined in (broadcast), not a driver-side ``.count()``, so
+    the whole thing stays one lazy declarative plan.
+
+    Returns ``(id_col, token, tf, doc_freq, tfidf)`` with ``tfidf``
+    rounded to 4 decimals (engine-portable).
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokenize(F.lower(F.col(text_col)))).alias("token")
+    )
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        tf.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .where(F.col("doc_freq") >= min_df)
+    )
+    n_docs = df.select(
+        F.count_distinct(F.col(id_col)).alias("__n_docs")
+    )
+    out = (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.ln(
+                    F.col("__n_docs").cast("double") / F.col("doc_freq").cast("double")
+                ),
+                4,
+            ),
+        )
+        .drop("__n_docs")
+    )
+    return out.select(id_col, "token", "tf", "doc_freq", "tfidf")

@@ -2358,6 +2358,53 @@ def vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_tfidf_top5",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                    w -> w != '')) AS token
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (
+      SELECT token, count(*) AS doc_freq FROM tf GROUP BY 1 HAVING count(*) >= 2
+    ),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    wtd AS (
+      SELECT tf.doc_id, tf.token, tf.tf, dfreq.doc_freq,
+             round(tf.tf * ln(CAST(n_docs AS DOUBLE) / CAST(doc_freq AS DOUBLE)), 4)
+               AS tfidf
+      FROM tf JOIN dfreq USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token, tf, doc_freq, tfidf
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, token) AS rn
+      FROM wtd
+    )
+    WHERE rn <= 5
+    """,
+)
+def text_tfidf_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction (functions/text.py::tfidf): top-5
+    weighted terms per document. Corpus explodes once; tf and df are
+    partial-agg shuffles; idf re-attaches broadcast; n_docs is a
+    broadcast one-row aggregate, never a driver action. The per-doc
+    top-k window partitions on the HIGH-cardinality doc id — no
+    funnel."""
+    from pysyslog_lfc_spark.functions.text import tfidf
+
+    docs = _t(spark, sf_dir, "documents")
+    wtd = tfidf(docs, "doc_id", "text", min_df=2)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        wtd.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .drop("rn")
+    )
+
+
+@query(
     "sliding_window_counts",
     """
     WITH e AS (

@@ -732,3 +732,24 @@ class TestVocab:
         vocab = build_vocab(docs, "text", min_count=2)  # only 'x' survives
         enc = encode_tokens(docs, vocab).collect()[0]
         assert enc.token_ids == [0, 0]
+
+
+def test_tfidf_weights(spark):
+    import math
+
+    from pysyslog_lfc_spark.functions.text import tfidf
+
+    docs = spark.createDataFrame(
+        [(1, "cat cat dog"), (2, "dog fish"), (3, "fish fish bird")],
+        "doc_id long, text string",
+    )
+    rows = {(r.doc_id, r.token): r for r in tfidf(docs, min_df=1).collect()}
+    # 'cat' appears in 1 of 3 docs, tf=2
+    r = rows[(1, "cat")]
+    assert (r.tf, r.doc_freq) == (2, 1)
+    assert r.tfidf == round(2 * math.log(3 / 1), 4)
+    # 'dog' in 2 of 3 docs
+    assert rows[(1, "dog")].tfidf == round(1 * math.log(3 / 2), 4)
+    # min_df prunes singletons
+    pruned = {r.token for r in tfidf(docs, min_df=2).collect()}
+    assert pruned == {"dog", "fish"}
