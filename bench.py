@@ -65,6 +65,13 @@ BENCH_QUERIES = [
     "approx_distinct_kmv",
     "filter_domain_blocklist",
     "rollup_incremental",
+    "enrich_geoip_range",
+    "sliding_window_counts",
+    "metrics_histogram_quantile",
+    "sample_weighted_topk",
+    "vocab_build",
+    "text_tfidf_top5",
+    "flow_parse_cef",
 ]
 
 

@@ -397,3 +397,62 @@ def tfidf(
         .drop("__n_docs")
     )
     return out.select(id_col, "token", "tf", "doc_freq", "tfidf")
+
+
+def sparse_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+    max_df: int | None = None,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Document-pair cosine similarity over TF-IDF sparse vectors —
+    near-duplicate / related-document detection without embeddings,
+    via the inverted-index self-join (the sparse sibling of
+    functions/dedup.py::embedding_near_dup's dense path).
+
+    Plan shape — never an all-pairs cross product:
+
+        1. :func:`tfidf` builds the (id, token, weight) posting list,
+        2. per-doc L2 norms partial-aggregate on id (tiny),
+        3. the posting list self-joins ON TOKEN — only pairs sharing a
+           term ever meet, and ``max_df`` caps stop-term posting lists
+           (the same fan-out guard as dedup.py's max_shingle_freq:
+           a term in f docs contributes f^2 candidate pairs),
+        4. one groupBy (id_a, id_b) sums the dot product, normalized
+           by the broadcast norms.
+
+    Returns ``(id_a, id_b, cos_permille)`` for pairs at or above
+    ``threshold`` (id_a < id_b). Cosine is exported as floor-permille:
+    floor of bit-identical doubles is engine-portable, decimal rounding
+    of near-ties is not.
+    """
+    wtd = tfidf(df, id_col, text_col, min_df=min_df)
+    if max_df is not None:
+        wtd = wtd.where(F.col("doc_freq") <= max_df)
+    norms = wtd.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("tfidf") * F.col("tfidf"))).alias("__norm")
+    )
+    a = wtd.select(
+        F.col(id_col).alias("id_a"), "token", F.col("tfidf").alias("wa")
+    )
+    b = wtd.select(
+        F.col(id_col).alias("id_b"), "token", F.col("tfidf").alias("wb")
+    )
+    dots = (
+        a.join(b, "token")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("__dot"))
+    )
+    na = F.broadcast(norms.select(F.col(id_col).alias("id_a"), F.col("__norm").alias("__na")))
+    nb = F.broadcast(norms.select(F.col(id_col).alias("id_b"), F.col("__norm").alias("__nb")))
+    cos = F.col("__dot") / (F.col("__na") * F.col("__nb"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn("cos_permille", F.floor(cos * 1000).cast("int"))
+        .where(cos >= F.lit(float(threshold)))
+        .select("id_a", "id_b", "cos_permille")
+    )

@@ -608,6 +608,62 @@ def _cef(cfg: ComponentConfig) -> ParserFn:
     return parse
 
 
+def _leef(cfg: ComponentConfig) -> ParserFn:
+    """parser.leef: IBM QRadar Log Event Extended Format (public spec:
+    ``LEEF:1.0|vendor|product|version|event_id|ext`` with tab-separated
+    ``key=value`` extensions; LEEF 2.0 inserts a delimiter declaration
+    field before the extensions).
+
+    Both versions parse: the 5 header fields are shared, the 2.0
+    delimiter field is recognized and skipped, and the pair separator
+    comes from the ``delim`` option (default TAB — the runtime
+    delimiter declaration is not honored per-row, a documented
+    simplification; set ``delim`` to match non-default producers).
+    Extensions project via ``extensions``/``types`` like the cef/logfmt
+    families (str_to_map + try_element_at, pure codegen). Lines without
+    a ``LEEF:`` marker or a complete header drop.
+    """
+    import re as _re
+
+    ext_fields = [
+        f.strip() for f in (cfg.option("extensions") or "").split(",") if f.strip()
+    ]
+    types = [t.strip() for t in (cfg.option("types") or "").split(",") if t.strip()]
+    if types and len(types) != len(ext_fields):
+        raise ConfigError("leef parser: 'types' length must match 'extensions'")
+    for t_ in types:
+        if t_ not in _CSV_TYPES:
+            raise ConfigError(f"leef parser: unknown type '{t_}'")
+    delim = cfg.option("delim") or "\t"
+
+    def parse(df: DataFrame, raw: str = "value") -> DataFrame:
+        body = F.nullif(F.regexp_extract(F.col(raw), r"LEEF:(.*)$", 1), F.lit(""))
+        s6 = F.split(body, r"\|", 6)
+        s7 = F.split(body, r"\|", 7)
+        version = F.element_at(s6, 1)
+        ok = body.isNotNull() & (F.size(s6) >= 5)
+        is_v2 = version.startswith("2")
+        ext = F.when(
+            is_v2, F.when(F.size(s7) >= 7, F.element_at(s7, 7))
+        ).otherwise(F.when(F.size(s6) >= 6, F.element_at(s6, 6)))
+        pairs = F.str_to_map(ext, F.lit(_re.escape(delim)), F.lit("="))
+        cols = [
+            version.alias("leef_version"),
+            F.element_at(s6, 2).alias("vendor"),
+            F.element_at(s6, 3).alias("product"),
+            F.element_at(s6, 4).alias("product_version"),
+            F.element_at(s6, 5).alias("event_id"),
+        ]
+        for i, k in enumerate(ext_fields):
+            v = F.try_element_at(pairs, F.lit(k))
+            if types and types[i] != "string":
+                v = v.try_cast(_CSV_TYPES[types[i]])
+            cols.append(v.alias(k))
+        return df.where(ok).withColumn(RECORD_COL, F.struct(*cols))
+
+    return parse
+
+
 def _passthrough(cfg: ComponentConfig) -> ParserFn:
     def parse(df: DataFrame, raw: str = "value") -> DataFrame:
         return df.where(F.col(raw).isNotNull()).withColumn(
@@ -627,5 +683,6 @@ BUILTIN_PARSERS = {
     "logfmt": _logfmt,
     "csv": _csv,
     "cef": _cef,
+    "leef": _leef,
     "passthrough": _passthrough,
 }

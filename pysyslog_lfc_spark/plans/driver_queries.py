@@ -2172,6 +2172,63 @@ def flow_parse_cef(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "flow_parse_leef",
+    """
+    WITH lines AS (
+      SELECT event_id,
+             'LEEF:1.0|PySyslog|Engine|1.0|' || (event_id % 50) ||
+             '|src=10.1.' || ((user_id // 256) % 256) || '.' || (user_id % 256) ||
+             chr(9) || 'sev=' || (event_id % 10) AS line
+      FROM events
+    ),
+    p AS (
+      SELECT event_id, string_split(line, '|') AS parts,
+             regexp_extract(line, 'src=([^\t]+)', 1) AS src,
+             CAST(regexp_extract(line, 'sev=([0-9]+)', 1) AS INTEGER) AS sev
+      FROM lines
+    )
+    SELECT event_id,
+           replace(parts[1], 'LEEF:', '') AS leef_version,
+           parts[2] AS vendor,
+           parts[5] AS event_code,
+           src, sev
+    FROM p WHERE sev >= 4
+    """,
+)
+def flow_parse_leef(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parser.leef (IBM QRadar LEEF, public spec) over a synthesized
+    line stream — both engines build the identical LEEF 1.0 record
+    from events and parse it back (operators/parsers.py::_leef,
+    codegen split + str_to_map; the 2.0 delimiter-declaration path is
+    pytest-covered)."""
+    from pysyslog_lfc_spark.operators.parsers import compile_parser
+
+    ev = _t(spark, sf_dir, "events")
+    lines = ev.select(
+        "event_id",
+        F.format_string(
+            "LEEF:1.0|PySyslog|Engine|1.0|%d|src=10.1.%d.%d\tsev=%d",
+            F.col("event_id") % 50,
+            F.floor(F.col("user_id") / 256) % 256,
+            F.col("user_id") % 256,
+            F.col("event_id") % 10,
+        ).alias("value"),
+    )
+    parse = compile_parser(
+        ComponentConfig("leef", {"extensions": "src,sev", "types": "string,int"})
+    )
+    rec = parse(lines)
+    return rec.select(
+        "event_id",
+        F.col("record.leef_version").alias("leef_version"),
+        F.col("record.vendor").alias("vendor"),
+        F.col("record.event_id").alias("event_code"),
+        F.col("record.src").alias("src"),
+        F.col("record.sev").alias("sev"),
+    ).where(F.col("sev") >= 4)
+
+
+@query(
     "topk_words_per_source",
     r"""
     WITH words AS (
@@ -2401,6 +2458,57 @@ def text_tfidf_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
         wtd.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= 5)
         .drop("rn")
+    )
+
+
+@query(
+    "text_sparse_cosine",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                    w -> w != '')) AS token
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (
+      SELECT token, count(*) AS doc_freq FROM tf GROUP BY 1
+      HAVING count(*) >= 2 AND count(*) <= 50
+    ),
+    wtd AS (
+      SELECT tf.doc_id, tf.token,
+             round(tf.tf * ln(CAST((SELECT count(DISTINCT doc_id) FROM documents)
+                      AS DOUBLE) / CAST(doc_freq AS DOUBLE)), 4) AS w
+      FROM tf JOIN dfreq USING (token)
+    ),
+    norms AS (
+      SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM wtd GROUP BY doc_id
+    ),
+    dots AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.w * b.w) AS dot
+      FROM wtd a JOIN wtd b ON a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(floor(dot / (na.nrm * nb.nrm) * 1000) AS INT) AS cos_permille
+    FROM dots
+    JOIN norms na ON na.doc_id = id_a
+    JOIN norms nb ON nb.doc_id = id_b
+    WHERE dot / (na.nrm * nb.nrm) >= 0.5e0
+    """,
+)
+def text_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine near-dup pairs (functions/text.py::
+    sparse_cosine_pairs): inverted-index self-join on shared terms —
+    only pairs sharing a token ever meet, max_df=50 caps stop-term
+    posting-list fan-out (a term in f docs contributes f^2 pairs) —
+    then one (id_a, id_b) dot-product aggregate with broadcast norms.
+    The sparse sibling of dedup_embedding_cosine; never an all-pairs
+    cross product."""
+    from pysyslog_lfc_spark.functions.text import sparse_cosine_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return sparse_cosine_pairs(
+        docs, "doc_id", "text", min_df=2, max_df=50, threshold=0.5
     )
 
 

@@ -753,3 +753,32 @@ def test_tfidf_weights(spark):
     # min_df prunes singletons
     pruned = {r.token for r in tfidf(docs, min_df=2).collect()}
     assert pruned == {"dog", "fish"}
+
+
+def test_sparse_cosine_pairs(spark):
+    import math
+
+    from pysyslog_lfc_spark.functions.text import sparse_cosine_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "alpha beta gamma"),       # identical to 1 -> cos 1.0
+            (3, "alpha beta delta"),       # shares 2 of 3 terms
+            (4, "omega psi chi"),          # no shared surviving terms
+            (5, "omega psi chi"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.id_a, r.id_b): r.cos_permille
+        for r in sparse_cosine_pairs(docs, min_df=2, threshold=0.1).collect()
+    }
+    assert got[(1, 2)] in (999, 1000)  # identical docs
+    assert got[(4, 5)] in (999, 1000)
+    assert (1, 3) in got and got[(1, 3)] < got[(1, 2)]
+    assert (1, 4) not in got and (2, 4) not in got
+
+    # max_df kills the shared term entirely -> no pairs survive via it
+    only_rare = sparse_cosine_pairs(docs, min_df=2, max_df=1, threshold=0.1)
+    assert only_rare.count() == 0

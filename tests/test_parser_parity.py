@@ -262,3 +262,36 @@ def test_cef_parser(spark):
         compile_parser(ComponentConfig("cef", {"extensions": "a,b", "types": "int"}))
     with pytest.raises(ConfigError):
         compile_parser(ComponentConfig("cef", {"extensions": "a", "types": "blob"}))
+
+
+def test_leef_parser(spark):
+    """LEEF 1.0 (tab pairs) and 2.0 (delimiter declaration skipped),
+    syslog prefix tolerated, header-only lines keep null extensions,
+    non-LEEF lines drop."""
+    lines = [
+        ("LEEF:1.0|IBM|QRadar|8.1|12|src=9.8.7.6\tdst=1.2.3.4\tsev=7",),
+        ("<13>Jan 2 03:04:05 h LEEF:2.0|V2|P2|1|99|^|src=2.2.2.2^sev=3",),
+        ("LEEF:1.0|Acme|Thing|1.0|42",),
+        ("not leef",),
+    ]
+    df = spark.createDataFrame(lines, "value string")
+    parse = compile_parser(
+        ComponentConfig("leef", {"extensions": "src,sev", "types": "string,int"})
+    )
+    rows = {r.event_id: r for r in parse(df).select("record.*").collect()}
+    assert set(rows) == {"12", "99", "42"}
+    assert rows["12"].vendor == "IBM" and rows["12"].src == "9.8.7.6"
+    assert rows["12"].sev == 7
+    assert rows["42"].src is None and rows["42"].sev is None
+
+    # 2.0 with the configured delimiter matching the declared one
+    parse2 = compile_parser(
+        ComponentConfig("leef", {"extensions": "src,sev", "types": "string,int",
+                                 "delim": "^"})
+    )
+    r2 = {r.event_id: r for r in parse2(df).select("record.*").collect()}["99"]
+    assert (r2.leef_version, r2.vendor, r2.src, r2.sev) == ("2.0", "V2", "2.2.2.2", 3)
+
+    from pysyslog_lfc_spark.config import ConfigError
+    with pytest.raises(ConfigError):
+        compile_parser(ComponentConfig("leef", {"extensions": "a", "types": "x,y"}))
