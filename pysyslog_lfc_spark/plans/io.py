@@ -55,6 +55,14 @@ def _parquet_input(spark: SparkSession, cfg: FlowConfig, inject) -> DataFrame:
     return spark.read.parquet(path).select(F.col(col).alias(RAW_COL))
 
 
+def _orc_input(spark: SparkSession, cfg: FlowConfig, inject) -> DataFrame:
+    path = cfg.input.option("path")
+    if not path:
+        raise ConfigError(f"flow '{cfg.name}': input.path required for orc input")
+    col = cfg.input.option("column", RAW_COL)
+    return spark.read.orc(path).select(F.col(col).alias(RAW_COL))
+
+
 def _socket_input(spark: SparkSession, cfg: FlowConfig, inject) -> DataFrame:
     """Streaming-only input: returns a STREAMING DataFrame (run it via
     streaming/flows.py::run_flow_stream, not the batch runtime)."""
@@ -71,7 +79,9 @@ BUILTIN_INPUTS = {
     "memory": _memory_input,
     "file": _file_input,
     "text": _file_input,
+    "jsonl": _file_input,  # JSON Lines ride in as raw lines; parser.json parses
     "parquet": _parquet_input,
+    "orc": _orc_input,
     "socket": _socket_input,
 }
 
@@ -161,12 +171,37 @@ def _postgresql_output(df: DataFrame, cfg: FlowConfig):
     return None
 
 
+def _orc_output(df: DataFrame, cfg: FlowConfig):
+    path = cfg.output.option("path")
+    if not path:
+        raise ConfigError(f"flow '{cfg.name}': output.path required")
+    df.select(RENDERED_COL).write.mode(cfg.output.option("mode", "append")).orc(path)
+    return None
+
+
+def _jsonl_output(df: DataFrame, cfg: FlowConfig):
+    """Rendered strings as JSON-Lines / plain-text part files (one
+    record per line, the jsonl corpus interchange convention)."""
+    path = cfg.output.option("path")
+    if not path:
+        raise ConfigError(f"flow '{cfg.name}': output.path required")
+    (
+        df.select(F.col(RENDERED_COL).cast("string"))
+        .write.mode(cfg.output.option("mode", "append"))
+        .option("compression", cfg.output.option("compress", "none"))
+        .text(path)
+    )
+    return None
+
+
 BUILTIN_OUTPUTS = {
     "memory": _memory_output,
     "flaky": _memory_output,
     "stdout": _stdout_output,
     "file": _parquet_output,
     "parquet": _parquet_output,
+    "orc": _orc_output,
+    "jsonl": _jsonl_output,
     "rotating_file": _rotating_file_output,
     "tcp": _tcp_output,
     "postgresql": _postgresql_output,

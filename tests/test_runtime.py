@@ -130,3 +130,75 @@ def test_webaccess_example_ini(spark):
         "10.0.0.5 alice GET /missing -> 404",
         "10.0.0.9 bob GET /api/orders/7 -> 500",
     ]
+
+
+def test_orc_and_jsonl_io_roundtrip(spark, tmp_path):
+    """jsonl input -> parse -> jsonl + orc outputs; orc rides back in
+    through the orc input. Exercises the format matrix beyond
+    text/parquet."""
+    src = tmp_path / "in.jsonl"
+    src.write_text('{"msg": "a", "sev": 3}\n{"msg": "b", "sev": 7}\n')
+
+    cfg = config.loads(f"""
+[flow.ingest]
+input.type = jsonl
+input.path = {src}
+parser.type = json
+output.type = jsonl
+output.path = {tmp_path}/out_jsonl
+output.format = text
+format.template = {{msg}}:{{sev}}
+
+[flow.archive]
+input.type = jsonl
+input.path = {src}
+parser.type = json
+output.type = orc
+output.path = {tmp_path}/out_orc
+output.format = text
+format.template = {{msg}}:{{sev}}
+""")
+    run_runtime(spark, cfg)
+
+    got_jsonl = sorted(
+        r.value for r in spark.read.text(str(tmp_path / "out_jsonl")).collect()
+    )
+    assert got_jsonl == ["a:3", "b:7"]
+
+    got_orc = sorted(
+        r.rendered for r in spark.read.orc(str(tmp_path / "out_orc")).collect()
+    )
+    assert got_orc == ["a:3", "b:7"]
+
+    # and back in through the orc input
+    cfg2 = config.loads(f"""
+[flow.reread]
+input.type = orc
+input.path = {tmp_path}/out_orc
+input.column = rendered
+parser.type = passthrough
+output.type = memory
+""")
+    out = run_runtime(spark, cfg2)
+    assert sorted(p["message"] for p in out.outputs["reread"]) == ["a:3", "b:7"]
+
+
+def test_siem_example_ini(spark):
+    """etc/siem.ini end-to-end: CEF parse + numeric/ip typed filters +
+    template render — the SIEM-interchange CLI demo config."""
+    import os
+
+    from pysyslog_lfc_spark import config
+    from pysyslog_lfc_spark.plans.compiler import run_flow
+
+    prev = os.getcwd()
+    os.chdir("/root/repo")  # input.path is repo-relative
+    try:
+        cfg = config.load("etc/siem.ini").get_flow("cef_alerts")
+        got = sorted(run_flow(spark, cfg))
+    finally:
+        os.chdir(prev)
+    assert got == [
+        "[8] Acme/Port scan detected src=192.168.4.7: slow scan across 40 ports",
+        "[9] Acme/Policy|Breach src=192.168.9.1: egress to blocked ASN",
+    ]
