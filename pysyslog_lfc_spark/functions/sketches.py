@@ -64,3 +64,81 @@ def approx_distinct_kmv(
         *[F.col(c) for c in group_cols],
         F.floor(est).cast("long").alias("distinct_est"),
     )
+
+
+def count_min_sketch(
+    df: DataFrame,
+    value_col: str,
+    width: int = 1024,
+    depth: int = 3,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) as a table of
+    ``(group..., d, cell, cnt)`` rows — the fixed-size frequency
+    synopsis for heavy-hitter profiling when the distinct domain is
+    too large to count exactly.
+
+    Each value increments one cell per hash row: ``cell =
+    H_d(v) % width`` with ``H_d`` = the portable 60-bit hash salted by
+    the row index, so the DuckDB oracle replays every collision
+    exactly (counts are order-independent sums — no float, no
+    tolerance). The sketch is mergeable by summing ``cnt`` on
+    ``(group, d, cell)`` — shards/rounds fold with one aggregate.
+
+    100 TB shape: map-side partial aggregation reduces every input
+    partition to at most ``width x depth`` rows before the (tiny)
+    shuffle; the reduce side is bounded by the sketch size, never by
+    the data.
+    """
+    if width < 1 or depth < 1:
+        raise ValueError("count_min_sketch: width and depth must be >= 1")
+    group_cols = list(group_cols or [])
+    d = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d")
+    rows = df.select(*group_cols, F.col(value_col).alias("__v"), d)
+    cell = (
+        portable_hash60(
+            F.concat(F.lit("cms"), F.col("d").cast("string"), F.lit(":"),
+                     F.col("__v").cast("string"))
+        )
+        % width
+    )
+    return (
+        rows.withColumn("cell", cell)
+        .groupBy(*group_cols, "d", "cell")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_lookup(
+    sketch: DataFrame,
+    queries: DataFrame,
+    value_col: str,
+    width: int,
+    depth: int,
+    group_cols: list[str] | None = None,
+    est_col: str = "est",
+) -> DataFrame:
+    """Point-frequency estimates from a count-min sketch: for each
+    query value, ``min`` over the ``depth`` cells it hashes into
+    (overestimates under collisions, never underestimates; an unseen
+    value reads an absent/zero cell and estimates 0).
+
+    The sketch side is sketch-sized (``width x depth`` per group) —
+    broadcast it; the query stream never shuffles.
+    """
+    group_cols = list(group_cols or [])
+    d = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d")
+    q = queries.select(*group_cols, F.col(value_col), d)
+    cell = (
+        portable_hash60(
+            F.concat(F.lit("cms"), F.col("d").cast("string"), F.lit(":"),
+                     F.col(value_col).cast("string"))
+        )
+        % width
+    )
+    qc = q.withColumn("cell", cell)
+    joined = qc.join(F.broadcast(sketch), [*group_cols, "d", "cell"], "left")
+    return (
+        joined.groupBy(*group_cols, value_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias(est_col))
+    )

@@ -2513,6 +2513,44 @@ def text_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cms_user_counts",
+    """
+    WITH ds AS (SELECT unnest(range(0, 3)) AS d),
+    cells AS (
+      SELECT ds.d,
+             ('0x' || substr(md5('cms' || ds.d || ':' || user_id), 1, 15))::BIGINT
+               % 64 AS cell,
+             count(*) AS cnt
+      FROM events CROSS JOIN ds GROUP BY 1, 2
+    ),
+    q AS (SELECT DISTINCT user_id FROM events),
+    qc AS (
+      SELECT q.user_id, ds.d,
+             ('0x' || substr(md5('cms' || ds.d || ':' || user_id), 1, 15))::BIGINT
+               % 64 AS cell
+      FROM q CROSS JOIN ds
+    )
+    SELECT qc.user_id, CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS est
+    FROM qc LEFT JOIN cells c ON qc.d = c.d AND qc.cell = c.cell
+    GROUP BY 1
+    """,
+)
+def cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency profiling (functions/sketches.py::
+    count_min_sketch + cms_lookup): a 64x3 sketch deliberately smaller
+    than the 150-value user domain, so collisions overestimate and the
+    oracle must replay every collision exactly (pure integer sums —
+    no tolerance). Map-side partial agg bounds the shuffle by sketch
+    size; lookups broadcast the sketch."""
+    from pysyslog_lfc_spark.functions.sketches import cms_lookup, count_min_sketch
+
+    ev = _t(spark, sf_dir, "events")
+    sk = count_min_sketch(ev, "user_id", width=64, depth=3)
+    q = ev.select("user_id").distinct()
+    return cms_lookup(sk, q, "user_id", width=64, depth=3)
+
+
+@query(
     "sliding_window_counts",
     """
     WITH e AS (

@@ -782,3 +782,32 @@ def test_sparse_cosine_pairs(spark):
     # max_df kills the shared term entirely -> no pairs survive via it
     only_rare = sparse_cosine_pairs(docs, min_df=2, max_df=1, threshold=0.1)
     assert only_rare.count() == 0
+
+
+def test_count_min_sketch_properties(spark):
+    import pytest
+
+    from pysyslog_lfc_spark.functions.sketches import cms_lookup, count_min_sketch
+
+    vals = [(f"k{i % 10}",) for i in range(200)] + [("hot",)] * 100
+    df = spark.createDataFrame(vals, "v string")
+    sk = count_min_sketch(df, "v", width=8, depth=4)  # heavy collisions
+    q = spark.createDataFrame([("hot",), ("k3",), ("never",)], "v string")
+    est = {r.v: r.est for r in cms_lookup(sk, q, "v", width=8, depth=4).collect()}
+    assert est["hot"] >= 100 and est["k3"] >= 20  # never underestimates
+    assert est["never"] >= 0  # may collide, never negative
+
+    # mergeability: shard sketches summed == whole-corpus sketch
+    a, b = df.randomSplit([0.5, 0.5], seed=7)
+    merged = (
+        count_min_sketch(a, "v", width=8, depth=4)
+        .unionByName(count_min_sketch(b, "v", width=8, depth=4))
+        .groupBy("d", "cell")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = {(r.d, r.cell): r.cnt for r in count_min_sketch(df, "v", width=8, depth=4).collect()}
+    got = {(r.d, r.cell): r.cnt for r in merged.collect()}
+    assert got == whole
+
+    with pytest.raises(ValueError):
+        count_min_sketch(df, "v", width=0)
