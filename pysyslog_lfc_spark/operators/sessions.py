@@ -111,3 +111,41 @@ def series_deltas(
     return df.withColumn("dt_sec", epoch - F.lag(epoch).over(w)).withColumn(
         "dvalue", F.round(F.col(value_col) - F.lag(value_col).over(w), 4)
     )
+
+
+def session_traces(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str = "ts",
+    event_col: str = "event_type",
+    gap_seconds: int = 1800,
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Assemble each session's ordered event sequence — the behavioral
+    trace a sequence model trains on: one row per (key, session) with
+    ``trace`` (array of events in time order), ``n_events``, and the
+    session's start/end epoch seconds.
+
+    Plan shape: :func:`sessionize`'s single hash shuffle on
+    ``key_cols`` ALSO satisfies the ``(key, session_idx)`` grouping
+    (HashPartitioning on a prefix of the grouping key clusters it), so
+    the trace assembly adds no second exchange — one shuffle total.
+    Position order is pinned by sorting collected ``(ts, tiebreak,
+    event)`` structs, not by collect order, which Spark does not
+    guarantee.
+    """
+    keyed = sessionize(df, key_cols, ts_col, gap_seconds, order_tiebreak)
+    es = F.unix_timestamp(F.col(ts_col))
+    tie = F.col(order_tiebreak) if order_tiebreak else F.lit(0)
+    item = F.struct(es.alias("es"), tie.alias("tie"), F.col(event_col).alias("ev"))
+    return (
+        keyed.groupBy(*key_cols, "session_idx")
+        .agg(
+            F.array_sort(F.collect_list(item)).alias("__items"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(es).alias("start_sec"),
+            F.max(es).alias("end_sec"),
+        )
+        .withColumn("trace", F.transform(F.col("__items"), lambda s: s["ev"]))
+        .drop("__items")
+    )

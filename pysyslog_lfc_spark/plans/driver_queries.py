@@ -1710,6 +1710,46 @@ def sessionize_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "session_event_traces",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, event_type, ts, epoch_us(ts) // 1000000 AS es
+      FROM events
+    ),
+    flag AS (
+      SELECT user_id, event_type, es, event_id,
+             CASE WHEN lag(es) OVER w IS NULL OR es - lag(es) OVER w > 28800
+                  THEN 1 ELSE 0 END AS ns,
+             ts
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_type, es, event_id,
+             CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS INTEGER) AS session_idx
+      FROM flag
+    )
+    SELECT user_id, session_idx,
+           list(event_type ORDER BY es, event_id) AS trace,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(es) AS start_sec, max(es) AS end_sec
+    FROM sess GROUP BY user_id, session_idx
+    """,
+)
+def session_event_traces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session ordered event sequences (operators/sessions.py::
+    session_traces) — the behavioral trace a sequence model trains on.
+    The sessionize shuffle on user_id also satisfies the (user,
+    session) grouping, so trace assembly adds NO second exchange;
+    position order is pinned by struct sort, not collect order."""
+    ev = _t(spark, sf_dir, "events")
+    return SESS.session_traces(
+        ev, ["user_id"], "ts", "event_type", gap_seconds=28800,
+        order_tiebreak="event_id",
+    ).select("user_id", "session_idx", "trace", "n_events", "start_sec", "end_sec")
+
+
+@query(
     "series_rate_deltas",
     """
     WITH e AS (

@@ -361,3 +361,30 @@ class TestWeightedSample:
 
         with pytest.raises(ValueError):
             weighted_sample_topk(df, "id", F.col("w"), k=0)
+
+
+def test_session_traces_order_and_single_shuffle(spark):
+    from pysyslog_lfc_spark.operators.sessions import session_traces
+
+    rows = [
+        (1, 100, "a", 10), (1, 200, "b", 11), (1, 10000, "c", 12),  # 2 sessions
+        (2, 50, "x", 13), (2, 50, "y", 14),                          # same-ts tiebreak
+    ]
+    df = spark.createDataFrame(
+        [(u, dt.datetime(2024, 1, 1, 0, 0, 0) + dt.timedelta(seconds=s), e, i)
+         for u, s, e, i in rows],
+        "user_id long, ts timestamp, event_type string, event_id long",
+    ).repartition(4)
+    out = session_traces(df, ["user_id"], "ts", "event_type",
+                         gap_seconds=1800, order_tiebreak="event_id")
+    got = {(r.user_id, r.session_idx): (r.trace, r.n_events) for r in out.collect()}
+    assert got[(1, 1)] == (["a", "b"], 2)
+    assert got[(1, 2)] == (["c"], 1)
+    assert got[(2, 1)] == (["x", "y"], 2)  # event_id breaks the same-ts tie
+
+    # exactly ONE planner-inserted shuffle (the test's own repartition(4)
+    # is a RoundRobin REPARTITION_BY_NUM exchange — not counted; AQE's
+    # toString repeats the tree as "Initial Plan", so cut it off first)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("Initial Plan")[0]
+    assert final.count("ENSURE_REQUIREMENTS") == 1
