@@ -107,6 +107,14 @@ def _infer_json_schema(samples: list[str]) -> T.StructType:
 def _json(cfg: ComponentConfig) -> ParserFn:
     ddl = cfg.option("schema")
     allow_null = cfg.flag("allow_null")
+    # batch-envelope mode: one line carries many records in an array
+    # field (CloudTrail-style {"Records": [...]}); each element becomes
+    # its own record — the 1:N splitter the reference's strictly-1:1
+    # per-line flow model cannot express. Requires an explicit schema
+    # (the array element type defines the record shape).
+    explode_field = cfg.option("explode")
+    if explode_field and not ddl:
+        raise ConfigError("json parser: 'explode' requires parser.schema")
 
     def parse(df: DataFrame, raw: str = "value") -> DataFrame:
         if ddl:
@@ -121,7 +129,21 @@ def _json(cfg: ComponentConfig) -> ParserFn:
         out = out.withColumn(RECORD_COL, F.from_json(F.col(raw), schema))
         # invalid JSON => null struct => drop (reference raises per record;
         # a distributed engine drops and counts instead — lineage records it)
-        return out.where(F.col(RECORD_COL).isNotNull())
+        out = out.where(F.col(RECORD_COL).isNotNull())
+        if explode_field:
+            field = schema[explode_field]
+            if not isinstance(field.dataType, T.ArrayType) or not isinstance(
+                field.dataType.elementType, T.StructType
+            ):
+                raise ConfigError(
+                    f"json parser: explode field '{explode_field}' must be "
+                    "array<struct<...>> in parser.schema"
+                )
+            # map-side codegen explode; empty/null arrays drop the line
+            out = out.withColumn(
+                RECORD_COL, F.explode(F.col(f"{RECORD_COL}.{explode_field}"))
+            )
+        return out
 
     return parse
 

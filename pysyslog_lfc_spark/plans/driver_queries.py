@@ -2269,6 +2269,51 @@ def flow_parse_leef(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "flow_parse_json_batch",
+    """
+    SELECT event_id, event_type FROM events WHERE event_type <> 'click'
+    """,
+)
+def flow_parse_json_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parser.json batch-envelope mode (1:N record splitting the
+    reference's per-line flow cannot express): events are packed into
+    per-user CloudTrail-style ``{"batch": u, "Records": [...]}`` lines
+    (array_sort pins element order), then the explode-mode parser must
+    reconstruct the original rows EXACTLY — the oracle is the identity
+    over events, so any builder/parser asymmetry fails the gate."""
+    from pysyslog_lfc_spark.operators.parsers import compile_parser
+
+    ev = _t(spark, sf_dir, "events")
+    lines = (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("event_id", "event_type"))
+            ).alias("Records")
+        )
+        .select(
+            F.to_json(
+                F.struct(F.col("user_id").alias("batch"), F.col("Records"))
+            ).alias("value")
+        )
+    )
+    parse = compile_parser(
+        ComponentConfig(
+            "json",
+            {
+                "schema": "batch bigint, Records array<struct<event_id: bigint, event_type: string>>",
+                "explode": "Records",
+            },
+        )
+    )
+    rec = parse(lines)
+    return rec.select(
+        F.col("record.event_id").alias("event_id"),
+        F.col("record.event_type").alias("event_type"),
+    ).where(F.col("event_type") != "click")
+
+
+@query(
     "topk_words_per_source",
     r"""
     WITH words AS (

@@ -295,3 +295,32 @@ def test_leef_parser(spark):
     from pysyslog_lfc_spark.config import ConfigError
     with pytest.raises(ConfigError):
         compile_parser(ComponentConfig("leef", {"extensions": "a", "types": "x,y"}))
+
+
+def test_json_batch_envelope_explode(spark):
+    """parser.json explode mode: one envelope line fans out to one
+    record per array element; empty arrays and invalid lines drop."""
+    lines = [
+        ('{"batch": 1, "Records": [{"op": "put", "n": 1}, {"op": "del", "n": 2}]}',),
+        ('{"batch": 2, "Records": []}',),
+        ('not json',),
+    ]
+    df = spark.createDataFrame(lines, "value string")
+    parse = compile_parser(
+        ComponentConfig(
+            "json",
+            {"schema": "batch int, Records array<struct<op: string, n: int>>",
+             "explode": "Records"},
+        )
+    )
+    got = sorted((r.op, r.n) for r in parse(df).select("record.*").collect())
+    assert got == [("del", 2), ("put", 1)]
+
+    from pysyslog_lfc_spark.config import ConfigError
+    with pytest.raises(ConfigError):
+        compile_parser(ComponentConfig("json", {"explode": "Records"}))
+    bad = compile_parser(
+        ComponentConfig("json", {"schema": "batch int", "explode": "batch"})
+    )
+    with pytest.raises(ConfigError):
+        bad(df)
