@@ -116,6 +116,8 @@ def _json(cfg: ComponentConfig) -> ParserFn:
     if explode_field and not ddl:
         raise ConfigError("json parser: 'explode' requires parser.schema")
 
+    corrupt = "_corrupt_rec_7f"
+
     def parse(df: DataFrame, raw: str = "value") -> DataFrame:
         if ddl:
             schema = T.StructType.fromDDL(ddl)
@@ -126,10 +128,25 @@ def _json(cfg: ComponentConfig) -> ParserFn:
         if not allow_null:
             # empty message => drop (parsers/json.py:19-20)
             out = out.where(F.col(raw).isNotNull() & (F.length(raw) > 0))
-        out = out.withColumn(RECORD_COL, F.from_json(F.col(raw), schema))
-        # invalid JSON => null struct => drop (reference raises per record;
-        # a distributed engine drops and counts instead — lineage records it)
-        out = out.where(F.col(RECORD_COL).isNotNull())
+        # invalid JSON => drop (reference raises per record; a distributed
+        # engine drops and counts instead — lineage records it, and
+        # parser.dlq_path captures the rejects). from_json PERMISSIVE
+        # returns an all-NULL struct for garbage, NOT a NULL — the
+        # corrupt-record column is the reliable invalid signal.
+        full = T.StructType(
+            list(schema.fields) + [T.StructField(corrupt, T.StringType(), True)]
+        )
+        rec = F.from_json(
+            F.col(raw), full, {"columnNameOfCorruptRecord": corrupt}
+        )
+        out = out.withColumn(RECORD_COL, rec)
+        out = out.where(
+            F.col(RECORD_COL).isNotNull()
+            & F.col(f"{RECORD_COL}.{corrupt}").isNull()
+        ).withColumn(
+            RECORD_COL,
+            F.struct(*[F.col(f"{RECORD_COL}.{f.name}") for f in schema.fields]),
+        )
         if explode_field:
             field = schema[explode_field]
             if not isinstance(field.dataType, T.ArrayType) or not isinstance(

@@ -93,6 +93,13 @@ def compile_flow(cfg: FlowConfig, raw_col: str = RAW_COL, registry=None) -> Comp
     parse = compile_parser(cfg.parser, registry=reg)
     render = compile_format(cfg.output_format, dict(cfg.format_options), registry=reg)
     filters = _stage_filters(cfg, reg)
+    # dead-letter queue: lines the PARSER rejects (invalid records —
+    # reference raises per record, parsers/json.py; filters are
+    # intentional drops and are NOT captured) land in a side parquet
+    # sink instead of vanishing. exceptAll is an exact multiset
+    # difference — distributed, deterministic, duplicate-correct — at
+    # the honest cost of a second scan of the raw input when enabled.
+    dlq_path = cfg.parser.option("dlq_path")
 
     def transform(df: DataFrame) -> DataFrame:
         # parallel.workers (flows.md:113-116): the reference fans one
@@ -112,7 +119,15 @@ def compile_flow(cfg: FlowConfig, raw_col: str = RAW_COL, registry=None) -> Comp
                 col, dtype = F.lit(None).cast(T.StringType()), T.StringType()
             df = df.where(reg.create_filter_predicate(fc.component, dtype, col))
 
+        pre_parse = df
         df = parse(df, raw_col)
+        if dlq_path:
+            rejected = pre_parse.select(raw_col).exceptAll(df.select(raw_col))
+            (
+                rejected.withColumn("flow", F.lit(cfg.name))
+                .write.mode("append")
+                .parquet(dlq_path)
+            )
 
         for fc in filters["parser"]:
             dtype, col = _record_field(df, fc.component.option("field", ""))

@@ -202,3 +202,40 @@ def test_siem_example_ini(spark):
         "[8] Acme/Port scan detected src=192.168.4.7: slow scan across 40 ports",
         "[9] Acme/Policy|Breach src=192.168.9.1: egress to blocked ASN",
     ]
+
+
+def test_parser_dead_letter_queue(spark, tmp_path):
+    """parser.dlq_path: lines the parser rejects land in the DLQ sink
+    (duplicates preserved — exact multiset difference); filter drops
+    are intentional and are NOT captured."""
+    from pysyslog_lfc_spark.plans.compiler import run_flow
+
+    dlq = tmp_path / "dlq"
+    cfg = config.loads(f"""
+[flow.ingest]
+input.type = memory
+parser.type = json
+parser.schema = level string, msg string
+parser.dlq_path = {dlq}
+filter.err.type = field
+filter.err.field = level
+filter.err.op = eq
+filter.err.value = error
+output.type = memory
+output.format = text
+format.template = {{msg}}
+""").get_flow("ingest")
+    lines = [
+        '{"level": "error", "msg": "boom"}',
+        'not json at all',
+        'not json at all',                       # duplicate reject
+        '{"level": "info", "msg": "filtered"}',  # filter drop, NOT DLQ
+        '',                                      # empty -> parser reject
+    ]
+    got = run_flow(spark, cfg, lines=lines)
+    assert got == ["boom"]
+
+    dead = spark.read.parquet(str(dlq))
+    assert sorted(r.value for r in dead.collect()) == ["", "not json at all",
+                                                       "not json at all"]
+    assert {r.flow for r in dead.collect()} == {"ingest"}
