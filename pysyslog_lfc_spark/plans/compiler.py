@@ -122,6 +122,12 @@ def compile_flow(cfg: FlowConfig, raw_col: str = RAW_COL, registry=None) -> Comp
         pre_parse = df
         df = parse(df, raw_col)
         if dlq_path:
+            if df.isStreaming:
+                raise ConfigError(
+                    f"flow '{cfg.name}': parser.dlq_path is batch-only "
+                    "(streaming rejects need a foreachBatch sink; run the "
+                    "flow through fanout_foreach_batch instead)"
+                )
             rejected = pre_parse.select(raw_col).exceptAll(df.select(raw_col))
             (
                 rejected.withColumn("flow", F.lit(cfg.name))
