@@ -28,7 +28,7 @@ import json
 import re
 from typing import Callable
 
-from pyspark.sql import Column, DataFrame, functions as F, types as T
+from pyspark.sql import Column, DataFrame, Window, functions as F, types as T
 
 from pysyslog_lfc_spark.config import ComponentConfig, ConfigError
 
@@ -725,3 +725,61 @@ BUILTIN_PARSERS = {
     "leef": _leef,
     "passthrough": _passthrough,
 }
+
+
+def assemble_multiline(
+    df: DataFrame,
+    start: Column,
+    partition_cols: list[str],
+    order_cols: list[str],
+    line_col: str = "value",
+    out_col: str = "value",
+) -> DataFrame:
+    """Fold physical lines into logical records — the stack-trace
+    problem: a line matching ``start`` opens a record, every following
+    non-start line (within the same partition key, in order) is a
+    continuation appended to it. The reference processes line-at-a-time
+    and cannot look across lines; this is the distributed pre-parse
+    stage that makes multi-line sources parseable at all.
+
+    Semantics: leading continuation lines before the first start (per
+    partition key) are dropped (no record to attach to — the standard
+    filebeat/fluentd convention). Output: ``partition_cols``,
+    ``record_idx`` (1-based per key), ``out_col`` (lines joined with
+    newline), ``n_lines``, plus ``first_<order>`` = the first order key
+    (for stable downstream ordering).
+
+    Plan shape: ONE hash shuffle on ``partition_cols`` (the log's
+    natural unit — file, host, container), an in-partition sort, a
+    running-sum window to number records, and a group-concat that
+    reuses the same partitioning (no second exchange — the grouping key
+    is prefixed by the partition key). A single giant key degrades to
+    one sorted partition, the sequential minimum for order-dependent
+    assembly.
+    """
+    w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
+    flagged = df.withColumn("__s", F.when(start, 1).otherwise(0))
+    numbered = flagged.withColumn(
+        "record_idx",
+        F.sum("__s").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    ).where(F.col("record_idx") >= 1)
+    item = F.struct(
+        *[F.col(c).alias(f"__o{i}") for i, c in enumerate(order_cols)],
+        F.col(line_col).alias("__ln"),
+    )
+    first_order = [
+        F.min(F.col(c)).alias(f"first_{c}") for c in order_cols
+    ]
+    return (
+        numbered.groupBy(*partition_cols, "record_idx")
+        .agg(
+            F.array_sort(F.collect_list(item)).alias("__items"),
+            F.count(F.lit(1)).alias("n_lines"),
+            *first_order,
+        )
+        .withColumn(
+            out_col,
+            F.array_join(F.transform(F.col("__items"), lambda s: s["__ln"]), "\n"),
+        )
+        .drop("__items")
+    )

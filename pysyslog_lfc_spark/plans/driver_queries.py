@@ -2314,6 +2314,58 @@ def flow_parse_json_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "flow_assemble_multiline",
+    """
+    WITH lines AS (
+      SELECT user_id, event_id, event_type || ':' || event_id AS line,
+             CASE WHEN event_id % 3 <> 1 THEN 1 ELSE 0 END AS s
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, event_id, line,
+             SUM(s) OVER (PARTITION BY user_id ORDER BY event_id
+                          ROWS UNBOUNDED PRECEDING) AS record_idx
+      FROM lines
+    )
+    SELECT user_id, CAST(record_idx AS BIGINT) AS record_idx,
+           string_agg(line, chr(10) ORDER BY event_id) AS value,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           min(event_id) AS first_event_id
+    FROM numbered WHERE record_idx >= 1
+    GROUP BY 1, 2
+    """,
+)
+def flow_assemble_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-line record assembly (operators/parsers.py::
+    assemble_multiline — the stack-trace folding stage the reference's
+    line-at-a-time model cannot express): a synthesized line stream
+    keyed by user with ~1/3 continuation lines folds into logical
+    records; orphan leading continuations drop. One shuffle on the
+    partition key; the group-concat reuses the window's partitioning."""
+    from pysyslog_lfc_spark.operators.parsers import assemble_multiline
+
+    ev = _t(spark, sf_dir, "events")
+    lines = ev.select(
+        "user_id",
+        "event_id",
+        F.concat_ws(":", "event_type", F.col("event_id").cast("string")).alias("value"),
+    )
+    out = assemble_multiline(
+        lines,
+        start=F.col("event_id") % 3 != 1,
+        partition_cols=["user_id"],
+        order_cols=["event_id"],
+    )
+    return out.select(
+        "user_id",
+        F.col("record_idx").cast("long").alias("record_idx"),
+        "value",
+        "n_lines",
+        "first_event_id",
+    )
+
+
+@query(
     "topk_words_per_source",
     r"""
     WITH words AS (

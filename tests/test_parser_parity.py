@@ -324,3 +324,36 @@ def test_json_batch_envelope_explode(spark):
     )
     with pytest.raises(ConfigError):
         bad(df)
+
+
+def test_assemble_multiline(spark):
+    """Stack-trace folding: start lines open records, continuations
+    append in order, leading orphan continuations drop, single shuffle."""
+    from pysyslog_lfc_spark.operators.parsers import assemble_multiline
+
+    rows = [
+        ("app.log", 1, "  orphan continuation"),      # before any start -> drop
+        ("app.log", 2, "ERROR boom"),
+        ("app.log", 3, "  at Foo.bar(Foo.java:1)"),
+        ("app.log", 4, "  at Baz.qux(Baz.java:9)"),
+        ("app.log", 5, "INFO fine"),
+        ("db.log", 1, "WARN slow query"),
+        ("db.log", 2, "  took 4.2s"),
+    ]
+    df = spark.createDataFrame(rows, "file string, line_no long, value string").repartition(4)
+    out = assemble_multiline(
+        df,
+        start=~F.col("value").startswith(" "),
+        partition_cols=["file"],
+        order_cols=["line_no"],
+    )
+    got = {(r.file, r.record_idx): (r.value, r.n_lines, r.first_line_no)
+           for r in out.collect()}
+    assert got[("app.log", 1)] == (
+        "ERROR boom\n  at Foo.bar(Foo.java:1)\n  at Baz.qux(Baz.java:9)", 3, 2)
+    assert got[("app.log", 2)] == ("INFO fine", 1, 5)
+    assert got[("db.log", 1)] == ("WARN slow query\n  took 4.2s", 2, 1)
+    assert len(got) == 3
+
+    plan = out._jdf.queryExecution().executedPlan().toString().split("Initial Plan")[0]
+    assert plan.count("ENSURE_REQUIREMENTS") == 1
