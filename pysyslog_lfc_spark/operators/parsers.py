@@ -204,6 +204,28 @@ def _regex(cfg: ComponentConfig) -> ParserFn:
             casts[name.strip()] = _CAST_MAP.get(tname.strip().lower(), T.StringType())
     jpattern = _translate_named_groups(pattern)
     use_pandas = (cfg.option("vectorized") or "").lower() == "pandas"
+    find_all = cfg.flag("find_all")
+    if find_all and use_pandas:
+        raise ConfigError("regex parser: find_all supports the SQL path only")
+
+    def parse_findall(df: DataFrame, raw: str = "value") -> DataFrame:
+        # 1:N mode: EVERY match in the line becomes its own record
+        # (re.finditer semantics) — one regexp_extract_all per named
+        # group, arrays_zip to pair the k-th match's groups, codegen
+        # explode. Lines with zero matches drop.
+        arrays = [
+            F.regexp_extract_all(F.col(raw), F.lit(jpattern), idx).alias(name)
+            for name, idx in groups.items()
+        ]
+        zipped = F.arrays_zip(*arrays)
+        out = df.withColumn("__m", F.explode(zipped))
+        fields = []
+        for name in groups:
+            c = F.col(f"__m.{name}")
+            if name in casts:
+                c = c.cast(casts[name])
+            fields.append(c.alias(name))
+        return out.withColumn(RECORD_COL, F.struct(*fields)).drop("__m")
 
     def parse_sql(df: DataFrame, raw: str = "value") -> DataFrame:
         # re.search semantics: JVM regexp_extract also finds mid-string.
@@ -232,6 +254,8 @@ def _regex(cfg: ComponentConfig) -> ParserFn:
             matched = matched.withColumn(RECORD_COL, F.struct(*fields))
         return matched
 
+    if find_all:
+        return parse_findall
     return parse_pandas if use_pandas else parse_sql
 
 

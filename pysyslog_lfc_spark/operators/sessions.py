@@ -149,3 +149,38 @@ def session_traces(
         .withColumn("trace", F.transform(F.col("__items"), lambda s: s["ev"]))
         .drop("__items")
     )
+
+
+def throttle(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str = "ts",
+    window_seconds: int = 60,
+    max_per_window: int = 1,
+    order_tiebreak: str | None = None,
+    keep_col: str | None = None,
+) -> DataFrame:
+    """Rate limiting / alert-storm suppression: keep only the first
+    ``max_per_window`` events per key per tumbling window (the batch
+    form of the reference's alert-cooldown semantics,
+    docs/configuration/outputs/alert.md — cooldown-after-fire; the
+    streaming analog is streaming/flows.py::alert_with_cooldown).
+
+    Deterministic: events rank by ``(ts, tiebreak)`` inside each
+    ``(key, epoch//window)`` cell, so re-runs and the oracle agree
+    exactly. One hash shuffle on the key columns — the window cell is
+    derived, and the rank window partitions on ``(key, cell)`` which
+    the key shuffle already clusters. With ``keep_col`` set, rows are
+    flagged instead of filtered (audit mode).
+    """
+    if max_per_window < 1:
+        raise ValueError("throttle: max_per_window must be >= 1")
+    cell = (F.unix_timestamp(F.col(ts_col)) / window_seconds).cast("long")
+    order = [F.col(ts_col)]
+    if order_tiebreak:
+        order.append(F.col(order_tiebreak))
+    w = Window.partitionBy(*key_cols, cell).orderBy(*order)
+    ranked = df.withColumn("__rn", F.row_number().over(w))
+    if keep_col is not None:
+        return ranked.withColumn(keep_col, F.col("__rn") <= max_per_window).drop("__rn")
+    return ranked.where(F.col("__rn") <= max_per_window).drop("__rn")

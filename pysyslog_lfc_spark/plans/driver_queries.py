@@ -1750,6 +1750,37 @@ def session_event_traces(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "throttle_alerts",
+    """
+    WITH e AS (
+      SELECT user_id, event_type, event_id, ts,
+             epoch_us(ts) // 1000000 AS es
+      FROM events
+    ),
+    r AS (
+      SELECT user_id, event_type, event_id,
+             row_number() OVER (PARTITION BY user_id, event_type, es // 3600
+                                ORDER BY ts, event_id) AS rn
+      FROM e
+    )
+    SELECT user_id, event_type, event_id FROM r WHERE rn <= 2
+    """,
+)
+def throttle_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate limiting (operators/sessions.py::throttle): at most 2
+    events per (user, type) per hour survive — the batch form of the
+    reference's alert cooldown (alert.md), deterministic by (ts,
+    event_id) rank so re-runs and the oracle agree exactly. One hash
+    shuffle; the rank window partitions on (key, derived hour cell)."""
+    ev = _t(spark, sf_dir, "events")
+    out = SESS.throttle(
+        ev, ["user_id", "event_type"], "ts", window_seconds=3600,
+        max_per_window=2, order_tiebreak="event_id",
+    )
+    return out.select("user_id", "event_type", "event_id")
+
+
+@query(
     "series_rate_deltas",
     """
     WITH e AS (
@@ -2362,6 +2393,60 @@ def flow_assemble_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         "n_lines",
         "first_event_id",
+    )
+
+
+@query(
+    "flow_regex_findall",
+    r"""
+    WITH lines AS (
+      SELECT event_id,
+             printf('x=%d y=%d z=%d', event_id % 7, user_id % 5, event_id % 3)
+               AS line
+      FROM events
+    ),
+    m AS (
+      SELECT event_id,
+             regexp_extract_all(line, '(\w+)=(\d+)', 1) AS ks,
+             regexp_extract_all(line, '(\w+)=(\d+)', 2) AS vs
+      FROM lines
+    ),
+    idx AS (
+      SELECT event_id, unnest(generate_series(1, len(ks))) AS i, ks, vs FROM m
+    )
+    SELECT event_id, ks[i] AS key, CAST(vs[i] AS BIGINT) AS val
+    FROM idx
+    """,
+)
+def flow_regex_findall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parser.regex find_all mode (finditer semantics, 1:N): every
+    ``k=v`` match in the synthesized line becomes its own record —
+    regexp_extract_all per named group, arrays_zip, codegen explode
+    (operators/parsers.py::_regex parse_findall). 3 records per line
+    here; the oracle replays the per-group extract-all and zips by
+    index."""
+    from pysyslog_lfc_spark.operators.parsers import compile_parser
+
+    ev = _t(spark, sf_dir, "events")
+    lines = ev.select(
+        "event_id",
+        F.format_string(
+            "x=%d y=%d z=%d",
+            F.col("event_id") % 7, F.col("user_id") % 5, F.col("event_id") % 3,
+        ).alias("value"),
+    )
+    parse = compile_parser(
+        ComponentConfig(
+            "regex",
+            {"pattern": r"(?P<key>\w+)=(?P<val>\d+)", "find_all": "true",
+             "types": "val:long"},
+        )
+    )
+    rec = parse(lines)
+    return rec.select(
+        "event_id",
+        F.col("record.key").alias("key"),
+        F.col("record.val").alias("val"),
     )
 
 

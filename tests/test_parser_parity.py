@@ -357,3 +357,25 @@ def test_assemble_multiline(spark):
 
     plan = out._jdf.queryExecution().executedPlan().toString().split("Initial Plan")[0]
     assert plan.count("ENSURE_REQUIREMENTS") == 1
+
+
+def test_regex_findall_mode(spark):
+    """find_all: every match becomes a record (finditer semantics);
+    zero-match lines drop; typed casts apply per match."""
+    lines = [("a=1 b=22 c=333",), ("solo=7",), ("no pairs here",)]
+    df = spark.createDataFrame(lines, "value string")
+    parse = compile_parser(
+        ComponentConfig(
+            "regex",
+            {"pattern": r"(?P<key>\w+)=(?P<val>\d+)", "find_all": "true",
+             "types": "val:int"},
+        )
+    )
+    got = sorted((r.key, r.val) for r in parse(df).select("record.*").collect())
+    assert got == [("a", 1), ("b", 22), ("c", 333), ("solo", 7)]
+
+    from pysyslog_lfc_spark.config import ConfigError
+    with pytest.raises(ConfigError):
+        compile_parser(ComponentConfig(
+            "regex", {"pattern": r"(?P<k>\w+)", "find_all": "true",
+                      "vectorized": "pandas"}))

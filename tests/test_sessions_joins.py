@@ -388,3 +388,33 @@ def test_session_traces_order_and_single_shuffle(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     final = plan.split("Initial Plan")[0]
     assert final.count("ENSURE_REQUIREMENTS") == 1
+
+
+def test_throttle_rate_limit(spark):
+    from pysyslog_lfc_spark.operators.sessions import throttle
+
+    rows = [
+        # key "a": 3 events in one minute window -> keep first 2
+        (1, "a", 0), (2, "a", 10), (3, "a", 50),
+        # next window -> counter resets
+        (4, "a", 70),
+        (5, "b", 5),
+    ]
+    df = spark.createDataFrame(
+        [(i, k, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s))
+         for i, k, s in rows],
+        "event_id long, k string, ts timestamp",
+    )
+    kept = sorted(r.event_id for r in throttle(
+        df, ["k"], "ts", window_seconds=60, max_per_window=2,
+        order_tiebreak="event_id").collect())
+    assert kept == [1, 2, 4, 5]
+
+    # audit mode flags instead of filtering
+    flagged = throttle(df, ["k"], "ts", 60, 2, "event_id", keep_col="kept")
+    assert {r.event_id: r.kept for r in flagged.collect()}[3] is False
+    assert flagged.count() == 5
+
+    import pytest
+    with pytest.raises(ValueError):
+        throttle(df, ["k"], "ts", 60, 0)
