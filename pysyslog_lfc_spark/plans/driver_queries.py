@@ -2895,6 +2895,46 @@ def pivot_user_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "unpivot_event_matrix",
+    """
+    WITH wide AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, kind, n
+    FROM wide
+    UNPIVOT (n FOR kind IN (n_click, n_error, n_purchase))
+    WHERE n > 0
+    """,
+)
+def unpivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot / melt (wide -> long, the inverse relational op of
+    `pivot_user_event_matrix`): the per-user count matrix melts back to
+    (user, kind, n) rows via `DataFrame.unpivot` — a zero-shuffle
+    map-side expand (each wide row emits one long row per value
+    column). Zero cells are filtered post-melt, matching SQL UNPIVOT's
+    exclude-nulls default only after the explicit n > 0 guard both
+    engines share."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase"]
+    wide = (
+        ev.where(F.col("event_type").isin(types))
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0)
+        .select("user_id", *[F.col(t).alias(f"n_{t}") for t in types])
+    )
+    long = wide.unpivot(
+        ["user_id"], [f"n_{t}" for t in types], "kind", "n"
+    )
+    return long.where(F.col("n") > 0)
+
+
+@query(
     "rollup_order_stats",
     """
     SELECT o_orderstatus, o_orderpriority,

@@ -434,3 +434,82 @@ def warehouse_for(
             )
         return IcebergWarehouse(spark, catalog)
     raise ConfigError(f"unknown warehouse format '{fmt}'")
+
+
+class KeyedTable:
+    """SCD1 keyed snapshot on the parquet warehouse: ``upsert`` merges a
+    batch of updates into the current snapshot, latest row per key
+    winning (MERGE-INTO semantics without an Iceberg/Delta runtime —
+    the config-point swap in :func:`warehouse_for` upgrades to real
+    MERGE when the jar is present).
+
+    Merge rule: highest ``order_col`` wins; at equal order the incoming
+    update beats the stored row (upsert precedence). The whole merge is
+    one snapshot rewrite — a ``row_number() OVER (PARTITION BY keys)``
+    on |snapshot| + |batch| rows, one shuffle on the key — committed
+    with the same crash-safe two-rename discipline as compaction
+    (write ``.new``, swap via ``.old``, :meth:`repair` resolves any
+    interruption to exactly one complete snapshot).
+
+    At 100 TB the snapshot rewrite is the honest cost of SCD1 on
+    immutable files; shard wide tables into several KeyedTables (hash
+    of key) so each merge rewrites only the touched shard.
+    """
+
+    def __init__(self, root: str | Path, table: str) -> None:
+        self.dir = Path(root) / table
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self.snap = self.dir / "snapshot"
+
+    def repair(self) -> int:
+        """Resolve an interrupted swap. Idempotent."""
+        old = self.dir / "snapshot.old"
+        new = self.dir / "snapshot.new"
+        fixed = 0
+        if old.exists():
+            if not self.snap.exists():
+                os.replace(new if new.exists() else old, self.snap)
+            shutil.rmtree(old, ignore_errors=True)
+            fixed += 1
+        if new.exists():
+            shutil.rmtree(new, ignore_errors=True)
+            fixed += 1
+        return fixed
+
+    def read(self, spark: SparkSession) -> DataFrame | None:
+        self.repair()
+        return spark.read.parquet(str(self.snap)) if self.snap.exists() else None
+
+    def upsert(
+        self,
+        spark: SparkSession,
+        updates: DataFrame,
+        keys: list[str],
+        order_col: str,
+    ) -> None:
+        from pyspark.sql import Window
+
+        self.repair()
+        batch = updates.withColumn("__prec", F.lit(1))
+        cur = self.read(spark)
+        merged = (
+            batch
+            if cur is None
+            else cur.withColumn("__prec", F.lit(0)).unionByName(batch)
+        )
+        w = Window.partitionBy(*keys).orderBy(
+            F.desc(order_col), F.desc("__prec")
+        )
+        latest = (
+            merged.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn", "__prec")
+        )
+        new = self.dir / "snapshot.new"
+        old = self.dir / "snapshot.old"
+        shutil.rmtree(new, ignore_errors=True)
+        latest.write.mode("overwrite").parquet(str(new))
+        if self.snap.exists():
+            os.replace(self.snap, old)
+        os.replace(new, self.snap)
+        shutil.rmtree(old, ignore_errors=True)

@@ -79,3 +79,47 @@ def test_retain_jobs(spark, wh):
 
     with pytest.raises(ValueError):
         wh.retain_jobs("t")
+
+
+class TestKeyedUpsert:
+    """SCD1 keyed snapshot (sinks.py::KeyedTable)."""
+
+    def test_upsert_latest_wins_and_update_beats_tie(self, spark, tmp_path):
+        from pysyslog_lfc_spark.sinks import KeyedTable
+
+        kt = KeyedTable(tmp_path, "users")
+        b1 = spark.createDataFrame(
+            [("k1", "a", 10), ("k2", "b", 10)], "k string, v string, ver long"
+        )
+        kt.upsert(spark, b1, ["k"], "ver")
+        b2 = spark.createDataFrame(
+            [("k1", "a2", 20),   # newer -> replaces
+             ("k2", "b2", 10),   # same version -> update still wins
+             ("k3", "c", 5)],    # new key -> inserted
+            "k string, v string, ver long",
+        )
+        kt.upsert(spark, b2, ["k"], "ver")
+        got = {r.k: (r.v, r.ver) for r in kt.read(spark).collect()}
+        assert got == {"k1": ("a2", 20), "k2": ("b2", 10), "k3": ("c", 5)}
+
+        # stale update loses
+        b3 = spark.createDataFrame([("k1", "old", 1)], "k string, v string, ver long")
+        kt.upsert(spark, b3, ["k"], "ver")
+        assert {r.k: r.v for r in kt.read(spark).collect()}["k1"] == "a2"
+
+    def test_repair_resolves_interrupted_swap(self, spark, tmp_path):
+        import shutil as sh
+
+        from pysyslog_lfc_spark.sinks import KeyedTable
+
+        kt = KeyedTable(tmp_path, "t")
+        df = spark.createDataFrame([("k", 1, 1)], "k string, v long, ver long")
+        kt.upsert(spark, df, ["k"], "ver")
+
+        # simulate a crash mid-swap: snapshot moved to .old, .new ready
+        sh.copytree(kt.snap, kt.dir / "snapshot.new")
+        (kt.dir / "snapshot").rename(kt.dir / "snapshot.old")
+        assert not kt.snap.exists()
+        kt.repair()
+        assert kt.snap.exists()
+        assert kt.read(spark).count() == 1
