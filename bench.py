@@ -72,6 +72,13 @@ BENCH_QUERIES = [
     "vocab_build",
     "text_tfidf_top5",
     "flow_parse_cef",
+    "flow_parse_leef",
+    "flow_assemble_multiline",
+    "flow_regex_findall",
+    "throttle_alerts",
+    "session_event_traces",
+    "cms_user_counts",
+    "text_sparse_cosine",
 ]
 
 

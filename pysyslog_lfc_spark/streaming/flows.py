@@ -358,3 +358,43 @@ def stateful_source_gauge(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def run_flow_stream_foreach_batch(
+    cfg: FlowConfig,
+    source: DataFrame,
+    sink_path: str,
+    checkpoint_dir: str,
+    registry=None,
+    trigger: dict | None = None,
+):
+    """Run a compiled flow inside ``foreachBatch`` — each micro-batch is
+    a plain batch DataFrame, so batch-only flow features work on
+    streams: ``parser.dlq_path`` captures per-batch parser rejects, and
+    any registered component that triggers eager side writes runs
+    unchanged.
+
+    Rendered rows land at ``sink_path/epoch=<id>`` — a replayed epoch
+    OVERWRITES its own directory, giving exactly-once on the main sink
+    (same discipline as fanout_foreach_batch). The DLQ itself is
+    append-only advisory: a crash between the DLQ write and the
+    checkpoint commit can duplicate reject rows on replay — rejects
+    carry no exactly-once guarantee, by design (they exist to be
+    looked at, not re-ingested blindly).
+    """
+    flow = compile_flow(cfg, registry=registry)
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        out = flow(batch_df)
+        (
+            out.select(F.col("rendered").cast("string").alias("rendered"))
+            .write.mode("overwrite")
+            .parquet(f"{sink_path}/epoch={epoch_id}")
+        )
+
+    writer = (
+        source.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    writer = writer.trigger(**(trigger or {"availableNow": True}))
+    return writer.start()

@@ -382,3 +382,40 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
     q.awaitTermination(120)
     got = {key(r) for r in spark.sql("SELECT * FROM ssj_t").collect()}
     assert got == batch
+
+
+def test_stream_flow_foreach_batch_with_dlq(spark, tmp_path):
+    """Batch-only flow features on a stream via foreachBatch: parser
+    rejects land in the DLQ, valid records render to epoch-keyed
+    parquet (exactly-once per epoch)."""
+    from pysyslog_lfc_spark.streaming.flows import run_flow_stream_foreach_batch
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.jsonl").write_text(
+        '{"level": "info", "message": "ok1"}\n'
+        "garbage line\n"
+        '{"level": "info", "message": "ok2"}\n'
+    )
+    dlq = tmp_path / "dlq"
+    cfg = config.loads(f"""
+[flow.s]
+input.type = file
+parser.type = json
+parser.schema = level string, message string
+parser.dlq_path = {dlq}
+output.type = memory
+output.format = text
+format.template = {{message}}
+""").get_flow("s")
+    q = run_flow_stream_foreach_batch(
+        cfg,
+        stream_json_lines(spark, str(src)),
+        sink_path=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    got = sorted(r.rendered for r in spark.read.parquet(str(tmp_path / "out")).collect())
+    assert got == ["ok1", "ok2"]
+    dead = sorted(r.value for r in spark.read.parquet(str(dlq)).collect())
+    assert dead == ["garbage line"]
