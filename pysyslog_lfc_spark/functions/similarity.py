@@ -463,3 +463,28 @@ def lsh_ann_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos")
     )
+
+
+def quantize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", out_prefix: str = "q"
+) -> DataFrame:
+    """Symmetric int8 quantization for embedding storage — 4x smaller
+    vectors (plus one float scale) with ~0.5%/127 worst-case per-dim
+    error; the standard storage trick before ANN indexing at corpus
+    scale. Adds ``<prefix>_scale`` (double) and ``<prefix>_vec``
+    (array<int> in [-127, 127]).
+
+    Arrow-batched pandas kernel (numpy) — one pass per vector, no
+    interpreted higher-order expressions (the measured ~50x trap).
+    Dequantization is ``q * scale`` and preserves cosine to ~1e-2,
+    asserted in tests.
+    """
+    from pysyslog_lfc_spark.operators._pandas_udfs import make_quantize_udf
+
+    quant = make_quantize_udf()
+    tmp = df.withColumn("__qs", quant(F.col(vec_col)))
+    return (
+        tmp.withColumn(f"{out_prefix}_scale", F.col("__qs.scale"))
+        .withColumn(f"{out_prefix}_vec", F.col("__qs.q"))
+        .drop("__qs")
+    )

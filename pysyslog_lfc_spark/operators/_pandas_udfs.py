@@ -82,3 +82,37 @@ def make_compression_ratio_udf(level=6):
         return pd.Series(out, dtype="Int64")
 
     return ratio
+
+
+def make_quantize_udf():
+    """Symmetric int8 quantization of an embedding vector: scale =
+    max|v| / 127, q_i = floor(v_i/scale + 0.5) (round-half-up — both
+    engines and numpy floor identically on bit-identical doubles,
+    unlike numpy's half-to-even ``round``). Zero vectors quantize to
+    all-zero with scale 0."""
+    import numpy as np
+
+    @F.pandas_udf(
+        T.StructType(
+            [
+                T.StructField("scale", T.DoubleType()),
+                T.StructField("q", T.ArrayType(T.IntegerType())),
+            ]
+        )
+    )
+    def quant(s: pd.Series) -> pd.DataFrame:
+        scales, qs = [], []
+        for v in s:
+            a = np.asarray(v, dtype=np.float64)
+            m = float(np.max(np.abs(a))) if a.size else 0.0
+            if m == 0.0:
+                scales.append(0.0)
+                qs.append([0] * int(a.size))
+                continue
+            scale = m / 127.0
+            q = np.floor(a / scale + 0.5).astype(np.int64)
+            scales.append(scale)
+            qs.append([int(x) for x in q])
+        return pd.DataFrame({"scale": scales, "q": qs})
+
+    return quant

@@ -2773,6 +2773,39 @@ def cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_quantize_int8",
+    """
+    WITH e AS (
+      SELECT vec_id,
+             CAST(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+                  AS DOUBLE) / 127e0 AS q_scale,
+             embedding
+      FROM embeddings
+    )
+    SELECT vec_id, q_scale,
+           CASE WHEN q_scale = 0e0
+                THEN list_transform(embedding, x -> 0)
+                ELSE list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) / q_scale + 0.5e0) AS INT))
+           END AS q_vec
+    FROM e
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (functions/similarity.py::
+    quantize_embeddings — Arrow pandas kernel, no interpreted HOFs):
+    scale = max|v|/127, round-half-up via floor(x+0.5) which both
+    engines and numpy compute identically on bit-identical doubles
+    (numpy's ``round`` is half-to-even — deliberately avoided). The
+    4x-smaller int8 vectors are the storage form ANN indexes build
+    over at corpus scale."""
+    from pysyslog_lfc_spark.functions.similarity import quantize_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return quantize_embeddings(emb, "embedding").select("vec_id", "q_scale", "q_vec")
+
+
+@query(
     "sliding_window_counts",
     """
     WITH e AS (

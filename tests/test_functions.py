@@ -811,3 +811,31 @@ def test_count_min_sketch_properties(spark):
 
     with pytest.raises(ValueError):
         count_min_sketch(df, "v", width=0)
+
+
+def test_quantize_embeddings_roundtrip(spark):
+    import numpy as np
+
+    from pysyslog_lfc_spark.functions.similarity import quantize_embeddings
+
+    vecs = [
+        (1, [0.5, -1.0, 0.25, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),      # zero vector
+        (3, [127.0, -127.0, 63.5, 1.0]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    rows = {r.vec_id: r for r in quantize_embeddings(df).collect()}
+
+    r1 = rows[1]
+    assert r1.q_scale == 1.0 / 127
+    assert r1.q_vec == [64, -127, 32, 0]  # floor(63.5+0.5)=64, half-up
+    assert max(abs(q) for q in r1.q_vec) == 127
+
+    assert rows[2].q_scale == 0.0 and rows[2].q_vec == [0, 0, 0, 0]
+
+    # dequantized cosine stays close to the original
+    for r in (rows[1], rows[3]):
+        orig = np.array(dict(vecs)[r.vec_id])
+        deq = np.array(r.q_vec) * r.q_scale
+        cos = float(orig @ deq / (np.linalg.norm(orig) * np.linalg.norm(deq)))
+        assert cos > 0.9999
