@@ -116,3 +116,39 @@ def make_quantize_udf():
         return pd.DataFrame({"scale": scales, "q": qs})
 
     return quant
+
+
+def make_bpe_encode_udf(merges, lowercase):
+    """Distributed BPE encode: greedy lowest-rank merge per word
+    (functions/bpe.py::bpe_segment semantics), word results memoized
+    per batch — real corpora repeat words heavily."""
+    import re
+
+    ws = re.compile(r"\s+")
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def enc(s: pd.Series) -> pd.Series:
+        from pysyslog_lfc_spark.functions.bpe import bpe_segment
+
+        cache = {}
+        out = []
+        for text in s:
+            if text is None:
+                out.append([])
+                continue
+            if lowercase:
+                text = text.lower()
+            toks = []
+            for w in ws.split(text):
+                if not w:
+                    continue
+                seg = cache.get(w)
+                if seg is None:
+                    seg = bpe_segment(w, ranks)
+                    cache[w] = seg
+                toks.extend(seg)
+            out.append(toks)
+        return pd.Series(out)
+
+    return enc

@@ -839,3 +839,45 @@ def test_quantize_embeddings_roundtrip(spark):
         deq = np.array(r.q_vec) * r.q_scale
         cos = float(orig @ deq / (np.linalg.norm(orig) * np.linalg.norm(deq)))
         assert cos > 0.9999
+
+
+class TestBPE:
+    """BPE training + encoding (functions/bpe.py)."""
+
+    def test_learn_merges_hand_computable(self, spark):
+        from pysyslog_lfc_spark.functions.bpe import END, learn_bpe
+
+        # 'aaab' x3, 'aab' x1: pair (a,a) has count 2*3+1*1=7, wins round 1
+        df = spark.createDataFrame(
+            [(1, "aaab aaab aaab aab")], "doc_id long, text string"
+        )
+        merges = learn_bpe(df, n_merges=2)
+        assert merges[0] == ("a", "a")
+        # after merging: aaab -> [aa,a,b,</w>] x3, aab -> [aa,b,</w>] x1
+        # pairs: (aa,a)=3, (a,b)=3, (aa,b)=1, (b,</w>)=4 -> best (b,</w>)
+        assert merges[1] == ("b", END)
+
+    def test_encode_applies_ranks_and_roundtrips(self, spark):
+        from pysyslog_lfc_spark.functions.bpe import END, bpe_encode, learn_bpe
+
+        corpus = spark.createDataFrame(
+            [(1, "lower lower lowest low"), (2, "low lower newest")],
+            "doc_id long, text string",
+        )
+        merges = learn_bpe(corpus, n_merges=30)
+        enc = bpe_encode(corpus, merges, out_col="toks")
+        rows = {r.doc_id: r.toks for r in enc.collect()}
+        # every word reassembles exactly from its pieces
+        for did, toks in rows.items():
+            text = [r.text for r in corpus.collect() if r.doc_id == did][0]
+            joined = "".join(toks).replace(END, " ").strip()
+            assert joined == text
+        # frequent word fully merges into one symbol
+        assert "low" + END in rows[2] or "low" in rows[2][:2][0]
+
+    def test_encode_unknown_chars_fall_back_to_chars(self, spark):
+        from pysyslog_lfc_spark.functions.bpe import bpe_encode
+
+        df = spark.createDataFrame([(1, "xyz")], "doc_id long, text string")
+        toks = bpe_encode(df, merges=[], out_col="t").collect()[0].t
+        assert toks == ["x", "y", "z", "</w>"]
