@@ -38,8 +38,15 @@ def main(argv: list[str] | None = None) -> int:
         "--emit-packed",
         default=None,
         metavar="DIR",
-        help="also write fixed-capacity packed token rows (hash-tokenizer "
-        "stand-in; functions/packing.py) to DIR",
+        help="also write fixed-capacity packed token rows "
+        "(functions/packing.py) to DIR",
+    )
+    ap.add_argument(
+        "--tokenizer",
+        default="hash",
+        choices=["hash", "vocab", "bpe"],
+        help="token-id scheme for --emit-packed: portable-hash word ids, "
+        "frequency-ranked vocab ids, or learned BPE sub-words",
     )
     args = ap.parse_args(argv)
 
@@ -67,9 +74,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.emit_packed:
         from pysyslog_lfc_spark.plans.curation import emit_packed_tokens
 
-        emit_packed_tokens(res.df, args.capacity).write.mode("overwrite").parquet(
-            args.emit_packed
-        )
+        emit_packed_tokens(
+            res.df, args.capacity, tokenizer=args.tokenizer
+        ).write.mode("overwrite").parquet(args.emit_packed)
     elapsed = time.monotonic() - t0
 
     print(

@@ -139,6 +139,46 @@ def hash_token_ids(col, vocab_size: int = 65536):
     )
 
 
+def _ids_from_symbols(
+    df: DataFrame, id_col: str, group_col: str, sym_col: str
+) -> DataFrame:
+    """Map an array-of-symbols column to frequency-ranked int ids
+    (count desc, symbol asc — deterministic), preserving position
+    order. Broadcast symbol table, one narrow regroup shuffle — the
+    same shape as functions/text.py::encode_tokens but over an
+    already-tokenized array."""
+    from pyspark.sql import Window
+
+    pos = df.select(
+        group_col, id_col, F.posexplode(F.col(sym_col)).alias("__pos", "__sym")
+    )
+    sym_vocab = (
+        pos.groupBy("__sym")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn(
+            "__tid",
+            F.row_number().over(Window.orderBy(F.desc("__n"), F.asc("__sym"))) - 1,
+        )
+        .select("__sym", "__tid")
+    )
+    return (
+        pos.join(F.broadcast(sym_vocab), "__sym")
+        .groupBy(group_col, id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__pos"), F.col("__tid")))
+            ).alias("__packed")
+        )
+        .select(
+            group_col,
+            id_col,
+            F.transform(F.col("__packed"), lambda s: s["__tid"].cast("int")).alias(
+                "tokens"
+            ),
+        )
+    )
+
+
 def emit_packed_tokens(
     curated: DataFrame,
     capacity: int,
@@ -146,15 +186,47 @@ def emit_packed_tokens(
     text_col: str = "text",
     group_col: str = "source",
     vocab_size: int = 65536,
+    tokenizer: str = "hash",
+    bpe_merges: list | None = None,
 ) -> DataFrame:
     """Turn the curated corpus into actual fixed-capacity training rows:
     tokenize, concat per group in ``id_col`` order, chunk every
     ``capacity`` tokens (functions/packing.py::pack_tokens). Returns
-    ``(group, pack_id, tokens, n_tok)``."""
+    ``(group, pack_id, tokens, n_tok)`` — exactly the engine-primary
+    tokenized-sequence shape the flagship pipeline consumes.
+
+    ``tokenizer``:
+      - ``hash``  portable-hash word ids (zero extra passes, codegen)
+      - ``vocab`` frequency-ranked word ids (functions/text.py::
+        build_vocab ids via the symbol mapper below)
+      - ``bpe``   learned sub-word merges (functions/bpe.py;
+        ``bpe_merges`` reuses a trained table, else trains on the
+        curated corpus itself), ids frequency-ranked over the symbol
+        stream
+    """
     from pysyslog_lfc_spark.functions.packing import pack_tokens
 
-    toked = curated.select(
-        group_col, id_col, hash_token_ids(F.col(text_col), vocab_size).alias("tokens")
-    )
+    if tokenizer == "hash":
+        toked = curated.select(
+            group_col, id_col,
+            hash_token_ids(F.col(text_col), vocab_size).alias("tokens"),
+        )
+    elif tokenizer == "vocab":
+        words = curated.select(
+            group_col, id_col, TX.tokenize(F.lower(F.col(text_col))).alias("__sym")
+        )
+        toked = _ids_from_symbols(words, id_col, group_col, "__sym")
+    elif tokenizer == "bpe":
+        from pysyslog_lfc_spark.functions.bpe import bpe_encode, learn_bpe
+
+        merges = bpe_merges
+        if merges is None:
+            merges = learn_bpe(curated, text_col, n_merges=200)
+        enc = bpe_encode(curated, merges, text_col, out_col="__sym").select(
+            group_col, id_col, "__sym"
+        )
+        toked = _ids_from_symbols(enc, id_col, group_col, "__sym")
+    else:
+        raise ValueError(f"emit_packed_tokens: unknown tokenizer '{tokenizer}'")
     packed = pack_tokens(toked, group_col, id_col, "tokens", capacity)
     return packed.withColumn("n_tok", F.size("tokens"))

