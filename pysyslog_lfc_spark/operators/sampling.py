@@ -162,3 +162,94 @@ def weighted_sample_topk(
         .where(F.col(rank_col) <= k)
         .drop("__eskey")
     )
+
+
+def contrastive_negatives(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 4,
+    n_shards: int = 8,
+    salt: str = "neg",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    anchor draws ``k`` pseudo-random partners via the hash-ring trick —
+    candidates sit on a ring at ``hash(ring:id)``, probe ``i`` lands at
+    ``hash(probe:id:i)`` and takes the nearest candidate at-or-below
+    (wraparound via a shifted ring copy). No RNG: the pairing is a pure
+    function of (salt, ids), so reruns, resumes, and the DuckDB oracle
+    (a native ASOF JOIN on the ring positions) reproduce it exactly.
+
+    Scale shape: the ring is SHARDED — candidates and probes partition
+    by ``position % n_shards``, the carry-forward window runs per
+    shard, and the single shuffle is the union's hash exchange on the
+    shard key. No global-order window, no cross join. Self-matches
+    (probe lands on its own anchor) drop, so an anchor can yield
+    slightly fewer than ``k`` negatives.
+
+    Returns ``(anchor_id, probe, neg_id)``.
+    """
+    if k < 1:
+        raise ValueError("contrastive_negatives: k must be >= 1")
+    wrap = F.lit(1 << 60).cast("long")
+
+    cand_pos = portable_hash60(
+        F.concat(F.lit(f"{salt}-ring:"), F.col(id_col).cast("string"))
+    )
+    cand = df.select(
+        F.col(id_col).alias("cand_id"),
+        cand_pos.alias("__pos"),
+        F.pmod(cand_pos, F.lit(n_shards)).alias("__shard"),
+    )
+    wrapped = cand.unionByName(
+        cand.select(
+            "cand_id", (F.col("__pos") - wrap).alias("__pos"), "__shard"
+        )
+    )
+    probe_t = portable_hash60(
+        F.concat(
+            F.lit(f"{salt}-probe:"),
+            F.col("anchor_id").cast("string"),
+            F.lit(":"),
+            F.col("probe").cast("string"),
+        )
+    )
+    probes = (
+        df.select(
+            F.col(id_col).alias("anchor_id"),
+            F.explode(F.sequence(F.lit(1), F.lit(k))).alias("probe"),
+        )
+        .select(
+            "anchor_id",
+            "probe",
+            probe_t.alias("__pos"),
+            F.pmod(probe_t, F.lit(n_shards)).alias("__shard"),
+        )
+    )
+
+    u = wrapped.select(
+        "__shard", "__pos", F.lit(0).alias("__side"), "cand_id",
+        F.lit(None).cast(probes.schema["anchor_id"].dataType).alias("anchor_id"),
+        F.lit(None).cast("int").alias("probe"),
+    ).unionByName(
+        probes.select(
+            "__shard", "__pos", F.lit(1).alias("__side"),
+            F.lit(None).cast(cand.schema["cand_id"].dataType).alias("cand_id"),
+            "anchor_id", "probe",
+        )
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("__shard")
+        .orderBy("__pos", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.withColumn("neg_id", F.last("cand_id", ignorenulls=True).over(w))
+    return (
+        carried.where(
+            (F.col("__side") == 1)
+            & F.col("neg_id").isNotNull()
+            & (F.col("neg_id") != F.col("anchor_id"))
+        )
+        .select("anchor_id", "probe", "neg_id")
+    )

@@ -2806,6 +2806,42 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "contrastive_negative_pairs",
+    """
+    WITH cand AS (
+      SELECT doc_id AS cand_id,
+             ('0x' || substr(md5('neg-ring:' || doc_id), 1, 15))::BIGINT AS pos
+      FROM documents
+    ),
+    c2 AS (
+      SELECT cand_id, pos, pos % 8 AS shard FROM cand
+      UNION ALL
+      SELECT cand_id, pos - 1152921504606846976, pos % 8 FROM cand
+    ),
+    probes AS (
+      SELECT d.doc_id AS anchor_id, s.i AS probe,
+             ('0x' || substr(md5('neg-probe:' || d.doc_id || ':' || s.i), 1, 15))::BIGINT AS t
+      FROM documents d CROSS JOIN (SELECT unnest(range(1, 5)) AS i) s
+    ),
+    p2 AS (SELECT anchor_id, probe, t, t % 8 AS shard FROM probes)
+    SELECT anchor_id, CAST(probe AS INT) AS probe, cand_id AS neg_id
+    FROM p2 ASOF JOIN c2 ON p2.shard = c2.shard AND p2.t >= c2.pos
+    WHERE cand_id <> anchor_id
+    """,
+)
+def contrastive_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive negative sampling (operators/
+    sampling.py::contrastive_negatives): 4 hash-ring partners per
+    anchor, sharded carry-forward (no global window, no cross join, no
+    RNG) — DuckDB's native integer ASOF JOIN over the same ring is the
+    oracle, pinning the exact pairing."""
+    from pysyslog_lfc_spark.operators.sampling import contrastive_negatives
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return contrastive_negatives(docs, "doc_id", k=4, n_shards=8)
+
+
+@query(
     "sliding_window_counts",
     """
     WITH e AS (

@@ -418,3 +418,27 @@ def test_throttle_rate_limit(spark):
     import pytest
     with pytest.raises(ValueError):
         throttle(df, ["k"], "ts", 60, 0)
+
+
+def test_contrastive_negatives_deterministic_and_shaped(spark):
+    from pysyslog_lfc_spark.operators.sampling import contrastive_negatives
+
+    df = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    a = contrastive_negatives(df, "doc_id", k=3).collect()
+    b = contrastive_negatives(df, "doc_id", k=3).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # replayable
+
+    by_anchor = {}
+    for r in a:
+        assert r.neg_id != r.anchor_id
+        by_anchor.setdefault(r.anchor_id, []).append(r.neg_id)
+    # nearly every anchor gets all 3 (self-collisions are rare)
+    assert sum(len(v) for v in by_anchor.values()) >= 3 * 200 - 10
+    # negatives are spread, not one hot partner
+    from collections import Counter
+    top = Counter(r.neg_id for r in a).most_common(1)[0][1]
+    assert top < 40
+
+    import pytest
+    with pytest.raises(ValueError):
+        contrastive_negatives(df, "doc_id", k=0)
