@@ -79,6 +79,8 @@ BENCH_QUERIES = [
     "session_event_traces",
     "cms_user_counts",
     "text_sparse_cosine",
+    "embedding_quantize_int8",
+    "contrastive_negative_pairs",
 ]
 
 
