@@ -184,3 +184,55 @@ def throttle(
     if keep_col is not None:
         return ranked.withColumn(keep_col, F.col("__rn") <= max_per_window).drop("__rn")
     return ranked.where(F.col("__rn") <= max_per_window).drop("__rn")
+
+
+def funnel(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    steps: Sequence[str],
+    ts_col: str = "ts",
+    event_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel completion per key: step i counts only if it
+    happens strictly AFTER the earliest completion of step i-1 (the
+    greedy earliest-path rule — standard product-analytics funnel
+    semantics). Returns one row per key that entered the funnel:
+    ``step_1_sec .. step_k_sec`` (epoch seconds, NULL from the first
+    missed step onward) and ``reached`` (number of completed steps).
+
+    Plan shape: step 1 is one filtered partial agg on the key; each
+    later step LEFT-joins the funnel frame — already hash-partitioned
+    on the key from its own aggregation — against that step's filtered
+    event slice and re-aggregates. Prior step columns are constant per
+    key, so ``min`` carries them through each regroup; a missed step
+    yields NULL and every later comparison against NULL stays NULL —
+    no union/rescue pass. Every shuffle is keyed on ``key_cols``; the
+    full event stream is never self-joined.
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel: need at least 2 steps")
+    keys = list(key_cols)
+    es = F.unix_timestamp(F.col(ts_col))
+    cur = (
+        df.where(F.col(event_col) == steps[0])
+        .groupBy(*keys)
+        .agg(F.min(es).alias("step_1_sec"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        ev = df.where(F.col(event_col) == step).select(*keys, es.alias("__es"))
+        carry = [F.min(f"step_{j}_sec").alias(f"step_{j}_sec") for j in range(1, i)]
+        cur = (
+            cur.join(ev, keys, "left")
+            .groupBy(*keys)
+            .agg(
+                *carry,
+                F.min(
+                    F.when(F.col("__es") > F.col(f"step_{i-1}_sec"), F.col("__es"))
+                ).alias(f"step_{i}_sec"),
+            )
+        )
+    reached = sum(
+        F.when(F.col(f"step_{i}_sec").isNotNull(), 1).otherwise(0)
+        for i in range(1, len(steps) + 1)
+    )
+    return cur.withColumn("reached", reached.cast("int"))

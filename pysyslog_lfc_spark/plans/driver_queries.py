@@ -1781,6 +1781,48 @@ def throttle_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "funnel_signup_conversion",
+    """
+    WITH s1 AS (
+      SELECT user_id, min(epoch_us(ts) // 1000000) AS step_1_sec
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT s1.user_id, min(s1.step_1_sec) AS step_1_sec,
+             min(CASE WHEN e.es > s1.step_1_sec THEN e.es END) AS step_2_sec
+      FROM s1 LEFT JOIN (
+        SELECT user_id, epoch_us(ts) // 1000000 AS es
+        FROM events WHERE event_type = 'click'
+      ) e USING (user_id)
+      GROUP BY s1.user_id
+    ),
+    s3 AS (
+      SELECT s2.user_id, min(step_1_sec) AS step_1_sec,
+             min(step_2_sec) AS step_2_sec,
+             min(CASE WHEN e.es > s2.step_2_sec THEN e.es END) AS step_3_sec
+      FROM s2 LEFT JOIN (
+        SELECT user_id, epoch_us(ts) // 1000000 AS es
+        FROM events WHERE event_type = 'purchase'
+      ) e USING (user_id)
+      GROUP BY s2.user_id
+    )
+    SELECT user_id, step_1_sec, step_2_sec, step_3_sec,
+           CAST((step_1_sec IS NOT NULL)::INT + (step_2_sec IS NOT NULL)::INT
+                + (step_3_sec IS NOT NULL)::INT AS INT) AS reached
+    FROM s3
+    """,
+)
+def funnel_signup_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (operators/sessions.py::funnel): signup → click
+    → purchase per user, greedy earliest-path semantics (step i counts
+    only strictly after the earliest step i-1). Every shuffle keys on
+    user_id over FILTERED event slices — never a self-join of the full
+    stream, never a low-cardinality window."""
+    ev = _t(spark, sf_dir, "events")
+    return SESS.funnel(ev, ["user_id"], ["signup", "click", "purchase"])
+
+
+@query(
     "series_rate_deltas",
     """
     WITH e AS (

@@ -442,3 +442,31 @@ def test_contrastive_negatives_deterministic_and_shaped(spark):
     import pytest
     with pytest.raises(ValueError):
         contrastive_negatives(df, "doc_id", k=0)
+
+
+def test_funnel_greedy_earliest_path(spark):
+    from pysyslog_lfc_spark.operators.sessions import funnel
+
+    rows = [
+        (1, "signup", 0), (1, "click", 10), (1, "purchase", 20),   # full
+        (2, "click", 5), (2, "signup", 10), (2, "purchase", 15),   # click BEFORE signup
+        (3, "signup", 0),                                          # entered only
+        (4, "click", 0), (4, "purchase", 5),                       # never entered
+        (5, "signup", 0), (5, "purchase", 5), (5, "click", 10),    # purchase too early
+    ]
+    df = spark.createDataFrame(
+        [(u, e, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)) for u, e, s in rows],
+        "user_id long, event_type string, ts timestamp",
+    )
+    out = {r.user_id: r for r in
+           funnel(df, ["user_id"], ["signup", "click", "purchase"]).collect()}
+    assert set(out) == {1, 2, 3, 5}          # user 4 never entered
+    assert out[1].reached == 3
+    assert out[2].reached == 1               # click precedes signup -> not counted
+    assert out[3].reached == 1
+    assert out[5].reached == 2               # purchase at t=5 precedes click at 10
+    assert out[1].step_2_sec - out[1].step_1_sec == 10
+
+    import pytest
+    with pytest.raises(ValueError):
+        funnel(df, ["user_id"], ["signup"])
