@@ -936,6 +936,48 @@ def approx_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "kmv_windowed_distinct",
+    """
+    WITH d AS (
+      SELECT DISTINCT (epoch_us(ts) // 1000000 // 86400) * 86400 AS bucket_sec,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM events
+    ),
+    rk AS (
+      SELECT bucket_sec, h,
+             row_number() OVER (PARTITION BY bucket_sec ORDER BY h) AS rn
+      FROM d
+    ),
+    agg AS (
+      SELECT bucket_sec, count(*) AS n, max(h) AS kth
+      FROM rk WHERE rn <= 32 GROUP BY bucket_sec
+    )
+    SELECT bucket_sec,
+           CAST(floor(CASE WHEN n < 32 THEN CAST(n AS DOUBLE)
+                           ELSE 31 * 1152921504606846976.0 / CAST(kth AS DOUBLE)
+                      END) AS BIGINT) AS distinct_est
+    FROM agg
+    """,
+)
+def kmv_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch x window composition: daily distinct-user estimates via
+    the mergeable KMV synopsis — the continuous-aggregate form of
+    cardinality profiling (per-window sketches fold across rounds by
+    union + re-take-k, exactly how the incremental rollup maintains
+    counts). Grouping on the derived tumbling bucket keeps the plan a
+    single partial-agg shuffle."""
+    from pysyslog_lfc_spark.functions import sketches
+
+    ev = _t(spark, sf_dir, "events").select(
+        (
+            (F.unix_timestamp(F.date_trunc("day", F.col("ts"))))
+        ).alias("bucket_sec"),
+        "user_id",
+    )
+    return sketches.approx_distinct_kmv(ev, "user_id", ["bucket_sec"], k=32)
+
+
+@query(
     "lm_quality_score",
     r"""
     WITH mtoks AS (
