@@ -1,0 +1,91 @@
+"""Curriculum ordering for training-data pipelines: assign every
+document an exact global rank under a difficulty score and carve the
+ranked corpus into curriculum stages (easy -> hard), the data-ordering
+step of curriculum-learning recipes.
+
+The scale problem: a global rank is a TOTAL order. The naive
+``row_number() OVER (ORDER BY score)`` is an unpartitioned analytic
+window — Spark plans it as a single-task sort of the whole corpus, the
+one shape that cannot survive 100 TB.
+
+This module computes the same exact rank with the classic two-level
+decomposition instead:
+
+    1. ``row_number`` *within* each distinct score value — the window
+       partitions by ``score``, so it distributes across the cluster
+       (one hash shuffle).
+    2. A per-score cumulative offset from a groupBy count — the offset
+       frame has |distinct scores| rows (bounded: token counts, length
+       buckets, permille scores are all small domains), so its cumsum
+       window is trivially tiny and the result broadcasts back.
+    3. global_rank = offset + within-score row_number. Exact, fully
+       deterministic (ties broken by id), and the fact table is
+       touched by exactly one shuffle.
+
+Stage assignment is pure arithmetic on the rank: stage i covers ranks
+(i*n/S, (i+1)*n/S] — equal-sized stages regardless of score skew,
+unlike score-threshold bucketing which collapses when half the corpus
+shares one score.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def global_rank(
+    df: DataFrame,
+    score: Column,
+    id_col: str,
+    out_score: str = "score",
+    out_rank: str = "global_rank",
+) -> DataFrame:
+    """Exact 1-based global rank under ``ORDER BY score, id`` without a
+    single-task global window (see module docstring for the shape)."""
+    scored = df.withColumn(out_score, score)
+    w_in = Window.partitionBy(out_score).orderBy(F.col(id_col))
+    counts = scored.groupBy(out_score).agg(F.count(F.lit(1)).alias("__n"))
+    # tiny frame: one row per distinct score — the unpartitioned cumsum
+    # window here is over that frame, never over the corpus
+    w_cum = (
+        Window.orderBy(out_score)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        out_score,
+        F.coalesce(F.sum("__n").over(w_cum), F.lit(0)).alias("__off"),
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w_in))
+        .join(F.broadcast(offsets), out_score)
+        .withColumn(out_rank, (F.col("__off") + F.col("__rn")).cast("long"))
+        .drop("__rn", "__off")
+    )
+
+
+def curriculum_stages(
+    df: DataFrame,
+    score: Column,
+    id_col: str,
+    n_stages: int = 4,
+) -> DataFrame:
+    """Rank the corpus by ``score`` (ascending = easiest first) and
+    split it into ``n_stages`` equal-count stages. Returns the input
+    plus ``score``, ``global_rank`` and ``stage`` (0-based).
+
+    stage = floor((rank-1) * S / N): both engines evaluate the same
+    IEEE double division, so the floor agrees bit-for-bit with the
+    DuckDB oracle even at quotient boundaries.
+    """
+    ranked = global_rank(df, score, id_col)
+    total = ranked.groupBy().agg(F.count(F.lit(1)).alias("__total"))
+    return (
+        ranked.join(F.broadcast(total))
+        .withColumn(
+            "stage",
+            F.floor(
+                (F.col("global_rank") - 1) * F.lit(n_stages) / F.col("__total")
+            ).cast("int"),
+        )
+        .drop("__total")
+    )

@@ -31,7 +31,7 @@ extension. Hashes that must agree with the DuckDB oracle use
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
 from pysyslog_lfc_spark.functions.text import portable_hash60, portable_hash60_hi, shingles
 
@@ -702,4 +702,43 @@ def dedup_clusters(
     cc = connected_components(pairs)
     return cc.select(
         F.col("node").alias(id_col), F.col("component").alias("cluster_id")
+    )
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.9,
+    n: int = 3,
+) -> DataFrame:
+    """Canonical-document selection: within every transitive near-dup
+    cluster keep the *best* member (longest text, ties to the smallest
+    id — the RefinedWeb/SlimPajama keep-rule), not merely the
+    min-id one. Returns one row per cluster:
+    ``(cluster_id, keep_doc_id, keep_len, n_members)``.
+
+    Shape: the cluster assignment is |near-dup docs| rows — tiny
+    relative to the corpus — so the winner pick is a per-cluster
+    window over an already-small frame, joined back to doc lengths
+    with the clusters broadcast. The corpus itself never reshuffles:
+    one broadcast-hash probe, and only docs that ARE in some cluster
+    survive the inner join.
+    """
+    clusters = dedup_clusters(df, text_col, id_col, threshold=threshold, n=n)
+    lens = df.select(
+        F.col(id_col), F.length(text_col).cast("long").alias("__len")
+    )
+    members = lens.join(F.broadcast(clusters), id_col)
+    w = W.partitionBy("cluster_id").orderBy(
+        F.col("__len").desc(), F.col(id_col).asc()
+    )
+    return (
+        members.withColumn("__rk", F.row_number().over(w))
+        .groupBy("cluster_id")
+        .agg(
+            F.max(F.when(F.col("__rk") == 1, F.col(id_col))).alias("keep_doc_id"),
+            F.max(F.when(F.col("__rk") == 1, F.col("__len"))).alias("keep_len"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
     )

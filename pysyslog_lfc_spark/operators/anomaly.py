@@ -1,0 +1,111 @@
+"""Anomaly scoring over event series — the alerting-side analytics the
+reference sketches as threshold alerts (docs/configuration/outputs.md,
+output.alert cooldown/threshold) generalized to statistical baselines.
+
+Two estimators, both chosen for *distributed* shape:
+
+``ewma_smooth`` — finite-lookback exponentially-weighted moving
+average. The textbook EWMA is a recurrence (s_t = a*x_t + (1-a)*s_t-1)
+— sequential per key, hostile to both codegen and any SQL oracle. A
+K-term truncated EWMA is numerically the same thing (the dropped tail
+carries (1-a)^K of the mass — under 1% for a=0.4, K=10) and unrolls
+into a LAG chain: pure whole-stage codegen, one hash shuffle on the
+series key, and expressible verbatim in ANSI SQL for the oracle gate.
+Weights renormalize over the lags that actually exist so the first
+rows of a series get an unbiased short-window average instead of a
+damped one.
+
+``median_mad_outliers`` — robust per-series outliers: |x - median| >
+k * 1.4826 * MAD. Means/stddevs (anomaly_zscore) are themselves
+dragged by the outliers they hunt; median/MAD has a 50% breakdown
+point. Shape: two tiny exact-median aggregations (groupBy the series
+key — distributed, map-side partial) broadcast back onto the fact
+table; the fact table itself NEVER shuffles. The naive analytic-window
+formulation (PARTITION BY series) would funnel the whole table through
+#series tasks — the same trap anomaly_zscore documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def ewma_weights(alpha: float, lookback: int) -> list[float]:
+    """w_i = a * (1-a)^(i-1) for the i-th most recent *prior* sample."""
+    return [alpha * (1.0 - alpha) ** i for i in range(lookback)]
+
+
+def ewma_smooth(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value: str,
+    order_tiebreak: str,
+    alpha: float = 0.4,
+    lookback: int = 10,
+) -> DataFrame:
+    """Append ``ewma_prev`` (weighted average of the previous
+    ``lookback`` values of ``value`` within ``key``, newest weighted
+    heaviest) and ``resid`` (current value minus that baseline).
+    First row of each series has no history -> both NULL.
+
+    One shuffle (hash on ``key``), one in-partition sort, K codegen
+    lag terms — no Python, no state store.
+    """
+    w = Window.partitionBy(key).orderBy(F.col(ts), F.col(order_tiebreak))
+    weights = ewma_weights(alpha, lookback)
+    num: Column = F.lit(0.0)
+    den: Column = F.lit(0.0)
+    for i, wt in enumerate(weights):
+        li = F.lag(value, i + 1).over(w)
+        num = num + F.when(li.isNotNull(), F.lit(wt) * li).otherwise(F.lit(0.0))
+        den = den + F.when(li.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
+    ewma = F.when(den > 0, num / den)
+    return df.withColumn("ewma_prev", ewma).withColumn(
+        "resid", F.col(value) - F.col("ewma_prev")
+    )
+
+
+def ewma_oracle_terms(alpha: float, lookback: int, value: str = "value") -> tuple[str, str]:
+    """The numerator/denominator SQL for a DuckDB oracle over window
+    ``w`` — the exact expression tree ``ewma_smooth`` builds (same
+    literals via repr round-trip, same left-to-right fold), so the
+    doubles match bit-for-bit."""
+    nums, dens = ["0.0e0"], ["0.0e0"]
+    for i, wt in enumerate(ewma_weights(alpha, lookback)):
+        lg = f"lag({value}, {i + 1}) OVER w"
+        # e0 suffix: a bare decimal literal parses as DECIMAL in DuckDB
+        # (decimal-scaled arithmetic would diverge from Spark doubles)
+        lit = f"{wt!r}" if "e" in f"{wt!r}" else f"{wt!r}e0"
+        nums.append(f"CASE WHEN {lg} IS NOT NULL THEN {lit} * {lg} ELSE 0.0e0 END")
+        dens.append(f"CASE WHEN {lg} IS NOT NULL THEN {lit} ELSE 0.0e0 END")
+    return " + ".join(nums), " + ".join(dens)
+
+
+def median_mad_outliers(
+    df: DataFrame,
+    key: str,
+    value: str,
+    k: float = 3.5,
+    consistency: float = 1.4826,
+) -> DataFrame:
+    """Rows whose |value - median(key)| exceeds ``k * consistency *
+    MAD(key)``, plus the per-key baseline columns. Series where MAD is
+    0 (constant-majority) flag any deviation at all.
+
+    Pass 1: exact per-key median (tiny agg, broadcast back).
+    Pass 2: exact per-key median of |x - med| (tiny agg, broadcast).
+    Both aggregates are over the series-key groupBy — map-side partial,
+    never a whole-table window funnel.
+    """
+    med = df.groupBy(key).agg(F.median(value).alias("_med"))
+    with_med = df.join(F.broadcast(med), key)
+    dev = F.abs(F.col(value) - F.col("_med"))
+    mad = (
+        with_med.select(key, dev.alias("_dev"))
+        .groupBy(key)
+        .agg(F.median("_dev").alias("_mad"))
+    )
+    scored = with_med.join(F.broadcast(mad), key)
+    thresh = F.lit(k) * F.lit(consistency) * F.col("_mad")
+    return scored.where(dev > thresh).withColumnRenamed("_med", "med").withColumnRenamed("_mad", "mad")

@@ -1,0 +1,144 @@
+"""Bloom-filter join pruning — the runtime-filter pattern Spark itself
+applies under ``spark.sql.optimizer.runtime.bloomFilter.enabled``,
+re-expressed as an explicit operator so flows can prune a 100 TB fact
+scan against a small key set *before* the shuffle/join.
+
+Why explicit: Spark's injected runtime filter only fires on eligible
+equi-join shapes and picks its own sizing; a curation pipeline often
+knows the dim side is small and wants the prune applied to a scan that
+feeds several downstream ops (so the filter must live in the plan the
+user composes, not appear probabilistically).
+
+Design (the plan that survives 100 TB):
+
+    1. BUILD  — one distributed aggregation over the (small) dim side:
+       each key sets ``num_hashes`` bit positions, positions group into
+       64-bit words, ``bit_or`` folds them map-side. The result is
+       ``num_bits / 64`` longs — a few KB — collected to the driver.
+       This is the same bounded driver materialization a broadcast
+       join performs, never O(|facts|).
+    2. PROBE  — the word array is embedded as an array *literal*, so
+       the membership test is pure whole-stage-codegen arithmetic on
+       the fact side: k times (xxhash64 -> pmod -> shift -> bitwise
+       AND). No join, no shuffle, no Python.
+    3. EXACT  — Bloom filters have no false negatives, so a following
+       broadcast LEFT SEMI join restores exact semantics; the bloom
+       only shrinks the rows that reach it.
+
+Hashing: ``xxhash64(key, seed_i)`` with literal seeds — the same
+64-bit xxHash the JVM applies in Spark's own BloomFilterImpl family,
+deterministic across runs/partitions (required for resume replay).
+
+Reference scope: the reference engine (asyncio, one process) filters
+per record (src/pysyslog/filters/field.py) and has no notion of a
+pre-shuffle semi-join prune; this operator is part of the SURVEY.md
+§2.7 "set membership at scale" gap map.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def optimal_num_hashes(num_bits: int, expected_items: int) -> int:
+    """k = (m/n) ln 2, clamped to [1, 8] (probe cost is k codegen
+    expressions on every fact row — past 8 the scan cost beats the
+    marginal false-positive gain)."""
+    if expected_items <= 0:
+        return 1
+    k = int(round(num_bits / expected_items * math.log(2)))
+    return max(1, min(8, k))
+
+
+def bloom_build(
+    dim: DataFrame,
+    key: str | Column,
+    num_bits: int = 1 << 16,
+    num_hashes: int = 5,
+) -> list[int]:
+    """Aggregate the dim side's keys into a Bloom bitmap; returns the
+    ``num_bits / 64`` signed-long words (driver-side, bounded by
+    ``num_bits`` — independent of row count)."""
+    if num_bits % 64 != 0:
+        raise ValueError(f"num_bits must be a multiple of 64, got {num_bits}")
+    kc = F.col(key) if isinstance(key, str) else key
+    n_words = num_bits // 64
+
+    # one row per (key, seed): explode is over a k-element literal
+    # array, so the fan-out is k x |dim| — map-side bit_or folds it
+    # down to <= n_words rows before any shuffle
+    seeds = F.array(*[F.lit(i) for i in range(num_hashes)])
+    pos = F.pmod(F.xxhash64(F.col("__k"), F.col("__seed")), F.lit(num_bits))
+    words = (
+        dim.select(kc.alias("__k"))
+        .where(F.col("__k").isNotNull())
+        .withColumn("__seed", F.explode(seeds))
+        .select(
+            F.shiftright(pos, 6).alias("__w"),
+            # call_function: the SQL shiftleft takes a *column* shift
+            # amount; the Python wrapper only accepts a literal int
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), (pos % 64).cast("int")
+            ).alias("__b"),
+        )
+        .groupBy("__w")
+        .agg(F.bit_or("__b").alias("__bits"))
+        .collect()
+    )
+    out = [0] * n_words
+    for r in words:
+        out[r["__w"]] = r["__bits"]
+    return out
+
+
+def bloom_might_contain(
+    key: str | Column,
+    words: Sequence[int],
+    num_hashes: int = 5,
+) -> Column:
+    """Membership predicate over a built bitmap — pure codegen (array
+    literal + bitwise ops), safe to push at the scan. NULL keys test
+    false (a NULL never joins, so pruning it is exact)."""
+    kc = F.col(key) if isinstance(key, str) else key
+    num_bits = len(words) * 64
+    arr = F.lit(list(words))
+    checks = []
+    for i in range(num_hashes):
+        pos = F.pmod(F.xxhash64(kc, F.lit(i)), F.lit(num_bits))
+        word = F.element_at(arr, (F.shiftright(pos, 6) + 1).cast("int"))
+        bit = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (pos % 64).cast("int")
+        )
+        checks.append(word.bitwiseAND(bit) != 0)
+    pred = checks[0]
+    for c in checks[1:]:
+        pred = pred & c
+    return kc.isNotNull() & pred
+
+
+def bloom_semi_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    num_bits: int = 1 << 16,
+    num_hashes: int | None = None,
+) -> DataFrame:
+    """Exact LEFT SEMI join with a Bloom pre-prune: facts are first
+    filtered by the bitmap (codegen, no shuffle), then the surviving
+    sliver is broadcast-semi-joined for exactness. Same answer as the
+    plain semi join — the bloom is invisible in the result, it only
+    cuts the rows that pay the join."""
+    keys = dim.select(F.col(dim_key).alias(fact_key)).where(
+        F.col(fact_key).isNotNull()
+    ).distinct()
+    if num_hashes is None:
+        # dim count is one tiny agg; acceptable at build time because
+        # the build side is small by contract (else don't bloom it)
+        num_hashes = optimal_num_hashes(num_bits, keys.count())
+    words = bloom_build(keys, fact_key, num_bits, num_hashes)
+    pruned = facts.where(bloom_might_contain(fact_key, words, num_hashes))
+    return pruned.join(F.broadcast(keys), fact_key, "left_semi")

@@ -727,6 +727,51 @@ def _leef(cfg: ComponentConfig) -> ParserFn:
     return parse
 
 
+def _xml(cfg: ComponentConfig) -> ParserFn:
+    """XML fragment parser: each line/message is one XML element (the
+    Windows-Event/JMX-style interchange the reference's per-line flow
+    can't structure). Built on Spark 4's native ``from_xml`` — JVM-side
+    StAX parsing, no Python in the path.
+
+    Options:
+      - ``schema`` (required): DDL struct of the child elements /
+        attributes to extract (attributes use the ``_name`` convention,
+        Spark's default attributePrefix);
+      - ``allow_null``: keep empty messages (default: drop, reference
+        parsers/json.py:19-20 convention);
+      - ``dlq``-compatible: invalid XML ⇒ drop via the corrupt-record
+        column, same contract as parser.json (an all-NULL struct is
+        NOT a reliable invalid signal; the corrupt column is).
+    """
+    ddl = cfg.option("schema")
+    if not ddl:
+        raise ConfigError("xml parser requires 'schema' (DDL struct)")
+    allow_null = cfg.flag("allow_null")
+    corrupt = "_corrupt_rec_7f"
+
+    def parse(df: DataFrame, raw: str = "value") -> DataFrame:
+        schema = T.StructType.fromDDL(ddl)
+        out = df
+        if not allow_null:
+            out = out.where(F.col(raw).isNotNull() & (F.length(raw) > 0))
+        full = T.StructType(
+            list(schema.fields) + [T.StructField(corrupt, T.StringType(), True)]
+        )
+        rec = F.from_xml(
+            F.col(raw), full, {"columnNameOfCorruptRecord": corrupt, "mode": "PERMISSIVE"}
+        )
+        out = out.withColumn(RECORD_COL, rec)
+        return out.where(
+            F.col(RECORD_COL).isNotNull()
+            & F.col(f"{RECORD_COL}.{corrupt}").isNull()
+        ).withColumn(
+            RECORD_COL,
+            F.struct(*[F.col(f"{RECORD_COL}.{f.name}") for f in schema.fields]),
+        )
+
+    return parse
+
+
 def _passthrough(cfg: ComponentConfig) -> ParserFn:
     def parse(df: DataFrame, raw: str = "value") -> DataFrame:
         return df.where(F.col(raw).isNotNull()).withColumn(
@@ -747,6 +792,7 @@ BUILTIN_PARSERS = {
     "csv": _csv,
     "cef": _cef,
     "leef": _leef,
+    "xml": _xml,
     "passthrough": _passthrough,
 }
 

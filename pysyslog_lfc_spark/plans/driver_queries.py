@@ -26,12 +26,19 @@ from pysyslog_lfc_spark.operators.filters import compile_filter_predicate
 from pysyslog_lfc_spark.plans.compiler import compile_flow
 from pysyslog_lfc_spark.plans.pipeline import parse_stage
 from pysyslog_lfc_spark.functions import (
+    curriculum as CUR,
     decontaminate as DC,
     dedup as DD,
     similarity as SIM,
     text as TX,
 )
-from pysyslog_lfc_spark.operators import joins as J, sampling as SAMP, sessions as SESS
+from pysyslog_lfc_spark.operators import (
+    anomaly as AN,
+    bloom as BL,
+    joins as J,
+    sampling as SAMP,
+    sessions as SESS,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -3316,6 +3323,200 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     repetition_features — posexplode + lead window, all codegen)."""
     docs = _t(spark, sf_dir, "documents")
     return TX.repetition_features(docs)
+
+
+# =====================================================================
+# Bloom pruning, anomaly baselines, curriculum ordering, canonical
+# dedup, XML parsing
+# =====================================================================
+
+@query(
+    "bloom_prune_semi",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+    """,
+)
+def bloom_prune_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join pruning (operators/bloom.py): the fact scan is
+    pre-filtered by a codegen bitmap probe built from the dim keys, then
+    a broadcast semi join restores exactness — same rows as the plain
+    semi join (the oracle), but at 100 TB the bloom cuts the rows that
+    reach the join from |facts| to |matches| + FP."""
+    orders = _t(spark, sf_dir, "orders")
+    rich = _t(spark, sf_dir, "customer").where(F.col("c_acctbal") > 9000)
+    out = BL.bloom_semi_join(orders, rich, "o_custkey", "c_custkey")
+    return out.select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+_EWMA_NUM, _EWMA_DEN = AN.ewma_oracle_terms(0.4, 8)
+
+@query(
+    "ewma_anomaly",
+    f"""
+    WITH sm AS (
+      SELECT event_id, user_id, value,
+             {_EWMA_NUM} AS num,
+             {_EWMA_DEN} AS den
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id,
+           CAST(floor((num / den) * 1000) AS BIGINT) AS ewma_permille,
+           CAST(floor((value - num / den) * 1000) AS BIGINT) AS resid_permille
+    FROM sm WHERE den > 0
+    """,
+)
+def ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Finite-lookback EWMA baseline + residual per event stream
+    (operators/anomaly.py::ewma_smooth — the recurrence unrolled into a
+    codegen LAG chain; one shuffle on the series key). Floor-permille
+    ints keep the FP outputs engine-portable."""
+    ev = _t(spark, sf_dir, "events")
+    sm = AN.ewma_smooth(ev, "user_id", "ts", "value", "event_id", alpha=0.4, lookback=8)
+    return sm.where(F.col("ewma_prev").isNotNull()).select(
+        "event_id",
+        "user_id",
+        F.floor(F.col("ewma_prev") * 1000).cast("long").alias("ewma_permille"),
+        F.floor(F.col("resid") * 1000).cast("long").alias("resid_permille"),
+    )
+
+
+@query(
+    "outliers_median_mad",
+    """
+    WITH med AS (SELECT event_type, median(value) AS m FROM events GROUP BY event_type),
+    dev AS (
+      SELECT e.event_id, e.event_type, e.value, abs(e.value - med.m) AS dv
+      FROM events e JOIN med USING (event_type)
+    ),
+    mad AS (SELECT event_type, median(dv) AS md FROM dev GROUP BY event_type)
+    SELECT d.event_id, d.event_type, d.value
+    FROM dev d JOIN mad USING (event_type)
+    WHERE dv > 3.5e0 * 1.4826e0 * md
+    """,
+)
+def outliers_median_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-series outliers: |x - median| > 3.5 * 1.4826 * MAD
+    (operators/anomaly.py::median_mad_outliers — two tiny exact-median
+    aggregates broadcast back; the fact table never shuffles, unlike a
+    PARTITION BY window which funnels it through #series tasks)."""
+    ev = _t(spark, sf_dir, "events")
+    out = AN.median_mad_outliers(ev, "event_type", "value", k=3.5)
+    return out.select("event_id", "event_type", "value")
+
+
+@query(
+    "curriculum_order",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(text, '\s+'), w -> w != ''))
+                  AS INTEGER) AS score
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, score,
+             CAST(row_number() OVER (ORDER BY score, doc_id) AS BIGINT) AS global_rank
+      FROM toks
+    ),
+    n AS (SELECT count(*) AS c FROM toks)
+    SELECT doc_id, score, global_rank,
+           CAST(floor((global_rank - 1) * 4 / c) AS INTEGER) AS stage
+    FROM r, n
+    """,
+)
+def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning data ordering: exact global rank by token
+    count + equal-count stage split — WITHOUT the single-task global
+    window (functions/curriculum.py: within-score row_number + tiny
+    broadcast cumulative offsets; one corpus shuffle total)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = CUR.curriculum_stages(
+        docs.select("doc_id", "text"),
+        TX.token_count(F.col("text")).cast("int"),
+        "doc_id",
+        n_stages=4,
+    )
+    return out.select("doc_id", "score", "global_rank", "stage")
+
+
+_KEEP_BEST_ORACLE = (
+    "WITH RECURSIVE pairs AS (\n"
+    + _JACCARD_ORACLE.format(t="0.9")
+    + """
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach AS (
+  SELECT u AS node, u AS comp FROM edges
+  UNION
+  SELECT e.u AS node, r.comp AS comp FROM edges e JOIN reach r ON r.node = e.v
+),
+cl AS (SELECT node AS doc_id, min(comp) AS cluster_id FROM reach GROUP BY node),
+mem AS (
+  SELECT c.cluster_id, c.doc_id, CAST(length(d.text) AS BIGINT) AS l
+  FROM cl c JOIN documents d ON c.doc_id = d.doc_id
+),
+rk AS (
+  SELECT cluster_id, doc_id, l,
+         row_number() OVER (PARTITION BY cluster_id ORDER BY l DESC, doc_id) AS r
+  FROM mem
+)
+SELECT cluster_id, max(CASE WHEN r = 1 THEN doc_id END) AS keep_doc_id,
+       max(CASE WHEN r = 1 THEN l END) AS keep_len,
+       CAST(count(*) AS BIGINT) AS n_members
+FROM rk GROUP BY cluster_id
+"""
+)
+
+
+@query("dedup_keep_best", _KEEP_BEST_ORACLE)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-doc selection per near-dup cluster: MinHash-LSH pairs
+    -> connected components -> keep the longest member (ties to the
+    smallest id). The RefinedWeb keep-rule as one distributed plan
+    (functions/dedup.py::dedup_keep_best)."""
+    return DD.dedup_keep_best(_t(spark, sf_dir, "documents"), threshold=0.9)
+
+
+@query(
+    "flow_parse_xml",
+    """
+    SELECT event_id AS xid, event_type AS etype, user_id AS uid
+    FROM events WHERE event_id % 17 != 0
+    """,
+)
+def flow_parse_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML fragment parser (Spark 4 native from_xml, JVM StAX — no
+    Python): both engines agree the parse recovers the original fields;
+    rows synthesized malformed (event_id % 17 == 0) must be dropped via
+    the corrupt-record column (operators/parsers.py::_xml)."""
+    from pysyslog_lfc_spark.operators.parsers import compile_parser
+
+    ev = _t(spark, sf_dir, "events")
+    xml = F.when(F.col("event_id") % 17 == 0, F.lit("<evt><broken")).otherwise(
+        F.concat(
+            F.lit('<evt id="'), F.col("event_id").cast("string"),
+            F.lit('"><type>'), F.col("event_type"),
+            F.lit("</type><uid>"), F.col("user_id").cast("string"),
+            F.lit("</uid></evt>"),
+        )
+    )
+    lines = ev.select(xml.alias("value"))
+    parse = compile_parser(
+        ComponentConfig("xml", {"schema": "_id BIGINT, type STRING, uid BIGINT"})
+    )
+    rec = parse(lines)
+    return rec.select(
+        F.col("record._id").alias("xid"),
+        F.col("record.type").alias("etype"),
+        F.col("record.uid").alias("uid"),
+    )
 
 
 # =====================================================================

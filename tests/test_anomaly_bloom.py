@@ -1,0 +1,189 @@
+"""Tests for operators/bloom.py, operators/anomaly.py,
+functions/curriculum.py, dedup_keep_best, and the xml parser."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from pysyslog_lfc_spark.config import ComponentConfig, ConfigError
+from pysyslog_lfc_spark.functions import curriculum as CUR, dedup as DD, text as TX
+from pysyslog_lfc_spark.operators import anomaly as AN, bloom as BL
+from pysyslog_lfc_spark.operators.parsers import compile_parser
+
+SF = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------------------- bloom
+
+class TestBloom:
+    def test_no_false_negatives_and_prunes(self, spark):
+        facts = spark.range(0, 5000).withColumnRenamed("id", "k")
+        dim = spark.range(0, 5000, 103).withColumnRenamed("id", "k")
+        words = BL.bloom_build(dim, "k", num_bits=1 << 13, num_hashes=4)
+        survivors = facts.where(BL.bloom_might_contain("k", words, 4))
+        kept = {r.k for r in survivors.collect()}
+        members = {r.k for r in dim.collect()}
+        # no false negatives: every dim key survives the probe
+        assert members <= kept
+        # and the probe actually prunes (fp rate ~0 at this sizing)
+        assert len(kept) < 5000 * 0.05
+
+    def test_semi_join_exact(self, spark):
+        facts = spark.range(0, 3000).withColumnRenamed("id", "k")
+        dim = (
+            spark.range(0, 3000, 71)
+            .withColumnRenamed("id", "d")
+            .withColumn("d", F.col("d") + 1)
+        )
+        got = BL.bloom_semi_join(facts, dim, "k", "d")
+        want = facts.join(
+            dim.select(F.col("d").alias("k")).distinct(), "k", "left_semi"
+        )
+        assert sorted(r.k for r in got.collect()) == sorted(
+            r.k for r in want.collect()
+        )
+
+    def test_null_keys_pruned(self, spark):
+        facts = spark.createDataFrame([Row(k=1), Row(k=None), Row(k=2)])
+        words = BL.bloom_build(
+            spark.createDataFrame([Row(k=1)]), "k", 1 << 8, 2
+        )
+        kept = facts.where(BL.bloom_might_contain("k", words, 2)).collect()
+        assert [r.k for r in kept] == [1]
+
+    def test_bad_num_bits(self, spark):
+        with pytest.raises(ValueError):
+            BL.bloom_build(spark.range(1), "id", num_bits=100)
+
+    def test_optimal_num_hashes_clamped(self):
+        assert BL.optimal_num_hashes(1 << 16, 10) == 8
+        assert BL.optimal_num_hashes(64, 10_000) == 1
+        assert BL.optimal_num_hashes(1 << 16, 0) == 1
+
+
+# ------------------------------------------------------------ anomaly
+
+class TestEwma:
+    def test_matches_hand_computed_recurrence(self, spark):
+        # one key, values 10, 20, 30; alpha 0.5, lookback big enough
+        rows = [Row(k=1, ts=i, i=i, v=float(x)) for i, x in enumerate([10, 20, 30])]
+        out = (
+            AN.ewma_smooth(spark.createDataFrame(rows), "k", "ts", "v", "i",
+                           alpha=0.5, lookback=4)
+            .orderBy("ts")
+            .collect()
+        )
+        assert out[0].ewma_prev is None and out[0].resid is None
+        # row 1: only one prior -> ewma = 10
+        assert out[1].ewma_prev == pytest.approx(10.0)
+        # row 2: weights 0.5, 0.25 over (20, 10) normalized
+        want = (0.5 * 20 + 0.25 * 10) / 0.75
+        assert out[2].ewma_prev == pytest.approx(want)
+        assert out[2].resid == pytest.approx(30.0 - want)
+
+    def test_series_are_independent(self, spark):
+        rows = [Row(k=k, ts=t, i=t, v=float(k * 100 + t)) for k in (1, 2) for t in range(5)]
+        out = AN.ewma_smooth(spark.createDataFrame(rows), "k", "ts", "v", "i",
+                             alpha=0.4, lookback=8)
+        firsts = out.where(F.col("ts") == 0).collect()
+        assert all(r.ewma_prev is None for r in firsts)
+
+    def test_oracle_terms_match_spark(self, spark):
+        num, den = AN.ewma_oracle_terms(0.4, 3, "v")
+        rows = [Row(k=1, ts=i, i=i, v=float(x)) for i, x in enumerate([5, 7, 11, 13])]
+        df = spark.createDataFrame(rows)
+        df.createOrReplaceTempView("ew_t")
+        sql = spark.sql(
+            f"SELECT ts, {num.replace('OVER w', 'OVER (PARTITION BY k ORDER BY ts, i)')} AS n, "
+            f"{den.replace('OVER w', 'OVER (PARTITION BY k ORDER BY ts, i)')} AS d FROM ew_t"
+        ).orderBy("ts").collect()
+        got = AN.ewma_smooth(df, "k", "ts", "v", "i", 0.4, 3).orderBy("ts").collect()
+        for s, g in zip(sql[1:], got[1:]):
+            assert g.ewma_prev == pytest.approx(s.n / s.d, abs=0)
+
+
+class TestMedianMad:
+    def test_flags_planted_outlier(self, spark):
+        vals = [10.0, 10.1, 9.9, 10.2, 9.8, 10.0, 10.1, 500.0]
+        rows = [Row(event_id=i, event_type="a", value=v) for i, v in enumerate(vals)]
+        out = AN.median_mad_outliers(spark.createDataFrame(rows), "event_type", "value")
+        got = out.select("event_id").collect()
+        assert [r.event_id for r in got] == [7]
+
+    def test_no_fact_table_shuffle(self, spark):
+        ev = spark.read.parquet(f"{SF}/events.parquet")
+        plan = AN.median_mad_outliers(ev, "event_type", "value")._jdf.queryExecution().executedPlan().toString()
+        plan = plan.split("Initial Plan")[0]
+        # the fact-side probe must be broadcast joins, never a fact shuffle
+        assert "BroadcastHashJoin" in plan
+
+
+# --------------------------------------------------------- curriculum
+
+class TestCurriculum:
+    def test_rank_is_exact_total_order(self, spark):
+        docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+        ranked = CUR.global_rank(docs, TX.token_count(F.col("text")).cast("int"), "doc_id")
+        rows = ranked.orderBy("global_rank").collect()
+        n = len(rows)
+        assert [r.global_rank for r in rows] == list(range(1, n + 1))
+        # rank order == (score, doc_id) order
+        keys = [(r.score, r.doc_id) for r in rows]
+        assert keys == sorted(keys)
+
+    def test_stages_equal_count(self, spark):
+        docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+        out = CUR.curriculum_stages(docs, TX.token_count(F.col("text")).cast("int"), "doc_id", 4)
+        counts = {r.stage: r.n for r in out.groupBy("stage").agg(F.count("*").alias("n")).collect()}
+        assert set(counts) == {0, 1, 2, 3}
+        assert max(counts.values()) - min(counts.values()) <= 1
+
+
+# ------------------------------------------------------ keep-best dedup
+
+def test_dedup_keep_best_picks_longest(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    kb = DD.dedup_keep_best(docs, threshold=0.9)
+    clusters = DD.dedup_clusters(docs, threshold=0.9)
+    lens = {r.doc_id: r.l for r in docs.select("doc_id", F.length("text").alias("l")).collect()}
+    members: dict[int, list[int]] = {}
+    for r in clusters.collect():
+        members.setdefault(r.cluster_id, []).append(r.doc_id)
+    got = {r.cluster_id: (r.keep_doc_id, r.keep_len, r.n_members) for r in kb.collect()}
+    assert set(got) == set(members)
+    for cid, docs_in in members.items():
+        best = min(docs_in, key=lambda d: (-lens[d], d))
+        assert got[cid] == (best, lens[best], len(docs_in))
+
+
+# ------------------------------------------------------------- xml
+
+class TestXmlParser:
+    def test_parses_fields_and_attributes(self, spark):
+        p = compile_parser(
+            ComponentConfig("xml", {"schema": "_id BIGINT, type STRING, uid BIGINT"})
+        )
+        df = spark.createDataFrame(
+            [('<e id="3"><type>err</type><uid>9</uid></e>',)], ["value"]
+        )
+        row = p(df).select("record.*").collect()[0]
+        assert (row["_id"], row["type"], row["uid"]) == (3, "err", 9)
+
+    def test_invalid_xml_dropped(self, spark):
+        p = compile_parser(ComponentConfig("xml", {"schema": "a BIGINT"}))
+        df = spark.createDataFrame(
+            [("<e><a>1</a></e>",), ("<e><broken",), ("notxml",), ("",)], ["value"]
+        )
+        out = p(df).collect()
+        assert len(out) == 1 and out[0].record.a == 1
+
+    def test_requires_schema(self):
+        with pytest.raises(ConfigError):
+            compile_parser(ComponentConfig("xml", {}))
+
+    def test_registry_resolves_xml(self, spark):
+        from pysyslog_lfc_spark.registry import default_registry
+
+        reg = default_registry()
+        assert reg.resolve("parser", "xml") is not None
