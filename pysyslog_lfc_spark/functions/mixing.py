@@ -1,0 +1,122 @@
+"""Dataset mixing & ordering for LLM training pipelines: temperature-
+based source reweighting (the multilingual/source-mixing step of
+GPT-3/PaLM-style recipes) and deterministic per-epoch corpus shuffling.
+
+Both are engineered for the driver's cross-engine correctness gate:
+every output number is produced by IEEE-correctly-rounded operations
+over exactly-representable integers (counts, sqrt, one division, one
+scaling multiply, floor), so Spark and DuckDB agree bit-for-bit — no
+libm transcendentals in the output path (pow/ln differ by ULPs across
+runtimes; sqrt is exactly rounded everywhere by IEEE 754).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from pysyslog_lfc_spark.functions.text import portable_hash60
+
+
+def temperature_mix_weights(
+    df: DataFrame,
+    source_col: str = "source",
+) -> DataFrame:
+    """Temperature-sampled source weights at tau = 0.5: a source with
+    n_s documents is drawn with probability
+
+        w_s = n_s^0.5 / sum_t n_t^0.5
+
+    — the standard flattening that keeps small sources from drowning
+    (tau=1 is proportional, tau=0 uniform; 0.5 is the common midpoint
+    and the one value whose power is an IEEE-exact ``sqrt``).
+
+    Returns one row per source:
+      - ``n_docs``           exact count
+      - ``weight_ppm``       floor(w_s * 1e6)
+      - ``repeat_permille``  floor(w_s * N / n_s * 1000) — the per-doc
+        duplication factor a sampler applies (>1000 upsample, <1000
+        downsample); feed it to operators/sampling.py::
+        upsample_by_weight / stratified_sample.
+
+    Shape: ONE map-side-partial groupBy over the corpus; everything
+    after operates on the |sources| rows. The sqrt is quantized to a
+    64-bit integer (floor(sqrt(n)*1e6)) BEFORE the normalizing sum, so
+    the sum is exact integer arithmetic — immune to the float-sum
+    ordering nondeterminism a distributed engine cannot avoid.
+    """
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    # quantized sqrt: exact-int in, correctly-rounded sqrt, exact floor
+    scaled = F.floor(F.sqrt(F.col("n_docs").cast("double")) * 1e6).cast("long")
+    per = counts.withColumn("__s", scaled)
+    tot = per.groupBy().agg(
+        F.sum("__s").alias("__tot"), F.sum("n_docs").alias("__n")
+    )
+    w = F.col("__s").cast("double") / F.col("__tot").cast("double")
+    return (
+        per.join(F.broadcast(tot))
+        .select(
+            source_col,
+            "n_docs",
+            F.floor(w * 1e6).cast("long").alias("weight_ppm"),
+            F.floor(
+                w * F.col("__n").cast("double") / F.col("n_docs").cast("double")
+                * 1e3
+            ).cast("long").alias("repeat_permille"),
+        )
+    )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_epochs: int = 2,
+    n_buckets: int = 4096,
+    salt: str = "epoch",
+) -> DataFrame:
+    """Deterministic per-epoch training order: every epoch sees the
+    whole corpus in a different pseudorandom permutation, reproducible
+    on resume (position is a pure function of (salt, epoch, id)).
+
+    The global position is an exact total order over
+    ``(bucket, hash, id)`` computed WITHOUT a single-task global
+    window: ranks are taken within each of ``n_buckets`` hash buckets
+    (distributed window), and bucket start offsets come from a
+    (epochs x buckets)-row count frame — tiny, broadcast back. One
+    corpus shuffle per plan; the same two-level decomposition as
+    functions/curriculum.py::global_rank, keyed by hash bucket so it
+    holds for UNIQUE sort keys too (curriculum's per-score trick needs
+    a small score domain; a hash has none).
+    """
+    ep = df.select(
+        F.col(id_col),
+        F.explode(F.array(*[F.lit(e) for e in range(n_epochs)])).alias("epoch"),
+    )
+    h = portable_hash60(
+        F.concat(
+            F.lit(salt), F.col("epoch").cast("string"),
+            F.lit(":"), F.col(id_col).cast("string"),
+        )
+    )
+    keyed = ep.withColumn("h", h).withColumn(
+        "bucket", F.pmod(F.col("h"), F.lit(n_buckets)).cast("int")
+    )
+    w_in = Window.partitionBy("epoch", "bucket").orderBy("h", id_col)
+    counts = keyed.groupBy("epoch", "bucket").agg(F.count(F.lit(1)).alias("__n"))
+    w_cum = (
+        Window.partitionBy("epoch")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "epoch", "bucket",
+        F.coalesce(F.sum("__n").over(w_cum), F.lit(0)).alias("__off"),
+    )
+    return (
+        keyed.withColumn("__rn", F.row_number().over(w_in))
+        .join(F.broadcast(offsets), ["epoch", "bucket"])
+        .select(
+            "epoch",
+            F.col(id_col),
+            (F.col("__off") + F.col("__rn")).cast("long").alias("position"),
+        )
+    )

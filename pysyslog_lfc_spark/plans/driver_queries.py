@@ -29,6 +29,7 @@ from pysyslog_lfc_spark.functions import (
     curriculum as CUR,
     decontaminate as DC,
     dedup as DD,
+    mixing as MIX,
     similarity as SIM,
     text as TX,
 )
@@ -3516,6 +3517,104 @@ def flow_parse_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("record._id").alias("xid"),
         F.col("record.type").alias("etype"),
         F.col("record.uid").alias("uid"),
+    )
+
+
+@query(
+    "source_mixing",
+    """
+    WITH c AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY source
+    ),
+    s AS (
+      SELECT source, n_docs,
+             CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1e6) AS BIGINT) AS sc
+      FROM c
+    ),
+    t AS (SELECT CAST(sum(sc) AS BIGINT) AS tot, CAST(sum(n_docs) AS BIGINT) AS n FROM s)
+    SELECT source, n_docs,
+           CAST(floor(CAST(sc AS DOUBLE) / CAST(tot AS DOUBLE) * 1e6) AS BIGINT)
+             AS weight_ppm,
+           CAST(floor(CAST(sc AS DOUBLE) / CAST(tot AS DOUBLE)
+                      * CAST(n AS DOUBLE) / CAST(n_docs AS DOUBLE) * 1e3) AS BIGINT)
+             AS repeat_permille
+    FROM s, t
+    """,
+)
+def source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing at tau=0.5 (functions/mixing.py)
+    — per-source sampling weights and repeat factors, quantized through
+    integer space so the normalizing sum is exact (no float-sum order
+    dependence) and every FP op is IEEE-exactly-rounded (sqrt, one div,
+    one mul, floor) — bit-identical across engines."""
+    return MIX.temperature_mix_weights(_t(spark, sf_dir, "documents"), "source")
+
+
+@query(
+    "epoch_shuffle",
+    """
+    WITH ep AS (
+      SELECT doc_id, CAST(e.epoch AS INTEGER) AS epoch
+      FROM documents, (SELECT unnest(range(2)) AS epoch) e
+    ),
+    k AS (
+      SELECT epoch, doc_id,
+             ('0x' || substr(md5('epoch' || CAST(epoch AS VARCHAR) || ':'
+                                 || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM ep
+    )
+    SELECT epoch, doc_id,
+           CAST(row_number() OVER (PARTITION BY epoch
+                                   ORDER BY h % 4096, h, doc_id) AS BIGINT)
+             AS position
+    FROM k
+    """,
+)
+def epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch corpus permutation (functions/mixing.py
+    ::epoch_shuffle): exact global position per (epoch, doc) from the
+    two-level rank decomposition over 4096 hash buckets — a total order
+    over unique keys with NO single-task global sort."""
+    return MIX.epoch_shuffle(
+        _t(spark, sf_dir, "documents"), "doc_id", n_epochs=2, n_buckets=4096
+    )
+
+
+@query(
+    "flow_parse_url",
+    """
+    WITH u AS (
+      SELECT doc_id,
+             'https://h' || CAST(doc_id % 50 AS VARCHAR) || '.example.com/p/'
+             || CAST(doc_id % 7 AS VARCHAR) || '/x?q=' || CAST(doc_id AS VARCHAR)
+             || '&u=2' AS url
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_extract(url, 'https://([^/]+)/', 1) AS host,
+           regexp_extract(url, 'https://[^/]+(/[^?]*)', 1) AS path,
+           CAST(regexp_extract(url, '[?&]q=([^&]*)', 1) AS BIGINT) AS q
+    FROM u
+    """,
+)
+def flow_parse_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition with Spark's native parse_url (JVM java.net.URI
+    — the typed-filter 'url' family's extraction side, SURVEY §2.3
+    catalog). Both engines synthesize the identical URL; the oracle
+    re-derives host/path/query-param with regexes."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://h"), (d % 50).cast("string"),
+        F.lit(".example.com/p/"), (d % 7).cast("string"),
+        F.lit("/x?q="), d.cast("string"), F.lit("&u=2"),
+    )
+    u = docs.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("q")).cast("long").alias("q"),
     )
 
 

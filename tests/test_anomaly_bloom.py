@@ -187,3 +187,56 @@ class TestXmlParser:
 
         reg = default_registry()
         assert reg.resolve("parser", "xml") is not None
+
+
+# ------------------------------------------------------------- mixing
+
+class TestMixing:
+    def test_temperature_weights_flatten(self, spark):
+        from pysyslog_lfc_spark.functions import mixing as MIX
+
+        rows = [Row(source="big", doc_id=i) for i in range(900)] + [
+            Row(source="small", doc_id=1000 + i) for i in range(100)
+        ]
+        out = {
+            r.source: r
+            for r in MIX.temperature_mix_weights(
+                spark.createDataFrame(rows), "source"
+            ).collect()
+        }
+        # weights sum to ~1e6 (floor loses < n_sources ppm)
+        total = out["big"].weight_ppm + out["small"].weight_ppm
+        assert 1_000_000 - 2 <= total <= 1_000_000
+        # tau=0.5 flattens: small source gets MORE than proportional
+        # (10% of docs -> 25% of draws for a 9:1 split), big less
+        assert out["small"].weight_ppm > 200_000
+        assert out["big"].weight_ppm < 800_000
+        # repeat factor: small upsampled (>1000), big downsampled
+        assert out["small"].repeat_permille > 1000 > out["big"].repeat_permille
+
+    def test_epoch_shuffle_is_permutation_and_differs(self, spark):
+        from pysyslog_lfc_spark.functions import mixing as MIX
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id")
+        n = docs.count()
+        out = MIX.epoch_shuffle(docs, "doc_id", n_epochs=2, n_buckets=64)
+        rows = out.collect()
+        by_epoch: dict[int, dict[int, int]] = {}
+        for r in rows:
+            by_epoch.setdefault(r.epoch, {})[r.doc_id] = r.position
+        assert set(by_epoch) == {0, 1}
+        for ep, m in by_epoch.items():
+            assert sorted(m.values()) == list(range(1, n + 1)), ep
+        # the two epochs order the corpus differently
+        assert by_epoch[0] != by_epoch[1]
+        # and the permutation is not the identity-ish sorted order
+        order0 = [d for d, _ in sorted(by_epoch[0].items(), key=lambda kv: kv[1])]
+        assert order0 != sorted(order0)
+
+    def test_epoch_shuffle_deterministic(self, spark):
+        from pysyslog_lfc_spark.functions import mixing as MIX
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id")
+        a = sorted(map(tuple, MIX.epoch_shuffle(docs, n_epochs=1).collect()))
+        b = sorted(map(tuple, MIX.epoch_shuffle(docs, n_epochs=1).collect()))
+        assert a == b
