@@ -29,6 +29,7 @@ from pysyslog_lfc_spark.functions import (
     curriculum as CUR,
     decontaminate as DC,
     dedup as DD,
+    layout as LAY,
     mixing as MIX,
     similarity as SIM,
     text as TX,
@@ -3615,6 +3616,77 @@ def flow_parse_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("url", F.lit("HOST")).alias("host"),
         F.parse_url("url", F.lit("PATH")).alias("path"),
         F.parse_url("url", F.lit("QUERY"), F.lit("q")).cast("long").alias("q"),
+    )
+
+
+@query(
+    "skew_salted_join",
+    """
+    WITH lkp AS (
+      SELECT event_type, min(value) AS mn FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           CAST(floor((e.value - l.mn) * 100) AS BIGINT) AS dev_centi
+    FROM events e JOIN lkp l USING (event_type)
+    """,
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe shuffle join (operators/skew.py::salted_shuffle_join):
+    the hot key (event_type — a handful of values over the whole fact
+    table) joins on (key, salt) so each hot key spreads across 16
+    reducers instead of funnelling one; the lookup replicates 16x.
+    Same rows as the plain join (the oracle) — only the shuffle
+    distribution changes."""
+    from pysyslog_lfc_spark.operators import skew
+
+    ev = _t(spark, sf_dir, "events")
+    lkp = ev.groupBy("event_type").agg(F.min("value").alias("mn"))
+    joined = skew.salted_shuffle_join(
+        ev, lkp, "event_type", salt_src="event_id", n_salts=16, how="inner"
+    )
+    return joined.select(
+        "event_id",
+        "event_type",
+        F.floor((F.col("value") - F.col("mn")) * 100).cast("long").alias("dev_centi"),
+    )
+
+
+_ZORDER_SQL = LAY.zorder_oracle_sql(
+    ["user_id % 1024", "CAST(floor(value) AS BIGINT) % 1024"], bits=10
+)
+
+@query(
+    "zorder_cells",
+    f"""
+    WITH z AS (
+      SELECT {_ZORDER_SQL} AS zval, user_id FROM events
+    )
+    SELECT CAST(zval >> 8 AS BIGINT) AS cell, CAST(count(*) AS BIGINT) AS n,
+           CAST(min(user_id) AS BIGINT) AS min_uid,
+           CAST(max(user_id) AS BIGINT) AS max_uid
+    FROM z GROUP BY 1
+    """,
+)
+def zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key for multi-dim file skipping
+    (functions/layout.py): bit-interleave (user_id, floor(value)) and
+    aggregate per coarse Z-cell — the bounding-box stats a writer lays
+    files out by so scans filtered on EITHER dimension prune files.
+    Pure constant-shift codegen; oracle is the generated identical
+    interleave in SQL."""
+    ev = _t(spark, sf_dir, "events")
+    z = LAY.zorder_value(
+        [F.col("user_id") % 1024, F.floor(F.col("value")).cast("long") % 1024],
+        bits=10,
+    )
+    return (
+        ev.select(z.alias("zval"), "user_id")
+        .groupBy(F.shiftright(F.col("zval"), 8).cast("long").alias("cell"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("user_id").cast("long").alias("min_uid"),
+            F.max("user_id").cast("long").alias("max_uid"),
+        )
     )
 
 

@@ -240,3 +240,75 @@ class TestMixing:
         a = sorted(map(tuple, MIX.epoch_shuffle(docs, n_epochs=1).collect()))
         b = sorted(map(tuple, MIX.epoch_shuffle(docs, n_epochs=1).collect()))
         assert a == b
+
+
+# ------------------------------------------------------------- layout
+
+class TestZorder:
+    def test_interleave_hand_values(self, spark):
+        from pysyslog_lfc_spark.functions import layout as LAY
+
+        df = spark.createDataFrame(
+            [Row(x=1, y=0), Row(x=0, y=1), Row(x=3, y=3), Row(x=0, y=0)]
+        )
+        z = LAY.zorder_value([F.col("x"), F.col("y")], bits=4)
+        got = {(r.x, r.y): r.z for r in df.select("x", "y", z.alias("z")).collect()}
+        assert got == {(1, 0): 1, (0, 1): 2, (3, 3): 15, (0, 0): 0}
+
+    def test_oracle_sql_matches_spark(self, spark):
+        from pysyslog_lfc_spark.functions import layout as LAY
+        import duckdb
+
+        rows = [Row(x=i * 7 % 64, y=i * 13 % 64) for i in range(100)]
+        df = spark.createDataFrame(rows)
+        z = LAY.zorder_value([F.col("x"), F.col("y")], bits=6)
+        got = sorted(r.z for r in df.select(z.alias("z")).collect())
+        sql = LAY.zorder_oracle_sql(["x", "y"], bits=6)
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t(x BIGINT, y BIGINT)")
+        con.executemany("INSERT INTO t VALUES (?, ?)", [(r.x, r.y) for r in rows])
+        want = sorted(r[0] for r in con.sql(f"SELECT {sql} FROM t").fetchall())
+        assert got == want
+
+    def test_layout_tightens_bounding_boxes(self, spark):
+        from pysyslog_lfc_spark.functions import layout as LAY
+
+        # grid data: a single-column sort leaves the OTHER column's
+        # per-partition range at full width; z-order keeps both tight
+        rows = [Row(x=i % 32, y=i // 32) for i in range(1024)]
+        df = spark.createDataFrame(rows)
+        zed = LAY.zorder_layout(df, [F.col("x"), F.col("y")], bits=5, n_files=16)
+        import pyspark.sql.functions as FF
+        stats = (
+            zed.withColumn("pid", FF.spark_partition_id())
+            .groupBy("pid")
+            .agg(
+                (FF.max("x") - FF.min("x")).alias("wx"),
+                (FF.max("y") - FF.min("y")).alias("wy"),
+            )
+            .collect()
+        )
+        avg_area = sum((r.wx + 1) * (r.wy + 1) for r in stats) / len(stats)
+        # 16 z-files over a 32x32 grid -> each covers ~1/16 of the area;
+        # a 1-D sort would give every file wy=31 (full width)
+        assert avg_area < 32 * 32 / 4
+
+    def test_arg_validation(self):
+        from pysyslog_lfc_spark.functions import layout as LAY
+
+        with pytest.raises(ValueError):
+            LAY.zorder_value([F.col("x")], bits=4)
+        with pytest.raises(ValueError):
+            LAY.zorder_value([F.col("x"), F.col("y")], bits=32)
+
+
+def test_salted_join_matches_plain_join(spark):
+    from pysyslog_lfc_spark.operators import skew
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    lkp = ev.groupBy("event_type").agg(F.min("value").alias("mn"))
+    got = skew.salted_shuffle_join(
+        ev, lkp, "event_type", salt_src="event_id", n_salts=8, how="inner"
+    ).select("event_id", "mn")
+    want = ev.join(lkp, "event_type").select("event_id", "mn")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
