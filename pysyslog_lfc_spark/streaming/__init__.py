@@ -18,4 +18,5 @@ from pysyslog_lfc_spark.streaming.flows import (  # noqa: F401
     windowed_alert_stream,
     streaming_dedup,
     stateful_source_gauge,
+    streaming_ewma_anomaly,
 )

@@ -398,3 +398,87 @@ def run_flow_stream_foreach_batch(
     )
     writer = writer.trigger(**(trigger or {"availableNow": True}))
     return writer.start()
+
+
+_EWMA_SCHEMA = T.StructType(
+    [
+        T.StructField("series", T.StringType()),
+        T.StructField("event_ts", T.DoubleType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("ewma_prev", T.DoubleType()),
+        T.StructField("resid", T.DoubleType()),
+    ]
+)
+_EWMA_STATE = T.StructType(
+    [
+        T.StructField("ewma", T.DoubleType()),
+        T.StructField("last_ts", T.DoubleType()),
+        T.StructField("n_seen", T.LongType()),
+    ]
+)
+
+
+def streaming_ewma_anomaly(
+    df: DataFrame,
+    key_col: str = "source",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    alpha: float = 0.4,
+    threshold: float | None = None,
+):
+    """Streaming EWMA anomaly detector via ``applyInPandasWithState``.
+
+    Unlike the batch operator (operators/anomaly.py::ewma_smooth, which
+    unrolls a truncated lookback into a LAG chain because batch SQL has
+    no recurrence), keyed streaming state runs the EXACT textbook
+    recurrence ``s = alpha*x + (1-alpha)*s`` — state per key is two
+    doubles and a count, O(distinct keys) forever.
+
+    Emits one row per input event with the pre-update baseline and
+    residual; with ``threshold`` set, only rows where ``|resid| >
+    threshold`` (the alerting mode). First event of a key emits NULL
+    baseline (nothing to compare against).
+
+    Late data: rows are folded in micro-batch event-time order; an
+    out-of-order row relative to already-consumed state is folded at
+    arrival position (documented at-arrival semantics — same contract
+    as the reference's sequential per-record pipeline, flow.py, which
+    also processes in arrival order).
+    """
+    import pandas as pd
+
+    def update(key, pdfs, state: GroupState):
+        ewma, last_ts, n_seen = (
+            state.get if state.exists else (None, float("-inf"), 0)
+        )
+        out = []
+        for pdf in pdfs:
+            for _, row in pdf.sort_values(ts_col).iterrows():
+                t = (
+                    row[ts_col].timestamp()
+                    if hasattr(row[ts_col], "timestamp")
+                    else float(row[ts_col])
+                )
+                v = float(row[value_col])
+                resid = None if ewma is None else v - ewma
+                if resid is not None and (
+                    threshold is None or abs(resid) > threshold
+                ):
+                    out.append([key[0], t, v, ewma, resid])
+                elif ewma is None and threshold is None:
+                    out.append([key[0], t, v, None, None])
+                ewma = v if ewma is None else alpha * v + (1.0 - alpha) * ewma
+                last_ts = max(last_ts, t)
+                n_seen += 1
+        state.update((ewma, last_ts, n_seen))
+        yield pd.DataFrame(
+            out, columns=["series", "event_ts", "value", "ewma_prev", "resid"]
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=_EWMA_SCHEMA,
+        stateStructType=_EWMA_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -419,3 +419,68 @@ format.template = {{message}}
     assert got == ["ok1", "ok2"]
     dead = sorted(r.value for r in spark.read.parquet(str(dlq)).collect())
     assert dead == ["garbage line"]
+
+
+def test_streaming_ewma_anomaly_matches_recurrence(spark, tmp_path):
+    """The keyed-state EWMA must equal the textbook recurrence run
+    sequentially per series in event-time order."""
+    from pysyslog_lfc_spark.streaming.flows import streaming_ewma_anomaly
+
+    vals = {"a": [10.0, 20.0, 15.0, 100.0, 12.0], "b": [5.0, 5.0, 50.0]}
+    rows = []
+    for k, vs in vals.items():
+        for i, v in enumerate(vs):
+            rows.append((k, f"2024-01-01 10:{i:02d}:00", v))
+    df = spark.createDataFrame(rows, "source string, ts_s string, value double").withColumn(
+        "ts", F.col("ts_s").cast("timestamp")
+    ).drop("ts_s")
+    src = tmp_path / "ewma_in"
+    df.coalesce(1).write.mode("overwrite").parquet(str(src))
+    stream = spark.readStream.schema(df.schema).parquet(str(src))
+    q = (
+        streaming_ewma_anomaly(stream, alpha=0.4).writeStream.format("memory")
+        .queryName("ewma_t").outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.series, r.event_ts): (r.ewma_prev, r.resid)
+        for r in spark.sql("SELECT * FROM ewma_t").collect()
+    }
+    # python reference recurrence
+    import datetime as dt
+
+    for k, vs in vals.items():
+        ewma = None
+        for i, v in enumerate(vs):
+            t = dt.datetime(2024, 1, 1, 10, i, tzinfo=dt.timezone.utc).timestamp()
+            want = (ewma, None if ewma is None else v - ewma)
+            gp, gr = got[(k, t)]
+            if want[0] is None:
+                assert gp is None and gr is None
+            else:
+                assert gp == want[0] and gr == want[1]
+            ewma = v if ewma is None else 0.4 * v + 0.6 * ewma
+    assert len(got) == sum(len(v) for v in vals.values())
+
+
+def test_streaming_ewma_threshold_mode(spark, tmp_path):
+    from pysyslog_lfc_spark.streaming.flows import streaming_ewma_anomaly
+
+    rows = [("a", f"2024-01-01 10:{i:02d}:00", v)
+            for i, v in enumerate([10.0, 10.0, 10.0, 99.0, 10.0])]
+    df = spark.createDataFrame(rows, "source string, ts_s string, value double").withColumn(
+        "ts", F.col("ts_s").cast("timestamp")
+    ).drop("ts_s")
+    src = tmp_path / "ewma_thr_in"
+    df.coalesce(1).write.mode("overwrite").parquet(str(src))
+    stream = spark.readStream.schema(df.schema).parquet(str(src))
+    q = (
+        streaming_ewma_anomaly(stream, alpha=0.4, threshold=30.0)
+        .writeStream.format("memory").queryName("ewma_thr")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM ewma_thr").collect()
+    # only the 99.0 spike (resid 89) and the post-spike drop (resid < -30) fire
+    assert len(got) == 2
+    assert {round(r.value) for r in got} == {99, 10}
