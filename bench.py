@@ -81,6 +81,15 @@ BENCH_QUERIES = [
     "text_sparse_cosine",
     "embedding_quantize_int8",
     "contrastive_negative_pairs",
+    "bloom_prune_semi",
+    "ewma_anomaly",
+    "outliers_median_mad",
+    "curriculum_order",
+    "epoch_shuffle",
+    "source_mixing",
+    "skew_salted_join",
+    "zorder_cells",
+    "flow_parse_xml",
 ]
 
 

@@ -44,6 +44,12 @@ def global_rank(
     single-task global window (see module docstring for the shape)."""
     scored = df.withColumn(out_score, score)
     w_in = Window.partitionBy(out_score).orderBy(F.col(id_col))
+    ranked = scored.withColumn("__rn", F.row_number().over(w_in))
+    # counts come from the PRE-window frame on purpose: groupBy gets a
+    # map-side partial aggregate, so this branch's exchange moves only
+    # |distinct scores| x partitions combined rows — deriving the count
+    # from max(row_number) instead would force a second full-row window
+    # shuffle of the corpus
     counts = scored.groupBy(out_score).agg(F.count(F.lit(1)).alias("__n"))
     # tiny frame: one row per distinct score — the unpartitioned cumsum
     # window here is over that frame, never over the corpus
@@ -56,8 +62,7 @@ def global_rank(
         F.coalesce(F.sum("__n").over(w_cum), F.lit(0)).alias("__off"),
     )
     return (
-        scored.withColumn("__rn", F.row_number().over(w_in))
-        .join(F.broadcast(offsets), out_score)
+        ranked.join(F.broadcast(offsets), out_score)
         .withColumn(out_rank, (F.col("__off") + F.col("__rn")).cast("long"))
         .drop("__rn", "__off")
     )

@@ -101,6 +101,10 @@ def epoch_shuffle(
         "bucket", F.pmod(F.col("h"), F.lit(n_buckets)).cast("int")
     )
     w_in = Window.partitionBy("epoch", "bucket").orderBy("h", id_col)
+    ranked = keyed.withColumn("__rn", F.row_number().over(w_in))
+    # counts from the PRE-window frame: the groupBy is map-side partial,
+    # so its exchange carries only (epochs x buckets x partitions)
+    # combined rows — one full-row corpus shuffle total (the window)
     counts = keyed.groupBy("epoch", "bucket").agg(F.count(F.lit(1)).alias("__n"))
     w_cum = (
         Window.partitionBy("epoch")
@@ -112,8 +116,7 @@ def epoch_shuffle(
         F.coalesce(F.sum("__n").over(w_cum), F.lit(0)).alias("__off"),
     )
     return (
-        keyed.withColumn("__rn", F.row_number().over(w_in))
-        .join(F.broadcast(offsets), ["epoch", "bucket"])
+        ranked.join(F.broadcast(offsets), ["epoch", "bucket"])
         .select(
             "epoch",
             F.col(id_col),
