@@ -1,0 +1,84 @@
+"""Fuzzy string matching at scale: edit-distance-1 pair discovery via
+the deletion-neighborhood (SymSpell-style) equi-join.
+
+The naive formulation — ``a CROSS JOIN b WHERE levenshtein(a, b) <= 1``
+— is an O(n²) comparison with no equi-key, the join shape that cannot
+survive a large vocabulary (10⁸ distinct tokens → 10¹⁶ comparisons).
+
+Deletion neighborhood instead: two strings are within edit distance 1
+iff they share a member of their deletion families (the string itself
+plus every single-character deletion):
+
+    - substitution at position i  → both delete position i to the
+      same string;
+    - insertion/deletion          → the shorter string IS a deletion
+      variant of the longer (and of itself).
+
+So: explode each distinct word into its ≤ len+1 variants, hash
+equi-join on the variant, verify the survivors with one exact
+``levenshtein`` call. Candidates are a strict superset of the true
+pairs (e.g. transpositions at distance 2 can share a variant), so the
+verify step keeps semantics exact while the join stays linear in
+Σ(len+1) — the same candidates-then-verify architecture as
+functions/dedup.py::minhash_lsh_pairs.
+
+Used for: log-field typo clustering (hostnames, service names, user
+ids) and vocabulary normalization in training-data pipelines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def deletion_variants(df: DataFrame, word_col: str = "w") -> DataFrame:
+    """One row per (word, variant): the word itself (position 0) and
+    every single-character deletion. Pure codegen — explode over an
+    integer sequence + substring arithmetic, no higher-order lambdas."""
+    w = F.col(word_col)
+    pos = F.explode(F.sequence(F.lit(0), F.length(w))).alias("__pos")
+    d = df.select(w.alias(word_col), pos)
+    variant = F.when(F.col("__pos") == 0, F.col(word_col)).otherwise(
+        F.concat(
+            F.substring(F.col(word_col), 1, F.col("__pos") - F.lit(1)),
+            # substr(col, pos+1): length-bounded tail; 1<<30 keeps it
+            # an int literal well past any token length
+            F.col(word_col).substr(F.col("__pos") + F.lit(1), F.lit(1 << 30)),
+        )
+    )
+    return d.select(word_col, variant.alias("variant"))
+
+
+def edit1_pairs(
+    df: DataFrame,
+    word_col: str = "w",
+    max_variant_freq: int | None = None,
+) -> DataFrame:
+    """All unordered pairs of distinct words at exact edit distance 1.
+
+    ``max_variant_freq``: optional stop-variant cap — a variant shared
+    by more than this many words (e.g. the deletion family of very
+    short frequent tokens) is dropped from candidate generation,
+    trading bounded recall for bounded fan-out at extreme scale. Off by
+    default: exact semantics.
+    """
+    words = df.select(F.col(word_col).alias("w")).where(
+        F.col(word_col).isNotNull()
+    ).distinct()
+    variants = deletion_variants(words, "w")
+    if max_variant_freq is not None:
+        freq = variants.groupBy("variant").agg(F.count(F.lit(1)).alias("__n"))
+        variants = (
+            variants.join(freq, "variant")
+            .where(F.col("__n") <= max_variant_freq)
+            .drop("__n")
+        )
+    a = variants.select(F.col("w").alias("w_a"), "variant")
+    b = variants.select(F.col("w").alias("w_b"), "variant")
+    cand = (
+        a.join(b, "variant")
+        .where(F.col("w_a") < F.col("w_b"))
+        .select("w_a", "w_b")
+        .distinct()
+    )
+    return cand.where(F.levenshtein("w_a", "w_b") == 1)

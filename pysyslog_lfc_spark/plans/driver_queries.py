@@ -29,6 +29,7 @@ from pysyslog_lfc_spark.functions import (
     curriculum as CUR,
     decontaminate as DC,
     dedup as DD,
+    fuzzy as FZ,
     layout as LAY,
     mixing as MIX,
     similarity as SIM,
@@ -3688,6 +3689,37 @@ def zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("user_id").cast("long").alias("max_uid"),
         )
     )
+
+
+@query(
+    "fuzzy_token_pairs",
+    """
+    WITH words AS (
+      SELECT DISTINCT CASE
+        WHEN doc_id % 3 = 0 THEN 'svc' || CAST(doc_id % 30 AS VARCHAR)
+        WHEN doc_id % 3 = 1 THEN 'svc' || CAST(doc_id % 30 AS VARCHAR) || 'a'
+        ELSE 'node' || CAST(doc_id % 25 AS VARCHAR) END AS w
+      FROM documents
+    )
+    SELECT a.w AS w_a, b.w AS w_b
+    FROM words a JOIN words b ON a.w < b.w AND levenshtein(a.w, b.w) = 1
+    """,
+)
+def fuzzy_token_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 token pairs via the deletion-neighborhood
+    equi-join (functions/fuzzy.py) — typo clustering for hostnames /
+    service names without the O(n^2) cross join the oracle runs. Token
+    stream synthesized deterministically (services with/without a typo
+    suffix + node names) so substitution, insertion and deletion pairs
+    all occur."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    word = (
+        F.when(d % 3 == 0, F.concat(F.lit("svc"), (d % 30).cast("string")))
+        .when(d % 3 == 1, F.concat(F.lit("svc"), (d % 30).cast("string"), F.lit("a")))
+        .otherwise(F.concat(F.lit("node"), (d % 25).cast("string")))
+    )
+    return FZ.edit1_pairs(docs.select(word.alias("w")), "w")
 
 
 # =====================================================================

@@ -312,3 +312,52 @@ def test_salted_join_matches_plain_join(spark):
     ).select("event_id", "mn")
     want = ev.join(lkp, "event_type").select("event_id", "mn")
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+# ------------------------------------------------------------- fuzzy
+
+class TestFuzzy:
+    def test_deletion_variants(self, spark):
+        from pysyslog_lfc_spark.functions import fuzzy as FZ
+
+        df = spark.createDataFrame([Row(w="abc")])
+        got = sorted(r.variant for r in FZ.deletion_variants(df, "w").collect())
+        assert got == ["ab", "abc", "ac", "bc"]
+
+    def test_edit1_exact_vs_bruteforce(self, spark):
+        from pysyslog_lfc_spark.functions import fuzzy as FZ
+
+        words = ["host1", "host2", "host12", "hst1", "node", "noode",
+                 "anode", "zebra", "host1"]
+        df = spark.createDataFrame([Row(w=w) for w in words])
+        got = sorted((r.w_a, r.w_b) for r in FZ.edit1_pairs(df, "w").collect())
+
+        def lev(a, b):
+            dp = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                prev, dp[0] = dp[0], i
+                for j, cb in enumerate(b, 1):
+                    prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                             prev + (ca != cb))
+            return dp[-1]
+
+        uniq = sorted(set(words))
+        want = sorted(
+            (a, b) for i, a in enumerate(uniq) for b in uniq[i + 1:]
+            if lev(a, b) == 1
+        )
+        assert got == want
+        # sanity: substitution, insertion and deletion classes all present
+        assert ("host1", "host2") in got      # substitution
+        assert ("host1", "host12") in got     # insertion at end
+        assert ("host1", "hst1") in got       # deletion
+        assert ("node", "noode") in got       # insertion mid-word
+
+    def test_variant_freq_cap_bounds_fanout(self, spark):
+        from pysyslog_lfc_spark.functions import fuzzy as FZ
+
+        # 'aN' words all share variant 'a' -> capped out, no pairs via it
+        df = spark.createDataFrame([Row(w=f"a{i}") for i in range(20)])
+        capped = FZ.edit1_pairs(df, "w", max_variant_freq=3).count()
+        uncapped = FZ.edit1_pairs(df, "w").count()
+        assert capped < uncapped
