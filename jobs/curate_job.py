@@ -48,6 +48,15 @@ def main(argv: list[str] | None = None) -> int:
         help="token-id scheme for --emit-packed: portable-hash word ids, "
         "frequency-ranked vocab ids, or learned BPE sub-words",
     )
+    ap.add_argument(
+        "--order-output",
+        default=None,
+        metavar="DIR",
+        help="also write the training-order manifest (epoch, doc_id, "
+        "stage, position) — curriculum stages x per-epoch shuffle",
+    )
+    ap.add_argument("--curriculum-stages", type=int, default=4)
+    ap.add_argument("--epochs", type=int, default=1)
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -77,6 +86,14 @@ def main(argv: list[str] | None = None) -> int:
         emit_packed_tokens(
             res.df, args.capacity, tokenizer=args.tokenizer
         ).write.mode("overwrite").parquet(args.emit_packed)
+    if args.order_output:
+        from pysyslog_lfc_spark.plans.curation import training_order
+
+        training_order(
+            res.df,
+            n_stages=args.curriculum_stages,
+            n_epochs=args.epochs,
+        ).write.mode("overwrite").parquet(args.order_output)
     elapsed = time.monotonic() - t0
 
     print(
@@ -87,6 +104,7 @@ def main(argv: list[str] | None = None) -> int:
                 "docs_per_sec": round(res.stats["input"] / max(elapsed, 1e-9), 1),
                 "output": args.output,
                 "packed_output": args.emit_packed,
+                "order_output": args.order_output,
             }
         )
     )

@@ -230,3 +230,35 @@ def emit_packed_tokens(
         raise ValueError(f"emit_packed_tokens: unknown tokenizer '{tokenizer}'")
     packed = pack_tokens(toked, group_col, id_col, "tokens", capacity)
     return packed.withColumn("n_tok", F.size("tokens"))
+
+
+def training_order(
+    curated: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "quality_permille",
+    n_stages: int = 4,
+    n_epochs: int = 1,
+) -> DataFrame:
+    """Materialize the training-order manifest for a curated corpus:
+    curriculum stages (stage 0 = highest quality, i.e. easiest) crossed
+    with a deterministic per-epoch shuffle. The reader streams rows in
+    ``(epoch, stage, position)`` order — each epoch walks the
+    curriculum easy -> hard but visits documents within a stage in a
+    fresh pseudorandom permutation.
+
+    Returns ``(epoch, id, stage, position)``. Both building blocks are
+    the scale-safe two-level rank (functions/curriculum.py,
+    functions/mixing.py): no single-task global sort anywhere, and the
+    manifest is a pure function of (ids, qualities) — resume-safe.
+    """
+    from pysyslog_lfc_spark.functions.curriculum import curriculum_stages
+    from pysyslog_lfc_spark.functions.mixing import epoch_shuffle
+
+    difficulty = (F.lit(1000) - F.col(quality_col)).cast("int")
+    staged = curriculum_stages(
+        curated.select(id_col, quality_col), difficulty, id_col, n_stages
+    ).select(id_col, "stage")
+    shuffled = epoch_shuffle(curated.select(id_col), id_col, n_epochs)
+    return shuffled.join(staged, id_col).select(
+        "epoch", id_col, "stage", "position"
+    )

@@ -109,3 +109,31 @@ def test_emit_packed_tokens_real_tokenizers(spark):
     import pytest
     with pytest.raises(ValueError):
         emit_packed_tokens(docs, capacity=16, tokenizer="nope")
+
+
+def test_training_order_manifest(spark):
+    from pyspark.sql import functions as F
+    from pysyslog_lfc_spark.plans.curation import training_order
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    res = run_curation(spark, docs, min_quality_permille=0, sample_permille=1000)
+    order = training_order(res.df, n_stages=3, n_epochs=2)
+    rows = order.collect()
+    n = res.df.count()
+    assert len(rows) == 2 * n
+    by_epoch: dict[int, list] = {}
+    for r in rows:
+        by_epoch.setdefault(r.epoch, []).append(r)
+    assert set(by_epoch) == {0, 1}
+    # per-epoch positions are an exact permutation of 1..n
+    for ep, rs in by_epoch.items():
+        assert sorted(x.position for x in rs) == list(range(1, n + 1)), ep
+    # stage 0 holds the highest-quality (easiest) docs
+    q = {r.doc_id: r.quality_permille for r in res.df.select("doc_id", "quality_permille").collect()}
+    s0 = [q[r.doc_id] for r in by_epoch[0] if r.stage == 0]
+    s_last = [q[r.doc_id] for r in by_epoch[0] if r.stage == 2]
+    assert min(s0) >= max(s_last)
+    # the two epochs visit stage-0 docs in different orders
+    o0 = [r.doc_id for r in sorted(by_epoch[0], key=lambda r: r.position) if r.stage == 0]
+    o1 = [r.doc_id for r in sorted(by_epoch[1], key=lambda r: r.position) if r.stage == 0]
+    assert set(o0) == set(o1) and o0 != o1
