@@ -123,3 +123,43 @@ def epoch_shuffle(
             (F.col("__off") + F.col("__rn")).cast("long").alias("position"),
         )
     )
+
+
+def token_budget_cap(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    tokens_col: str,
+    budget: int,
+    salt: str = "budget",
+) -> DataFrame:
+    """Per-group token budget (the per-domain/source cap of web-corpus
+    recipes): keep documents, in a deterministic pseudorandom order,
+    while the group's running token total BEFORE the document is under
+    ``budget`` — greedy fill, so a group overshoots by at most one
+    document and selection is unbiased w.r.t. document order in the
+    input.
+
+    Deterministic: the fill order is the portable hash of (salt, id),
+    so re-runs (and resumes) keep exactly the same documents — no RNG.
+    ONE hash shuffle on the group key; the running sum is a window over
+    each group's partition. Returns the surviving rows plus
+    ``budget_used`` (tokens consumed before + including the row).
+    """
+    h = portable_hash60(
+        F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(h.alias("__h"), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
+    return (
+        df.withColumn("__before", before)
+        .where(F.col("__before") < F.lit(int(budget)))
+        .withColumn(
+            "budget_used", (F.col("__before") + F.col(tokens_col)).cast("long")
+        )
+        .drop("__before")
+    )

@@ -193,3 +193,62 @@ def range_enrich(
         *[f[c] for c in facts.columns],
         *[exploded[c] for c in payload_cols],
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket_bits: int = 16,
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """Interval-interval overlap join: one row per (left, right) pair
+    whose CLOSED intervals intersect (``l_start <= r_end AND r_start <=
+    l_end``) — e.g. downtime windows x user sessions, maintenance x
+    alert spans.
+
+    Like :func:`range_enrich`, the naive non-equi join degenerates to a
+    BroadcastNestedLoopJoin. Bucketing restores an equi-key, but unlike
+    the point-in-interval case BOTH sides explode into the buckets they
+    span, so an overlapping pair can share several buckets. The
+    standard dedup makes each pair surface EXACTLY once, with a
+    condition instead of a distinct:
+
+        emit in bucket b  iff  b == max(l_start, r_start) >> bits
+
+    (the bucket where the overlap begins — a pure filter, no
+    post-join dedup shuffle). Long intervals fan out into many bucket
+    rows: pick ``bucket_bits`` near the typical interval length; skewed
+    giant intervals are better split upstream.
+    """
+    b = int(bucket_bits)
+    ls, le = F.col(left_start).cast("long"), F.col(left_end).cast("long")
+    rs, re_ = F.col(right_start).cast("long"), F.col(right_end).cast("long")
+
+    l = left.withColumn(
+        "__bkt", F.explode(F.sequence(F.shiftright(ls, b), F.shiftright(le, b)))
+    )
+    r = right.withColumn(
+        "__bkt", F.explode(F.sequence(F.shiftright(rs, b), F.shiftright(re_, b)))
+    )
+    if broadcast_right:
+        r = F.broadcast(r)
+
+    overlap_start = F.greatest(
+        l[left_start].cast("long"), r[right_start].cast("long")
+    )
+    cond = (
+        (l["__bkt"] == r["__bkt"])
+        & (l[left_start].cast("long") <= r[right_end].cast("long"))
+        & (r[right_start].cast("long") <= l[left_end].cast("long"))
+        # pair dedup: only the bucket where the overlap starts emits
+        & (l["__bkt"] == F.shiftright(overlap_start, b))
+    )
+    joined = l.join(r, cond, "inner")
+    return joined.select(
+        *[l[c] for c in left.columns],
+        *[r[c] for c in right.columns],
+    )

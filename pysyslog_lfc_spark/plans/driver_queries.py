@@ -3722,6 +3722,77 @@ def fuzzy_token_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return FZ.edit1_pairs(docs.select(word.alias("w")), "w")
 
 
+@query(
+    "interval_overlap",
+    """
+    WITH l AS (
+      SELECT event_id, (event_id * 37) % 100000 AS ls,
+             (event_id * 37) % 100000 + event_id % 200 AS le
+      FROM events
+    ),
+    r AS (
+      SELECT c_custkey, (c_custkey * 53) % 100000 AS rs,
+             (c_custkey * 53) % 100000 + c_custkey % 300 + 50 AS re
+      FROM customer
+    )
+    SELECT l.event_id, r.c_custkey
+    FROM l JOIN r ON l.ls <= r.re AND r.rs <= l.le
+    """,
+)
+def interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-interval overlap join (operators/joins.py::
+    interval_overlap_join): both sides explode into fixed-width value
+    buckets, hash equi-join, overlap re-check, and the overlap-start
+    bucket condition dedups multi-bucket pairs — a plan that stays an
+    equi-join at any scale where the oracle's non-equi join is a
+    nested-loop cross product."""
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer")
+    e = F.col("event_id")
+    c = F.col("c_custkey")
+    left = ev.select(
+        "event_id",
+        ((e * 37) % 100000).alias("ls"),
+        ((e * 37) % 100000 + e % 200).alias("le"),
+    )
+    right = cust.select(
+        "c_custkey",
+        ((c * 53) % 100000).alias("rs"),
+        ((c * 53) % 100000 + c % 300 + 50).alias("re"),
+    )
+    out = J.interval_overlap_join(
+        left, right, "ls", "le", "rs", "re", bucket_bits=8, broadcast_right=True
+    )
+    return out.select("event_id", "c_custkey")
+
+
+@query(
+    "token_budget_cap",
+    """
+    WITH k AS (
+      SELECT doc_id, source, n_chars,
+             ('0x' || substr(md5('budget:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_chars,
+             coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY h, doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+      FROM k
+    )
+    SELECT doc_id, source, n_chars, CAST(before + n_chars AS BIGINT) AS budget_used
+    FROM c WHERE before < 15000
+    """,
+)
+def token_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token budget (functions/mixing.py::token_budget_cap):
+    greedy fill in deterministic hash order until each source's running
+    total passes the cap — the per-domain quota step of web-corpus
+    recipes. One hash shuffle, window cumsum, pure codegen."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return MIX.token_budget_cap(docs, "source", "doc_id", "n_chars", budget=15000)
+
+
 # =====================================================================
 
 def all_queries() -> dict[str, QueryFn]:

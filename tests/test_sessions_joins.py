@@ -470,3 +470,62 @@ def test_funnel_greedy_earliest_path(spark):
     import pytest
     with pytest.raises(ValueError):
         funnel(df, ["user_id"], ["signup"])
+
+
+def test_interval_overlap_join_matches_bruteforce(spark):
+    from pyspark.sql import Row
+    from pysyslog_lfc_spark.operators.joins import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [Row(lid=i, ls=i * 97 % 5000, le=i * 97 % 5000 + i % 400) for i in range(300)]
+    )
+    right = spark.createDataFrame(
+        [Row(rid=j, rs=j * 131 % 5000, re=j * 131 % 5000 + j % 250 + 10) for j in range(200)]
+    )
+    got = sorted(
+        (r.lid, r.rid)
+        for r in interval_overlap_join(
+            left, right, "ls", "le", "rs", "re", bucket_bits=6
+        ).collect()
+    )
+    lrows = left.collect()
+    rrows = right.collect()
+    want = sorted(
+        (a.lid, b.rid)
+        for a in lrows
+        for b in rrows
+        if a.ls <= b.re and b.rs <= a.le
+    )
+    assert got == want  # exactly once per overlapping pair
+
+
+def test_interval_overlap_no_duplicate_pairs_across_buckets(spark):
+    from pyspark.sql import Row
+    from pysyslog_lfc_spark.operators.joins import interval_overlap_join
+
+    # giant intervals spanning many buckets still emit each pair once
+    left = spark.createDataFrame([Row(lid=1, ls=0, le=10_000)])
+    right = spark.createDataFrame([Row(rid=1, rs=500, re=9_000), Row(rid=2, rs=20_000, re=30_000)])
+    got = interval_overlap_join(left, right, "ls", "le", "rs", "re", bucket_bits=4).collect()
+    assert [(r.lid, r.rid) for r in got] == [(1, 1)]
+
+
+def test_token_budget_cap_greedy_fill(spark):
+    from pyspark.sql import Row, functions as F
+    from pysyslog_lfc_spark.functions.mixing import token_budget_cap
+
+    rows = [Row(doc_id=i, source="s" if i < 20 else "t", n=100) for i in range(30)]
+    out = token_budget_cap(
+        spark.createDataFrame(rows), "source", "doc_id", "n", budget=550
+    ).collect()
+    by_src: dict[str, list] = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    # 100-token docs, budget 550 -> exactly 6 kept per group (last crosses)
+    assert len(by_src["s"]) == 6 and len(by_src["t"]) == 6
+    assert max(r.budget_used for r in by_src["s"]) == 600
+    # deterministic: same selection on re-run
+    again = token_budget_cap(
+        spark.createDataFrame(rows), "source", "doc_id", "n", budget=550
+    ).collect()
+    assert sorted(r.doc_id for r in out) == sorted(r.doc_id for r in again)
