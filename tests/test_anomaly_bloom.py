@@ -361,3 +361,46 @@ class TestFuzzy:
         capped = FZ.edit1_pairs(df, "w", max_variant_freq=3).count()
         uncapped = FZ.edit1_pairs(df, "w").count()
         assert capped < uncapped
+
+
+def test_zorder_write_enables_file_skipping(spark, tmp_path):
+    """Write the same grid data laid out by z-value vs by x only, then
+    read back real per-file min/max (parquet footers via input_file_name
+    grouping) and measure which layout prunes a 2-D box predicate
+    better — the actual file-skipping a 100 TB scan relies on."""
+    from pyspark.sql import Row, functions as FF
+    from pysyslog_lfc_spark.functions import layout as LAY
+
+    rows = [Row(x=i % 64, y=(i // 64) % 64) for i in range(64 * 64)]
+    df = spark.createDataFrame(rows)
+
+    zdir, xdir = str(tmp_path / "z"), str(tmp_path / "x")
+    LAY.zorder_layout(df, [FF.col("x"), FF.col("y")], bits=6, n_files=16).write.parquet(zdir)
+    df.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(xdir)
+
+    def files_hit(path, x_lo, x_hi, y_lo, y_hi):
+        per_file = (
+            spark.read.parquet(path)
+            .groupBy(FF.input_file_name().alias("f"))
+            .agg(FF.min("x").alias("x0"), FF.max("x").alias("x1"),
+                 FF.min("y").alias("y0"), FF.max("y").alias("y1"))
+            .collect()
+        )
+        return sum(
+            1 for r in per_file
+            if r.x1 >= x_lo and r.x0 <= x_hi and r.y1 >= y_lo and r.y0 <= y_hi
+        ), len(per_file)
+
+    # box touching ~1/16 of each dimension
+    z_hit, z_total = files_hit(zdir, 8, 15, 8, 15)
+    x_hit, x_total = files_hit(xdir, 8, 15, 8, 15)
+    # x-sorted layout: the x-range selects ~2/16 files but EVERY file
+    # spans all of y; z-order must touch strictly fewer files for the
+    # 2-D box than it has in total, and beat the 1-D layout's y-width
+    assert z_hit < z_total
+    assert z_hit <= x_total  # sanity
+    # the killer case: predicate on y ONLY — 1-D x-layout prunes nothing
+    zy_hit, _ = files_hit(zdir, 0, 63, 8, 15)
+    xy_hit, _ = files_hit(xdir, 0, 63, 8, 15)
+    assert xy_hit == x_total        # x-sort cannot skip on y
+    assert zy_hit < xy_hit          # z-order skips on y too
