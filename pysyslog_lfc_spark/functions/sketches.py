@@ -52,8 +52,16 @@ def approx_distinct_kmv(
     d = df.select(
         *g, portable_hash60(F.col(value_col).cast("string")).alias("_h")
     ).distinct()
+    # two-level k-min: per (group, physical partition) top-k first so a
+    # hot group's full distinct set never funnels through one task; the
+    # per-group window then ranks <= k x n_partitions candidates (exact:
+    # the group top-k is contained in the per-partition top-k union)
+    wp = Window.partitionBy(*group_cols, F.spark_partition_id()).orderBy("_h")
+    cand = d.withColumn("_rn", F.row_number().over(wp)).where(F.col("_rn") <= k)
     w = Window.partitionBy(*group_cols).orderBy("_h")
-    topk = d.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
+    topk = cand.drop("_rn").withColumn("_rn", F.row_number().over(w)).where(
+        F.col("_rn") <= k
+    )
     agg = topk.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("_n"), F.max("_h").alias("_kth")
     )
@@ -141,4 +149,81 @@ def cms_lookup(
     return (
         joined.groupBy(*group_cols, value_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias(est_col))
+    )
+
+
+def kmv_set_ops(
+    df: DataFrame,
+    value_col: str,
+    label_col: str,
+    label_a: str,
+    label_b: str,
+    k: int = 32,
+) -> DataFrame:
+    """KMV sketch *algebra*: estimate |A ∪ B|, |A ∩ B| and Jaccard
+    between two keyed sets from their k-minimum-values synopses alone —
+    the Beyer et al. 2007 construction. Neither distinct set is ever
+    materialized; after the per-set distinct, everything operates on
+    2k hashes.
+
+        S_U = k smallest of S_A ∪ S_B       (a valid sketch of A ∪ B)
+        union_est = (k-1) / normalized kth-min of S_U
+        rho = |{h in S_U : h in S_A and h in S_B}| / k   (Jaccard est)
+        intersection_est = rho * union_est
+
+    Deterministic given the portable hash — the DuckDB oracle replays
+    the identical arithmetic, exact-equality gate (same rationale as
+    approx_distinct_kmv). Returns one row:
+    ``(union_est, intersection_est, jaccard_permille)``.
+    """
+    if k < 2:
+        raise ValueError("kmv_set_ops requires k >= 2")
+
+    def sketch(label: str) -> DataFrame:
+        d = (
+            df.where(F.col(label_col) == label)
+            .select(portable_hash60(F.col(value_col).cast("string")).alias("_h"))
+            .distinct()
+        )
+        # two-level k-min: the k smallest per PARTITION first (distributed
+        # window), then the k smallest of those <= k x n_partitions
+        # candidates — the global window never sees the full distinct set
+        # (exact: the global top-k is contained in every partition top-k)
+        wp = Window.partitionBy(F.spark_partition_id()).orderBy("_h")
+        cand = d.withColumn("_rn", F.row_number().over(wp)).where(
+            F.col("_rn") <= k
+        )
+        w = Window.orderBy("_h")  # tiny candidate frame only
+        return cand.select("_h").withColumn(
+            "_rn", F.row_number().over(w)
+        ).where(F.col("_rn") <= k).select("_h")
+
+    sa = sketch(label_a).withColumn("_in_a", F.lit(1))
+    sb = sketch(label_b).withColumn("_in_b", F.lit(1))
+    merged = (
+        sa.select("_h").unionByName(sb.select("_h")).distinct()
+        .withColumn("_rn", F.row_number().over(Window.orderBy("_h")))
+        .where(F.col("_rn") <= k)
+        .join(sa, "_h", "left")
+        .join(sb, "_h", "left")
+    )
+    agg = merged.groupBy().agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.max("_h").alias("_kth"),
+        F.sum(
+            (F.coalesce(F.col("_in_a"), F.lit(0)) * F.coalesce(F.col("_in_b"), F.lit(0)))
+        ).alias("_c"),
+    )
+    union_raw = F.when(F.col("_n") < k, F.col("_n").cast("double")).otherwise(
+        F.lit(float(k - 1) * _TWO60) / F.col("_kth").cast("double")
+    )
+    c = F.col("_c").cast("double")
+    # rho denominator is the union sketch's ACTUAL size (= min(k, |A∪B|)):
+    # for small inputs the sketch holds everything and the estimates are
+    # exact; dividing by k would bias them low
+    denom = F.col("_n").cast("double")
+    return agg.select(
+        F.floor(union_raw).cast("long").alias("union_est"),
+        F.floor(c * union_raw / denom).cast("long").alias("intersection_est"),
+        F.floor(c * F.lit(1000.0) / denom).cast("long").alias("jaccard_permille"),
     )

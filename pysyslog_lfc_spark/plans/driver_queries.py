@@ -33,6 +33,7 @@ from pysyslog_lfc_spark.functions import (
     layout as LAY,
     mixing as MIX,
     similarity as SIM,
+    sketches as SK,
     text as TX,
 )
 from pysyslog_lfc_spark.operators import (
@@ -3791,6 +3792,77 @@ def token_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     recipes. One hash shuffle, window cumsum, pure codegen."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
     return MIX.token_budget_cap(docs, "source", "doc_id", "n_chars", budget=15000)
+
+
+@query(
+    "kmv_set_algebra",
+    """
+    WITH ha AS (
+      SELECT DISTINCT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM events WHERE event_type = 'error'
+    ),
+    hb AS (
+      SELECT DISTINCT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM events WHERE event_type = 'purchase'
+    ),
+    sa AS (SELECT h FROM ha ORDER BY h LIMIT 32),
+    sb AS (SELECT h FROM hb ORDER BY h LIMIT 32),
+    su AS (
+      SELECT h FROM (SELECT DISTINCT h FROM (SELECT h FROM sa UNION ALL SELECT h FROM sb))
+      ORDER BY h LIMIT 32
+    ),
+    agg AS (
+      SELECT count(*) AS n, max(h) AS kth,
+             sum(CASE WHEN h IN (SELECT h FROM sa) AND h IN (SELECT h FROM sb)
+                      THEN 1 ELSE 0 END) AS c
+      FROM su
+    ),
+    raw AS (
+      SELECT CASE WHEN n < 32 THEN CAST(n AS DOUBLE)
+                  ELSE 3.5740566642812256e+19 / CAST(kth AS DOUBLE) END AS u,
+             c, CAST(n AS DOUBLE) AS d
+      FROM agg
+    )
+    SELECT CAST(floor(u) AS BIGINT) AS union_est,
+           CAST(floor(CAST(c AS DOUBLE) * u / d) AS BIGINT) AS intersection_est,
+           CAST(floor(CAST(c AS DOUBLE) * 1000.0e0 / d) AS BIGINT) AS jaccard_permille
+    FROM raw
+    """,
+)
+def kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch algebra (functions/sketches.py::kmv_set_ops): union /
+    intersection / Jaccard of the error-users and purchase-users sets
+    estimated from two 32-hash synopses — the mergeable-sketch profile
+    of audience overlap at 10^12 rows. Deterministic portable hash ⇒
+    exact-equality oracle."""
+    ev = _t(spark, sf_dir, "events")
+    return SK.kmv_set_ops(ev, "user_id", "event_type", "error", "purchase", k=32)
+
+
+@query(
+    "seasonal_hourly_baseline",
+    """
+    SELECT event_type, CAST(extract(hour FROM ts) AS INTEGER) AS hr,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(value), 3) AS avg_value,
+           min(value) AS min_value, max(value) AS max_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def seasonal_hourly_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal (hour-of-day) baseline per series — the diurnal profile
+    an alerting threshold is normalized against. One map-side-partial
+    groupBy; the (type x 24) result broadcasts back to whatever scorer
+    consumes it."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("hr")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 3).alias("avg_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
 
 
 # =====================================================================

@@ -404,3 +404,32 @@ def test_zorder_write_enables_file_skipping(spark, tmp_path):
     xy_hit, _ = files_hit(xdir, 0, 63, 8, 15)
     assert xy_hit == x_total        # x-sort cannot skip on y
     assert zy_hit < xy_hit          # z-order skips on y too
+
+
+def test_kmv_set_ops_accuracy(spark):
+    from pysyslog_lfc_spark.functions.sketches import kmv_set_ops
+
+    # A = 0..999, B = 500..1499 -> union 1500, intersection 500, J=1/3
+    rows = [Row(lab="a", v=i) for i in range(1000)] + [
+        Row(lab="b", v=i) for i in range(500, 1500)
+    ]
+    out = kmv_set_ops(
+        spark.createDataFrame(rows), "v", "lab", "a", "b", k=64
+    ).collect()[0]
+    # k=64 -> ~13% standard error; allow 3 sigma
+    assert abs(out.union_est - 1500) < 1500 * 0.4
+    assert abs(out.intersection_est - 500) < 500 * 0.75
+    assert abs(out.jaccard_permille - 333) < 250
+
+    # deterministic: identical on re-run
+    again = kmv_set_ops(
+        spark.createDataFrame(rows), "v", "lab", "a", "b", k=64
+    ).collect()[0]
+    assert tuple(out) == tuple(again)
+
+    # small sets (< k): estimates are EXACT
+    small = [Row(lab="a", v=i) for i in range(10)] + [
+        Row(lab="b", v=i) for i in range(5, 15)
+    ]
+    ex = kmv_set_ops(spark.createDataFrame(small), "v", "lab", "a", "b", k=64).collect()[0]
+    assert ex.union_est == 15 and ex.intersection_est == 5
