@@ -3865,6 +3865,98 @@ def seasonal_hourly_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "event_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix (the Markov/Sankey view of user
+    flows): one shuffle on the series key for the LAG, then a
+    map-side-partial count over (prev, next). The per-user window is
+    high-cardinality — no funnel."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("prev_type", F.lag("event_type").over(w))
+    return (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "value_percentiles",
+    """
+    SELECT event_type,
+           quantile_cont(value, 0.5e0) AS p50,
+           quantile_cont(value, 0.9e0) AS p90,
+           quantile_cont(value, 0.99e0) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per series (Spark `percentile`
+    == ANSI quantile_cont linear interpolation — both engines compute
+    (1-g)*lo + g*hi on the sorted group). Map-side partial into the
+    per-type sort — the groupBy key spreads; no global sort."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("p50"),
+        F.percentile("value", 0.9).alias("p90"),
+        F.percentile("value", 0.99).alias("p99"),
+    )
+
+
+@query(
+    "cohort_retention",
+    """
+    WITH first_seen AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort_d FROM events GROUP BY user_id
+    ),
+    act AS (
+      SELECT DISTINCT e.user_id, f.cohort_d,
+             CAST(CAST(e.ts AS DATE) - f.cohort_d AS INTEGER) AS day_offset
+      FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    )
+    SELECT CAST(cohort_d AS VARCHAR) AS cohort_day, day_offset,
+           CAST(count(*) AS BIGINT) AS n_active
+    FROM act GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention curves: users grouped by first-seen day, distinct
+    activity counted per day-offset. The cohort dim (|users| rows after
+    a map-side-partial min) broadcasts back onto the fact table — the
+    fact side never shuffles for the join, only for the final (cohort,
+    offset) count-distinct."""
+    ev = _t(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_d")
+    )
+    act = (
+        ev.join(F.broadcast(first_seen), "user_id")
+        .select(
+            "user_id",
+            "cohort_d",
+            F.datediff(F.to_date("ts"), F.col("cohort_d")).alias("day_offset"),
+        )
+        .distinct()
+    )
+    return act.groupBy(
+        F.col("cohort_d").cast("string").alias("cohort_day"), "day_offset"
+    ).agg(F.count(F.lit(1)).alias("n_active"))
+
+
 # =====================================================================
 
 def all_queries() -> dict[str, QueryFn]:
