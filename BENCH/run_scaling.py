@@ -72,6 +72,12 @@ def main() -> int:
     ap.add_argument("--buckets", type=int, default=128)
     ap.add_argument("--repeats", type=int, default=2, help="runs per level; best kept")
     ap.add_argument(
+        "--parse-only",
+        action="store_true",
+        help="compute-bound probe (pipeline_job --parse-only): no fan-out "
+        "write; prints JSON only, does NOT rewrite BENCH/BASELINE.md",
+    )
+    ap.add_argument(
         "--workdir",
         default="/dev/shm" if os.path.isdir("/dev/shm") else None,
         help="where input + warehouses live. Default tmpfs: the sandbox "
@@ -110,7 +116,8 @@ def main() -> int:
                 res = submit(
                     f"local[{level}]", zip_path,
                     ["--input", seq, "--warehouse", wh, "--job-id", f"s{level}r{r}",
-                     "--buckets", str(args.buckets)],
+                     "--buckets", str(args.buckets)]
+                    + (["--parse-only"] if args.parse_only else []),
                     shuffle_parts=level,
                     local_dir=work,
                 )
@@ -135,6 +142,8 @@ def main() -> int:
             "pass": efficiency >= 0.8,
         }
         print(json.dumps(summary))
+        if args.parse_only:
+            return 0
 
         md = f"""# BENCH/BASELINE — measured scaling evidence
 

@@ -90,6 +90,14 @@ BENCH_QUERIES = [
     "skew_salted_join",
     "zorder_cells",
     "flow_parse_xml",
+    "fuzzy_token_pairs",
+    "interval_overlap",
+    "token_budget_cap",
+    "kmv_set_algebra",
+    "event_transitions",
+    "value_percentiles",
+    "cohort_retention",
+    "seasonal_hourly_baseline",
 ]
 
 

@@ -49,6 +49,14 @@ def main(argv: list[str] | None = None) -> int:
         help="after commit, rewrite sink commit dirs holding >= MIN_FILES "
         "parquet files into one (crash-safe two-rename swap; 0 = off)",
     )
+    ap.add_argument(
+        "--parse-only",
+        action="store_true",
+        help="compute-bound probe: run parse -> enrich -> route -> "
+        "aggregate but skip the fan-out warehouse write (isolates the "
+        "regex/arithmetic stage from storage/memory-bandwidth cost for "
+        "scaling measurements)",
+    )
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -67,6 +75,31 @@ def main(argv: list[str] | None = None) -> int:
 
     seq = read_sequences(spark, args.input)
     lookup = source_lookup_df(spark)
+
+    if args.parse_only:
+        from pyspark.sql import functions as F
+        from pysyslog_lfc_spark.plans.pipeline import transformed_frame
+
+        t0 = time.monotonic()
+        frame, routes = transformed_frame(seq, lookup, args.buckets)
+        agg = frame.groupBy("severity").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.sum(F.col(f"is_{r}").cast("long")).alias(r) for r in routes],
+        )
+        rows = sum(r["n"] for r in agg.collect())
+        elapsed = time.monotonic() - t0
+        print(
+            json.dumps(
+                {
+                    "job_id": args.job_id,
+                    "elapsed_sec": round(elapsed, 3),
+                    "rows": rows,
+                    "sequences_per_sec": round(rows / elapsed, 1) if elapsed else None,
+                    "mode": "parse-only",
+                }
+            )
+        )
+        return 0
 
     t0 = time.monotonic()
     result = run_pipeline(
