@@ -82,8 +82,13 @@ def main(argv: list[str] | None = None) -> int:
 
         t0 = time.monotonic()
         frame, routes = transformed_frame(seq, lookup, args.buckets)
+        # length-sums reference every parse/render output so column
+        # pruning cannot drop any regex from the measured stage
         agg = frame.groupBy("severity").agg(
             F.count(F.lit(1)).alias("n"),
+            F.sum(F.length("hostname")).alias("host_chars"),
+            F.sum(F.length("program")).alias("prog_chars"),
+            F.sum(F.length("rendered")).alias("rend_chars"),
             *[F.sum(F.col(f"is_{r}").cast("long")).alias(r) for r in routes],
         )
         rows = sum(r["n"] for r in agg.collect())
