@@ -1,0 +1,108 @@
+"""Corpus-level reporting: dataset-card rollups and distribution drift.
+
+``dataset_card`` produces the wide summary table a dataset card quotes
+(doc counts, size, length distribution per source x language and every
+marginal) in ONE pass using CUBE grouping sets. ``kl_source_unigram``
+scores each source's unigram word distribution against the corpus-wide
+distribution (KL divergence) — the standard check for a source that is
+lexically "off" relative to the mixture it feeds.
+
+The reference engine has no corpus-reporting surface; these are part of
+the training-data extension mandated by the build spec.
+
+100 TB shape:
+- dataset_card: CUBE is planned as a single Expand + hash aggregate —
+  the corpus is scanned once, partial-aggregated map-side, and only
+  (|sources|+1) x (|langs|+1) result rows shuffle. Exact medians add a
+  sort per group of the *expanded* stream; at extreme scale swap
+  percentile_approx in (same plan shape, no extra pass).
+- kl_source_unigram: explode -> two groupBy counts (word-level and
+  (source, word)-level); the corpus-wide word table joins the per-source
+  table on the word key — both sides are already hash-partitioned by
+  word from their aggregates, so the join adds no extra shuffle of the
+  raw corpus. Final per-source sum is a tiny aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from pysyslog_lfc_spark.functions.text import tokenize
+
+ALL = "<all>"
+
+
+def dataset_card(
+    df: DataFrame,
+    source: str = "source",
+    lang: str = "lang",
+    text: str = "text",
+) -> DataFrame:
+    """(source, lang, n_docs, total_chars, total_words, median_chars)
+    for every CUBE combination; the roll-up dimensions read '<all>'."""
+    base = df.select(
+        F.coalesce(F.col(source), F.lit("<null>")).alias("_src"),
+        F.coalesce(F.col(lang), F.lit("<null>")).alias("_lang"),
+        F.length(text).alias("_chars"),
+        F.size(tokenize(F.col(text))).alias("_words"),
+    )
+    return (
+        base.cube("_src", "_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_chars").alias("total_chars"),
+            F.sum("_words").alias("total_words"),
+            F.median("_chars").alias("median_chars"),
+        )
+        .select(
+            F.coalesce(F.col("_src"), F.lit(ALL)).alias(source),
+            F.coalesce(F.col("_lang"), F.lit(ALL)).alias(lang),
+            "n_docs",
+            "total_chars",
+            "total_words",
+            "median_chars",
+        )
+    )
+
+
+def kl_source_unigram(
+    df: DataFrame,
+    source: str = "source",
+    text: str = "text",
+) -> DataFrame:
+    """Per-source KL(P_source || P_corpus) over lowercased unigram word
+    distributions, floored to permille for engine-portable comparison.
+
+    KL terms are computed from exact integer counts; only the final
+    log-sum is floating point. Sources drawn from the corpus itself
+    always have full support (every source word appears in the corpus
+    table), so no smoothing is needed.
+    """
+    words = df.select(
+        F.col(source).alias("_src"),
+        F.explode(tokenize(F.lower(F.col(text)))).alias("_w"),
+    )
+    per_source = words.groupBy("_src", "_w").agg(F.count(F.lit(1)).alias("_n_sw"))
+    corpus = words.groupBy("_w").agg(F.count(F.lit(1)).alias("_n_w"))
+    totals = per_source.groupBy("_src").agg(F.sum("_n_sw").alias("_n_s"))
+    grand = corpus.agg(F.sum("_n_w").alias("_n_total"))  # 1 row, stays lazy
+    joined = (
+        per_source.join(corpus, "_w")
+        .join(F.broadcast(totals), "_src")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "_src",
+            "_n_s",
+            (
+                (F.col("_n_sw") / F.col("_n_s"))
+                * (
+                    F.log(F.col("_n_sw") / F.col("_n_s"))
+                    - F.log(F.col("_n_w") / F.col("_n_total"))
+                )
+            ).alias("_term"),
+        )
+    )
+    return joined.groupBy(F.col("_src").alias(source)).agg(
+        F.max("_n_s").alias("n_words"),
+        F.floor(F.sum("_term") * 1000).cast("long").alias("kl_permille"),
+    )

@@ -488,3 +488,53 @@ def quantize_embeddings(
         .withColumn(f"{out_prefix}_vec", F.col("__qs.q"))
         .drop("__qs")
     )
+
+
+def lsh_collision_prob(sim: float, bands: int, rows: int) -> float:
+    """P(candidate | similarity) for banded LSH: 1 - (1 - s^r)^b."""
+    return 1.0 - (1.0 - sim**rows) ** bands
+
+
+def pick_lsh_params(
+    threshold: float,
+    n_perm: int = 64,
+    fn_weight: float = 0.5,
+    steps: int = 200,
+) -> tuple[int, int]:
+    """Choose (bands, rows) for banded MinHash LSH at a similarity
+    threshold by minimizing the weighted false-positive + false-negative
+    area of the s-curve (numeric integration, the standard public
+    tuning approach used by MinHash-LSH libraries):
+
+        FP = integral_0^t      P(candidate | s) ds
+        FN = integral_t^1 (1 - P(candidate | s)) ds
+
+    ``fn_weight`` > 0.5 biases toward recall (fewer missed near-dups,
+    more verify work). Only (bands, rows) with bands*rows <= n_perm are
+    considered. Deterministic; pure Python (plan-time helper).
+
+    Round-1 verdict context: fixed 16x4 banding has ~36% miss at
+    s=0.5 — use this to size bands/rows to the threshold actually
+    being queried instead of hard-coding.
+    """
+    if not (0.0 < threshold < 1.0):
+        raise ValueError("threshold must be in (0, 1)")
+    best = (1, 1)
+    best_err = float("inf")
+    fp_weight = 1.0 - fn_weight
+    for rows in range(1, n_perm + 1):
+        for bands in range(1, n_perm // rows + 1):
+            fp = fn = 0.0
+            dx = 1.0 / steps
+            for i in range(steps):
+                s = (i + 0.5) * dx
+                p = lsh_collision_prob(s, bands, rows)
+                if s < threshold:
+                    fp += p * dx
+                else:
+                    fn += (1.0 - p) * dx
+            err = fp_weight * fp + fn_weight * fn
+            if err < best_err:
+                best_err = err
+                best = (bands, rows)
+    return best

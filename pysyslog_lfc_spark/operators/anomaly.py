@@ -109,3 +109,66 @@ def median_mad_outliers(
     scored = with_med.join(F.broadcast(mad), key)
     thresh = F.lit(k) * F.lit(consistency) * F.col("_mad")
     return scored.where(dev > thresh).withColumnRenamed("_med", "med").withColumnRenamed("_mad", "mad")
+
+
+def cusum_counts(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    bucket_seconds: int = 3600,
+    k_half: int = 25,
+    h_half: int = 80,
+) -> DataFrame:
+    """One-sided (upper) CUSUM drift detector over per-bucket event
+    counts — the change-point generalization of the reference's
+    fixed-threshold alert (docs/configuration/outputs/alert.md).
+
+    The textbook recurrence ``s_t = max(0, s_{t-1} + x_t - k)`` looks
+    sequential, but has the closed form
+
+        s_t = S_t - min(0, min_{j<=t} S_j),   S_t = cumsum(x_t - k)
+
+    so the whole detector is two running window aggregates — pure
+    whole-stage codegen, no Python, and verbatim ANSI SQL for the
+    oracle. To keep both engines bit-identical the allowance ``k`` and
+    decision threshold ``h`` are integers in HALF-COUNT units
+    (``k_half=25`` means k=12.5 events/bucket): every intermediate is
+    exact integer arithmetic.
+
+    Empty buckets count 0 (they *decay* the statistic), so the series
+    is densified onto each key's [min,max] bucket grid before the scan.
+
+    100 TB shape: the raw event table only ever passes one
+    ``groupBy(key, bucket)`` count (map-side partial); the recurrence
+    windows run over the *aggregated* grid (|keys| x |buckets| rows).
+    The grid explode is driven off a tiny per-key (min,max) aggregate.
+    """
+    bucket = (F.unix_timestamp(F.col(ts)) / F.lit(bucket_seconds)).cast("long")
+    counts = df.groupBy(F.col(key).alias(key), bucket.alias("_b")).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    span = counts.groupBy(key).agg(
+        F.min("_b").alias("_lo"), F.max("_b").alias("_hi")
+    )
+    grid = span.select(
+        key, F.explode(F.sequence("_lo", "_hi")).alias("_b")
+    )
+    dense = grid.join(counts, [key, "_b"], "left").select(
+        key, "_b", F.coalesce("_n", F.lit(0)).alias("_n")
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.lit(2) * F.col("_n") - F.lit(k_half)).over(w)
+    scored = dense.withColumn("_S", cum).withColumn(
+        "cusum_half", F.col("_S") - F.least(F.lit(0), F.min("_S").over(w))
+    )
+    return scored.select(
+        F.col(key),
+        (F.col("_b") * F.lit(bucket_seconds)).alias("bucket_sec"),
+        F.col("_n").alias("n_events"),
+        "cusum_half",
+        (F.col("cusum_half") >= F.lit(h_half)).alias("alarm"),
+    )

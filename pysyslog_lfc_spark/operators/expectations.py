@@ -1,0 +1,88 @@
+"""Declarative data-quality expectations over a DataFrame.
+
+A validation layer in the spirit of the reference's per-stage filter
+validation (docs/configuration/filters.md documents the typed
+catalog; here the same predicate machinery is turned around to *audit*
+instead of *drop*): each rule is a boolean violation predicate, and the
+report is one row per rule with violation counts.
+
+100 TB shape: all column-predicate rules fold into a SINGLE scan with
+conditional aggregates (``sum(case when violated)``) — one pass, one
+tiny result. Referential-integrity rules add one left join against the
+(distinct) key side, broadcast when small; the fact table still passes
+once. The final unpivot runs on a one-row frame.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+@dataclass(frozen=True)
+class Rule:
+    """name + violation predicate (True == row violates the rule)."""
+
+    name: str
+    violated: Column
+
+
+def not_null(name: str, col: str) -> Rule:
+    return Rule(name, F.col(col).isNull())
+
+
+def in_set(name: str, col: str, allowed: list[str]) -> Rule:
+    return Rule(name, ~F.col(col).isin(allowed) | F.col(col).isNull())
+
+
+def in_range(name: str, col: str, lo: float, hi: float) -> Rule:
+    c = F.col(col)
+    return Rule(name, c.isNull() | (c < lo) | (c > hi))
+
+
+def matches(name: str, col: str, pattern: str) -> Rule:
+    c = F.col(col)
+    return Rule(name, c.isNull() | ~c.rlike(pattern))
+
+
+def expectations_report(
+    df: DataFrame,
+    rules: list[Rule],
+    fk: dict[str, tuple[str, DataFrame, str]] | None = None,
+    broadcast_fk: bool = True,
+) -> DataFrame:
+    """One row per rule: (rule, n_violations, n_checked).
+
+    ``fk`` maps a rule name to (fact_col, dim_df, dim_col): rows whose
+    fact_col has no match in dim_df.dim_col violate the rule. The dim
+    side is made distinct and (optionally) broadcast, the join is a
+    left join, and the miss-count folds into the same single aggregate
+    pass as the column rules.
+    """
+    joined = df
+    fk = fk or {}
+    fk_flags: list[Rule] = []
+    for i, (name, (fact_col, dim_df, dim_col)) in enumerate(fk.items()):
+        marker = f"_fk_hit_{i}"
+        dim = dim_df.select(F.col(dim_col).alias(fact_col)).distinct().withColumn(
+            marker, F.lit(True)
+        )
+        if broadcast_fk:
+            dim = F.broadcast(dim)
+        joined = joined.join(dim, fact_col, "left")
+        fk_flags.append(Rule(name, F.col(marker).isNull()))
+
+    all_rules = list(rules) + fk_flags
+    aggs = [F.count(F.lit(1)).alias("_n_checked")] + [
+        F.sum(r.violated.cast("long")).alias(f"_v_{i}")
+        for i, r in enumerate(all_rules)
+    ]
+    one = joined.agg(*aggs)
+    stack_args: list[Column] = []
+    for i, r in enumerate(all_rules):
+        stack_args += [F.lit(r.name), F.col(f"_v_{i}")]
+    return one.select(
+        F.stack(F.lit(len(all_rules)), *stack_args).alias("rule", "n_violations"),
+        F.col("_n_checked").alias("n_checked"),
+    )

@@ -236,3 +236,39 @@ def funnel(
         for i in range(1, len(steps) + 1)
     )
     return cur.withColumn("reached", reached.cast("int"))
+
+
+def scd2_history(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    attr: str,
+    tiebreak: str,
+) -> DataFrame:
+    """Collapse an event stream into a type-2 slowly-changing-dimension
+    history: one validity interval per run of consecutive equal ``attr``
+    values per ``key``, with ``valid_from`` / ``valid_to`` (NULL = still
+    current) and ``is_current``.
+
+    Shape: two analytic windows over the same (key | ts, tiebreak)
+    ordering — Catalyst plans ONE sort+shuffle and reuses it for both
+    the change-detection lag and the closing lead. Partitioning is by
+    the entity key (high cardinality), so no window funnel.
+    """
+    w = Window.partitionBy(key).orderBy(ts, tiebreak)
+    changed = (
+        F.lag(attr).over(w).isNull()
+        | (F.col(attr) != F.lag(attr).over(w))
+    )
+    runs = df.withColumn("_chg", changed.cast("int")).where(F.col("_chg") == 1)
+    w2 = Window.partitionBy(key).orderBy(ts, tiebreak)
+    return (
+        runs.withColumn("valid_to", F.lead(ts).over(w2))
+        .select(
+            key,
+            F.col(attr),
+            F.col(ts).alias("valid_from"),
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+    )

@@ -3965,3 +3965,8 @@ def all_queries() -> dict[str, QueryFn]:
 
 def all_oracles() -> dict[str, str]:
     return dict(_ORACLES)
+
+
+# Extension batches register into the same maps on import (must stay at
+# the bottom: the module imports `query`/`_t` from this namespace).
+from pysyslog_lfc_spark.plans import driver_queries_ext  # noqa: E402,F401

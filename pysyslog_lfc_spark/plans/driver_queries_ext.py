@@ -1,0 +1,230 @@
+"""Driver-query registrations, round-2 extension batch.
+
+Imported by :mod:`pysyslog_lfc_spark.plans.driver_queries` (bottom of
+file) so these register into the same ``_QUERIES``/``_ORACLES`` maps.
+Each entry pairs a Spark DataFrame plan with a DuckDB-executable ANSI
+oracle over the same parquet tables, per the driver's correctness gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from pysyslog_lfc_spark.functions.chunking import chunk_overlap
+from pysyslog_lfc_spark.functions.reporting import dataset_card, kl_source_unigram
+from pysyslog_lfc_spark.functions.text import tokenize
+from pysyslog_lfc_spark.operators.anomaly import cusum_counts
+from pysyslog_lfc_spark.operators.expectations import (
+    expectations_report,
+    in_range,
+    in_set,
+    matches,
+    not_null,
+)
+from pysyslog_lfc_spark.operators.sessions import scd2_history
+from pysyslog_lfc_spark.plans.driver_queries import _t, query
+
+
+@query(
+    "cusum_event_drift",
+    """
+    WITH counts AS (
+      SELECT event_type, epoch_us(ts) // 1000000 // 3600 AS b,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT event_type, min(b) AS lo, max(b) AS hi FROM counts GROUP BY 1),
+    grid AS (SELECT event_type, unnest(generate_series(lo, hi)) AS b FROM span),
+    dense AS (
+      SELECT g.event_type, g.b, coalesce(c.n, 0) AS n
+      FROM grid g LEFT JOIN counts c ON g.event_type = c.event_type AND g.b = c.b
+    ),
+    cum AS (
+      SELECT event_type, b, n,
+             sum(2 * n - 8) OVER (PARTITION BY event_type ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS S
+      FROM dense
+    ),
+    fin AS (
+      SELECT event_type, b, n, S,
+             S - least(0, min(S) OVER (PARTITION BY event_type ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS ch
+      FROM cum
+    )
+    SELECT event_type, b * 3600 AS bucket_sec, n AS n_events,
+           CAST(ch AS BIGINT) AS cusum_half, ch >= 20 AS alarm
+    FROM fin
+    """,
+)
+def cusum_event_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection on hourly per-type event rates via
+    the closed-form cumsum-minus-running-min identity (all-integer
+    half-units => exact cross-engine parity). k=4 events/h allowance,
+    alarm at h=10 accumulated excess."""
+    ev = _t(spark, sf_dir, "events")
+    return cusum_counts(
+        ev, "event_type", "ts", bucket_seconds=3600, k_half=8, h_half=20
+    )
+
+
+@query(
+    "dataset_card_cube",
+    r"""
+    WITH base AS (
+      SELECT coalesce(source, '<null>') AS src, coalesce(lang, '<null>') AS lng,
+             length(text) AS chars,
+             len(list_filter(string_split_regex(text, '\s+'), w -> w != '')) AS words
+      FROM documents
+    )
+    SELECT coalesce(src, '<all>') AS source, coalesce(lng, '<all>') AS lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(chars) AS BIGINT) AS total_chars,
+           CAST(sum(words) AS BIGINT) AS total_words,
+           CAST(median(chars) AS DOUBLE) AS median_chars
+    FROM base GROUP BY CUBE (src, lng)
+    """,
+)
+def dataset_card_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card rollup: doc counts / char + word volume / median
+    length for every (source x lang) CUBE combination in one Expand +
+    hash-aggregate pass."""
+    return dataset_card(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "chunk_doc_windows",
+    r"""
+    WITH ws AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), w -> w != '') AS w
+      FROM documents
+    ),
+    nz AS (SELECT doc_id, w, len(w) AS n FROM ws WHERE len(w) > 0),
+    st AS (
+      SELECT doc_id, w, unnest(generate_series(0, n - 1, 24)) AS s FROM nz
+    )
+    SELECT doc_id, CAST(s // 24 AS INTEGER) AS chunk_idx,
+           CAST(len(list_slice(w, s + 1, s + 32)) AS INTEGER) AS n_in_chunk,
+           array_to_string(list_slice(w, s + 1, s + 32), ' ') AS chunk_text
+    FROM st
+    """,
+)
+def chunk_doc_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunking (len 32, stride 24) of each
+    document's whitespace tokens — zero-shuffle posexplode+slice."""
+    docs = _t(spark, sf_dir, "documents")
+    ch = chunk_overlap(docs, "doc_id", tokenize(F.col("text")), chunk_len=32, stride=24)
+    return ch.select(
+        "doc_id",
+        "chunk_idx",
+        "n_in_chunk",
+        F.array_join("chunk", " ").alias("chunk_text"),
+    )
+
+
+@query(
+    "expectations_orders",
+    """
+    WITH j AS (
+      SELECT o.*, c.c_custkey IS NOT NULL AS fk_hit
+      FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        ON o.o_custkey = c.c_custkey
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_checked,
+        sum(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0
+                 OR o_totalprice > 300000 THEN 1 ELSE 0 END) AS v0,
+        sum(CASE WHEN o_orderstatus IS NULL
+                 OR o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END) AS v1,
+        sum(CASE WHEN o_orderpriority IS NULL
+                 OR NOT regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 ELSE 0 END) AS v2,
+        sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS v3,
+        sum(CASE WHEN NOT fk_hit THEN 1 ELSE 0 END) AS v4
+      FROM j
+    )
+    SELECT 'totalprice_range' AS rule, CAST(v0 AS BIGINT) AS n_violations, n_checked FROM agg
+    UNION ALL SELECT 'status_domain', CAST(v1 AS BIGINT), n_checked FROM agg
+    UNION ALL SELECT 'priority_format', CAST(v2 AS BIGINT), n_checked FROM agg
+    UNION ALL SELECT 'custkey_not_null', CAST(v3 AS BIGINT), n_checked FROM agg
+    UNION ALL SELECT 'custkey_fk', CAST(v4 AS BIGINT), n_checked FROM agg
+    """,
+)
+def expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations report over orders: range / domain /
+    format / not-null column rules folded into one conditional-agg scan
+    plus a broadcast FK-integrity check against customer."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return expectations_report(
+        orders,
+        rules=[
+            in_range("totalprice_range", "o_totalprice", 0, 300000),
+            in_set("status_domain", "o_orderstatus", ["O", "F", "P"]),
+            matches("priority_format", "o_orderpriority", "^[1-5]-"),
+            not_null("custkey_not_null", "o_custkey"),
+        ],
+        fk={"custkey_fk": ("o_custkey", customer, "c_custkey")},
+    )
+
+
+@query(
+    "kl_source_unigram",
+    r"""
+    WITH words AS (
+      SELECT source AS src,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                w -> w != '')) AS w
+      FROM documents
+    ),
+    ps AS (SELECT src, w, CAST(count(*) AS BIGINT) AS n_sw FROM words GROUP BY 1, 2),
+    c AS (SELECT w, CAST(count(*) AS BIGINT) AS n_w FROM words GROUP BY 1),
+    t AS (SELECT src, CAST(sum(n_sw) AS BIGINT) AS n_s FROM ps GROUP BY 1),
+    g AS (SELECT CAST(sum(n_w) AS BIGINT) AS n_total FROM c)
+    SELECT src AS source, CAST(max(n_s) AS BIGINT) AS n_words,
+           CAST(floor(sum((n_sw / n_s) * (ln(n_sw / n_s) - ln(n_w / n_total)))
+                      * 1000) AS BIGINT) AS kl_permille
+    FROM ps JOIN c USING (w) JOIN t USING (src) CROSS JOIN g
+    GROUP BY 1
+    """,
+)
+def kl_source_unigram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram KL divergence vs the corpus mixture — flags
+    lexically-drifted sources. Exact integer counts; permille-floored
+    final log-sum for engine portability."""
+    return kl_source_unigram(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "scd2_user_status",
+    """
+    WITH o AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    runs AS (
+      SELECT user_id, event_type, ts, event_id
+      FROM o WHERE prev IS NULL OR event_type <> prev
+    )
+    SELECT user_id, event_type,
+           epoch_us(ts) // 1000000 AS valid_from_sec,
+           epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+             // 1000000 AS valid_to_sec,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             AS is_current
+    FROM runs
+    """,
+)
+def scd2_user_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension history of each user's event
+    type: one validity interval per run of equal values, closed by the
+    next change (NULL valid_to = current)."""
+    ev = _t(spark, sf_dir, "events")
+    hist = scd2_history(ev, "user_id", "ts", "event_type", "event_id")
+    return hist.select(
+        "user_id",
+        "event_type",
+        F.unix_timestamp("valid_from").alias("valid_from_sec"),
+        F.unix_timestamp("valid_to").alias("valid_to_sec"),
+        "is_current",
+    )

@@ -1,0 +1,211 @@
+"""Unit tests for the round-2 extension operators: CUSUM, overlapping
+chunking, expectations report, SCD2 history, dataset card, KL drift,
+and the LSH parameter tuner."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import Row, functions as F
+
+from pysyslog_lfc_spark.functions.chunking import chunk_overlap
+from pysyslog_lfc_spark.functions.reporting import dataset_card, kl_source_unigram
+from pysyslog_lfc_spark.functions.similarity import lsh_collision_prob, pick_lsh_params
+from pysyslog_lfc_spark.functions.text import tokenize
+from pysyslog_lfc_spark.operators.anomaly import cusum_counts
+from pysyslog_lfc_spark.operators.expectations import (
+    expectations_report,
+    in_range,
+    in_set,
+    matches,
+    not_null,
+)
+from pysyslog_lfc_spark.operators.sessions import scd2_history
+
+
+def _ts(h, m=0):
+    return datetime.datetime(2024, 1, 1, h, m)
+
+
+class TestCusum:
+    def test_matches_naive_recurrence(self, spark):
+        # counts per hour: 3,3,9,9,1,(gap hour -> 0),9
+        hours = [0] * 3 + [1] * 3 + [2] * 9 + [3] * 9 + [4] * 1 + [6] * 9
+        df = spark.createDataFrame(
+            [Row(k="a", ts=_ts(h, i % 60)) for i, h in enumerate(hours)]
+        )
+        out = {
+            r["bucket_sec"] // 3600 % 24: (r["cusum_half"], r["alarm"])
+            for r in cusum_counts(
+                df, "k", "ts", bucket_seconds=3600, k_half=8, h_half=20
+            ).collect()
+        }
+        # naive one-sided CUSUM in half units: s = max(0, s + 2n - 8)
+        s, expect = 0, {}
+        for h, n in [(0, 3), (1, 3), (2, 9), (3, 9), (4, 1), (5, 0), (6, 9)]:
+            s = max(0, s + 2 * n - 8)
+            expect[h] = (s, s >= 20)
+        assert out == expect
+
+    def test_gap_buckets_decay(self, spark):
+        df = spark.createDataFrame(
+            [Row(k="a", ts=_ts(0))] * 10 + [Row(k="a", ts=_ts(5))]
+        )
+        rows = {
+            r["bucket_sec"] // 3600 % 24: r
+            for r in cusum_counts(
+                df, "k", "ts", bucket_seconds=3600, k_half=4, h_half=100
+            ).collect()
+        }
+        assert sorted(rows) == [0, 1, 2, 3, 4, 5]  # grid densified
+        # hour0: 20-4=16; decays 4/hour through empty hours 1..4 -> 0
+        assert rows[0]["cusum_half"] == 16
+        assert rows[4]["cusum_half"] == 0
+        assert rows[5]["cusum_half"] == 0  # max(0, 0 + 2 - 4)
+
+
+class TestChunkOverlap:
+    def _chunks(self, spark, words, chunk_len, stride):
+        df = spark.createDataFrame([Row(doc_id=1, text=" ".join(words))])
+        out = chunk_overlap(
+            df, "doc_id", tokenize(F.col("text")), chunk_len, stride
+        )
+        return [
+            (r["chunk_idx"], r["chunk"])
+            for r in out.orderBy("chunk_idx").collect()
+        ]
+
+    def test_overlap_and_tail(self, spark):
+        w = [str(i) for i in range(10)]
+        got = self._chunks(spark, w, chunk_len=4, stride=3)
+        assert got == [
+            (0, w[0:4]), (1, w[3:7]), (2, w[6:10]), (3, w[9:10]),
+        ]
+
+    def test_short_doc_single_chunk(self, spark):
+        got = self._chunks(spark, ["a", "b"], chunk_len=64, stride=48)
+        assert got == [(0, ["a", "b"])]
+
+    def test_empty_doc_no_rows(self, spark):
+        df = spark.createDataFrame([Row(doc_id=1, text="   ")])
+        assert chunk_overlap(df, "doc_id", tokenize(F.col("text")), 4, 3).count() == 0
+
+    def test_exact_multiple_no_empty_tail(self, spark):
+        # n=6, stride 3, len 3: starts 0,3 only (start=6 is past the end)
+        got = self._chunks(spark, list("abcdef"), chunk_len=3, stride=3)
+        assert [c for _, c in got] == [["a", "b", "c"], ["d", "e", "f"]]
+
+
+class TestExpectations:
+    def test_counts_and_fk(self, spark):
+        facts = spark.createDataFrame(
+            [
+                Row(id=1, price=50.0, status="O", ref=10),
+                Row(id=2, price=-1.0, status="X", ref=11),
+                Row(id=3, price=None, status="F", ref=99),  # price null, fk miss
+                Row(id=4, price=900.0, status=None, ref=None),
+            ]
+        )
+        dim = spark.createDataFrame([Row(k=10), Row(k=11), Row(k=11)])
+        rep = expectations_report(
+            facts,
+            rules=[
+                in_range("price_range", "price", 0, 100),
+                in_set("status_domain", "status", ["O", "F"]),
+                not_null("ref_not_null", "ref"),
+                matches("status_format", "status", "^[A-Z]$"),
+            ],
+            fk={"ref_fk": ("ref", dim, "k")},
+        )
+        got = {r["rule"]: (r["n_violations"], r["n_checked"]) for r in rep.collect()}
+        assert got == {
+            "price_range": (3, 4),   # -1, null, 900
+            "status_domain": (2, 4),  # X, null
+            "ref_not_null": (1, 4),
+            "status_format": (1, 4),  # null counts; X matches ^[A-Z]$
+            "ref_fk": (2, 4),         # 99 and NULL miss
+        }
+
+
+class TestScd2:
+    def test_runs_collapse_and_current(self, spark):
+        df = spark.createDataFrame(
+            [
+                Row(u=1, ts=_ts(0), i=1, s="trial"),
+                Row(u=1, ts=_ts(1), i=2, s="trial"),
+                Row(u=1, ts=_ts(2), i=3, s="paid"),
+                Row(u=1, ts=_ts(3), i=4, s="trial"),
+                Row(u=2, ts=_ts(0), i=5, s="paid"),
+            ]
+        )
+        hist = scd2_history(df, "u", "ts", "s", "i").collect()
+        by_user = {}
+        for r in sorted(hist, key=lambda r: (r["u"], r["valid_from"])):
+            by_user.setdefault(r["u"], []).append(
+                (r["s"], r["valid_from"].hour,
+                 r["valid_to"].hour if r["valid_to"] else None, r["is_current"])
+            )
+        assert by_user[1] == [
+            ("trial", 0, 2, False), ("paid", 2, 3, False), ("trial", 3, None, True),
+        ]
+        assert by_user[2] == [("paid", 0, None, True)]
+
+
+class TestReporting:
+    def test_dataset_card_margins(self, spark):
+        df = spark.createDataFrame(
+            [
+                Row(source="s1", lang="en", text="a b"),
+                Row(source="s1", lang="de", text="c"),
+                Row(source="s2", lang="en", text="d e f"),
+            ]
+        )
+        card = {
+            (r["source"], r["lang"]): (r["n_docs"], r["total_words"])
+            for r in dataset_card(df).collect()
+        }
+        assert card[("<all>", "<all>")] == (3, 6)
+        assert card[("s1", "<all>")] == (2, 3)
+        assert card[("<all>", "en")] == (2, 5)
+        assert card[("s1", "de")] == (1, 1)
+        # 3 observed cells + 2 source margins + 2 lang margins + grand total
+        assert len(card) == 8
+
+    def test_kl_zero_for_identical_distribution(self, spark):
+        # both sources have the same unigram distribution => KL = 0
+        df = spark.createDataFrame(
+            [
+                Row(source="a", text="x x y"),
+                Row(source="b", text="x y x"),
+            ]
+        )
+        got = {r["source"]: r["kl_permille"] for r in kl_source_unigram(df).collect()}
+        assert got == {"a": 0, "b": 0}
+
+    def test_kl_positive_for_drifted_source(self, spark):
+        df = spark.createDataFrame(
+            [Row(source="a", text="x x x x"), Row(source="b", text="z z z z")]
+        )
+        got = {r["source"]: r["kl_permille"] for r in kl_source_unigram(df).collect()}
+        # each source is maximally drifted from the 50/50 mixture: KL = ln 2
+        assert got["a"] == got["b"] == int(1000 * 0.6931471805599453)
+
+
+class TestLshTuner:
+    def test_bounds_and_shape(self):
+        for t in (0.2, 0.5, 0.8):
+            b, r = pick_lsh_params(t, n_perm=64)
+            assert 1 <= b and 1 <= r and b * r <= 64
+            # s-curve midpoint should land near the threshold
+            mid = (1 / b) ** (1 / r)
+            assert abs(mid - t) < 0.25
+
+    def test_higher_threshold_more_rows(self):
+        _, r_low = pick_lsh_params(0.2, n_perm=64)
+        _, r_high = pick_lsh_params(0.85, n_perm=64)
+        assert r_high > r_low
+
+    def test_collision_prob_monotone(self):
+        ps = [lsh_collision_prob(s / 10, 16, 4) for s in range(11)]
+        assert ps == sorted(ps)
+        assert ps[0] == 0.0 and ps[10] == 1.0
