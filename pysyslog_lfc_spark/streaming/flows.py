@@ -482,3 +482,98 @@ def streaming_ewma_anomaly(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_CUSUM_SCHEMA = T.StructType(
+    [
+        T.StructField("series", T.StringType()),
+        T.StructField("bucket_sec", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("cusum_half", T.LongType()),
+        T.StructField("alarm", T.BooleanType()),
+    ]
+)
+_CUSUM_STATE = T.StructType(
+    [
+        T.StructField("cur_bucket", T.LongType()),
+        T.StructField("cur_n", T.LongType()),
+        T.StructField("s_half", T.LongType()),
+    ]
+)
+
+
+def streaming_cusum(
+    df: DataFrame,
+    key_col: str = "source",
+    ts_col: str = "ts",
+    bucket_seconds: int = 3600,
+    k_half: int = 8,
+    h_half: int = 20,
+):
+    """Streaming one-sided CUSUM on per-bucket event counts via
+    ``applyInPandasWithState`` — the streaming twin of
+    operators/anomaly.py::cusum_counts (which uses the closed-form
+    cumsum-minus-running-min identity batch SQL allows). Keyed state
+    runs the exact textbook recurrence ``s = max(0, s + 2n - k_half)``
+    in integer half-units, so a closed bucket's statistic is
+    bit-identical to the batch operator over the same events.
+
+    A bucket's row is emitted when an event arrives PAST it (the bucket
+    can no longer grow); intermediate empty buckets are emitted too —
+    they decay the statistic exactly like the batch grid densification.
+    Each key's final (still-open) bucket stays in state, so a bounded
+    replay emits the batch result minus each key's last bucket.
+
+    State per key is three longs — O(distinct keys) forever. Rows that
+    arrive for an already-closed bucket fold into the current bucket at
+    arrival position (same at-arrival contract as
+    ``streaming_ewma_anomaly``).
+    """
+    import pandas as pd
+
+    def update(key, pdfs, state: GroupState):
+        cur_bucket, cur_n, s_half = state.get if state.exists else (None, 0, 0)
+        out = []
+
+        def close_through(new_bucket):
+            nonlocal cur_bucket, cur_n, s_half
+            while cur_bucket < new_bucket:
+                s_half = max(0, s_half + 2 * cur_n - k_half)
+                out.append(
+                    [
+                        key[0],
+                        cur_bucket * bucket_seconds,
+                        cur_n,
+                        s_half,
+                        s_half >= h_half,
+                    ]
+                )
+                cur_bucket += 1
+                cur_n = 0
+
+        for pdf in pdfs:
+            for _, row in pdf.sort_values(ts_col).iterrows():
+                t = (
+                    row[ts_col].timestamp()
+                    if hasattr(row[ts_col], "timestamp")
+                    else float(row[ts_col])
+                )
+                b = int(t // bucket_seconds)
+                if cur_bucket is None:
+                    cur_bucket = b
+                elif b > cur_bucket:
+                    close_through(b)
+                cur_n += 1
+        state.update((cur_bucket, cur_n, s_half))
+        yield pd.DataFrame(
+            out,
+            columns=["series", "bucket_sec", "n_events", "cusum_half", "alarm"],
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=_CUSUM_SCHEMA,
+        stateStructType=_CUSUM_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
