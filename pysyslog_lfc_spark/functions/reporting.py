@@ -106,3 +106,101 @@ def kl_source_unigram(
         F.max("_n_s").alias("n_words"),
         F.floor(F.sum("_term") * 1000).cast("long").alias("kl_permille"),
     )
+
+
+def curation_funnel(
+    df: DataFrame,
+    stages: list[tuple[str, "F.Column"]],
+    distinct_stage: tuple[str, "F.Column"] | None = None,
+) -> DataFrame:
+    """Stage-by-stage survivor counts for a curation pipeline: each
+    stage predicate is ANDed cumulatively, and every count folds into
+    ONE conditional-aggregate scan (no per-stage passes). An optional
+    terminal ``distinct_stage`` (name, expr) counts distinct non-null
+    values of ``expr`` among the final survivors — the exact-dedup step
+    — in the same pass.
+
+    Returns (stage_idx, stage, n_docs), stage 0 = 'raw'.
+    """
+    cum = F.lit(True)
+    names = ["raw"]
+    aggs = [F.count(F.lit(1)).cast("long").alias("_s0")]
+    for i, (name, pred) in enumerate(stages, start=1):
+        cum = cum & pred
+        names.append(name)
+        aggs.append(F.sum(cum.cast("long")).alias(f"_s{i}"))
+    if distinct_stage is not None:
+        name, expr = distinct_stage
+        names.append(name)
+        aggs.append(
+            F.count_distinct(F.when(cum, expr)).alias(f"_s{len(names) - 1}")
+        )
+    one = df.agg(*aggs)
+    args: list["F.Column"] = []
+    for i, name in enumerate(names):
+        args += [F.lit(i), F.lit(name), F.col(f"_s{i}")]
+    return one.select(
+        F.stack(F.lit(len(names)), *args).alias("stage_idx", "stage", "n_docs")
+    )
+
+
+def cross_source_overlap(
+    df: DataFrame,
+    source: str = "source",
+    text: str = "text",
+    n: int = 3,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Cross-source contamination matrix: for every source pair, the
+    number of shared word-``n``-gram shingles and the shingle-set
+    Jaccard (permille). Flags sources that republish each other's
+    content — the inter-source analog of per-doc near-dup detection.
+
+    Shape: the corpus collapses to DISTINCT (source, shingle) rows
+    (one explode + aggregate); the pair join runs on that collapsed
+    set keyed by shingle. ``max_shingle_freq`` (scale knob) drops
+    shingles present in more than that many sources before the join,
+    bounding the worst-case quadratic fan-out of ubiquitous stop
+    shingles; with |sources| pair cardinality is already tiny.
+    """
+    from pysyslog_lfc_spark.functions.text import shingles
+
+    sh = (
+        df.select(
+            F.col(source).alias("_src"),
+            F.explode(shingles(F.col(text), n)).alias("_s"),
+        )
+        .distinct()
+    )
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("_s").agg(F.count(F.lit(1)).alias("_f"))
+        sh = sh.join(
+            freq.where(F.col("_f") <= max_shingle_freq).select("_s"), "_s"
+        )
+    sizes = sh.groupBy("_src").agg(F.count(F.lit(1)).alias("_n"))
+    a = sh.select(F.col("_src").alias("source_a"), "_s")
+    b = sh.select(F.col("_src").alias("source_b"), "_s")
+    cand = (
+        a.join(b, "_s")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("_src").alias("source_a"), F.col("_n").alias("_na"))
+    sb = sizes.select(F.col("_src").alias("source_b"), F.col("_n").alias("_nb"))
+    return (
+        cand.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.floor(
+                F.lit(1000)
+                * F.col("n_shared")
+                / (F.col("_na") + F.col("_nb") - F.col("n_shared"))
+            )
+            .cast("long")
+            .alias("jaccard_permille"),
+        )
+    )

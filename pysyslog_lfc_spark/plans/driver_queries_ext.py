@@ -228,3 +228,89 @@ def scd2_user_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp("valid_to").alias("valid_to_sec"),
         "is_current",
     )
+
+
+@query(
+    "curation_funnel",
+    r"""
+    WITH base AS (
+      SELECT text, lang,
+             list_filter(string_split_regex(text, '\s+'), w -> w != '') AS ws
+      FROM documents
+    ),
+    flags AS (
+      SELECT text, ws,
+        (lang = 'en') AS f1,
+        (lang = 'en' AND len(ws) >= 20) AS f2,
+        (lang = 'en' AND len(ws) >= 20
+         AND NOT regexp_matches(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) AS f3
+      FROM base
+    )
+    SELECT 0 AS stage_idx, 'raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs FROM flags
+    UNION ALL SELECT 1, 'lang_en', CAST(count_if(f1) AS BIGINT) FROM flags
+    UNION ALL SELECT 2, 'min_words', CAST(count_if(f2) AS BIGINT) FROM flags
+    UNION ALL SELECT 3, 'no_email', CAST(count_if(f3) AS BIGINT) FROM flags
+    UNION ALL SELECT 4, 'prefix_unique',
+      CAST(count(DISTINCT CASE WHEN f3
+        THEN array_to_string(ws[1:16], ' ') END) AS BIGINT) FROM flags
+    """,
+)
+def curation_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation funnel report: survivor counts through cumulative
+    lang / length / PII gates plus a 16-word-prefix exact-dedup tail,
+    all folded into one conditional-aggregate scan."""
+    from pysyslog_lfc_spark.functions.reporting import curation_funnel
+
+    docs = _t(spark, sf_dir, "documents")
+    ws = tokenize(F.col("text"))
+    return curation_funnel(
+        docs,
+        stages=[
+            ("lang_en", F.col("lang") == "en"),
+            ("min_words", F.size(ws) >= 20),
+            (
+                "no_email",
+                ~F.col("text").rlike("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"),
+            ),
+        ],
+        distinct_stage=(
+            "prefix_unique",
+            F.array_join(F.slice(ws, 1, 16), " "),
+        ),
+    )
+
+
+@query(
+    "cross_source_overlap",
+    r"""
+    WITH toks AS (
+      SELECT source,
+             list_filter(string_split_regex(lower(text), '\s+'), w -> w != '') AS ws
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT source, array_to_string(ws[i : i + 2], ' ') AS s
+      FROM (SELECT source, ws, unnest(range(1, greatest(len(ws) - 1, 1))) AS i
+            FROM toks)
+    ),
+    sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY source),
+    cand AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, n_shared,
+           CAST(floor(1000 * n_shared / (sa.n + sb.n - n_shared)) AS BIGINT)
+             AS jaccard_permille
+    FROM cand JOIN sizes sa ON sa.source = source_a
+              JOIN sizes sb ON sb.source = source_b
+    """,
+)
+def cross_source_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-source contamination matrix: shared 3-gram shingles and
+    shingle-set Jaccard per source pair (collapsed DISTINCT
+    (source, shingle) self-join — never a doc-level cross product)."""
+    from pysyslog_lfc_spark.functions.reporting import cross_source_overlap
+
+    return cross_source_overlap(_t(spark, sf_dir, "documents"))

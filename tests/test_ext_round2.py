@@ -209,3 +209,61 @@ class TestLshTuner:
         ps = [lsh_collision_prob(s / 10, 16, 4) for s in range(11)]
         assert ps == sorted(ps)
         assert ps[0] == 0.0 and ps[10] == 1.0
+
+
+class TestFunnelAndOverlap:
+    def test_funnel_cumulative_counts(self, spark):
+        from pysyslog_lfc_spark.functions.reporting import curation_funnel
+
+        df = spark.createDataFrame(
+            [
+                Row(lang="en", text="one two three"),
+                Row(lang="en", text="one two three"),   # prefix duplicate
+                Row(lang="en", text="x"),
+                Row(lang="de", text="ein zwei drei"),
+            ]
+        )
+        out = {
+            r["stage"]: (r["stage_idx"], r["n_docs"])
+            for r in curation_funnel(
+                df,
+                stages=[
+                    ("lang_en", F.col("lang") == "en"),
+                    ("min_words", F.size(tokenize(F.col("text"))) >= 2),
+                ],
+                distinct_stage=("uniq", F.col("text")),
+            ).collect()
+        }
+        assert out == {
+            "raw": (0, 4),
+            "lang_en": (1, 3),
+            "min_words": (2, 2),
+            "uniq": (3, 1),
+        }
+
+    def test_cross_source_overlap_jaccard(self, spark):
+        from pysyslog_lfc_spark.functions.reporting import cross_source_overlap
+
+        df = spark.createDataFrame(
+            [
+                Row(source="a", text="w1 w2 w3 w4"),      # shingles: 2
+                Row(source="b", text="w1 w2 w3 zz"),      # shares "w1 w2 w3"
+                Row(source="c", text="q1 q2 q3"),          # disjoint
+            ]
+        )
+        rows = cross_source_overlap(df, n=3).collect()
+        got = {
+            (r["source_a"], r["source_b"]): (r["n_shared"], r["jaccard_permille"])
+            for r in rows
+        }
+        # a has {w1 w2 w3, w2 w3 w4}; b has {w1 w2 w3, w2 w3 zz}
+        assert got == {("a", "b"): (1, 1000 // 3)}
+
+    def test_max_shingle_freq_drops_ubiquitous(self, spark):
+        from pysyslog_lfc_spark.functions.reporting import cross_source_overlap
+
+        df = spark.createDataFrame(
+            [Row(source=s, text="stop words here") for s in "abc"]
+        )
+        assert cross_source_overlap(df, n=3, max_shingle_freq=2).count() == 0
+        assert cross_source_overlap(df, n=3).count() == 3
