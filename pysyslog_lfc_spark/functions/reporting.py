@@ -156,32 +156,33 @@ def cross_source_overlap(
     Jaccard (permille). Flags sources that republish each other's
     content — the inter-source analog of per-doc near-dup detection.
 
-    Shape: the corpus collapses to DISTINCT (source, shingle) rows
-    (one explode + aggregate); the pair join runs on that collapsed
-    set keyed by shingle. ``max_shingle_freq`` (scale knob) drops
-    shingles present in more than that many sources before the join,
-    bounding the worst-case quadratic fan-out of ubiquitous stop
-    shingles; with |sources| pair cardinality is already tiny.
+    Shape: ONE shingling pass — the corpus collapses to a per-shingle
+    sorted source-set (``groupBy(shingle).collect_set(source)``); pair
+    candidates and per-source shingle counts both derive from that one
+    grouped frame (its exchange is reused across the two branches), so
+    there is no shingle self-join at all. ``max_shingle_freq`` (scale
+    knob) drops shingles present in more than that many sources with a
+    plain ``size()`` filter, bounding the quadratic per-shingle pair
+    fan-out of ubiquitous stop shingles; pair cardinality is capped at
+    |sources|^2 regardless of corpus size.
     """
     from pysyslog_lfc_spark.functions.text import shingles
 
-    sh = (
-        df.select(
-            F.col(source).alias("_src"),
-            F.explode(shingles(F.col(text), n)).alias("_s"),
-        )
-        .distinct()
-    )
+    sh = df.select(
+        F.col(source).alias("_src"),
+        F.explode(shingles(F.col(text), n)).alias("_s"),
+    ).distinct()
+    grouped = sh.groupBy("_s").agg(F.array_sort(F.collect_set("_src")).alias("_srcs"))
     if max_shingle_freq is not None:
-        freq = sh.groupBy("_s").agg(F.count(F.lit(1)).alias("_f"))
-        sh = sh.join(
-            freq.where(F.col("_f") <= max_shingle_freq).select("_s"), "_s"
-        )
-    sizes = sh.groupBy("_src").agg(F.count(F.lit(1)).alias("_n"))
-    a = sh.select(F.col("_src").alias("source_a"), "_s")
-    b = sh.select(F.col("_src").alias("source_b"), "_s")
+        grouped = grouped.where(F.size("_srcs") <= max_shingle_freq)
+    sizes = (
+        grouped.select(F.explode("_srcs").alias("_src"))
+        .groupBy("_src")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
     cand = (
-        a.join(b, "_s")
+        grouped.select(F.explode("_srcs").alias("source_a"), "_srcs")
+        .select("source_a", F.explode("_srcs").alias("source_b"))
         .where(F.col("source_a") < F.col("source_b"))
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
