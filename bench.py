@@ -93,6 +93,14 @@ BENCH_QUERIES = [
     "fuzzy_token_pairs",
     "interval_overlap",
     "token_budget_cap",
+    "cusum_event_drift",
+    "dataset_card_cube",
+    "chunk_doc_windows",
+    "expectations_orders",
+    "kl_source_unigram",
+    "scd2_user_status",
+    "curation_funnel",
+    "cross_source_overlap",
     "kmv_set_algebra",
     "event_transitions",
     "value_percentiles",

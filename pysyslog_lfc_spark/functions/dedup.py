@@ -184,7 +184,7 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
-    bands: int = LSH_BANDS,
+    bands: int | None = LSH_BANDS,
     perms: int = MINHASH_PERMS,
 ) -> DataFrame:
     """MinHash-LSH candidate generation + exact-Jaccard verification.
@@ -195,8 +195,21 @@ def minhash_lsh_pairs(
     cross join). Verification recomputes exact Jaccard on the candidate
     pairs only, so output precision is 1.0 and the LSH step is purely a
     pruning strategy.
+
+    ``bands=None`` sizes the banding to ``threshold`` via
+    :func:`pysyslog_lfc_spark.functions.similarity.pick_lsh_params_recall`
+    (>=95% collision probability AT the threshold, then minimal
+    false-positive mass) instead of the fixed default — use this for
+    mid-range thresholds, where 16x4 banding has material
+    false-negative mass (recall is a property of the banding; the
+    verify step can only remove false positives, never recover misses).
     """
-    rows_per_band = perms // bands
+    if bands is None:
+        from pysyslog_lfc_spark.functions.similarity import pick_lsh_params_recall
+
+        bands, rows_per_band = pick_lsh_params_recall(threshold, n_perm=perms)
+    else:
+        rows_per_band = perms // bands
     sigs = minhash_signatures(df, text_col, id_col, n, perms)
     band_cols = F.array(
         *[

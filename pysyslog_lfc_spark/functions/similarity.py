@@ -538,3 +538,40 @@ def pick_lsh_params(
                 best_err = err
                 best = (bands, rows)
     return best
+
+
+def pick_lsh_params_recall(
+    threshold: float,
+    n_perm: int = 64,
+    min_recall: float = 0.95,
+) -> tuple[int, int]:
+    """Recall-constrained banding: among (bands, rows) with
+    ``bands*rows <= n_perm`` and collision probability at the threshold
+    itself >= ``min_recall``, pick the one with the LEAST false-positive
+    mass below the threshold (sharpest usable curve = most candidate
+    pruning). This is the right objective for dedup pipelines, where a
+    missed near-duplicate (false negative) is an unrecoverable error
+    while a false positive only costs one exact-verify comparison.
+
+    Deterministic pure Python (plan-time helper).
+    """
+    if not (0.0 < threshold < 1.0):
+        raise ValueError("threshold must be in (0, 1)")
+    best: tuple[int, int] | None = None
+    best_fp = float("inf")
+    steps = 200
+    dx = 1.0 / steps
+    for rows in range(1, n_perm + 1):
+        for bands in range(1, n_perm // rows + 1):
+            if lsh_collision_prob(threshold, bands, rows) < min_recall:
+                continue
+            fp = sum(
+                lsh_collision_prob((i + 0.5) * dx, bands, rows) * dx
+                for i in range(int(steps * threshold))
+            )
+            if fp < best_fp:
+                best_fp = fp
+                best = (bands, rows)
+    if best is None:  # threshold too low for n_perm; fall back to widest
+        return (n_perm, 1)
+    return best

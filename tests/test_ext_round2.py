@@ -267,3 +267,41 @@ class TestFunnelAndOverlap:
         )
         assert cross_source_overlap(df, n=3, max_shingle_freq=2).count() == 0
         assert cross_source_overlap(df, n=3).count() == 3
+
+
+class TestAutoBanding:
+    def test_recall_constrained_picker(self):
+        from pysyslog_lfc_spark.functions.similarity import (
+            lsh_collision_prob,
+            pick_lsh_params_recall,
+        )
+
+        for t in (0.2, 0.5, 0.7, 0.9):
+            b, r = pick_lsh_params_recall(t, n_perm=64)
+            assert b * r <= 64
+            assert lsh_collision_prob(t, b, r) >= 0.95
+        # higher threshold should allow more rows per band (sharper curve)
+        assert pick_lsh_params_recall(0.9, 64)[1] > pick_lsh_params_recall(0.3, 64)[1]
+
+    def test_auto_banded_lsh_finds_all_near_twins(self, spark):
+        """Auto banding at threshold 0.9 guarantees >=95% collision at
+        0.9; at the twins' jaccard ~0.99 the per-pair miss probability
+        is ~4e-8, so every twin pair must be found (deterministic given
+        the seeded hash family)."""
+        from pysyslog_lfc_spark.functions.dedup import minhash_lsh_pairs
+
+        rows = []
+        for d in range(20):
+            words = " ".join(f"t{d}_{i}" for i in range(600))
+            rows.append(Row(doc_id=d * 2, text=words))
+            # one word changed -> 3-gram jaccard 595/601 ~ 0.990
+            rows.append(
+                Row(doc_id=d * 2 + 1, text=words.replace(f"t{d}_300 ", "XX "))
+            )
+        df = spark.createDataFrame(rows)
+        auto = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in minhash_lsh_pairs(df, threshold=0.9, bands=None).collect()
+        }
+        assert set(auto) == {(d * 2, d * 2 + 1) for d in range(20)}
+        assert all(j >= 0.98 for j in auto.values())
