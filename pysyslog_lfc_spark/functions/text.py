@@ -456,3 +456,56 @@ def sparse_cosine_pairs(
         .where(cos >= F.lit(float(threshold)))
         .select("id_a", "id_b", "cos_permille")
     )
+
+
+def boilerplate_ngrams(
+    df: DataFrame,
+    source: str = "source",
+    text_col: str = "text",
+    n: int = 3,
+    min_df_permille: int = 200,
+    topk: int = 5,
+) -> DataFrame:
+    """Per-source boilerplate detection: word n-grams that recur across
+    an unusually high fraction of one source's documents (navigation
+    chrome, footers, license blurbs — the shingles a curation pipeline
+    strips before training). Returns each source's top-``topk`` shingles
+    with document frequency >= ``min_df_permille``/1000 of the source's
+    docs, ranked by (df desc, shingle asc) for determinism.
+
+    Shape: :func:`shingles` is distinct-per-doc, so one explode +
+    ``groupBy(source, shingle)`` count IS the document frequency — no
+    per-doc dedup join. Per-source doc totals are a tiny broadcast; the
+    final top-k windows over the already-aggregated (source, shingle)
+    frame, partitioned by source.
+    """
+    sh = df.select(
+        F.col(source).alias("_src"),
+        F.explode(shingles(F.col(text_col), n)).alias("_s"),
+    )
+    dfreq = sh.groupBy("_src", "_s").agg(F.count(F.lit(1)).alias("doc_freq"))
+    totals = df.groupBy(F.col(source).alias("_src")).agg(
+        F.count(F.lit(1)).alias("_docs")
+    )
+    scored = (
+        dfreq.join(F.broadcast(totals), "_src")
+        .withColumn(
+            "df_permille",
+            F.floor(F.lit(1000) * F.col("doc_freq") / F.col("_docs")).cast("long"),
+        )
+        .where(F.col("df_permille") >= min_df_permille)
+    )
+    w = Window.partitionBy("_src").orderBy(
+        F.col("doc_freq").desc(), F.col("_s").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk)
+        .select(
+            F.col("_src").alias(source),
+            F.col("_s").alias("shingle"),
+            "doc_freq",
+            "df_permille",
+            "rank",
+        )
+    )

@@ -272,3 +272,90 @@ def scd2_history(
             F.col("valid_to").isNull().alias("is_current"),
         )
     )
+
+
+def interval_coverage(
+    df: DataFrame,
+    key: str,
+    start: str,
+    end: str,
+) -> DataFrame:
+    """Total covered time per key for a set of (possibly overlapping)
+    intervals — classic gaps-and-islands, expressed as windows:
+
+    1. order intervals by (start, end) within key;
+    2. an interval starts a new island iff its start exceeds the
+       running max of all PRIOR ends;
+    3. island id = running sum of the new-island flag; coverage =
+       sum over islands of (max(end) - min(start)).
+
+    Shape: ONE shuffle total — the window partitions by ``key`` and the
+    follow-up (key, island) rollup + per-key sum reuse that clustering
+    (HashPartitioning(key) satisfies both groupings).
+
+    Returns (key, n_islands, covered).
+    """
+    w = Window.partitionBy(key).orderBy(start, end)
+    prior_max_end = F.max(end).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = df.withColumn(
+        "_new",
+        (prior_max_end.isNull() | (F.col(start) > prior_max_end)).cast("int"),
+    ).withColumn(
+        "_island",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    islands = flagged.groupBy(key, "_island").agg(
+        F.min(start).alias("_s"), F.max(end).alias("_e")
+    )
+    return islands.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum(F.col("_e") - F.col("_s")).alias("covered"),
+    )
+
+
+def cooccurrence_lift(
+    df: DataFrame,
+    group: list[str],
+    item: str,
+) -> DataFrame:
+    """Market-basket co-occurrence: for every item pair, in how many
+    groups (baskets) both appear, with lift =
+    P(a,b) / (P(a) P(b)) — permille-floored from exact integer counts
+    (``lift_permille = floor(1000 * n_ab * n_groups / (n_a * n_b))``).
+
+    Shape: baskets collapse to DISTINCT (group, item); pair candidates
+    come from a self equi-join on the group key (fan-out bounded by
+    items-per-basket squared, never corpus squared); the item marginals
+    are a tiny aggregate broadcast back onto the pair counts.
+    """
+    basket = df.select(*group, F.col(item).alias("_it")).distinct()
+    n_groups = basket.select(*group).distinct().agg(
+        F.count(F.lit(1)).alias("_ng")
+    )  # 1 row, stays lazy
+    marg = basket.groupBy("_it").agg(F.count(F.lit(1)).alias("_n"))
+    a = basket.select(*group, F.col("_it").alias("item_a"))
+    b = basket.select(*group, F.col("_it").alias("item_b"))
+    pairs = (
+        a.join(b, group)
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    ma = marg.select(F.col("_it").alias("item_a"), F.col("_n").alias("_na"))
+    mb = marg.select(F.col("_it").alias("item_b"), F.col("_n").alias("_nb"))
+    return (
+        pairs.join(F.broadcast(ma), "item_a")
+        .join(F.broadcast(mb), "item_b")
+        .crossJoin(F.broadcast(n_groups))
+        .select(
+            "item_a",
+            "item_b",
+            "n_ab",
+            F.floor(
+                F.lit(1000) * F.col("n_ab") * F.col("_ng")
+                / (F.col("_na") * F.col("_nb"))
+            ).cast("long").alias("lift_permille"),
+        )
+    )

@@ -314,3 +314,134 @@ def cross_source_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pysyslog_lfc_spark.functions.reporting import cross_source_overlap
 
     return cross_source_overlap(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "interval_coverage_users",
+    """
+    WITH iv AS (
+      SELECT user_id, epoch_us(ts) // 1000000 AS s,
+             epoch_us(ts) // 1000000 + 300 AS e
+      FROM events
+    ),
+    fl AS (
+      SELECT user_id, s, e,
+        CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w
+             THEN 1 ELSE 0 END AS nw
+      FROM iv
+      WINDOW w AS (PARTITION BY user_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    isl AS (
+      SELECT user_id, s, e,
+             sum(nw) OVER (PARTITION BY user_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM fl
+    ),
+    g AS (SELECT user_id, island, min(s) AS ms, max(e) AS me
+          FROM isl GROUP BY 1, 2)
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(sum(me - ms) AS BIGINT) AS covered
+    FROM g GROUP BY 1
+    """,
+)
+def interval_coverage_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user total attention time: each event opens a 300 s activity
+    interval; overlaps merge via gaps-and-islands (running-max window).
+    One shuffle — island rollup + per-user sum reuse the window's
+    hash partitioning."""
+    from pysyslog_lfc_spark.operators.sessions import interval_coverage
+
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.unix_timestamp("ts").alias("s"),
+        (F.unix_timestamp("ts") + 300).alias("e"),
+    )
+    return interval_coverage(iv, "user_id", "s", "e")
+
+
+@query(
+    "cooccurrence_lift",
+    """
+    WITH basket AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d, event_type FROM events
+    ),
+    ng AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_groups
+      FROM (SELECT DISTINCT user_id, d FROM basket)
+    ),
+    marg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+             FROM basket GROUP BY 1),
+    pairs AS (
+      SELECT a.event_type AS item_a, b.event_type AS item_b,
+             CAST(count(*) AS BIGINT) AS n_ab
+      FROM basket a
+      JOIN basket b ON a.user_id = b.user_id AND a.d = b.d
+                    AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT item_a, item_b, n_ab,
+           CAST(floor(1000 * n_ab * ng.n_groups / (ma.n * mb.n)) AS BIGINT)
+             AS lift_permille
+    FROM pairs
+    CROSS JOIN ng
+    JOIN marg ma ON ma.event_type = item_a
+    JOIN marg mb ON mb.event_type = item_b
+    """,
+)
+def cooccurrence_lift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type co-occurrence lift over (user, day) baskets — which
+    behaviors travel together beyond their base rates. Exact integer
+    counts; lift permille-floored."""
+    from pysyslog_lfc_spark.operators.sessions import cooccurrence_lift
+
+    ev = _t(spark, sf_dir, "events")
+    baskets = ev.select("user_id", F.to_date("ts").alias("d"), "event_type")
+    return cooccurrence_lift(baskets, ["user_id", "d"], "event_type")
+
+
+@query(
+    "boilerplate_ngrams",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(lower(text), '\s+'), w -> w != '') AS ws
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, source, array_to_string(ws[i : i + 2], ' ') AS s
+      FROM (SELECT doc_id, source, ws,
+                   unnest(range(1, greatest(len(ws) - 1, 1))) AS i
+            FROM toks)
+    ),
+    dfreq AS (SELECT source, s, CAST(count(*) AS BIGINT) AS doc_freq
+              FROM sh GROUP BY 1, 2),
+    tot AS (SELECT source, CAST(count(*) AS BIGINT) AS docs
+            FROM documents GROUP BY 1),
+    sc AS (
+      SELECT d.source, s, doc_freq,
+             CAST(floor(1000 * doc_freq / docs) AS BIGINT) AS df_permille
+      FROM dfreq d JOIN tot t ON d.source = t.source
+      WHERE floor(1000 * doc_freq / docs) >= 80
+    ),
+    rk AS (
+      SELECT *, row_number() OVER (PARTITION BY source
+                ORDER BY doc_freq DESC, s ASC) AS rank
+      FROM sc
+    )
+    SELECT source, s AS shingle, doc_freq, df_permille,
+           CAST(rank AS INTEGER) AS rank
+    FROM rk WHERE rank <= 5
+    """,
+)
+def boilerplate_ngrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top recurring 3-gram shingles per source (document frequency >=
+    8% of the source's docs) — the boilerplate a curation pipeline
+    strips. Distinct-per-doc shingles mean one explode+count IS the
+    document frequency."""
+    from pysyslog_lfc_spark.functions.text import boilerplate_ngrams
+
+    return boilerplate_ngrams(
+        _t(spark, sf_dir, "documents"), n=3, min_df_permille=80, topk=5
+    )

@@ -305,3 +305,75 @@ class TestAutoBanding:
         }
         assert set(auto) == {(d * 2, d * 2 + 1) for d in range(20)}
         assert all(j >= 0.98 for j in auto.values())
+
+
+class TestIntervalCoverage:
+    def test_merge_overlaps_and_gaps(self, spark):
+        from pysyslog_lfc_spark.operators.sessions import interval_coverage
+
+        df = spark.createDataFrame(
+            [
+                Row(k="a", s=0, e=10),
+                Row(k="a", s=5, e=12),    # overlaps -> [0,12]
+                Row(k="a", s=12, e=15),   # touching start==prior end: merges
+                Row(k="a", s=20, e=25),   # gap -> new island
+                Row(k="b", s=0, e=1),
+            ]
+        )
+        got = {
+            r["k"]: (r["n_islands"], r["covered"])
+            for r in interval_coverage(df, "k", "s", "e").collect()
+        }
+        assert got == {"a": (2, 20), "b": (1, 1)}
+
+    def test_contained_interval(self, spark):
+        from pysyslog_lfc_spark.operators.sessions import interval_coverage
+
+        df = spark.createDataFrame(
+            [Row(k="a", s=0, e=100), Row(k="a", s=10, e=20), Row(k="a", s=150, e=160)]
+        )
+        got = interval_coverage(df, "k", "s", "e").collect()[0]
+        assert (got["n_islands"], got["covered"]) == (2, 110)
+
+
+class TestCooccurrenceLift:
+    def test_counts_and_lift(self, spark):
+        from pysyslog_lfc_spark.operators.sessions import cooccurrence_lift
+
+        # baskets: g1={x,y}, g2={x,y}, g3={x}, g4={y,z}
+        rows = [
+            ("g1", "x"), ("g1", "y"), ("g1", "y"),  # duplicate item collapses
+            ("g2", "x"), ("g2", "y"),
+            ("g3", "x"),
+            ("g4", "y"), ("g4", "z"),
+        ]
+        df = spark.createDataFrame(rows, "g string, it string")
+        got = {
+            (r["item_a"], r["item_b"]): (r["n_ab"], r["lift_permille"])
+            for r in cooccurrence_lift(df, ["g"], "it").collect()
+        }
+        # n_groups=4; n_x=3, n_y=3, n_z=1; xy together 2: lift=2*4/9=0.888
+        assert got[("x", "y")] == (2, 888)
+        # yz together 1: lift = 1*4/(3*1) = 1.333
+        assert got[("y", "z")] == (1, 1333)
+        assert ("x", "z") not in got
+
+
+class TestBoilerplate:
+    def test_top_shingles_per_source(self, spark):
+        from pysyslog_lfc_spark.functions.text import boilerplate_ngrams
+
+        rows = [
+            Row(source="s", text="FOOTER TEXT HERE unique%d words%d" % (i, i))
+            for i in range(10)
+        ] + [Row(source="t", text="totally different doc")]
+        df = spark.createDataFrame(rows)
+        got = {
+            (r["source"], r["shingle"]): (r["doc_freq"], r["df_permille"], r["rank"])
+            for r in boilerplate_ngrams(df, min_df_permille=500, topk=3).collect()
+        }
+        # "footer text here" appears in all 10 s-docs (shingles lowercased)
+        assert got[("s", "footer text here")] == (10, 1000, 1)
+        # the per-doc unique shingles never reach 50% df
+        assert all(src == "s" or src == "t" for src, _ in got)
+        assert ("t", "totally different doc") in got
