@@ -445,3 +445,57 @@ def boilerplate_ngrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boilerplate_ngrams(
         _t(spark, sf_dir, "documents"), n=3, min_df_permille=80, topk=5
     )
+
+
+@query(
+    "truncation_loss",
+    r"""
+    WITH n AS (
+      SELECT len(list_filter(string_split_regex(text, '\s+'), w -> w != '')) AS nw
+      FROM documents
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS total_docs,
+        CAST(sum(least(nw, 64)) AS BIGINT) AS k64,
+        CAST(sum(greatest(nw - 64, 0)) AS BIGINT) AS l64,
+        CAST(count_if(nw > 64) AS BIGINT) AS t64,
+        CAST(sum(least(nw, 256)) AS BIGINT) AS k256,
+        CAST(sum(greatest(nw - 256, 0)) AS BIGINT) AS l256,
+        CAST(count_if(nw > 256) AS BIGINT) AS t256
+      FROM n
+    )
+    SELECT 64 AS context_len, k64 AS kept_tokens, l64 AS lost_tokens,
+           t64 AS truncated_docs, total_docs FROM agg
+    UNION ALL
+    SELECT 256, k256, l256, t256, total_docs FROM agg
+    """,
+)
+def truncation_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length truncation report: per candidate context window,
+    how many tokens survive / are cut and how many docs are truncated —
+    the sizing question every packing pipeline answers first. One
+    conditional-aggregate scan for all window sizes at once."""
+    docs = _t(spark, sf_dir, "documents")
+    n = F.size(tokenize(F.col("text")))
+    aggs = [F.count(F.lit(1)).cast("long").alias("_total")]
+    for L in (64, 256):
+        aggs += [
+            F.sum(F.least(n, F.lit(L))).alias(f"_k{L}"),
+            F.sum(F.greatest(n - L, F.lit(0))).alias(f"_l{L}"),
+            F.sum((n > L).cast("long")).alias(f"_t{L}"),
+        ]
+    one = docs.agg(*aggs)
+    args = []
+    for L in (64, 256):
+        args += [
+            F.lit(L),
+            F.col(f"_k{L}"),
+            F.col(f"_l{L}"),
+            F.col(f"_t{L}"),
+        ]
+    return one.select(
+        F.stack(
+            F.lit(2), *args
+        ).alias("context_len", "kept_tokens", "lost_tokens", "truncated_docs"),
+        F.col("_total").alias("total_docs"),
+    )

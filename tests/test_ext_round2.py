@@ -377,3 +377,23 @@ class TestBoilerplate:
         # the per-doc unique shingles never reach 50% df
         assert all(src == "s" or src == "t" for src, _ in got)
         assert ("t", "totally different doc") in got
+
+
+class TestTunerProperties:
+    def test_recall_constraint_holds_across_grid(self):
+        from pysyslog_lfc_spark.functions.similarity import (
+            lsh_collision_prob,
+            pick_lsh_params_recall,
+        )
+
+        for t10 in range(1, 10):
+            t = t10 / 10
+            for n_perm in (16, 64, 128):
+                b, r = pick_lsh_params_recall(t, n_perm)
+                assert 1 <= b and 1 <= r and b * r <= n_perm
+                # either the constraint holds, or it is unsatisfiable and
+                # the widest fallback (n_perm, 1) was returned
+                assert (
+                    lsh_collision_prob(t, b, r) >= 0.95
+                    or (b, r) == (n_perm, 1)
+                )
