@@ -1,0 +1,58 @@
+"""Bucketed-table co-located joins — shuffle elimination for repeated
+large x large joins.
+
+Broadcast joins (plans/pipeline.py enrichment) cover small dimensions;
+when BOTH sides are huge and joined repeatedly on the same key (the
+10^12-row sequences table x a same-scale lineage/label table), the
+winning layout is Spark bucketing: write each table ONCE with
+``bucketBy(n, key)`` (+ ``sortBy`` for merge-join readiness), and every
+subsequent equi-join on that key plans with ZERO Exchange operators —
+the bucket files ARE the shuffle output, paid once at write time and
+amortized over every downstream join/aggregate on the key.
+
+Requirements Spark enforces and this module encodes:
+- both tables bucketed on the join key with the same bucket count;
+- read through the session catalog (``spark.table``), because bucket
+  metadata lives in the catalog, not the parquet footers;
+- ``spark.sql.sources.bucketing.enabled`` on (default).
+
+`tests/test_plans.py::test_bucketed_join_eliminates_shuffle` proves the
+property on real written tables by counting Exchange nodes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def save_bucketed(
+    df: DataFrame,
+    name: str,
+    key: str,
+    n_buckets: int,
+    path: str | None = None,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a catalog table bucketed (and optionally
+    sorted) by ``key``. ``path`` makes it an external table; default
+    location is the session warehouse dir."""
+    w = df.write.format("parquet").mode(mode).bucketBy(n_buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(name)
+
+
+def bucketed_join(
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    key: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Join two same-bucketed catalog tables on ``key``. With matching
+    bucket specs Catalyst plans a SortMergeJoin with no Exchange on
+    either side (and no Sort when both are sortBy'd)."""
+    return spark.table(left_table).join(spark.table(right_table), key, how)

@@ -133,3 +133,42 @@ def test_anomaly_stats_broadcast_back(noaqe):
     assert "SortMergeJoin" not in plan
     # the only exchange feeds the stats aggregate, not the fact scan
     assert n_shuffles(plan) <= 1, plan
+
+
+def test_bucketed_join_eliminates_shuffle(noaqe, tmp_path):
+    """Both sides written bucketBy(8, key) -> the equi-join plans with
+    ZERO Exchange operators (the bucket layout IS the shuffle, paid
+    once at write time); the same join on plain parquet shuffles both
+    sides. This is the layout for repeated large x large joins where
+    neither side broadcasts."""
+    from pysyslog_lfc_spark.operators.bucketing import bucketed_join, save_bucketed
+
+    spark = noaqe
+    left = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("a")
+    )
+    right = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("b")
+    )
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        save_bucketed(left, "bk_left", "k", 8, path=str(tmp_path / "l"))
+        save_bucketed(right, "bk_right", "k", 8, path=str(tmp_path / "r"))
+        joined = bucketed_join(spark, "bk_left", "bk_right", "k")
+        plan = plan_of(joined)
+        assert n_shuffles(plan) == 0, plan
+        assert "SortMergeJoin" in plan
+        assert joined.count() == 1000
+
+        # control: identical data, plain parquet -> both sides shuffle
+        left.write.mode("overwrite").parquet(str(tmp_path / "pl"))
+        right.write.mode("overwrite").parquet(str(tmp_path / "pr"))
+        control = spark.read.parquet(str(tmp_path / "pl")).join(
+            spark.read.parquet(str(tmp_path / "pr")), "k"
+        )
+        assert n_shuffles(plan_of(control)) == 2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql("DROP TABLE IF EXISTS bk_left")
+        spark.sql("DROP TABLE IF EXISTS bk_right")
