@@ -178,6 +178,25 @@ def minhash_signatures(
     return ex.groupBy("_id").agg(*aggs)
 
 
+def _band_keys(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(_id, band, bh): one row per LSH band, band key = xxhash64 of the
+    band's signature slice."""
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("bh"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sigs.select("_id", F.explode(band_cols).alias("bk")).select(
+        "_id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -211,20 +230,7 @@ def minhash_lsh_pairs(
     else:
         rows_per_band = perms // bands
     sigs = minhash_signatures(df, text_col, id_col, n, perms)
-    band_cols = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-                ).alias("bh"),
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = sigs.select("_id", F.explode(band_cols).alias("bk")).select(
-        "_id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
-    )
+    banded = _band_keys(sigs, bands, rows_per_band)
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "bh"])
@@ -755,3 +761,64 @@ def dedup_keep_best(
             F.count(F.lit(1)).alias("n_members"),
         )
     )
+
+
+def incremental_near_dups(
+    new_df: DataFrame,
+    old_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    bands: int | None = None,
+    perms: int = MINHASH_PERMS,
+) -> DataFrame:
+    """Near-duplicates of a NEW batch against an EXISTING corpus — the
+    production shape for a corpus that grows daily: signatures for the
+    historical side are computed once (persist/table them upstream) and
+    each incoming batch only pays its own signatures plus a band
+    equi-join against the stored ones. No new-vs-new pairs are emitted
+    (dedupe the batch separately with :func:`minhash_lsh_pairs`).
+
+    Same guarantees as :func:`minhash_lsh_pairs`: banded candidates
+    (recall-constrained auto banding by default), exact-Jaccard verify,
+    so precision is 1.0. Returns (id_new, id_old, jaccard).
+    """
+    if bands is None:
+        from pysyslog_lfc_spark.functions.similarity import pick_lsh_params_recall
+
+        bands, rows_per_band = pick_lsh_params_recall(threshold, n_perm=perms)
+    else:
+        rows_per_band = perms // bands
+    b_new = _band_keys(
+        minhash_signatures(new_df, text_col, id_col, n, perms), bands, rows_per_band
+    )
+    b_old = _band_keys(
+        minhash_signatures(old_df, text_col, id_col, n, perms), bands, rows_per_band
+    )
+    cand = (
+        b_new.select(F.col("_id").alias("id_new"), "band", "bh")
+        .join(b_old.select(F.col("_id").alias("id_old"), "band", "bh"), ["band", "bh"])
+        .select("id_new", "id_old")
+        .distinct()
+    )
+    sh_new = _shingled(new_df, text_col, id_col, n).select(
+        F.col("_id").alias("id_new"), F.col("_sh").alias("sh_a"), F.col("_n_sh").alias("n_a")
+    )
+    sh_old = _shingled(old_df, text_col, id_col, n).select(
+        F.col("_id").alias("id_old"), F.col("_sh").alias("sh_b"), F.col("_n_sh").alias("n_b")
+    )
+    a_f = sh_new.join(F.broadcast(cand), "id_new")
+    b_f = sh_old.join(F.broadcast(cand.select("id_old").distinct()), "id_old")
+    verified = (
+        a_f.join(b_f, "id_old")
+        .withColumn("n_shared", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared")), 4
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return verified.select("id_new", "id_old", "jaccard")

@@ -499,3 +499,42 @@ def truncation_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("context_len", "kept_tokens", "lost_tokens", "truncated_docs"),
         F.col("_total").alias("total_docs"),
     )
+
+
+@query(
+    "dedup_incremental",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), w -> w != '') AS ws
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(ws[i : i + 2], ' ') AS s
+      FROM (SELECT doc_id, ws, unnest(range(1, greatest(len(ws) - 1, 1))) AS i
+            FROM toks)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    cand AS (
+      SELECT a.doc_id AS id_new, b.doc_id AS id_old, count(*) AS n_shared
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+      GROUP BY 1, 2
+    )
+    SELECT id_new, id_old,
+           round(n_shared / (sa.n + sb.n - n_shared), 4) AS jaccard
+    FROM cand JOIN sizes sa ON sa.doc_id = id_new
+              JOIN sizes sb ON sb.doc_id = id_old
+    WHERE round(n_shared / (sa.n + sb.n - n_shared), 4) >= 0.9
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup detection: the 20% 'new batch' (doc_id % 5
+    == 0) against the 80% 'existing corpus' — banded candidates with
+    recall-constrained auto banding at threshold 0.9, exact-Jaccard
+    verified, so the output equals the brute-force cross-set oracle."""
+    from pysyslog_lfc_spark.functions.dedup import incremental_near_dups
+
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    old = docs.where(F.col("doc_id") % 5 != 0)
+    return incremental_near_dups(new, old, threshold=0.9)

@@ -397,3 +397,30 @@ class TestTunerProperties:
                     lsh_collision_prob(t, b, r) >= 0.95
                     or (b, r) == (n_perm, 1)
                 )
+
+
+class TestIncrementalDedup:
+    def test_new_vs_old_only(self, spark):
+        from pysyslog_lfc_spark.functions.dedup import incremental_near_dups
+
+        old_rows, new_rows = [], []
+        for d in range(5):
+            words = " ".join(f"o{d}_{i}" for i in range(200))
+            old_rows.append(Row(doc_id=d, text=words))
+            # new twin of old doc d (one word changed, j ~ 0.97)
+            new_rows.append(
+                Row(doc_id=100 + d, text=words.replace(f"o{d}_100 ", "ZZ "))
+            )
+        # two near-identical NEW docs: must NOT be reported (new-vs-new)
+        new_rows.append(Row(doc_id=300, text=" ".join(f"n{i}" for i in range(200))))
+        new_rows.append(
+            Row(doc_id=301, text=" ".join(f"n{i}" for i in range(200)) + " tail")
+        )
+        new = spark.createDataFrame(new_rows)
+        old = spark.createDataFrame(old_rows)
+        got = {
+            (r["id_new"], r["id_old"]): r["jaccard"]
+            for r in incremental_near_dups(new, old, threshold=0.9).collect()
+        }
+        assert set(got) == {(100 + d, d) for d in range(5)}
+        assert all(j >= 0.9 for j in got.values())
