@@ -101,6 +101,11 @@ BENCH_QUERIES = [
     "scd2_user_status",
     "curation_funnel",
     "cross_source_overlap",
+    "dedup_incremental",
+    "boilerplate_ngrams",
+    "cooccurrence_lift",
+    "interval_coverage_users",
+    "truncation_loss",
     "kmv_set_algebra",
     "event_transitions",
     "value_percentiles",

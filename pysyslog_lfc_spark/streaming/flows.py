@@ -577,3 +577,52 @@ def streaming_cusum(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def run_pipeline_stream(
+    spark,
+    stream_df: DataFrame,
+    lookup: DataFrame,
+    warehouse_root: str,
+    checkpoint_dir: str,
+    job_id: str = "sjob-1",
+    n_buckets: int = 8,
+    trigger: dict | None = None,
+    warehouse_format: str = "parquet",
+):
+    """The flagship parse -> enrich -> route -> aggregate fan-out as a
+    structured stream: each micro-batch runs the SAME zero-shuffle
+    batch plan (plans/pipeline.py::run_pipeline) via ``foreachBatch``,
+    committing to the warehouse under a per-batch job id
+    (``{job_id}-b{batch_id}``).
+
+    Exactly-once end to end: foreachBatch replays a batch after a crash
+    with the SAME batch id (checkpoint-tracked offsets), and
+    run_pipeline's bucket commits are atomic directory renames keyed by
+    that id with resume enabled — a replayed batch skips buckets it
+    already committed and rewrites partial ones, so sink contents equal
+    an uninterrupted run. Aggregates/metrics/lineage land per batch
+    under the same id; roll them up across batches with a plain scan of
+    the warehouse aggregate tables.
+    """
+    from pysyslog_lfc_spark.plans.pipeline import run_pipeline
+
+    def write_batch(bdf: DataFrame, batch_id: int) -> None:
+        if not bdf.isEmpty():
+            run_pipeline(
+                spark,
+                bdf,
+                lookup,
+                warehouse_root,
+                job_id=f"{job_id}-b{batch_id}",
+                n_buckets=n_buckets,
+                resume=True,
+                warehouse_format=warehouse_format,
+            )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(**(trigger or {"availableNow": True}))
+    )
+    return writer.start()

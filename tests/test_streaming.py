@@ -539,3 +539,56 @@ def test_streaming_cusum_matches_batch_operator(spark, tmp_path):
     # parse in the same session, so compare by (key, bucket) directly.
     assert got == want
     assert len(got) > 0
+
+
+def test_streaming_pipeline_matches_batch_run(spark, tmp_path):
+    """The foreachBatch flagship stream (multiple micro-batches) must
+    land exactly the rows a single batch run lands, per sink."""
+    import duckdb as _dd
+
+    from pysyslog_lfc_spark.plans.pipeline import run_pipeline
+    from pysyslog_lfc_spark.sources.datagen import sequences_df, source_lookup_df
+    from pysyslog_lfc_spark.streaming.flows import run_pipeline_stream
+
+    seq_path = str(tmp_path / "seq")
+    sequences_df(spark, 2000, seed=7, partitions=4).write.mode("overwrite").parquet(
+        seq_path
+    )
+    lookup = source_lookup_df(spark)
+
+    wh_b = str(tmp_path / "wh_batch")
+    batch_seq = spark.read.parquet(seq_path)
+    run_pipeline(spark, batch_seq, lookup, wh_b, job_id="jb", n_buckets=4)
+
+    wh_s = str(tmp_path / "wh_stream")
+    stream = (
+        spark.readStream.schema(batch_seq.schema)
+        .option("maxFilesPerTrigger", 1)  # force several micro-batches
+        .parquet(seq_path)
+    )
+    q = run_pipeline_stream(
+        spark,
+        stream,
+        lookup,
+        wh_s,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        job_id="js",
+        n_buckets=4,
+    )
+    q.awaitTermination(300)
+
+    for sink in ("sink_errors", "sink_app", "sink_catchall"):
+        b = {
+            r[0]
+            for r in _dd.sql(
+                f"SELECT doc_id FROM read_parquet('{wh_b}/{sink}/bucket=*/job=*/*.parquet')"
+            ).fetchall()
+        }
+        s = {
+            r[0]
+            for r in _dd.sql(
+                f"SELECT doc_id FROM read_parquet('{wh_s}/{sink}/bucket=*/job=*/*.parquet')"
+            ).fetchall()
+        }
+        assert s == b, sink
+        assert len(b) > 0
