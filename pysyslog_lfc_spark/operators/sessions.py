@@ -319,6 +319,7 @@ def cooccurrence_lift(
     df: DataFrame,
     group: list[str],
     item: str,
+    persist_baskets: bool = False,
 ) -> DataFrame:
     """Market-basket co-occurrence: for every item pair, in how many
     groups (baskets) both appear, with lift =
@@ -331,6 +332,12 @@ def cooccurrence_lift(
     are a tiny aggregate broadcast back onto the pair counts.
     """
     basket = df.select(*group, F.col(item).alias("_it")).distinct()
+    if persist_baskets:
+        # the distinct basket set feeds four branches (marginals, group
+        # count, both join sides); at scale persist it once instead of
+        # recomputing the distinct per branch (caller unpersists via
+        # spark.catalog.clearCache() or holds a reference)
+        basket = basket.persist()
     n_groups = basket.select(*group).distinct().agg(
         F.count(F.lit(1)).alias("_ng")
     )  # 1 row, stays lazy
