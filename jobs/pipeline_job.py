@@ -50,6 +50,25 @@ def main(argv: list[str] | None = None) -> int:
         "parquet files into one (crash-safe two-rename swap; 0 = off)",
     )
     ap.add_argument(
+        "--stream",
+        action="store_true",
+        help="run as a structured stream over --input (foreachBatch -> "
+        "the same zero-shuffle batch plan per micro-batch; exactly-once "
+        "via checkpointed batch ids x atomic bucket commits)",
+    )
+    ap.add_argument(
+        "--checkpoint",
+        default=None,
+        help="streaming checkpoint dir (default: <warehouse>/_checkpoint)",
+    )
+    ap.add_argument(
+        "--max-files-per-trigger",
+        type=int,
+        default=0,
+        metavar="N",
+        help="cap files per micro-batch (0 = all available at once)",
+    )
+    ap.add_argument(
         "--parse-only",
         action="store_true",
         help="compute-bound probe: run parse -> enrich -> route -> "
@@ -101,6 +120,37 @@ def main(argv: list[str] | None = None) -> int:
                     "rows": rows,
                     "sequences_per_sec": round(rows / elapsed, 1) if elapsed else None,
                     "mode": "parse-only",
+                }
+            )
+        )
+        return 0
+
+    if args.stream:
+        from pysyslog_lfc_spark.streaming.flows import run_pipeline_stream
+
+        t0 = time.monotonic()
+        reader = spark.readStream.schema(seq.schema)
+        if args.max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", args.max_files_per_trigger)
+        stream = reader.parquet(args.input)
+        q = run_pipeline_stream(
+            spark,
+            stream,
+            lookup,
+            args.warehouse,
+            checkpoint_dir=args.checkpoint or f"{args.warehouse}/_checkpoint",
+            job_id=args.job_id,
+            n_buckets=args.buckets,
+            warehouse_format=args.warehouse_format,
+        )
+        q.awaitTermination()
+        elapsed = time.monotonic() - t0
+        print(
+            json.dumps(
+                {
+                    "job_id": args.job_id,
+                    "elapsed_sec": round(elapsed, 3),
+                    "mode": "stream",
                 }
             )
         )

@@ -592,3 +592,75 @@ def test_streaming_pipeline_matches_batch_run(spark, tmp_path):
         }
         assert s == b, sink
         assert len(b) > 0
+
+
+def test_streaming_pipeline_restart_from_checkpoint(spark, tmp_path):
+    """Stop the stream after the first micro-batch, restart with the
+    same checkpoint: the resumed stream processes ONLY the remaining
+    files and the final sinks equal an uninterrupted batch run."""
+    import duckdb as _dd
+
+    from pysyslog_lfc_spark.plans.pipeline import run_pipeline
+    from pysyslog_lfc_spark.sources.datagen import sequences_df, source_lookup_df
+    from pysyslog_lfc_spark.streaming.flows import run_pipeline_stream
+
+    seq_path = str(tmp_path / "seq")
+    sequences_df(spark, 1200, seed=11, partitions=3).write.mode("overwrite").parquet(
+        seq_path
+    )
+    lookup = source_lookup_df(spark)
+    batch_seq = spark.read.parquet(seq_path)
+
+    wh_b = str(tmp_path / "wh_batch")
+    run_pipeline(spark, batch_seq, lookup, wh_b, job_id="jb", n_buckets=4)
+
+    wh_s = str(tmp_path / "wh_stream")
+    ckpt = str(tmp_path / "ckpt")
+
+    def start():
+        stream = (
+            spark.readStream.schema(batch_seq.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(seq_path)
+        )
+        return run_pipeline_stream(
+            spark, stream, lookup, wh_s, checkpoint_dir=ckpt,
+            job_id="js", n_buckets=4, trigger={"processingTime": "1 second"},
+        )
+
+    q = start()
+    import time as _t
+
+    deadline = _t.time() + 120
+    while _t.time() < deadline and len(q.recentProgress) < 1:
+        _t.sleep(0.5)
+    q.stop()  # killed mid-stream after >=1 committed micro-batch
+    q.awaitTermination(60)
+
+    q2 = start()
+    deadline = _t.time() + 180
+    total = lambda: _dd.sql(
+        f"SELECT count(*) FROM read_parquet('{wh_s}/sink_*/bucket=*/job=*/*.parquet')"
+    ).fetchone()[0]
+    want = _dd.sql(
+        f"SELECT count(*) FROM read_parquet('{wh_b}/sink_*/bucket=*/job=*/*.parquet')"
+    ).fetchone()[0]
+    while _t.time() < deadline and total() < want:
+        _t.sleep(1)
+    q2.stop()
+    q2.awaitTermination(60)
+
+    for sink in ("sink_errors", "sink_app", "sink_catchall"):
+        b = {
+            r[0]
+            for r in _dd.sql(
+                f"SELECT doc_id FROM read_parquet('{wh_b}/{sink}/bucket=*/job=*/*.parquet')"
+            ).fetchall()
+        }
+        s = {
+            r[0]
+            for r in _dd.sql(
+                f"SELECT doc_id FROM read_parquet('{wh_s}/{sink}/bucket=*/job=*/*.parquet')"
+            ).fetchall()
+        }
+        assert s == b, sink
