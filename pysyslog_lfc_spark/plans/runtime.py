@@ -149,3 +149,51 @@ def run_runtime(
         else:
             result.written[f.name] = f.output.option("path", f.output.type)
     return result
+
+
+def register_flow_views(
+    spark: SparkSession,
+    cfg: RuntimeConfig,
+    inputs: dict[str, list[str] | DataFrame] | None = None,
+    registry=None,
+    prefix: str = "flow_",
+) -> dict[str, DataFrame]:
+    """Register every enabled flow's transformed record frame (post
+    parse/filter/format, pre-output) as a temp view ``<prefix><name>``
+    and return the frames — the bridge from the INI flow surface to
+    plain ``spark.sql``: users can join/aggregate flow outputs with
+    arbitrary SQL (the reference has no query surface at all; this is
+    the Spark-native dividend). Views are lazy plans: nothing executes
+    until a SQL query over them runs, and Catalyst optimizes across the
+    flow boundary (filter pushdown INTO the flow's parse stage).
+    """
+    from pysyslog_lfc_spark.plans.compiler import compile_flow
+    from pysyslog_lfc_spark.registry import default_registry
+
+    reg = registry or default_registry()
+    apply_settings(spark, cfg)
+    inputs = inputs or {}
+    flows = [f for f in _topo_order(list(cfg.flows)) if f.enabled]
+    transformed: dict[str, DataFrame] = {}
+    for f in flows:
+        if f.input.type == "flow":
+            up = f.input.option("source") or f.input.option("name")
+            src = transformed[up].select(
+                F.col("rendered").cast("string").alias(RAW_COL)
+            )
+        else:
+            try:
+                src = reg.create_input(spark, f, inject=inputs.get(f.name))
+            except ConfigError as exc:
+                raise ConfigError(f"{exc} (flow '{f.name}')") from None
+        out = compile_flow(f, registry=reg)(src)
+        # flatten the parsed record struct so SQL sees real columns
+        # (record.user -> user); rendered rides along for downstream use
+        cols = ["record.*"] if "record" in out.columns else ["*"]
+        if "rendered" in out.columns:
+            view = out.select(*cols, F.col("rendered"))
+        else:
+            view = out.select(*cols)
+        view.createOrReplaceTempView(f"{prefix}{f.name}")
+        transformed[f.name] = view
+    return transformed

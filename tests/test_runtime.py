@@ -239,3 +239,42 @@ format.template = {{msg}}
     assert sorted(r.value for r in dead.collect()) == ["", "not json at all",
                                                        "not json at all"]
     assert {r.flow for r in dead.collect()} == {"ingest"}
+
+
+def test_register_flow_views_sql_surface(spark):
+    """Flows become temp views queryable (and joinable) with plain
+    spark.sql; the view is a lazy plan, not a materialized result."""
+    from pysyslog_lfc_spark import config
+    from pysyslog_lfc_spark.plans.runtime import register_flow_views
+
+    cfg = config.loads(
+        """
+[flow.app]
+input.type = memory
+parser.type = json
+output.type = memory
+
+[flow.audit]
+input.type = memory
+parser.type = json
+output.type = memory
+"""
+    )
+    frames = register_flow_views(
+        spark,
+        cfg,
+        inputs={
+            "app": ['{"user": "u1", "n": 1}', '{"user": "u2", "n": 2}'],
+            "audit": ['{"user": "u1", "ok": true}'],
+        },
+    )
+    assert set(frames) == {"app", "audit"}
+    rows = spark.sql(
+        """
+        SELECT a.user, a.n, b.ok
+        FROM flow_app a JOIN flow_audit b ON a.user = b.user
+        """
+    ).collect()
+    assert [(r["user"], int(r["n"]), bool(r["ok"])) for r in rows] == [("u1", 1, True)]
+    agg = spark.sql("SELECT sum(n) AS s FROM flow_app").collect()[0]["s"]
+    assert int(agg) == 3
