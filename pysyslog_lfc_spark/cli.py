@@ -20,6 +20,14 @@ def build_argument_parser() -> argparse.ArgumentParser:
     ap.add_argument("-c", "--config", required=True, help="INI flow config path")
     ap.add_argument("--master", default=None, help="spark master (default: env/local)")
     ap.add_argument("--show", type=int, default=5, help="memory-sink rows to print per flow")
+    ap.add_argument(
+        "--sql",
+        default=None,
+        metavar="QUERY",
+        help="instead of executing flow outputs, register every flow as "
+        "a temp view (flow_<name>, record columns flattened) and run "
+        "this ad-hoc SQL over them; prints JSON rows",
+    )
     return ap
 
 
@@ -32,6 +40,15 @@ def main(argv: list[str] | None = None) -> int:
 
     cfg = cfgmod.load(args.config)
     spark = get_spark("pysyslog-lfc-spark-cli", master=args.master)
+
+    if args.sql:
+        from pysyslog_lfc_spark.plans.runtime import register_flow_views
+
+        register_flow_views(spark, cfg)
+        rows = [r.asDict(recursive=True) for r in spark.sql(args.sql).collect()]
+        print(json.dumps({"sql": args.sql, "rows": rows}, default=str))
+        return 0
+
     result = run_runtime(spark, cfg)
     summary = {
         "flows": {

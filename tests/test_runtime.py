@@ -278,3 +278,23 @@ output.type = memory
     assert [(r["user"], int(r["n"]), bool(r["ok"])) for r in rows] == [("u1", 1, True)]
     agg = spark.sql("SELECT sum(n) AS s FROM flow_app").collect()[0]["s"]
     assert int(agg) == 3
+
+
+def test_cli_sql_mode(spark, capsys):
+    """-c config --sql runs ad-hoc SQL over flow views and prints JSON."""
+    import json as _json
+
+    from pysyslog_lfc_spark.cli import main
+
+    rc = main(
+        [
+            "-c",
+            "etc/webaccess.ini",
+            "--sql",
+            "SELECT status, count(*) AS n FROM flow_web_errors "
+            "GROUP BY status ORDER BY status",
+        ]
+    )
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] == [{"status": 404, "n": 1}, {"status": 500, "n": 1}]
