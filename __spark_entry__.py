@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per query; approximate operators
-    (ann_lsh_topk) are intentionally omitted -> rows-only check."""
+    """DuckDB-equivalent SQL per query — every registered query has a
+    full oracle (approximate operators get one by inlining their
+    deterministic seeded constants into generated SQL)."""
     return DQ.all_oracles()

@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "cooccurrence_lift",
     "interval_coverage_users",
     "truncation_loss",
+    "vocab_coverage",
     "kmv_set_algebra",
     "event_transitions",
     "value_percentiles",

@@ -538,3 +538,54 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = docs.where(F.col("doc_id") % 5 == 0)
     old = docs.where(F.col("doc_id") % 5 != 0)
     return incremental_near_dups(new, old, threshold=0.9)
+
+
+@query(
+    "vocab_coverage",
+    r"""
+    WITH vocab AS (
+      SELECT token FROM (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                      w -> w != '')) AS token
+        FROM documents WHERE doc_id % 5 <> 0
+      ) GROUP BY token HAVING count(*) >= 3
+    ),
+    held AS (
+      SELECT source,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                    w -> w != '')) AS token
+      FROM documents WHERE doc_id % 5 = 0
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count_if(v.token IS NULL) AS BIGINT) AS n_oov,
+           CAST(floor(1000 * count_if(v.token IS NULL) / count(*)) AS BIGINT)
+             AS oov_permille
+    FROM held h LEFT JOIN vocab v ON h.token = v.token
+    GROUP BY source
+    """,
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage: train the vocab (min_count 3,
+    lowercased) on the 80% corpus slice, report per-source OOV token
+    rates on the held-out 20% — the question asked before freezing any
+    tokenizer. Vocab is corpus-collapsed (|V| rows) before the join;
+    the held-out stream joins on the token key and aggregates
+    map-side."""
+    from pysyslog_lfc_spark.functions.text import build_vocab
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = build_vocab(
+        docs.where(F.col("doc_id") % 5 != 0), lowercase=True, min_count=3
+    ).select("token", F.lit(True).alias("_in"))
+    held = docs.where(F.col("doc_id") % 5 == 0).select(
+        "source", F.explode(tokenize(F.lower(F.col("text")))).alias("token")
+    )
+    j = held.join(vocab, "token", "left")
+    oov = F.col("_in").isNull().cast("long")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(oov).alias("n_oov"),
+        F.floor(F.lit(1000) * F.sum(oov) / F.count(F.lit(1)))
+        .cast("long")
+        .alias("oov_permille"),
+    )
