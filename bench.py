@@ -107,6 +107,8 @@ BENCH_QUERIES = [
     "interval_coverage_users",
     "truncation_loss",
     "vocab_coverage",
+    "snapshot_diff_orders",
+    "user_event_entropy",
     "kmv_set_algebra",
     "event_transitions",
     "value_percentiles",

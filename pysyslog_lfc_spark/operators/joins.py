@@ -252,3 +252,41 @@ def interval_overlap_join(
         *[l[c] for c in left.columns],
         *[r[c] for c in right.columns],
     )
+
+
+def snapshot_diff(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    key: str,
+    compare_cols: list[str],
+) -> DataFrame:
+    """Diff two snapshots of a keyed table — the dataset-versioning
+    primitive (what changed between corpus v1 and v2): one row per key
+    with status ``added`` / ``removed`` / ``changed`` / ``unchanged``
+    plus the old/new values of each compared column.
+
+    Null-safe comparison (``eqNullSafe``) so NULL -> value and value ->
+    NULL both count as changes. Shape: ONE full-outer shuffle join on
+    the key; the status is a pure codegen CASE over the joined row —
+    no second pass, no collect.
+    """
+    o = old_df.select(
+        F.col(key), *[F.col(c).alias(f"{c}_old") for c in compare_cols]
+    ).withColumn("_in_old", F.lit(True))
+    n = new_df.select(
+        F.col(key), *[F.col(c).alias(f"{c}_new") for c in compare_cols]
+    ).withColumn("_in_new", F.lit(True))
+    j = o.join(n, key, "full_outer")
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"{c}_old").eqNullSafe(F.col(f"{c}_new"))
+    status = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    out_cols = [F.col(key), status.alias("status")]
+    for c in compare_cols:
+        out_cols += [F.col(f"{c}_old"), F.col(f"{c}_new")]
+    return j.select(*out_cols)

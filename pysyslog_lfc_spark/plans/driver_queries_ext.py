@@ -589,3 +589,84 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("oov_permille"),
     )
+
+
+@query(
+    "snapshot_diff_orders",
+    """
+    WITH v1 AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 3 <> 0
+    ),
+    v2 AS (
+      SELECT o_orderkey,
+             o_totalprice + CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END
+               AS o_totalprice,
+             o_orderstatus
+      FROM orders WHERE o_orderkey % 2 <> 0
+    )
+    SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+           CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                WHEN b.o_orderkey IS NULL THEN 'removed'
+                WHEN a.o_totalprice IS NOT DISTINCT FROM b.o_totalprice
+                 AND a.o_orderstatus IS NOT DISTINCT FROM b.o_orderstatus
+                THEN 'unchanged'
+                ELSE 'changed' END AS status,
+           a.o_totalprice AS o_totalprice_old, b.o_totalprice AS o_totalprice_new,
+           a.o_orderstatus AS o_orderstatus_old, b.o_orderstatus AS o_orderstatus_new
+    FROM v1 a FULL OUTER JOIN v2 b ON a.o_orderkey = b.o_orderkey
+    """,
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-version diff: orders v1 (keys % 3 != 0) vs v2 (keys % 2
+    != 0, every 5th price bumped) — added/removed/changed/unchanged per
+    key from one full-outer join, null-safe compares."""
+    from pysyslog_lfc_spark.operators.joins import snapshot_diff
+
+    orders = _t(spark, sf_dir, "orders")
+    v1 = orders.where(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    v2 = orders.where(F.col("o_orderkey") % 2 != 0).select(
+        "o_orderkey",
+        (
+            F.col("o_totalprice")
+            + F.when(F.col("o_orderkey") % 5 == 0, F.lit(1)).otherwise(F.lit(0))
+        ).alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    return snapshot_diff(v1, v2, "o_orderkey", ["o_totalprice", "o_orderstatus"])
+
+
+@query(
+    "user_event_entropy",
+    """
+    WITH c AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_i
+      FROM events GROUP BY 1, 2
+    )
+    SELECT user_id, CAST(sum(n_i) AS BIGINT) AS n_events,
+           CAST(floor((ln(sum(n_i)) - sum(n_i * ln(n_i)) / sum(n_i)) * 1000)
+                AS BIGINT) AS entropy_permille
+    FROM c GROUP BY 1
+    """,
+)
+def user_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral diversity score: Shannon entropy of each user's
+    event-type distribution via the aggregate identity H = ln(n) -
+    (1/n) * sum(n_i ln n_i) — two chained groupBys on the same key
+    prefix (one exchange), exact integer counts, permille-floored."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n_i"))
+    return c.groupBy("user_id").agg(
+        F.sum("n_i").alias("n_events"),
+        F.floor(
+            (
+                F.log(F.sum("n_i"))
+                - F.sum(F.col("n_i") * F.log("n_i")) / F.sum("n_i")
+            )
+            * 1000
+        )
+        .cast("long")
+        .alias("entropy_permille"),
+    )

@@ -424,3 +424,37 @@ class TestIncrementalDedup:
         }
         assert set(got) == {(100 + d, d) for d in range(5)}
         assert all(j >= 0.9 for j in got.values())
+
+
+class TestSnapshotDiff:
+    def test_all_statuses(self, spark):
+        from pysyslog_lfc_spark.operators.joins import snapshot_diff
+
+        old = spark.createDataFrame(
+            [Row(k=1, p=10.0), Row(k=2, p=20.0), Row(k=3, p=None), Row(k=4, p=40.0)]
+        )
+        new = spark.createDataFrame(
+            [Row(k=1, p=10.0), Row(k=2, p=25.0), Row(k=3, p=None), Row(k=5, p=50.0)]
+        )
+        got = {
+            r["k"]: r["status"]
+            for r in snapshot_diff(old, new, "k", ["p"]).collect()
+        }
+        assert got == {
+            1: "unchanged",
+            2: "changed",
+            3: "unchanged",  # NULL == NULL null-safely
+            4: "removed",
+            5: "added",
+        }
+
+    def test_null_transitions_are_changes(self, spark):
+        from pysyslog_lfc_spark.operators.joins import snapshot_diff
+
+        old = spark.createDataFrame([Row(k=1, p=None), Row(k=2, p=2.0)])
+        new = spark.createDataFrame([Row(k=1, p=1.0), Row(k=2, p=None)])
+        got = {
+            r["k"]: r["status"]
+            for r in snapshot_diff(old, new, "k", ["p"]).collect()
+        }
+        assert got == {1: "changed", 2: "changed"}
