@@ -33,7 +33,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 from pysyslog_lfc_spark.sinks import (
     BUCKET_COL,
@@ -252,7 +252,25 @@ def run_pipeline(
                 ~((F.col(ROUTE_COL) == name) & F.col(BUCKET_COL).isin(sorted(bkts)))
             )
     sink_df = routed.select(ROUTE_COL, BUCKET_COL, *SINK_COLUMNS)
+    # ---- metrics accumulators riding the write pass itself
+    # (``DataFrame.observe`` = Spark's accumulator API for SQL plans):
+    # per-run written-row counters are captured by the SAME action that
+    # writes the sinks — zero extra scan, O(|routes|) driver data — so
+    # at 10^12 rows the run counters are free. They complement (not
+    # replace) the `_lineage` table: lineage is per-bucket over the FULL
+    # input (consistent under resume), the observation counts what THIS
+    # run actually wrote.
+    obs = Observation("pipeline_write")
+    sink_df = sink_df.observe(
+        obs,
+        F.count(F.lit(1)).alias("written_rows"),
+        *[
+            F.sum((F.col(ROUTE_COL) == name).cast("long")).alias(f"written_{name}")
+            for name in routes
+        ],
+    )
     stats = wh.commit_routed(sink_df, list(routes), job_id, fail_on=fail_on)
+    observed = {k: int(v or 0) for k, v in obs.get.items()}
     for name in routes:
         result.sinks[name] = CommitStats(
             name,
@@ -304,6 +322,7 @@ def run_pipeline(
     result.metrics = {
         c: int(sum(r[c] or 0 for r in lineage_rows)) for c in counters
     }
+    result.metrics.update(observed)
     metrics_rows = [(k, v) for k, v in result.metrics.items()]
     wh.commit_single(
         spark.createDataFrame(metrics_rows, "counter string, value long").withColumn(

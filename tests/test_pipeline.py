@@ -74,6 +74,19 @@ def test_pipeline_routing_aggregates_and_token_equality(spark, data):
     assert result.metrics["rows_in"] == N_ROWS
     assert result.metrics["parse_ok"] == N_ROWS
 
+    # observe()-based accumulators captured on the write action itself
+    # must agree with both the oracle and the lineage-derived counters
+    assert result.metrics["written_rows"] == sum(
+        len(oracle_docs[n]) for n in routing_predicates()
+    )
+    metrics_table = {
+        r["counter"]: r["value"] for r in wh.read(spark, "_metrics").collect()
+    }
+    for name in routing_predicates():
+        assert result.metrics[f"written_{name}"] == len(oracle_docs[name])
+        assert result.metrics[f"written_{name}"] == result.metrics[f"rows_{name}"]
+        assert metrics_table[f"written_{name}"] == len(oracle_docs[name])
+
     for name in routing_predicates():
         sink = wh.read(spark, name)
         got_docs = {r[0] for r in sink.select("doc_id").collect()}
