@@ -1,0 +1,150 @@
+"""Importance resampling for training-data selection (DSIR-style).
+
+Implements the hashed n-gram importance-weighting recipe of
+"Data Selection for Language Models via Importance Resampling"
+(Xie et al., 2023, public): fit two bag-of-hashed-n-grams multinomials
+— one over a small TARGET slice of the corpus (the distribution you
+want more of) and one over the RAW corpus — then score every document
+by its log importance weight
+
+    log w(doc) = sum_{features f in doc} [ log p_target(b(f)) - log p_raw(b(f)) ]
+
+where ``b(f)`` hashes unigram + bigram features into ``n_buckets``
+buckets and both multinomials are Laplace-smoothed. Selecting the
+top-k by weight concentrates the kept slice on target-like documents.
+
+Reference scope anchor: the reference engine's quality/filter stage
+(docs/configuration/filters.md) is per-record predicates; this module
+is part of the build-spec's training-data extension family (corpus
+curation), alongside functions/decontaminate.py and functions/text.py.
+
+Scale design (100 TB view):
+- features are streamed by ONE explode per pass (no per-row n^2
+  carry of the token array); n-gram streams come from an
+  Arrow-batched pandas kernel (interpreted HOF transforms measured
+  ~10x slower in functions/text.py::shingles);
+- the model is ``n_buckets`` rows (8k default) — broadcast to the
+  scoring join, so the corpus never shuffles on the feature stream;
+  per-doc score aggregation partial-aggregates map-side on doc_id;
+- grand totals ride a lazy 1-row crossJoin(broadcast(...)) — never a
+  driver-side ``.count()`` at plan time;
+- everything downstream of the kernel is codegen (hash, pmod, ln,
+  sum), and the final export floors to permille so the DuckDB oracle
+  matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from pysyslog_lfc_spark.functions.text import portable_hash60, tokenize
+
+
+def ngram_stream(col: Column, n: int = 2) -> Column:
+    """All word n-grams WITH multiplicity, input order preserved
+    (Arrow-batched kernel; see ngram_stream_expr for the pure-SQL
+    twin used in parity tests and the oracle)."""
+    from pysyslog_lfc_spark.operators._pandas_udfs import make_ngram_stream_udf
+
+    return make_ngram_stream_udf(n)(col)
+
+
+def ngram_stream_expr(col: Column, n: int = 2) -> Column:
+    """Pure-expression n-gram stream — identical output to
+    :func:`ngram_stream` (kept for UDF-free plans + parity tests;
+    interpreted, so not the hot path)."""
+    words = tokenize(F.lower(col))
+    k = F.size(words) - (n - 1)
+    return F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), k), lambda i: F.array_join(F.slice(words, i, n), " ")
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def feature_buckets(col: Column, n_buckets: int) -> Column:
+    """Hashed feature stream (unigrams + bigrams, with multiplicity)
+    of a text column: array<long> of bucket ids in [0, n_buckets)."""
+    feats = F.concat(ngram_stream(col, 1), ngram_stream(col, 2))
+    # hash each feature engine-portably; transform here is per-element
+    # O(1) (no hidden re-evaluation) and runs once per feature
+    return F.transform(
+        feats,
+        lambda f: F.pmod(
+            F.conv(F.substring(F.md5(f), 1, 15), 16, 10).cast("long"),
+            F.lit(n_buckets),
+        ),
+    )
+
+
+def dsir_scores(
+    df: DataFrame,
+    target_pred: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 8192,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Per-document DSIR log importance weight (permille-floored).
+
+    ``target_pred`` marks the target slice (rows the selection should
+    look like). Returns (id_col, n_feats, logw_permille); higher
+    weight = more target-like. The raw distribution is the full input
+    frame, so every document feature has raw support (the smoothed
+    model still covers never-seen buckets).
+
+    Two feature passes (model fit + scoring) deliberately recompute the
+    kernel rather than caching the exploded stream: at corpus scale the
+    feature stream is ~20x the text payload and recompute is cheaper
+    than materializing it (same trade as plans/pipeline.py lineage).
+    """
+    feats = df.select(
+        F.col(id_col).alias("_id"),
+        target_pred.cast("long").alias("_is_t"),
+        F.explode(feature_buckets(F.col(text_col), n_buckets)).alias("_b"),
+    )
+
+    # ---- model: per-bucket target/raw counts + smoothed log ratio
+    model = feats.groupBy("_b").agg(
+        F.sum("_is_t").alias("_n_t"),
+        F.count(F.lit(1)).alias("_n_r"),
+    )
+    totals = feats.agg(
+        F.sum("_is_t").alias("_tot_t"), F.count(F.lit(1)).alias("_tot_r")
+    )  # 1 row, stays lazy until the scoring action
+    b = float(n_buckets)
+    ratio = model.crossJoin(F.broadcast(totals)).select(
+        "_b",
+        (
+            F.log((F.col("_n_t") + F.lit(alpha)) / (F.col("_tot_t") + F.lit(alpha * b)))
+            - F.log((F.col("_n_r") + F.lit(alpha)) / (F.col("_tot_r") + F.lit(alpha * b)))
+        ).alias("_logr"),
+    )
+
+    # ---- scoring: broadcast the 8k-row model back onto the stream
+    scored = (
+        feats.join(F.broadcast(ratio), "_b")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.floor(F.sum("_logr") * 1000).cast("long").alias("logw_permille"),
+        )
+    )
+    return scored.withColumnRenamed("_id", id_col)
+
+
+def dsir_select(
+    df: DataFrame,
+    target_pred: Column,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 8192,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Top-k most target-like documents by DSIR weight (deterministic:
+    total order (-weight, id), planned as TakeOrderedAndProject — the
+    global top-k never funnels the corpus through one task)."""
+    scores = dsir_scores(df, target_pred, id_col, text_col, n_buckets, alpha)
+    return scores.orderBy(F.desc("logw_permille"), F.col(id_col)).limit(k)

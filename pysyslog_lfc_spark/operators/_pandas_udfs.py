@@ -47,6 +47,31 @@ def make_shingles_udf(n):
     return sh
 
 
+def make_ngram_stream_udf(n):
+    """All word n-grams per document WITH multiplicity, input order
+    preserved (lowercased, whitespace-tokenized) — the count-feature
+    stream DSIR-style importance weighting needs (vs
+    :func:`make_shingles_udf`, which distinct-sorts for set semantics).
+    Semantics identical to functions/importance.py::ngram_stream_expr.
+    """
+    import re
+
+    ws = re.compile(r"\s+")
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def grams(s: pd.Series) -> pd.Series:
+        out = []
+        for text in s:
+            if text is None:
+                out.append([])
+                continue
+            toks = [w for w in ws.split(text.lower()) if w]
+            out.append([" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)])
+        return pd.Series(out)
+
+    return grams
+
+
 def make_regex_extract_udf(pattern, names):
     """Python-regex named-group extraction via ``Series.str.extract``."""
     out_schema = T.StructType([T.StructField(n, T.StringType(), True) for n in names])

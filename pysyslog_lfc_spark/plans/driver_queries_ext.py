@@ -670,3 +670,60 @@ def user_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("entropy_permille"),
     )
+
+
+@query(
+    "dsir_select",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, (CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS is_t,
+             list_filter(string_split_regex(lower(text), '\s+'), w -> w != '') AS words
+      FROM documents
+    ),
+    uni AS (SELECT doc_id, is_t, unnest(words) AS f FROM toks),
+    bpos AS (
+      SELECT doc_id, is_t, words,
+             unnest(generate_series(1, len(words) - 1)) AS i
+      FROM toks WHERE len(words) >= 2
+    ),
+    bi AS (
+      SELECT doc_id, is_t, words[i] || ' ' || words[i + 1] AS f FROM bpos
+    ),
+    feats AS (
+      SELECT doc_id, is_t,
+             ('0x' || substr(md5(f), 1, 15))::BIGINT % 4096 AS b
+      FROM (SELECT doc_id, is_t, f FROM uni
+            UNION ALL SELECT doc_id, is_t, f FROM bi)
+    ),
+    model AS (
+      SELECT b, sum(is_t) AS n_t, count(*) AS n_r FROM feats GROUP BY b
+    ),
+    tot AS (SELECT sum(is_t) AS tot_t, count(*) AS tot_r FROM feats),
+    scored AS (
+      SELECT f.doc_id,
+             count(*) AS n_feats,
+             CAST(floor(sum(
+               ln((m.n_t + 1e0) / (t.tot_t + 4096e0))
+               - ln((m.n_r + 1e0) / (t.tot_r + 4096e0))
+             ) * 1000) AS BIGINT) AS logw_permille
+      FROM feats f JOIN model m USING (b) CROSS JOIN tot t
+      GROUP BY f.doc_id
+    )
+    SELECT doc_id, n_feats, logw_permille
+    FROM scored
+    ORDER BY logw_permille DESC, doc_id
+    LIMIT 100
+    """,
+)
+def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (functions/importance.py, after Xie
+    et al. 2023): fit hashed unigram+bigram multinomials over the
+    target slice (lang='en') and the raw corpus, score every document
+    by its smoothed log importance ratio, keep the top-100. The
+    4096-row model broadcasts onto the feature stream (corpus never
+    shuffles for the join); the global top-k plans as
+    TakeOrderedAndProject."""
+    from pysyslog_lfc_spark.functions.importance import dsir_select as _sel
+
+    docs = _t(spark, sf_dir, "documents")
+    return _sel(docs, F.col("lang") == "en", k=100, n_buckets=4096)

@@ -881,3 +881,52 @@ class TestBPE:
         df = spark.createDataFrame([(1, "xyz")], "doc_id long, text string")
         toks = bpe_encode(df, merges=[], out_col="t").collect()[0].t
         assert toks == ["x", "y", "z", "</w>"]
+
+
+class TestDSIR:
+    """functions/importance.py — DSIR-style importance resampling."""
+
+    def test_ngram_stream_kernel_matches_expression(self, spark):
+        from pysyslog_lfc_spark.functions.importance import (
+            ngram_stream,
+            ngram_stream_expr,
+        )
+
+        rows = [
+            ("a b c d",),
+            ("Hello   hello world",),
+            ("single",),
+            ("",),
+            (None,),
+        ]
+        df = spark.createDataFrame(rows, "text string")
+        for n in (1, 2, 3):
+            got = df.select(ngram_stream(F.col("text"), n).alias("g")).collect()
+            want = df.select(ngram_stream_expr(F.col("text"), n).alias("g")).collect()
+            assert [r["g"] for r in got] == [r["g"] for r in want], f"n={n}"
+        one = df.limit(1).select(ngram_stream(F.col("text"), 2).alias("g")).first()
+        assert one["g"] == ["a b", "b c", "c d"]  # multiplicity + order kept
+
+    def test_dsir_ranks_target_like_docs_higher(self, spark):
+        from pysyslog_lfc_spark.functions.importance import dsir_scores
+
+        # target docs share a distinctive vocabulary; one raw doc is
+        # written in the target's vocabulary and must outscore raw docs
+        # that aren't
+        rows = (
+            [(i, "the quick brown fox jumps over lazy dogs daily", 1) for i in range(5)]
+            + [(10, "quick brown fox jumps over the lazy dogs", 0)]
+            + [(i, "stack trace panic kernel oops segfault reboot", 0) for i in range(11, 16)]
+        )
+        df = spark.createDataFrame(rows, "doc_id long, text string, is_t int")
+        scores = {
+            r["doc_id"]: r["logw_permille"]
+            for r in dsir_scores(
+                df, F.col("is_t") == 1, n_buckets=512
+            ).collect()
+        }
+        assert len(scores) == 11
+        target_like, noise = scores[10], max(scores[i] for i in range(11, 16))
+        assert target_like > noise
+        # target docs themselves score at least as high as the mimic
+        assert min(scores[i] for i in range(5)) >= target_like
