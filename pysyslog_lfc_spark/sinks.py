@@ -221,6 +221,49 @@ class ParquetWarehouse:
         tdir = self.table_path(table)
         return spark.read.option("basePath", str(tdir)).parquet(str(tdir))
 
+    def jobs(self, table: str) -> list[str]:
+        """Commit history of a table, oldest first — the snapshot log.
+
+        Ordered by commit time (max mtime across a job's bucket dirs —
+        the atomic-rename commit point sets it), job id breaking ties.
+        This is the parquet-warehouse analog of Iceberg's snapshot
+        metadata table.
+        """
+        by_job: dict[str, float] = {}
+        for d in self._commit_dirs(table):
+            job = d.name.split("=", 1)[1]
+            by_job[job] = max(by_job.get(job, 0.0), d.stat().st_mtime)
+        return sorted(by_job, key=lambda j: (by_job[j], j))
+
+    def read_jobs(self, spark: SparkSession, table: str, jobs: set[str]) -> DataFrame:
+        """Snapshot-isolated read: exactly the commits of ``jobs``.
+
+        The scan is built from the explicit commit-dir list (the
+        manifest), so excluded jobs are never even listed — a
+        metadata-level prune, not a post-scan filter; concurrent
+        writers appending new jobs can't leak rows into this frame
+        (Iceberg snapshot-read semantics on plain parquet).
+        """
+        dirs = [
+            d for d in self._commit_dirs(table) if d.name.split("=", 1)[1] in jobs
+        ]
+        tdir = self.table_path(table)
+        if not dirs:
+            return self.read(spark, table).limit(0)
+        return spark.read.option("basePath", str(tdir)).parquet(
+            *[str(d) for d in dirs]
+        )
+
+    def read_as_of(self, spark: SparkSession, table: str, job_id: str) -> DataFrame:
+        """Time travel: the table as it stood when ``job_id`` committed
+        (that job and every earlier commit; Iceberg ``VERSION AS OF``)."""
+        history = self.jobs(table)
+        if job_id not in history:
+            raise ConfigError(f"table '{table}' has no commit for job '{job_id}'")
+        return self.read_jobs(
+            spark, table, set(history[: history.index(job_id) + 1])
+        )
+
     def exists(self, table: str) -> bool:
         tdir = self.table_path(table)
         return tdir.exists() and any(tdir.iterdir())

@@ -123,3 +123,43 @@ class TestKeyedUpsert:
         kt.repair()
         assert kt.snap.exists()
         assert kt.read(spark).count() == 1
+
+
+def test_time_travel_read_as_of(spark, wh):
+    """Snapshot reads: jobs() orders the commit history; read_as_of(j)
+    reproduces the table as of j's commit; read_jobs isolates explicit
+    snapshot sets at the manifest level (excluded jobs never listed)."""
+    import time
+
+    from pysyslog_lfc_spark.config import ConfigError
+
+    time.sleep(0.05)  # commit mtimes must order j1 < j2 < j3
+    df2 = spark.range(2000, 2100).withColumn(BUCKET_COL, (F.col("id") % 4).cast("int"))
+    wh.commit_bucketed(df2, "t", "j2")
+    time.sleep(0.05)
+    df3 = spark.range(2100, 2150).withColumn(BUCKET_COL, (F.col("id") % 4).cast("int"))
+    wh.commit_bucketed(df3, "t", "j3")
+
+    assert wh.jobs("t") == ["j1", "j2", "j3"]
+
+    as_of_1 = sorted(r.id for r in wh.read_as_of(spark, "t", "j1").collect())
+    assert as_of_1 == list(range(0, 2000))
+    as_of_2 = sorted(r.id for r in wh.read_as_of(spark, "t", "j2").collect())
+    assert as_of_2 == list(range(0, 2100))
+    as_of_3 = sorted(r.id for r in wh.read_as_of(spark, "t", "j3").collect())
+    assert as_of_3 == sorted(r.id for r in wh.read(spark, "t").collect())
+
+    only_j2 = sorted(r.id for r in wh.read_jobs(spark, "t", {"j2"}).collect())
+    assert only_j2 == list(range(2000, 2100))
+    # bucket + job partition columns survive the explicit-dir scan
+    # (job = snapshot provenance per row)
+    assert set(wh.read_jobs(spark, "t", {"j2"}).columns) == {"id", BUCKET_COL, "job"}
+
+    assert wh.read_jobs(spark, "t", set()).count() == 0
+    with pytest.raises(ConfigError):
+        wh.read_as_of(spark, "t", "nope")
+
+    # compaction preserves history semantics (rewrite keeps job dirs)
+    wh.compact(spark, "t")
+    assert wh.jobs("t") == ["j1", "j2", "j3"]
+    assert sorted(r.id for r in wh.read_as_of(spark, "t", "j2").collect()) == as_of_2
