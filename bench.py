@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "value_percentiles",
     "cohort_retention",
     "seasonal_hourly_baseline",
+    "dsir_select",
 ]
 
 

@@ -105,20 +105,30 @@ def dsir_scores(
         F.explode(feature_buckets(F.col(text_col), n_buckets)).alias("_b"),
     )
 
-    # ---- model: per-bucket target/raw counts + smoothed log ratio
+    # ---- model: per-bucket target/raw counts + smoothed log ratio.
+    # Grand totals are window-sums over the aggregated model itself
+    # (<= n_buckets rows, one task — fine on the broadcast build side):
+    # deriving them from the model instead of a separate corpus
+    # aggregate saves a third full feature-kernel pass over the corpus.
+    from pyspark.sql import Window
+
     model = feats.groupBy("_b").agg(
         F.sum("_is_t").alias("_n_t"),
         F.count(F.lit(1)).alias("_n_r"),
     )
-    totals = feats.agg(
-        F.sum("_is_t").alias("_tot_t"), F.count(F.lit(1)).alias("_tot_r")
-    )  # 1 row, stays lazy until the scoring action
+    whole = Window.partitionBy()
     b = float(n_buckets)
-    ratio = model.crossJoin(F.broadcast(totals)).select(
+    ratio = model.select(
         "_b",
         (
-            F.log((F.col("_n_t") + F.lit(alpha)) / (F.col("_tot_t") + F.lit(alpha * b)))
-            - F.log((F.col("_n_r") + F.lit(alpha)) / (F.col("_tot_r") + F.lit(alpha * b)))
+            F.log(
+                (F.col("_n_t") + F.lit(alpha))
+                / (F.sum("_n_t").over(whole) + F.lit(alpha * b))
+            )
+            - F.log(
+                (F.col("_n_r") + F.lit(alpha))
+                / (F.sum("_n_r").over(whole) + F.lit(alpha * b))
+            )
         ).alias("_logr"),
     )
 
