@@ -1,0 +1,160 @@
+"""Model-based quality filtering: hashed linear (logistic) classifier.
+
+The modern curation stack filters documents with a cheap linear text
+classifier (fastText-style bag of hashed n-grams, Joulin et al. 2016;
+the quality-filter recipe of the DCLM / FineWeb-Edu class of public
+pipelines). This module trains one with full-batch gradient descent
+where every step is a DataFrame aggregation, and scores corpora with
+a broadcast weight table — no MLlib dependency, no per-row Python.
+
+Model: p(quality | doc) = sigmoid(b + w . x), where x is the doc's
+mean-pooled hashed unigram+bigram count vector (features shared with
+functions/importance.py). Training is deterministic: zero init, fixed
+learning rate and iteration count, exact integer counts underneath.
+
+Scale design (100 TB view):
+- training runs on a SAMPLE frame (pass one in — the fit loop
+  persists its feature frame; a classifier never needs the full
+  corpus), while scoring streams the corpus: features explode once,
+  the |buckets|-row weight table broadcasts, and the per-doc dot
+  product is one map-side-partial aggregation;
+- each GD iteration moves one |buckets|-row gradient to the driver
+  (the same bounded driver-merge pattern as functions/bpe.py and the
+  IVF k-means trainer) — model size, never data size;
+- everything outside the Arrow n-gram kernel is codegen.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from pysyslog_lfc_spark.functions.importance import feature_buckets
+
+
+@dataclass(frozen=True)
+class LinearModel:
+    weights: tuple[float, ...]  # index = feature bucket
+    bias: float
+    n_buckets: int
+
+
+def hashed_feature_vectors(
+    df: DataFrame,
+    label: Column | None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Sparse mean-pooled feature rows: (_id, _y, _b, _x) with
+    _x = count(bucket)/n_features(doc). One explode + one (id, bucket)
+    aggregation; the per-doc total rides a window over the already
+    high-cardinality id partition (no funnel)."""
+    from pyspark.sql import Window
+
+    cols = [F.col(id_col).alias("_id")]
+    if label is not None:
+        cols.append(label.cast("double").alias("_y"))
+    feats = df.select(
+        *cols, F.explode(feature_buckets(F.col(text_col), n_buckets)).alias("_b")
+    )
+    keys = ["_id", "_y", "_b"] if label is not None else ["_id", "_b"]
+    cnt = feats.groupBy(*keys).agg(F.count(F.lit(1)).alias("_c"))
+    total = F.sum("_c").over(Window.partitionBy("_id"))
+    return cnt.withColumn("_x", F.col("_c") / total).drop("_c")
+
+
+def fit_quality_classifier(
+    spark,
+    df: DataFrame,
+    label: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+    iters: int = 2,
+    lr: float = 5.0,
+) -> LinearModel:
+    """Full-batch logistic regression by gradient descent.
+
+    grad_w[b] = mean_docs((p - y) * x_b), grad_b = mean_docs(p - y);
+    each iteration is one distributed aggregation collecting a
+    |buckets|-row gradient. Deterministic given the inputs (zero
+    init, fixed lr/iters; float sum order is the only engine-level
+    wiggle, handled downstream by permille flooring)."""
+    feats = hashed_feature_vectors(
+        df, label, id_col, text_col, n_buckets
+    ).persist()
+    try:
+        n_docs = feats.select("_id").distinct().count()
+        w = [0.0] * n_buckets
+        bias = 0.0
+        for it in range(iters):
+            if it == 0:
+                # zero weights => p = 0.5 for every doc: no scoring join
+                errs = feats.select("_id", "_y", "_b", "_x").withColumn(
+                    "_err", F.lit(0.5) - F.col("_y")
+                )
+            else:
+                wdf = spark.createDataFrame(
+                    [(b, wb) for b, wb in enumerate(w) if wb != 0.0], "_b long, _w double"
+                )
+                scored = (
+                    feats.join(F.broadcast(wdf), "_b", "left")
+                    .groupBy("_id", "_y")
+                    .agg(F.sum(F.coalesce(F.col("_w"), F.lit(0.0)) * F.col("_x")).alias("_s"))
+                    .select(
+                        "_id",
+                        (
+                            F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("_s") + F.lit(bias))))
+                            - F.col("_y")
+                        ).alias("_err"),
+                    )
+                )
+                errs = feats.join(scored, "_id")
+            grad_rows = (
+                errs.groupBy("_b")
+                .agg(F.sum(F.col("_err") * F.col("_x")).alias("_g"))
+                .collect()
+            )
+            grad_bias = errs.select("_id", "_err").distinct().agg(
+                F.sum("_err")
+            ).collect()[0][0]
+            for r in grad_rows:
+                w[r["_b"]] -= lr * r["_g"] / n_docs
+            bias -= lr * float(grad_bias) / n_docs
+        return LinearModel(tuple(w), bias, n_buckets)
+    finally:
+        feats.unpersist()
+
+
+def classifier_score(
+    spark,
+    df: DataFrame,
+    model: LinearModel,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score a corpus with a trained model: (id_col, score_permille)
+    with score = sigmoid(b + w . x), floored to permille. The weight
+    table broadcasts; the corpus never shuffles wider than
+    (id, bucket, x)."""
+    feats = hashed_feature_vectors(df, None, id_col, text_col, model.n_buckets)
+    wdf = spark.createDataFrame(
+        [(b, wb) for b, wb in enumerate(model.weights) if wb != 0.0],
+        "_b long, _w double",
+    )
+    s = (
+        feats.join(F.broadcast(wdf), "_b", "left")
+        .groupBy("_id")
+        .agg(F.sum(F.coalesce(F.col("_w"), F.lit(0.0)) * F.col("_x")).alias("_s"))
+    )
+    return s.select(
+        F.col("_id").alias(id_col),
+        F.floor(
+            F.lit(1000.0)
+            / (F.lit(1.0) + F.exp(-(F.col("_s") + F.lit(model.bias))))
+        )
+        .cast("long")
+        .alias("score_permille"),
+    )

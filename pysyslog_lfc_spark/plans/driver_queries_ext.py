@@ -727,3 +727,81 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return _sel(docs, F.col("lang") == "en", k=100, n_buckets=4096)
+
+
+@query(
+    "classifier_quality_score",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, (CASE WHEN lang = 'en' THEN 1e0 ELSE 0e0 END) AS y,
+             list_filter(string_split_regex(lower(text), '\s+'), w -> w != '') AS words
+      FROM documents
+    ),
+    uni AS (SELECT doc_id, y, unnest(words) AS f FROM toks),
+    bpos AS (
+      SELECT doc_id, y, words, unnest(generate_series(1, len(words) - 1)) AS i
+      FROM toks WHERE len(words) >= 2
+    ),
+    bi AS (SELECT doc_id, y, words[i] || ' ' || words[i + 1] AS f FROM bpos),
+    fr AS (
+      SELECT doc_id, y, ('0x' || substr(md5(f), 1, 15))::BIGINT % 1024 AS b
+      FROM (SELECT doc_id, y, f FROM uni UNION ALL SELECT doc_id, y, f FROM bi)
+    ),
+    cnt AS (SELECT doc_id, y, b, count(*) AS c FROM fr GROUP BY 1, 2, 3),
+    tot AS (SELECT doc_id, sum(c) AS nf FROM cnt GROUP BY 1),
+    x AS (
+      SELECT cnt.doc_id, cnt.y, cnt.b, CAST(cnt.c AS DOUBLE) / tot.nf AS x
+      FROM cnt JOIN tot USING (doc_id)
+    ),
+    n AS (SELECT count(DISTINCT doc_id) AS n FROM x),
+    -- GD iteration 1 (w0 = 0 => p0 = 0.5 for every doc)
+    w1 AS (
+      SELECT b, -5e0 * sum((0.5e0 - y) * x) / (SELECT n FROM n) AS w
+      FROM x GROUP BY b
+    ),
+    b1 AS (
+      SELECT -5e0 * sum(0.5e0 - y) / (SELECT n FROM n) AS bias
+      FROM (SELECT DISTINCT doc_id, y FROM x)
+    ),
+    -- GD iteration 2
+    p1 AS (
+      SELECT x.doc_id, x.y,
+             1e0 / (1e0 + exp(-(sum(w1.w * x.x) + (SELECT bias FROM b1)))) AS p
+      FROM x JOIN w1 USING (b) GROUP BY x.doc_id, x.y
+    ),
+    w2 AS (
+      SELECT x.b,
+             any_value(w1.w) - 5e0 * sum((p1.p - x.y) * x.x) / (SELECT n FROM n) AS w
+      FROM x JOIN w1 USING (b) JOIN p1 USING (doc_id) GROUP BY x.b
+    ),
+    b2 AS (
+      SELECT (SELECT bias FROM b1)
+             - 5e0 * sum(p - y) / (SELECT n FROM n) AS bias
+      FROM p1
+    )
+    SELECT x.doc_id,
+           CAST(floor(1000e0 / (1e0 + exp(-(sum(w2.w * x.x) + (SELECT bias FROM b2)))))
+                AS BIGINT) AS score_permille
+    FROM x JOIN w2 USING (b)
+    GROUP BY x.doc_id
+    """,
+)
+def classifier_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (functions/classifier.py, the
+    fastText-style hashed-linear recipe of DCLM/FineWeb-class public
+    pipelines): fit a logistic classifier on the lang='en' label with
+    2 full-batch GD steps (each step = ONE distributed gradient
+    aggregation collecting |buckets| rows, never data), then score
+    every document with the broadcast weight table. The oracle unrolls
+    both training iterations in SQL, so the trained model itself is
+    correctness-gated, not just the scoring pass."""
+    from pysyslog_lfc_spark.functions.classifier import (
+        classifier_score,
+        fit_quality_classifier,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    model = fit_quality_classifier(
+        spark, docs, F.col("lang") == "en", n_buckets=1024, iters=2, lr=5.0
+    )
+    return classifier_score(spark, docs, model)

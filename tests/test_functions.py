@@ -930,3 +930,63 @@ class TestDSIR:
         assert target_like > noise
         # target docs themselves score at least as high as the mimic
         assert min(scores[i] for i in range(5)) >= target_like
+
+
+class TestQualityClassifier:
+    """functions/classifier.py — hashed linear quality classifier."""
+
+    def test_separates_quality_from_gibberish_and_is_deterministic(self, spark):
+        from pysyslog_lfc_spark.functions.classifier import (
+            classifier_score,
+            fit_quality_classifier,
+        )
+
+        good = [
+            "the quick brown fox jumps over the lazy dog",
+            "a quiet morning walk along the river bank",
+            "she read the letter twice before answering",
+            "fresh bread and coffee on the kitchen table",
+        ]
+        bad = [
+            "zxq qqq zzz xqx qzq zqz xxx qxq",
+            "asdf jkl qwer uiop zxcv bnm asdf jkl",
+            "lorem zorem vorem qorem xorem norem",
+            "kpkp zzqq xxvv mmnn ppll ooii uuyy",
+        ]
+        rows = [(i, t, 1) for i, t in enumerate(good)] + [
+            (100 + i, t, 0) for i, t in enumerate(bad)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, y int")
+        model = fit_quality_classifier(
+            spark, df, F.col("y") == 1, n_buckets=256, iters=8, lr=5.0
+        )
+        scores = {
+            r["doc_id"]: r["score_permille"]
+            for r in classifier_score(spark, df, model).collect()
+        }
+        assert min(scores[i] for i in range(4)) > max(
+            scores[100 + i] for i in range(4)
+        )
+
+        model2 = fit_quality_classifier(
+            spark, df, F.col("y") == 1, n_buckets=256, iters=8, lr=5.0
+        )
+        assert model2.bias == model.bias
+        assert model2.weights == model.weights
+
+    def test_scoring_handles_unseen_vocabulary(self, spark):
+        from pyspark.sql import Row
+
+        from pysyslog_lfc_spark.functions.classifier import (
+            LinearModel,
+            classifier_score,
+        )
+
+        # all-zero model: every doc scores sigmoid(0) = 0.5 regardless
+        # of whether its features were ever seen in training
+        model = LinearModel(tuple([0.0] * 64), 0.0, 64)
+        df = spark.createDataFrame(
+            [Row(doc_id=1, text="totally novel words here")]
+        )
+        got = classifier_score(spark, df, model).collect()
+        assert got[0]["score_permille"] == 500
