@@ -33,6 +33,17 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--near-dup-threshold", type=float, default=0.9)
     ap.add_argument("--min-quality", type=int, default=200)
     ap.add_argument("--sample-permille", type=int, default=1000)
+    ap.add_argument(
+        "--classifier-floor",
+        type=int,
+        default=None,
+        metavar="PERMILLE",
+        help="also apply a model-based quality floor: fit the hashed "
+        "linear classifier (functions/classifier.py) on the heuristic "
+        "quality label (quality_permille >= --min-quality) and keep "
+        "docs scoring at least PERMILLE — the distill-the-heuristic "
+        "bootstrap of model-based filtering",
+    )
     ap.add_argument("--capacity", type=int, default=4096)
     ap.add_argument(
         "--emit-packed",
@@ -70,12 +81,27 @@ def main(argv: list[str] | None = None) -> int:
     bench = spark.read.parquet(args.benchmark) if args.benchmark else None
 
     t0 = time.monotonic()
+    model = None
+    if args.classifier_floor is not None:
+        from pyspark.sql import functions as F
+
+        from pysyslog_lfc_spark.functions.classifier import fit_quality_classifier
+        from pysyslog_lfc_spark.functions.text import quality_features
+
+        labeled = quality_features(docs, "text")
+        model = fit_quality_classifier(
+            spark,
+            labeled,
+            F.col("quality_permille") >= args.min_quality,
+        )
     res = run_curation(
         spark,
         docs,
         benchmark=bench,
         near_dup_threshold=args.near_dup_threshold,
         min_quality_permille=args.min_quality,
+        classifier_model=model,
+        min_classifier_permille=args.classifier_floor or 500,
         sample_permille=args.sample_permille,
         pack_capacity=args.capacity,
     )

@@ -11,6 +11,9 @@ stages, filter before pack):
                             benchmark frame (skipped when none given)
   4. PII redaction          emails/IPv4s scrubbed in place
   5. quality filter         composite quality floor + langid
+  5b. model-based filter    optional hashed-linear classifier floor
+                            (functions/classifier.py; skipped when no
+                            model is given)
   6. deterministic sample   portable-hash die (resume-replayable)
   7. pack planning          concat-and-chunk assignment metadata
 
@@ -51,6 +54,8 @@ def run_curation(
     near_dup_threshold: float = 0.9,
     contamination_ngram: int = 8,
     min_quality_permille: int = 200,
+    classifier_model=None,
+    min_classifier_permille: int = 500,
     sample_permille: int = 1000,
     pack_capacity: int = 4096,
     id_col: str = "doc_id",
@@ -111,6 +116,22 @@ def run_curation(
     )
     if collect_stats:
         stats["quality"] = cur.count()
+
+    # -- 5b. model-based quality floor (fastText-style hashed linear
+    # classifier; see functions/classifier.py). Scores join back on the
+    # id — the weight table itself broadcasts inside classifier_score,
+    # so the corpus only shuffles the narrow (id, bucket, x) stream.
+    if classifier_model is not None:
+        from pysyslog_lfc_spark.functions.classifier import classifier_score
+
+        clf = classifier_score(
+            spark, cur, classifier_model, id_col=id_col, text_col=text_col
+        ).withColumnRenamed("score_permille", "clf_permille")
+        cur = cur.join(clf, id_col).where(
+            F.col("clf_permille") >= min_classifier_permille
+        )
+        if collect_stats:
+            stats["classifier"] = cur.count()
 
     # -- 6. deterministic sample --------------------------------------
     if sample_permille < 1000:

@@ -137,3 +137,29 @@ def test_training_order_manifest(spark):
     o0 = [r.doc_id for r in sorted(by_epoch[0], key=lambda r: r.position) if r.stage == 0]
     o1 = [r.doc_id for r in sorted(by_epoch[1], key=lambda r: r.position) if r.stage == 0]
     assert set(o0) == set(o1) and o0 != o1
+
+
+def test_curation_classifier_stage(spark):
+    """Stage 5b: a trained model floor drops rows between the heuristic
+    quality stage and sampling; clf_permille lands on the output."""
+    from pyspark.sql import functions as F
+
+    from pysyslog_lfc_spark.functions.classifier import fit_quality_classifier
+    from pysyslog_lfc_spark.functions.text import quality_features
+
+    docs = _docs(spark)
+    labeled = quality_features(docs, "text")
+    model = fit_quality_classifier(
+        spark, labeled, F.col("quality_permille") >= 200, n_buckets=512, iters=4
+    )
+    res = run_curation(
+        spark,
+        docs,
+        classifier_model=model,
+        min_classifier_permille=500,
+    )
+    s = res.stats
+    assert s["quality"] >= s["classifier"] > 0
+    assert res.df.count() == s["classifier"]  # no sampling configured
+    assert "clf_permille" in res.df.columns
+    assert res.df.agg(F.min("clf_permille")).collect()[0][0] >= 500
