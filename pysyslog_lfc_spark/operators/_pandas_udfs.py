@@ -177,3 +177,37 @@ def make_bpe_encode_udf(merges, lowercase):
         return pd.Series(out)
 
     return enc
+
+
+def make_token_gram_hash_udf(n):
+    """Portable 60-bit hashes of every length-n token-id window in an
+    array<int> column (engine-primary payload shape): gram hash =
+    md5-prefix of the comma-joined ids. The token-domain twin of the
+    word-shingle kernel — decontamination/dedup on already-tokenized
+    shards without detokenizing. Matches DuckDB
+    ``('0x'||substr(md5(array_to_string(list_slice(t,i,i+n-1),',')),1,15))::BIGINT``.
+    """
+    import hashlib
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def grams(s: pd.Series) -> pd.Series:
+        out = []
+        for toks in s:
+            if toks is None or len(toks) < n:
+                out.append([])
+                continue
+            ids = [str(int(t)) for t in toks]
+            out.append(
+                [
+                    int(
+                        hashlib.md5(
+                            ",".join(ids[i : i + n]).encode()
+                        ).hexdigest()[:15],
+                        16,
+                    )
+                    for i in range(len(ids) - n + 1)
+                ]
+            )
+        return pd.Series(out)
+
+    return grams

@@ -805,3 +805,53 @@ def classifier_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, docs, F.col("lang") == "en", n_buckets=1024, iters=2, lr=5.0
     )
     return classifier_score(spark, docs, model)
+
+
+@query(
+    "decontaminate_token_grams",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, list_transform(
+               list_filter(string_split_regex(lower(text), '\s+'), w -> w != ''),
+               w -> ('0x' || substr(md5(w), 1, 15))::BIGINT % 65536) AS t
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, t, unnest(generate_series(1, len(t) - 3)) AS i
+      FROM toks WHERE len(t) >= 4
+    ),
+    g AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(array_to_string(list_slice(t, i, i + 3), ',')),
+                             1, 15))::BIGINT AS gram
+      FROM pos
+    ),
+    bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0),
+    corp AS (SELECT doc_id, gram FROM g WHERE doc_id % 20 != 0)
+    SELECT doc_id,
+           CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hit_grams,
+           CAST(count(*) AS BIGINT) AS n_grams
+    FROM corp c LEFT JOIN bench b USING (gram)
+    GROUP BY doc_id
+    HAVING sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) > 0
+    """,
+)
+def decontaminate_token_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-domain decontamination (functions/decontaminate.py::
+    token_ngram_overlap): contaminated-window counts computed directly
+    over array<int> token payloads — the pre-tokenized-shard case
+    where detokenizing for text-space matching isn't an option. Token
+    ids here derive deterministically from the documents fixture
+    (hash-vocab 65536, same scheme as plans/curation.py::
+    hash_token_ids); benchmark = every 20th doc. Benchmark grams are
+    distinct + broadcast; corpus rows never shuffle."""
+    from pysyslog_lfc_spark.functions.decontaminate import token_ngram_overlap
+    from pysyslog_lfc_spark.plans.curation import hash_token_ids
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", hash_token_ids(F.col("text")).alias("tokens")
+    )
+    bench = docs.where("doc_id % 20 = 0")
+    corpus = docs.where("doc_id % 20 != 0")
+    return token_ngram_overlap(corpus, bench, "doc_id", "tokens", n=4)

@@ -990,3 +990,45 @@ class TestQualityClassifier:
         )
         got = classifier_score(spark, df, model).collect()
         assert got[0]["score_permille"] == 500
+
+
+class TestTokenDecontamination:
+    """functions/decontaminate.py token-domain variant."""
+
+    def test_token_overlap_and_fraction_policy(self, spark):
+        from pysyslog_lfc_spark.functions.decontaminate import (
+            decontaminate_tokens,
+            token_ngram_overlap,
+        )
+
+        bench = spark.createDataFrame(
+            [(100, [1, 2, 3, 4, 5])], "doc_id long, tokens array<int>"
+        )
+        corpus = spark.createDataFrame(
+            [
+                (1, [9, 1, 2, 3, 4, 5, 9]),      # two shared 4-windows of 4
+                (2, [1, 2, 3, 9, 9, 9, 9, 9]),   # no shared window
+                (3, [2, 3, 4, 5]),               # exactly one window, shared
+                (4, [7, 8]),                     # too short for any window
+            ],
+            "doc_id long, tokens array<int>",
+        )
+        hits = {
+            r["doc_id"]: (r["n_hit_grams"], r["n_grams"])
+            for r in token_ngram_overlap(corpus, bench, n=4).collect()
+        }
+        assert hits == {1: (2, 4), 3: (1, 1)}
+
+        kept0 = {
+            r["doc_id"]
+            for r in decontaminate_tokens(corpus, bench, n=4).collect()
+        }
+        assert kept0 == {2, 4}
+        # fraction policy: doc 1 is 50% contaminated, doc 3 is 100%
+        kept_half = {
+            r["doc_id"]
+            for r in decontaminate_tokens(
+                corpus, bench, n=4, max_hit_fraction=0.5
+            ).collect()
+        }
+        assert kept_half == {1, 2, 4}
