@@ -626,3 +626,98 @@ def run_pipeline_stream(
         .trigger(**(trigger or {"availableNow": True}))
     )
     return writer.start()
+
+
+_HH_SCHEMA = T.StructType(
+    [
+        T.StructField("group", T.StringType()),
+        T.StructField("value", T.StringType()),
+        T.StructField("count_est", T.LongType()),
+        T.StructField("err", T.LongType()),
+    ]
+)
+_HH_STATE = T.StructType(
+    [
+        T.StructField("vals", T.ArrayType(T.StringType())),
+        T.StructField("counts", T.ArrayType(T.LongType())),
+        T.StructField("errs", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def streaming_heavy_hitters(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    capacity: int = 16,
+    order_col: str | None = None,
+):
+    """Streaming top-k frequency monitor: the SpaceSaving algorithm
+    (Metwally et al. 2005, public) in ``applyInPandasWithState`` keyed
+    state — the streaming twin of the batch count-min sketch + top-k
+    queries (functions/sketches.py, topk_words_per_source).
+
+    Per group the state is a ``capacity``-entry (value, count, err)
+    table: a known value increments; an unknown value evicts the
+    minimum-count entry (deterministic tie-break: smallest value
+    string), inheriting its count as both estimate and error bound.
+    Guarantees: count_est >= true count >= count_est - err, and any
+    value with true frequency > N/capacity is in the table.
+
+    When a group's distinct-value count never exceeds ``capacity`` the
+    table IS the exact per-value count (err = 0) — the property the
+    batch-parity test pins. Each batch re-emits the group's current
+    table (update semantics, capacity rows per group max — a bounded
+    monitor surface). State is O(groups x capacity) forever; rows are
+    folded in ``order_col`` order (default: input order) so bounded
+    replays are deterministic.
+    """
+    import pandas as pd
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            vals, counts, errs = (
+                list(state.get[0]),
+                list(state.get[1]),
+                list(state.get[2]),
+            )
+        else:
+            vals, counts, errs = [], [], []
+        idx = {v: i for i, v in enumerate(vals)}
+        for pdf in pdfs:
+            if order_col is not None:
+                pdf = pdf.sort_values(order_col)
+            for v in pdf[value_col].astype(str):
+                i = idx.get(v)
+                if i is not None:
+                    counts[i] += 1
+                elif len(vals) < capacity:
+                    idx[v] = len(vals)
+                    vals.append(v)
+                    counts.append(1)
+                    errs.append(0)
+                else:
+                    m = min(range(len(vals)), key=lambda j: (counts[j], vals[j]))
+                    del idx[vals[m]]
+                    idx[v] = m
+                    errs[m] = counts[m]
+                    counts[m] += 1
+                    vals[m] = v
+        state.update((vals, counts, errs))
+        order = sorted(range(len(vals)), key=lambda j: (-counts[j], vals[j]))
+        yield pd.DataFrame(
+            {
+                "group": [key[0]] * len(order),
+                "value": [vals[j] for j in order],
+                "count_est": [counts[j] for j in order],
+                "err": [errs[j] for j in order],
+            }
+        )
+
+    return df.groupBy(group_col).applyInPandasWithState(
+        update,
+        outputStructType=_HH_SCHEMA,
+        stateStructType=_HH_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -664,3 +664,80 @@ def test_streaming_pipeline_restart_from_checkpoint(spark, tmp_path):
             ).fetchall()
         }
         assert s == b, sink
+
+
+def test_streaming_heavy_hitters_exact_under_capacity_and_eviction(spark, tmp_path):
+    """SpaceSaving keyed state: (1) capacity >= distinct values => the
+    emitted table is the exact batch groupBy count; (2) over capacity,
+    the hand-computed eviction sequence + the (est - err <= true <= est)
+    guarantee hold."""
+    from pysyslog_lfc_spark.streaming.flows import streaming_heavy_hitters
+
+    rows = []
+    seq_a = ["x"] * 5 + ["y"] * 3 + ["z"] * 2
+    for i, v in enumerate(seq_a):
+        rows.append(("a", v, i))
+    # group b: capacity-2 eviction workout, arrival order pinned by ord
+    seq_b = ["p", "p", "q", "r", "r", "p"]
+    for i, v in enumerate(seq_b):
+        rows.append(("b", v, i))
+    df = spark.createDataFrame(rows, "g string, v string, ord long")
+    src = tmp_path / "hh_in"
+    df.coalesce(1).write.mode("overwrite").parquet(str(src))
+    stream = spark.readStream.schema(df.schema).parquet(str(src))
+    q = (
+        streaming_heavy_hitters(stream, "g", "v", capacity=2, order_col="ord")
+        .writeStream.format("memory").queryName("hh_t")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.group, r.value): (r.count_est, r.err)
+        for r in spark.sql("SELECT * FROM hh_t").collect()
+    }
+    # group a, capacity 2 over 3 distinct: x exact-ish heavy hitter kept.
+    # hand-run: x->5; y 3x (evicts nothing while x=..., y enters at z? )
+    # sequence: x*5 -> {x:5}; y*3 -> {x:5, y:3}; z*2: z evicts y(min 3):
+    # z=4 err=3; second z -> 5.
+    assert got[("a", "x")] == (5, 0)
+    assert got[("a", "z")] == (5, 3)
+    assert ("a", "y") not in got
+    # guarantee: est >= true >= est - err
+    assert 5 >= 2 >= 5 - 3
+    # group b hand-run: p,p -> {p:2}; q -> {p:2, q:1}; r evicts q(min 1):
+    # r=2 err=1; r -> 3; p -> 3.
+    assert got[("b", "p")] == (3, 0)
+    assert got[("b", "r")] == (3, 1)
+    assert ("b", "q") not in got
+
+
+def test_streaming_heavy_hitters_matches_batch_counts_when_wide(spark, tmp_path):
+    """capacity >= distinct values: exact parity with batch counts."""
+    from pysyslog_lfc_spark.streaming.flows import streaming_heavy_hitters
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_type", F.col("user_id").cast("string").alias("v"), "event_id"
+    )
+    src = tmp_path / "hh_wide_in"
+    ev.write.mode("overwrite").parquet(str(src))
+    stream = spark.readStream.schema(
+        spark.read.parquet(str(src)).schema
+    ).parquet(str(src))
+    q = (
+        streaming_heavy_hitters(stream, "event_type", "v", capacity=1000)
+        .writeStream.format("memory").queryName("hh_w")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.group, r.value): r.count_est
+        for r in spark.sql("SELECT * FROM hh_w").collect()
+    }
+    want = {
+        (r["event_type"], r["v"]): r["n"]
+        for r in ev.groupBy("event_type", "v").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want
+    assert all(
+        r.err == 0 for r in spark.sql("SELECT * FROM hh_w").collect()
+    )
