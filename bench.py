@@ -115,6 +115,8 @@ BENCH_QUERIES = [
     "cohort_retention",
     "seasonal_hourly_baseline",
     "dsir_select",
+    "classifier_quality_score",
+    "decontaminate_token_grams",
 ]
 
 

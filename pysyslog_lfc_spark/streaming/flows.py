@@ -32,10 +32,20 @@ from pysyslog_lfc_spark.plans.compiler import RAW_COL, compile_flow
 from pysyslog_lfc_spark.sinks import ParquetWarehouse
 
 
-def stream_json_lines(spark: SparkSession, path: str) -> DataFrame:
+def stream_json_lines(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """File streaming source of raw text lines (reference input.file,
-    docs/configuration/inputs.md:39-82; rotation = new files listed)."""
-    return spark.readStream.format("text").load(path).withColumnRenamed("value", RAW_COL)
+    docs/configuration/inputs.md:39-82; rotation = new files listed).
+
+    ``max_files_per_trigger`` is the source-side backpressure bound —
+    the streaming analog of the reference's bounded channel queue
+    (channels.py:28 ``asyncio.Queue(maxsize)``): it caps how much a
+    micro-batch admits instead of how much a buffer holds."""
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    return reader.load(path).withColumnRenamed("value", RAW_COL)
 
 
 def stream_socket_lines(spark: SparkSession, host: str, port: int) -> DataFrame:

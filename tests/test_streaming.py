@@ -741,3 +741,31 @@ def test_streaming_heavy_hitters_matches_batch_counts_when_wide(spark, tmp_path)
     assert all(
         r.err == 0 for r in spark.sql("SELECT * FROM hh_w").collect()
     )
+
+
+def test_max_files_per_trigger_bounds_microbatches(spark, tmp_path):
+    """Source-side backpressure (reference bounded-channel analog): with
+    maxFilesPerTrigger=1 an availableNow drain over 3 input files runs
+    3 micro-batches instead of 1; results are identical either way."""
+    from pysyslog_lfc_spark.streaming.flows import stream_json_lines
+
+    src = tmp_path / "bp_in"
+    src.mkdir()
+    for i in range(3):
+        (src / f"f{i}.txt").write_text(f'{{"m": {i}}}\n')
+
+    def drain(name, **kw):
+        q = (
+            stream_json_lines(spark, str(src), **kw)
+            .writeStream.format("memory").queryName(name)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        batches = q.lastProgress["batchId"] + 1 if q.lastProgress else 0
+        rows = spark.sql(f"SELECT * FROM {name}").count()
+        return batches, rows
+
+    b_bounded, r_bounded = drain("bp_bounded", max_files_per_trigger=1)
+    b_free, r_free = drain("bp_free")
+    assert r_bounded == r_free == 3
+    assert b_bounded == 3 and b_free == 1
