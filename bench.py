@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "dsir_select",
     "classifier_quality_score",
     "decontaminate_token_grams",
+    "dd_quantile_sketch",
 ]
 
 

@@ -227,3 +227,83 @@ def kmv_set_ops(
         F.floor(c * union_raw / denom).cast("long").alias("intersection_est"),
         F.floor(c * F.lit(1000.0) / denom).cast("long").alias("jaccard_permille"),
     )
+
+
+def dd_sketch(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    gamma: float = 1.02,
+) -> DataFrame:
+    """DDSketch-style log-bucketed quantile sketch (Masson et al. 2019,
+    public), floor-bucket variant: positive values land in bucket
+    ``floor(ln(v)/ln(gamma))`` (so bucket b covers [gamma^b,
+    gamma^(b+1))), giving every quantile estimate a bounded RELATIVE
+    error of at most (gamma-1). Completes the sketch family next to
+    KMV (distinct) and count-min (frequency): mergeable by construction
+    (bucket counts add), deterministic (no RNG), and exact-integer
+    content so the oracle compares values, not tolerances.
+
+    Returns (keys..., bucket, n). One partial-agg shuffle; sketch size
+    per key is O(log(max/min)/log(gamma)) buckets. Non-positive values
+    are collected in a sentinel bucket (long.min) — DDSketch's
+    "zero/negative store" — counted but excluded from quantiles.
+    """
+    b = F.when(
+        F.col(value_col) > 0,
+        F.floor(F.log(F.col(value_col)) / F.lit(__import__("math").log(gamma))),
+    ).otherwise(F.lit(-(1 << 62))).cast("long")
+    return (
+        df.select(*keys, b.alias("bucket"))
+        .groupBy(*keys, "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def dd_quantiles(
+    sketch: DataFrame,
+    keys: list[str],
+    qs: list[float],
+    gamma: float = 1.02,
+) -> DataFrame:
+    """Quantile estimates from a :func:`dd_sketch` frame: for each key
+    and q, the first bucket whose cumulative count reaches rank
+    ``floor(q * (n - 1)) + 1``, estimated at the bucket's lower edge
+    scaled to the midpoint ``gamma^b * (1 + gamma) / 2`` and exported
+    permille-floored for engine-exact comparison.
+
+    Plan shape: cumulative counts are a window over the SKETCH (tiny:
+    buckets per key, not rows), the per-key total joins back broadcast,
+    and q values fan out map-side via explode — the raw data is never
+    touched again.
+    """
+    import math
+
+    pos = sketch.where(F.col("bucket") > F.lit(-(1 << 62)))
+    w = Window.partitionBy(*keys).orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = pos.withColumn("_cum", F.sum("n").over(w))
+    totals = pos.groupBy(*keys).agg(F.sum("n").alias("_n_total"))
+    qdf = cum.join(F.broadcast(totals), keys).select(
+        *keys,
+        "bucket",
+        "_cum",
+        "_n_total",
+        F.explode(F.array(*[F.lit(q) for q in qs])).alias("q"),
+    )
+    ranked = qdf.where(
+        F.col("_cum") >= F.floor(F.col("q") * (F.col("_n_total") - 1)) + 1
+    )
+    est = F.pow(F.lit(gamma), F.col("bucket")) * F.lit((1.0 + gamma) / 2.0)
+    return (
+        ranked.groupBy(*keys, "q")
+        .agg(F.min("bucket").alias("bucket"), F.max("_n_total").alias("n_total"))
+        .select(
+            *keys,
+            "q",
+            "bucket",
+            "n_total",
+            F.floor(est * 1000).cast("long").alias("est_permille"),
+        )
+    )

@@ -855,3 +855,49 @@ def decontaminate_token_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.where("doc_id % 20 = 0")
     corpus = docs.where("doc_id % 20 != 0")
     return token_ngram_overlap(corpus, bench, "doc_id", "tokens", n=4)
+
+
+@query(
+    "dd_quantile_sketch",
+    """
+    WITH s AS (
+      SELECT event_type,
+             (CASE WHEN value > 0 THEN floor(ln(value) / ln(1.02e0))
+                   ELSE -4611686018427387904 END)::BIGINT AS bucket,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    pos AS (SELECT * FROM s WHERE bucket > -4611686018427387904),
+    cum AS (
+      SELECT event_type, bucket, n,
+             sum(n) OVER (PARTITION BY event_type ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      FROM pos
+    ),
+    tot AS (SELECT event_type, sum(n) AS nt FROM pos GROUP BY 1),
+    q AS (SELECT unnest([0.5e0, 0.95e0, 0.99e0]) AS q),
+    r AS (
+      SELECT c.event_type, q.q, c.bucket, t.nt
+      FROM cum c JOIN tot t USING (event_type) CROSS JOIN q
+      WHERE c.c >= floor(q.q * (t.nt - 1)) + 1
+    )
+    SELECT event_type, q, min(bucket) AS bucket,
+           CAST(max(nt) AS BIGINT) AS n_total,
+           CAST(floor(pow(1.02e0, min(bucket)) * ((1e0 + 1.02e0) / 2e0) * 1000)
+                AS BIGINT) AS est_permille
+    FROM r GROUP BY 1, 2
+    """,
+)
+def dd_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch (functions/sketches.py::dd_sketch —
+    DDSketch log buckets, bounded RELATIVE error): p50/p95/p99 of the
+    event value per type read off the sketch's cumulative bucket
+    counts. The window + quantile walk run over the SKETCH (tiny), the
+    fact table is touched once by the bucket partial-agg; sketches for
+    different shards merge by adding bucket counts — the streaming/
+    incremental-rollup composition path."""
+    from pysyslog_lfc_spark.functions.sketches import dd_quantiles, dd_sketch
+
+    ev = _t(spark, sf_dir, "events")
+    sk = dd_sketch(ev, ["event_type"], "value", gamma=1.02)
+    return dd_quantiles(sk, ["event_type"], [0.5, 0.95, 0.99], gamma=1.02)

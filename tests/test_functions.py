@@ -1032,3 +1032,57 @@ class TestTokenDecontamination:
             ).collect()
         }
         assert kept_half == {1, 2, 4}
+
+
+class TestDDSketch:
+    """functions/sketches.py::dd_sketch / dd_quantiles."""
+
+    def test_quantile_estimates_within_relative_error(self, spark):
+        from pysyslog_lfc_spark.functions.sketches import dd_quantiles, dd_sketch
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        gamma = 1.02
+        sk = dd_sketch(ev, ["event_type"], "value", gamma=gamma)
+        got = {
+            (r["event_type"], r["q"]): r["est_permille"] / 1000.0
+            for r in dd_quantiles(
+                sk, ["event_type"], [0.5, 0.95], gamma=gamma
+            ).collect()
+        }
+        exact = {
+            (r["event_type"], q): r[f"p{int(q*100)}"]
+            for r in ev.groupBy("event_type")
+            .agg(
+                F.percentile("value", F.lit(0.5)).alias("p50"),
+                F.percentile("value", F.lit(0.95)).alias("p95"),
+            )
+            .collect()
+            for q in (0.5, 0.95)
+        }
+        assert set(got) == set(exact) and len(got) > 0
+        for k, est in got.items():
+            # floor-bucket midpoint: bounded RELATIVE error ~ (gamma-1);
+            # allow 2x for the interpolated-exact-quantile comparison
+            # (the sketch targets rank quantiles, percentile() interpolates)
+            assert abs(est - exact[k]) <= 2 * (gamma - 1) * exact[k] + 1e-3, k
+
+    def test_sketches_merge_by_adding_counts(self, spark):
+        from pysyslog_lfc_spark.functions.sketches import dd_quantiles, dd_sketch
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        half_a, half_b = ev.where("event_id % 2 = 0"), ev.where("event_id % 2 = 1")
+        merged = (
+            dd_sketch(half_a, ["event_type"], "value")
+            .unionByName(dd_sketch(half_b, ["event_type"], "value"))
+            .groupBy("event_type", "bucket")
+            .agg(F.sum("n").alias("n"))
+        )
+        whole = dd_sketch(ev, ["event_type"], "value")
+        qs = lambda s: sorted(
+            tuple(r) for r in dd_quantiles(s, ["event_type"], [0.5, 0.99]).collect()
+        )
+        assert qs(merged) == qs(whole)
+        # sketch content itself is identical, not just the quantiles
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, whole.collect())
+        )
