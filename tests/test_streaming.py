@@ -769,3 +769,42 @@ def test_max_files_per_trigger_bounds_microbatches(spark, tmp_path):
     b_free, r_free = drain("bp_free")
     assert r_bounded == r_free == 3
     assert b_bounded == 3 and b_free == 1
+
+
+def test_streaming_heavy_hitters_state_spans_microbatches(spark, tmp_path):
+    """With maxFilesPerTrigger=1 forcing one file per micro-batch, the
+    SpaceSaving table must accumulate across batches: the last emission
+    per value carries the cross-batch total."""
+    from pysyslog_lfc_spark.streaming.flows import streaming_heavy_hitters
+
+    src = tmp_path / "hh_mb_in"
+    src.mkdir()
+    rows_1 = [("a", "x", i) for i in range(3)] + [("a", "y", 3)]
+    rows_2 = [("a", "x", i + 10) for i in range(2)] + [("a", "y", 12)]
+    spark.createDataFrame(rows_1, "g string, v string, ord long").coalesce(
+        1
+    ).write.parquet(str(src / "f1"))
+    spark.createDataFrame(rows_2, "g string, v string, ord long").coalesce(
+        1
+    ).write.parquet(str(src / "f2"))
+    stream = (
+        spark.readStream.schema("g string, v string, ord long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        streaming_heavy_hitters(stream, "g", "v", capacity=4, order_col="ord")
+        .writeStream.format("memory").queryName("hh_mb")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    assert q.lastProgress["batchId"] + 1 == 2  # really ran 2 micro-batches
+    # update mode re-emits per batch; the max estimate per value is the
+    # final (cross-batch) table
+    final = {
+        (r.g, r.v): r.m
+        for r in spark.sql(
+            "SELECT group g, value v, max(count_est) m FROM hh_mb GROUP BY 1, 2"
+        ).collect()
+    }
+    assert final == {("a", "x"): 5, ("a", "y"): 2}
