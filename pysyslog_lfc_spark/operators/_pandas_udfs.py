@@ -211,3 +211,63 @@ def make_token_gram_hash_udf(n):
         return pd.Series(out)
 
     return grams
+
+
+def make_simhash_wide_udf(bits=120):
+    """120-bit SimHash signature (two 60-bit words) per document —
+    bit-exact twin of the expression path in
+    functions/dedup.py::simhash_wide_expr (explode + 120 per-bit vote
+    aggregates), with the per-word md5 memoized per batch and the vote
+    sums vectorized in numpy. Zero shuffle: the signature never leaves
+    the row. Vote rule: bit set iff 2 * weighted_ones > n_tokens."""
+    import hashlib
+    import re
+    from collections import Counter
+
+    import numpy as np
+
+    half = bits // 2
+    ws = re.compile(r"\s+")
+    shifts_lo = np.arange(half, dtype=np.uint64)
+    shifts_hi = np.arange(half, dtype=np.uint64)
+
+    def word_bits(w, cache):
+        v = cache.get(w)
+        if v is None:
+            hx = hashlib.md5(w.encode("utf-8", "surrogatepass")).hexdigest()
+            h0 = np.uint64(int(hx[:15], 16))
+            h1 = np.uint64(int(hx[16:31], 16))
+            v = np.concatenate(
+                [(h0 >> shifts_lo) & np.uint64(1), (h1 >> shifts_hi) & np.uint64(1)]
+            ).astype(np.int64)
+            cache[w] = v
+        return v
+
+    @F.pandas_udf(
+        T.StructType(
+            [
+                T.StructField("sim_lo", T.LongType()),
+                T.StructField("sim_hi", T.LongType()),
+            ]
+        )
+    )
+    def sig(s: pd.Series) -> pd.DataFrame:
+        cache = {}
+        los, his = [], []
+        for text in s:
+            toks = [w for w in ws.split(text.lower()) if w] if text else []
+            if not toks:
+                los.append(0)
+                his.append(0)
+                continue
+            votes = np.zeros(bits, dtype=np.int64)
+            for w, cnt in Counter(toks).items():
+                votes += cnt * word_bits(w, cache)
+            on = (votes * 2 > len(toks)).astype(np.uint64)
+            lo = int((on[:half] << shifts_lo).sum())
+            hi = int((on[half:] << shifts_hi).sum())
+            los.append(lo)
+            his.append(hi)
+        return pd.DataFrame({"sim_lo": los, "sim_hi": his})
+
+    return sig

@@ -1086,3 +1086,27 @@ class TestDDSketch:
         assert sorted(map(tuple, merged.collect())) == sorted(
             map(tuple, whole.collect())
         )
+
+
+def test_simhash_wide_kernel_matches_expression(spark):
+    """The Arrow SimHash kernel must be bit-identical to the
+    explode+vote-aggregate expression formulation (the oracle's shape),
+    including empty/None text and multiplicity-weighted votes."""
+    from pysyslog_lfc_spark.functions.dedup import simhash_wide, simhash_wide_expr
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    extra = spark.createDataFrame(
+        [(9001, "word word word other"), (9002, "x"), (9003, "")],
+        "doc_id long, text string",
+    )
+    df = docs.select("doc_id", "text").unionByName(extra)
+    a = {r["doc_id"]: (r["sim_lo"], r["sim_hi"]) for r in simhash_wide(df).collect()}
+    b = {
+        r["doc_id"]: (r["sim_lo"], r["sim_hi"])
+        for r in simhash_wide_expr(df).collect()
+    }
+    # expression path drops token-less docs at the groupBy (no explode
+    # rows); kernel keeps them with the all-zero signature
+    assert a[9003] == (0, 0)
+    del a[9003]
+    assert a == b
