@@ -137,7 +137,7 @@ def main() -> None:
     # best of N trials: this sandbox is a shared box with 2-4x run-to-run
     # variance (BENCH/BASELINE.md); min-of-N measures the engine, not the
     # neighbors
-    n_trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "2"))
+    n_trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
     work = tempfile.mkdtemp(prefix="bench_pipeline_", dir=WORKDIR)
     trial_secs = []
     try:
