@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "classifier_quality_score",
     "decontaminate_token_grams",
     "dd_quantile_sketch",
+    "pack_nosplit_bins",
 ]
 
 

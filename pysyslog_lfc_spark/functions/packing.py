@@ -99,3 +99,75 @@ def pack_tokens(
             F.transform(F.col("_pairs"), lambda p: p["_tok"]).alias("tokens"),
         )
     )
+
+
+def pack_nosplit(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    size_col: str,
+    capacity: int,
+    n_substreams: int = 4,
+    salt: str = "nosplit",
+) -> DataFrame:
+    """NO-SPLIT packing: next-fit bin assignment where a document never
+    crosses a pack boundary — the packing policy for SFT/instruction
+    data, where cross-document attention (what concat-and-chunk's
+    masks paper over) is unacceptable and short packs are padded
+    instead.
+
+    Within each ``(group, substream)`` documents are walked in
+    ``id_col`` order and a new bin opens whenever the next document
+    would overflow ``capacity`` (classic next-fit: >= 50% fill on all
+    but each stream's last bin once no document exceeds capacity).
+    Documents larger than ``capacity`` are dropped from packing and
+    flagged upstream by the caller (they cannot be packed unsplit).
+
+    Scale design: next-fit is a sequential recurrence, so it cannot be
+    a window expression — but it only needs to be sequential within a
+    bounded stream. Documents hash-route to ``n_substreams`` per group
+    (deterministic: portable hash of the id, resume-replayable), and
+    the per-(group, substream) walk runs in ``applyInPandas`` over
+    streams of |group|/n_substreams docs each. Substreams pack
+    independently — valid, since no-split packing only promises
+    capacity and atomicity, not a global bin order — so parallelism is
+    |groups| x n_substreams regardless of corpus size, and no
+    low-cardinality group ever funnels the corpus through one task.
+
+    Returns (group, substream, pack_bin, id, size) — one row per
+    packed document.
+    """
+    import pandas as pd
+
+    from pysyslog_lfc_spark.functions.text import portable_hash60
+
+    out_schema = (
+        f"{group_col} string, substream int, pack_bin long, "
+        f"{id_col} long, {size_col} long"
+    )
+    sub = F.pmod(
+        portable_hash60(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
+        F.lit(n_substreams),
+    ).cast("int")
+    eligible = df.where(F.col(size_col) <= capacity).select(
+        F.col(group_col).cast("string").alias(group_col),
+        sub.alias("substream"),
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(size_col).cast("long").alias(size_col),
+    )
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        bins = []
+        bin_idx, fill = 0, 0
+        for s in pdf[size_col]:
+            if fill + s > capacity:  # never true for the first doc (s <= cap)
+                bin_idx += 1
+                fill = 0
+            fill += int(s)
+            bins.append(bin_idx)
+        pdf = pdf.copy()
+        pdf["pack_bin"] = pd.Series(bins, index=pdf.index, dtype="int64")
+        return pdf[[group_col, "substream", "pack_bin", id_col, size_col]]
+
+    return eligible.groupBy(group_col, "substream").applyInPandas(walk, out_schema)

@@ -901,3 +901,48 @@ def dd_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     sk = dd_sketch(ev, ["event_type"], "value", gamma=1.02)
     return dd_quantiles(sk, ["event_type"], [0.5, 0.95, 0.99], gamma=1.02)
+
+
+@query(
+    "pack_nosplit_bins",
+    """
+    WITH RECURSIVE elig AS (
+      SELECT source,
+             (('0x' || substr(md5('nosplit:' || doc_id), 1, 15))::BIGINT % 4)
+               ::INTEGER AS substream,
+             doc_id, n_chars,
+             row_number() OVER (
+               PARTITION BY source,
+                 ('0x' || substr(md5('nosplit:' || doc_id), 1, 15))::BIGINT % 4
+               ORDER BY doc_id) AS rn
+      FROM documents WHERE n_chars <= 600
+    ),
+    walk AS (
+      SELECT source, substream, rn, doc_id, n_chars,
+             CAST(0 AS BIGINT) AS pack_bin, n_chars AS fill
+      FROM elig WHERE rn = 1
+      UNION ALL
+      SELECT e.source, e.substream, e.rn, e.doc_id, e.n_chars,
+             CASE WHEN w.fill + e.n_chars > 600 THEN w.pack_bin + 1
+                  ELSE w.pack_bin END,
+             CASE WHEN w.fill + e.n_chars > 600 THEN e.n_chars
+                  ELSE w.fill + e.n_chars END
+      FROM walk w
+      JOIN elig e ON e.source = w.source AND e.substream = w.substream
+                 AND e.rn = w.rn + 1
+    )
+    SELECT source, substream, pack_bin, doc_id, CAST(n_chars AS BIGINT) AS n_chars
+    FROM walk
+    """,
+)
+def pack_nosplit_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-split next-fit packing (functions/packing.py::pack_nosplit) —
+    SFT-style packing where documents never cross pack boundaries. The
+    sequential next-fit walk runs per (source, hash-substream) inside
+    applyInPandas, so parallelism is |groups| x substreams and no group
+    funnels the corpus; the oracle replays the identical walk with a
+    recursive CTE."""
+    from pysyslog_lfc_spark.functions.packing import pack_nosplit
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_nosplit(docs, "source", "doc_id", "n_chars", capacity=600)

@@ -1110,3 +1110,50 @@ def test_simhash_wide_kernel_matches_expression(spark):
     assert a[9003] == (0, 0)
     del a[9003]
     assert a == b
+
+
+def test_pack_nosplit_invariants(spark):
+    """No-split next-fit: capacity respected, atomic docs, oversize
+    dropped, next-fit >=50% fill on every non-final bin, deterministic."""
+    from pysyslog_lfc_spark.functions.packing import pack_nosplit
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cap = 600
+    out = pack_nosplit(docs, "source", "doc_id", "n_chars", capacity=cap)
+    rows = out.collect()
+
+    eligible = {r["doc_id"] for r in docs.where(f"n_chars <= {cap}").collect()}
+    assert {r["doc_id"] for r in rows} == eligible  # all packed exactly once
+    assert len(rows) == len(eligible)
+
+    from collections import defaultdict
+
+    fills = defaultdict(int)
+    for r in rows:
+        fills[(r["source"], r["substream"], r["pack_bin"])] += r["n_chars"]
+    assert all(v <= cap for v in fills.values())
+    # next-fit guarantee: every bin except each stream's last is >50% full
+    # (else its successor's first doc would have fit)
+    last = defaultdict(int)
+    for (src, sub, b) in fills:
+        last[(src, sub)] = max(last[(src, sub)], b)
+    partial = [
+        v
+        for (src, sub, b), v in fills.items()
+        if b != last[(src, sub)]
+    ]
+    assert partial and min(partial) > 0  # sanity: multi-bin streams exist
+    # the pairwise property: bin b fill + first doc of bin b+1 > cap
+    by_stream = defaultdict(list)
+    for r in sorted(rows, key=lambda r: (r["source"], r["substream"], r["doc_id"])):
+        by_stream[(r["source"], r["substream"])].append(r)
+    for stream, rs in by_stream.items():
+        for i in range(1, len(rs)):
+            if rs[i]["pack_bin"] != rs[i - 1]["pack_bin"]:
+                fill_prev = fills[(stream[0], stream[1], rs[i - 1]["pack_bin"])]
+                assert fill_prev + rs[i]["n_chars"] > cap
+
+    again = sorted(map(tuple, pack_nosplit(
+        docs, "source", "doc_id", "n_chars", capacity=cap
+    ).collect()))
+    assert again == sorted(map(tuple, rows))
