@@ -264,6 +264,25 @@ class ParquetWarehouse:
             spark, table, set(history[: history.index(job_id) + 1])
         )
 
+    def changes(
+        self, spark: SparkSession, table: str, from_job: str, to_job: str
+    ) -> DataFrame:
+        """Incremental/CDC read: rows committed AFTER ``from_job`` up to
+        and including ``to_job`` (Iceberg incremental-append scan).
+        Sinks are append-only (upserts live in KeyedTable), so the
+        changelog is exactly the commits in the (from, to] history
+        window — a manifest-level selection, no diffing scan."""
+        history = self.jobs(table)
+        for j in (from_job, to_job):
+            if j not in history:
+                raise ConfigError(f"table '{table}' has no commit for job '{j}'")
+        lo, hi = history.index(from_job), history.index(to_job)
+        if hi < lo:
+            raise ConfigError(
+                f"changes({table}): '{to_job}' committed before '{from_job}'"
+            )
+        return self.read_jobs(spark, table, set(history[lo + 1 : hi + 1]))
+
     def exists(self, table: str) -> bool:
         tdir = self.table_path(table)
         return tdir.exists() and any(tdir.iterdir())

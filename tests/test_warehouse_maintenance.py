@@ -163,3 +163,30 @@ def test_time_travel_read_as_of(spark, wh):
     wh.compact(spark, "t")
     assert wh.jobs("t") == ["j1", "j2", "j3"]
     assert sorted(r.id for r in wh.read_as_of(spark, "t", "j2").collect()) == as_of_2
+
+
+def test_incremental_changes_read(spark, wh):
+    """CDC window (from, to]: exactly the commits between two snapshots,
+    selected at the manifest level."""
+    import time
+
+    from pysyslog_lfc_spark.config import ConfigError
+
+    time.sleep(0.05)
+    wh.commit_bucketed(
+        spark.range(2000, 2100).withColumn(BUCKET_COL, (F.col("id") % 4).cast("int")),
+        "t", "j2",
+    )
+    time.sleep(0.05)
+    wh.commit_bucketed(
+        spark.range(2100, 2150).withColumn(BUCKET_COL, (F.col("id") % 4).cast("int")),
+        "t", "j3",
+    )
+    got = sorted(r.id for r in wh.changes(spark, "t", "j1", "j3").collect())
+    assert got == list(range(2000, 2150))
+    assert sorted(r.id for r in wh.changes(spark, "t", "j2", "j3").collect()) == list(
+        range(2100, 2150)
+    )
+    assert wh.changes(spark, "t", "j3", "j3").count() == 0
+    with pytest.raises(ConfigError):
+        wh.changes(spark, "t", "j3", "j1")
