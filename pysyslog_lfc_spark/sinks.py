@@ -217,9 +217,19 @@ class ParquetWarehouse:
         return CommitStats(table, (0,), ())
 
     # ------------------------------------------------------------ read
-    def read(self, spark: SparkSession, table: str) -> DataFrame:
+    def read(
+        self, spark: SparkSession, table: str, merge_schema: bool = False
+    ) -> DataFrame:
+        """``merge_schema=True`` unions column sets across commits
+        (schema evolution: a later job adding a column must not make
+        older rows unreadable — they surface it as null). Off by
+        default: merging reads every file's footer up front, a real
+        metadata cost at 10^5+ files; steady-schema readers skip it."""
         tdir = self.table_path(table)
-        return spark.read.option("basePath", str(tdir)).parquet(str(tdir))
+        reader = spark.read.option("basePath", str(tdir))
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(str(tdir))
 
     def jobs(self, table: str) -> list[str]:
         """Commit history of a table, oldest first — the snapshot log.

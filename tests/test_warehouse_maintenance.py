@@ -190,3 +190,24 @@ def test_incremental_changes_read(spark, wh):
     assert wh.changes(spark, "t", "j3", "j3").count() == 0
     with pytest.raises(ConfigError):
         wh.changes(spark, "t", "j3", "j1")
+
+
+def test_schema_evolution_merge_read(spark, wh):
+    """A later commit adds a column: merge_schema read surfaces it
+    (null for older rows); default read keeps the cheap single-footer
+    path and still returns every row."""
+    df2 = (
+        spark.range(2000, 2010)
+        .withColumn(BUCKET_COL, (F.col("id") % 4).cast("int"))
+        .withColumn("extra", F.lit("new"))
+    )
+    wh.commit_bucketed(df2, "t", "j2")
+
+    merged = wh.read(spark, "t", merge_schema=True)
+    assert "extra" in merged.columns
+    assert merged.count() == 2010
+    assert merged.where("extra IS NULL").count() == 2000
+    assert merged.where("extra = 'new'").count() == 10
+
+    plain = wh.read(spark, "t")
+    assert plain.count() == 2010
