@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "decontaminate_token_grams",
     "dd_quantile_sketch",
     "pack_nosplit_bins",
+    "ann_pq_topk",
 ]
 
 

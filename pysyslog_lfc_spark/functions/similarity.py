@@ -575,3 +575,107 @@ def pick_lsh_params_recall(
     if best is None:  # threshold too low for n_perm; fall back to widest
         return (n_perm, 1)
     return best
+
+
+def pq_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    centroid_stride: int = 37,
+) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011, public): vectors
+    compress to ``m`` one-byte codes (nearest centroid per subspace),
+    and queries score the WHOLE corpus through an asymmetric-distance
+    lookup table (ADC) — m table gathers + adds per vector instead of a
+    dim-wide float dot. The storage/compute companion of the IVF and
+    LSH paths: at 10^12 vectors the code table is dim/m x smaller than
+    the raw embeddings and the scan is memory-bandwidth-, not FLOP-,
+    bound.
+
+    Codebooks here are the same deterministic corpus sample as
+    :func:`ivf_ann_topk` (``id % centroid_stride == 0``), sliced per
+    subspace — reproducible, so the DuckDB oracle replays encode +
+    ADC code-for-code; k-means-trained codebooks drop in the same way.
+
+    Scale shape: codebooks + query LUTs are tiny and ride the closure;
+    encode and score are two ``mapInPandas`` passes (one BLAS distance
+    matrix per batch), the corpus never shuffles, and the final top-k
+    is a per-query window over Q x corpus scored rows pre-filtered per
+    batch to the local top-k (exact under the (dist, id) total order).
+
+    Distances are squared L2 on the raw vectors, rounded to 4 decimals
+    (ties then break on neighbor id — the same engine-portable ranking
+    contract as the cosine paths).
+    """
+    import numpy as np
+    import pandas as pd
+
+    cent_rows = sorted(
+        corpus.where(F.col(id_col) % centroid_stride == 0)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    if not cent_rows:
+        raise ValueError("pq_ann_topk: centroid sample is empty — lower the stride")
+    cmat = np.array([r[1] for r in cent_rows], dtype="float64")  # (C, dim)
+    n_cent, dim = cmat.shape
+    if dim % m:
+        raise ValueError(f"pq_ann_topk: dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    cs = cmat.reshape(n_cent, m, dsub).transpose(1, 0, 2)  # (m, C, dsub)
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype="int64")
+    qmat = np.array([r[1] for r in q_rows], dtype="float64")
+    qs = qmat.reshape(len(q_ids), m, dsub)
+    # LUT[q, j, c] = ||q_sub_j - centroid_{j,c}||^2
+    lut = ((qs[:, :, None, :] - cs[None, :, :, :]) ** 2).sum(-1)
+
+    c = _raw_vec(corpus, vec_col, id_col)
+
+    def encode(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = _np_mat(pdf["_v"]).reshape(len(pdf), m, dsub)
+            d2 = ((x[:, :, None, :] - cs[None, :, :, :]) ** 2).sum(-1)  # (B, m, C)
+            codes = d2.argmin(-1)  # first occurrence = lowest centroid index
+            yield pd.DataFrame(
+                {"_id": pdf["_id"].to_numpy(), "codes": list(codes.astype("int32"))}
+            )
+
+    coded = c.mapInPandas(encode, "_id long, codes array<int>")
+
+    jj = np.arange(m)
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            codes = np.stack(pdf["codes"].to_numpy())  # (B, m)
+            out_frames = []
+            for qi in range(len(q_ids)):
+                dist = np.round(lut[qi][jj[None, :], codes].sum(-1), 4)
+                local = pd.DataFrame(
+                    {
+                        "query_id": q_ids[qi],
+                        "neighbor_id": pdf["_id"].to_numpy(),
+                        "adist": dist,
+                    }
+                )
+                # local top-k under the global (adist, id) total order
+                out_frames.append(
+                    local.sort_values(["adist", "neighbor_id"]).head(k)
+                )
+            yield pd.concat(out_frames, ignore_index=True)
+
+    scored = coded.mapInPandas(score, "query_id long, neighbor_id long, adist double")
+    w = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adist")
+    )

@@ -946,3 +946,68 @@ def pack_nosplit_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return pack_nosplit(docs, "source", "doc_id", "n_chars", capacity=600)
+
+
+@query(
+    "ann_pq_topk",
+    """
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 5),
+         q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+         sub AS (SELECT unnest(generate_series(0, 7)) AS j),
+         cent AS (
+           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cpos, v
+           FROM c WHERE vec_id % 37 = 0
+         ),
+         csub AS (
+           SELECT cpos, j, list_slice(v, j * 8 + 1, j * 8 + 8) AS cv
+           FROM cent CROSS JOIN sub
+         ),
+         dsub AS (
+           SELECT vec_id, j, list_slice(v, j * 8 + 1, j * 8 + 8) AS sv
+           FROM c CROSS JOIN sub
+         ),
+         code AS (
+           SELECT vec_id, j, cpos FROM (
+             SELECT d.vec_id, d.j, cs.cpos,
+                    row_number() OVER (PARTITION BY d.vec_id, d.j ORDER BY
+                      list_sum(list_transform(list_zip(d.sv, cs.cv),
+                        p -> (p[1] - p[2]) * (p[1] - p[2]))) ASC,
+                      cs.cpos ASC) AS rn
+             FROM dsub d JOIN csub cs USING (j)
+           ) WHERE rn = 1
+         ),
+         qsub AS (
+           SELECT query_id, j, list_slice(qv, j * 8 + 1, j * 8 + 8) AS qsv
+           FROM q CROSS JOIN sub
+         ),
+         lut AS (
+           SELECT qs.query_id, cs.j, cs.cpos,
+                  list_sum(list_transform(list_zip(qs.qsv, cs.cv),
+                    p -> (p[1] - p[2]) * (p[1] - p[2]))) AS t
+           FROM qsub qs JOIN csub cs USING (j)
+         ),
+         scored AS (
+           SELECT l.query_id, code.vec_id AS neighbor_id, round(sum(l.t), 4) AS adist
+           FROM code JOIN lut l ON l.j = code.j AND l.cpos = code.cpos
+           GROUP BY 1, 2
+         )
+    SELECT query_id, neighbor_id, rank, adist FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY adist ASC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (functions/similarity.py::pq_ann_topk):
+    vectors compress to 8 one-byte subspace codes, queries score the
+    corpus via asymmetric-distance lookup tables — the
+    bandwidth-bound scan that makes 10^12-vector ANN storable. The
+    oracle replays encode + ADC code-for-code from the same
+    deterministic codebook sample."""
+    from pysyslog_lfc_spark.functions.similarity import pq_ann_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.where("vec_id >= 5")
+    queries = emb.where("vec_id < 5")
+    return pq_ann_topk(corpus, queries, k=10, m=8, centroid_stride=37)

@@ -1157,3 +1157,39 @@ def test_pack_nosplit_invariants(spark):
         docs, "source", "doc_id", "n_chars", capacity=cap
     ).collect()))
     assert again == sorted(map(tuple, rows))
+
+
+def test_pq_ann_matches_numpy_reference(spark):
+    """Distributed PQ (encode + ADC top-k) must agree exactly with a
+    driver-side numpy replay of the same codebooks."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    corpus, queries = emb.where("vec_id >= 5"), emb.where("vec_id < 5")
+    got = [
+        tuple(r)
+        for r in SIM.pq_ann_topk(corpus, queries, k=10, m=8, centroid_stride=37)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+
+    rows = sorted((r.vec_id, r.embedding) for r in corpus.collect())
+    ids = np.array([r[0] for r in rows])
+    x = np.array([r[1] for r in rows], dtype="float64")
+    cmat = x[ids % 37 == 0]
+    m, dsub = 8, x.shape[1] // 8
+    cs = cmat.reshape(len(cmat), m, dsub).transpose(1, 0, 2)
+    codes = (
+        ((x.reshape(len(x), m, dsub)[:, :, None, :] - cs[None]) ** 2).sum(-1)
+    ).argmin(-1)
+    want = []
+    for qr in sorted((r.vec_id, r.embedding) for r in queries.collect()):
+        qsub = np.array(qr[1], dtype="float64").reshape(m, dsub)
+        lut = ((qsub[:, None, :] - cs) ** 2).sum(-1)
+        dist = np.round(lut[np.arange(m)[None, :], codes].sum(-1), 4)
+        order = np.lexsort((ids, dist))[:10]
+        want.extend(
+            (qr[0], int(ids[i]), rank + 1, float(dist[i]))
+            for rank, i in enumerate(order)
+        )
+    assert got == want
