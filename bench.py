@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "dd_quantile_sketch",
     "pack_nosplit_bins",
     "ann_pq_topk",
+    "text_normalize",
 ]
 
 

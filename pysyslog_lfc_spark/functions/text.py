@@ -509,3 +509,24 @@ def boilerplate_ngrams(
             "rank",
         )
     )
+
+
+# normalization maps: curly quotes/dashes + NBSP -> ASCII, and the
+# classic Cyrillic homoglyphs (а е о с х р) -> Latin lookalikes
+_NORM_FROM = "\u2018\u2019\u201c\u201d\u2013\u2014\u00a0\u0430\u0435\u043e\u0441\u0445\u0440"
+_NORM_TO = "''\"\"-- aeocxp"
+_ZERO_WIDTH = "[\u200b\u200c\u200d\u2060\ufeff]+"
+
+
+def normalize_text(col: Column, lowercase: bool = False) -> Column:
+    """Unicode normalization for dedup robustness (the pre-pass every
+    shingle/MinHash/SimHash pipeline wants): folds curly quotes and
+    dashes to ASCII, NBSP to space, strips zero-width/invisible
+    characters, maps the common Cyrillic homoglyphs onto their Latin
+    lookalikes (the confusable trick that defeats naive exact dedup),
+    and collapses whitespace runs. Pure codegen (translate +
+    regexp_replace), byte-identical in DuckDB with the same maps."""
+    out = F.translate(col, _NORM_FROM, _NORM_TO)
+    out = F.regexp_replace(out, _ZERO_WIDTH, "")
+    out = F.trim(F.regexp_replace(out, "[ \t\r\n]+", " "))
+    return F.lower(out) if lowercase else out

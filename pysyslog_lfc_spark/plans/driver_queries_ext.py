@@ -1011,3 +1011,58 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.where("vec_id >= 5")
     queries = emb.where("vec_id < 5")
     return pq_ann_topk(corpus, queries, k=10, m=8, centroid_stride=37)
+
+
+@query(
+    "text_normalize",
+    """
+    WITH messy AS (
+      SELECT doc_id,
+             chr(8220) ||
+             replace(replace(text, 'a', chr(1072) || chr(8203)), ' ', chr(160)) ||
+             chr(8221) || chr(8212) AS m
+      FROM documents
+    ),
+    folded AS (
+      SELECT doc_id,
+             translate(m,
+               chr(8216) || chr(8217) || chr(8220) || chr(8221) || chr(8211) ||
+               chr(8212) || chr(160) || chr(1072) || chr(1077) || chr(1086) ||
+               chr(1089) || chr(1093) || chr(1088),
+               '''''""-- aeocxp') AS f
+      FROM messy
+    ),
+    stripped AS (
+      SELECT doc_id,
+             regexp_replace(f,
+               '[' || chr(8203) || chr(8204) || chr(8205) || chr(8288) ||
+               chr(65279) || ']+', '', 'g') AS s
+      FROM folded
+    )
+    SELECT doc_id,
+           trim(regexp_replace(s, '[ \t\r\n]+', ' ', 'g')) AS norm_text
+    FROM stripped
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode normalization pre-pass (functions/text.py::
+    normalize_text): curly quotes/dashes -> ASCII, NBSP -> space,
+    zero-width strip, Cyrillic-homoglyph fold, whitespace collapse —
+    the step that keeps confusable-obfuscated duplicates from beating
+    exact/MinHash dedup. The query decorates every document with the
+    full zoo (homoglyph 'a', zero-width joins, NBSP spacing, curly
+    wrapping) and the gate checks the normalizer restores canonical
+    bytes; pure codegen both sides."""
+    from pysyslog_lfc_spark.functions.text import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    messy = F.concat(
+        F.lit("“"),
+        F.replace(
+            F.replace(F.col("text"), F.lit("a"), F.lit("а​")),
+            F.lit(" "),
+            F.lit(" "),
+        ),
+        F.lit("”—"),
+    )
+    return docs.select("doc_id", normalize_text(messy).alias("norm_text"))

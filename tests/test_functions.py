@@ -1193,3 +1193,19 @@ def test_pq_ann_matches_numpy_reference(spark):
             for rank, i in enumerate(order)
         )
     assert got == want
+
+
+def test_normalize_text_folds_unicode_zoo(spark):
+    from pysyslog_lfc_spark.functions.text import normalize_text
+
+    messy = (
+        "“The quick​ бrоwn” — fоx  \t"
+        "‘cаt’"
+    )
+    df = spark.createDataFrame([(messy,), (None,)], "text string")
+    out = df.select(normalize_text(F.col("text")).alias("n")).collect()
+    # б is NOT in the confusable map (no Latin lookalike) and must survive
+    assert out[0]["n"] == '"The quick бrown" - fox \'cat\''
+    assert out[1]["n"] is None
+    low = df.limit(1).select(normalize_text(F.col("text"), lowercase=True).alias("n")).first()
+    assert low["n"] == '"the quick бrown" - fox \'cat\''
