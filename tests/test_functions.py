@@ -1209,3 +1209,23 @@ def test_normalize_text_folds_unicode_zoo(spark):
     assert out[1]["n"] is None
     low = df.limit(1).select(normalize_text(F.col("text"), lowercase=True).alias("n")).first()
     assert low["n"] == '"the quick бrown" - fox \'cat\''
+
+
+def test_normalize_text_idempotent_property(spark):
+    """normalize(normalize(x)) == normalize(x) over a zoo of generated
+    strings (seeded generator covering every map entry; one Spark job
+    for the whole set)."""
+    import random
+
+    from pysyslog_lfc_spark.functions.text import normalize_text
+
+    alphabet = "ab c’“”–— ​ае \t\nxyzБж'\"-"
+    rng = random.Random(42)
+    samples = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 40)))
+        for _ in range(120)
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "text string")
+    once = df.select(normalize_text(F.col("text")).alias("n"))
+    twice = once.select(normalize_text(F.col("n")).alias("n"))
+    assert [r["n"] for r in once.collect()] == [r["n"] for r in twice.collect()]
