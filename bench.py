@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "pack_nosplit_bins",
     "ann_pq_topk",
     "text_normalize",
+    "log_templates",
 ]
 
 

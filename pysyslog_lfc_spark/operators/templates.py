@@ -1,0 +1,107 @@
+"""Log template mining (Drain-lite): collapse free-text log messages
+into their constant "templates" by masking the variable fields, then
+profile template frequencies and flag rare shapes.
+
+The reference engine parses *known* formats (rfc3164/regex/json —
+src/pysyslog/parsers/); template mining is the complementary operation
+a log pipeline needs for the *unknown* tail: cluster the firehose into
+recurring message shapes (He et al. 2017 "Drain", Vaarandi 2003 LogCluster)
+so new/rare shapes surface as anomalies and per-template rates feed
+alerting. Full Drain builds a parse tree record-at-a-time; at 10^12
+rows the profitable Spark shape is the masking pre-pass (the step that
+does ~all the work on machine logs, where variability is numbers/ids)
+compiled to whole-stage-codegen `regexp_replace` chains, followed by
+ONE partial-aggregated groupBy on the template string.
+
+100 TB design: masking is map-side, zero shuffle. The groupBy key
+cardinality is the number of distinct *shapes*, not rows — production
+corpora hold 10^2-10^4 templates (Drain paper, LogHub), so the shuffle
+moves a few thousand rows per partition after map-side combine, and
+the rare-template pass windows over the already-aggregated template
+frame (bounded), never the corpus. All masks are RE2-compatible (no
+backrefs/lookaround) so the DuckDB oracle replays them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+# Masking rules, applied in order (earlier masks eat substrings that a
+# later, looser mask would otherwise split — UUID before HEX before NUM).
+# (pattern, replacement); RE2-safe: no lookaround, no backreferences.
+MASKS: list[tuple[str, str]] = [
+    # RFC4122-shaped UUIDs
+    (
+        r"\b[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}"
+        r"-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}\b",
+        "<UUID>",
+    ),
+    # dotted quads, optional :port
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}(:\d+)?\b", "<IP>"),
+    # 0x-prefixed or long bare hex ids (also catches >=8-digit numerals —
+    # deterministic in both engines because the order is fixed)
+    (r"\b0x[0-9a-fA-F]+\b", "<HEX>"),
+    (r"\b[0-9a-f]{8,}\b", "<HEX>"),
+    # remaining integers/decimals, with optional unit suffix kept
+    (r"\b\d+(\.\d+)?\b", "<NUM>"),
+]
+
+
+def template_expr(message: Column) -> Column:
+    """Mask the variable fields of a log message, yielding its template.
+
+    Pure `regexp_replace` chain — whole-stage codegen, no Python.
+    """
+    out = message
+    for pat, rep in MASKS:
+        out = F.regexp_replace(out, pat, rep)
+    # collapse runs of whitespace so spacing variation does not fork shapes
+    return F.trim(F.regexp_replace(out, r"[ \t]+", " "))
+
+
+def mine_templates(
+    df: DataFrame,
+    message_col: str = "message",
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Per-(group, template) profile: row count and the lexicographically
+    smallest raw example (min() is algebraic — map-side combinable).
+
+    Returns (by..., template, n, example).
+    """
+    by = by or []
+    t = df.select(
+        *[F.col(c) for c in by],
+        template_expr(F.col(message_col)).alias("template"),
+        F.col(message_col).alias("_raw"),
+    )
+    return t.groupBy(*by, "template").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("_raw").alias("example"),
+    )
+
+
+def rare_templates(
+    templates: DataFrame,
+    by: list[str] | None = None,
+    max_share_permille: int = 1,
+) -> DataFrame:
+    """Flag templates whose share of their group's rows is at most
+    ``max_share_permille`` — the "new/rare log shape" alert feed.
+
+    Operates on the OUTPUT of :func:`mine_templates`: the window runs
+    over the aggregated template frame (10^2-10^4 rows per group), not
+    the corpus, so the unpartitioned-window warning case never holds
+    corpus-scale data. share_permille is floored integer math for exact
+    cross-engine comparison.
+    """
+    by = by or []
+    w = Window.partitionBy(*[F.col(c) for c in by]) if by else Window.partitionBy()
+    total = F.sum("n").over(w)
+    return (
+        templates.withColumn(
+            "share_permille", F.floor(F.col("n") * 1000 / total).cast("long")
+        )
+        .where(F.col("share_permille") <= max_share_permille)
+        .drop("example")
+    )

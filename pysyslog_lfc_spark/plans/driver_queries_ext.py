@@ -1066,3 +1066,145 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("”—"),
     )
     return docs.select("doc_id", normalize_text(messy).alias("norm_text"))
+
+
+# =====================================================================
+# Log template mining (Drain-lite)
+# =====================================================================
+
+def _synth_log_lines(ev: DataFrame) -> DataFrame:
+    """Deterministic free-text log lines from `events` — four message
+    shapes (FATAL rare, ERROR with uuid+ip:port, INFO with hex txn,
+    DEBUG with an unmasked /api/vN path) so template mining has real
+    variable fields to mask. The oracle rebuilds identical strings."""
+    h = F.md5(F.col("event_id").cast("string"))
+    uuid = F.concat_ws(
+        "-",
+        F.substring(h, 1, 8),
+        F.substring(h, 9, 4),
+        F.substring(h, 13, 4),
+        F.substring(h, 17, 4),
+        F.substring(h, 21, 12),
+    )
+    fatal = F.format_string(
+        "FATAL disk %s offline sector %d", F.substring(h, 1, 12), F.col("event_id")
+    )
+    error = F.format_string(
+        "ERROR conn %s from 10.%d.%d.%d:%d failed after %d retries",
+        uuid,
+        F.col("user_id") % 256,
+        F.col("event_id") % 256,
+        F.col("event_id") % 251,
+        F.col("event_id") % 64511 + 1024,
+        F.col("event_id") % 7,
+    )
+    info = F.format_string(
+        "INFO txn 0x%x amount %d for user %d",
+        F.col("event_id"),
+        F.floor("value").cast("long"),
+        F.col("user_id"),
+    )
+    debug = F.format_string(
+        "DEBUG GET /api/v%d/items/%d took %d ms",
+        F.col("user_id") % 3 + 1,
+        F.col("event_id"),
+        F.col("event_id") % 500,
+    )
+    msg = (
+        F.when(F.col("event_id") % 997 == 0, fatal)
+        .when(F.col("event_type") == "error", error)
+        .when(F.col("event_type").isin("purchase", "signup"), info)
+        .otherwise(debug)
+    )
+    return ev.select(F.col("event_id"), msg.alias("message"))
+
+
+_SYNTH_LINES_SQL = """
+      SELECT event_id,
+             CASE
+               WHEN event_id % 997 = 0 THEN
+                 printf('FATAL disk %s offline sector %d',
+                        substr(md5(CAST(event_id AS VARCHAR)), 1, 12), event_id)
+               WHEN event_type = 'error' THEN
+                 printf('ERROR conn %s from 10.%d.%d.%d:%d failed after %d retries',
+                        concat_ws('-',
+                          substr(md5(CAST(event_id AS VARCHAR)), 1, 8),
+                          substr(md5(CAST(event_id AS VARCHAR)), 9, 4),
+                          substr(md5(CAST(event_id AS VARCHAR)), 13, 4),
+                          substr(md5(CAST(event_id AS VARCHAR)), 17, 4),
+                          substr(md5(CAST(event_id AS VARCHAR)), 21, 12)),
+                        user_id % 256, event_id % 256, event_id % 251,
+                        event_id % 64511 + 1024, event_id % 7)
+               WHEN event_type IN ('purchase', 'signup') THEN
+                 printf('INFO txn 0x%x amount %d for user %d',
+                        event_id, CAST(floor(value) AS BIGINT), user_id)
+               ELSE
+                 printf('DEBUG GET /api/v%d/items/%d took %d ms',
+                        user_id % 3 + 1, event_id, event_id % 500)
+             END AS message
+      FROM events
+"""
+
+# the MASKS chain of operators/templates.py, replayed as DuckDB regexps
+_MASK_SQL = r"""trim(regexp_replace(regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(message,
+                  '\b[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}\b',
+                  '<UUID>', 'g'),
+                '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}(:\d+)?\b', '<IP>', 'g'),
+              '\b0x[0-9a-fA-F]+\b', '<HEX>', 'g'),
+            '\b[0-9a-f]{8,}\b', '<HEX>', 'g'),
+          '\b\d+(\.\d+)?\b', '<NUM>', 'g'), '[ \t]+', ' ', 'g'))"""
+
+
+@query(
+    "log_templates",
+    f"""
+    WITH lines AS ({_SYNTH_LINES_SQL}),
+    masked AS (
+      SELECT message, {_MASK_SQL} AS template FROM lines
+    )
+    SELECT template, CAST(count(*) AS BIGINT) AS n, min(message) AS example
+    FROM masked GROUP BY template
+    """,
+)
+def log_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain-lite log template mining (operators/templates.py): mask
+    variable fields (uuid/ip:port/hex/number) with a codegen
+    regexp_replace chain, then ONE partial-aggregated groupBy whose key
+    cardinality is the number of message *shapes* (here 6; 10^2-10^4 in
+    production logs), not rows. Complements the reference's known-format
+    parsers (src/pysyslog/parsers/) with unknown-tail clustering."""
+    from pysyslog_lfc_spark.operators.templates import mine_templates
+
+    ev = _t(spark, sf_dir, "events")
+    return mine_templates(_synth_log_lines(ev), "message")
+
+
+@query(
+    "log_rare_templates",
+    f"""
+    WITH lines AS ({_SYNTH_LINES_SQL}),
+    masked AS (
+      SELECT message, {_MASK_SQL} AS template FROM lines
+    ),
+    t AS (
+      SELECT template, CAST(count(*) AS BIGINT) AS n FROM masked GROUP BY template
+    )
+    SELECT template, n,
+           CAST(floor(n * 1000 / sum(n) OVER ()) AS BIGINT) AS share_permille
+    FROM t QUALIFY share_permille <= 2
+    """,
+)
+def log_rare_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-shape anomaly feed: templates holding <=2 permille of rows
+    (the synthesized FATAL shape fires on 1/997 of events). The share
+    window runs over the aggregated template frame — bounded by shape
+    count, never corpus-scale (operators/templates.py::rare_templates)."""
+    from pysyslog_lfc_spark.operators.templates import mine_templates, rare_templates
+
+    ev = _t(spark, sf_dir, "events")
+    mined = mine_templates(_synth_log_lines(ev), "message")
+    return rare_templates(mined, max_share_permille=2)

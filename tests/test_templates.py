@@ -1,0 +1,75 @@
+"""Unit tests for log template mining (operators/templates.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row, functions as F
+
+from pysyslog_lfc_spark.operators.templates import (
+    mine_templates,
+    rare_templates,
+    template_expr,
+)
+
+
+def _mask(spark, s: str) -> str:
+    df = spark.createDataFrame([Row(m=s)])
+    return df.select(template_expr(F.col("m")).alias("t")).first()["t"]
+
+
+class TestTemplateExpr:
+    def test_masks_each_variable_class(self, spark):
+        assert (
+            _mask(spark, "conn 123e4567-e89b-12d3-a456-426614174000 ok")
+            == "conn <UUID> ok"
+        )
+        assert _mask(spark, "from 10.1.2.3:8080 dropped") == "from <IP> dropped"
+        assert _mask(spark, "from 10.1.2.3 dropped") == "from <IP> dropped"
+        assert _mask(spark, "txn 0xDEADBEEF amount 12") == "txn <HEX> amount <NUM>"
+        assert _mask(spark, "disk cafebabe01 offline") == "disk <HEX> offline"
+        assert _mask(spark, "took 12.5 ms") == "took <NUM> ms"
+
+    def test_mask_order_uuid_before_hex_before_num(self, spark):
+        # a UUID must not be shredded into <HEX>-<NUM>... pieces
+        out = _mask(spark, "id=deadbeef-aaaa-bbbb-cccc-123456789012")
+        assert out == "id=<UUID>"
+        # >=8 digit runs become <HEX> (fixed order, engine-portable)
+        assert _mask(spark, "seq 123456789 x") == "seq <HEX> x"
+
+    def test_word_internal_digits_survive(self, spark):
+        # no word boundary inside v1 -> version digits keep shapes apart
+        assert _mask(spark, "GET /api/v1/items/42") == "GET /api/v1/items/<NUM>"
+
+    def test_whitespace_collapse(self, spark):
+        assert _mask(spark, "a   b\t c") == "a b c"
+
+
+class TestMineTemplates:
+    def _lines(self, spark):
+        rows = [Row(source="app", message=f"user {i} did {i*7} things") for i in range(20)]
+        rows += [Row(source="app", message="panic at 0xff")]
+        rows += [Row(source="db", message=f"slow query {i} ms") for i in range(5)]
+        return spark.createDataFrame(rows)
+
+    def test_counts_and_example(self, spark):
+        out = {
+            r["template"]: r
+            for r in mine_templates(self._lines(spark), "message").collect()
+        }
+        assert out["user <NUM> did <NUM> things"]["n"] == 20
+        assert out["panic at <HEX>"]["n"] == 1
+        assert out["slow query <NUM> ms"]["n"] == 5
+        # example is the lexicographic min raw line (deterministic)
+        assert out["slow query <NUM> ms"]["example"] == "slow query 0 ms"
+
+    def test_grouped_mining(self, spark):
+        out = mine_templates(self._lines(spark), "message", by=["source"]).collect()
+        keys = {(r["source"], r["template"]) for r in out}
+        assert ("db", "slow query <NUM> ms") in keys
+        assert ("app", "panic at <HEX>") in keys
+
+    def test_rare_templates(self, spark):
+        mined = mine_templates(self._lines(spark), "message")
+        # panic = 1/26 rows = 38 permille; threshold 40 flags only it
+        rare = rare_templates(mined, max_share_permille=40).collect()
+        assert [r["template"] for r in rare] == ["panic at <HEX>"]
+        assert rare[0]["share_permille"] == 38
