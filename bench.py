@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "ann_pq_topk",
     "text_normalize",
     "log_templates",
+    "enrich_cidr_lpm",
 ]
 
 

@@ -290,3 +290,146 @@ def snapshot_diff(
     for c in compare_cols:
         out_cols += [F.col(f"{c}_old"), F.col(f"{c}_new")]
     return j.select(*out_cols)
+
+
+# =====================================================================
+# CIDR longest-prefix-match enrichment
+# =====================================================================
+
+def ip4_aton(ip: "F.Column") -> "F.Column":
+    """Dotted-quad IPv4 string -> long (network byte order). Pure
+    codegen arithmetic; malformed addresses yield NULL, which every
+    downstream BETWEEN rejects (= reference filters' None-drops)."""
+    p = F.split(ip, r"\.")
+    # try_cast, not cast: ANSI mode (Spark 4 default) would throw on
+    # malformed octets instead of yielding the None-drop contract
+    return (
+        p.getItem(0).try_cast("long") * 16777216
+        + p.getItem(1).try_cast("long") * 65536
+        + p.getItem(2).try_cast("long") * 256
+        + p.getItem(3).try_cast("long")
+    )
+
+
+def cidr_lpm_segments(
+    cidrs: DataFrame,
+    cidr_col: str = "cidr",
+    payload_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Flatten a CIDR table into DISJOINT [start, end] long ranges,
+    each carrying the payload of its longest-prefix (most specific)
+    containing block — the LPM routing-table semantics of every
+    firewall/GeoIP feed, resolved once on the dimension side.
+
+    Why: nested CIDRs (10.0.0.0/8 ⊃ 10.1.0.0/16 ⊃ 10.1.1.0/24) would
+    give a fact row one candidate per nesting level, forcing a
+    per-fact max_by shuffle over the candidate stream — a shuffle of
+    ~|facts| rows. Flattening moves that work to the dimension: split
+    the address space at every block boundary (lo and hi+1 points),
+    then the winner of each segment is the containing block with max
+    prefix length. Facts then need only ONE bucketed broadcast range
+    join (range_enrich) with at most one match per row — zero fact-side
+    shuffles at any scale.
+
+    Cost envelope: |segments| <= 2|cidrs|; the boundary sort is a
+    single-task window over 2|D| longs (10^7 CIDRs -> ~10^7-row sort on
+    one task, dimension-bounded, never corpus-scale) and the
+    segment-winner resolution reuses the bucketed range join
+    dimension-against-dimension. Ties beyond prefix length (duplicate
+    blocks) resolve deterministically by payload order.
+
+    Returns (start, end, matched_prefix, payload...).
+    """
+    if payload_cols is None:
+        payload_cols = [c for c in cidrs.columns if c != cidr_col]
+    payload_cols = list(payload_cols)
+
+    net = F.substring_index(F.col(cidr_col), "/", 1)
+    plen = F.substring_index(F.col(cidr_col), "/", -1).cast("int")
+    # pyspark's shiftleft/shiftright helpers take a python-int bit
+    # count; the SQL builtins accept expressions — call those
+    host_bits = F.lit(32) - plen
+    lo = F.call_function(
+        "shiftleft",
+        F.call_function("shiftright", ip4_aton(net), host_bits),
+        host_bits,
+    )
+    hi = lo + F.call_function("shiftleft", F.lit(1).cast("long"), host_bits) - 1
+
+    parsed = cidrs.select(
+        lo.alias("__lo"),
+        hi.alias("__hi"),
+        plen.alias("__plen"),
+        *[F.col(c) for c in payload_cols],
+    )
+
+    pts = (
+        parsed.select(F.col("__lo").alias("__p"))
+        .unionByName(parsed.select((F.col("__hi") + 1).alias("__p")))
+        .distinct()
+    )
+    # dimension-bounded global sort: 2|cidrs| longs on one task
+    w = Window.orderBy("__p")
+    segs = pts.select(
+        F.col("__p").alias("__s"), (F.lead("__p").over(w) - 1).alias("__e")
+    ).where(F.col("__e").isNotNull())
+
+    # segs derives from parsed, so joining them back is a self-join;
+    # re-aliasing every column mints fresh attribute ids and keeps
+    # Spark's ambiguous-self-join check out of the way
+    fresh = parsed.select([F.col(c).alias(c) for c in parsed.columns])
+    cand = range_enrich(
+        segs,
+        fresh,
+        "__s",
+        range_start="__lo",
+        range_end="__hi",
+        payload_cols=["__plen"] + payload_cols,
+        how="inner",
+    )
+    payload_struct = F.struct(*[F.col(c) for c in payload_cols])
+    order_key = F.struct(F.col("__plen"), *[F.col(c) for c in payload_cols])
+    winners = cand.groupBy("__s", "__e").agg(
+        F.max("__plen").alias("matched_prefix"),
+        F.max_by(payload_struct, order_key).alias("__w"),
+    )
+    return winners.select(
+        F.col("__s").alias("start"),
+        F.col("__e").alias("end"),
+        "matched_prefix",
+        *[F.col(f"__w.{c}").alias(c) for c in payload_cols],
+    )
+
+
+def cidr_enrich(
+    facts: DataFrame,
+    cidrs: DataFrame,
+    ip_col: str,
+    cidr_col: str = "cidr",
+    payload_cols: Sequence[str] | None = None,
+    how: str = "inner",
+    bucket_bits: int = 16,
+) -> DataFrame:
+    """Attach the longest-prefix-match CIDR payload to every fact row
+    (firewall-rule / GeoIP / netblock-owner enrichment).
+
+    Plan: :func:`cidr_lpm_segments` resolves nesting dimension-side,
+    then ONE bucketed broadcast range join (:func:`range_enrich`)
+    probes the disjoint segments — each fact matches at most one, so
+    inner/left semantics need no dedup pass and the fact stream never
+    shuffles. Adds ``matched_prefix`` plus the payload columns.
+    """
+    segs = cidr_lpm_segments(cidrs, cidr_col, payload_cols)
+    pay = [c for c in segs.columns if c not in ("start", "end")]
+    probe = facts.withColumn("__ip4", ip4_aton(F.col(ip_col)))
+    out = range_enrich(
+        probe,
+        segs,
+        "__ip4",
+        range_start="start",
+        range_end="end",
+        payload_cols=pay,
+        how=how,
+        bucket_bits=bucket_bits,
+    )
+    return out.drop("__ip4")

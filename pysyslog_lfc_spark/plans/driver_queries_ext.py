@@ -1208,3 +1208,78 @@ def log_rare_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     mined = mine_templates(_synth_log_lines(ev), "message")
     return rare_templates(mined, max_share_permille=2)
+
+
+@query(
+    "enrich_cidr_lpm",
+    r"""
+    WITH cidrs AS (
+      SELECT '10.0.0.0/8' AS cidr, 'GLOBAL' AS net_name
+      UNION ALL
+      SELECT printf('10.%d.0.0/16', n_nationkey), n_name FROM nation
+      UNION ALL
+      SELECT printf('10.%d.%d.0/24', n_nationkey, n_nationkey),
+             n_name || '-SUB'
+      FROM nation WHERE n_nationkey % 2 = 0
+    ),
+    pl AS (
+      SELECT cidr, net_name,
+             CAST(string_split(cidr, '/')[2] AS INTEGER) AS plen,
+             CAST(string_split(string_split(cidr, '/')[1], '.')[1] AS BIGINT) * 16777216
+             + CAST(string_split(string_split(cidr, '/')[1], '.')[2] AS BIGINT) * 65536
+             + CAST(string_split(string_split(cidr, '/')[1], '.')[3] AS BIGINT) * 256
+             + CAST(string_split(string_split(cidr, '/')[1], '.')[4] AS BIGINT) AS net_aton
+      FROM cidrs
+    ),
+    parsed AS (
+      SELECT net_name, plen,
+             (net_aton >> (32 - plen)) << (32 - plen) AS lo,
+             ((net_aton >> (32 - plen)) << (32 - plen)) + (CAST(1 AS BIGINT) << (32 - plen)) - 1 AS hi
+      FROM pl
+    ),
+    facts AS (
+      SELECT event_id,
+             printf('10.%d.%d.%d', user_id % 32, event_id % 256, event_id % 251) AS ip,
+             CAST(10 AS BIGINT) * 16777216 + (user_id % 32) * 65536
+             + (event_id % 256) * 256 + (event_id % 251) AS ip4
+      FROM events
+    )
+    SELECT event_id, ip, net_name, plen AS matched_prefix
+    FROM facts JOIN parsed ON ip4 BETWEEN lo AND hi
+    QUALIFY row_number() OVER (PARTITION BY event_id ORDER BY plen DESC, net_name) = 1
+    """,
+)
+def enrich_cidr_lpm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CIDR longest-prefix-match enrichment (operators/joins.py::
+    cidr_enrich): nested netblocks (/8 ⊃ /16 ⊃ /24) are flattened to
+    disjoint segments on the dimension side, so the fact probe is ONE
+    bucketed broadcast hash join with at most one match per row — the
+    fact stream never shuffles. The oracle resolves LPM the direct way
+    (BETWEEN join + QUALIFY longest prefix) to check semantics, not the
+    plan."""
+    from pysyslog_lfc_spark.operators.joins import cidr_enrich
+
+    nat = _t(spark, sf_dir, "nation")
+    per16 = nat.select(
+        F.format_string("10.%d.0.0/16", F.col("n_nationkey")).alias("cidr"),
+        F.col("n_name").alias("net_name"),
+    )
+    per24 = nat.where(F.col("n_nationkey") % 2 == 0).select(
+        F.format_string("10.%d.%d.0/24", "n_nationkey", "n_nationkey").alias("cidr"),
+        F.concat(F.col("n_name"), F.lit("-SUB")).alias("net_name"),
+    )
+    glob = spark.createDataFrame([("10.0.0.0/8", "GLOBAL")], "cidr string, net_name string")
+    cidrs = glob.unionByName(per16).unionByName(per24)
+
+    ev = _t(spark, sf_dir, "events")
+    facts = ev.select(
+        "event_id",
+        F.format_string(
+            "10.%d.%d.%d",
+            F.col("user_id") % 32,
+            F.col("event_id") % 256,
+            F.col("event_id") % 251,
+        ).alias("ip"),
+    )
+    out = cidr_enrich(facts, cidrs, "ip", payload_cols=["net_name"], how="inner")
+    return out.select("event_id", "ip", "net_name", "matched_prefix")

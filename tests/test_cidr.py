@@ -1,0 +1,93 @@
+"""Unit tests for CIDR longest-prefix-match enrichment
+(operators/joins.py::cidr_enrich / cidr_lpm_segments / ip4_aton)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row, functions as F
+
+from pysyslog_lfc_spark.operators.joins import (
+    cidr_enrich,
+    cidr_lpm_segments,
+    ip4_aton,
+)
+
+
+def _aton(spark, s):
+    return spark.createDataFrame([Row(ip=s)]).select(
+        ip4_aton(F.col("ip")).alias("v")
+    ).first()["v"]
+
+
+class TestIp4Aton:
+    def test_known_values(self, spark):
+        assert _aton(spark, "0.0.0.1") == 1
+        assert _aton(spark, "10.0.0.0") == 10 * 16777216
+        assert _aton(spark, "255.255.255.255") == (1 << 32) - 1
+
+    def test_malformed_is_null(self, spark):
+        assert _aton(spark, "not-an-ip") is None
+
+
+CIDRS = [
+    Row(cidr="10.0.0.0/8", who="global"),
+    Row(cidr="10.1.0.0/16", who="site"),
+    Row(cidr="10.1.1.0/24", who="rack"),
+    Row(cidr="192.168.0.0/16", who="lan"),
+]
+
+
+class TestLpmSegments:
+    def test_segments_are_disjoint_and_lpm(self, spark):
+        segs = cidr_lpm_segments(spark.createDataFrame(CIDRS)).collect()
+        segs.sort(key=lambda r: r["start"])
+        # disjoint, ordered
+        for a, b in zip(segs, segs[1:]):
+            assert a["end"] < b["start"]
+        by_who = {(r["who"], r["matched_prefix"]) for r in segs}
+        assert ("rack", 24) in by_who and ("site", 16) in by_who
+        # the /8 must be split around the /16 hole
+        glob = [r for r in segs if r["who"] == "global"]
+        assert len(glob) == 2
+
+    def test_unaligned_cidr_is_masked(self, spark):
+        # host bits in the notation are ignored (10.1.2.3/16 == 10.1.0.0/16)
+        segs = cidr_lpm_segments(
+            spark.createDataFrame([Row(cidr="10.1.2.3/16", who="x")])
+        ).collect()
+        assert segs[0]["start"] == 10 * 16777216 + 1 * 65536
+        assert segs[0]["end"] == 10 * 16777216 + 1 * 65536 + 65535
+
+
+class TestCidrEnrich:
+    FACTS = [
+        Row(fid=1, ip="10.1.1.7"),     # rack (/24)
+        Row(fid=2, ip="10.1.9.9"),     # site (/16)
+        Row(fid=3, ip="10.200.0.1"),   # global (/8)
+        Row(fid=4, ip="192.168.3.4"),  # lan
+        Row(fid=5, ip="8.8.8.8"),      # no match
+    ]
+
+    def test_inner_lpm(self, spark):
+        out = cidr_enrich(
+            spark.createDataFrame(self.FACTS),
+            spark.createDataFrame(CIDRS),
+            "ip",
+        ).collect()
+        got = {r["fid"]: (r["who"], r["matched_prefix"]) for r in out}
+        assert got == {
+            1: ("rack", 24),
+            2: ("site", 16),
+            3: ("global", 8),
+            4: ("lan", 16),
+        }
+
+    def test_left_keeps_unmatched(self, spark):
+        out = cidr_enrich(
+            spark.createDataFrame(self.FACTS),
+            spark.createDataFrame(CIDRS),
+            "ip",
+            how="left",
+        ).collect()
+        assert len(out) == 5  # disjoint segments: exactly one row per fact
+        miss = [r for r in out if r["fid"] == 5]
+        assert miss[0]["who"] is None and miss[0]["matched_prefix"] is None
