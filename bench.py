@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "text_normalize",
     "log_templates",
     "enrich_cidr_lpm",
+    "dedup_semantic",
 ]
 
 

@@ -842,3 +842,95 @@ def incremental_near_dups(
         .where(F.col("jaccard") >= threshold)
     )
     return verified.select("id_new", "id_old", "jaccard")
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.8,
+    centroid_stride: int = 37,
+    centroids=None,
+    row_block: int = 4096,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings around coarse centroids, then
+    drop, within each cluster, every vector that has a smaller-id
+    neighbor with cosine >= threshold (deterministic min-id keep rule;
+    the cosine is rounded to 4 dp before the compare so the decision is
+    engine-portable).
+
+    Returns the full decision table (id, cell, keep) — callers filter
+    ``keep`` to materialize the survivor corpus or join it back as a
+    curation gate.
+
+    Scale shape: the quadratic pair scan never leaves a cluster —
+    total work is sum(|cell|^2), bounded by the centroid count (the
+    paper's knob; pass a ``kmeans_centroids`` matrix for trained cells,
+    or leave the deterministic ``id % centroid_stride`` sample for a
+    reproducible index the DuckDB oracle can replay cell-for-cell).
+    Assignment is one broadcast BLAS matmul per Arrow batch (centroid
+    matrix rides the closure); the only shuffle carries (id, vec, cell)
+    once, to group cells; the intra-cell matmul runs in row blocks of
+    ``row_block`` so task memory stays at |block| x |cell| doubles.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pysyslog_lfc_spark.functions.similarity import (
+        _np_mat,
+        _np_normalize,
+        _raw_vec,
+    )
+
+    if centroids is not None:
+        c_mat = _np_normalize(np.asarray(centroids, dtype="float64"))
+        c_ids = np.arange(len(c_mat), dtype="int64")
+    else:
+        rows = (
+            df.where(F.col(id_col) % centroid_stride == 0)
+            .select(id_col, vec_col)
+            .collect()
+        )
+        c_ids = np.array([r[0] for r in rows], dtype="int64")
+        c_mat = _np_normalize(np.array([r[1] for r in rows], dtype="float64"))
+
+    v = _raw_vec(df, vec_col, id_col)
+    vec_type = v.schema["_v"].dataType.simpleString()
+
+    def assign(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            sims = _np_normalize(_np_mat(pdf["_v"])) @ c_mat.T
+            # total order (-cos, cid) — ties go to the smallest cell id,
+            # matching the oracle's ORDER BY cos DESC, cid
+            order = np.lexsort((np.broadcast_to(c_ids, sims.shape), -sims), axis=1)
+            out = pdf[["_id", "_v"]].copy()
+            out["cell"] = c_ids[order[:, 0]]
+            yield out
+
+    assigned = v.mapInPandas(assign, f"_id long, _v {vec_type}, cell long")
+
+    def cell_decide(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_id")
+        ids = pdf["_id"].to_numpy()
+        m = _np_normalize(_np_mat(pdf["_v"]))
+        n = len(ids)
+        dup = np.zeros(n, dtype=bool)
+        for lo in range(0, n, row_block):
+            hi = min(lo + row_block, n)
+            s = np.round(m[lo:hi] @ m.T, 4)  # (block, n)
+            over = s >= threshold
+            # j < i (strictly smaller id dominates)
+            col = np.arange(n)
+            for bi in range(hi - lo):
+                dup[lo + bi] = bool(over[bi, col < (lo + bi)].any())
+        return pd.DataFrame(
+            {"_id": ids, "cell": pdf["cell"].to_numpy(), "keep": ~dup}
+        )
+
+    decided = assigned.groupBy("cell").applyInPandas(
+        cell_decide, "_id long, cell long, keep boolean"
+    )
+    return decided.withColumnRenamed("_id", id_col)

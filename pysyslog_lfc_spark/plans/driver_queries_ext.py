@@ -1283,3 +1283,42 @@ def enrich_cidr_lpm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = cidr_enrich(facts, cidrs, "ip", payload_cols=["net_name"], how="inner")
     return out.select("event_id", "ip", "net_name", "matched_prefix")
+
+
+@query(
+    "dedup_semantic",
+    """
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         cent AS (SELECT vec_id AS cid, v AS cv FROM c WHERE vec_id % 37 = 0),
+         assign AS (
+           SELECT vec_id, cid FROM (
+             SELECT c.vec_id, cent.cid,
+                    row_number() OVER (
+                      PARTITION BY c.vec_id
+                      ORDER BY list_cosine_similarity(c.v, cent.cv) DESC, cent.cid
+                    ) AS rn
+             FROM c CROSS JOIN cent
+           ) WHERE rn = 1
+         ),
+         dropped AS (
+           SELECT DISTINCT hi.vec_id
+           FROM assign hi JOIN assign lo
+             ON hi.cid = lo.cid AND lo.vec_id < hi.vec_id
+           JOIN c ch ON ch.vec_id = hi.vec_id
+           JOIN c cl ON cl.vec_id = lo.vec_id
+           WHERE round(list_cosine_similarity(ch.v, cl.v), 4) >= 0.35
+         )
+    SELECT a.vec_id, a.cid AS cell, (d.vec_id IS NULL) AS keep
+    FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+    """,
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup (functions/dedup.py::semantic_dedup):
+    coarse-centroid clustering bounds the quadratic cosine scan to
+    intra-cell work; min-id keep rule, 4-dp-rounded compare. The oracle
+    replays the deterministic index cell-for-cell and re-derives the
+    drop set with the direct pairwise join."""
+    from pysyslog_lfc_spark.functions.dedup import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, threshold=0.35)

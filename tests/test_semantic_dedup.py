@@ -1,0 +1,63 @@
+"""Unit tests for SemDeDup semantic dedup (functions/dedup.py::semantic_dedup)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from pysyslog_lfc_spark.functions.dedup import semantic_dedup
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [Row(vec_id=i, embedding=v) for i, v in rows],
+        "vec_id long, embedding array<double>",
+    )
+
+
+class TestSemanticDedup:
+    def test_min_id_keep_rule_within_cells(self, spark):
+        rows = [
+            (1, [1.0, 0.01]),   # cell 0
+            (2, [0.99, 0.02]),  # near-dup of 1 -> dropped
+            (3, [0.01, 1.0]),   # cell 1, unique
+            (4, [-1.0, 0.1]),   # cell 1 (argmax), far from 3 -> kept
+        ]
+        out = {
+            r["vec_id"]: r
+            for r in semantic_dedup(
+                _df(spark, rows), threshold=0.9, centroids=[[1.0, 0.0], [0.0, 1.0]]
+            ).collect()
+        }
+        assert {i: r["keep"] for i, r in out.items()} == {
+            1: True, 2: False, 3: True, 4: True,
+        }
+        assert out[1]["cell"] == 0 and out[2]["cell"] == 0
+        assert out[3]["cell"] == 1 and out[4]["cell"] == 1
+
+    def test_cross_cell_dups_survive(self, spark):
+        # identical vectors in DIFFERENT cells are not compared — the
+        # SemDeDup contract (cluster-local scan), not a bug
+        rows = [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.0, 1.0])]
+        out = {
+            r["vec_id"]: r["keep"]
+            for r in semantic_dedup(
+                _df(spark, rows), threshold=0.99, centroids=[[1.0, 0.0], [0.0, 1.0]]
+            ).collect()
+        }
+        assert out == {1: True, 2: True, 3: False}
+
+    def test_stride_sampled_centroids_deterministic(self, spark):
+        rows = [(i, [float(i % 3 == 0), float(i % 3 != 0)]) for i in range(12)]
+        a = semantic_dedup(_df(spark, rows), threshold=0.99, centroid_stride=5)
+        b = semantic_dedup(_df(spark, rows), threshold=0.99, centroid_stride=5)
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    def test_row_block_smaller_than_cell(self, spark):
+        # block-wise scan must agree with the single-shot matmul
+        rows = [(i, [1.0, float(i) * 1e-6]) for i in range(10)]
+        out = semantic_dedup(
+            _df(spark, rows), threshold=0.9, centroids=[[1.0, 0.0]], row_block=3
+        ).collect()
+        keeps = {r["vec_id"]: r["keep"] for r in out}
+        # all mutually near-dup: only the smallest id survives
+        assert keeps == {i: (i == 0) for i in range(10)}
