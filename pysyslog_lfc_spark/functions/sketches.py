@@ -307,3 +307,84 @@ def dd_quantiles(
             F.floor(est * 1000).cast("long").alias("est_permille"),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# HyperLogLog (Flajolet et al. 2007) with integer-exact registers
+# ---------------------------------------------------------------------
+
+HLL_P = 8  # 2^8 = 256 registers per group
+HLL_M = 1 << HLL_P
+# alpha_256 * 256^2 * 2^53 (the 2^53 scaling keeps the harmonic-mean
+# denominator an exact BIGINT: each register contributes 2^(53-rho))
+_HLL_C = 4.2399330249068963e20
+
+
+def hll_registers(
+    df: DataFrame, value_col: str, group_cols: list[str]
+) -> DataFrame:
+    """Per-group HyperLogLog register frame ``(group..., bucket, mj)``
+    — the mergeable synopsis (merge = max per bucket; see
+    ``hll_distinct``'s merged-total demonstration).
+
+    The note in this module's docstring (KMV over HLL for oracle
+    determinism) is resolved here without tolerances: the register
+    number is the top ``HLL_P`` bits of the portable 60-bit hash, and
+    rho (leading-zero rank of the 52-bit suffix) is computed via
+    ``length(bin(x))`` — the bit-length identity — so it is *integer*
+    arithmetic in both engines, never float log2 (whose floor misrounds
+    at 2^k boundaries: log2(2^52-1) rounds to exactly 52.0 in IEEE
+    doubles).
+
+    100 TB design: one groupBy (group, bucket) with map-side partial
+    max — the shuffle carries at most 256 rows per group per mapper,
+    independent of input row count. The register frame is also the
+    store-and-merge form: daily register frames union + max-per-bucket
+    into monthly cardinalities without touching raw data.
+    """
+    h = portable_hash60(F.col(value_col).cast("string"))
+    bucket = F.shiftright(h, 60 - HLL_P).cast("int")
+    low = h.bitwiseAND(F.lit((1 << 52) - 1))
+    rho = (
+        F.when(low == F.lit(0), F.lit(53))
+        .otherwise(F.lit(53) - F.length(F.bin(low)))
+        .cast("int")
+    )
+    return (
+        df.select(*group_cols, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("mj"))
+    )
+
+
+def hll_estimate(reg: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Fold a register frame into per-group estimates.
+
+    Returns ``(group..., v_zero, z_denom, est_raw)`` where ``z_denom``
+    = sum over all 256 registers of 2^(53-mj) (absent registers count
+    as mj=0 → 2^53) is an exact BIGINT — bit-identical across engines —
+    and ``est_raw`` = alpha·m²·2^53 / z_denom is the raw HLL estimator:
+    one double division of two exact values, deterministic. The
+    small-range (linear counting) correction is deliberately NOT folded
+    in — it needs ln(), whose last-ulp rounding differs between libm
+    implementations; ``v_zero`` is emitted so callers can apply
+    m·ln(m/V) when v_zero > 0 and tolerance-free parity is not needed.
+    """
+    z_term = F.expr("shiftleft(CAST(1 AS BIGINT), 53 - mj)")
+    per = reg.groupBy(*group_cols).agg(
+        F.sum(z_term).alias("_znz"), F.count(F.lit(1)).alias("_nnz")
+    )
+    z = F.col("_znz") + (F.lit(HLL_M) - F.col("_nnz")) * F.lit(1 << 53)
+    return per.select(
+        *group_cols,
+        (F.lit(HLL_M) - F.col("_nnz")).cast("int").alias("v_zero"),
+        z.cast("long").alias("z_denom"),
+        F.round(F.lit(_HLL_C) / z.cast("double"), 4).alias("est_raw"),
+    )
+
+
+def hll_merge(reg: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge register frames across whatever grouping remains in
+    ``group_cols`` (max per bucket) — lossless: merging per-source
+    frames equals sketching the unioned raw data."""
+    return reg.groupBy(*group_cols, "bucket").agg(F.max("mj").alias("mj"))

@@ -530,3 +530,44 @@ def normalize_text(col: Column, lowercase: bool = False) -> Column:
     out = F.regexp_replace(out, _ZERO_WIDTH, "")
     out = F.trim(F.regexp_replace(out, "[ \t\r\n]+", " "))
     return F.lower(out) if lowercase else out
+
+
+# ---------------------------------------------------------------------
+# Credential / secret scanning (training-data release hygiene)
+# ---------------------------------------------------------------------
+
+# Public, RE2-portable secret shapes (the gitleaks/trufflehog default
+# families that need no lookbehind): pattern -> output column name.
+SECRET_PATTERNS: dict[str, str] = {
+    "aws_keys": "AKIA[0-9A-Z]{16}",
+    "github_tokens": "ghp_[A-Za-z0-9]{36}",
+    "slack_tokens": "xox[abp]-[0-9A-Za-z-]{10,}",
+    "pem_blocks": "-----BEGIN [A-Z ]*PRIVATE KEY-----",
+    "hex_secrets": "[0-9a-f]{32,}",
+    "b64_secrets": "[A-Za-z0-9+/]{40,}={0,2}",
+}
+
+
+def scan_secrets(
+    df: DataFrame, text_col: str = "text", patterns: dict[str, str] | None = None
+) -> DataFrame:
+    """Append one ``n_<family>`` count column per secret family plus
+    ``n_secret_hits`` (their sum). Pure ``regexp_extract_all`` codegen
+    — zero Python, zero shuffles; a release pipeline composes this with
+    a filter (quarantine rows with hits) or with redact_pii-style
+    rewriting. Non-overlapping greedy matching is the contract shared
+    by Spark's Java regex and RE2, so counts are engine-portable."""
+    pats = SECRET_PATTERNS if patterns is None else patterns
+    out = df
+    for name, pat in pats.items():
+        out = out.withColumn(
+            f"n_{name}",
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))).cast(
+                "int"
+            ),
+        )
+    total = None
+    for name in pats:
+        c = F.col(f"n_{name}")
+        total = c if total is None else total + c
+    return out.withColumn("n_secret_hits", total.cast("int"))

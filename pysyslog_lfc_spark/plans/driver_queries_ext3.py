@@ -232,3 +232,143 @@ def dedup_token_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shuffle budget (one gram partition + one doc regroup)."""
     docs = _t(spark, sf_dir, "documents")
     return repeated_ngram_coverage(docs, "text", "doc_id", width=8)
+
+
+@query(
+    "hll_distinct_users",
+    """
+    WITH h AS (
+      SELECT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, CAST(hv >> 52 AS INT) AS bucket,
+             CAST(CASE WHEN (hv & ((1::BIGINT << 52) - 1)) = 0 THEN 53
+                  ELSE 53 - length(bin(hv & ((1::BIGINT << 52) - 1)))
+                  END AS INT) AS rho
+      FROM h
+    ),
+    reg AS (SELECT event_type, bucket, max(rho) AS mj FROM r GROUP BY 1, 2),
+    allreg AS (
+      SELECT event_type, bucket, mj FROM reg
+      UNION ALL
+      SELECT '<all>', bucket, max(mj) FROM reg GROUP BY 2
+    ),
+    agg AS (
+      SELECT event_type,
+             sum(1::BIGINT << (53 - mj)) AS znz,
+             count(*) AS nnz
+      FROM allreg GROUP BY 1
+    )
+    SELECT event_type,
+           CAST(256 - nnz AS INT) AS v_zero,
+           CAST(znz + (256 - nnz) * (1::BIGINT << 53) AS BIGINT) AS z_denom,
+           round(4.2399330249068963e20 /
+                 CAST(znz + (256 - nnz) * (1::BIGINT << 53) AS DOUBLE), 4)
+             AS est_raw
+    FROM agg
+    """,
+)
+def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct users per event type, plus an `<all>` row
+    produced by MERGING the per-type register frames (max per bucket) —
+    never re-reading raw data — so the query itself proves the sketch's
+    merge-equals-recompute property. Registers are integer-exact in
+    both engines (bit-length rho via bin(), 2^53-scaled harmonic
+    denominator as BIGINT); see functions/sketches.py::hll_registers."""
+    from pysyslog_lfc_spark.functions.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    reg = hll_registers(ev, "user_id", ["event_type"])
+    merged = hll_merge(
+        reg.select(F.lit("<all>").alias("event_type"), "bucket", "mj"),
+        ["event_type"],
+    )
+    return hll_estimate(reg.unionByName(merged), ["event_type"])
+
+
+@query(
+    "secrets_scan",
+    """
+    WITH lines AS (
+      SELECT event_type,
+             'type=' || event_type || ' ' ||
+             CASE WHEN event_id % 7 = 0
+                  THEN 'key=AKIA' || upper(substr(md5(CAST(event_id AS VARCHAR)), 1, 16)) || ' '
+                  ELSE '' END ||
+             CASE WHEN event_id % 11 = 3
+                  THEN 'tok=' || md5(coalesce(props, '')) || md5(event_type) || ' '
+                  ELSE '' END ||
+             'msg=done' AS line
+      FROM events
+    ),
+    c AS (
+      SELECT event_type,
+             len(regexp_extract_all(line, 'AKIA[0-9A-Z]{16}')) AS a,
+             len(regexp_extract_all(line, 'ghp_[A-Za-z0-9]{36}')) AS g,
+             len(regexp_extract_all(line, 'xox[abp]-[0-9A-Za-z-]{10,}')) AS s,
+             len(regexp_extract_all(line, '-----BEGIN [A-Z ]*PRIVATE KEY-----')) AS p,
+             len(regexp_extract_all(line, '[0-9a-f]{32,}')) AS hx,
+             len(regexp_extract_all(line, '[A-Za-z0-9+/]{40,}={0,2}')) AS b
+      FROM lines
+    )
+    SELECT event_type,
+           CAST(sum(a) AS BIGINT) AS aws_keys,
+           CAST(sum(hx) AS BIGINT) AS hex_secrets,
+           CAST(sum(b) AS BIGINT) AS b64_secrets,
+           CAST(sum(CASE WHEN a + g + s + p + hx + b > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS rows_with_secrets,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM c GROUP BY event_type
+    """,
+)
+def secrets_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Credential scanning over a deterministically-built log corpus
+    (events rows with AWS-key-shaped and hex-token-shaped secrets
+    injected at known residues, so the gate checks real matches, not
+    all-zero counts). The scanner itself (`functions/text.py::
+    scan_secrets`) is pure regexp codegen — the release-hygiene pass a
+    training pipeline runs before export."""
+    from pysyslog_lfc_spark.functions.text import scan_secrets
+
+    ev = _t(spark, sf_dir, "events")
+    lines = ev.select(
+        "event_type",
+        F.concat(
+            F.lit("type="),
+            F.col("event_type"),
+            F.lit(" "),
+            F.when(
+                F.col("event_id") % 7 == 0,
+                F.concat(
+                    F.lit("key=AKIA"),
+                    F.upper(F.substring(F.md5(F.col("event_id").cast("string")), 1, 16)),
+                    F.lit(" "),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("event_id") % 11 == 3,
+                F.concat(
+                    F.lit("tok="),
+                    F.md5(F.coalesce(F.col("props"), F.lit(""))),
+                    F.md5(F.col("event_type")),
+                    F.lit(" "),
+                ),
+            ).otherwise(F.lit("")),
+            F.lit("msg=done"),
+        ).alias("line"),
+    )
+    scanned = scan_secrets(lines, "line")
+    hit = F.col("n_secret_hits") > 0
+    return scanned.groupBy("event_type").agg(
+        F.sum("n_aws_keys").cast("long").alias("aws_keys"),
+        F.sum("n_hex_secrets").cast("long").alias("hex_secrets"),
+        F.sum("n_b64_secrets").cast("long").alias("b64_secrets"),
+        F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias("rows_with_secrets"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
