@@ -124,6 +124,14 @@ BENCH_QUERIES = [
     "log_templates",
     "enrich_cidr_lpm",
     "dedup_semantic",
+    "subquery_avg_qty",
+    "exists_composite_orders",
+    "rolling_time_range",
+    "ntile_value_buckets",
+    "dedup_token_spans",
+    "hll_distinct_users",
+    "secrets_scan",
+    "shard_export_manifest",
 ]
 
 

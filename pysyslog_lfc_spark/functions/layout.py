@@ -66,3 +66,91 @@ def zorder_layout(
     then ``.write.parquet``). Returns the reordered frame."""
     out = df.withColumn("zval", zorder_value(cols, bits))
     return out.repartitionByRange(n_files, "zval").sortWithinPartitions("zval")
+
+
+# ---------------------------------------------------------------------
+# Size-budgeted shard export (WebDataset/tfrecord-style shards)
+# ---------------------------------------------------------------------
+
+
+def shard_assignments(
+    df: DataFrame,
+    size_col: str,
+    key_col: str,
+    budget: int,
+    p_bits: int = 5,
+) -> DataFrame:
+    """Assign every row a ``shard`` id so that consecutive rows (in a
+    deterministic seeded-hash global order) fill ~``budget``-byte
+    shards — the layout step of a sharded training-data export
+    (WebDataset tars / tfrecord shards / JSONL shards all need it).
+
+    Rule: a row belongs to the shard its START offset falls in
+    (``shard = (cumsum - size) div budget``), so shard boundaries never
+    split a row and every shard except possibly the last holds at least
+    ``budget - max_row + 1`` bytes.
+
+    100 TB design — the global running sum is computed WITHOUT a
+    single-partition window:
+
+    1. rows get a portable 60-bit hash order key; the top ``p_bits``
+       bits form a *contiguous range bucket* ``pid`` (deterministic
+       key-space split, never ``spark_partition_id()`` — assignments
+       are identical at any parallelism, tested at p_bits 2 vs 5);
+    2. one shuffle: per-``pid`` local cumsum (window partitioned by
+       ``pid``);
+    3. per-``pid`` totals (``2^p_bits`` rows — a bounded synopsis, the
+       only place a tiny single-partition window runs) prefix-sum into
+       start offsets, broadcast-joined back.
+
+    global cumsum = offset[pid] + local cumsum, exactly the DuckDB
+    ``sum() OVER (ORDER BY hkey, key)`` because pid ranges are
+    contiguous in hash order.
+    """
+    if not 1 <= p_bits <= 12:
+        raise ValueError("p_bits must be in [1, 12]")
+    from pysyslog_lfc_spark.functions.text import portable_hash60
+
+    hkey = portable_hash60(F.col(key_col).cast("string"))
+    base = df.withColumn("shard_key", hkey).withColumn(
+        "_pid", F.shiftright(F.col("shard_key"), 60 - p_bits).cast("int")
+    )
+    from pyspark.sql import Window
+
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy("shard_key", key_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = base.withColumn(
+        "_cum_local", F.sum(F.col(size_col).cast("long")).over(w_local)
+    )
+    totals = base.groupBy("_pid").agg(
+        F.sum(F.col(size_col).cast("long")).alias("_tot")
+    )
+    w_off = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "_pid", F.coalesce(F.sum("_tot").over(w_off), F.lit(0)).alias("_off")
+    )
+    out = base.join(F.broadcast(offsets), "_pid")
+    start = (F.col("_off") + F.col("_cum_local") - F.col(size_col)).cast("long")
+    return (
+        out.withColumn("_start", start)
+        .withColumn("shard", F.expr(f"CAST(_start DIV {int(budget)} AS INT)"))
+        .drop("_pid", "_cum_local", "_off", "_start")
+    )
+
+
+def shard_manifest(assigned: DataFrame, size_col: str) -> DataFrame:
+    """Per-shard manifest ``(shard, n_rows, n_bytes, first_key,
+    last_key)`` — the index a reader uses to address shards without
+    listing data files. One partial-aggregated groupBy over the
+    assignment frame; cardinality = shard count, not row count."""
+    return assigned.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col(size_col).cast("long")).alias("n_bytes"),
+        F.min("shard_key").alias("first_key"),
+        F.max("shard_key").alias("last_key"),
+    )

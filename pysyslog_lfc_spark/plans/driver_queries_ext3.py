@@ -372,3 +372,49 @@ def secrets_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias("rows_with_secrets"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@query(
+    "shard_export_manifest",
+    """
+    WITH s AS (
+      SELECT doc_id, strlen(text) AS sz,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               AS shard_key
+      FROM documents
+    ),
+    c AS (
+      SELECT *, sum(sz) OVER (
+               ORDER BY shard_key, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM s
+    )
+    SELECT CAST((cum - sz) // 8192 AS INT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(sz) AS BIGINT) AS n_bytes,
+           min(shard_key) AS first_key,
+           max(shard_key) AS last_key
+    FROM c GROUP BY 1
+    """,
+)
+def shard_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-budgeted shard layout for a training-data export: documents
+    fill ~8 KiB shards in a seeded-hash global order, each row assigned
+    to the shard of its start offset. The running sum is the
+    distributed two-phase prefix sum of `functions/layout.py::
+    shard_assignments` (contiguous hash-range buckets -> per-bucket
+    window cumsum -> 2^p_bits-row offset synopsis broadcast back) — no
+    single-partition window ever touches row-scale data, and the
+    assignment is bit-identical at any parallelism (p_bits 2 vs 5
+    asserted in tests). The oracle replays it as DuckDB's global
+    ORDER BY window, which the bucketed form equals exactly."""
+    from pysyslog_lfc_spark.functions.layout import (
+        shard_assignments,
+        shard_manifest,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.octet_length("text").alias("sz")
+    )
+    assigned = shard_assignments(docs, "sz", "doc_id", budget=8192, p_bits=5)
+    return shard_manifest(assigned, "sz")

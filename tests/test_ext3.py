@@ -209,3 +209,52 @@ class TestScanSecrets:
         assert out[4]["n_github_tokens"] == 1 and out[4]["n_slack_tokens"] == 1
         assert out[5]["n_secret_hits"] == 0
         assert out[1]["n_secret_hits"] == 1
+
+
+class TestShardExport:
+    def test_parallelism_independent_and_matches_replay(self, spark):
+        import hashlib
+
+        from pysyslog_lfc_spark.functions.layout import (
+            shard_assignments,
+            shard_manifest,
+        )
+
+        rows = [Row(k=str(i), sz=(i * 37) % 400 + 10) for i in range(300)]
+        df = spark.createDataFrame(rows)
+        a2 = shard_assignments(df, "sz", "k", budget=2048, p_bits=2)
+        a5 = shard_assignments(df, "sz", "k", budget=2048, p_bits=5)
+        got2 = {r["k"]: r["shard"] for r in a2.collect()}
+        got5 = {r["k"]: r["shard"] for r in a5.collect()}
+        # the scale property: bucket count (parallelism) never moves a row
+        assert got2 == got5
+
+        # exact replay of the start-offset rule in plain Python
+        def h60(s):
+            return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+        ordered = sorted(rows, key=lambda r: (h60(r.k), r.k))
+        cum, want = 0, {}
+        for r in ordered:
+            want[r.k] = cum // 2048
+            cum += r.sz
+        assert got2 == want
+
+        # every shard except the last holds > budget - max_row bytes,
+        # and no shard exceeds budget + max_row - 1
+        man = {r["shard"]: r for r in shard_manifest(a2, "sz").collect()}
+        last = max(man)
+        for s, r in man.items():
+            assert r["n_bytes"] <= 2048 + 409
+            if s != last:
+                assert r["n_bytes"] > 2048 - 410
+        assert sum(r["n_rows"] for r in man.values()) == 300
+
+    def test_oversize_row_gets_own_shard_span(self, spark):
+        from pysyslog_lfc_spark.functions.layout import shard_assignments
+
+        df = spark.createDataFrame(
+            [Row(k="a", sz=100), Row(k="b", sz=5000), Row(k="c", sz=100)]
+        )
+        out = shard_assignments(df, "sz", "k", budget=1024, p_bits=3)
+        assert out.count() == 3  # start-offset rule never drops or splits
