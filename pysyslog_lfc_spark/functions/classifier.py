@@ -30,7 +30,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from pysyslog_lfc_spark.functions.importance import feature_buckets
+from pysyslog_lfc_spark.functions.importance import exploded_feature_buckets
 
 
 @dataclass(frozen=True)
@@ -56,9 +56,7 @@ def hashed_feature_vectors(
     cols = [F.col(id_col).alias("_id")]
     if label is not None:
         cols.append(label.cast("double").alias("_y"))
-    feats = df.select(
-        *cols, F.explode(feature_buckets(F.col(text_col), n_buckets)).alias("_b")
-    )
+    feats = exploded_feature_buckets(df, cols, text_col, n_buckets)
     keys = ["_id", "_y", "_b"] if label is not None else ["_id", "_b"]
     cnt = feats.groupBy(*keys).agg(F.count(F.lit(1)).alias("_c"))
     total = F.sum("_c").over(Window.partitionBy("_id"))
@@ -78,15 +76,17 @@ def fit_quality_classifier(
     """Full-batch logistic regression by gradient descent.
 
     grad_w[b] = mean_docs((p - y) * x_b), grad_b = mean_docs(p - y);
-    each iteration is one distributed aggregation collecting a
-    |buckets|-row gradient. Deterministic given the inputs (zero
-    init, fixed lr/iters; float sum order is the only engine-level
-    wiggle, handled downstream by permille flooring)."""
+    each iteration is exactly ONE distributed action collecting a
+    (|buckets| + 2)-row frame: the bucket gradients plus sentinel rows
+    for the bias gradient and (first pass only) the doc count.
+    Deterministic given the inputs (zero init, fixed lr/iters; float
+    sum order is the only engine-level wiggle, handled downstream by
+    permille flooring)."""
     feats = hashed_feature_vectors(
         df, label, id_col, text_col, n_buckets
     ).persist()
     try:
-        n_docs = feats.select("_id").distinct().count()
+        n_docs: int | None = None
         w = [0.0] * n_buckets
         bias = 0.0
         for it in range(iters):
@@ -95,11 +95,14 @@ def fit_quality_classifier(
                 errs = feats.select("_id", "_y", "_b", "_x").withColumn(
                     "_err", F.lit(0.5) - F.col("_y")
                 )
+                doc_err = feats.select("_id", "_y").distinct().select(
+                    "_id", (F.lit(0.5) - F.col("_y")).alias("_err")
+                )
             else:
                 wdf = spark.createDataFrame(
                     [(b, wb) for b, wb in enumerate(w) if wb != 0.0], "_b long, _w double"
                 )
-                scored = (
+                doc_err = (
                     feats.join(F.broadcast(wdf), "_b", "left")
                     .groupBy("_id", "_y")
                     .agg(F.sum(F.coalesce(F.col("_w"), F.lit(0.0)) * F.col("_x")).alias("_s"))
@@ -111,18 +114,33 @@ def fit_quality_classifier(
                         ).alias("_err"),
                     )
                 )
-                errs = feats.join(scored, "_id")
-            grad_rows = (
+                errs = feats.join(doc_err, "_id")
+            # one action per iteration: bucket gradients, the bias
+            # gradient (sentinel _b = -1), and on the first pass the
+            # doc count (sentinel _b = -2), unioned into one bounded
+            # (<= n_buckets + 2)-row collect
+            parts = (
                 errs.groupBy("_b")
                 .agg(F.sum(F.col("_err") * F.col("_x")).alias("_g"))
-                .collect()
+                .unionByName(
+                    doc_err.agg(F.sum("_err").alias("_g")).select(
+                        F.lit(-1).cast("long").alias("_b"), "_g"
+                    )
+                )
             )
-            grad_bias = errs.select("_id", "_err").distinct().agg(
-                F.sum("_err")
-            ).collect()[0][0]
-            for r in grad_rows:
-                w[r["_b"]] -= lr * r["_g"] / n_docs
-            bias -= lr * float(grad_bias) / n_docs
+            if n_docs is None:
+                parts = parts.unionByName(
+                    doc_err.agg(
+                        F.count(F.lit(1)).cast("double").alias("_g")
+                    ).select(F.lit(-2).cast("long").alias("_b"), "_g")
+                )
+            rows = {r["_b"]: float(r["_g"]) for r in parts.collect()}
+            if n_docs is None:
+                n_docs = int(rows.pop(-2))
+            grad_bias = rows.pop(-1)
+            for b, g in rows.items():
+                w[b] -= lr * g / n_docs
+            bias -= lr * grad_bias / n_docs
         return LinearModel(tuple(w), bias, n_buckets)
     finally:
         feats.unpersist()

@@ -72,6 +72,31 @@ def make_ngram_stream_udf(n):
     return grams
 
 
+def make_unibi_stream_udf():
+    """Fused unigram+bigram stream (one tokenize per doc; multiset
+    equal to ``concat(ngram_stream(c,1), ngram_stream(c,2))``) — the
+    hashed-feature kernel shared by the DSIR/classifier paths, which
+    only count bucket multiplicities downstream."""
+    import re
+
+    ws = re.compile(r"\s+")
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def grams(s: pd.Series) -> pd.Series:
+        out = []
+        for text in s:
+            if text is None:
+                out.append([])
+                continue
+            toks = [w for w in ws.split(text.lower()) if w]
+            out.append(
+                toks + [f"{toks[i]} {toks[i + 1]}" for i in range(len(toks) - 1)]
+            )
+        return pd.Series(out)
+
+    return grams
+
+
 def make_regex_extract_udf(pattern, names):
     """Python-regex named-group extraction via ``Series.str.extract``."""
     out_schema = T.StructType([T.StructField(n, T.StringType(), True) for n in names])
