@@ -267,12 +267,28 @@ SIMHASH_BITS = 60  # 15 hex chars of md5 → agrees with the DuckDB oracle
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """60-bit SimHash per document over unigram token hashes.
 
-    bit b of the signature = 1 iff Σ_words (2·bit_b(h(word)) − 1) > 0.
-    Explode + codegen'd sum aggregates (one per bit): vote_b > 0 iff
-    #set-bits_b * 2 > n_words. Stays in whole-stage codegen — a
-    higher-order aggregate fold would be interpreted per element and is
-    ~10x slower (measured in bench.py).
-    """
+    bit b of the signature = 1 iff Σ_words (2·bit_b(h(word)) − 1) > 0,
+    i.e. vote_b > 0 iff #set-bits_b * 2 > n_words. Computed by the
+    memoizing Arrow kernel shared with :func:`simhash_wide` (its low
+    60-bit word IS this signature — same md5 prefix, same vote rule):
+    zero shuffle, one batch pass, vs the explode + 60-vote-aggregate
+    expression form kept as :func:`simhash_expr` (the oracle's shape;
+    bit-equality of the two paths is pinned in tests)."""
+    from pysyslog_lfc_spark.operators._pandas_udfs import make_simhash_wide_udf
+
+    sig = make_simhash_wide_udf(SIMHASH_WIDE_BITS)(F.col(text_col))
+    # the explode form emits no row for token-less docs; match it
+    return df.where(F.col(text_col).rlike(r"\S")).select(
+        F.col(id_col), sig["sim_lo"].alias("simhash")
+    )
+
+
+def simhash_expr(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Pure-expression 60-bit SimHash — identical output to
+    :func:`simhash` (explode + codegen'd per-bit vote aggregates; the
+    parity reference and the DuckDB oracle's shape)."""
     words = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
     ex = df.select(F.col(id_col), F.explode(words).alias("_w")).select(
         id_col, portable_hash60(F.col("_w")).alias("_h")

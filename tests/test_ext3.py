@@ -258,3 +258,19 @@ class TestShardExport:
         )
         out = shard_assignments(df, "sz", "k", budget=1024, p_bits=3)
         assert out.count() == 3  # start-offset rule never drops or splits
+
+
+class TestSimhash60Kernel:
+    def test_kernel_path_matches_expression_and_drops_empty(self, spark):
+        from pysyslog_lfc_spark.functions.dedup import simhash, simhash_expr
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        extra = spark.createDataFrame(
+            [(9001, "word word word other"), (9002, "x"), (9003, "  ")],
+            "doc_id long, text string",
+        )
+        df = docs.select("doc_id", "text").unionByName(extra)
+        a = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+        b = {r["doc_id"]: r["simhash"] for r in simhash_expr(df).collect()}
+        assert a == b  # both drop the whitespace-only doc
+        assert 9003 not in a
