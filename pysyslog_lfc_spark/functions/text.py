@@ -571,3 +571,63 @@ def scan_secrets(
         c = F.col(f"n_{name}")
         total = c if total is None else total + c
     return out.withColumn("n_secret_hits", total.cast("int"))
+
+
+# ---------------------------------------------------------------------
+# C4-style line-level cleaning (Raffel et al. 2020 §2.2, public rules)
+# ---------------------------------------------------------------------
+
+C4_LINE_MIN_WORDS = 3
+C4_TERMINALS = (".", "!", "?", '"')
+
+
+def c4_keep_line(line: Column, min_words: int = C4_LINE_MIN_WORDS) -> Column:
+    """The public C4 line-keep predicate: the line (after right-trim)
+    ends in a terminal punctuation mark, has at least ``min_words``
+    whitespace-delimited words, and contains none of the boilerplate
+    markers (``lorem ipsum``, ``javascript`` case-insensitively, or a
+    ``{`` — the code/JS giveaway)."""
+    low = F.lower(line)
+    return (
+        F.substring(F.rtrim(line), -1, 1).isin(*C4_TERMINALS)
+        & (F.size(F.regexp_extract_all(line, F.lit(r"\S+"), F.lit(0))) >= min_words)
+        & ~low.contains("lorem ipsum")
+        & ~low.contains("javascript")
+        & ~line.contains("{")
+    )
+
+
+def c4_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = C4_LINE_MIN_WORDS,
+    min_lines: int = 1,
+) -> DataFrame:
+    """C4 cleaning pass: split each document into lines, keep only the
+    lines passing :func:`c4_keep_line`, reassemble, and drop documents
+    with fewer than ``min_lines`` surviving lines.
+
+    Scale shape: the whole pass is map-side — ``split`` + a
+    higher-order ``filter`` + ``array_join``, ZERO shuffles, so at
+    100 TB it streams through executors at scan speed. The line
+    predicate inside the array ``filter`` is evaluated interpreted
+    (higher-order lambdas fall out of whole-stage codegen), which is
+    the deliberate trade: the alternative (posexplode -> codegen filter
+    -> groupBy reassemble) re-shuffles the entire corpus to save
+    per-line CPU, a losing swap for an IO-bound cleaning pass. Output:
+    ``(id_col, text, n_lines_kept, n_lines_dropped)``.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.filter(lines, lambda l: c4_keep_line(l, min_words))
+    out = (
+        df.withColumn("_lines", lines)
+        .withColumn("_kept", kept)
+        .select(
+            F.col(id_col),
+            F.array_join("_kept", "\n").alias(text_col),
+            F.size("_kept").cast("int").alias("n_lines_kept"),
+            (F.size("_lines") - F.size("_kept")).cast("int").alias("n_lines_dropped"),
+        )
+    )
+    return out.where(F.col("n_lines_kept") >= min_lines)

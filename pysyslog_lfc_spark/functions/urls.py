@@ -1,0 +1,85 @@
+"""Canonical URL normalization and URL-keyed deduplication.
+
+The standard first dedup pass of every web-corpus recipe (C4,
+RefinedWeb, Common Crawl pipelines): two fetches of the same page
+usually differ only in URL *decoration* — scheme/host case, default
+ports, ``www.`` prefixes, tracking query parameters, parameter order,
+fragments, trailing slashes. Canonicalizing first makes the cheap
+exact-hash dedup catch what would otherwise need fuzzy matching.
+
+Everything is Catalyst column expressions (regexp decomposition +
+an array filter/sort over the query parameters); the only interpreted
+fragment is the higher-order lambda over the handful of query
+parameters per URL. Zero shuffles for canonicalization itself;
+:func:`url_dedup` adds the one groupBy shuffle on the canonical key.
+
+The reference engine (pysyslog-lfc) has no URL surface; this is part of
+the training-data extension mandated by the build spec. RE2-portable
+regexes throughout so the DuckDB oracle computes the identical form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# RFC 3986 decomposition, lookaround-free (RE2-portable):
+# 1=scheme 2=authority 3=path 4=?query 5=#fragment
+URL_RE = r"^(?i)([a-z][a-z0-9+.-]*)://([^/?#]+)([^?#]*)(\?[^#]*)?(#.*)?$"
+
+# Tracking parameters stripped during canonicalization (public
+# lists: Google/Facebook click ids + the utm_* campaign family).
+TRACKING_PARAM_RE = r"^(utm_[a-z]+|fbclid|gclid|msclkid|ref)="
+
+
+def canonical_url(col: Column) -> Column:
+    """Canonical form of an absolute http(s) URL; NULL for strings that
+    do not parse as ``scheme://authority...``.
+
+    Rules (each one a real-world alias class): lowercase scheme and
+    host; strip the scheme-default port (``:80`` http / ``:443``
+    https — a non-default port is kept); strip one leading ``www.``;
+    drop the fragment; drop tracking query parameters
+    (:data:`TRACKING_PARAM_RE`) and empty pairs, then sort the
+    remaining parameters bytewise; strip trailing slashes from the
+    path (empty path renders as ``/``)."""
+    scheme = F.lower(F.regexp_extract(col, URL_RE, 1))
+    host = F.lower(F.regexp_extract(col, URL_RE, 2))
+    host = (
+        F.when(scheme == "http", F.regexp_replace(host, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(host, ":443$", ""))
+        .otherwise(host)
+    )
+    host = F.regexp_replace(host, r"^www\.", "")
+    path = F.regexp_replace(F.regexp_extract(col, URL_RE, 3), "/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    params = F.split(F.regexp_replace(F.regexp_extract(col, URL_RE, 4), r"^\?", ""), "&")
+    kept = F.array_sort(
+        F.filter(params, lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE))
+    )
+    query = F.array_join(kept, "&")
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(query == "", F.lit("")).otherwise(F.concat(F.lit("?"), query)),
+    )
+    return F.when(scheme == "", F.lit(None).cast("string")).otherwise(canon)
+
+
+def url_dedup(df: DataFrame, url_col: str = "url", id_col: str = "doc_id") -> DataFrame:
+    """Group rows by canonical URL; keep rule = min id (deterministic,
+    engine-portable). Returns ``(canonical_url, n_dups, keep_id)`` —
+    one groupBy shuffle on the canonical key, partial-aggregated
+    map-side, so the shuffle carries one row per distinct canonical
+    URL per task, not the corpus. Unparseable URLs are dropped."""
+    canon = canonical_url(F.col(url_col)).alias("canonical_url")
+    return (
+        df.select(canon, F.col(id_col))
+        .where(F.col("canonical_url").isNotNull())
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dups"),
+            F.min(id_col).alias("keep_id"),
+        )
+    )

@@ -3971,3 +3971,4 @@ def all_oracles() -> dict[str, str]:
 # the bottom: the module imports `query`/`_t` from this namespace).
 from pysyslog_lfc_spark.plans import driver_queries_ext  # noqa: E402,F401
 from pysyslog_lfc_spark.plans import driver_queries_ext3  # noqa: E402,F401
+from pysyslog_lfc_spark.plans import driver_queries_ext4  # noqa: E402,F401

@@ -1,0 +1,177 @@
+"""Driver-query registrations, round-2 session-9 batch.
+
+Imported by :mod:`pysyslog_lfc_spark.plans.driver_queries` (bottom of
+file) so these register into the same ``_QUERIES``/``_ORACLES`` maps.
+Focus of this batch: the two standard web-corpus front-door passes the
+engine still lacked — C4-style line-level cleaning (Raffel et al. 2020
+§2.2) and canonical-URL deduplication (the cheap exact pass every
+crawl recipe runs before fuzzy dedup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from pysyslog_lfc_spark.functions.text import c4_clean
+from pysyslog_lfc_spark.functions.urls import url_dedup
+from pysyslog_lfc_spark.plans.driver_queries import _t, query
+
+# Synthetic multi-line documents for the C4 pass: seven lines per doc
+# exercising every keep/drop rule (terminal punctuation, min-words,
+# lorem ipsum, javascript, '{', right-trim before the terminal check).
+_C4_BUILD_SQL = """
+    SELECT doc_id,
+           concat_ws(chr(10),
+             text || '.',
+             'Click here {',
+             'Please enable JavaScript to view the ' || source || ' page.',
+             'Lorem ipsum dolor sit amet ' || doc_id::VARCHAR || '.',
+             'All about ' || source || ' item ' || doc_id::VARCHAR || '.',
+             'too short.',
+             'Trailing whitespace for ' || source || ' ok?   ') AS t
+    FROM documents
+"""
+
+
+@query(
+    "text_c4_clean",
+    f"""
+    WITH built AS ({_C4_BUILD_SQL}),
+    filtered AS (
+      SELECT doc_id,
+             string_split(t, chr(10)) AS ls,
+             list_filter(string_split(t, chr(10)), x ->
+               right(rtrim(x), 1) IN ('.', '!', '?', '"')
+               AND len(regexp_extract_all(x, '\\S+')) >= 3
+               AND NOT contains(lower(x), 'lorem ipsum')
+               AND NOT contains(lower(x), 'javascript')
+               AND NOT contains(x, '{{')) AS ks
+      FROM built
+    )
+    SELECT doc_id,
+           array_to_string(ks, chr(10)) AS text,
+           CAST(len(ks) AS INT) AS n_lines_kept,
+           CAST(len(ls) - len(ks) AS INT) AS n_lines_dropped
+    FROM filtered
+    WHERE len(ks) >= 1
+    """,
+)
+def text_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level cleaning (functions/text.py::c4_clean):
+    documents are rebuilt as seven-line pages covering every public C4
+    keep/drop rule, then cleaned. The whole pass is map-side (split +
+    array filter + array_join, ZERO shuffles); the oracle replays the
+    identical predicate with DuckDB list_filter."""
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    built = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(F.col("text"), F.lit(".")),
+            F.lit("Click here {"),
+            F.concat(
+                F.lit("Please enable JavaScript to view the "),
+                F.col("source"),
+                F.lit(" page."),
+            ),
+            F.concat(F.lit("Lorem ipsum dolor sit amet "), did, F.lit(".")),
+            F.concat(
+                F.lit("All about "), F.col("source"), F.lit(" item "), did, F.lit(".")
+            ),
+            F.lit("too short."),
+            F.concat(
+                F.lit("Trailing whitespace for "), F.col("source"), F.lit(" ok?   ")
+            ),
+        ).alias("text"),
+    )
+    return c4_clean(built)
+
+
+@query(
+    "url_canonical_dedup",
+    """
+    WITH u AS (
+      SELECT doc_id,
+        'HTTP' || CASE WHEN doc_id % 3 = 0 THEN 'S' ELSE '' END || '://'
+        || CASE WHEN doc_id % 4 < 2 THEN 'WWW.' ELSE '' END
+        || 'Example' || (doc_id % 7)::VARCHAR || '.COM'
+        || CASE WHEN doc_id % 3 = 0 THEN ':443'
+                WHEN doc_id % 5 = 0 THEN ':80' ELSE '' END
+        || '/Path/' || (doc_id % 11)::VARCHAR
+        || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+        || '?utm_source=feed&b=' || (doc_id % 3)::VARCHAR || '&a=1'
+        || CASE WHEN doc_id % 4 = 0 THEN '&gclid=XyZ' ELSE '' END
+        || '#frag' || doc_id::VARCHAR AS url
+      FROM documents
+    ), parts AS (
+      SELECT doc_id,
+        lower(regexp_extract(url,
+          '^(?i)([a-z][a-z0-9+.-]*)://([^/?#]+)([^?#]*)(\\?[^#]*)?(#.*)?$', 1))
+          AS scheme,
+        lower(regexp_extract(url,
+          '^(?i)([a-z][a-z0-9+.-]*)://([^/?#]+)([^?#]*)(\\?[^#]*)?(#.*)?$', 2))
+          AS rawhost,
+        regexp_extract(url,
+          '^(?i)([a-z][a-z0-9+.-]*)://([^/?#]+)([^?#]*)(\\?[^#]*)?(#.*)?$', 3)
+          AS rawpath,
+        regexp_extract(url,
+          '^(?i)([a-z][a-z0-9+.-]*)://([^/?#]+)([^?#]*)(\\?[^#]*)?(#.*)?$', 4)
+          AS rawq
+      FROM u
+    ), canon AS (
+      SELECT doc_id,
+        scheme || '://'
+        || regexp_replace(
+             CASE WHEN scheme = 'http' THEN regexp_replace(rawhost, ':80$', '')
+                  WHEN scheme = 'https' THEN regexp_replace(rawhost, ':443$', '')
+                  ELSE rawhost END, '^www\\.', '')
+        || CASE WHEN regexp_replace(rawpath, '/+$', '') = '' THEN '/'
+                ELSE regexp_replace(rawpath, '/+$', '') END
+        || CASE WHEN q = '' THEN '' ELSE '?' || q END AS canonical_url
+      FROM (
+        SELECT *, array_to_string(list_sort(list_filter(
+                 string_split(regexp_replace(rawq, '^\\?', ''), '&'),
+                 x -> x <> '' AND NOT regexp_matches(x,
+                   '^(utm_[a-z]+|fbclid|gclid|msclkid|ref)='))), '&') AS q
+        FROM parts
+      )
+    )
+    SELECT canonical_url,
+           CAST(count(*) AS BIGINT) AS n_dups,
+           MIN(doc_id) AS keep_id
+    FROM canon GROUP BY canonical_url
+    """,
+)
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup (functions/urls.py): deterministic decorated
+    URLs (scheme/host case, www., default ports, tracking params,
+    unsorted query, trailing slash, fragment) are synthesized from
+    doc_id residues, canonicalized, and grouped; keep rule = min
+    doc_id. Canonicalization is map-side; the ONE shuffle is the
+    partial-aggregated groupBy on the canonical key. The oracle replays
+    every normalization rule in DuckDB (same RE2-portable regexes)."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("HTTP"),
+        F.when(d % 3 == 0, F.lit("S")).otherwise(F.lit("")),
+        F.lit("://"),
+        F.when(d % 4 < 2, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("Example"),
+        (d % 7).cast("string"),
+        F.lit(".COM"),
+        F.when(d % 3 == 0, F.lit(":443"))
+        .when(d % 5 == 0, F.lit(":80"))
+        .otherwise(F.lit("")),
+        F.lit("/Path/"),
+        (d % 11).cast("string"),
+        F.when(d % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=feed&b="),
+        (d % 3).cast("string"),
+        F.lit("&a=1"),
+        F.when(d % 4 == 0, F.lit("&gclid=XyZ")).otherwise(F.lit("")),
+        F.lit("#frag"),
+        d.cast("string"),
+    )
+    return url_dedup(docs.select(url.alias("url"), "doc_id"))

@@ -1,0 +1,89 @@
+"""Tests for the session-9 extension batch: C4-style line-level
+cleaning and canonical-URL deduplication."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row, functions as F
+
+from pysyslog_lfc_spark.functions.text import c4_clean
+from pysyslog_lfc_spark.functions.urls import canonical_url, url_dedup
+
+
+class TestC4Clean:
+    def test_line_rules_and_doc_drop(self, spark):
+        docs = spark.createDataFrame(
+            [
+                Row(
+                    doc_id=1,
+                    text="A good first sentence.\n"
+                    "no terminal punctuation here\n"
+                    'She said "stop".\n'
+                    "Too few.\n"
+                    "This object { is code.\n"
+                    "Enable JAVASCRIPT to continue, please.\n"
+                    "LOREM IPSUM dolor sit amet.\n"
+                    "Ends with spaces after bang!   ",
+                ),
+                Row(doc_id=2, text="every line fails\nshort.\n{ }"),
+            ]
+        )
+        out = {r["doc_id"]: r.asDict() for r in c4_clean(docs).collect()}
+        # doc 2 keeps zero lines -> dropped entirely (min_lines=1)
+        assert set(out) == {1}
+        assert out[1]["text"] == (
+            'A good first sentence.\nShe said "stop".\nEnds with spaces after bang!   '
+        )
+        assert out[1]["n_lines_kept"] == 3
+        assert out[1]["n_lines_dropped"] == 5
+
+    def test_min_words_and_min_lines_params(self, spark):
+        docs = spark.createDataFrame(
+            [Row(doc_id=1, text="One two three four.\nOne two three.")]
+        )
+        # min_words=4 drops the 3-word line; min_lines=2 then drops the doc
+        assert c4_clean(docs, min_words=4, min_lines=2).count() == 0
+        kept = c4_clean(docs, min_words=4).collect()[0]
+        assert kept["text"] == "One two three four."
+
+
+class TestCanonicalUrl:
+    def _canon(self, spark, url):
+        df = spark.createDataFrame([Row(url=url)])
+        return df.select(canonical_url(F.col("url")).alias("c")).collect()[0]["c"]
+
+    def test_normalization_rules(self, spark):
+        # case, www., default port, tracking params, param sort,
+        # trailing slash, fragment — all folded at once
+        assert (
+            self._canon(
+                spark,
+                "HTTPS://WWW.Example.COM:443/a/b/?utm_source=x&z=2&a=1&fbclid=f#frag",
+            )
+            == "https://example.com/a/b?a=1&z=2"
+        )
+
+    def test_non_default_port_and_empty_path_kept(self, spark):
+        # :80 on https is NOT the scheme default — kept
+        assert (
+            self._canon(spark, "https://host.com:80") == "https://host.com:80/"
+        )
+        assert self._canon(spark, "http://host.com:8080/x") == "http://host.com:8080/x"
+
+    def test_unparseable_is_null(self, spark):
+        assert self._canon(spark, "not a url") is None
+        assert self._canon(spark, "mailto:a@b.c") is None
+
+    def test_url_dedup_keep_rule(self, spark):
+        df = spark.createDataFrame(
+            [
+                Row(doc_id=7, url="http://A.com/x?b=1&a=1"),
+                Row(doc_id=3, url="HTTP://a.com:80/x/?a=1&b=1&utm_medium=m"),
+                Row(doc_id=5, url="https://a.com/x?a=1&b=1"),  # scheme differs
+                Row(doc_id=9, url="garbage"),
+            ]
+        )
+        out = {r["canonical_url"]: r.asDict() for r in url_dedup(df).collect()}
+        assert out["http://a.com/x?a=1&b=1"]["n_dups"] == 2
+        assert out["http://a.com/x?a=1&b=1"]["keep_id"] == 3
+        assert out["https://a.com/x?a=1&b=1"]["n_dups"] == 1
+        assert len(out) == 2  # garbage row dropped
