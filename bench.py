@@ -132,6 +132,9 @@ BENCH_QUERIES = [
     "hll_distinct_users",
     "secrets_scan",
     "shard_export_manifest",
+    "text_c4_clean",
+    "url_canonical_dedup",
+    "pagerank_domains",
 ]
 
 

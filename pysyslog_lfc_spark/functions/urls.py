@@ -72,14 +72,18 @@ def url_dedup(df: DataFrame, url_col: str = "url", id_col: str = "doc_id") -> Da
     engine-portable). Returns ``(canonical_url, n_dups, keep_id)`` —
     one groupBy shuffle on the canonical key, partial-aggregated
     map-side, so the shuffle carries one row per distinct canonical
-    URL per task, not the corpus. Unparseable URLs are dropped."""
+    URL per task, not the corpus. Unparseable URLs are dropped — as the
+    single NULL *group* after aggregation, not as a row filter: a
+    pre-aggregation filter on the derived column gets pushed below the
+    projection and re-evaluates the whole canonicalization expression a
+    second time per input row (verified in the plan audit)."""
     canon = canonical_url(F.col(url_col)).alias("canonical_url")
     return (
         df.select(canon, F.col(id_col))
-        .where(F.col("canonical_url").isNotNull())
         .groupBy("canonical_url")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_dups"),
             F.min(id_col).alias("keep_id"),
         )
+        .where(F.col("canonical_url").isNotNull())
     )

@@ -175,3 +175,53 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.cast("string"),
     )
     return url_dedup(docs.select(url.alias("url"), "doc_id"))
+
+
+def _pagerank_oracle_sql(iters: int = 3) -> str:
+    """Unroll the integer-exact PageRank recurrence into chained CTEs —
+    possible only because functions/graph.py::pagerank_int runs in
+    64-bit micro-units with floored division (no float-sum order
+    dependence), so DuckDB replays every iteration bit-for-bit."""
+    ctes = [
+        "e AS (SELECT DISTINCT user_id % 60 AS src,"
+        " (event_id * 7 + user_id) % 60 AS dst FROM events)",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "n AS (SELECT count(*) AS nn FROM nodes)",
+        "deg AS (SELECT src, count(*) AS out_deg FROM e GROUP BY src)",
+        "r0 AS (SELECT node, CAST(floor(1000000 / nn) AS BIGINT) AS r"
+        " FROM nodes CROSS JOIN n)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"s{i} AS (SELECT e.dst AS dst,"
+            f" SUM(CAST(floor(r{i-1}.r / deg.out_deg) AS BIGINT)) AS in_sum"
+            f" FROM e JOIN deg ON deg.src = e.src"
+            f" JOIN r{i-1} ON r{i-1}.node = e.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT node,"
+            f" CAST(floor(150000000 / nn / 1000) AS BIGINT)"
+            f" + CAST(floor(850 * COALESCE(s{i}.in_sum, 0) / 1000) AS BIGINT) AS r"
+            f" FROM nodes CROSS JOIN n"
+            f" LEFT JOIN s{i} ON s{i}.dst = nodes.node)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT node, r AS rank_micro FROM r{iters}"
+    )
+
+
+@query("pagerank_domains", _pagerank_oracle_sql(3))
+def pagerank_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank (functions/graph.py) over a deterministic
+    60-node link graph derived from events — the domain-authority
+    weighting pass of web-corpus curation. Three iterations; each is
+    one edge-rank join plus one partial-aggregated in-neighbor sum.
+    The oracle unrolls the identical recurrence as chained CTEs."""
+    from pysyslog_lfc_spark.functions.graph import pagerank_int
+
+    ev = _t(spark, sf_dir, "events")
+    edges = ev.select(
+        (F.col("user_id") % 60).alias("src"),
+        ((F.col("event_id") * 7 + F.col("user_id")) % 60).alias("dst"),
+    )
+    return pagerank_int(edges, iters=3)

@@ -87,3 +87,30 @@ class TestCanonicalUrl:
         assert out["http://a.com/x?a=1&b=1"]["keep_id"] == 3
         assert out["https://a.com/x?a=1&b=1"]["n_dups"] == 1
         assert len(out) == 2  # garbage row dropped
+
+
+class TestPagerankInt:
+    def test_hand_computed_two_iterations(self, spark):
+        from pysyslog_lfc_spark.functions.graph import pagerank_int
+
+        edges = spark.createDataFrame(
+            [Row(src=1, dst=2), Row(src=2, dst=1), Row(src=1, dst=3),
+             Row(src=1, dst=2)],  # duplicate edge must collapse
+        )
+        # N=3: r0 = 333333 each, base = 50000
+        # iter1: in_sum 1<-333333, 2<-166666, 3<-166666
+        r1 = {r["node"]: r["rank_micro"] for r in pagerank_int(edges, iters=1).collect()}
+        assert r1 == {1: 333333, 2: 191666, 3: 191666}
+        # iter2: node 3 is dangling (mass drops); 1<-191666, 2,3<-166666
+        r2 = {r["node"]: r["rank_micro"] for r in pagerank_int(edges, iters=2).collect()}
+        assert r2 == {1: 212916, 2: 191666, 3: 191666}
+
+    def test_null_edges_dropped_and_sink_only_nodes_ranked(self, spark):
+        from pysyslog_lfc_spark.functions.graph import pagerank_int
+
+        edges = spark.createDataFrame(
+            [(1, 2), (None, 3), (2, None)], "src long, dst long"
+        )
+        out = {r["node"]: r["rank_micro"] for r in pagerank_int(edges, iters=1).collect()}
+        # only the (1,2) edge survives; N=2, base=75000, r0=500000
+        assert out == {1: 75000, 2: 75000 + (850 * 500000) // 1000}
