@@ -31,6 +31,16 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--output", required=True, help="curated parquet dir")
     ap.add_argument("--benchmark", default=None, help="benchmark docs parquet dir")
     ap.add_argument("--near-dup-threshold", type=float, default=0.9)
+    ap.add_argument(
+        "--line-clean",
+        action="store_true",
+        help="C4-style line cleaning before dedup (drops boilerplate lines)",
+    )
+    ap.add_argument(
+        "--url-col",
+        default=None,
+        help="dedup on this canonical-URL column before content dedup",
+    )
     ap.add_argument("--min-quality", type=int, default=200)
     ap.add_argument("--sample-permille", type=int, default=1000)
     ap.add_argument(
@@ -104,6 +114,8 @@ def main(argv: list[str] | None = None) -> int:
         min_classifier_permille=args.classifier_floor or 500,
         sample_permille=args.sample_permille,
         pack_capacity=args.capacity,
+        line_clean=args.line_clean,
+        url_col=args.url_col,
     )
     res.df.write.mode("overwrite").parquet(args.output)
     if args.emit_packed:

@@ -5,6 +5,10 @@ pipeline in :mod:`pysyslog_lfc_spark.plans.pipeline`).
 Stage order (standard corpus-prep practice — dedup before expensive
 stages, filter before pack):
 
+  0a. C4 line cleaning      optional: drop boilerplate lines, then
+                            docs with no surviving line (map-side)
+  0b. URL dedup             optional: one doc per canonical URL
+                            (the cheap exact pass before fuzzy dedup)
   1. exact dedup            keep the lowest doc_id per identical text
   2. near-dup dedup         MinHash+LSH pairs, drop the higher id
   3. decontaminate          drop docs sharing long n-grams with a
@@ -62,6 +66,8 @@ def run_curation(
     text_col: str = "text",
     group_col: str = "source",
     collect_stats: bool = True,
+    line_clean: bool = False,
+    url_col: str | None = None,
 ) -> CurationResult:
     """Run the full curation chain; returns the curated frame (with
     ``quality_permille``, ``pred_lang``, ``pack_id`` columns added and
@@ -76,6 +82,39 @@ def run_curation(
     stats: dict[str, int] = {}
     if collect_stats:
         stats["input"] = docs.count()
+
+    # -- 0a. C4 line cleaning (map-side, zero shuffle) -----------------
+    if line_clean:
+        lines = F.split(F.col(text_col), "\n")
+        kept = F.filter(lines, lambda l: TX.c4_keep_line(l))
+        docs = (
+            docs.withColumn("__kept", kept)
+            .where(F.size("__kept") >= 1)
+            .withColumn(text_col, F.array_join("__kept", "\n"))
+            .drop("__kept")
+        )
+        if collect_stats:
+            stats["line_clean"] = docs.count()
+
+    # -- 0b. canonical-URL dedup: winner = lowest id per canonical URL;
+    # rows without a parseable URL are all kept ------------------------
+    if url_col is not None:
+        from pysyslog_lfc_spark.functions.urls import canonical_url
+
+        cu = canonical_url(F.col(url_col)).alias("_cu")
+        url_winners = (
+            docs.select(cu, F.col(id_col))
+            .groupBy("_cu")
+            .agg(F.min(id_col).alias(id_col))
+            .where(F.col("_cu").isNotNull())
+            .select(id_col)
+        )
+        no_url = docs.select(cu, F.col(id_col)).where(F.col("_cu").isNull()).select(
+            id_col
+        )
+        docs = docs.join(url_winners.unionByName(no_url), id_col, "left_semi")
+        if collect_stats:
+            stats["url_dedup"] = docs.count()
 
     # -- 1. exact dedup: winner = lowest id per content hash ----------
     h = TX.portable_hash60(F.col(text_col))

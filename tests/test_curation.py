@@ -163,3 +163,34 @@ def test_curation_classifier_stage(spark):
     assert res.df.count() == s["classifier"]  # no sampling configured
     assert "clf_permille" in res.df.columns
     assert res.df.agg(F.min("clf_permille")).collect()[0][0] >= 500
+
+
+def test_curation_front_door_stages(spark):
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark).withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(".\nClick here {\nAnother fine sentence right here."),
+        ),
+    ).withColumn(
+        "url",
+        F.when(
+            F.col("doc_id") % 10 < 8,
+            F.concat(
+                F.lit("HTTP://WWW.Site"),
+                (F.col("doc_id") % 25).cast("string"),
+                F.lit(".COM/p/?utm_source=x&a=1#f"),
+            ),
+        ).otherwise(F.lit("not a url")),
+    )
+    res = run_curation(spark, docs, line_clean=True, url_col="url")
+    s = res.stats
+    # line cleaning drops the '{' line in every doc but keeps the docs
+    assert s["line_clean"] == s["input"]
+    # 8/10 of docs share 25 canonical urls -> at most 25 survivors of
+    # those; the 2/10 unparseable-url docs are all kept
+    unparseable = docs.where("doc_id % 10 >= 8").count()
+    assert s["url_dedup"] == 25 + unparseable
+    assert "{" not in res.df.select("text").first()["text"]
