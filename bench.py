@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     "text_c4_clean",
     "url_canonical_dedup",
     "pagerank_domains",
+    "token_frequency_spectrum",
 ]
 
 

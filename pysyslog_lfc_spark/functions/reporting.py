@@ -205,3 +205,26 @@ def cross_source_overlap(
             .alias("jaccard_permille"),
         )
     )
+
+
+def frequency_spectrum(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token frequency-of-frequencies (the Good–Turing input / Zipf
+    diagnostic): for every observed token frequency ``freq``, the
+    number of distinct types at that frequency and the token mass they
+    carry. Vocabulary-growth (Heaps) and smoothing estimators read
+    straight off this table.
+
+    100 TB shape: explode -> ONE per-token partial-aggregated count
+    (the only corpus-sized shuffle) -> count-of-counts over the
+    type-level frame (whose cardinality is |vocab|, not |corpus|).
+    All integer arithmetic — bit-exact on any engine."""
+    tf = (
+        df.select(F.explode(tokenize(F.lower(F.col(text_col)))).alias("_w"))
+        .groupBy("_w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return (
+        tf.groupBy("freq")
+        .agg(F.count(F.lit(1)).alias("n_types"))
+        .withColumn("total_tokens", F.col("freq") * F.col("n_types"))
+    )

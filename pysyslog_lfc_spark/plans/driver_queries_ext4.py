@@ -225,3 +225,29 @@ def pagerank_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("event_id") * 7 + F.col("user_id")) % 60).alias("dst"),
     )
     return pagerank_int(edges, iters=3)
+
+
+@query(
+    "token_frequency_spectrum",
+    """
+    WITH w AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                w -> w <> '')) AS w
+      FROM documents
+    ), tf AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS freq FROM w GROUP BY w
+    )
+    SELECT freq,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(freq * count(*) AS BIGINT) AS total_tokens
+    FROM tf GROUP BY freq
+    """,
+)
+def token_frequency_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token frequency-of-frequencies (functions/reporting.py::
+    frequency_spectrum): Good–Turing smoothing input and the Zipf/Heaps
+    corpus diagnostic. One corpus-sized shuffle (the per-token count);
+    the spectrum itself aggregates the |vocab|-sized type frame."""
+    from pysyslog_lfc_spark.functions.reporting import frequency_spectrum
+
+    return frequency_spectrum(_t(spark, sf_dir, "documents"))

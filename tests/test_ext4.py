@@ -114,3 +114,33 @@ class TestPagerankInt:
         out = {r["node"]: r["rank_micro"] for r in pagerank_int(edges, iters=1).collect()}
         # only the (1,2) edge survives; N=2, base=75000, r0=500000
         assert out == {1: 75000, 2: 75000 + (850 * 500000) // 1000}
+
+
+class TestFrequencySpectrum:
+    def test_hand_computed(self, spark):
+        from pysyslog_lfc_spark.functions.reporting import frequency_spectrum
+
+        docs = spark.createDataFrame(
+            [Row(doc_id=1, text="a b a"), Row(doc_id=2, text="B c  a")]
+        )
+        # counts: a=3, b=2 (case-folded), c=1 -> spectrum 1:{c}, 2:{b}, 3:{a}
+        out = {r["freq"]: (r["n_types"], r["total_tokens"])
+               for r in frequency_spectrum(docs).collect()}
+        assert out == {1: (1, 1), 2: (1, 2), 3: (1, 3)}
+
+
+class TestCanonicalUrlIdempotent:
+    def test_idempotence_over_decorated_zoo(self, spark):
+        from pysyslog_lfc_spark.functions.urls import canonical_url
+
+        urls = [
+            "HTTP://WWW.A.com:80/x/?utm_source=1&b=2&a=1#f",
+            "https://b.org:443",
+            "http://c.net:8080/deep/path/?z=9&y=8&fbclid=x",
+            "HTTPS://d.io/UPPER/Case/?a=",
+        ]
+        df = spark.createDataFrame([Row(url=u) for u in urls])
+        once = df.select(canonical_url(F.col("url")).alias("c"))
+        twice = once.select(F.col("c").alias("orig"), canonical_url(F.col("c")).alias("again"))
+        for r in twice.collect():
+            assert r["again"] == r["orig"], r
