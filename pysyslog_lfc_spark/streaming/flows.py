@@ -731,3 +731,69 @@ def streaming_heavy_hitters(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_dedup_ingest(
+    spark,
+    stream_df: DataFrame,
+    corpus_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.9,
+    trigger: dict | None = None,
+):
+    """Continuous-ingest near-dup dedup: each micro-batch is deduped
+    within itself (MinHash-LSH pairs, keep the lower id) AND against
+    everything previously admitted to ``corpus_dir``
+    (functions/dedup.py::incremental_near_dups — historical side pays
+    signatures only, never a corpus self-join), then survivors are
+    appended as ``{corpus_dir}/batch=<epoch>``.
+
+    Exactly-once: the per-epoch directory is written with
+    mode("overwrite"), so a crash-replayed batch (same checkpointed
+    epoch id) rewrites its own directory instead of double-appending;
+    the replay excludes its own partial output from the "existing
+    corpus" side by construction (the current epoch's subdir is
+    filtered out of the read). Directory listing uses the local
+    filesystem (same single-filesystem assumption as sinks.py's
+    rename-based commits); swap for the Hadoop FS API off-sandbox.
+    """
+    import os
+
+    from pysyslog_lfc_spark.functions.dedup import (
+        incremental_near_dups,
+        minhash_lsh_pairs,
+    )
+
+    def write_batch(bdf: DataFrame, epoch_id: int) -> None:
+        if bdf.isEmpty():
+            return
+        # within-batch dedup: drop the higher id of every near-dup pair
+        pairs = minhash_lsh_pairs(bdf, text_col, id_col, threshold=threshold)
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        fresh = bdf.join(losers, id_col, "left_anti")
+        # vs the accumulated corpus (excluding this epoch's own replay)
+        prior = [
+            f"{corpus_dir}/{d}"
+            for d in (os.listdir(corpus_dir) if os.path.isdir(corpus_dir) else [])
+            if d.startswith("batch=") and d != f"batch={epoch_id}"
+        ]
+        if prior:
+            old = spark.read.parquet(*prior)
+            dups = incremental_near_dups(
+                fresh, old, text_col, id_col, threshold=threshold
+            )
+            fresh = fresh.join(
+                dups.select(F.col("id_new").alias(id_col)).distinct(),
+                id_col,
+                "left_anti",
+            )
+        fresh.write.mode("overwrite").parquet(f"{corpus_dir}/batch={epoch_id}")
+
+    writer = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(**(trigger or {"availableNow": True}))
+    )
+    return writer.start()

@@ -808,3 +808,34 @@ def test_streaming_heavy_hitters_state_spans_microbatches(spark, tmp_path):
         ).collect()
     }
     assert final == {("a", "x"): 5, ("a", "y"): 2}
+
+
+def test_stream_dedup_ingest_two_epochs(spark, tmp_path):
+    """Continuous-ingest dedup: epoch 1 admits unique docs; epoch 2
+    drops docs near-dup vs epoch 1's corpus AND within itself."""
+    from pysyslog_lfc_spark.streaming.flows import stream_dedup_ingest
+
+    src = tmp_path / "in"
+    corpus = str(tmp_path / "corpus")
+    ck = str(tmp_path / "ck")
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    other = "one two three four five six seven eight nine ten"
+
+    def run_once(rows):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        df.coalesce(1).write.mode("append").parquet(str(src))
+        stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+        q = stream_dedup_ingest(spark, stream, corpus, ck, threshold=0.8)
+        q.awaitTermination(120)
+
+    # epoch 1: 1 and 2 are near-dups of each other -> keep 1; 3 unique
+    run_once([(1, base), (2, base + " kappa"), (3, other)])
+    first = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+    assert first == {1, 3}
+
+    # epoch 2: 10 duplicates corpus doc 1 -> dropped; 11/12 near-dup
+    # within the batch -> keep 11; 13 genuinely new -> kept
+    fresh = "red orange yellow green blue indigo violet cyan magenta white"
+    run_once([(10, base), (11, fresh), (12, fresh + " white"), (13, "x y z " * 5)])
+    final = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+    assert final == {1, 3, 11, 13}
