@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     "url_canonical_dedup",
     "pagerank_domains",
     "token_frequency_spectrum",
+    "rrf_hybrid_fusion",
 ]
 
 

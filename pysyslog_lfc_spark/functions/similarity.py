@@ -679,3 +679,44 @@ def pq_ann_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "adist")
     )
+
+
+RRF_SCALE = 1_000_000_000
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    topk: int | None = None,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack et al. 2009) of two per-query
+    rankings — the standard hybrid-retrieval merge (dense ANN list +
+    lexical list). score = Σ_lists 1/(k + rank), computed in integer
+    nano-units (floor(1e9/(k+rank))) so the fused ordering is bit-exact
+    on any engine/parallelism; a doc missing from one list contributes
+    0 from it.
+
+    Shape: one full-outer equi-join on (query, doc) — both inputs are
+    top-k lists, so the join is over k·|queries| rows, never the
+    corpus — then a per-query rank window over ≤2k candidates.
+    Deterministic tie-break: score desc, id asc.
+    """
+    contrib = lambda r: F.when(  # noqa: E731
+        r.isNotNull(), F.floor(F.lit(RRF_SCALE) / (F.lit(k) + r))
+    ).otherwise(F.lit(0))
+    a = ranked_a.select(query_col, id_col, F.col(rank_col).alias("_ra"))
+    b = ranked_b.select(query_col, id_col, F.col(rank_col).alias("_rb"))
+    fused = (
+        a.join(b, [query_col, id_col], "full_outer")
+        .withColumn("rrf_nano", (contrib(F.col("_ra")) + contrib(F.col("_rb"))).cast("long"))
+        .drop("_ra", "_rb")
+    )
+    w = Window.partitionBy(query_col).orderBy(F.desc("rrf_nano"), F.asc(id_col))
+    out = fused.withColumn("fused_rank", F.row_number().over(w))
+    if topk is not None:
+        out = out.where(F.col("fused_rank") <= topk)
+    return out

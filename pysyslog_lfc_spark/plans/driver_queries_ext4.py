@@ -251,3 +251,65 @@ def token_frequency_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pysyslog_lfc_spark.functions.reporting import frequency_spectrum
 
     return frequency_spectrum(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "rrf_hybrid_fusion",
+    """
+    WITH q AS (SELECT unnest(generate_series(0, 3)) AS query_id),
+    a AS (
+      SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY (doc_id * 7 + query_id * 13) % 97, doc_id) AS rank
+      FROM q CROSS JOIN documents
+      WHERE (doc_id + query_id) % 7 < 2
+      QUALIFY rank <= 10
+    ),
+    b AS (
+      SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY (doc_id * 11 + query_id * 5) % 89, doc_id) AS rank
+      FROM q CROSS JOIN documents
+      WHERE (doc_id + 2 * query_id) % 6 < 2
+      QUALIFY rank <= 10
+    ),
+    fused AS (
+      SELECT COALESCE(a.query_id, b.query_id) AS query_id,
+             COALESCE(a.doc_id, b.doc_id) AS doc_id,
+             CAST(COALESCE(CAST(floor(1000000000 / (60 + a.rank)) AS BIGINT), 0)
+               + COALESCE(CAST(floor(1000000000 / (60 + b.rank)) AS BIGINT), 0)
+               AS BIGINT) AS rrf_nano
+      FROM a FULL OUTER JOIN b USING (query_id, doc_id)
+    )
+    SELECT query_id, doc_id, rrf_nano,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY rrf_nano DESC, doc_id) AS fused_rank
+    FROM fused
+    QUALIFY fused_rank <= 10
+    """,
+)
+def rrf_hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal Rank Fusion (functions/similarity.py::rrf_fuse) of two
+    deterministic synthetic top-10 rankings (stand-ins for a dense-ANN
+    list and a lexical list) — the hybrid-retrieval merge. Integer
+    nano-unit scores make the fused order engine-exact; the oracle
+    replays both rankings and the fusion."""
+    from pyspark.sql import Window
+
+    from pysyslog_lfc_spark.functions.similarity import rrf_fuse
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    queries = spark.range(4).select(F.col("id").cast("long").alias("query_id"))
+
+    def ranking(mul_d: int, mul_q: int, mod: int, gate_mod: int, gate_mul: int):
+        j = queries.crossJoin(docs).where(
+            (F.col("doc_id") + gate_mul * F.col("query_id")) % gate_mod < 2
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            (F.col("doc_id") * mul_d + F.col("query_id") * mul_q) % mod, "doc_id"
+        )
+        return j.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 10)
+
+    a = ranking(7, 13, 97, 7, 1)
+    b = ranking(11, 5, 89, 6, 2)
+    return rrf_fuse(a, b, topk=10)

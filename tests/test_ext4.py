@@ -144,3 +144,22 @@ class TestCanonicalUrlIdempotent:
         twice = once.select(F.col("c").alias("orig"), canonical_url(F.col("c")).alias("again"))
         for r in twice.collect():
             assert r["again"] == r["orig"], r
+
+
+class TestRRFFusion:
+    def test_hand_computed_fusion(self, spark):
+        from pysyslog_lfc_spark.functions.similarity import rrf_fuse
+
+        a = spark.createDataFrame(
+            [(0, 100, 1), (0, 101, 2)], "query_id long, doc_id long, rank int"
+        )
+        b = spark.createDataFrame(
+            [(0, 101, 1), (0, 102, 2)], "query_id long, doc_id long, rank int"
+        )
+        out = {r["doc_id"]: (r["rrf_nano"], r["fused_rank"])
+               for r in rrf_fuse(a, b, k=60).collect()}
+        s61, s62 = 10**9 // 61, 10**9 // 62
+        # 101 appears in both lists -> wins; 100 (rank1 in a) beats 102
+        assert out[101] == (s61 + s62, 1)
+        assert out[100] == (s61, 2)
+        assert out[102] == (s62, 3)
