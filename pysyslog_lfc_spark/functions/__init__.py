@@ -30,4 +30,10 @@ from pysyslog_lfc_spark.functions.similarity import (  # noqa: F401
     cosine_sim,
     brute_force_topk,
     lsh_ann_topk,
+    rrf_fuse,
 )
+from pysyslog_lfc_spark.functions.urls import (  # noqa: F401
+    canonical_url,
+    url_dedup,
+)
+from pysyslog_lfc_spark.functions.graph import pagerank_int  # noqa: F401
