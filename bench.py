@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "pagerank_domains",
     "token_frequency_spectrum",
     "rrf_hybrid_fusion",
+    "bruteforce_then_success",
 ]
 
 

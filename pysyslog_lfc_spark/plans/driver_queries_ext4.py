@@ -313,3 +313,55 @@ def rrf_hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = ranking(7, 13, 97, 7, 1)
     b = ranking(11, 5, 89, 6, 2)
     return rrf_fuse(a, b, topk=10)
+
+
+@query(
+    "bruteforce_then_success",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, event_type,
+             epoch_us(ts) // 1000000 AS sec
+      FROM events WHERE event_type IN ('error', 'signup')
+    )
+    SELECT user_id, event_id, sec, n_prior_errors FROM (
+      SELECT *,
+             CAST(COALESCE(sum(CASE WHEN event_type = 'error' THEN 1 END)
+               OVER (PARTITION BY user_id ORDER BY sec
+                     RANGE BETWEEN 86400 PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS n_prior_errors
+      FROM e
+    ) WHERE event_type = 'signup' AND n_prior_errors >= 3
+    """,
+)
+def bruteforce_then_success(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical SIEM correlation: a success ('signup' as the
+    success proxy) preceded by >= 3 failures ('error') from the same
+    principal within the trailing 24 hours (the fixture's
+    event density makes a day the meaningful correlation horizon;
+    production tightens this to minutes) — detected with a true
+    time-RANGE frame ending at 1 second PRECEDING (same-second events
+    excluded, so the result is tie-order-insensitive and deterministic).
+
+    One shuffle (hash partition by user + in-partition sort); the
+    trailing conditional count is Spark's streaming frame aggregator,
+    O(rows). At 10^12 events the pre-filter to the two relevant types
+    prunes the scan before the exchange."""
+    from pyspark.sql import Window
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("error", "signup"))
+        .select(
+            "user_id", "event_id", "event_type",
+            F.unix_timestamp("ts").alias("sec"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("sec").rangeBetween(-86400, -1)
+    n_err = F.coalesce(
+        F.sum(F.when(F.col("event_type") == "error", F.lit(1))).over(w), F.lit(0)
+    ).cast("long")
+    return (
+        ev.withColumn("n_prior_errors", n_err)
+        .where((F.col("event_type") == "signup") & (F.col("n_prior_errors") >= 3))
+        .select("user_id", "event_id", "sec", "n_prior_errors")
+    )
