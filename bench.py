@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "token_frequency_spectrum",
     "rrf_hybrid_fusion",
     "bruteforce_then_success",
+    "text_strip_html",
 ]
 
 

@@ -631,3 +631,39 @@ def c4_clean(
         )
     )
     return out.where(F.col("n_lines_kept") >= min_lines)
+
+
+# ---------------------------------------------------------------------
+# HTML stripping (web-corpus text extraction, the stage before C4)
+# ---------------------------------------------------------------------
+
+# RE2-portable (no lookaround; (?is) + non-greedy are RE2-supported).
+_HTML_DROP_BLOCKS = (
+    r"(?is)<script\b[^>]*>.*?</script\s*>|(?is)<style\b[^>]*>.*?</style\s*>"
+)
+_HTML_TAG = r"(?s)<[^>]*>"
+_HTML_ENTITIES = [
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),  # last, so &amp;lt; decodes to &lt; not <
+]
+
+
+def strip_html(col: Column) -> Column:
+    """Plain text from an HTML fragment: drop <script>/<style> blocks
+    wholesale, strip every remaining tag, decode the common named
+    entities (&amp; decoded LAST so double-escaped entities stay
+    escaped, matching html.unescape's single-pass rule for this set),
+    and collapse whitespace runs. Pure regexp/replace codegen — zero
+    Python, zero shuffles; RE2-portable so the DuckDB oracle replays it
+    verbatim. A full HTML5 parser (malformed-markup recovery, CDATA,
+    numeric entities) belongs in an Arrow kernel; this is the
+    wilds-of-the-web 99% path used before :func:`c4_clean`."""
+    out = F.regexp_replace(col, _HTML_DROP_BLOCKS, " ")
+    out = F.regexp_replace(out, _HTML_TAG, " ")
+    for ent, ch in _HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))

@@ -365,3 +365,56 @@ def bruteforce_then_success(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("event_type") == "signup") & (F.col("n_prior_errors") >= 3))
         .select("user_id", "event_id", "sec", "n_prior_errors")
     )
+
+
+@query(
+    "text_strip_html",
+    r"""
+    WITH page AS (
+      SELECT doc_id,
+        '<html><head><style type="text/css">body { color: red }</style>'
+        || '<script>var x = 1 < 2 && "tag";</script></head><body>'
+        || '<h1>Doc ' || doc_id::VARCHAR || '</h1>'
+        || '<p class="a">' || text || ' &amp; more &lt;stuff&gt;'
+        || '&nbsp;&quot;quoted&quot; &#39;q&#39; &amp;amp; raw</p>'
+        || '<!-- comment --></body></html>' AS html
+      FROM documents
+    )
+    SELECT doc_id,
+      trim(regexp_replace(
+        replace(replace(replace(replace(replace(replace(
+          regexp_replace(
+            regexp_replace(html,
+              '(?is)<script\b[^>]*>.*?</script\s*>|(?is)<style\b[^>]*>.*?</style\s*>',
+              ' ', 'g'),
+            '(?s)<[^>]*>', ' ', 'g'),
+          '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+          '&#39;', ''''), '&amp;', '&'),
+        '\s+', ' ', 'g')) AS text
+    FROM page
+    """,
+)
+def text_strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> plain text (functions/text.py::strip_html): documents are
+    wrapped in a synthetic page exercising every rule (style/script
+    blocks dropped wholesale — including a '<' inside the script body —
+    tags and comments stripped, the named-entity set decoded with
+    &amp; last so '&amp;amp;' stays '&amp;', whitespace collapsed).
+    Pure codegen, zero shuffles; the oracle replays the identical
+    RE2-portable regex chain."""
+    from pysyslog_lfc_spark.functions.text import strip_html
+
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<html><head><style type="text/css">body { color: red }</style>'),
+        F.lit('<script>var x = 1 < 2 && "tag";</script></head><body>'),
+        F.lit("<h1>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1>"),
+        F.lit('<p class="a">'),
+        F.col("text"),
+        F.lit(" &amp; more &lt;stuff&gt;"),
+        F.lit("&nbsp;&quot;quoted&quot; &#39;q&#39; &amp;amp; raw</p>"),
+        F.lit("<!-- comment --></body></html>"),
+    )
+    return docs.select("doc_id", strip_html(html).alias("text"))

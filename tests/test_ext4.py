@@ -163,3 +163,22 @@ class TestRRFFusion:
         assert out[101] == (s61 + s62, 1)
         assert out[100] == (s61, 2)
         assert out[102] == (s62, 3)
+
+
+class TestStripHtml:
+    def test_blocks_tags_entities_whitespace(self, spark):
+        from pysyslog_lfc_spark.functions.text import strip_html
+
+        html = (
+            '<HTML><Style media="x">p { a: b }</style  ><body>\n'
+            "<script>if (1 < 2) { alert('&amp;'); }</script>"
+            "<p>Hello&nbsp;&lt;world&gt; &amp;amp; &quot;hi&quot;&#39;s</p>\n"
+            "<!-- gone --><br/>bye</body></HTML>"
+        )
+        out = (
+            spark.createDataFrame([Row(t=html)])
+            .select(strip_html(F.col("t")).alias("s"))
+            .collect()[0]["s"]
+        )
+        # script body's bare '<' never leaks; &amp;amp; decodes once
+        assert out == 'Hello <world> &amp; "hi"\'s bye'
