@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "rrf_hybrid_fusion",
     "bruteforce_then_success",
     "text_strip_html",
+    "skew_diagnosis_events",
 ]
 
 

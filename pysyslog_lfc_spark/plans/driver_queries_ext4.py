@@ -418,3 +418,51 @@ def text_strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("<!-- comment --></body></html>"),
     )
     return docs.select("doc_id", strip_html(html).alias("text"))
+
+
+@query(
+    "skew_diagnosis_events",
+    """
+    WITH per_key AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id
+    ), stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(n) AS BIGINT) AS n_rows,
+             CAST(max(n) AS BIGINT) AS max_key_rows,
+             CAST(floor(quantile_cont(n, 0.5) * 1000) AS BIGINT) AS p50_milli,
+             CAST(floor(quantile_cont(n, 0.99) * 1000) AS BIGINT) AS p99_milli
+      FROM per_key
+    )
+    SELECT n_keys, n_rows, max_key_rows, p50_milli, p99_milli,
+           CAST(floor(max_key_rows * 1000.0 * n_keys / n_rows) AS BIGINT)
+             AS max_over_mean_milli
+    FROM stats
+    """,
+)
+def skew_diagnosis_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnosis for a prospective shuffle key (user_id): key
+    count, exact p50/p99 of per-key row counts (interpolated, in milli
+    units), the hottest key's row count, and its ratio to the mean —
+    the report that decides between a plain hash shuffle, AQE skew
+    handling, and explicit salting (operators/skew.py). Two tiny
+    aggregates: the per-key count (the only corpus-sized shuffle,
+    partial-aggregated map-side) and a single-row stats fold."""
+    per_key = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    stats = per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_key_rows"),
+        F.floor(F.percentile("n", F.lit(0.5)) * 1000).alias("p50_milli"),
+        F.floor(F.percentile("n", F.lit(0.99)) * 1000).alias("p99_milli"),
+    )
+    return stats.withColumn(
+        "max_over_mean_milli",
+        F.floor(F.col("max_key_rows") * 1000.0 * F.col("n_keys") / F.col("n_rows")).cast(
+            "long"
+        ),
+    )
