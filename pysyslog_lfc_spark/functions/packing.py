@@ -171,3 +171,110 @@ def pack_nosplit(
         return pdf[[group_col, "substream", "pack_bin", id_col, size_col]]
 
     return eligible.groupBy(group_col, "substream").applyInPandas(walk, out_schema)
+
+
+def length_bucket_batches(
+    df: DataFrame,
+    id_col: str,
+    size_col: str,
+    batch_size: int,
+    n_substreams: int = 8,
+    min_bucket: int = 64,
+    max_bucket: int = 65536,
+    salt: str = "lenbatch",
+) -> DataFrame:
+    """Length-bucketed batch planning (dynamic batching for
+    variable-length training: group sequences of similar length so
+    per-batch padding-to-max is cheap — the standard alternative to
+    packing when documents must stay intact and un-joined).
+
+    Every row gets:
+      - ``bucket``    power-of-2 length cap (when-cascade over a
+                      bounded ladder — integer-exact across engines;
+                      no float log2 at boundary values)
+      - ``pos``       0-based position within its bucket under the
+                      total order (substream, id)
+      - ``batch_id``  floor(pos / batch_size)
+
+    Scale shape (the 100 TB view): bucket cardinality is tiny
+    (log2(max/min) + 1), so ranking *per bucket* would funnel the
+    corpus into ~12 tasks. Instead the rank is two-level, same
+    decomposition as :func:`curriculum.global_rank`: row_number within
+    (bucket, hash-substream) — n_substreams x |buckets| parallel
+    windows over ONE shuffle — plus a broadcast per-substream count
+    offset, which reconstructs the exact global position under
+    ORDER BY (substream, id). Deterministic for any partitioning, no
+    RNG, resume-replayable; the substream die is the portable 60-bit
+    md5 hash so a DuckDB oracle replays positions bit-for-bit.
+    """
+    from pyspark.sql import Window
+
+    from pysyslog_lfc_spark.functions.text import portable_hash60
+
+    bounds = []
+    b = min_bucket
+    while b < max_bucket:
+        bounds.append(b)
+        b *= 2
+    s = F.col(size_col)
+    expr = None
+    for bd in bounds:
+        branch = F.when(s <= bd, F.lit(bd))
+        expr = branch if expr is None else expr.when(s <= bd, F.lit(bd))
+    bucket = (
+        expr.otherwise(F.lit(max_bucket)) if expr is not None else F.lit(max_bucket)
+    ).cast("int")
+    sub = F.pmod(
+        portable_hash60(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
+        F.lit(n_substreams),
+    ).cast("int")
+
+    based = df.withColumns({"bucket": bucket, "_sub": sub})
+    w_in = Window.partitionBy("bucket", "_sub").orderBy(F.col(id_col))
+    ranked = based.withColumn("_rn", F.row_number().over(w_in))
+    # counts from the PRE-window frame: map-side partial agg, the
+    # exchange moves |buckets| x n_substreams combined rows only
+    counts = based.groupBy("bucket", "_sub").agg(F.count(F.lit(1)).alias("_n"))
+    w_cum = (
+        Window.partitionBy("bucket")
+        .orderBy("_sub")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "bucket",
+        "_sub",
+        F.coalesce(F.sum("_n").over(w_cum), F.lit(0)).alias("_off"),
+    )
+    return (
+        ranked.join(F.broadcast(offsets), ["bucket", "_sub"])
+        .withColumn("pos", (F.col("_off") + F.col("_rn") - 1).cast("long"))
+        .withColumn("batch_id", F.floor(F.col("pos") / batch_size).cast("long"))
+        .drop("_sub", "_rn", "_off")
+    )
+
+
+def padding_report(assigned: DataFrame, size_col: str) -> DataFrame:
+    """Exact padding-efficiency report over a
+    :func:`length_bucket_batches` assignment: per bucket, how many
+    batches/docs/tokens, and the integer padding waste of padding each
+    batch to its own max length (sum over batches of
+    rows x max - sum). Two partial-agg shuffles over (bucket,
+    batch_id) then (bucket) — both key spaces bounded by the plan, not
+    the corpus.
+    """
+    per_batch = assigned.groupBy("bucket", "batch_id").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.max(size_col).alias("_mx"),
+        F.sum(size_col).alias("_s"),
+    )
+    padded = F.sum(F.col("_n") * F.col("_mx"))
+    return (
+        per_batch.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_batches"),
+            F.sum("_n").alias("n_docs"),
+            F.sum("_s").cast("long").alias("tokens"),
+            padded.cast("long").alias("padded_tokens"),
+            (padded - F.sum("_s")).cast("long").alias("padding_waste"),
+        )
+    )

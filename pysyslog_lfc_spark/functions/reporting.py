@@ -228,3 +228,46 @@ def frequency_spectrum(df: DataFrame, text_col: str = "text") -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_types"))
         .withColumn("total_tokens", F.col("freq") * F.col("n_types"))
     )
+
+
+def table_profile(df: DataFrame, columns: list[str]) -> DataFrame:
+    """ANALYZE-style per-column statistics report in ONE scan: row
+    count, null count, exact distinct count, typed min/max (rendered
+    as strings), and total string-rendered length (exact integer — an
+    avg would be a float with cross-engine rounding noise).
+
+    One ``agg`` carries every measure, so the table is read once; the
+    per-column pivot happens driver-free via ``inline`` over an array
+    of structs built from the single aggregate row.
+
+    Scale note: multiple exact COUNT(DISTINCT) in one agg plan as a
+    single Expand (each input row fans out once per profiled column
+    into the partial aggregate). At 10^12 rows that is the exact-answer
+    cost floor; the approximate path is one HLL register sketch per
+    column (functions/sketches.py::hll_registers) merged map-side,
+    which drops the Expand entirely.
+    """
+    aggs = [F.count(F.lit(1)).alias("_rows")]
+    for c in columns:
+        col = F.col(c)
+        aggs += [
+            F.count(col).alias(f"_nn_{c}"),
+            F.countDistinct(col).alias(f"_ndv_{c}"),
+            F.min(col).cast("string").alias(f"_min_{c}"),
+            F.max(col).cast("string").alias(f"_max_{c}"),
+            F.sum(F.length(col.cast("string"))).alias(f"_len_{c}"),
+        ]
+    row = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("_rows").alias("n_rows"),
+            (F.col("_rows") - F.col(f"_nn_{c}")).alias("n_null"),
+            F.col(f"_ndv_{c}").alias("ndv"),
+            F.col(f"_min_{c}").alias("min_s"),
+            F.col(f"_max_{c}").alias("max_s"),
+            F.coalesce(F.col(f"_len_{c}"), F.lit(0)).cast("long").alias("sum_len"),
+        )
+        for c in columns
+    ]
+    return row.select(F.inline(F.array(*structs)))

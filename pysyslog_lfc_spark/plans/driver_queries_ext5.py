@@ -1,0 +1,119 @@
+"""Driver-query registrations, round-2 session-10 batch.
+
+Imported by :mod:`pysyslog_lfc_spark.plans.driver_queries` (bottom of
+file) so these register into the same ``_QUERIES``/``_ORACLES`` maps.
+This batch: length-bucketed batch planning with an exact padding-waste
+report (the dynamic-batching alternative to packing for variable-length
+training) and the single-pass ANALYZE-style column profiler.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pysyslog_lfc_spark.functions.packing import length_bucket_batches, padding_report
+from pysyslog_lfc_spark.functions.reporting import table_profile
+from pysyslog_lfc_spark.plans.driver_queries import _t, query
+
+# power-of-2 ladder 64..65536, batch_size 32, 8 hash substreams —
+# mirrors length_bucket_batches defaults; the CASE ladder and the
+# md5 substream die replay the Spark plan bit-for-bit
+_LENBATCH_ORACLE = """
+    WITH b AS (
+      SELECT doc_id, n_chars,
+             CASE WHEN n_chars <= 64 THEN 64
+                  WHEN n_chars <= 128 THEN 128
+                  WHEN n_chars <= 256 THEN 256
+                  WHEN n_chars <= 512 THEN 512
+                  WHEN n_chars <= 1024 THEN 1024
+                  WHEN n_chars <= 2048 THEN 2048
+                  WHEN n_chars <= 4096 THEN 4096
+                  WHEN n_chars <= 8192 THEN 8192
+                  WHEN n_chars <= 16384 THEN 16384
+                  WHEN n_chars <= 32768 THEN 32768
+                  ELSE 65536 END AS bucket,
+             ('0x' || substr(md5('lenbatch:' || doc_id::VARCHAR), 1, 15))::BIGINT % 8 AS sub
+      FROM documents
+    ),
+    r AS (
+      SELECT bucket, n_chars,
+             row_number() OVER (PARTITION BY bucket ORDER BY sub, doc_id) - 1 AS pos
+      FROM b
+    ),
+    t AS (
+      SELECT bucket, pos // 32 AS batch_id,
+             count(*) AS n, max(n_chars) AS mx, sum(n_chars) AS s
+      FROM r GROUP BY bucket, batch_id
+    )
+    SELECT bucket,
+           count(*) AS n_batches,
+           sum(n) AS n_docs,
+           CAST(sum(s) AS BIGINT) AS tokens,
+           CAST(sum(n * mx) AS BIGINT) AS padded_tokens,
+           CAST(sum(n * mx) - sum(s) AS BIGINT) AS padding_waste
+    FROM t GROUP BY bucket ORDER BY bucket
+"""
+
+
+@query("batch_length_buckets", _LENBATCH_ORACLE)
+def batch_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch planning + exact padding-waste report
+    (functions/packing.py::length_bucket_batches / padding_report).
+
+    The training-side counterpart of packing: documents stay intact,
+    each batch pads to its own max, and bucketing by power-of-2 length
+    cap bounds that padding. The batch assignment is a deterministic
+    two-level rank (row_number within (bucket, md5-substream) + a
+    broadcast substream-count offset), so the corpus takes exactly one
+    rank shuffle and no low-cardinality window ever funnels it through
+    one task; the DuckDB oracle replays every position bit-for-bit.
+    Reference semantics anchor: flow-stage determinism contract
+    (reference src/pysyslog/flow.py:98-134 — same input, same route).
+    """
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    assigned = length_bucket_batches(
+        docs, id_col="doc_id", size_col="n_chars", batch_size=32
+    )
+    return padding_report(assigned, "n_chars").orderBy("bucket")
+
+
+_PROFILE_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_orderpriority",
+    "o_orderdate",
+]
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c in _PROFILE_COLS:
+        parts.append(
+            f"""
+    SELECT '{c}' AS "column",
+           count(*) AS n_rows,
+           count(*) - count({c}) AS n_null,
+           count(DISTINCT {c}) AS ndv,
+           CAST(min({c}) AS VARCHAR) AS min_s,
+           CAST(max({c}) AS VARCHAR) AS max_s,
+           CAST(coalesce(sum(length(CAST({c} AS VARCHAR))), 0) AS BIGINT) AS sum_len
+    FROM orders"""
+        )
+    return " UNION ALL ".join(parts) + ' ORDER BY "column"'
+
+
+@query("profile_orders_columns", _profile_oracle())
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profiler (functions/reporting.py::
+    table_profile): per-column rows/nulls/exact-NDV/min/max/rendered
+    length over orders in ONE scan (multi-distinct plans as a single
+    Expand; the DuckDB oracle runs one pass per column instead —
+    same answer, which is the point of the gate).
+
+    This is the ANALYZE-stats surface a cost-based planner feeds on;
+    at 10^12 rows the exact NDVs swap for the HLL register sketch
+    (functions/sketches.py) without changing the report schema.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    return table_profile(orders, _PROFILE_COLS).orderBy("column")

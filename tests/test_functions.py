@@ -1229,3 +1229,100 @@ def test_normalize_text_idempotent_property(spark):
     once = df.select(normalize_text(F.col("text")).alias("n"))
     twice = once.select(normalize_text(F.col("n")).alias("n"))
     assert [r["n"] for r in once.collect()] == [r["n"] for r in twice.collect()]
+
+
+class TestLengthBucketBatches:
+    def _assigned(self, spark, n=400, batch_size=16):
+        from pysyslog_lfc_spark.functions.packing import length_bucket_batches
+
+        rows = [(i, 10 + (i * 37) % 900) for i in range(n)]
+        df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+        return length_bucket_batches(
+            df, id_col="doc_id", size_col="n_tok", batch_size=batch_size
+        )
+
+    def test_positions_are_a_permutation_per_bucket(self, spark):
+        got = self._assigned(spark).collect()
+        by_bucket = {}
+        for r in got:
+            by_bucket.setdefault(r["bucket"], []).append(r["pos"])
+        for bucket, positions in by_bucket.items():
+            assert sorted(positions) == list(range(len(positions))), bucket
+
+    def test_batches_respect_size_and_bucket_cap(self, spark):
+        got = self._assigned(spark, batch_size=16).collect()
+        sizes = {}
+        for r in got:
+            assert r["n_tok"] <= r["bucket"]
+            assert r["batch_id"] == r["pos"] // 16
+            sizes.setdefault((r["bucket"], r["batch_id"]), 0)
+            sizes[(r["bucket"], r["batch_id"])] += 1
+        for (bucket, _), n in sizes.items():
+            assert n <= 16
+
+    def test_assignment_is_partitioning_independent(self, spark):
+        a = {
+            (r["doc_id"], r["bucket"], r["pos"])
+            for r in self._assigned(spark).collect()
+        }
+        from pysyslog_lfc_spark.functions.packing import length_bucket_batches
+
+        rows = [(i, 10 + (i * 37) % 900) for i in range(400)]
+        df = spark.createDataFrame(rows, "doc_id long, n_tok long").repartition(13)
+        b = {
+            (r["doc_id"], r["bucket"], r["pos"])
+            for r in length_bucket_batches(
+                df, id_col="doc_id", size_col="n_tok", batch_size=16
+            ).collect()
+        }
+        assert a == b
+
+    def test_padding_report_totals(self, spark):
+        from pysyslog_lfc_spark.functions.packing import padding_report
+
+        assigned = self._assigned(spark)
+        rows = assigned.collect()
+        report = {r["bucket"]: r for r in padding_report(assigned, "n_tok").collect()}
+        per_batch = {}
+        for r in rows:
+            key = (r["bucket"], r["batch_id"])
+            per_batch.setdefault(key, []).append(r["n_tok"])
+        for bucket, rep in report.items():
+            batches = {k: v for k, v in per_batch.items() if k[0] == bucket}
+            padded = sum(len(v) * max(v) for v in batches.values())
+            toks = sum(sum(v) for v in batches.values())
+            assert rep["n_batches"] == len(batches)
+            assert rep["n_docs"] == sum(len(v) for v in batches.values())
+            assert rep["tokens"] == toks
+            assert rep["padded_tokens"] == padded
+            assert rep["padding_waste"] == padded - toks
+            assert rep["padding_waste"] >= 0
+
+
+class TestTableProfile:
+    def test_profile_matches_hand_counts(self, spark):
+        from pysyslog_lfc_spark.functions.reporting import table_profile
+
+        rows = [
+            (1, "a", 10.0),
+            (2, "bb", None),
+            (3, None, 30.0),
+            (4, "a", 30.0),
+        ]
+        df = spark.createDataFrame(rows, "id long, s string, v double")
+        got = {r["column"]: r for r in table_profile(df, ["id", "s", "v"]).collect()}
+        assert got["id"]["n_rows"] == 4 and got["id"]["n_null"] == 0
+        assert got["id"]["ndv"] == 4
+        assert got["id"]["min_s"] == "1" and got["id"]["max_s"] == "4"
+        assert got["id"]["sum_len"] == 4
+        assert got["s"]["n_null"] == 1 and got["s"]["ndv"] == 2
+        assert got["s"]["min_s"] == "a" and got["s"]["max_s"] == "bb"
+        assert got["s"]["sum_len"] == 4
+        assert got["v"]["n_null"] == 1 and got["v"]["ndv"] == 2
+
+    def test_single_scan_plan(self, spark):
+        from pysyslog_lfc_spark.functions.reporting import table_profile
+
+        df = spark.range(100).withColumn("s", F.col("id").cast("string"))
+        plan = table_profile(df, ["id", "s"])._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Scan") <= 1
