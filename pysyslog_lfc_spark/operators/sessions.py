@@ -366,3 +366,121 @@ def cooccurrence_lift(
             ).cast("long").alias("lift_permille"),
         )
     )
+
+
+def _epoch_us(col):
+    """Epoch microseconds for TIMESTAMP and TIMESTAMP_NTZ alike
+    (unix_micros rejects NTZ, which is what parquet scans produce;
+    session timezone is pinned to UTC in session.py so the NTZ cast
+    is instant-preserving)."""
+    return F.timestamp_diff(
+        "MICROSECOND",
+        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        col.cast("timestamp_ntz"),
+    )
+
+
+def gapfill_locf(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    step_sec: int = 3600,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Resample each series onto a step-aligned epoch grid and fill
+    gaps by carrying the last observation forward (LOCF) — the batch
+    twin of a monitoring system's gauge materialization (the reference
+    keeps only last-value gauge state, reference
+    src/pysyslog/outputs/metrics.py; this reconstructs that state at
+    every grid instant between a series' first and last sample).
+
+    Per key: ``bin_es`` (epoch-second bin start), ``value`` (last
+    observation in-or-before the bin), ``is_gap`` (no sample in this
+    bin). Bin value = the observation with the greatest
+    (``ts_col``, ``tiebreak``) inside the bin, so the result is a pure
+    function of the data under any partitioning.
+
+    Scale shape: one partial-agg shuffle on (key, bin) collapses the
+    stream to occupied bins; bounds are a second agg over *that*
+    (already bin-granular); the grid is a narrow ``sequence``/``explode``;
+    the LOCF window partitions by the series key and its frame length
+    is (time span / step) — bounded by the retention window, not by
+    event volume. No corpus-wide sort anywhere.
+    """
+    step_us = step_sec * 1_000_000
+    es_us = _epoch_us(F.col(ts_col))
+    b = (F.floor(es_us / F.lit(step_us)) * step_sec).cast("long")
+    order = (
+        F.struct(F.col(ts_col), F.col(tiebreak)) if tiebreak else F.col(ts_col)
+    )
+    binned = (
+        df.withColumn("_bin", b)
+        .groupBy(*key_cols, "_bin")
+        .agg(F.max_by(F.col(value_col), order).alias("_v"))
+    )
+    bounds = binned.groupBy(*key_cols).agg(
+        F.min("_bin").alias("_lo"), F.max("_bin").alias("_hi")
+    )
+    grid = bounds.select(
+        *key_cols,
+        F.explode(
+            F.sequence(F.col("_lo"), F.col("_hi"), F.lit(step_sec))
+        ).alias("_bin"),
+    )
+    w = Window.partitionBy(*key_cols).orderBy("_bin")
+    return (
+        grid.join(binned, [*key_cols, "_bin"], "left")
+        .withColumn("value", F.last("_v", ignorenulls=True).over(w))
+        .withColumn("is_gap", F.col("_v").isNull())
+        .select(*key_cols, F.col("_bin").alias("bin_es"), "value", "is_gap")
+    )
+
+
+def cdc_latest_state(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    op_col: str,
+    delete_ops: Sequence[str],
+    payload_cols: Sequence[str],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Collapse a change-data-capture log to final per-key state:
+    latest record wins (by ``ts_col`` then ``tiebreak``), keys whose
+    latest op is a delete marker disappear. The batch MERGE/compaction
+    step of a CDC ingest (the incremental form lives in
+    sinks.KeyedTable.upsert; this is the full-log replay).
+
+    One shuffle total: ``max_by`` over a packed struct rides the
+    groupBy's map-side partial aggregation — each task keeps one
+    candidate row per key, so a key with 10^6 updates costs its
+    reducer one comparison per partial, never a sort. (The
+    row_number-desc formulation computes the same answer but must
+    shuffle + sort every version of every key.)
+
+    Emits ``key_cols``, ``last_op``, the payload at the final version,
+    ``last_es_us`` (epoch-micros of the winning record) and
+    ``n_changes`` (total log records seen for the key, deletes
+    included).
+    """
+    order = (
+        F.struct(F.col(ts_col), F.col(tiebreak)) if tiebreak else F.col(ts_col)
+    )
+    packed = F.struct(
+        F.col(op_col).alias("op"),
+        *[F.col(c).alias(c) for c in payload_cols],
+        _epoch_us(F.col(ts_col)).alias("es_us"),
+    )
+    agg = df.groupBy(*key_cols).agg(
+        F.max_by(packed, order).alias("_s"),
+        F.count(F.lit(1)).alias("n_changes"),
+    )
+    alive = agg.where(~F.col("_s.op").isin(list(delete_ops)))
+    return alive.select(
+        *key_cols,
+        F.col("_s.op").alias("last_op"),
+        *[F.col(f"_s.{c}").alias(c) for c in payload_cols],
+        F.col("_s.es_us").alias("last_es_us"),
+        "n_changes",
+    )

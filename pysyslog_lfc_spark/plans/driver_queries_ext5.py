@@ -9,7 +9,7 @@ training) and the single-pass ANALYZE-style column profiler.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from pysyslog_lfc_spark.functions.packing import length_bucket_batches, padding_report
 from pysyslog_lfc_spark.functions.reporting import table_profile
@@ -117,3 +117,97 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     orders = _t(spark, sf_dir, "orders")
     return table_profile(orders, _PROFILE_COLS).orderBy("column")
+
+
+# 4-hour bins over the 'view' series; bin value = last sample by
+# (ts, event_id); grid spans each user's [first, last] occupied bin
+_GAPFILL_ORACLE = """
+    WITH b AS (
+      SELECT user_id, value, ts, event_id,
+             (epoch_us(ts) // (14400::BIGINT * 1000000)) * 14400 AS bin
+      FROM events WHERE event_type = 'view'
+    ),
+    bv AS (
+      SELECT user_id, bin, value AS v FROM (
+        SELECT user_id, bin, value,
+               row_number() OVER (
+                 PARTITION BY user_id, bin ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM b
+      ) WHERE rn = 1
+    ),
+    bounds AS (
+      SELECT user_id, min(bin) AS lo, max(bin) AS hi FROM bv GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(lo, hi, 14400)) AS bin
+      FROM bounds
+    )
+    SELECT g.user_id,
+           g.bin AS bin_es,
+           last_value(bv.v IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.bin
+           ) AS value,
+           bv.v IS NULL AS is_gap
+    FROM grid g LEFT JOIN bv ON g.user_id = bv.user_id AND g.bin = bv.bin
+"""
+
+
+@query("timeseries_gapfill", _GAPFILL_ORACLE)
+def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled LOCF resample of each user's 'view' gauge series onto
+    a 4-hour epoch grid (operators/sessions.py::gapfill_locf) — the
+    batch reconstruction of the reference's last-value gauge state at
+    every grid instant. One (key, bin) partial-agg shuffle, a narrow
+    sequence/explode grid, and a per-series LOCF window whose frame is
+    bounded by timespan/step, never by event volume.
+    """
+    from pysyslog_lfc_spark.operators.sessions import gapfill_locf
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "view")
+    return gapfill_locf(
+        ev, ["user_id"], "ts", "value", step_sec=14400, tiebreak="event_id"
+    )
+
+
+_CDC_ORACLE = """
+    WITH r AS (
+      SELECT user_id, event_type, value, epoch_us(ts) AS es_us,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+             ) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n_changes
+      FROM events
+    )
+    SELECT user_id,
+           event_type AS last_op,
+           value,
+           es_us AS last_es_us,
+           n_changes
+    FROM r WHERE rn = 1 AND event_type NOT IN ('error')
+"""
+
+
+@query("cdc_latest_state", _CDC_ORACLE)
+def cdc_latest_state_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log replay to final per-key state (operators/sessions.py::
+    cdc_latest_state): latest record per user wins by (ts, event_id),
+    users whose latest op is the 'error' delete marker drop out. The
+    Spark plan is a single max_by-over-struct groupBy — the winner
+    rides map-side partial aggregation, so a hot key never funnels its
+    full version history through one reducer sort (the oracle's
+    row_number formulation, by contrast, is the shuffle-and-sort shape
+    this operator exists to avoid).
+    """
+    from pysyslog_lfc_spark.operators.sessions import cdc_latest_state
+
+    ev = _t(spark, sf_dir, "events")
+    return cdc_latest_state(
+        ev,
+        ["user_id"],
+        "ts",
+        "event_type",
+        ["error"],
+        ["value"],
+        tiebreak="event_id",
+    )

@@ -529,3 +529,94 @@ def test_token_budget_cap_greedy_fill(spark):
         spark.createDataFrame(rows), "source", "doc_id", "n", budget=550
     ).collect()
     assert sorted(r.doc_id for r in out) == sorted(r.doc_id for r in again)
+
+
+class TestGapfillLocf:
+    def _df(self, spark):
+        rows = [
+            # key 1: samples at t=0s and t=7200s with a 3600s grid ->
+            # one empty bin at 3600 carrying 1.0 forward
+            (1, T0, 1.0, 10),
+            (1, T0 + dt.timedelta(seconds=7200), 3.0, 11),
+            # key 2: two samples inside ONE bin -> later (ts) wins
+            (2, T0 + dt.timedelta(seconds=100), 5.0, 12),
+            (2, T0 + dt.timedelta(seconds=200), 7.0, 13),
+        ]
+        return spark.createDataFrame(
+            rows, "k int, ts timestamp, value double, event_id int"
+        )
+
+    def test_fills_gaps_with_last_observation(self, spark):
+        from pysyslog_lfc_spark.operators.sessions import gapfill_locf
+
+        out = gapfill_locf(
+            self._df(spark), ["k"], "ts", "value", step_sec=3600,
+            tiebreak="event_id",
+        )
+        got = {(r["k"], r["bin_es"]): (r["value"], r["is_gap"]) for r in out.collect()}
+        es0 = int(T0.replace(tzinfo=dt.timezone.utc).timestamp())
+        assert got[(1, es0)] == (1.0, False)
+        assert got[(1, es0 + 3600)] == (1.0, True)   # LOCF into the gap
+        assert got[(1, es0 + 7200)] == (3.0, False)
+        assert got[(2, es0)] == (7.0, False)         # last-in-bin wins
+        assert len(got) == 4                          # key 2 has one bin
+
+    def test_tiebreak_decides_equal_timestamps(self, spark):
+        from pysyslog_lfc_spark.operators.sessions import gapfill_locf
+
+        rows = [(1, T0, 1.0, 5), (1, T0, 9.0, 6)]
+        df = spark.createDataFrame(
+            rows, "k int, ts timestamp, value double, event_id int"
+        )
+        out = gapfill_locf(df, ["k"], "ts", "value", 3600, tiebreak="event_id")
+        assert out.collect()[0]["value"] == 9.0
+
+    def test_partitioning_independent(self, spark):
+        from pysyslog_lfc_spark.operators.sessions import gapfill_locf
+
+        base = self._df(spark)
+        a = sorted(map(tuple, gapfill_locf(
+            base, ["k"], "ts", "value", 3600, tiebreak="event_id").collect()))
+        b = sorted(map(tuple, gapfill_locf(
+            base.repartition(7), ["k"], "ts", "value", 3600,
+            tiebreak="event_id").collect()))
+        assert a == b
+
+
+class TestCdcLatestState:
+    def _log(self, spark):
+        rows = [
+            (1, T0, "upsert", 1.0, 1),
+            (1, T0 + dt.timedelta(seconds=10), "upsert", 2.0, 2),
+            (2, T0, "upsert", 5.0, 3),
+            (2, T0 + dt.timedelta(seconds=5), "delete", None, 4),
+            (3, T0, "delete", None, 5),
+            (3, T0 + dt.timedelta(seconds=1), "upsert", 9.0, 6),
+        ]
+        return spark.createDataFrame(
+            rows, "k int, ts timestamp, op string, value double, event_id int"
+        )
+
+    def test_latest_wins_and_deletes_drop(self, spark):
+        from pysyslog_lfc_spark.operators.sessions import cdc_latest_state
+
+        out = cdc_latest_state(
+            self._log(spark), ["k"], "ts", "op", ["delete"], ["value"],
+            tiebreak="event_id",
+        )
+        got = {r["k"]: r for r in out.collect()}
+        assert set(got) == {1, 3}            # key 2's latest op is delete
+        assert got[1]["value"] == 2.0 and got[1]["n_changes"] == 2
+        assert got[3]["value"] == 9.0        # delete then re-insert survives
+        assert got[3]["last_op"] == "upsert"
+
+    def test_equal_ts_tiebreak(self, spark):
+        from pysyslog_lfc_spark.operators.sessions import cdc_latest_state
+
+        rows = [(1, T0, "upsert", 1.0, 5), (1, T0, "delete", None, 6)]
+        df = spark.createDataFrame(
+            rows, "k int, ts timestamp, op string, value double, event_id int"
+        )
+        out = cdc_latest_state(df, ["k"], "ts", "op", ["delete"], ["value"],
+                               tiebreak="event_id")
+        assert out.count() == 0              # higher event_id delete wins
