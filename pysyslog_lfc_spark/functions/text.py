@@ -13,6 +13,8 @@ operators are the training-data extension mandated by the build spec.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # Stopword list used for quality scoring (operator parameter, not a
@@ -667,3 +669,126 @@ def strip_html(col: Column) -> Column:
     for ent, ch in _HTML_ENTITIES:
         out = F.replace(out, F.lit(ent), F.lit(ch))
     return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: Sequence[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Per-document BM25 relevance for a fixed bag of query terms —
+    the ranked-retrieval scorer of a search/curation stack (Robertson &
+    Zaragoza 2009, public). Okapi form with the +1-inside-the-log idf
+    so scores stay positive for common terms.
+
+    Per-term scores are floored to 1e-4 resolution and summed as
+    BIGINTs (``score_q4``): integer addition commutes exactly, so the
+    result is independent of Spark's aggregation order — the usual
+    float-sum nondeterminism never reaches the output.
+
+    Plan shape: the corpus explodes once and is filtered to the query
+    bag *before* any aggregation (the exchange carries only matching
+    (doc, term) rows); df per query term and the corpus N/avgdl
+    constants are broadcast one-row/`|Q|`-row aggregates. No window, no
+    driver action, no UDF.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokenize(F.lower(F.col(text_col)))).alias("_tok")
+    )
+    dl = df.select(
+        F.col(id_col), token_count(F.lower(F.col(text_col))).alias("_dl")
+    )
+    consts = dl.agg(
+        F.count(F.lit(1)).alias("_n_docs"),
+        (F.sum("_dl") / F.count(F.lit(1))).alias("_avgdl"),
+    )
+    qtf = (
+        toks.where(F.col("_tok").isin(list(query_terms)))
+        .groupBy(id_col, "_tok")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    dfreq = qtf.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
+    scored = (
+        qtf.join(F.broadcast(dfreq), "_tok")
+        .join(F.broadcast(dl), id_col)
+        .crossJoin(F.broadcast(consts))
+    )
+    idf = F.log(
+        (F.col("_n_docs") - F.col("_df") + F.lit(0.5))
+        / (F.col("_df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    w = idf * (
+        (F.col("_tf") * F.lit(k1 + 1.0))
+        / (
+            F.col("_tf")
+            + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / F.col("_avgdl"))
+        )
+    )
+    return (
+        scored.withColumn("_w_q4", F.floor(w * F.lit(10000.0)).cast("long"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("_w_q4").alias("score_q4"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+    )
+
+
+def inverted_index_postings(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+    max_df_frac: float = 0.7,
+    sample_k: int = 8,
+) -> DataFrame:
+    """Inverted-index build restricted to mid-frequency terms (df in
+    [min_df, max_df_frac * n_docs] — the band is relative to corpus
+    size so it means the same thing at every scale): per term,
+    document frequency, total term frequency, and the first
+    ``sample_k`` posting doc-ids in ascending order.
+
+    The 100 TB shape is the two-pass candidate pattern (same as the
+    MinHash verify stage): term stats aggregate first (partial-agg,
+    |V| rows), the df band filters the vocabulary, and only THEN do
+    posting lists materialize — via a join back to the (doc, term)
+    stream — so a stop-word's 10^9-row posting list is never
+    collected anywhere. ``sort_array`` makes the sample a pure
+    function of the data under any partitioning.
+    """
+    tf = (
+        df.select(
+            F.col(id_col), F.explode(tokenize(F.lower(F.col(text_col)))).alias("token")
+        )
+        .groupBy("token", id_col)
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    stats = (
+        tf.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("_tf").cast("long").alias("total_tf"),
+        )
+    )
+    n_docs = df.agg(F.count(F.lit(1)).alias("_n"))
+    stats = (
+        stats.crossJoin(F.broadcast(n_docs))
+        .where(
+            (F.col("df") >= min_df)
+            & (F.col("df") <= F.floor(F.lit(max_df_frac) * F.col("_n")))
+        )
+        .drop("_n")
+    )
+    return (
+        stats.join(tf, "token")
+        .groupBy("token", "df", "total_tf")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list(F.col(id_col))), 1, sample_k
+            ).alias("postings")
+        )
+    )

@@ -211,3 +211,99 @@ def cdc_latest_state_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["value"],
         tiebreak="event_id",
     )
+
+
+# identical IEEE op sequence to functions/text.py::bm25_scores:
+# per-term double floored to 1e-4 then summed as BIGINT, so the doc
+# score is an exact integer sum regardless of aggregation order
+_BM25_ORACLE = r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                    w -> w != '')) AS tok
+      FROM documents
+    ),
+    dl AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(lower(text), '\s+'),
+                 w -> w != '')) AS dl
+      FROM documents
+    ),
+    consts AS (
+      SELECT count(*) AS n_docs,
+             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+      FROM dl
+    ),
+    qtf AS (
+      SELECT doc_id, tok, count(*) AS tf FROM toks
+      WHERE tok IN ('stream', 'filter', 'hash') GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT tok, count(*) AS df FROM qtf GROUP BY 1),
+    scored AS (
+      SELECT qtf.doc_id,
+             CAST(floor(
+               ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+               * 10000.0
+             ) AS BIGINT) AS w_q4
+      FROM qtf
+      JOIN dfreq USING (tok)
+      JOIN dl ON dl.doc_id = qtf.doc_id
+      CROSS JOIN consts
+    )
+    SELECT doc_id, sum(w_q4) AS score_q4, count(*) AS n_terms_hit
+    FROM scored GROUP BY doc_id
+    ORDER BY score_q4 DESC, doc_id LIMIT 20
+"""
+
+
+@query("bm25_topk", _BM25_ORACLE)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (functions/text.py::bm25_scores): top-20
+    documents for a fixed 3-term query bag, k1=1.2, b=0.75. The corpus
+    is filtered to query terms BEFORE any exchange, df/N/avgdl are
+    broadcast aggregates, per-term scores floor to 1e-4 and sum as
+    BIGINTs (order-independent), and the top-k plans as
+    TakeOrderedAndProject — no global window funnel.
+    """
+    from pysyslog_lfc_spark.functions.text import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    s = bm25_scores(docs, ["stream", "filter", "hash"])
+    return s.orderBy(F.desc("score_q4"), F.asc("doc_id")).limit(20)
+
+
+_POSTINGS_ORACLE = r"""
+    WITH tf AS (
+      SELECT token, doc_id, count(*) AS tf FROM (
+        SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                      w -> w != '')) AS token
+        FROM documents
+      ) GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT token, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf
+      FROM tf GROUP BY 1
+      HAVING count(*) >= 2
+         AND count(*) <= floor(0.7 * (SELECT count(*) FROM documents))
+    )
+    SELECT st.token, st.df, st.total_tf,
+           (list_sort(list(tf.doc_id)))[1:8] AS postings
+    FROM st JOIN tf USING (token)
+    GROUP BY st.token, st.df, st.total_tf
+"""
+
+
+@query("inverted_index_postings", _POSTINGS_ORACLE)
+def inverted_index_postings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mid-frequency inverted-index build (functions/text.py::
+    inverted_index_postings): per-term df / total tf plus the first 8
+    posting ids (df band relative to corpus size: [2, 0.7n]).
+    Stats aggregate first and the df band filters the
+    vocabulary BEFORE posting lists materialize (two-pass candidate
+    pattern) — a stop-word's corpus-sized posting list is never
+    collected on any executor.
+    """
+    from pysyslog_lfc_spark.functions.text import inverted_index_postings
+
+    docs = _t(spark, sf_dir, "documents")
+    return inverted_index_postings(docs)

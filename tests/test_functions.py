@@ -1326,3 +1326,48 @@ class TestTableProfile:
         df = spark.range(100).withColumn("s", F.col("id").cast("string"))
         plan = table_profile(df, ["id", "s"])._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Scan") <= 1
+
+
+class TestBm25AndPostings:
+    def test_bm25_hand_check(self, spark):
+        from pysyslog_lfc_spark.functions.text import bm25_scores
+        import math
+
+        docs = spark.createDataFrame(
+            [(1, "cat dog"), (2, "cat cat cat fish"), (3, "bird")],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r for r in bm25_scores(docs, ["cat"]).collect()}
+        assert set(got) == {1, 2}
+        # doc 2 has higher tf but also a longer doc; recompute exactly
+        n, df, avgdl = 3, 2, (2 + 4 + 1) / 3
+        def w(tf, dl):
+            idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+            return math.floor(
+                idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) * 10000.0
+            )
+        assert got[1]["score_q4"] == w(1, 2)
+        assert got[2]["score_q4"] == w(3, 4)
+        assert got[2]["n_terms_hit"] == 1
+
+    def test_bm25_multi_term_sums_ints(self, spark):
+        from pysyslog_lfc_spark.functions.text import bm25_scores
+
+        docs = spark.createDataFrame(
+            [(1, "cat dog"), (2, "dog"), (3, "cat")], "doc_id long, text string"
+        )
+        both = {r["doc_id"]: r["n_terms_hit"]
+                for r in bm25_scores(docs, ["cat", "dog"]).collect()}
+        assert both[1] == 2 and both[2] == 1 and both[3] == 1
+
+    def test_postings_band_and_order(self, spark):
+        from pysyslog_lfc_spark.functions.text import inverted_index_postings
+
+        # 'x' in every doc (df=4 > 0.7*4) -> excluded; 'y' in 2 docs kept
+        docs = spark.createDataFrame(
+            [(1, "x y"), (2, "x y"), (3, "x"), (4, "x")],
+            "doc_id long, text string",
+        )
+        got = {r["token"]: r for r in inverted_index_postings(docs).collect()}
+        assert set(got) == {"y"}
+        assert got["y"]["df"] == 2 and got["y"]["postings"] == [1, 2]
