@@ -1,0 +1,110 @@
+"""Privacy-analysis operators: k-anonymity and noisy-count release.
+
+A training-data release gate complements the PII/secret scrubbing in
+:mod:`pysyslog_lfc_spark.functions.text`: before aggregate statistics
+or quasi-identifier slices of a corpus leave the trust boundary, check
+that every published equivalence class is large enough (k-anonymity,
+Sweeney 2002) and add calibrated Laplace noise to released counts
+(Dwork et al. 2006). Both operators are single partial-agg-shuffle
+plans — the group-by key space is the published table, never the
+corpus — so they cost one exchange at any scale.
+
+The reference engine has no privacy surface; this is part of the
+training-data extension mandated by the build spec (pipeline analogue:
+the reference's output boundary, where its formatters render records
+verbatim — /root/reference/src/pysyslog/formats/json.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from pysyslog_lfc_spark.functions.text import portable_hash60
+
+TWO_60 = float(1 << 60)
+
+
+def k_anonymity_report(
+    df: DataFrame, quasi_cols: Sequence[str], k: int
+) -> DataFrame:
+    """Equivalence-class size report over the quasi-identifier columns:
+    one row per distinct quasi-identifier combination with its row
+    count and an ``anonymous`` flag (class size >= k). The publishable
+    check for "can this slice be released without singling anyone
+    out". One partial-agg shuffle keyed on the quasi columns.
+    """
+    return df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) >= k).alias("anonymous"),
+    )
+
+
+def suppress_small_groups(
+    df: DataFrame, quasi_cols: Sequence[str], k: int
+) -> DataFrame:
+    """k-anonymity by suppression: drop every row whose
+    quasi-identifier equivalence class has fewer than ``k`` members.
+    Classic release transform — the surviving table is k-anonymous over
+    ``quasi_cols`` by construction.
+
+    Plan: class sizes aggregate first (partial agg, |classes| rows),
+    then re-attach as a broadcast join when small — Catalyst/AQE picks
+    broadcast vs shuffle from the aggregated size, and the fact side
+    never shuffles when the class table broadcasts.
+    """
+    sizes = (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") >= k)
+        .drop("_n")
+    )
+    return df.join(F.broadcast(sizes), list(quasi_cols), "left_semi")
+
+
+def _laplace_from_hash(key: Column, scale: float, seed: str) -> Column:
+    """Deterministic Laplace(0, scale) noise via inverse-CDF transform
+    of a portable 60-bit hash uniform: u in (-0.5, 0.5],
+    noise = -scale * sign(u) * ln(1 - 2|u|).
+
+    Seeded-hash determinism is what makes the mechanism auditable and
+    cross-engine testable; a production DP release must draw ``seed``
+    fresh per release (the noise distribution is Laplace *over seeds*;
+    a fixed public seed provides no privacy).
+    """
+    u = (
+        portable_hash60(F.concat(F.lit(seed + ":"), key)) / F.lit(TWO_60)
+        - F.lit(0.5)
+    )
+    mag = F.greatest(F.lit(1.0) - F.lit(2.0) * F.abs(u), F.lit(1e-18))
+    return -F.lit(scale) * F.signum(u) * F.log(mag)
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    eps: float = 1.0,
+    seed: str = "release-1",
+) -> DataFrame:
+    """Per-group counts with epsilon-DP Laplace noise (sensitivity 1
+    for a count query, so scale = 1/eps). Emits the true count, the
+    noise in 1e-3 resolution, and the noisy released value
+    (``noisy_q3`` = floor(1000 * (count + noise)), integer so the
+    result hashes identically across engines and aggregation orders).
+
+    One partial-agg shuffle on ``group_cols``; the noise is a pure
+    column expression over the aggregated rows (|groups|, not |rows|).
+    See :func:`_laplace_from_hash` for the determinism caveat.
+    """
+    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in group_cols])
+    noise = _laplace_from_hash(key, 1.0 / eps, seed)
+    return (
+        df.groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).alias("n_true"))
+        .withColumn("noise_q3", F.floor(noise * F.lit(1000.0)).cast("long"))
+        .withColumn(
+            "noisy_q3",
+            (F.col("n_true") * 1000 + F.col("noise_q3")).cast("long"),
+        )
+    )

@@ -307,3 +307,69 @@ def inverted_index_postings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return inverted_index_postings(docs)
+
+
+_KANON_ORACLE = """
+    SELECT o_orderstatus, o_orderpriority,
+           strftime(o_orderdate, '%Y-%m') AS month,
+           count(*) AS n_rows,
+           count(*) >= 10 AS anonymous
+    FROM orders GROUP BY 1, 2, 3
+"""
+
+
+@query("k_anonymity_orders", _KANON_ORACLE)
+def k_anonymity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity equivalence-class report (functions/privacy.py::
+    k_anonymity_report) over the (status, priority, order-month)
+    quasi-identifier of orders, k=10 — the release gate run before a
+    quasi-identifier slice leaves the trust boundary. One partial-agg
+    shuffle keyed on the published classes, never the corpus.
+    """
+    from pysyslog_lfc_spark.functions.privacy import k_anonymity_report
+
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    return k_anonymity_report(
+        orders, ["o_orderstatus", "o_orderpriority", "month"], 10
+    )
+
+
+# eps = 0.5 -> Laplace scale exactly 2.0; noise replayed from the
+# portable 60-bit hash with the identical IEEE op sequence, floored to
+# 1e-3 so the released value is an exact integer in both engines
+_DP_ORACLE = """
+    WITH c AS (
+      SELECT event_type, count(*) AS n_true FROM events GROUP BY 1
+    ),
+    u AS (
+      SELECT event_type, n_true,
+             ('0x' || substr(md5('release-1:' || event_type), 1, 15))::BIGINT
+               / 1152921504606846976.0 - 0.5 AS u
+      FROM c
+    )
+    SELECT event_type, n_true,
+           CAST(floor(
+             -2.0 * sign(u) * ln(greatest(1.0 - 2.0 * abs(u), 1e-18)) * 1000.0
+           ) AS BIGINT) AS noise_q3,
+           n_true * 1000 + CAST(floor(
+             -2.0 * sign(u) * ln(greatest(1.0 - 2.0 * abs(u), 1e-18)) * 1000.0
+           ) AS BIGINT) AS noisy_q3
+    FROM u
+"""
+
+
+@query("dp_noisy_event_counts", _DP_ORACLE)
+def dp_noisy_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-noised released counts (functions/privacy.py::
+    dp_noisy_counts), eps=0.5, sensitivity-1 count query. The noise is
+    a deterministic inverse-CDF transform of the portable seeded hash,
+    so the mechanism itself is correctness-gated cross-engine; a real
+    DP release draws the seed fresh (see the module docstring caveat).
+    Noise is computed over the |groups| aggregated rows only.
+    """
+    from pysyslog_lfc_spark.functions.privacy import dp_noisy_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return dp_noisy_counts(ev, ["event_type"], eps=0.5, seed="release-1")

@@ -1371,3 +1371,46 @@ class TestBm25AndPostings:
         got = {r["token"]: r for r in inverted_index_postings(docs).collect()}
         assert set(got) == {"y"}
         assert got["y"]["df"] == 2 and got["y"]["postings"] == [1, 2]
+
+
+class TestPrivacy:
+    def test_k_anonymity_report_and_suppression(self, spark):
+        from pysyslog_lfc_spark.functions.privacy import (
+            k_anonymity_report,
+            suppress_small_groups,
+        )
+
+        df = spark.createDataFrame(
+            [("a", 1), ("a", 2), ("a", 3), ("b", 4)], "q string, id int"
+        )
+        rep = {r["q"]: r for r in k_anonymity_report(df, ["q"], 2).collect()}
+        assert rep["a"]["n_rows"] == 3 and rep["a"]["anonymous"]
+        assert rep["b"]["n_rows"] == 1 and not rep["b"]["anonymous"]
+        kept = suppress_small_groups(df, ["q"], 2)
+        assert {r["id"] for r in kept.collect()} == {1, 2, 3}
+        # the surviving table is k-anonymous by construction
+        rep2 = k_anonymity_report(kept, ["q"], 2).collect()
+        assert all(r["anonymous"] for r in rep2)
+
+    def test_dp_noisy_counts_deterministic_and_calibrated(self, spark):
+        from pysyslog_lfc_spark.functions.privacy import dp_noisy_counts
+
+        df = spark.createDataFrame(
+            [(chr(97 + i % 20), j) for i in range(20) for j in range(5)],
+            "g string, id int",
+        )
+        a = {r["g"]: r for r in dp_noisy_counts(df, ["g"], eps=0.5).collect()}
+        b = {r["g"]: r
+             for r in dp_noisy_counts(df.repartition(7), ["g"], eps=0.5).collect()}
+        assert a.keys() == b.keys()
+        for g in a:
+            assert a[g]["noisy_q3"] == b[g]["noisy_q3"]       # partitioning-independent
+            assert a[g]["n_true"] == 5
+            assert a[g]["noisy_q3"] == 5000 + a[g]["noise_q3"]
+        # different seed -> different noise (the seed IS the randomness)
+        c = {r["g"]: r
+             for r in dp_noisy_counts(df, ["g"], eps=0.5, seed="release-2").collect()}
+        assert any(a[g]["noise_q3"] != c[g]["noise_q3"] for g in a)
+        # scale sanity: eps=0.5 noise is Laplace(2); |noise| median ~ 2 ln 2
+        mags = sorted(abs(a[g]["noise_q3"]) / 1000.0 for g in a)
+        assert mags[len(mags) // 2] < 20.0                     # loose but real bound
