@@ -56,3 +56,92 @@ def chunk_overlap(
         "chunk_idx",
         F.slice(F.col("_toks"), F.col("_start") + 1, F.lit(chunk_len)).alias("chunk"),
     ).withColumn("n_in_chunk", F.size("chunk"))
+
+
+def chunk_content_defined(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    divisor: int = 4,
+    salt: str = "cdc",
+) -> DataFrame:
+    """Content-defined chunking over the token stream: a chunk
+    boundary falls after every token whose portable hash is divisible
+    by ``divisor`` (expected chunk length = ``divisor`` tokens) — the
+    storage-dedup idea behind rsync/LBFS/FastCDC-class systems, applied
+    to text: because boundaries depend on *content*, an insertion
+    shifts at most the chunk it lands in, so identical passages in
+    different documents produce identical chunks.
+
+    Emits one row per chunk: ``(id, chunk_id, chunk_tokens,
+    fingerprint)`` with ``fingerprint`` the portable 60-bit hash of the
+    chunk's space-joined tokens.
+
+    Plan: posexplode the token stream once, a running sum of boundary
+    flags per document assigns chunk ids (window keyed on the HIGH
+    cardinality doc id, frame bounded by doc length), then one
+    (id, chunk_id) partial-agg groupBy rebuilds each chunk in position
+    order via the sort_array(struct(pos, tok)) pattern — deterministic
+    under any partitioning, no Python anywhere.
+    """
+    from pyspark.sql import Window
+
+    from pysyslog_lfc_spark.functions.text import portable_hash60, tokenize
+
+    pos = df.select(
+        F.col(id_col),
+        F.posexplode(tokenize(F.lower(F.col(text_col)))).alias("_pos", "_tok"),
+    )
+    boundary = (
+        F.pmod(
+            portable_hash60(F.concat(F.lit(salt + ":"), F.col("_tok"))),
+            F.lit(divisor),
+        )
+        == 0
+    ).cast("int")
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("_pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = pos.withColumn(
+        "chunk_id", F.coalesce(F.sum(boundary).over(w), F.lit(0)).cast("int")
+    )
+    rebuilt = (
+        chunked.groupBy(id_col, "chunk_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_pos"), F.col("_tok")))
+            ).alias("_packed")
+        )
+        .withColumn(
+            "chunk_text",
+            F.array_join(
+                F.transform(F.col("_packed"), lambda s: s["_tok"]), " "
+            ),
+        )
+    )
+    return rebuilt.select(
+        F.col(id_col),
+        "chunk_id",
+        F.size("_packed").alias("chunk_tokens"),
+        portable_hash60(F.col("chunk_text")).alias("fingerprint"),
+    )
+
+
+def shared_chunk_stats(chunks: DataFrame, min_occurrences: int = 3) -> DataFrame:
+    """Cross-document chunk-dedup report over a
+    :func:`chunk_content_defined` result: per shared fingerprint, how
+    many chunk occurrences, how many distinct documents, and the chunk
+    length — the "dedup-able bytes" inventory of a corpus at chunk
+    granularity. One partial-agg shuffle on the fingerprint.
+    """
+    return (
+        chunks.groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct(F.col(chunks.columns[0])).alias("n_docs"),
+            F.max("chunk_tokens").alias("chunk_tokens"),
+        )
+        .where(F.col("n_occurrences") >= min_occurrences)
+    )

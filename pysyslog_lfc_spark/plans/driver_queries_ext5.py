@@ -373,3 +373,97 @@ def dp_noisy_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     return dp_noisy_counts(ev, ["event_type"], eps=0.5, seed="release-1")
+
+
+_CDC_CHUNK_ORACLE = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), w -> w != '') AS t
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+      FROM toks WHERE len(t) >= 1
+    ),
+    p2 AS (
+      SELECT doc_id, i, t[i] AS tok,
+             CASE WHEN ('0x' || substr(md5('cdc:' || t[i]), 1, 15))::BIGINT % 4 = 0
+                  THEN 1 ELSE 0 END AS b
+      FROM pos
+    ),
+    ch AS (
+      SELECT doc_id, i, tok,
+             coalesce(sum(b) OVER (
+               PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS chunk_id
+      FROM p2
+    ),
+    reb AS (
+      SELECT doc_id, chunk_id, count(*) AS chunk_tokens,
+             ('0x' || substr(md5(string_agg(tok, ' ' ORDER BY i)), 1, 15))::BIGINT
+               AS fingerprint
+      FROM ch GROUP BY doc_id, chunk_id
+    )
+    SELECT fingerprint,
+           count(*) AS n_occurrences,
+           count(DISTINCT doc_id) AS n_docs,
+           max(chunk_tokens) AS chunk_tokens
+    FROM reb GROUP BY 1 HAVING count(*) >= 3
+"""
+
+
+@query("cdc_shared_chunks", _CDC_CHUNK_ORACLE)
+def cdc_shared_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking + cross-document shared-chunk report
+    (functions/chunking.py::chunk_content_defined/shared_chunk_stats):
+    rolling-hash boundaries (expected chunk = 4 tokens) make identical
+    passages align to identical chunks regardless of position, so the
+    fingerprint groupBy inventories the corpus's dedup-able chunk mass.
+    One posexplode, a doc-keyed running-sum window, and two partial-agg
+    shuffles — no Python, no corpus-wide sort.
+    """
+    from pysyslog_lfc_spark.functions.chunking import (
+        chunk_content_defined,
+        shared_chunk_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    chunks = chunk_content_defined(docs, "doc_id", "text", divisor=4)
+    return shared_chunk_stats(chunks, min_occurrences=3)
+
+
+_CUMUSERS_ORACLE = """
+    WITH fs AS (
+      SELECT user_id, event_type, min(CAST(ts AS DATE)) AS first_day
+      FROM events GROUP BY 1, 2
+    ),
+    n AS (SELECT first_day, count(*) AS n_new FROM fs GROUP BY 1)
+    SELECT first_day, n_new,
+           sum(n_new) OVER (
+             ORDER BY first_day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS cum_users
+    FROM n
+"""
+
+
+@query("cumulative_new_users", _CUMUSERS_ORACLE)
+def cumulative_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact running distinct-entity count per day (entity =
+    (user, event_type) adoption pair) via the first-seen
+    decomposition: a running COUNT(DISTINCT) is not algebraic, but
+    min(first day) per entity IS — so the corpus takes one
+    entity-keyed partial-agg shuffle, the per-day new-entity counts
+    are |days| rows, and the cumulative window runs over that
+    calendar-bounded frame only (never the event stream).
+    """
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    first = ev.groupBy("user_id", "event_type").agg(
+        F.min(F.to_date("ts")).alias("first_day")
+    )
+    news = first.groupBy("first_day").agg(F.count(F.lit(1)).alias("n_new"))
+    # calendar-bounded frame: one row per day with data, never the corpus
+    w = Window.orderBy("first_day").rowsBetween(Window.unboundedPreceding, 0)
+    return news.withColumn("cum_users", F.sum("n_new").over(w))

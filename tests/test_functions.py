@@ -1414,3 +1414,43 @@ class TestPrivacy:
         # scale sanity: eps=0.5 noise is Laplace(2); |noise| median ~ 2 ln 2
         mags = sorted(abs(a[g]["noise_q3"]) / 1000.0 for g in a)
         assert mags[len(mags) // 2] < 20.0                     # loose but real bound
+
+
+class TestContentDefinedChunking:
+    def test_chunks_partition_the_doc_in_order(self, spark):
+        from pysyslog_lfc_spark.functions.chunking import chunk_content_defined
+
+        docs = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+            "doc_id long, text string",
+        )
+        out = chunk_content_defined(docs, divisor=2).orderBy("chunk_id").collect()
+        assert sum(r["chunk_tokens"] for r in out) == 8
+        assert [r["chunk_id"] for r in out] == list(range(len(out)))
+
+    def test_shared_passage_aligns_across_docs(self, spark):
+        from pysyslog_lfc_spark.functions.chunking import chunk_content_defined
+
+        # same passage at different offsets -> at least one identical
+        # interior chunk fingerprint (the point of content-defined
+        # boundaries: an insertion shifts only the chunk it lands in)
+        passage = "one two three four five six seven eight nine ten"
+        docs = spark.createDataFrame(
+            [(1, passage), (2, "PREFIXWORD " + passage)],
+            "doc_id long, text string",
+        )
+        out = chunk_content_defined(docs, divisor=2).collect()
+        fp1 = {r["fingerprint"] for r in out if r["doc_id"] == 1}
+        fp2 = {r["fingerprint"] for r in out if r["doc_id"] == 2}
+        assert fp1 & fp2
+
+    def test_partitioning_independent(self, spark):
+        from pysyslog_lfc_spark.functions.chunking import chunk_content_defined
+
+        docs = spark.createDataFrame(
+            [(i, f"w{i} common words here w{i+1} tail") for i in range(40)],
+            "doc_id long, text string",
+        )
+        a = sorted(map(tuple, chunk_content_defined(docs).collect()))
+        b = sorted(map(tuple, chunk_content_defined(docs.repartition(9)).collect()))
+        assert a == b
