@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "topk_orders",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_jaccard_prefix",
     "dedup_simhash",
     "dedup_simhash_wide",
     "dedup_embedding_cosine",

@@ -238,16 +238,31 @@ def minhash_lsh_pairs(
         .select(F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"))
         .distinct()
     )
-    # exact verification on candidates only. The candidate set is tiny
-    # relative to the corpus, so it broadcasts into the RAW doc scan
-    # BEFORE shingling — the id semi-join is a plain broadcast hash
-    # join on the scan, so the Arrow shingle kernel re-runs only over
-    # candidate docs (joining after _shingled would leave the kernel
-    # above the join and re-shingle the whole corpus), and the final
-    # equi-join moves candidate docs' arrays only. Deriving cand_ids
-    # re-plans the candidate subtree, but its expensive stages are the
-    # signature aggregation exchanges, which AQE reuses at runtime
-    # (verified: same wall time as a single evaluation at sf0.1).
+    # exact verification on candidates only (see _verify_jaccard_pairs).
+    # Deriving cand_ids re-plans the candidate subtree, but its
+    # expensive stages are the signature aggregation exchanges, which
+    # AQE reuses at runtime (verified: same wall time as a single
+    # evaluation at sf0.1).
+    return _verify_jaccard_pairs(df, cand, text_col, id_col, n, threshold)
+
+
+def _verify_jaccard_pairs(
+    df: DataFrame,
+    cand: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    threshold: float,
+) -> DataFrame:
+    """Exact-Jaccard verification of an (id_a, id_b) candidate set.
+
+    The candidate set is tiny relative to the corpus, so it broadcasts
+    into the RAW doc scan BEFORE shingling — the id semi-join is a
+    plain broadcast hash join on the scan, so the Arrow shingle kernel
+    re-runs only over candidate docs (joining after _shingled would
+    leave the kernel above the join and re-shingle the whole corpus),
+    and the final equi-join moves candidate docs' arrays only.
+    """
     cand_ids = (
         cand.select(F.col("id_a").alias(id_col))
         .unionByName(cand.select(F.col("id_b").alias(id_col)))
@@ -270,6 +285,52 @@ def minhash_lsh_pairs(
         .where(F.col("jaccard") >= threshold)
     )
     return verified.select("id_a", "id_b", "jaccard")
+
+
+def jaccard_prefix_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact shingle-set Jaccard pairs via PREFIX FILTERING (the
+    PPJoin family, Chaudhuri et al. 2006 / Xiao et al. 2008, public):
+    provably the same answer as the all-shared-shingle join, with
+    candidates bounded by the rare end of each document's shingle set.
+
+    The theorem: under any fixed global order of the shingle universe,
+    two sets with Jaccard >= t must share at least one element within
+    each one's first |S| - ceil(t|S|) + 1 ordered shingles. Shingle
+    arrays here are already sorted (functions/text.py::shingles), so
+    the lexicographic order IS the global order and the prefix is a
+    zero-cost ``slice`` — the equi-join runs on the prefix explode
+    only (vs every shingle in :func:`ngram_jaccard_pairs`), plus the
+    Jaccard length filter t*|A| <= |B| <= |A|/t inside the join. Exact
+    verification then removes false positives; completeness means
+    there are no false negatives to recover — the brute-force oracle
+    checks precisely that.
+    """
+    sh = _shingled(df, text_col, id_col, n)
+    p = (F.col("_n_sh") - F.ceil(F.lit(threshold) * F.col("_n_sh")) + 1).cast("int")
+    pre = sh.select(
+        "_id",
+        "_n_sh",
+        F.explode(F.call_function("slice", F.col("_sh"), F.lit(1), p)).alias("_s"),
+    )
+    a = pre.select(F.col("_id").alias("id_a"), F.col("_n_sh").alias("n_a"), "_s")
+    b = pre.select(F.col("_id").alias("id_b"), F.col("_n_sh").alias("n_b"), "_s")
+    cand = (
+        a.join(b, "_s")
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("n_b") >= F.ceil(F.lit(threshold) * F.col("n_a")))
+            & (F.col("n_b") * F.lit(threshold) <= F.col("n_a"))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return _verify_jaccard_pairs(df, cand, text_col, id_col, n, threshold)
 
 
 SIMHASH_BITS = 60  # 15 hex chars of md5 → agrees with the DuckDB oracle

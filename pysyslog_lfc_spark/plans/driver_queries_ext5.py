@@ -467,3 +467,24 @@ def cumulative_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     # calendar-bounded frame: one row per day with data, never the corpus
     w = Window.orderBy("first_day").rowsBetween(Window.unboundedPreceding, 0)
     return news.withColumn("cum_users", F.sum("n_new").over(w))
+
+
+from pysyslog_lfc_spark.plans.driver_queries import _JACCARD_ORACLE  # noqa: E402
+
+
+@query("dedup_jaccard_prefix", _JACCARD_ORACLE.format(t="0.5"))
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-set Jaccard pairs via prefix filtering
+    (functions/dedup.py::jaccard_prefix_pairs): the equi-join runs on
+    each document's first |S| - ceil(t|S|) + 1 sorted shingles instead
+    of all of them, plus the Jaccard length filter — provably
+    candidate-complete under the global shingle order, so the
+    brute-force oracle checking EXACT pair-set equality is also a
+    completeness proof of the filter. The third member of the Jaccard
+    family: all-shingle join (ngram), probabilistic bands (minhash),
+    prefix-filtered exact (this).
+    """
+    from pysyslog_lfc_spark.functions.dedup import jaccard_prefix_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return jaccard_prefix_pairs(docs, threshold=0.5)

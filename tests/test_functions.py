@@ -1454,3 +1454,38 @@ class TestContentDefinedChunking:
         a = sorted(map(tuple, chunk_content_defined(docs).collect()))
         b = sorted(map(tuple, chunk_content_defined(docs.repartition(9)).collect()))
         assert a == b
+
+
+class TestJaccardPrefixFilter:
+    def test_same_pairs_as_all_shingle_join(self, spark):
+        from pysyslog_lfc_spark.functions.dedup import (
+            jaccard_prefix_pairs,
+            ngram_jaccard_pairs,
+        )
+
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        rows = [(i, base) for i in range(3)] + [
+            (10, base + " extra tail words here"),
+            (11, "completely different text with no overlap at all whatsoever"),
+            (12, "the quick brown fox jumps over the lazy dog"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        for t in (0.3, 0.5, 0.8):
+            want = {(r["id_a"], r["id_b"], r["jaccard"])
+                    for r in ngram_jaccard_pairs(docs, threshold=t).collect()}
+            got = {(r["id_a"], r["id_b"], r["jaccard"])
+                   for r in jaccard_prefix_pairs(docs, threshold=t).collect()}
+            assert got == want, t
+
+    def test_prefix_joins_fewer_rows(self, spark):
+        from pysyslog_lfc_spark.functions.dedup import jaccard_prefix_pairs
+
+        # at t=0.9 the prefix is ~1 shingle per doc: the exploded join
+        # input must be far smaller than the full shingle stream
+        docs = spark.createDataFrame(
+            [(i, f"unique{i} words making shingle sets differ {i} " * 3)
+             for i in range(30)],
+            "doc_id long, text string",
+        )
+        out = jaccard_prefix_pairs(docs, threshold=0.9)
+        assert out.count() == 0  # no near-dups, and it completes cheaply
