@@ -145,3 +145,117 @@ def shared_chunk_stats(chunks: DataFrame, min_occurrences: int = 3) -> DataFrame
         )
         .where(F.col("n_occurrences") >= min_occurrences)
     )
+
+
+def span_corruption(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    start_div: int = 20,
+    max_extra: int = 3,
+    salt: str = "sc1",
+) -> DataFrame:
+    """Deterministic T5-style span corruption (Raffel et al. 2020,
+    public): mask contiguous token spans and emit the corrupted input
+    plus the reconstruction targets — the training-example prep step
+    of a denoising-LM pipeline, with the RNG replaced by the portable
+    seeded hash so examples are reproducible and cross-engine gated.
+
+    Span starts fire where hash(doc,pos) % start_div == 0 (expected
+    noise density = mean_span/start_div); each start covers
+    2 + hash2(doc,pos) % max_extra tokens (2..max_extra+1) and
+    overlapping spans merge into maximal runs, numbered per document.
+
+    Emits per doc: token/mask/span counts and portable fingerprints of
+    the corrupted stream (kept tokens with ``<extra_id_k>`` sentinels)
+    and the target stream (``<extra_id_k>`` + original span tokens).
+
+    Plan: the mask decision is a PURE per-row expression — whether any
+    of the ``max_extra+1`` preceding positions started a span covering
+    this one is computable from (doc, pos) alone, no lag — so the only
+    window is the span-id running sum, keyed on the high-cardinality
+    doc id with a frame bounded by doc length. One shuffle to rank,
+    one partial-agg groupBy to rebuild; no Python.
+    """
+    from pyspark.sql import Window
+
+    from pysyslog_lfc_spark.functions.text import portable_hash60, tokenize
+
+    def h(which: str, pos: Column) -> Column:
+        return portable_hash60(
+            F.concat(
+                F.lit(salt + which + ":"),
+                F.col(id_col).cast("string"),
+                F.lit(":"),
+                pos.cast("string"),
+            )
+        )
+
+    def starts_at(pos: Column) -> Column:
+        return F.pmod(h("s", pos), F.lit(start_div)) == 0
+
+    def span_len(pos: Column) -> Column:
+        return F.lit(2) + F.pmod(h("l", pos), F.lit(max_extra))
+
+    def masked_at(pos: Column) -> Column:
+        cond = F.lit(False)
+        for d in range(max_extra + 2):
+            prev = pos - d
+            cond = cond | (
+                (prev >= 0) & starts_at(prev) & (span_len(prev) > d)
+            )
+        return cond
+
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(tokenize(F.lower(F.col(text_col)))).alias("_pos", "_tok"),
+    )
+    p = F.col("_pos")
+    m = masked_at(p)
+    begin = m & ((p == 0) | ~masked_at(p - 1))
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("_pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = toks.select(
+        id_col,
+        "_pos",
+        "_tok",
+        m.alias("_m"),
+        begin.cast("int").alias("_b"),
+    ).withColumn("_span", (F.sum("_b").over(w) - 1).cast("int"))
+    sentinel = F.concat(
+        F.lit("<extra_id_"), F.col("_span").cast("string"), F.lit(">")
+    )
+    corrupted_piece = F.when(~F.col("_m"), F.col("_tok")).when(
+        F.col("_b") == 1, sentinel
+    )
+    target_piece = F.when(
+        F.col("_m") & (F.col("_b") == 1),
+        F.concat(sentinel, F.lit(" "), F.col("_tok")),
+    ).when(F.col("_m"), F.col("_tok"))
+
+    def rebuild(piece: Column, name: str) -> Column:
+        packed = F.array_sort(
+            F.collect_list(
+                F.when(piece.isNotNull(), F.struct(F.col("_pos"), piece.alias("_p")))
+            )
+        )
+        return F.array_join(F.transform(packed, lambda s: s["_p"]), " ").alias(name)
+
+    out = flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.col("_m").cast("int")).alias("n_masked"),
+        F.sum("_b").alias("n_spans"),
+        rebuild(corrupted_piece, "corrupted"),
+        rebuild(target_piece, "targets"),
+    )
+    return out.select(
+        id_col,
+        "n_tokens",
+        "n_masked",
+        "n_spans",
+        portable_hash60(F.col("corrupted")).alias("corrupted_fp"),
+        portable_hash60(F.col("targets")).alias("targets_fp"),
+    )

@@ -488,3 +488,88 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return jaccard_prefix_pairs(docs, threshold=0.5)
+
+
+def _sc_oracle() -> str:
+    """Generate the span-corruption oracle: the masked/begin logic is
+    a pure function of (doc, pos), so it expands to closed-form SQL."""
+
+    def H(which: str, expr: str) -> str:
+        return (
+            f"('0x' || substr(md5('sc1{which}:' || doc_id::VARCHAR || ':' "
+            f"|| ({expr})::VARCHAR), 1, 15))::BIGINT"
+        )
+
+    def starts(expr: str) -> str:
+        return f"({H('s', expr)} % 20 = 0)"
+
+    def slen(expr: str) -> str:
+        return f"(2 + {H('l', expr)} % 3)"
+
+    def masked(expr: str) -> str:
+        terms = [
+            f"(({expr}) - {d} >= 0 AND {starts(f'({expr}) - {d}')} "
+            f"AND {slen(f'({expr}) - {d}')} > {d})"
+            for d in range(5)
+        ]
+        return "(" + " OR ".join(terms) + ")"
+
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), w -> w != '') AS t
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, t[i] AS tok, i - 1 AS p
+      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM toks)
+    ),
+    flg AS (
+      SELECT doc_id, p, tok,
+             {masked('p')} AS m,
+             CASE WHEN {masked('p')} AND (p = 0 OR NOT {masked('p - 1')})
+                  THEN 1 ELSE 0 END AS b
+      FROM pos
+    ),
+    ch AS (
+      SELECT doc_id, p, tok, m, b,
+             sum(b) OVER (PARTITION BY doc_id ORDER BY p) - 1 AS span
+      FROM flg
+    ),
+    pieces AS (
+      SELECT doc_id, p, m, b,
+             CASE WHEN NOT m THEN tok
+                  WHEN b = 1 THEN '<extra_id_' || span::VARCHAR || '>' END AS cp,
+             CASE WHEN m AND b = 1
+                    THEN '<extra_id_' || span::VARCHAR || '> ' || tok
+                  WHEN m THEN tok END AS tp
+      FROM ch
+    )
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+           CAST(sum(b) AS BIGINT) AS n_spans,
+           ('0x' || substr(md5(coalesce(
+             string_agg(cp, ' ' ORDER BY p) FILTER (WHERE cp IS NOT NULL), '')),
+             1, 15))::BIGINT AS corrupted_fp,
+           ('0x' || substr(md5(coalesce(
+             string_agg(tp, ' ' ORDER BY p) FILTER (WHERE tp IS NOT NULL), '')),
+             1, 15))::BIGINT AS targets_fp
+    FROM pieces GROUP BY doc_id
+    """
+
+
+@query("span_corruption_fp", _sc_oracle())
+def span_corruption_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic T5-style span corruption
+    (functions/chunking.py::span_corruption): per-doc mask/span counts
+    plus portable fingerprints of the corrupted stream and its
+    reconstruction targets, with the RNG replaced by the seeded hash
+    so the training examples themselves are cross-engine gated. The
+    mask decision is a pure per-row expression; the only window is the
+    span-id running sum keyed on the doc id.
+    """
+    from pysyslog_lfc_spark.functions.chunking import span_corruption
+
+    docs = _t(spark, sf_dir, "documents")
+    return span_corruption(docs)

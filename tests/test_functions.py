@@ -1489,3 +1489,38 @@ class TestJaccardPrefixFilter:
         )
         out = jaccard_prefix_pairs(docs, threshold=0.9)
         assert out.count() == 0  # no near-dups, and it completes cheaply
+
+
+class TestSpanCorruption:
+    def test_counts_and_determinism(self, spark):
+        from pysyslog_lfc_spark.functions.chunking import span_corruption
+
+        docs = spark.createDataFrame(
+            [(i, " ".join(f"tok{i}w{j}" for j in range(60))) for i in range(30)],
+            "doc_id long, text string",
+        )
+        a = {r["doc_id"]: tuple(r) for r in span_corruption(docs).collect()}
+        b = {r["doc_id"]: tuple(r)
+             for r in span_corruption(docs.repartition(7)).collect()}
+        assert a == b                                  # partitioning-independent
+        total = sum(r[1] for r in a.values())
+        masked = sum(r[2] for r in a.values())
+        spans = sum(r[3] for r in a.values())
+        assert 0 < masked < total
+        # min span length is 2 -> spans can never exceed masked/2
+        assert spans * 2 <= masked
+        # expected density = mean_span/start_div = 3/20; loose envelope
+        assert 0.05 < masked / total < 0.35
+
+    def test_unmasked_doc_roundtrip(self, spark):
+        from pysyslog_lfc_spark.functions.chunking import span_corruption
+        from pysyslog_lfc_spark.functions.text import portable_hash60
+
+        docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        r = span_corruption(docs, start_div=10**9).collect()[0]
+        assert r["n_masked"] == 0 and r["n_spans"] == 0
+        # corrupted stream == original token stream when nothing masks
+        want = docs.select(
+            portable_hash60(F.lit("a b c")).alias("fp")
+        ).collect()[0]["fp"]
+        assert r["corrupted_fp"] == want
