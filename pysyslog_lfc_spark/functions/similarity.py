@@ -720,3 +720,52 @@ def rrf_fuse(
     if topk is not None:
         out = out.where(F.col("fused_rank") <= topk)
     return out
+
+
+def gram_matrix_int8(
+    df: DataFrame, vec_col: str = "embedding", dim: int = 64
+) -> DataFrame:
+    """Exact second-moment (Gram) matrix of the int8-quantized corpus:
+    G[i,j] = sum over vectors of q_i * q_j — the input to PCA /
+    whitening / covariance-based pruning of an embedding collection,
+    computed once per corpus. Quantization makes it INTEGER-exact:
+    |q| <= 127, so per-pair products are <= 16129 and the BIGINT sum is
+    overflow-safe to ~5e14 vectors — no float-summation-order
+    nondeterminism anywhere.
+
+    Scale shape (the treeAggregate pattern, DataFrame-native): each
+    Arrow batch folds to one dim x dim int64 matmul (numpy/BLAS), so
+    the exchange carries |batches| x dim^2 partial cells, NEVER the
+    corpus x dim^2 fan-out a naive double-explode would ship; the
+    final groupBy(idx) merge is a partial-agg shuffle over dim^2 keys.
+    Emits the upper triangle (i <= j, G symmetric).
+    """
+    import pandas as pd  # noqa: F401  (lazy: Arrow path only)
+
+    q = quantize_embeddings(df, vec_col)
+
+    def partial(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(
+                [np.asarray(v, dtype=np.int64) for v in pdf["q_vec"]]
+            )
+            G = X.T @ X
+            yield pd.DataFrame(
+                {"idx": np.arange(G.size, dtype=np.int64), "val": G.reshape(-1)}
+            )
+
+    parts = q.select("q_vec").mapInPandas(partial, "idx long, val long")
+    merged = parts.groupBy("idx").agg(F.sum("val").alias("g"))
+    return (
+        merged.select(
+            (F.col("idx") / dim).cast("int").alias("i"),
+            F.pmod(F.col("idx"), F.lit(dim)).cast("int").alias("j"),
+            "g",
+        )
+        .where(F.col("i") <= F.col("j"))
+    )

@@ -573,3 +573,44 @@ def span_corruption_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return span_corruption(docs)
+
+
+_GRAM_ORACLE = """
+    WITH e AS (
+      SELECT vec_id,
+             CAST(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+                  AS DOUBLE) / 127e0 AS q_scale,
+             embedding
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id,
+             CASE WHEN q_scale = 0e0
+                  THEN list_transform(embedding, x -> 0)
+                  ELSE list_transform(embedding,
+                         x -> CAST(floor(CAST(x AS DOUBLE) / q_scale + 0.5e0) AS INT))
+             END AS qv
+      FROM e
+    )
+    SELECT a.i - 1 AS i, b.j - 1 AS j,
+           CAST(sum(CAST(qv[a.i] AS BIGINT) * qv[b.j]) AS BIGINT) AS g
+    FROM q, unnest(generate_series(1, 64)) AS a(i),
+            unnest(generate_series(1, 64)) AS b(j)
+    WHERE a.i <= b.j
+    GROUP BY 1, 2
+"""
+
+
+@query("embedding_gram_matrix", _GRAM_ORACLE)
+def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact int8 Gram matrix of the embedding corpus
+    (functions/similarity.py::gram_matrix_int8): per-batch int64 BLAS
+    partials (the treeAggregate pattern), so the exchange moves
+    |batches| x dim^2 cells instead of the corpus x dim^2 double
+    explode the oracle runs — same integers, quadratically less
+    shuffle. Upper triangle only (G symmetric).
+    """
+    from pysyslog_lfc_spark.functions.similarity import gram_matrix_int8
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return gram_matrix_int8(emb, "embedding", dim=64)

@@ -1524,3 +1524,32 @@ class TestSpanCorruption:
             portable_hash60(F.lit("a b c")).alias("fp")
         ).collect()[0]["fp"]
         assert r["corrupted_fp"] == want
+
+
+class TestGramMatrix:
+    def test_matches_numpy_and_partitioning_independent(self, spark):
+        import numpy as np
+
+        from pysyslog_lfc_spark.functions.similarity import gram_matrix_int8
+
+        rng = [[float((i * 7 + j * 3) % 11 - 5) for j in range(4)] for i in range(50)]
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(rng)], "vec_id long, embedding array<float>"
+        )
+        got = {(r["i"], r["j"]): r["g"]
+               for r in gram_matrix_int8(df, dim=4).collect()}
+        # replicate quantization + exact integer gram in numpy
+        Q = []
+        for v in rng:
+            a = np.asarray(v, dtype=np.float64)
+            m = float(np.max(np.abs(a)))
+            scale = m / 127.0 if m else 0.0
+            Q.append(np.floor(a / scale + 0.5).astype(np.int64) if scale else
+                     np.zeros(4, dtype=np.int64))
+        G = np.stack(Q).T @ np.stack(Q)
+        for (i, j), g in got.items():
+            assert i <= j and g == int(G[i, j])
+        assert len(got) == 10  # upper triangle of 4x4
+        b = {(r["i"], r["j"]): r["g"]
+             for r in gram_matrix_int8(df.repartition(7), dim=4).collect()}
+        assert b == got
