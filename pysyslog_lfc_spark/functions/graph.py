@@ -98,3 +98,64 @@ def pagerank_int(
             )
         )
     return ranks.select("node", "rank_micro")
+
+
+def triangle_count(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Exact global triangle count by degree orientation (the
+    node-iterator++ / forward algorithm, Schank & Wagner 2005, public):
+    orient every undirected edge from its lower-degree endpoint to the
+    higher (ties by id), enumerate wedges by self-joining the oriented
+    adjacency on the pivot, and close each wedge against the oriented
+    edge list.
+
+    Why this survives scale: orientation bounds every out-degree by
+    O(sqrt(m)), so the wedge join's fan-out is O(m^1.5) worst case —
+    the un-oriented wedge join would square the max degree instead
+    (a celebrity node with 10^7 followers makes 10^14 wedges
+    un-oriented, ~10^7 oriented). Every join is a keyed equi-join.
+
+    Emits one row: (n_nodes, n_edges, n_triangles).
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("u"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("n"))
+        .unionAll(und.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    w = und.join(du, "u").join(dv, "v")
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = w.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+    )
+    # wedges pivoting on a: (a -> b1, a -> b2), b1 < b2 canonically
+    o1 = oriented.select(F.col("a"), F.col("b").alias("b1"))
+    o2 = oriented.select(F.col("a"), F.col("b").alias("b2"))
+    wedges = o1.join(o2, "a").where(F.col("b1") < F.col("b2"))
+    # close the wedge: the third edge may be oriented either way
+    closer = oriented.select(
+        F.col("a").alias("b1"), F.col("b").alias("b2")
+    ).unionAll(
+        oriented.select(F.col("b").alias("b1"), F.col("a").alias("b2"))
+    )  # the two directional sets are disjoint: no dedup needed
+    tri = wedges.join(closer, ["b1", "b2"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    counts = und.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
+        deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+    return counts.crossJoin(tri).select("n_nodes", "n_edges", "n_triangles")

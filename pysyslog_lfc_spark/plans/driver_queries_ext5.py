@@ -614,3 +614,54 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return gram_matrix_int8(emb, "embedding", dim=64)
+
+
+_TRIANGLE_ORACLE = """
+    WITH g AS (
+      SELECT DISTINCT user_id, event_type,
+             epoch_us(ts) // (14400::BIGINT * 1000000) AS bin
+      FROM events
+    ),
+    e AS (
+      SELECT DISTINCT a.user_id AS u, b.user_id AS v
+      FROM g a JOIN g b
+        ON a.event_type = b.event_type AND a.bin = b.bin
+       AND a.user_id < b.user_id
+    ),
+    nn AS (
+      SELECT count(DISTINCT n) AS n_nodes FROM (
+        SELECT u AS n FROM e UNION ALL SELECT v FROM e
+      )
+    ),
+    ne AS (SELECT count(*) AS n_edges FROM e),
+    t AS (
+      SELECT count(*) AS n_triangles
+      FROM e ab
+      JOIN e bc ON ab.v = bc.u
+      JOIN e ac ON ac.u = ab.u AND ac.v = bc.v
+    )
+    SELECT n_nodes, n_edges, n_triangles FROM nn, ne, t
+"""
+
+
+@query("triangle_count_cooccur", _TRIANGLE_ORACLE)
+def triangle_count_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count (functions/graph.py::triangle_count) over
+    the user co-occurrence graph (edge = two users active in the same
+    (event_type, 4h bin)). Degree orientation bounds wedge fan-out by
+    O(sqrt(m)) per node — the celebrity-node defense the oracle's
+    brute triple-join doesn't have — while producing the same count.
+    """
+    from pysyslog_lfc_spark.functions.graph import triangle_count
+
+    ev = _t(spark, sf_dir, "events")
+    g = ev.select(
+        "user_id",
+        "event_type",
+        (F.floor(F.unix_micros(F.col("ts").cast("timestamp"))
+                 / F.lit(14400 * 1_000_000))).alias("bin"),
+    ).distinct()
+    a = g.select(F.col("user_id").alias("src"), "event_type", "bin")
+    b = g.select(F.col("user_id").alias("dst"), "event_type", "bin")
+    edges = a.join(b, ["event_type", "bin"]).where(F.col("src") < F.col("dst"))
+    return triangle_count(edges)

@@ -1553,3 +1553,31 @@ class TestGramMatrix:
         b = {(r["i"], r["j"]): r["g"]
              for r in gram_matrix_int8(df.repartition(7), dim=4).collect()}
         assert b == got
+
+
+class TestTriangleCount:
+    def _count(self, spark, edge_list):
+        from pysyslog_lfc_spark.functions.graph import triangle_count
+
+        df = spark.createDataFrame(edge_list, "src long, dst long")
+        return triangle_count(df).collect()[0]
+
+    def test_known_graphs(self, spark):
+        # K4 has 4 triangles
+        k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+        r = self._count(spark, k4)
+        assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (4, 6, 4)
+        # a path has none
+        r = self._count(spark, [(1, 2), (2, 3), (3, 4)])
+        assert r["n_triangles"] == 0
+        # duplicate/reversed/self edges collapse
+        r = self._count(spark, [(1, 2), (2, 1), (2, 3), (1, 3), (3, 3), (1, 3)])
+        assert (r["n_edges"], r["n_triangles"]) == (3, 1)
+
+    def test_star_plus_rim(self, spark):
+        # hub connected to 6 rim nodes, rim wired as a cycle:
+        # each rim edge closes exactly one triangle with the hub
+        hub = [(0, i) for i in range(1, 7)]
+        rim = [(i, i % 6 + 1) for i in range(1, 7)]
+        r = self._count(spark, hub + rim)
+        assert r["n_triangles"] == 6
