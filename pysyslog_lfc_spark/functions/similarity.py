@@ -769,3 +769,60 @@ def gram_matrix_int8(
         )
         .where(F.col("i") <= F.col("j"))
     )
+
+
+def jl_project_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 16,
+    salt: str = "jl",
+) -> DataFrame:
+    """Johnson-Lindenstrauss sign-random-projection of the quantized
+    corpus to ``k`` dimensions (Achlioptas 2003, public: +/-1 entries
+    preserve pairwise distances in expectation) — the cheap dimension
+    reduction before clustering/ANN when 64+ dims are overkill.
+
+    Deterministic and INTEGER-exact: the projection matrix entry
+    S[i,j] is the sign of the portable md5 hash of (salt, j, i), and
+    the input is the int8-quantized vector, so each output coordinate
+    is an exact BIGINT dot product — reproducible across engines,
+    partitionings, and aggregation orders.
+
+    Plan: one Arrow batch = one (n x dim) @ (dim x k) int64 matmul;
+    the sign matrix is derived once per batch from the same md5 rule
+    the DuckDB oracle replays. Zero shuffles — projection is
+    embarrassingly parallel.
+    """
+    q = quantize_embeddings(df, vec_col)
+
+    def project(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        S = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["q_vec"]])
+            if S is None or S.shape[0] != X.shape[1]:
+                dim = X.shape[1]
+                S = np.empty((dim, k), dtype=np.int64)
+                for j in range(k):
+                    for i in range(dim):
+                        h = int(
+                            hashlib.md5(
+                                f"{salt}:{j}:{i}".encode()
+                            ).hexdigest()[:15],
+                            16,
+                        )
+                        S[i, j] = 1 if h % 2 == 0 else -1
+            P = X @ S
+            yield pd.DataFrame(
+                {"vec_id": pdf[id_col].values, "proj": list(P)}
+            )
+
+    cols = q.select(F.col(id_col), "q_vec")
+    return cols.mapInPandas(project, f"{id_col} long, proj array<long>")

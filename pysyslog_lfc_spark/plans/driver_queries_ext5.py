@@ -665,3 +665,54 @@ def triangle_count_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = g.select(F.col("user_id").alias("dst"), "event_type", "bin")
     edges = a.join(b, ["event_type", "bin"]).where(F.col("src") < F.col("dst"))
     return triangle_count(edges)
+
+
+_JL_ORACLE = """
+    WITH e AS (
+      SELECT vec_id,
+             CAST(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+                  AS DOUBLE) / 127e0 AS q_scale,
+             embedding
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id,
+             CASE WHEN q_scale = 0e0
+                  THEN list_transform(embedding, x -> 0)
+                  ELSE list_transform(embedding,
+                         x -> CAST(floor(CAST(x AS DOUBLE) / q_scale + 0.5e0) AS INT))
+             END AS qv
+      FROM e
+    ),
+    signs AS (
+      SELECT j.j, i.i,
+             CASE WHEN ('0x' || substr(md5('jl:' || (j.j - 1)::VARCHAR || ':'
+                        || (i.i - 1)::VARCHAR), 1, 15))::BIGINT % 2 = 0
+                  THEN 1 ELSE -1 END AS s
+      FROM unnest(generate_series(1, 16)) AS j(j),
+           unnest(generate_series(1, 64)) AS i(i)
+    ),
+    proj AS (
+      SELECT q.vec_id, signs.j,
+             CAST(sum(CAST(qv[signs.i] AS BIGINT) * signs.s) AS BIGINT) AS p
+      FROM q, signs
+      GROUP BY q.vec_id, signs.j
+    )
+    SELECT vec_id, list(p ORDER BY j) AS proj
+    FROM proj GROUP BY vec_id
+"""
+
+
+@query("embedding_jl_project", _JL_ORACLE)
+def embedding_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic JL sign projection to 16 dims
+    (functions/similarity.py::jl_project_int8): int8-quantized inputs
+    and md5-derived +/-1 entries make every output coordinate an exact
+    BIGINT, so the reduced vectors themselves are cross-engine gated.
+    One integer matmul per Arrow batch, zero shuffles — vs the
+    oracle's corpus x dim x k explode.
+    """
+    from pysyslog_lfc_spark.functions.similarity import jl_project_int8
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return jl_project_int8(emb, "embedding", "vec_id", k=16)

@@ -1581,3 +1581,22 @@ class TestTriangleCount:
         rim = [(i, i % 6 + 1) for i in range(1, 7)]
         r = self._count(spark, hub + rim)
         assert r["n_triangles"] == 6
+
+
+class TestJlProjection:
+    def test_exact_and_distance_preserving(self, spark):
+        import numpy as np
+
+        from pysyslog_lfc_spark.functions.similarity import jl_project_int8
+
+        rows = [(i, [float(((i + 1) * (j + 3)) % 17 - 8) for j in range(64)])
+                for i in range(40)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        a = {r["vec_id"]: r["proj"] for r in jl_project_int8(df, k=16).collect()}
+        b = {r["vec_id"]: r["proj"]
+             for r in jl_project_int8(df.repartition(5), k=16).collect()}
+        assert a == b and all(len(v) == 16 for v in a.values())
+        # sign projections preserve relative distances loosely: a vector
+        # is closer to itself+noise than to an unrelated vector
+        v0 = np.array(a[0]); v1 = np.array(a[1])
+        assert np.linalg.norm(v0 - v0) < np.linalg.norm(v0 - v1)
