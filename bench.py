@@ -43,6 +43,8 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_jaccard_prefix",
+    "span_corruption_fp",
+    "embedding_gram_matrix",
     "dedup_simhash",
     "dedup_simhash_wide",
     "dedup_embedding_cosine",

@@ -472,7 +472,7 @@ def cumulative_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 from pysyslog_lfc_spark.plans.driver_queries import _JACCARD_ORACLE  # noqa: E402
 
 
-@query("dedup_jaccard_prefix", _JACCARD_ORACLE.format(t="0.5"))
+@query("dedup_jaccard_prefix", _JACCARD_ORACLE.format(t="0.8"))
 def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram-set Jaccard pairs via prefix filtering
     (functions/dedup.py::jaccard_prefix_pairs): the equi-join runs on
@@ -483,11 +483,19 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     completeness proof of the filter. The third member of the Jaccard
     family: all-shingle join (ngram), probabilistic bands (minhash),
     prefix-filtered exact (this).
+
+    Threshold 0.8: the prefix is |S|/5, not the |S|/2 a 0.5 threshold
+    would demand. Crossover note (measured at sf0.1): on this fixture
+    — short docs, dense vocabulary — the all-shingle count-join is
+    still faster in absolute terms, because prefix filtering pays a
+    second shingle pass and a candidate distinct; its win is
+    asymptotic, when shingle sets are large and qualifying pairs
+    sparse, which is exactly the 100 TB regime.
     """
     from pysyslog_lfc_spark.functions.dedup import jaccard_prefix_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    return jaccard_prefix_pairs(docs, threshold=0.5)
+    return jaccard_prefix_pairs(docs, threshold=0.8)
 
 
 def _sc_oracle() -> str:

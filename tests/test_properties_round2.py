@@ -1,0 +1,119 @@
+"""Property-based checks for the round-2 session additions: the
+prefix-filtered Jaccard join must equal the all-shingle join on ANY
+corpus (completeness is a theorem, so hypothesis hunts for a
+counterexample), and gapfill/CDC must match a straightforward Python
+replay of their specs under arbitrary inputs.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F  # noqa: F401
+
+T0 = dt.datetime(2024, 1, 1)
+
+WORDS = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+
+doc_strategy = st.lists(
+    st.lists(st.sampled_from(WORDS), min_size=3, max_size=10),
+    min_size=2,
+    max_size=8,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(docs=doc_strategy, t=st.sampled_from([0.3, 0.5, 0.8]))
+def test_prefix_filter_complete_on_any_corpus(spark, docs, t):
+    from pysyslog_lfc_spark.functions.dedup import (
+        jaccard_prefix_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    want = {(r["id_a"], r["id_b"], r["jaccard"])
+            for r in ngram_jaccard_pairs(df, threshold=t).collect()}
+    got = {(r["id_a"], r["id_b"], r["jaccard"])
+           for r in jaccard_prefix_pairs(df, threshold=t).collect()}
+    assert got == want
+
+
+event_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),        # key
+        st.integers(min_value=0, max_value=50_000),   # ts offset seconds
+        st.integers(min_value=-100, max_value=100),   # value
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(events=event_strategy)
+def test_gapfill_matches_python_replay(spark, events):
+    from pysyslog_lfc_spark.operators.sessions import gapfill_locf
+
+    step = 3600
+    rows = [
+        (k, T0 + dt.timedelta(seconds=off), float(v), i)
+        for i, (k, off, v) in enumerate(events)
+    ]
+    df = spark.createDataFrame(rows, "k int, ts timestamp, value double, eid int")
+    got = {(r["k"], r["bin_es"]): (r["value"], r["is_gap"])
+           for r in gapfill_locf(df, ["k"], "ts", "value", step, "eid").collect()}
+
+    # replay the spec in plain python
+    base = int(T0.replace(tzinfo=dt.timezone.utc).timestamp())
+    per_key: dict[int, dict[int, tuple]] = {}
+    for k, off, v in [(r[0], (r[1] - T0).total_seconds(), r[2]) for r in rows]:
+        b = base + int(off // step) * step
+        cur = per_key.setdefault(k, {})
+        cur[b] = max(cur.get(b, ()), (off, v))  # later (ts, order) wins
+    want = {}
+    for k, bins in per_key.items():
+        lo, hi = min(bins), max(bins)
+        last = None
+        for b in range(lo, hi + step, step):
+            if b in bins:
+                last = bins[b][1]
+                want[(k, b)] = (last, False)
+            else:
+                want[(k, b)] = (last, True)
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(events=event_strategy)
+def test_cdc_latest_matches_python_replay(spark, events):
+    from pysyslog_lfc_spark.operators.sessions import cdc_latest_state
+
+    ops = ["upsert", "delete"]
+    rows = [
+        (k, T0 + dt.timedelta(seconds=off), ops[v % 2], float(v), i)
+        for i, (k, off, v) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "k int, ts timestamp, op string, value double, eid int"
+    )
+    got = {r["k"]: (r["last_op"], r["value"], r["n_changes"])
+           for r in cdc_latest_state(
+               df, ["k"], "ts", "op", ["delete"], ["value"], "eid").collect()}
+
+    latest: dict[int, tuple] = {}
+    counts: dict[int, int] = {}
+    for k, ts, op, v, eid in rows:
+        counts[k] = counts.get(k, 0) + 1
+        cand = (ts, eid, op, v)
+        if k not in latest or cand > latest[k]:
+            latest[k] = cand
+    want = {
+        k: (op, v, counts[k])
+        for k, (_, _, op, v) in latest.items()
+        if op != "delete"
+    }
+    assert got == want
