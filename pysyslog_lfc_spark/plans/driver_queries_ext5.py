@@ -1,10 +1,14 @@
-"""Driver-query registrations, round-2 session-10 batch.
+"""Driver-query registrations, round-2 sessions 10-11 batch.
 
 Imported by :mod:`pysyslog_lfc_spark.plans.driver_queries` (bottom of
 file) so these register into the same ``_QUERIES``/``_ORACLES`` maps.
-This batch: length-bucketed batch planning with an exact padding-waste
-report (the dynamic-batching alternative to packing for variable-length
-training) and the single-pass ANALYZE-style column profiler.
+This batch: length-bucketed batch planning + padding-waste report,
+single-pass column profiler, time-series gap-fill (LOCF), CDC
+latest-wins state, BM25 retrieval, inverted-index postings,
+k-anonymity + DP noisy counts, content-defined chunking + shared-chunk
+inventory, running distinct entities, prefix-filtered exact Jaccard,
+T5-style span corruption, int8 Gram matrix, JL sign projection, and
+degree-oriented triangle counting.
 """
 
 from __future__ import annotations
