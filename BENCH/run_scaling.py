@@ -5,7 +5,7 @@ efficiency >= 0.8).
 
 Each run is a fresh ``spark-submit --py-files`` JVM, exactly the
 packaging the north rule prescribes. Input is generated once (seeded)
-and reused by both runs. Writes BENCH/BASELINE.md and prints one JSON
+and reused by both runs. Writes BENCH/LAST_RUN.md and prints one JSON
 line.
 
 Usage: python BENCH/run_scaling.py [--rows 800000] [--low 8 --high 32]
@@ -75,7 +75,7 @@ def main() -> int:
         "--parse-only",
         action="store_true",
         help="compute-bound probe (pipeline_job --parse-only): no fan-out "
-        "write; prints JSON only, does NOT rewrite BENCH/BASELINE.md",
+        "write; prints JSON only, does NOT write BENCH/LAST_RUN.md",
     )
     ap.add_argument(
         "--workdir",
@@ -184,7 +184,9 @@ Method notes (why these knobs):
 - interleaved runs, best-of-{args.repeats} per level: the shared host's
   throughput drifts 2-4x on minute timescales.
 """
-        (REPO / "BENCH" / "BASELINE.md").write_text(md)
+        # BASELINE.md is the curated measurement HISTORY — clobbering it
+        # would erase prior runs; latest-run markdown goes to LAST_RUN.md
+        (REPO / "BENCH" / "LAST_RUN.md").write_text(md)
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return 0
