@@ -728,3 +728,48 @@ def embedding_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return jl_project_int8(emb, "embedding", "vec_id", k=16)
+
+
+_ROLLING_AU_ORACLE = """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM ud),
+    w AS (
+      SELECT days.d AS window_end, ud.user_id
+      FROM days JOIN ud
+        ON ud.d <= days.d AND ud.d >= days.d - INTERVAL 6 DAY
+    )
+    SELECT window_end, count(DISTINCT user_id) AS active_users
+    FROM w GROUP BY window_end
+"""
+
+
+@query("rolling_active_users", _ROLLING_AU_ORACLE)
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing-7-day active users per day (rolling WAU). A
+    sliding COUNT(DISTINCT) has no algebraic window form, so the scale
+    shape is contribute-explode: the event stream first collapses to
+    distinct (user, day) — one partial-agg shuffle does ALL the volume
+    reduction — then each user-day replicates to the <=7 window ends
+    it can serve (a bounded sequence/explode, x7 worst case on the
+    already-tiny user-day set), and a final distinct-count per window
+    end runs over that. The oracle's range join computes the same
+    thing quadratically; at 10^12 events the user-day collapse is what
+    makes the explode affordable.
+    """
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    days = ud.select("d").distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+        ).alias("window_end"),
+    )
+    return (
+        contrib.join(F.broadcast(days.withColumnRenamed("d", "window_end")),
+                     "window_end")
+        .groupBy("window_end")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
