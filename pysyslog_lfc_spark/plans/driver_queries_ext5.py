@@ -773,3 +773,61 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("window_end")
         .agg(F.countDistinct("user_id").alias("active_users"))
     )
+
+
+_FERTILITY_ORACLE = r"""
+    WITH t AS (
+      SELECT lang,
+             length(text) AS n_chars_txt,
+             len(list_filter(string_split_regex(lower(text), '\s+'),
+                 w -> w != '')) AS n_words,
+             list_sum(list_transform(
+               list_filter(string_split_regex(lower(text), '\s+'), w -> w != ''),
+               w -> CAST(1 + floor((length(w) - 1) / 4) AS BIGINT))) AS n_bpeish
+      FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS words,
+           CAST(sum(n_bpeish) AS BIGINT) AS bpeish_tokens,
+           CAST(sum(n_chars_txt) AS BIGINT) AS chars,
+           CAST(floor(1000.0 * sum(n_chars_txt) / sum(n_bpeish)) AS BIGINT)
+             AS chars_per_token_permille,
+           CAST(floor(1000.0 * sum(n_bpeish) / sum(n_words)) AS BIGINT)
+             AS fertility_permille
+    FROM t GROUP BY lang
+"""
+
+
+@query("tokenizer_fertility_by_lang", _FERTILITY_ORACLE)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility report per language: sub-word tokens per
+    word (fertility) and chars per token — the standard tokenizer-
+    efficiency metric when budgeting a multilingual corpus (a language
+    with 2x fertility costs 2x context window per word). Uses the
+    BPE-ish proxy counter (functions/text.py::bpe_ish_token_count —
+    ANSI-expressible, so the whole report is oracle-gated); ratios
+    export as floor-permille integers. One partial-agg shuffle over
+    |langs| keys.
+    """
+    from pysyslog_lfc_spark.functions.text import bpe_ish_token_count, token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang",
+        F.length("text").alias("n_chars_txt"),
+        token_count(F.lower(F.col("text"))).alias("n_words"),
+        bpe_ish_token_count(F.lower(F.col("text"))).cast("long").alias("n_bpeish"),
+    )
+    return t.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").cast("long").alias("words"),
+        F.sum("n_bpeish").cast("long").alias("bpeish_tokens"),
+        F.sum("n_chars_txt").cast("long").alias("chars"),
+        F.floor(
+            F.lit(1000.0) * F.sum("n_chars_txt") / F.sum("n_bpeish")
+        ).cast("long").alias("chars_per_token_permille"),
+        F.floor(
+            F.lit(1000.0) * F.sum("n_bpeish") / F.sum("n_words")
+        ).cast("long").alias("fertility_permille"),
+    )
