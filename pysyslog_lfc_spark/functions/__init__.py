@@ -37,3 +37,8 @@ from pysyslog_lfc_spark.functions.urls import (  # noqa: F401
     url_dedup,
 )
 from pysyslog_lfc_spark.functions.graph import pagerank_int  # noqa: F401
+from pysyslog_lfc_spark.functions.match import (  # noqa: F401
+    collocation_pmi,
+    phrase_blocklist,
+    phrase_hits,
+)

@@ -1,0 +1,185 @@
+"""Multi-phrase matching: keyword/phrase blocklist scan over documents.
+
+Training corpora are routinely screened against multi-word phrase lists
+(C4 filters against a public "bad words" list, Raffel 2020 §2.2; most
+production curation stacks carry domain-specific phrase blocklists with
+10^3-10^5 entries). A regex alternation of P phrases costs O(P·len)
+per document and recompiles per task; per-phrase `contains` passes scan
+the corpus P times. This module matches ALL phrases in one corpus pass
+at word granularity:
+
+  1. phrases normalize to lowercase word sequences (plan-time, Python —
+     the blocklist is config, like the reference's filter patterns,
+     src/pysyslog/filters/field.py:28-39);
+  2. each document explodes its word n-grams once per distinct phrase
+     LENGTH present in the list (usually 1-5 distinct lengths, one
+     map-side `transform`+`slice` expression each — no shuffle, no
+     Python);
+  3. one broadcast hash join of the exploded gram stream against the
+     normalized phrase dim yields every (doc, phrase) occurrence; a
+     partial-aggregated groupBy counts hits.
+
+100 TB shape: the corpus never shuffles — the explode and the
+broadcast probe are map-side; the only exchange carries (doc, phrase)
+HIT rows, which for a blocklist is a vanishing fraction of the corpus.
+Fan-out is sum over distinct lengths of ~n_words grams per doc, the
+same envelope as decontamination shingling (functions/decontaminate.py),
+and the gram stream is generated lazily inside the explode, never
+materialized per row.
+
+Matching is at word-boundary granularity (the standard blocklist
+semantics — "ass" must not hit "associate"): a phrase of L words hits
+wherever its lowercase word sequence equals L consecutive document
+words under whitespace tokenization (functions/text.py::tokenize).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from pysyslog_lfc_spark.functions.text import tokenize
+
+
+def word_grams(words: Column, n: int) -> Column:
+    """All word n-grams of ``words`` joined by single spaces, WITH
+    multiplicity and in stream order (unlike text.shingles, which
+    dedups and sorts — hit counting needs every occurrence)."""
+    k = F.size(words) - (n - 1)
+    return F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.array_join(F.slice(words, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def normalize_phrases(phrases: Sequence[str]) -> dict[str, tuple[str, int]]:
+    """Plan-time normalization: original phrase -> (lowercase
+    space-joined word sequence, word count). Empty/whitespace-only
+    phrases are rejected (mirrors the reference's plan-time filter
+    validation, src/pysyslog/filters/field.py:28-39)."""
+    out: dict[str, tuple[str, int]] = {}
+    for p in phrases:
+        ws = p.lower().split()
+        if not ws:
+            raise ValueError(f"blocklist phrase is empty: {p!r}")
+        out[p] = (" ".join(ws), len(ws))
+    return out
+
+
+def _phrase_dim(spark: SparkSession, phrases: Sequence[str]) -> DataFrame:
+    norm = normalize_phrases(phrases)
+    rows = [(orig, gram) for orig, (gram, _) in norm.items()]
+    return spark.createDataFrame(rows, "phrase string, _gram string")
+
+
+def phrase_hits(
+    corpus: DataFrame,
+    phrases: Sequence[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One row per (document, phrase) with the exact occurrence count:
+    ``(id_col, phrase, n_hits)``. Overlapping occurrences count once
+    per start position. Only documents with >=1 hit appear."""
+    norm = normalize_phrases(phrases)
+    lengths = sorted({ln for _, ln in norm.values()})
+    dim = _phrase_dim(corpus.sparkSession, phrases)
+    words = tokenize(F.lower(F.col(text_col)))
+    grams = F.flatten(F.array(*[word_grams(words, n) for n in lengths]))
+    doc_grams = corpus.select(F.col(id_col), F.explode(grams).alias("_gram"))
+    return (
+        doc_grams.join(F.broadcast(dim), "_gram")
+        .groupBy(id_col, "phrase")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+
+
+def phrase_blocklist(
+    corpus: DataFrame,
+    phrases: Sequence[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Drop every document containing any blocklist phrase (C4-style
+    page-level removal). Anti-join against the hit list — the hit list
+    is at most the blocked subset, so the plan stays broadcast-shaped."""
+    bad = phrase_hits(corpus, phrases, id_col, text_col).select(id_col).distinct()
+    return corpus.join(bad, id_col, "left_anti")
+
+
+def collocation_pmi(
+    corpus: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 100,
+) -> DataFrame:
+    """Top-k adjacent-word collocations by pointwise mutual information
+    (Church & Hanks 1990): PMI(x,y) = ln( p(x,y) / (p(x)p(y)) ) with
+    p(x,y) over the bigram stream and p(x), p(y) over the unigram
+    stream. Returns ``(w1, w2, n_pair, pmi_permille)`` ordered by PMI
+    desc then (w1, w2) — ties and output are integer-exact counts plus
+    a permille-floored log, the engine-portable convention used by
+    kl_source_unigram (functions/reporting.py).
+
+    Plan shape: one map-side bigram explode -> (w1,w2) hash agg (the
+    only corpus-sized exchange, partial-aggregated map-side and pruned
+    by ``min_count`` BEFORE the joins); unigram counts from a second
+    explode agg; the bigram frame joins unigram counts on w1 then w2 —
+    both frames are vocabulary-sized, never corpus-sized; grand totals
+    ride a broadcast single-row aggregate; top-k plans as
+    TakeOrderedAndProject. No per-word window, no driver actions.
+    """
+    words = corpus.select(tokenize(F.lower(F.col(text_col))).alias("_ws"))
+    uni = (
+        words.select(F.explode("_ws").alias("_w"))
+        .groupBy("_w")
+        .agg(F.count(F.lit(1)).alias("_n_w"))
+    )
+    bi = (
+        words.select(F.explode(word_grams(F.col("_ws"), 2)).alias("_g"))
+        .groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .where(F.col("n_pair") >= min_count)
+        .select(
+            F.split("_g", " ").getItem(0).alias("w1"),
+            F.split("_g", " ").getItem(1).alias("w2"),
+            "n_pair",
+        )
+    )
+    n_uni = words.select(F.explode("_ws").alias("_w")).agg(
+        F.count(F.lit(1)).alias("_n_uni")
+    )
+    # the bigram total must include pairs below min_count, so it cannot
+    # come from the pruned frame; sum of per-doc max(len-1, 0) is
+    # algebraic and needs no second explode.
+    n_bi = words.agg(
+        F.sum(F.greatest(F.size("_ws") - 1, F.lit(0))).alias("_n_bi")
+    )
+    scored = (
+        bi.join(uni.withColumnRenamed("_w", "w1").withColumnRenamed("_n_w", "_n1"), "w1")
+        .join(uni.withColumnRenamed("_w", "w2").withColumnRenamed("_n_w", "_n2"), "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+        .select(
+            "w1",
+            "w2",
+            F.col("n_pair").cast("long").alias("n_pair"),
+            F.floor(
+                (
+                    F.log(F.col("n_pair") / F.col("_n_bi"))
+                    - F.log(F.col("_n1") / F.col("_n_uni"))
+                    - F.log(F.col("_n2") / F.col("_n_uni"))
+                )
+                * 1000
+            )
+            .cast("long")
+            .alias("pmi_permille"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi_permille").desc(), F.col("w1"), F.col("w2")
+    ).limit(top_k)

@@ -1,0 +1,109 @@
+"""Driver-query registrations, round-2 session-12 batch.
+
+Imported by :mod:`pysyslog_lfc_spark.plans.driver_queries` (bottom of
+file) so these register into the same ``_QUERIES``/``_ORACLES`` maps.
+This batch: multi-phrase blocklist scan (word-boundary hit counts via
+one broadcast gram join) and adjacent-word collocation PMI.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pysyslog_lfc_spark.functions.match import collocation_pmi, phrase_hits
+from pysyslog_lfc_spark.plans.driver_queries import _t, query
+
+# Mixed-case originals prove plan-time normalization; lengths 1/2/3
+# exercise one gram expression per distinct phrase length.
+_BLOCKLIST = ["window", "Big Table", "slow query", "merge batch part"]
+
+_PHRASE_ORACLE = r"""
+    WITH p(phrase, gram, l) AS (
+      VALUES ('window', 'window', 1),
+             ('Big Table', 'big table', 2),
+             ('slow query', 'slow query', 2),
+             ('merge batch part', 'merge batch part', 3)
+    ),
+    toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), w -> w != '') AS ws
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, array_to_string(ws[i : i + 0], ' ') AS gram
+      FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM toks)
+      UNION ALL
+      SELECT doc_id, array_to_string(ws[i : i + 1], ' ') AS gram
+      FROM (SELECT doc_id, ws, unnest(range(1, greatest(len(ws), 1))) AS i FROM toks)
+      UNION ALL
+      SELECT doc_id, array_to_string(ws[i : i + 2], ' ') AS gram
+      FROM (SELECT doc_id, ws, unnest(range(1, greatest(len(ws) - 1, 1))) AS i FROM toks)
+    )
+    SELECT g.doc_id, p.phrase, CAST(count(*) AS BIGINT) AS n_hits
+    FROM g JOIN p ON g.gram = p.gram
+    GROUP BY g.doc_id, p.phrase
+"""
+
+
+@query("phrase_blocklist_hits", _PHRASE_ORACLE)
+def phrase_blocklist_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-phrase blocklist scan (functions/match.py::phrase_hits):
+    exact per-(doc, phrase) occurrence counts for a 4-phrase list with
+    word lengths 1, 2, and 3, at word-boundary granularity.
+
+    All phrases match in ONE corpus pass: per distinct phrase length a
+    map-side gram expression, one broadcast hash join of the exploded
+    gram stream against the normalized phrase dim, and a hit-only
+    partial-aggregated groupBy — the corpus itself never shuffles.
+    Reference semantics anchor: filter patterns are plan-time
+    validated config (src/pysyslog/filters/field.py:28-39); the
+    blocklist is the same kind of artifact.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    return phrase_hits(docs, _BLOCKLIST)
+
+
+_PMI_ORACLE = r"""
+    WITH toks AS (
+      SELECT list_filter(string_split_regex(lower(text), '\s+'), w -> w != '') AS ws
+      FROM documents
+    ),
+    uni AS (
+      SELECT ws[i] AS w, count(*) AS n_w
+      FROM (SELECT ws, unnest(range(1, len(ws) + 1)) AS i FROM toks)
+      GROUP BY w
+    ),
+    tot AS (SELECT CAST(sum(n_w) AS BIGINT) AS n_uni FROM uni),
+    bi AS (
+      SELECT ws[i] AS w1, ws[i + 1] AS w2, count(*) AS n_pair
+      FROM (SELECT ws, unnest(range(1, greatest(len(ws), 1))) AS i FROM toks)
+      GROUP BY w1, w2
+      HAVING count(*) >= 5
+    ),
+    nbi AS (SELECT CAST(sum(greatest(len(ws) - 1, 0)) AS BIGINT) AS n_bi FROM toks)
+    SELECT b.w1, b.w2, CAST(b.n_pair AS BIGINT) AS n_pair,
+           CAST(floor((ln(b.n_pair * 1.0 / n_bi)
+                       - ln(u1.n_w * 1.0 / n_uni)
+                       - ln(u2.n_w * 1.0 / n_uni)) * 1000) AS BIGINT)
+             AS pmi_permille
+    FROM bi b
+    JOIN uni u1 ON b.w1 = u1.w
+    JOIN uni u2 ON b.w2 = u2.w, tot, nbi
+    ORDER BY pmi_permille DESC, w1, w2
+    LIMIT 100
+"""
+
+
+@query("collocation_pmi_top", _PMI_ORACLE)
+def collocation_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 adjacent-word collocations by PMI (functions/match.py::
+    collocation_pmi), min pair count 5. Integer-exact counts; the PMI
+    value is permille-floored (the kl_source_unigram convention) so
+    both engines agree bit-for-bit.
+
+    Plan: one bigram explode into a min-count-pruned hash agg (the only
+    corpus-sized exchange), vocabulary-sized unigram joins, broadcast
+    single-row totals, TakeOrderedAndProject top-k.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    return collocation_pmi(docs, min_count=5, top_k=100)

@@ -1,0 +1,97 @@
+"""Multi-phrase blocklist matching + collocation PMI (functions/match.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pysyslog_lfc_spark.functions.match import (
+    collocation_pmi,
+    normalize_phrases,
+    phrase_blocklist,
+    phrase_hits,
+)
+
+DOCS = [
+    # "big data" twice; overlapping "x x x" -> "x x" twice
+    (1, "Big data and BIG DATA again, plus x x x"),
+    # word-boundary: "tab" must not hit inside "table"
+    (2, "the table is not a tab stop"),
+    # 3-word phrase across the doc, once
+    (3, "please drop the table now"),
+    (4, "nothing to see here"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id int, text string")
+
+
+class TestPhraseHits:
+    def test_counts_case_and_overlap(self, spark):
+        hits = phrase_hits(
+            _docs(spark), ["Big Data", "x x", "tab", "drop the table"]
+        )
+        got = {(r.doc_id, r.phrase): r.n_hits for r in hits.collect()}
+        assert got == {
+            (1, "Big Data"): 2,   # case-normalized, two occurrences
+            (1, "x x"): 2,        # overlapping starts both count
+            (2, "tab"): 1,        # the literal word, NOT inside "table"
+            (3, "drop the table"): 1,
+        }
+
+    def test_punctuation_stays_attached(self, spark):
+        # whitespace tokenization: "again," is one word, so the bare
+        # phrase "again" does not match it (documented semantics)
+        hits = phrase_hits(_docs(spark), ["again"])
+        assert hits.count() == 0
+
+    def test_blocklist_drops_hit_docs(self, spark):
+        kept = phrase_blocklist(_docs(spark), ["big data", "tab"])
+        assert sorted(r.doc_id for r in kept.collect()) == [3, 4]
+
+    def test_empty_phrase_rejected(self, spark):
+        with pytest.raises(ValueError):
+            normalize_phrases(["ok phrase", "   "])
+
+
+class TestCollocationPMI:
+    def test_matches_python_reference(self, spark):
+        rows = [(i, "a b a b c d") for i in range(3)] + [(9, "c d e")]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        got = {
+            (r.w1, r.w2): (r.n_pair, r.pmi_permille)
+            for r in collocation_pmi(df, min_count=2, top_k=10).collect()
+        }
+
+        # python reference over the same stream
+        toks = [t[1].split() for t in rows]
+        uni: dict[str, int] = {}
+        bi: dict[tuple[str, str], int] = {}
+        n_bi = 0
+        for ws in toks:
+            for w in ws:
+                uni[w] = uni.get(w, 0) + 1
+            for x, y in zip(ws, ws[1:]):
+                bi[(x, y)] = bi.get((x, y), 0) + 1
+                n_bi += 1
+        n_uni = sum(uni.values())
+        want = {}
+        for (x, y), n in bi.items():
+            if n < 2:
+                continue
+            pmi = (
+                math.log(n / n_bi)
+                - math.log(uni[x] / n_uni)
+                - math.log(uni[y] / n_uni)
+            )
+            want[(x, y)] = (n, math.floor(pmi * 1000))
+        assert got == want
+
+    def test_min_count_prunes(self, spark):
+        df = spark.createDataFrame([(1, "p q p q"), (2, "r s")], "doc_id int, text string")
+        out = collocation_pmi(df, min_count=2, top_k=10).collect()
+        assert [(r.w1, r.w2) for r in out] == [("p", "q")]
+        # n_bi counts ALL bigrams (q p, r s too), not just survivors
+        assert out[0].n_pair == 2
