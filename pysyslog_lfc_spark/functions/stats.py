@@ -1,0 +1,130 @@
+"""Grouped statistics: exact-sum Pearson correlation / OLS trend fit and
+chi-squared independence — the telemetry-side "is this metric drifting /
+are these dimensions related" operators.
+
+Cross-engine exactness contract (the driver gates every query against a
+DuckDB oracle by value hash): native ``corr``/``covar_samp`` aggregate
+DOUBLEs in partition order, so their low bits differ run-to-run and
+engine-to-engine. These operators instead aggregate **integer-valued
+moments** (sums of BIGINT-cast inputs, carried as DECIMAL(38,0) so
+10^12-row sums cannot overflow) — integer sums are exact and
+order-free — and only the FINAL per-row scalar (one divide/sqrt chain
+per group or cell) runs in IEEE double, where *, /, sqrt are correctly
+rounded and therefore bit-identical in any conformant engine. Outputs
+are micro/milli-floored BIGINTs.
+
+Plan shape: ONE map-side-partial hash aggregate over the fact table per
+operator (the moment sums); everything downstream is per-group scalar
+math over a groups-sized frame. chi-squared adds two tiny re-aggregates
+of the *cell* frame (row and column marginals) plus a broadcast 1-row
+total — the fact table is scanned once, shuffled once.
+
+The reference engine has no stats surface; these extend the
+``output.metrics`` family (reference docs/configuration/outputs/
+metrics.md) to second-order statistics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_D38 = "decimal(38,0)"
+
+
+def grouped_linreg(
+    df: DataFrame,
+    keys: list[str],
+    x: Column,
+    y: Column,
+) -> DataFrame:
+    """Per-group OLS fit y = a + b·x and Pearson r from exact integer
+    moments. ``x`` and ``y`` MUST be integer-valued expressions (cast
+    your units: cents, millis, counts) — that is what makes the moment
+    sums exact. Returns one row per group:
+
+      (keys..., n, corr_micro, slope_micro, intercept_milli)
+
+    Degenerate groups (zero x- or y-variance) return NULL corr/slope.
+    """
+    base = df.select(
+        *keys,
+        x.cast("long").alias("_x"),
+        y.cast("long").alias("_y"),
+    )
+    m = base.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("_x").cast(_D38)).alias("_sx"),
+        F.sum(F.col("_y").cast(_D38)).alias("_sy"),
+        F.sum((F.col("_x") * F.col("_y")).cast(_D38)).alias("_sxy"),
+        F.sum((F.col("_x") * F.col("_x")).cast(_D38)).alias("_sxx"),
+        F.sum((F.col("_y") * F.col("_y")).cast(_D38)).alias("_syy"),
+    )
+    # n·Σxy − Σx·Σy etc. in double: the decimal→double cast and every
+    # subsequent *, /, sqrt are correctly rounded => engine-portable.
+    n = F.col("n").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    cov_n = n * F.col("_sxy").cast("double") - sx * sy
+    varx_n = n * F.col("_sxx").cast("double") - sx * sx
+    vary_n = n * F.col("_syy").cast("double") - sy * sy
+    corr = cov_n / (F.sqrt(varx_n) * F.sqrt(vary_n))
+    slope = cov_n / varx_n
+    intercept = (sy - slope * sx) / n
+    return m.select(
+        *keys,
+        "n",
+        F.when((varx_n > 0) & (vary_n > 0), F.floor(corr * 1000000))
+        .cast("long")
+        .alias("corr_micro"),
+        F.when(varx_n > 0, F.floor(slope * 1000000))
+        .cast("long")
+        .alias("slope_micro"),
+        F.when(varx_n > 0, F.floor(intercept * 1000))
+        .cast("long")
+        .alias("intercept_milli"),
+    )
+
+
+def chi2_cells(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+) -> DataFrame:
+    """Chi-squared test of independence between two categorical
+    columns, reported per contingency cell:
+
+      (row_col, col_col, observed, expected_milli, chi2_micro)
+
+    chi2_micro = floor(1e6 · (O − E)² / E) with E = n_r·n_c/N. The
+    statistic for the whole table is the integer SUM of chi2_micro over
+    cells — summing the already-floored integers keeps the total exact
+    and aggregation-order-free (the per-cell scalar is one double
+    expression, deterministic in any IEEE engine; only integers ever
+    aggregate).
+
+    Plan: one fact-table hash agg to cells; marginals re-aggregate the
+    CELL frame (|rows|·|cols| entries, never the corpus); the grand
+    total broadcasts as a 1-row frame.
+    """
+    cells = df.groupBy(row_col, col_col).agg(
+        F.count(F.lit(1)).cast("long").alias("observed")
+    )
+    rows = cells.groupBy(row_col).agg(F.sum("observed").alias("_nr"))
+    cols = cells.groupBy(col_col).agg(F.sum("observed").alias("_nc"))
+    tot = cells.agg(F.sum("observed").alias("_n"))
+    e = (F.col("_nr") * F.col("_nc")).cast("double") / F.col("_n").cast("double")
+    o = F.col("observed").cast("double")
+    return (
+        cells.join(F.broadcast(rows), row_col)
+        .join(F.broadcast(cols), col_col)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            row_col,
+            col_col,
+            "observed",
+            F.floor(e * 1000).cast("long").alias("expected_milli"),
+            F.floor((o - e) * (o - e) / e * 1000000)
+            .cast("long")
+            .alias("chi2_micro"),
+        )
+    )

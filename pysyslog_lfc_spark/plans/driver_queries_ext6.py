@@ -10,7 +10,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
 from pysyslog_lfc_spark.functions.match import collocation_pmi, phrase_hits
+from pysyslog_lfc_spark.functions.stats import chi2_cells, grouped_linreg
 from pysyslog_lfc_spark.plans.driver_queries import _t, query
 
 # Mixed-case originals prove plan-time normalization; lengths 1/2/3
@@ -107,3 +111,154 @@ def collocation_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = _t(spark, sf_dir, "documents")
     return collocation_pmi(docs, min_count=5, top_k=100)
+
+
+_LINREG_ORACLE = r"""
+    WITH b AS (
+      SELECT l_returnflag,
+             CAST(l_quantity AS BIGINT) AS x,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    m AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM b GROUP BY l_returnflag
+    ),
+    d AS (
+      SELECT l_returnflag, n,
+             CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov_n,
+             CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS varx_n,
+             CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vary_n,
+             CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+      FROM m
+    )
+    SELECT l_returnflag, n,
+           CASE WHEN varx_n > 0 AND vary_n > 0 THEN
+             CAST(floor(cov_n / (sqrt(varx_n) * sqrt(vary_n)) * 1000000) AS BIGINT)
+           END AS corr_micro,
+           CASE WHEN varx_n > 0 THEN
+             CAST(floor(cov_n / varx_n * 1000000) AS BIGINT)
+           END AS slope_micro,
+           CASE WHEN varx_n > 0 THEN
+             CAST(floor((syd - cov_n / varx_n * sxd) / CAST(n AS DOUBLE) * 1000) AS BIGINT)
+           END AS intercept_milli
+    FROM d
+"""
+
+
+@query("linreg_qty_price", _LINREG_ORACLE)
+def linreg_qty_price(spark, sf_dir: str):
+    """Per-returnflag OLS fit + Pearson r of extendedprice (cents) on
+    quantity (functions/stats.py::grouped_linreg). Moments are exact
+    integer sums carried as DECIMAL(38,0) (order-free at 10^12 rows,
+    unlike native corr over doubles); the closing divide/sqrt chain is
+    one correctly-rounded double scalar per group, micro-floored for
+    the cross-engine hash gate. ONE map-side-partial aggregate over
+    the fact table."""
+    li = _t(spark, sf_dir, "lineitem")
+    return grouped_linreg(
+        li,
+        ["l_returnflag"],
+        F.col("l_quantity"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5),
+    ).orderBy("l_returnflag")
+
+
+_CHI2_ORACLE = r"""
+    WITH f AS (
+      SELECT event_type, CAST(extract(hour FROM ts) AS INT) AS hour
+      FROM events
+    ),
+    cells AS (
+      SELECT event_type, hour, CAST(count(*) AS BIGINT) AS observed
+      FROM f GROUP BY event_type, hour
+    ),
+    r AS (SELECT event_type, sum(observed) AS nr FROM cells GROUP BY event_type),
+    c AS (SELECT hour, sum(observed) AS nc FROM cells GROUP BY hour),
+    t AS (SELECT sum(observed) AS n FROM cells)
+    SELECT cells.event_type, cells.hour, observed,
+           CAST(floor(CAST(nr * nc AS DOUBLE) / CAST(n AS DOUBLE) * 1000)
+                AS BIGINT) AS expected_milli,
+           CAST(floor(
+             (CAST(observed AS DOUBLE) - CAST(nr * nc AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(observed AS DOUBLE) - CAST(nr * nc AS DOUBLE) / CAST(n AS DOUBLE))
+             / (CAST(nr * nc AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000) AS BIGINT)
+             AS chi2_micro
+    FROM cells JOIN r USING (event_type) JOIN c USING (hour), t
+"""
+
+
+@query("chi2_event_hour", _CHI2_ORACLE)
+def chi2_event_hour(spark, sf_dir: str):
+    """Chi-squared independence cells for event_type x hour-of-day
+    (functions/stats.py::chi2_cells) — the drift test "is event mix
+    time-of-day dependent". Per-cell contributions are micro-floored
+    BIGINTs so the table statistic is an exact integer sum; marginals
+    re-aggregate the cell frame, never the corpus."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").cast("int").alias("hour")
+    )
+    return chi2_cells(ev, "event_type", "hour")
+
+
+_TOPK_NATION_ORACLE = r"""
+    WITH rev AS (
+      SELECT s.s_nationkey, l.l_partkey,
+             CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                      * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT)))
+                  AS BIGINT) AS revenue_c4
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY s.s_nationkey, l.l_partkey
+    ),
+    ranked AS (
+      SELECT n.n_name, r.l_partkey, r.revenue_c4,
+             row_number() OVER (PARTITION BY n.n_name
+                                ORDER BY r.revenue_c4 DESC, r.l_partkey) AS rk
+      FROM rev r JOIN nation n ON r.s_nationkey = n.n_nationkey
+    )
+    SELECT n_name, CAST(rk AS INT) AS rk, l_partkey, revenue_c4
+    FROM ranked WHERE rk <= 3
+"""
+
+
+@query("topk_parts_per_nation", _TOPK_NATION_ORACLE)
+def topk_parts_per_nation(spark, sf_dir: str):
+    """Per-group top-k: the 3 highest-revenue parts per supplier
+    nation. Revenue is integer-exact (cents x discount percent units,
+    summed as BIGINT — no float aggregation order anywhere); the rank
+    window runs over the already-aggregated (nation, part) frame, never
+    the fact table, with a deterministic (revenue desc, partkey) order.
+    Dimensions broadcast; the only corpus-sized exchange is the
+    (nationkey, partkey) hash aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev_row = (
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+        * (100 - F.floor(F.col("l_discount") * 100 + 0.5).cast("long"))
+    )
+    rev = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy("s_nationkey", "l_partkey")
+        .agg(F.sum(rev_row).cast("long").alias("revenue_c4"))
+    )
+    ranked = (
+        rev.join(F.broadcast(nat), rev.s_nationkey == nat.n_nationkey)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("n_name").orderBy(
+                    F.col("revenue_c4").desc(), F.col("l_partkey")
+                )
+            ).cast("int"),
+        )
+        .where(F.col("rk") <= 3)
+        .select("n_name", "rk", "l_partkey", "revenue_c4")
+    )
+    return ranked
