@@ -105,3 +105,46 @@ def rare_templates(
         .where(F.col("share_permille") <= max_share_permille)
         .drop("example")
     )
+
+
+def template_drift(
+    df: DataFrame,
+    message_col: str = "message",
+    side_col: str = "is_a",
+) -> DataFrame:
+    """Template-mix drift between two row populations (A = rows where
+    ``side_col`` is true, B = the rest): per template, counts and
+    floored-permille shares on each side plus the absolute share delta
+    — the "did the shape mix change between yesterday and today /
+    day-shift and night-shift" SIEM report.
+
+    ONE corpus pass: masking is map-side, the conditional counts ride a
+    single partial-aggregated groupBy(template), and the share window
+    runs over the aggregated template frame (bounded by shape count).
+    All shares are integer division — exact in any engine.
+
+    Returns (template, n_a, n_b, share_a_permille, share_b_permille,
+    drift_permille).
+    """
+    t = df.select(
+        template_expr(F.col(message_col)).alias("template"),
+        F.col(side_col).cast("boolean").alias("_a"),
+    )
+    per = t.groupBy("template").agg(
+        F.sum(F.when(F.col("_a"), 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(~F.col("_a"), 1).otherwise(0)).cast("long").alias("n_b"),
+    )
+    w = Window.partitionBy()
+    per = per.withColumn("_ta", F.sum("n_a").over(w)).withColumn(
+        "_tb", F.sum("n_b").over(w)
+    )
+    share_a = F.expr("CAST((n_a * 1000) DIV _ta AS BIGINT)")
+    share_b = F.expr("CAST((n_b * 1000) DIV _tb AS BIGINT)")
+    return per.select(
+        "template",
+        "n_a",
+        "n_b",
+        share_a.alias("share_a_permille"),
+        share_b.alias("share_b_permille"),
+        F.abs(share_a - share_b).alias("drift_permille"),
+    )

@@ -1072,7 +1072,7 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Log template mining (Drain-lite)
 # =====================================================================
 
-def _synth_log_lines(ev: DataFrame) -> DataFrame:
+def _synth_log_lines(ev: DataFrame, extra: tuple[str, ...] = ()) -> DataFrame:
     """Deterministic free-text log lines from `events` — four message
     shapes (FATAL rare, ERROR with uuid+ip:port, INFO with hex txn,
     DEBUG with an unmasked /api/vN path) so template mining has real
@@ -1116,7 +1116,7 @@ def _synth_log_lines(ev: DataFrame) -> DataFrame:
         .when(F.col("event_type").isin("purchase", "signup"), info)
         .otherwise(debug)
     )
-    return ev.select(F.col("event_id"), msg.alias("message"))
+    return ev.select(F.col("event_id"), *extra, msg.alias("message"))
 
 
 _SYNTH_LINES_SQL = """

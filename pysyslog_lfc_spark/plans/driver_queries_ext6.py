@@ -262,3 +262,132 @@ def topk_parts_per_nation(spark, sf_dir: str):
         .select("n_name", "rk", "l_partkey", "revenue_c4")
     )
     return ranked
+
+
+_HLL_ROLLING_ORACLE = """
+    WITH e AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+    h AS (
+      SELECT day,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+      FROM e
+    ),
+    r AS (
+      SELECT day, CAST(hv >> 52 AS INT) AS bucket,
+             CAST(CASE WHEN (hv & ((1::BIGINT << 52) - 1)) = 0 THEN 53
+                  ELSE 53 - length(bin(hv & ((1::BIGINT << 52) - 1)))
+                  END AS INT) AS rho
+      FROM h
+    ),
+    reg AS (SELECT day, bucket, max(rho) AS mj FROM r GROUP BY 1, 2),
+    days AS (SELECT DISTINCT day FROM e),
+    win AS (
+      SELECT d2.day AS win_end, reg.bucket, max(reg.mj) AS mj
+      FROM reg JOIN days d2 ON d2.day BETWEEN reg.day AND reg.day + 6
+      GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT win_end, sum(1::BIGINT << (53 - mj)) AS znz, count(*) AS nnz
+      FROM win GROUP BY 1
+    )
+    SELECT CAST(win_end AS VARCHAR) AS day7_end,
+           CAST(256 - nnz AS INT) AS v_zero,
+           CAST(znz + (256 - nnz) * (1::BIGINT << 53) AS BIGINT) AS z_denom,
+           round(4.2399330249068963e20 /
+                 CAST(znz + (256 - nnz) * (1::BIGINT << 53) AS DOUBLE), 4)
+             AS est_raw
+    FROM agg
+"""
+
+
+@query("hll_rolling_distinct_7d", _HLL_ROLLING_ORACLE)
+def hll_rolling_distinct_7d(spark, sf_dir: str):
+    """Rolling 7-day distinct users from MERGED daily HLL register
+    frames — the production sketch pattern: sketch each day once (256
+    registers/day, independent of row count), answer any trailing
+    window by max-per-bucket merge, never re-reading raw events.
+
+    The daily register frame contribute-explodes to the <=7 window
+    ends it serves (same pattern as rolling_active_users, but the
+    replication factor applies to 256-row sketches, not the event
+    stream), then one (win_end, bucket) max-merge + the exact-integer
+    estimate fold (functions/sketches.py::hll_registers/merge/
+    estimate). At 10^12 events/day the raw stream is touched once per
+    day total, regardless of how many windows are later queried."""
+    from pysyslog_lfc_spark.functions.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    reg = hll_registers(ev, "user_id", ["day"])
+    days = ev.select("day").distinct().withColumnRenamed("day", "win_end")
+    ends = reg.withColumn(
+        "win_end", F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 6)))
+    ).join(F.broadcast(days), "win_end")
+    merged = hll_merge(
+        ends.select(F.col("win_end").alias("day7_end"), "bucket", "mj"),
+        ["day7_end"],
+    )
+    est = hll_estimate(merged, ["day7_end"])
+    return est.select(
+        F.col("day7_end").cast("string").alias("day7_end"),
+        "v_zero",
+        "z_denom",
+        "est_raw",
+    )
+
+
+def _drift_oracle() -> str:
+    # the shared synthetic-lines CTE, widened with ts for the A/B split
+    # (string surgery is safe: the CTE literally begins with this
+    # projection; see driver_queries_ext._SYNTH_LINES_SQL)
+    from pysyslog_lfc_spark.plans.driver_queries_ext import (
+        _MASK_SQL,
+        _SYNTH_LINES_SQL,
+    )
+
+    lines_with_ts = _SYNTH_LINES_SQL.replace(
+        "SELECT event_id,", "SELECT event_id, ts,", 1
+    )
+    return f"""
+    WITH lines AS ({lines_with_ts}),
+    m AS (
+      SELECT {_MASK_SQL} AS template,
+             (extract(hour FROM ts) < 12) AS a
+      FROM lines
+    ),
+    per AS (
+      SELECT template,
+             CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      FROM m GROUP BY template
+    ),
+    tot AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM per)
+    SELECT template, n_a, n_b,
+           CAST(n_a * 1000 // ta AS BIGINT) AS share_a_permille,
+           CAST(n_b * 1000 // tb AS BIGINT) AS share_b_permille,
+           CAST(abs(n_a * 1000 // ta - n_b * 1000 // tb) AS BIGINT)
+             AS drift_permille
+    FROM per, tot
+    """
+
+
+@query("template_drift_ampm", _drift_oracle())
+def template_drift_ampm(spark, sf_dir: str):
+    """Template-mix drift between AM and PM halves of the event stream
+    (operators/templates.py::template_drift): per-shape counts,
+    floored-permille shares per side, absolute share delta. The
+    "did the log shape mix change between windows" SIEM report —
+    composing the Drain-lite miner's masking chain with a conditional
+    one-pass aggregate; the share window is bounded by shape count."""
+    from pysyslog_lfc_spark.plans.driver_queries_ext import _synth_log_lines
+    from pysyslog_lfc_spark.operators.templates import template_drift
+
+    ev = _t(spark, sf_dir, "events")
+    lines = _synth_log_lines(ev, extra=("ts",)).withColumn(
+        "is_a", F.hour("ts") < 12
+    )
+    return template_drift(lines, "message", "is_a")

@@ -1,0 +1,83 @@
+"""Grouped linreg / chi-squared cells (functions/stats.py) and
+template drift (operators/templates.py::template_drift)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from pysyslog_lfc_spark.functions.stats import chi2_cells, grouped_linreg
+from pysyslog_lfc_spark.operators.templates import template_drift
+
+
+class TestGroupedLinreg:
+    def test_matches_python_ols(self, spark):
+        pts = [("g", 1, 3), ("g", 2, 5), ("g", 3, 7), ("g", 4, 10)]
+        df = spark.createDataFrame(pts, "k string, x int, y int")
+        row = grouped_linreg(df, ["k"], F.col("x"), F.col("y")).collect()[0]
+
+        xs = [p[1] for p in pts]
+        ys = [p[2] for p in pts]
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        sxx = sum(a * a for a in xs)
+        syy = sum(b * b for b in ys)
+        cov_n = n * sxy - sx * sy
+        varx_n = n * sxx - sx * sx
+        vary_n = n * syy - sy * sy
+        assert row.n == n
+        assert row.corr_micro == math.floor(
+            cov_n / (math.sqrt(varx_n) * math.sqrt(vary_n)) * 1e6
+        )
+        assert row.slope_micro == math.floor(cov_n / varx_n * 1e6)
+        assert row.intercept_milli == math.floor(
+            (sy - cov_n / varx_n * sx) / n * 1000
+        )
+
+    def test_degenerate_variance_is_null(self, spark):
+        df = spark.createDataFrame(
+            [("g", 2, 1), ("g", 2, 9)], "k string, x int, y int"
+        )
+        row = grouped_linreg(df, ["k"], F.col("x"), F.col("y")).collect()[0]
+        assert row.corr_micro is None and row.slope_micro is None
+
+
+class TestChi2Cells:
+    def test_hand_computed_2x2(self, spark):
+        # observed: (a,p)=30 (a,q)=10 (b,p)=20 (b,q)=40
+        rows = (
+            [("a", "p")] * 30 + [("a", "q")] * 10
+            + [("b", "p")] * 20 + [("b", "q")] * 40
+        )
+        df = spark.createDataFrame(rows, "r string, c string")
+        got = {(x.r, x.c): x for x in chi2_cells(df, "r", "c").collect()}
+        n = 100
+        marg_r = {"a": 40, "b": 60}
+        marg_c = {"p": 50, "q": 50}
+        for (r, c), cell in got.items():
+            e = marg_r[r] * marg_c[c] / n
+            assert cell.expected_milli == math.floor(e * 1000)
+            o = cell.observed
+            assert cell.chi2_micro == math.floor((o - e) * (o - e) / e * 1e6)
+        # table statistic = exact integer sum of the cells: chi2 = 50/3
+        # = 5e6 + 5e6 + floor(10/3·1e6)·2
+        assert sum(x.chi2_micro for x in got.values()) == 16666666
+
+
+class TestTemplateDrift:
+    def test_counts_and_shares(self, spark):
+        rows = [
+            ("job 1 done", True), ("job 2 done", True), ("job 3 done", False),
+            ("oom at 0xdead", False), ("oom at 0xbeef", False),
+        ]
+        df = spark.createDataFrame(rows, "message string, is_a boolean")
+        got = {r.template: r for r in template_drift(df).collect()}
+        j = got["job <NUM> done"]
+        assert (j.n_a, j.n_b) == (2, 1)
+        assert (j.share_a_permille, j.share_b_permille) == (1000, 333)
+        assert j.drift_permille == 667
+        o = got["oom at <HEX>"]
+        assert (o.n_a, o.n_b) == (0, 2)
+        assert (o.share_a_permille, o.share_b_permille) == (0, 666)
