@@ -102,29 +102,33 @@ def chi2_cells(
     expression, deterministic in any IEEE engine; only integers ever
     aggregate).
 
-    Plan: one fact-table hash agg to cells; marginals re-aggregate the
-    CELL frame (|rows|·|cols| entries, never the corpus); the grand
-    total broadcasts as a 1-row frame.
+    Plan: ONE fact-table hash agg to cells; marginals and the grand
+    total are window sums over the CELL frame (|rows|·|cols| entries,
+    never the corpus — the fact subtree executes exactly once, where
+    separate marginal re-aggregates would rescan it 4x at 10^12 rows).
+    The unpartitioned grand-total window holds only the bounded cell
+    frame.
     """
+    from pyspark.sql import Window
+
     cells = df.groupBy(row_col, col_col).agg(
         F.count(F.lit(1)).cast("long").alias("observed")
     )
-    rows = cells.groupBy(row_col).agg(F.sum("observed").alias("_nr"))
-    cols = cells.groupBy(col_col).agg(F.sum("observed").alias("_nc"))
-    tot = cells.agg(F.sum("observed").alias("_n"))
+    nr = F.sum("observed").over(Window.partitionBy(row_col))
+    nc = F.sum("observed").over(Window.partitionBy(col_col))
+    n = F.sum("observed").over(Window.partitionBy())
+    m = cells.select(
+        row_col, col_col, "observed",
+        nr.alias("_nr"), nc.alias("_nc"), n.alias("_n"),
+    )
     e = (F.col("_nr") * F.col("_nc")).cast("double") / F.col("_n").cast("double")
     o = F.col("observed").cast("double")
-    return (
-        cells.join(F.broadcast(rows), row_col)
-        .join(F.broadcast(cols), col_col)
-        .crossJoin(F.broadcast(tot))
-        .select(
-            row_col,
-            col_col,
-            "observed",
-            F.floor(e * 1000).cast("long").alias("expected_milli"),
-            F.floor((o - e) * (o - e) / e * 1000000)
-            .cast("long")
-            .alias("chi2_micro"),
-        )
+    return m.select(
+        row_col,
+        col_col,
+        "observed",
+        F.floor(e * 1000).cast("long").alias("expected_milli"),
+        F.floor((o - e) * (o - e) / e * 1000000)
+        .cast("long")
+        .alias("chi2_micro"),
     )
