@@ -259,3 +259,64 @@ def span_corruption(
         portable_hash60(F.col("corrupted")).alias("corrupted_fp"),
         portable_hash60(F.col("targets")).alias("targets_fp"),
     )
+
+
+def fim_transform(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    rate_permille: int = 500,
+    salt: str = "fim1",
+    pre_id: int = -1,
+    suf_id: int = -2,
+    mid_id: int = -3,
+) -> DataFrame:
+    """Deterministic fill-in-the-middle transformation (Bavarian et al.
+    2022, public): rewrite a token sequence into PSM order —
+    ``[PRE] prefix [SUF] suffix [MID] middle`` — so an autoregressive
+    LM learns infilling. The document-selection die and both cut
+    points come from the portable seeded hash (no RNG): examples are
+    reproducible, resume-replayable, and cross-engine gated. Sentinels
+    are negative ids, disjoint from any real vocab.
+
+    Selected docs (hash die < ``rate_permille``, and >=2 tokens) emit
+    the PSM stream; the rest pass through unchanged (``fim`` = false).
+    Token multiset is preserved: output = input + 3 sentinels.
+
+    Plan: PURE per-row expressions (two hashes, least/greatest, three
+    array slices, one concat) — zero shuffle, zero window, zero
+    Python; scales strictly linearly with executors over the
+    engine-primary ``array<int>`` payload shape (BASELINE.json
+    input_hint).
+    """
+    from pysyslog_lfc_spark.functions.text import portable_hash60
+
+    t = F.col(tokens_col)
+    n = F.size(t)
+
+    def h(tag: str):
+        return portable_hash60(
+            F.concat(F.lit(f"{salt}:{tag}:"), F.col(id_col).cast("string"))
+        )
+
+    do = (F.pmod(h("d"), F.lit(1000)) < F.lit(rate_permille)) & (n >= 2)
+    a = F.pmod(h("a"), n + 1)
+    b = F.pmod(h("b"), n + 1)
+    lo = F.least(a, b)
+    hi = F.greatest(a, b)
+    sent = lambda v: F.array(F.lit(v).cast("int"))  # noqa: E731
+    psm = F.concat(
+        sent(pre_id),
+        F.slice(t, 1, lo),
+        sent(suf_id),
+        F.slice(t, hi + 1, n - hi),
+        sent(mid_id),
+        F.slice(t, lo + 1, hi - lo),
+    )
+    out = F.when(do, psm).otherwise(t)
+    return df.select(
+        F.col(id_col),
+        do.alias("fim"),
+        out.alias("out_tokens"),
+        F.size(out).cast("int").alias("n_out"),
+    )

@@ -391,3 +391,57 @@ def template_drift_ampm(spark, sf_dir: str):
         "is_a", F.hour("ts") < 12
     )
     return template_drift(lines, "message", "is_a")
+
+
+_FIM_ORACLE = r"""
+    WITH toks AS (
+      SELECT doc_id, list_transform(
+               list_filter(string_split_regex(lower(text), '\s+'), w -> w != ''),
+               w -> CAST(('0x' || substr(md5(w), 1, 15))::BIGINT % 65536 AS INT)
+             ) AS t
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id, t, len(t) AS n,
+             (('0x' || substr(md5('fim1:d:' || doc_id::VARCHAR), 1, 15))::BIGINT
+               % 1000) < 500 AND len(t) >= 2 AS fim,
+             ('0x' || substr(md5('fim1:a:' || doc_id::VARCHAR), 1, 15))::BIGINT
+               % (len(t) + 1) AS a,
+             ('0x' || substr(md5('fim1:b:' || doc_id::VARCHAR), 1, 15))::BIGINT
+               % (len(t) + 1) AS b
+      FROM toks
+    ),
+    c AS (
+      SELECT doc_id, t, n, fim,
+             CAST(least(a, b) AS INT) AS lo, CAST(greatest(a, b) AS INT) AS hi
+      FROM p
+    ),
+    o AS (
+      SELECT doc_id, fim,
+             CASE WHEN fim THEN
+               [-1] || list_slice(t, 1, lo) || [-2] || list_slice(t, hi + 1, n)
+                    || [-3] || list_slice(t, lo + 1, hi)
+             ELSE t END AS out_tokens
+      FROM c
+    )
+    SELECT doc_id, fim, out_tokens, CAST(len(out_tokens) AS INT) AS n_out
+    FROM o
+"""
+
+
+@query("fim_transform_docs", _FIM_ORACLE)
+def fim_transform_docs(spark, sf_dir: str):
+    """Fill-in-the-middle training transform over token arrays
+    (functions/chunking.py::fim_transform): ~half the corpus (portable
+    hash die) rewritten to [PRE] prefix [SUF] suffix [MID] middle with
+    hash-derived cut points; the rest pass through byte-identical.
+    Token ids derive deterministically from the documents fixture
+    (hash-vocab 65536, plans/curation.py::hash_token_ids). Pure per-row
+    array expressions — zero shuffle, zero Python."""
+    from pysyslog_lfc_spark.functions.chunking import fim_transform
+    from pysyslog_lfc_spark.plans.curation import hash_token_ids
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", hash_token_ids(F.col("text")).alias("tokens")
+    )
+    return fim_transform(docs, "tokens", "doc_id", rate_permille=500)

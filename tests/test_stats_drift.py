@@ -81,3 +81,40 @@ class TestTemplateDrift:
         o = got["oom at <HEX>"]
         assert (o.n_a, o.n_b) == (0, 2)
         assert (o.share_a_permille, o.share_b_permille) == (0, 666)
+
+
+class TestFIMTransform:
+    def test_reconstruction_and_passthrough(self, spark):
+        from pysyslog_lfc_spark.functions.chunking import fim_transform
+
+        rows = [(i, list(range(10 + i))) for i in range(20)]
+        df = spark.createDataFrame(rows, "doc_id int, tokens array<int>")
+
+        # rate 1000: every doc transforms; PSM reassembles to the original
+        out = {r.doc_id: r for r in fim_transform(df, rate_permille=1000).collect()}
+        orig = dict(rows)
+        assert all(r.fim for r in out.values())
+        for d, r in out.items():
+            toks = r.out_tokens
+            assert toks[0] == -1
+            i_suf = toks.index(-2)
+            i_mid = toks.index(-3)
+            pre = toks[1:i_suf]
+            suf = toks[i_suf + 1 : i_mid]
+            mid = toks[i_mid + 1 :]
+            assert pre + mid + suf == orig[d]
+            assert r.n_out == len(orig[d]) + 3
+
+        # rate 0: byte-identical passthrough
+        thru = {r.doc_id: r for r in fim_transform(df, rate_permille=0).collect()}
+        assert all(not r.fim for r in thru.values())
+        assert all(thru[d].out_tokens == orig[d] for d in orig)
+
+    def test_cut_points_vary_by_doc(self, spark):
+        from pysyslog_lfc_spark.functions.chunking import fim_transform
+
+        rows = [(i, list(range(50))) for i in range(30)]
+        df = spark.createDataFrame(rows, "doc_id int, tokens array<int>")
+        out = fim_transform(df, rate_permille=1000).collect()
+        cuts = {(r.out_tokens.index(-2), r.out_tokens.index(-3)) for r in out}
+        assert len(cuts) > 5  # hash-derived, not constant
