@@ -826,3 +826,69 @@ def jl_project_int8(
 
     cols = q.select(F.col(id_col), "q_vec")
     return cols.mapInPandas(project, f"{id_col} long, proj array<long>")
+
+
+def centroid_drift(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    key_col: str = "label",
+    side_col: str = "side",
+) -> DataFrame:
+    """Per-key cosine drift between the mean embedding directions of
+    two populations (side A vs side B) — the embedding-pipeline
+    observability check: "did this class/source's representation move
+    between snapshots / model versions / time windows".
+
+    Vectors are first int8-quantized (per-vector max-abs scale,
+    functions/similarity.py::quantize_embeddings), so each contributes
+    its max-normalized DIRECTION; the per-side, per-dimension sums are
+    then exact BIGINTs (order-free — no float accumulation anywhere),
+    and cos(centroid_A, centroid_B) reduces to one correctly-rounded
+    double scalar per key over those integer sums, micro-floored for
+    the cross-engine gate. Keys missing a side report NULL.
+
+    Plan: one Arrow quantize pass (zero shuffle), one posexplode into a
+    (key, side, dim) partial-aggregated hash agg — the only
+    corpus-sized exchange, carrying ints; the pivot and the closing
+    dot/norm fold run over the |keys|·|dims| frame. At 10^12 rows swap
+    the explode for the per-batch BLAS partial trick of
+    :func:`gram_matrix_int8` (same integers, |batches|·dim exchange).
+
+    Returns (key_col, n_a, n_b, cos_micro, drift_micro).
+    """
+    q = quantize_embeddings(df, vec_col)
+    ex = q.select(
+        key_col, side_col, F.posexplode("q_vec").alias("_d", "_q")
+    )
+    per = ex.groupBy(key_col, side_col, "_d").agg(
+        F.sum("_q").cast("long").alias("_s"),
+        F.count(F.lit(1)).cast("long").alias("_n"),
+    )
+    is_a = F.col(side_col) == F.lit("A")
+    piv = per.groupBy(key_col, "_d").agg(
+        F.sum(F.when(is_a, F.col("_s")).otherwise(0)).alias("_sa"),
+        F.sum(F.when(~is_a, F.col("_s")).otherwise(0)).alias("_sb"),
+        F.max(F.when(is_a, F.col("_n"))).alias("_na"),
+        F.max(F.when(~is_a, F.col("_n"))).alias("_nb"),
+    )
+    f = piv.groupBy(key_col).agg(
+        F.sum(F.col("_sa") * F.col("_sb")).alias("_dot"),
+        F.sum(F.col("_sa") * F.col("_sa")).alias("_na2"),
+        F.sum(F.col("_sb") * F.col("_sb")).alias("_nb2"),
+        F.max("_na").alias("n_a"),
+        F.max("_nb").alias("n_b"),
+    )
+    cos = (
+        F.col("_dot").cast("double")
+        / (F.sqrt(F.col("_na2").cast("double")) * F.sqrt(F.col("_nb2").cast("double")))
+    )
+    cos_micro = F.when(
+        (F.col("_na2") > 0) & (F.col("_nb2") > 0), F.floor(cos * 1000000)
+    ).cast("long")
+    return f.select(
+        key_col,
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        cos_micro.alias("cos_micro"),
+        (F.lit(1000000) - cos_micro).cast("long").alias("drift_micro"),
+    )

@@ -445,3 +445,77 @@ def fim_transform_docs(spark, sf_dir: str):
         "doc_id", hash_token_ids(F.col("text")).alias("tokens")
     )
     return fim_transform(docs, "tokens", "doc_id", rate_permille=500)
+
+
+_CENTROID_DRIFT_ORACLE = """
+    WITH e AS (
+      SELECT vec_id, label,
+             CAST(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+                  AS DOUBLE) / 127e0 AS q_scale,
+             embedding
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id, label,
+             CASE WHEN q_scale = 0e0
+                  THEN list_transform(embedding, x -> 0)
+                  ELSE list_transform(embedding,
+                         x -> CAST(floor(CAST(x AS DOUBLE) / q_scale + 0.5e0) AS INT))
+             END AS qv
+      FROM e
+    ),
+    s AS (
+      SELECT label, CASE WHEN vec_id % 2 = 0 THEN 'A' ELSE 'B' END AS side, qv
+      FROM q
+    ),
+    ex AS (
+      SELECT label, side, t.i - 1 AS d, CAST(qv[t.i] AS BIGINT) AS v
+      FROM s, unnest(generate_series(1, 64)) AS t(i)
+    ),
+    per AS (
+      SELECT label, side, d, sum(v) AS sv, CAST(count(*) AS BIGINT) AS n
+      FROM ex GROUP BY 1, 2, 3
+    ),
+    piv AS (
+      SELECT label, d,
+             sum(CASE WHEN side = 'A' THEN sv ELSE 0 END) AS sa,
+             sum(CASE WHEN side = 'B' THEN sv ELSE 0 END) AS sb,
+             max(CASE WHEN side = 'A' THEN n END) AS na,
+             max(CASE WHEN side = 'B' THEN n END) AS nb
+      FROM per GROUP BY 1, 2
+    ),
+    f AS (
+      SELECT label, sum(sa * sb) AS dot, sum(sa * sa) AS na2,
+             sum(sb * sb) AS nb2, max(na) AS n_a, max(nb) AS n_b
+      FROM piv GROUP BY 1
+    )
+    SELECT label, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CASE WHEN na2 > 0 AND nb2 > 0 THEN
+             CAST(floor(CAST(dot AS DOUBLE)
+                        / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE)))
+                        * 1000000) AS BIGINT)
+           END AS cos_micro,
+           CASE WHEN na2 > 0 AND nb2 > 0 THEN
+             1000000 - CAST(floor(CAST(dot AS DOUBLE)
+                        / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE)))
+                        * 1000000) AS BIGINT)
+           END AS drift_micro
+    FROM f
+"""
+
+
+@query("embedding_centroid_drift", _CENTROID_DRIFT_ORACLE)
+def embedding_centroid_drift(spark, sf_dir: str):
+    """Per-label cosine drift between the mean embedding directions of
+    the even-id and odd-id halves of the corpus (functions/
+    similarity.py::centroid_drift) — representation-drift monitoring.
+    Int8-quantized directions make every per-dimension sum an exact
+    BIGINT; the only corpus-sized exchange is the (label, side, dim)
+    integer partial agg; the oracle replays the quantizer bit-for-bit
+    (same replay as embedding_gram_matrix)."""
+    from pysyslog_lfc_spark.functions.similarity import centroid_drift
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "side", F.when(F.col("vec_id") % 2 == 0, F.lit("A")).otherwise(F.lit("B"))
+    )
+    return centroid_drift(emb, "embedding", "label", "side")

@@ -118,3 +118,29 @@ class TestFIMTransform:
         out = fim_transform(df, rate_permille=1000).collect()
         cuts = {(r.out_tokens.index(-2), r.out_tokens.index(-3)) for r in out}
         assert len(cuts) > 5  # hash-derived, not constant
+
+
+class TestCentroidDrift:
+    def test_hand_computed_cosine(self, spark):
+        import math
+
+        from pysyslog_lfc_spark.functions.similarity import centroid_drift
+
+        # max-abs 127 => quantize scale = 1.0 => q == v exactly
+        rows = [
+            ("k", "A", [127.0, 0.0, 0.0]),
+            ("k", "A", [0.0, 127.0, 0.0]),
+            ("k", "B", [127.0, 0.0, 0.0]),
+            ("k2", "A", [127.0, 0.0, 0.0]),  # no B side -> NULL
+        ]
+        df = spark.createDataFrame(rows, "label string, side string, embedding array<float>")
+        got = {r.label: r for r in centroid_drift(df, "embedding", "label", "side").collect()}
+
+        sa, sb = [127, 127, 0], [127, 0, 0]
+        dot = sum(a * b for a, b in zip(sa, sb))
+        cos = dot / (math.sqrt(sum(a * a for a in sa)) * math.sqrt(sum(b * b for b in sb)))
+        k = got["k"]
+        assert (k.n_a, k.n_b) == (2, 1)
+        assert k.cos_micro == math.floor(cos * 1e6)
+        assert k.drift_micro == 1000000 - k.cos_micro
+        assert got["k2"].cos_micro is None
