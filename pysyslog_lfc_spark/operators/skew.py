@@ -110,3 +110,94 @@ def salted_distinct_count(
         .agg(F.count(F.lit(1)).alias("_n"))
     )
     return per_salt.groupBy(*keys).agg(F.sum("_n").alias(f"n_distinct_{distinct_col}"))
+
+
+def advise_join_strategy(
+    fact: DataFrame,
+    lookup: DataFrame,
+    key: str,
+    salt_src: str,
+    broadcast_max_rows: int = 1_000_000,
+    skew_ratio: int = 8,
+    sample_permille: int = 10,
+    n_salts: int = 16,
+) -> dict:
+    """Pre-shuffle join-strategy advisory: decide broadcast vs salted
+    vs plain shuffle join from two cheap bounded stats actions, and
+    return both the decision and a ready transform.
+
+    AQE fixes skewed SHUFFLE partitions at runtime but cannot choose to
+    broadcast a dimension it never sees the size of until too late, and
+    cannot split a single hot KEY inside one reducer's hash group. This
+    advisor makes that call at plan time the way a cost-based optimizer
+    would — from statistics, deterministically:
+
+    - lookup row count (``count()`` — scan of the dim only, never the
+      fact table) <= ``broadcast_max_rows``  =>  ``broadcast``;
+    - else estimate the fact side's per-key distribution from a
+      row-level sample: the portable-hash die over ``salt_src`` (a
+      high-cardinality fact column, e.g. the row key — the same column
+      a salted join spreads by) keeps ``sample_permille``/1000 of ROWS,
+      so every key's sampled count is an unbiased share estimate and a
+      Zipf-hot key cannot be missed (key-level sampling would skip it
+      999/1000 times). Hottest sampled share >= ``skew_ratio``x the
+      uniform share  =>  ``salted`` (salted_shuffle_join), else
+      ``plain``.
+
+    Returns ``{"strategy", "lookup_rows", "hot_key", "hot_share_permille",
+    "apply"}`` where ``apply(fact, lookup)`` executes the chosen join.
+    Both stats actions are documented plan-time costs: one dim count +
+    one partial agg over ~sample_permille/1000 of the fact table,
+    amortized across every downstream run of the compiled flow (the
+    reference performs analogous plan-time work validating component
+    config up front, src/pysyslog/components/registry.py:57-66).
+    """
+    lookup_rows = lookup.count()
+    if lookup_rows <= broadcast_max_rows:
+        return {
+            "strategy": "broadcast",
+            "lookup_rows": lookup_rows,
+            "hot_key": None,
+            "hot_share_permille": None,
+            "apply": lambda f, l: f.join(F.broadcast(l), key, "left"),
+        }
+    sample = fact.where(
+        F.pmod(
+            F.xxhash64(F.col(salt_src).cast("string"), F.lit(42)),
+            F.lit(1000),
+        )
+        < F.lit(sample_permille)
+    )
+    stats = (
+        sample.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(
+            F.sum("_n").alias("_tot"),
+            F.max("_n").alias("_hot_n"),
+            F.count(F.lit(1)).alias("_nkeys"),
+            F.max_by(F.col(key), F.col("_n")).alias("_hot_key"),
+        )
+        .collect()[0]
+    )
+    tot = stats["_tot"] or 0
+    hot_n = stats["_hot_n"] or 0
+    nkeys = stats["_nkeys"] or 1
+    hot_share = (hot_n * 1000 // tot) if tot else 0
+    uniform_share = 1000 // max(nkeys, 1)
+    if tot and hot_share >= skew_ratio * max(uniform_share, 1):
+        return {
+            "strategy": "salted",
+            "lookup_rows": lookup_rows,
+            "hot_key": stats["_hot_key"],
+            "hot_share_permille": hot_share,
+            "apply": lambda f, l: salted_shuffle_join(
+                f, l, key, salt_src=salt_src, n_salts=n_salts
+            ),
+        }
+    return {
+        "strategy": "plain",
+        "lookup_rows": lookup_rows,
+        "hot_key": stats["_hot_key"],
+        "hot_share_permille": hot_share,
+        "apply": lambda f, l: f.join(l, key, "left"),
+    }

@@ -115,3 +115,40 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+class TestAdviseJoinStrategy:
+    def test_small_lookup_broadcasts(self, spark):
+        seqs = sequences_df(spark, 2000).select("doc_id", "source")
+        lookup = source_lookup_df(spark)
+        adv = skew.advise_join_strategy(seqs, lookup, "source", salt_src="doc_id")
+        assert adv["strategy"] == "broadcast"
+        plain = seqs.join(lookup, "source", "left")
+        got = adv["apply"](seqs, lookup)
+        assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, got.collect()))
+
+    def test_skewed_fact_salts_and_matches_plain(self, spark):
+        # Zipf source column: hottest key owns ~30% of rows
+        seqs = sequences_df(spark, 4000).select("doc_id", "source")
+        lookup = source_lookup_df(spark)
+        adv = skew.advise_join_strategy(
+            seqs, lookup, "source", salt_src="doc_id",
+            broadcast_max_rows=0, sample_permille=300,
+        )
+        assert adv["strategy"] == "salted"
+        assert adv["hot_share_permille"] >= 100
+        plain = seqs.join(lookup, "source", "left").select("doc_id", "site")
+        got = adv["apply"](seqs, lookup).select("doc_id", "site")
+        assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, got.collect()))
+
+    def test_uniform_fact_stays_plain(self, spark):
+        df = spark.range(4000).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("k"), F.pmod("id", 1000)).alias("source"),
+        )
+        lookup = df.select("source").distinct().withColumn("site", F.lit("x"))
+        adv = skew.advise_join_strategy(
+            df, lookup, "source", salt_src="doc_id",
+            broadcast_max_rows=0, sample_permille=300, skew_ratio=8,
+        )
+        assert adv["strategy"] == "plain"
