@@ -159,3 +159,54 @@ def triangle_count(
         deg.agg(F.count(F.lit(1)).alias("n_nodes"))
     )
     return counts.crossJoin(tri).select("n_nodes", "n_edges", "n_triangles")
+
+
+def ancestor_closure(
+    edges: DataFrame,
+    child_col: str = "child",
+    parent_col: str = "parent",
+    max_depth: int = 16,
+) -> DataFrame:
+    """Transitive ancestor closure (the WITH RECURSIVE gap: Spark has
+    no recursive CTE) via POINTER DOUBLING: after round r the frame
+    holds every ancestor path of length <= 2^r, so ceil(log2(max_depth))
+    self-joins replace max_depth naive iterations — the textbook
+    distributed-closure trick (Valduriez & Boral 1986), and the
+    difference between 4 shuffles and 16 at a 10^12-edge hierarchy.
+
+    Returns one row per distinct (node, ancestor, path-length) triple,
+    ``(node, ancestor, depth)``, depth in [1, max_depth] — identical to
+    ``WITH RECURSIVE ... UNION`` semantics (multi-path DAGs keep one
+    row per distinct path length; forests have unique depths). Cycles
+    are bounded by ``max_depth``, mirroring the depth guard a
+    production recursive query carries.
+
+    The whole computation is ONE lazy plan (no per-round driver
+    actions): each round adds a self-join + distinct; frame size is
+    bounded by the closure itself, never the quadratic all-pairs.
+    """
+    import math
+
+    p = (
+        edges.select(
+            F.col(child_col).alias("node"),
+            F.col(parent_col).alias("anc"),
+            F.lit(1).cast("int").alias("depth"),
+        )
+        .where(F.col("node").isNotNull() & F.col("anc").isNotNull())
+        .distinct()
+    )
+    for _ in range(max(1, math.ceil(math.log2(max_depth)))):
+        a = p.alias("a")
+        b = p.alias("b")
+        ext = (
+            a.join(b, F.col("a.anc") == F.col("b.node"))
+            .select(
+                F.col("a.node").alias("node"),
+                F.col("b.anc").alias("anc"),
+                (F.col("a.depth") + F.col("b.depth")).cast("int").alias("depth"),
+            )
+            .where(F.col("depth") <= max_depth)
+        )
+        p = p.unionByName(ext).distinct()
+    return p.select("node", F.col("anc").alias("ancestor"), "depth")

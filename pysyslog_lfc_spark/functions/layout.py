@@ -154,3 +154,40 @@ def shard_manifest(assigned: DataFrame, size_col: str) -> DataFrame:
         F.min("shard_key").alias("first_key"),
         F.max("shard_key").alias("last_key"),
     )
+
+
+def export_sorted(
+    df: DataFrame,
+    sort_cols: Sequence[str],
+    path: str,
+    n_files: int = 8,
+) -> list[str]:
+    """Globally-sorted parquet export: ``repartitionByRange`` on the
+    sort key feeds ``sortWithinPartitions``, so file i's rows all
+    precede file i+1's rows AND each file is internally sorted — the
+    layout that makes downstream merge reads, binary-searchable scans
+    and min/max file skipping on the sort key exact (every file owns a
+    disjoint key range).
+
+    One range-exchange of the data (Spark samples the key distribution
+    to pick balanced boundaries — skew-resistant without salting) plus
+    the per-partition sort; no driver-side data. Files are named by
+    their range position (part-0000i); returns the sorted file list.
+
+    Complements the two existing layouts: hash sharding
+    (:func:`shard_assignments` — size-budgeted, unordered) and Z-order
+    (:func:`zorder_layout` — multi-dim locality, no total order).
+    """
+    cols = [F.col(c) for c in sort_cols]
+    (
+        df.repartitionByRange(n_files, *cols)
+        .sortWithinPartitions(*cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    import glob as _glob
+    import os as _os
+
+    return sorted(
+        p for p in _glob.glob(_os.path.join(path, "part-*")) if not p.endswith(".crc")
+    )

@@ -519,3 +519,37 @@ def embedding_centroid_drift(spark, sf_dir: str):
         "side", F.when(F.col("vec_id") % 2 == 0, F.lit("A")).otherwise(F.lit("B"))
     )
     return centroid_drift(emb, "embedding", "label", "side")
+
+
+_CLOSURE_ORACLE = """
+    WITH RECURSIVE e AS (
+      SELECT c_custkey AS child, c_custkey // 2 AS parent
+      FROM customer WHERE c_custkey >= 2
+    ),
+    anc AS (
+      SELECT child AS node, parent AS ancestor, 1 AS depth FROM e
+      UNION
+      SELECT a.node, e.parent, a.depth + 1
+      FROM anc a JOIN e ON a.ancestor = e.child
+      WHERE a.depth < 16
+    )
+    SELECT node, ancestor, CAST(depth AS INT) AS depth FROM anc
+"""
+
+
+@query("ancestor_closure_customers", _CLOSURE_ORACLE)
+def ancestor_closure_customers(spark, sf_dir: str):
+    """Transitive ancestor closure over a synthetic binary management
+    forest on customer keys (parent = key DIV 2), gated against
+    DuckDB's true WITH RECURSIVE (functions/graph.py::
+    ancestor_closure). Pointer doubling: 4 self-join rounds cover
+    depth 16 where naive recursion needs 16 — the recursive-query gap
+    covered as one lazy Spark plan with zero driver actions."""
+    from pysyslog_lfc_spark.functions.graph import ancestor_closure
+
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_custkey") >= 2)
+    edges = cust.select(
+        F.col("c_custkey").alias("child"),
+        F.expr("c_custkey DIV 2").alias("parent"),
+    )
+    return ancestor_closure(edges, max_depth=16)

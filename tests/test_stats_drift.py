@@ -144,3 +144,65 @@ class TestCentroidDrift:
         assert k.cos_micro == math.floor(cos * 1e6)
         assert k.drift_micro == 1000000 - k.cos_micro
         assert got["k2"].cos_micro is None
+
+
+class TestAncestorClosure:
+    def test_chain_and_dag(self, spark):
+        from pysyslog_lfc_spark.functions.graph import ancestor_closure
+
+        chain = spark.createDataFrame(
+            [(4, 3), (3, 2), (2, 1)], "child int, parent int"
+        )
+        got = {
+            (r.node, r.ancestor, r.depth)
+            for r in ancestor_closure(chain, max_depth=8).collect()
+        }
+        assert got == {
+            (4, 3, 1), (4, 2, 2), (4, 1, 3),
+            (3, 2, 1), (3, 1, 2), (2, 1, 1),
+        }
+
+        # DAG with two paths 3->1 of lengths 1 and 2: both kept (UNION
+        # recursive-CTE semantics — one row per distinct path length)
+        dag = spark.createDataFrame(
+            [(3, 2), (2, 1), (3, 1)], "child int, parent int"
+        )
+        got = {
+            (r.node, r.ancestor, r.depth)
+            for r in ancestor_closure(dag, max_depth=8).collect()
+        }
+        assert got == {(3, 2, 1), (2, 1, 1), (3, 1, 1), (3, 1, 2)}
+
+    def test_depth_bound_stops_cycles(self, spark):
+        from pysyslog_lfc_spark.functions.graph import ancestor_closure
+
+        cyc = spark.createDataFrame([(1, 2), (2, 1)], "child int, parent int")
+        rows = ancestor_closure(cyc, max_depth=4).collect()
+        assert rows and max(r.depth for r in rows) <= 4
+
+
+class TestExportSorted:
+    def test_global_order_across_files(self, spark, tmp_path):
+        import pyarrow.parquet as pq
+
+        from pysyslog_lfc_spark.functions.layout import export_sorted
+
+        df = spark.range(10000).select(
+            (F.xxhash64("id") % 100000).alias("k"), F.col("id").alias("v")
+        )
+        files = export_sorted(df, ["k"], str(tmp_path / "sorted"), n_files=6)
+        assert len(files) >= 2
+        # Spark's part file order IS the range order; per-file sorted +
+        # disjoint ascending ranges => global total order
+        prev_max = None
+        total = 0
+        for f in files:
+            ks = pq.read_table(f, columns=["k"]).column("k").to_pylist()
+            total += len(ks)
+            if not ks:
+                continue
+            assert ks == sorted(ks)
+            if prev_max is not None:
+                assert ks[0] >= prev_max
+            prev_max = ks[-1]
+        assert total == 10000
