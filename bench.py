@@ -143,6 +143,15 @@ BENCH_QUERIES = [
     "bruteforce_then_success",
     "text_strip_html",
     "skew_diagnosis_events",
+    "phrase_blocklist_hits",
+    "collocation_pmi_top",
+    "linreg_qty_price",
+    "chi2_event_hour",
+    "hll_rolling_distinct_7d",
+    "template_drift_ampm",
+    "fim_transform_docs",
+    "embedding_centroid_drift",
+    "ancestor_closure_customers",
 ]
 
 

@@ -1,0 +1,126 @@
+"""Driver-query registrations, round-2 session-13 batch.
+
+Imported by :mod:`pysyslog_lfc_spark.plans.driver_queries` (bottom of
+file) so these register into the same ``_QUERIES``/``_ORACLES`` maps.
+This batch: pointer-jumping connected components and the
+keep-one-representative dedup clustering stage, both gated against
+DuckDB's true ``WITH RECURSIVE`` reachability closure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pysyslog_lfc_spark.plans.driver_queries import _t, query
+
+# Deterministic chain graph over existing keys: edge (k, k-3) whenever
+# k % 100 >= 3, i.e. per 100-block, three interleaved chains (one per
+# residue class mod 3) of ~33 hops each. Chains are the worst case for
+# naive min-label propagation (diameter ~ n) and exactly what pointer
+# jumping collapses in ceil(log2(D)) rounds — the oracle's recursive
+# CTE walks the same edges hop by hop, so agreement proves the jump
+# arithmetic, not just connectivity.
+
+_CC_ORACLE = """
+    WITH RECURSIVE
+    e AS (
+      SELECT c_custkey AS u, c_custkey - 3 AS v
+      FROM customer WHERE c_custkey % 100 >= 3
+    ),
+    sym AS (SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e),
+    reach(node, r) AS (
+      SELECT u, u FROM sym
+      UNION
+      SELECT reach.node, sym.v FROM reach JOIN sym ON reach.r = sym.u
+    )
+    SELECT CAST(node AS BIGINT) AS node, CAST(min(r) AS BIGINT) AS component
+    FROM reach GROUP BY node
+"""
+
+
+@query("connected_components_chains", _CC_ORACLE)
+def connected_components_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact connected components (functions/graph.py::
+    connected_components) over 100-node blocks of 3 interleaved ~33-hop
+    chains on customer keys, vs DuckDB's WITH RECURSIVE reachability +
+    min-label ground truth.
+
+    Pointer jumping (Shiloach-Vishkin hook + jump) covers the 33-hop
+    chains in 7 keyed-join rounds where naive propagation needs 33;
+    each round's exchanges are node-keyed and the label frame is one
+    row per node, so at 10^12 edges the round cost is a pair of
+    hash-partitioned joins, never a closure. Reference anchor: the
+    reference routes on per-record predicates only
+    (src/pysyslog/flow.py:98-134) — transitive cluster state is a
+    from-scratch Spark design.
+    """
+    from pysyslog_lfc_spark.functions.graph import connected_components
+
+    cust = _t(spark, sf_dir, "customer")
+    edges = cust.where(F.col("c_custkey") % 100 >= 3).select(
+        F.col("c_custkey").alias("src"),
+        (F.col("c_custkey") - 3).alias("dst"),
+    )
+    return connected_components(edges, max_diameter=64)
+
+
+_KEEP_ORACLE = """
+    WITH RECURSIVE
+    e AS (
+      SELECT a.doc_id AS u, a.doc_id - 3 AS v
+      FROM documents a JOIN documents b ON b.doc_id = a.doc_id - 3
+      WHERE a.doc_id % 100 >= 3 AND a.doc_id < 300
+    ),
+    sym AS (SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e),
+    reach(node, r) AS (
+      SELECT u, u FROM sym
+      UNION
+      SELECT reach.node, sym.v FROM reach JOIN sym ON reach.r = sym.u
+    ),
+    comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+    sizes AS (
+      SELECT component, count(*) AS cluster_sz FROM comp GROUP BY component
+    ),
+    reps AS (
+      SELECT c.node AS doc_id, s.cluster_sz
+      FROM comp c JOIN sizes s USING (component)
+      WHERE c.node = c.component
+    )
+    SELECT d.doc_id, d.source, d.n_chars,
+           CAST(coalesce(r.cluster_sz, 1) AS BIGINT) AS cluster_sz
+    FROM documents d LEFT JOIN reps r USING (doc_id)
+    WHERE d.doc_id NOT IN (SELECT node FROM comp) OR r.doc_id IS NOT NULL
+"""
+
+
+@query("dedup_keep_representative_docs", _KEEP_ORACLE)
+def dedup_keep_representative_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-one-per-cluster dedup stage (functions/graph.py::
+    dedup_keep_representative): near-dup *pairs* (here the same
+    deterministic chain rule capped at doc_id < 300 so the untouched-
+    survivor branch is non-empty, built by self-join so both endpoints
+    are real documents) collapse to transitive clusters; output is the
+    corpus filtered to one min-id representative per cluster plus all
+    untouched documents, each tagged with its cluster size.
+
+    Scale shape: components run over the pair graph only (the near-dup
+    subset, tiny vs the corpus); the corpus itself is touched by one
+    left-anti + one inner keyed join against component-sized frames —
+    broadcastable in practice, zero corpus shuffles. The oracle replays
+    the whole pipeline in SQL: recursive-CTE closure, window-free
+    group sizing, survivor filter.
+    """
+    from pysyslog_lfc_spark.functions.graph import dedup_keep_representative
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    ids = docs.select("doc_id")
+    pairs = (
+        ids.where((F.col("doc_id") % 100 >= 3) & (F.col("doc_id") < 300))
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            (F.col("doc_id") - 3).alias("doc_b"),
+        )
+        .join(ids.select(F.col("doc_id").alias("doc_b")), "doc_b")
+    )
+    return dedup_keep_representative(docs, pairs, max_diameter=64)

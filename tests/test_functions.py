@@ -588,6 +588,55 @@ class TestConnectedComponents:
         assert out == {10: 10, 20: 10, 30: 10}
 
 
+class TestPointerJumpComponents:
+    """functions/graph.py::connected_components — the pointer-jumping
+    variant; must agree with the star-scheme variant in functions/dedup.py
+    on every graph whose diameter fits the round budget."""
+
+    def _cc(self, spark, edges, max_diameter=16):
+        from pysyslog_lfc_spark.functions import graph as G
+
+        df = spark.createDataFrame(edges, "src long, dst long")
+        out = G.connected_components(df, max_diameter=max_diameter)
+        return {r.node: r.component for r in out.collect()}
+
+    def test_chain_pair_and_self_loop(self, spark):
+        got = self._cc(spark, [(1, 2), (2, 3), (3, 4), (10, 11), (5, 5)])
+        # unlike the dedup variant, a self-loop-only node stays present
+        # (it is a real node; its component is itself)
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 5: 5}
+
+    def test_random_graph_matches_star_variant(self, spark):
+        import random
+
+        rng = random.Random(7)
+        edges = [(rng.randrange(120), rng.randrange(120)) for _ in range(90)]
+        edges = [(a, b) for a, b in edges if a != b]
+        got = self._cc(spark, edges, max_diameter=128)
+        want = {
+            r.node: r.component
+            for r in DD.connected_components(
+                spark.createDataFrame(edges, "id_a long, id_b long")
+            ).collect()
+        }
+        assert got == want
+
+    def test_keep_representative(self, spark):
+        from pysyslog_lfc_spark.functions.graph import dedup_keep_representative
+
+        docs = spark.createDataFrame(
+            [(i, f"t{i}") for i in range(8)], "doc_id long, text string"
+        )
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (5, 6)], "doc_a long, doc_b long"
+        )
+        out = dedup_keep_representative(docs, pairs, max_diameter=8)
+        got = {(r.doc_id, r.cluster_sz) for r in out.collect()}
+        # clusters {1,2,3} -> rep 1 (sz 3), {5,6} -> rep 5 (sz 2);
+        # untouched docs 0,4,7 survive with sz 1
+        assert got == {(0, 1), (4, 1), (7, 1), (1, 3), (5, 2)}
+
+
 def test_span_dedup_first_occurrence_wins(spark):
     """Repeated 3-word span appears in doc a (pos 0) and doc b: b loses
     it; a shorter trailing span survives; a doc whose every span is a
