@@ -152,6 +152,11 @@ BENCH_QUERIES = [
     "fim_transform_docs",
     "embedding_centroid_drift",
     "ancestor_closure_customers",
+    "connected_components_chains",
+    "dedup_keep_representative_docs",
+    "pareto_skyline_orders",
+    "score_quantile_normalize",
+    "kcore_part_copurchase",
 ]
 
 

@@ -94,3 +94,46 @@ def curriculum_stages(
         )
         .drop("__total")
     )
+
+
+def pareto_skyline(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Exact 2-D Pareto skyline (maximize both ``x_col`` and
+    ``y_col``): rows for which no other row is >= on both dimensions
+    and strictly greater on at least one — multi-objective data
+    selection (e.g. keep documents on the quality/length frontier
+    instead of thresholding each axis independently; Börzsönyi et al.
+    2001's skyline operator).
+
+    Never the O(n^2) dominance join the textbook definition (and the
+    DuckDB ``NOT EXISTS`` oracle) implies. Staircase decomposition:
+
+    1. per distinct ``x``: ``max(y)`` — a map-side-partial groupBy, the
+       only corpus-sized exchange, moving 2 columns;
+    2. over the |distinct x| staircase frame, the running max of that
+       ``max(y)`` from strictly-higher ``x`` (one window, same
+       tiny-frame convention as :func:`global_rank`'s offset cumsum —
+       at |distinct x| ~ corpus scale, range-bucket the staircase the
+       same two-level way);
+    3. an ``x`` survives iff its ``max(y)`` beats every higher-``x``
+       max; surviving (x, max_y) pairs broadcast back, keeping rows
+       with ``y == max(y)`` (ties on both axes are mutually
+       non-dominating and all kept).
+    """
+    ymax = df.groupBy(x_col).agg(F.max(y_col).alias("__ymax"))
+    w = (
+        Window.orderBy(F.col(x_col).desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    stair = ymax.withColumn("__prec", F.max("__ymax").over(w))
+    frontier = stair.where(
+        F.col("__prec").isNull() | (F.col("__ymax") > F.col("__prec"))
+    ).select(x_col, "__ymax")
+    return (
+        df.join(F.broadcast(frontier), x_col)
+        .where(F.col(y_col) == F.col("__ymax"))
+        .drop("__ymax")
+    )

@@ -367,3 +367,57 @@ def ancestor_closure(
         )
         p = p.unionByName(ext).distinct()
     return p.select("node", F.col("anc").alias("ancestor"), "depth")
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Exact k-core: the maximal subgraph where every node has degree
+    >= k (Seidman 1983) — the standard dense-community filter (spam/
+    botnet rings in log graphs, boilerplate link farms in web graphs).
+    Returns ``(node, degree)`` with the node's degree INSIDE the core.
+
+    Iterative peeling: drop nodes with degree < k, recompute degrees,
+    repeat to fixpoint — deletions cascade, so one pass is not enough.
+    Each round is one map-side-partial degree aggregate plus two keyed
+    LEFT SEMI joins filtering the edge list (never a closure, never a
+    node-set broadcast requirement — the survivor frame stays
+    distributed and AQE broadcasts it only when it is actually small).
+    The edge frame is ``localCheckpoint``-pinned per round (the same
+    lineage-cut rationale as :func:`connected_components`) and the
+    loop exits when the surviving-edge count stops changing; the
+    fixpoint is unique (the k-core is), so convergence order does not
+    matter. Rounds needed = longest deletion cascade; ``max_iter``
+    bounds pathological chains.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .where(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .where(F.col("u") != F.col("v"))
+    )
+    sym = (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev = sym.count()
+    for _ in range(max(1, max_iter)):
+        deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("__d"))
+        keep = deg.where(F.col("__d") >= k).select("u")
+        sym = (
+            sym.join(keep, "u", "left_semi")
+            .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        cur = sym.count()
+        if cur == prev:
+            break
+        prev = cur
+    return (
+        sym.groupBy(F.col("u").alias("node"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )

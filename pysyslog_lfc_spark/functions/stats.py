@@ -26,7 +26,7 @@ metrics.md) to second-order statistics.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 _D38 = "decimal(38,0)"
 
@@ -131,4 +131,80 @@ def chi2_cells(
         F.floor((o - e) * (o - e) / e * 1000000)
         .cast("long")
         .alias("chi2_micro"),
+    )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Map every row's per-group quantile onto the GLOBAL score
+    distribution — classifier-score recalibration across heterogeneous
+    sources (a fasttext quality score of 0.8 from a clean source and
+    from a crawl dump mean different things; after normalization equal
+    per-source quantiles get equal scores, so one global threshold
+    treats sources fairly; genomics calls this quantile normalization).
+
+    Exact and float-free in the position math: per-group rank r of n
+    rows (window keyed by ``group_col`` — one grouped shuffle, never a
+    global sort) maps to global position ``(r-1)*(N-1) // (n-1) + 1``.
+    The floor-division runs as DECIMAL(38,0) multiply, then
+    ``(num - num % den) / den`` — subtracting the remainder first makes
+    the decimal division exact (a plain ``floor(a/b)`` rounds half-up
+    at the result scale first, which misfloors quotients within 5e-7 of
+    an integer; ``a DIV b`` silently wraps decimals through BIGINT).
+    Both engines therefore agree at every boundary quotient
+    (single-row groups pin to position 1), and the normalized value is
+    the score at that position in the global order — computed by
+    :func:`pysyslog_lfc_spark.functions.curriculum.global_rank`'s
+    two-level decomposition, NOT an unpartitioned window. The final
+    lookup is a keyed equi-join of the corpus against the (position,
+    value) frame.
+
+    Returns ``(id, group, score, q_permille, normalized)`` where
+    ``q_permille`` is the floored per-group quantile in permille.
+    """
+    from pysyslog_lfc_spark.functions.curriculum import global_rank
+
+    w_g = Window.partitionBy(group_col).orderBy(score_col, id_col)
+    n_g = Window.partitionBy(group_col)
+    local = (
+        df.select(group_col, score_col, id_col)
+        .withColumn("__r", F.row_number().over(w_g))
+        .withColumn("__n", F.count(F.lit(1)).over(n_g))
+    )
+    glob = global_rank(
+        df.select(score_col, id_col), F.col(score_col), id_col,
+        out_score="__gscore", out_rank="__grank",
+    ).select(F.col("__grank"), F.col("__gscore").alias("normalized"))
+    total = glob.groupBy().agg(F.count(F.lit(1)).alias("__total"))
+    def _floordiv(num: Column, den: Column) -> Column:
+        num = num.cast(_D38)
+        return ((num - F.pmod(num, den)) / den).cast("long")
+
+    pos = (
+        local.join(F.broadcast(total))
+        .withColumn(
+            "__pos",
+            F.when(
+                F.col("__n") > 1,
+                _floordiv(
+                    (F.col("__r") - 1).cast(_D38) * (F.col("__total") - 1),
+                    F.col("__n") - 1,
+                ),
+            ).otherwise(F.lit(0)).cast("long") + 1,
+        )
+        .withColumn(
+            "q_permille",
+            F.when(
+                F.col("__n") > 1,
+                _floordiv((F.col("__r") - 1).cast(_D38) * 1000, F.col("__n") - 1),
+            ).otherwise(F.lit(0)).cast("long"),
+        )
+    )
+    return (
+        pos.join(glob, pos["__pos"] == glob["__grank"])
+        .select(id_col, group_col, score_col, "q_permille", "normalized")
     )

@@ -124,3 +124,141 @@ def dedup_keep_representative_docs(spark: SparkSession, sf_dir: str) -> DataFram
         .join(ids.select(F.col("doc_id").alias("doc_b")), "doc_b")
     )
     return dedup_keep_representative(docs, pairs, max_diameter=64)
+
+
+_SKYLINE_ORACLE = """
+    WITH o AS (
+      SELECT o_orderkey, o_totalprice, o_orderdate
+      FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    SELECT r.o_orderkey, r.o_totalprice, r.o_orderdate
+    FROM o r
+    WHERE NOT EXISTS (
+      SELECT 1 FROM o s
+      WHERE s.o_totalprice >= r.o_totalprice
+        AND s.o_orderdate >= r.o_orderdate
+        AND (s.o_totalprice > r.o_totalprice
+             OR s.o_orderdate > r.o_orderdate)
+    )
+"""
+
+
+@query("pareto_skyline_orders", _SKYLINE_ORACLE)
+def pareto_skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto skyline (functions/curriculum.py::pareto_skyline) of
+    urgent orders maximizing (o_totalprice, o_orderdate) — the
+    multi-objective selection frontier. The oracle runs the textbook
+    O(n^2) NOT-EXISTS dominance test; the Spark side runs the
+    staircase decomposition (one 2-column partial-agg shuffle + a
+    distinct-x window + a broadcast frontier semi-filter), which is the
+    shape that survives a 10^12-row corpus.
+    """
+    from pysyslog_lfc_spark.functions.curriculum import pareto_skyline
+
+    o = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+    )
+    return pareto_skyline(o, "o_totalprice", "o_orderdate").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+
+
+_QNORM_ORACLE = """
+    WITH base AS (SELECT doc_id, source, n_chars FROM documents),
+    loc AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS r,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM base
+    ),
+    gq AS (
+      SELECT n_chars AS gscore,
+             row_number() OVER (ORDER BY n_chars, doc_id) AS grank
+      FROM base
+    ),
+    tot AS (SELECT count(*) AS n_total FROM base)
+    SELECT l.doc_id, l.source, l.n_chars,
+           CAST(CASE WHEN l.n > 1 THEN ((l.r - 1) * 1000) // (l.n - 1)
+                     ELSE 0 END AS BIGINT) AS q_permille,
+           g.gscore AS normalized
+    FROM loc l
+    CROSS JOIN tot
+    JOIN gq g
+      ON g.grank = (CASE WHEN l.n > 1
+                         THEN ((l.r - 1) * (tot.n_total - 1)) // (l.n - 1)
+                         ELSE 0 END) + 1
+"""
+
+
+@query("score_quantile_normalize", _QNORM_ORACLE)
+def score_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source score recalibration (functions/stats.py::
+    quantile_normalize): every document's per-source quantile of
+    n_chars mapped onto the global n_chars distribution, so one global
+    threshold treats heterogeneous sources fairly.
+
+    Scale shape: one group-keyed window shuffle for local ranks, the
+    two-level global_rank decomposition for the global order (never an
+    unpartitioned corpus window), decimal-exact floor-division for the
+    position math, one keyed equi-join for the value lookup. The
+    oracle replays the identical integer position formula with
+    DuckDB's `//`.
+    """
+    from pysyslog_lfc_spark.functions.stats import quantile_normalize
+
+    docs = _t(spark, sf_dir, "documents")
+    return quantile_normalize(docs, "source", "n_chars", "doc_id")
+
+
+def _kcore_oracle(k: int, stages: int) -> str:
+    head = """
+    WITH e0 AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    s0 AS MATERIALIZED (
+      SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0
+    )"""
+    stages_sql = []
+    for i in range(1, stages + 1):
+        stages_sql.append(
+            f""",
+    d{i} AS MATERIALIZED (SELECT u, count(*) AS c FROM s{i - 1} GROUP BY u),
+    s{i} AS MATERIALIZED (
+      SELECT s.u, s.v FROM s{i - 1} s
+      JOIN d{i} a ON a.u = s.u AND a.c >= {k}
+      JOIN d{i} b ON b.u = s.v AND b.c >= {k}
+    )"""
+        )
+    tail = f"""
+    SELECT u AS node, CAST(count(*) AS BIGINT) AS degree
+    FROM s{stages} GROUP BY u"""
+    return head + "".join(stages_sql) + tail
+
+
+@query("kcore_part_copurchase", _kcore_oracle(k=80, stages=16))
+def kcore_part_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core (functions/graph.py::kcore, k=80) of the part
+    co-purchase graph (edge = two parts in the same order) — the
+    dense-community filter. At sf0.01 the 80-core keeps ~1857 of 2000
+    parts after a 5-round deletion cascade, so the gate exercises real
+    peeling dynamics, not a single filter pass. The oracle unrolls 16
+    peel stages as chained CTEs (strictly more than any observed
+    cascade; extra stages are no-ops at the fixpoint, which is unique).
+    """
+    from pysyslog_lfc_spark.functions.graph import kcore
+
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "ok")
+        .where(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    return kcore(edges, k=80, src_col="u", dst_col="v")

@@ -1,0 +1,149 @@
+"""Session-13 batch: Pareto skyline, global quantile normalization,
+k-core decomposition."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+class TestParetoSkyline:
+    def _run(self, spark, pts):
+        from pysyslog_lfc_spark.functions.curriculum import pareto_skyline
+
+        df = spark.createDataFrame(pts, "pid long, x long, y long")
+        out = pareto_skyline(df, "x", "y")
+        return {r.pid for r in out.collect()}
+
+    @staticmethod
+    def _brute(pts):
+        keep = set()
+        for pid, x, y in pts:
+            dominated = any(
+                (sx >= x and sy >= y and (sx > x or sy > y))
+                for _, sx, sy in pts
+            )
+            if not dominated:
+                keep.add(pid)
+        return keep
+
+    def test_staircase_with_ties(self, spark):
+        pts = [
+            (1, 1, 9), (2, 2, 9), (3, 3, 5), (4, 5, 5), (5, 5, 5),
+            (6, 4, 7), (7, 5, 1), (8, 2, 8), (9, 3, 7),
+        ]
+        assert self._run(spark, pts) == self._brute(pts)
+
+    def test_random_matches_brute_force(self, spark):
+        import random
+
+        rng = random.Random(13)
+        pts = [
+            (i, rng.randrange(20), rng.randrange(20)) for i in range(120)
+        ]
+        assert self._run(spark, pts) == self._brute(pts)
+
+
+class TestQuantileNormalize:
+    def test_matches_reference_formula(self, spark):
+        from pysyslog_lfc_spark.functions.stats import quantile_normalize
+
+        rows = [
+            # source a: scores cluster low; source b: high; single-row c
+            ("a", 10, 1), ("a", 20, 2), ("a", 30, 3), ("a", 40, 4),
+            ("b", 100, 5), ("b", 200, 6), ("b", 300, 7),
+            ("c", 55, 8),
+        ]
+        df = spark.createDataFrame(rows, "src string, score long, rid long")
+        out = {
+            r.rid: (r.q_permille, r.normalized)
+            for r in quantile_normalize(df, "src", "score", "rid").collect()
+        }
+        # reference: global order of scores, position (r-1)*(N-1)//(n-1)+1
+        all_scores = sorted((s, i) for _, s, i in rows)
+        n_tot = len(rows)
+        by_src = {}
+        for src, s, i in rows:
+            by_src.setdefault(src, []).append((s, i))
+        want = {}
+        for src, members in by_src.items():
+            members.sort()
+            n = len(members)
+            for r0, (s, i) in enumerate(members):
+                if n > 1:
+                    pos = (r0 * (n_tot - 1)) // (n - 1)
+                    qpm = (r0 * 1000) // (n - 1)
+                else:
+                    pos, qpm = 0, 0
+                want[i] = (qpm, all_scores[pos][0])
+        assert out == want
+
+    def test_equal_quantiles_align_across_groups(self, spark):
+        from pysyslog_lfc_spark.functions.stats import quantile_normalize
+
+        # same per-group rank -> same normalized value even though the
+        # raw score ranges differ 10x
+        rows = [("a", s, i) for i, s in enumerate([1, 2, 3, 4])] + [
+            ("b", s, i + 10) for i, s in enumerate([10, 20, 30, 40])
+        ]
+        df = spark.createDataFrame(rows, "src string, score long, rid long")
+        got = {
+            r.rid: r.normalized
+            for r in quantile_normalize(df, "src", "score", "rid").collect()
+        }
+        for j in range(4):
+            assert got[j] == got[j + 10]
+
+
+class TestKcore:
+    def test_triangle_with_tail(self, spark):
+        from pysyslog_lfc_spark.functions.graph import kcore
+
+        edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        # k=2: tail node 5 (deg 1) peels, then 4 (deg now 1) — a
+        # 2-round cascade; the triangle survives with degree 2 each
+        out = {(r.node, r.degree) for r in kcore(df, k=2).collect()}
+        assert out == {(1, 2), (2, 2), (3, 2)}
+
+    def test_empty_core(self, spark):
+        from pysyslog_lfc_spark.functions.graph import kcore
+
+        edges = [(1, 2), (2, 3), (3, 4)]  # path: 2-core is empty
+        df = spark.createDataFrame(edges, "src long, dst long")
+        assert kcore(df, k=2).count() == 0
+
+    def test_matches_sequential_peel(self, spark):
+        import collections
+        import random
+
+        from pysyslog_lfc_spark.functions.graph import kcore
+
+        rng = random.Random(99)
+        edges = list(
+            {
+                (a, b)
+                for a, b in (
+                    sorted((rng.randrange(60), rng.randrange(60)))
+                    for _ in range(260)
+                )
+                if a != b
+            }
+        )
+        adj = collections.defaultdict(set)
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        k = 6
+        alive = {n: set(s) for n, s in adj.items()}
+        while True:
+            drop = [n for n, s in alive.items() if len(s) < k]
+            if not drop:
+                break
+            for n in drop:
+                for m in alive[n]:
+                    alive[m].discard(n)
+                del alive[n]
+        want = {(n, len(s)) for n, s in alive.items()}
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {(r.node, r.degree) for r in kcore(df, k=k).collect()}
+        assert got == want
