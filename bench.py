@@ -157,6 +157,7 @@ BENCH_QUERIES = [
     "pareto_skyline_orders",
     "score_quantile_normalize",
     "kcore_part_copurchase",
+    "slo_burn_rate_alerts",
 ]
 
 

@@ -145,3 +145,89 @@ def histogram_quantile(
         )
     )
     return hit.select(*labels, est.alias("quantile"))
+
+
+def slo_burn_rate(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: Column,
+    is_error: Column,
+    error_budget_permille: int = 200,
+    short_hours: int = 6,
+    long_hours: int = 72,
+    alert_permille: int = 1200,
+) -> DataFrame:
+    """Multi-window SLO burn-rate alerting (the Google SRE-workbook
+    pattern, public): burn rate = observed error ratio over an SLO's
+    error budget; page only when BOTH a short and a long window burn
+    faster than ``alert_permille`` — the short window gives fast
+    detection, the long window suppresses blips.
+
+    Reference anchor: this is the scale-out generalization of the
+    reference's threshold alert output (docs/configuration/outputs/
+    alert.md: count-over-window + cooldown); burn rates replace raw
+    counts so the trigger is budget-relative, not traffic-relative.
+
+    Exactness + shape: events collapse to an (keys, hour) grain first —
+    the ONLY corpus-sized exchange, map-side partial-aggregated; both
+    sliding sums are RANGE windows over the hour-grain frame (≤ |hours|
+    rows per key, bounded by the retention window, never the corpus),
+    and the burn rate is integer permille: ``errors * 1e6 DIV (total *
+    budget_permille)`` — exact in both engines, no float ratios.
+    Gaps in the hour grid under-count nothing: RANGE frames are keyed
+    by the hour index, so silent hours simply contribute no row.
+
+    Returns one row per (keys, hour) with short/long error and total
+    counts, both burn rates (permille), and the ``alert`` flag.
+    """
+    # unix_micros over a cast-to-timestamp: integer microseconds, same
+    # convention the co-occurrence bin queries gate against DuckDB's
+    # epoch_us — no float seconds, no tz ambiguity drift
+    hour = F.floor(
+        F.unix_micros(ts_col.cast("timestamp")) / F.lit(3600 * 1_000_000)
+    ).cast("long")
+    grain = (
+        df.select(
+            *keys,
+            hour.alias("hour_idx"),
+            is_error.cast("long").alias("__e"),
+        )
+        .groupBy(*keys, "hour_idx")
+        .agg(
+            F.sum("__e").alias("__err"),
+            F.count(F.lit(1)).alias("__tot"),
+        )
+    )
+    w_s = (
+        Window.partitionBy(*keys)
+        .orderBy("hour_idx")
+        .rangeBetween(-(short_hours - 1), 0)
+    )
+    w_l = (
+        Window.partitionBy(*keys)
+        .orderBy("hour_idx")
+        .rangeBetween(-(long_hours - 1), 0)
+    )
+
+    def _burn(err: Column, tot: Column) -> Column:
+        num = err * F.lit(1_000_000)
+        den = tot * F.lit(error_budget_permille)
+        return ((num - F.pmod(num, den)) / den).cast("long")
+
+    out = (
+        grain.withColumn("err_short", F.sum("__err").over(w_s))
+        .withColumn("tot_short", F.sum("__tot").over(w_s))
+        .withColumn("err_long", F.sum("__err").over(w_l))
+        .withColumn("tot_long", F.sum("__tot").over(w_l))
+        .withColumn("burn_short_pm", _burn(F.col("err_short"), F.col("tot_short")))
+        .withColumn("burn_long_pm", _burn(F.col("err_long"), F.col("tot_long")))
+        .withColumn(
+            "alert",
+            (F.col("burn_short_pm") >= alert_permille)
+            & (F.col("burn_long_pm") >= alert_permille),
+        )
+    )
+    return out.select(
+        *keys, "hour_idx", "err_short", "tot_short", "err_long", "tot_long",
+        "burn_short_pm", "burn_long_pm", "alert",
+    )

@@ -262,3 +262,62 @@ def kcore_part_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return kcore(edges, k=80, src_col="u", dst_col="v")
+
+
+_BURN_ORACLE = """
+    WITH grain AS (
+      SELECT user_id % 8 AS service,
+             epoch_us(ts) // (3600::BIGINT * 1000000) AS hour_idx,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS err,
+             CAST(count(*) AS BIGINT) AS tot
+      FROM events GROUP BY 1, 2
+    ),
+    win AS (
+      SELECT service, hour_idx,
+        sum(err) OVER (PARTITION BY service ORDER BY hour_idx
+                       RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS err_short,
+        sum(tot) OVER (PARTITION BY service ORDER BY hour_idx
+                       RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS tot_short,
+        sum(err) OVER (PARTITION BY service ORDER BY hour_idx
+                       RANGE BETWEEN 71 PRECEDING AND CURRENT ROW) AS err_long,
+        sum(tot) OVER (PARTITION BY service ORDER BY hour_idx
+                       RANGE BETWEEN 71 PRECEDING AND CURRENT ROW) AS tot_long
+      FROM grain
+    )
+    SELECT service, hour_idx, err_short, tot_short, err_long, tot_long,
+           (err_short * 1000000) // (tot_short * 200) AS burn_short_pm,
+           (err_long * 1000000) // (tot_long * 200) AS burn_long_pm,
+           ((err_short * 1000000) // (tot_short * 200) >= 1200
+            AND (err_long * 1000000) // (tot_long * 200) >= 1200) AS alert
+    FROM win
+"""
+
+
+@query("slo_burn_rate_alerts", _BURN_ORACLE)
+def slo_burn_rate_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window SLO burn-rate alerting (operators/metrics.py::
+    slo_burn_rate): per synthetic service (user_id % 8), 6h and 72h
+    sliding error-budget burn rates at 80% SLO, paging only when both
+    windows burn >= 1.2x budget — the SRE-workbook generalization of
+    the reference's count-threshold alert output
+    (docs/configuration/outputs/alert.md).
+
+    The corpus collapses to the (service, hour) grain in one partial-
+    aggregated exchange; both sliding sums are RANGE windows over that
+    bounded grain frame. Burn rates are integer permille (exact DIV),
+    so the alert booleans gate bit-for-bit against the oracle.
+    """
+    from pysyslog_lfc_spark.operators.metrics import slo_burn_rate
+
+    ev = _t(spark, sf_dir, "events")
+    return slo_burn_rate(
+        ev.withColumn("service", F.col("user_id") % 8),
+        keys=["service"],
+        ts_col=F.col("ts"),
+        is_error=F.col("event_type") == "error",
+        error_budget_permille=200,
+        short_hours=6,
+        long_hours=72,
+        alert_permille=1200,
+    )

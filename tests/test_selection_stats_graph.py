@@ -147,3 +147,36 @@ class TestKcore:
         df = spark.createDataFrame(edges, "src long, dst long")
         got = {(r.node, r.degree) for r in kcore(df, k=k).collect()}
         assert got == want
+
+
+class TestSloBurnRate:
+    def test_two_window_alert_logic(self, spark):
+        from pysyslog_lfc_spark.operators.metrics import slo_burn_rate
+
+        # service 1: a 2-hour error spike inside an otherwise clean day
+        # -> short window burns hot, long window stays cool -> no page.
+        # service 2: sustained errors -> both windows hot -> page.
+        rows = []
+        base = 1_700_000_000  # seconds
+        for h in range(24):
+            for i in range(10):
+                spike = h in (10, 11) and i < 8
+                rows.append((1, base + h * 3600 + i, "error" if spike else "ok"))
+                rows.append((2, base + h * 3600 + i, "error" if i < 8 else "ok"))
+        df = spark.createDataFrame(rows, "service long, secs long, event string")
+        out = slo_burn_rate(
+            df.withColumn("ts", F.col("secs").cast("timestamp")),
+            keys=["service"],
+            ts_col=F.col("ts"),
+            is_error=F.col("event") == "error",
+            error_budget_permille=200,
+            short_hours=3,
+            long_hours=24,
+            alert_permille=1500,
+        ).collect()
+        alerts = {(r.service, r.alert) for r in out}
+        assert (2, True) in alerts          # sustained burn pages
+        assert (1, True) not in alerts      # blip suppressed by long window
+        # burn math: service 2 sustained 80% errors at 20% budget = 4x
+        s2 = [r for r in out if r.service == 2][-1]
+        assert s2.burn_long_pm == 4000
