@@ -158,6 +158,8 @@ BENCH_QUERIES = [
     "score_quantile_normalize",
     "kcore_part_copurchase",
     "slo_burn_rate_alerts",
+    "token_loop_flags",
+    "token_ngram_uniqueness",
 ]
 
 

@@ -1,0 +1,109 @@
+"""Token-array quality signals over ``array<int>`` payloads: loop
+(periodicity) detection and intra-document n-gram uniqueness — the
+token-domain complements of the text-side Gopher repetition features in
+:mod:`pysyslog_lfc_spark.functions.text`.
+
+Why token-domain: degenerate model generations (and scraped boilerplate
+that survives text-level cleaning) show up as exact periodic token
+cycles and collapsed n-gram diversity in the *id* stream, which is what
+training actually consumes. Both operators are pure per-row Catalyst
+array expressions — zero shuffle, zero Python — so they ride the same
+scan as any other per-document filter (reference stage analog: a
+parser-stage filter, src/pysyslog/flow.py:98-134, scaled out).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def trailing_period(
+    tokens: Column, max_period: int = 8, tail_len: int = 64
+) -> Column:
+    """Smallest period ``p <= max_period`` such that the trailing
+    ``tail_len`` tokens are exactly p-periodic (every token equals the
+    token p positions before it), else 0. A generation stuck in a loop
+    ("the the the", 2-cycles, k-cycles) has a small positive period.
+
+    Pure expression: one ``slice`` for the tail, then per candidate p a
+    ``zip_with`` equality + ``forall`` reduction over the tail — O(P *
+    tail_len) comparisons per row, all whole-stage codegen.
+    """
+    n = F.size(tokens)
+    start = F.greatest(F.lit(1), n - F.lit(tail_len) + 1)
+    tail = F.slice(tokens, start, F.least(n, F.lit(tail_len)))
+    m = F.size(tail)
+    result = F.lit(0)
+    for p in range(max_period, 0, -1):
+        shifted = F.slice(tail, p + 1, m - p)
+        base = F.slice(tail, 1, m - p)
+        periodic = F.forall(
+            F.zip_with(shifted, base, lambda a, b: a.eqNullSafe(b)),
+            lambda x: x,
+        )
+        # m > p guard keeps slice lengths positive; CASE evaluates
+        # lazily per row, so the guarded slice never runs when m <= p
+        result = F.when((m > p) & periodic, F.lit(p)).otherwise(result)
+    return result
+
+
+def token_loop_report(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    max_period: int = 8,
+    tail_len: int = 64,
+) -> DataFrame:
+    """Per-document loop report: ``(id, n_tok, tail_len, period,
+    is_looping)``. Zero shuffle — a map-only quality filter."""
+    t = F.col(tokens_col)
+    return df.select(
+        id_col,
+        F.size(t).alias("n_tok"),
+        F.least(F.size(t), F.lit(tail_len)).alias("tail_len"),
+        trailing_period(t, max_period, tail_len).alias("period"),
+        (trailing_period(t, max_period, tail_len) > 0).alias("is_looping"),
+    )
+
+
+def ngram_uniqueness(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Intra-document token n-gram uniqueness: distinct n-grams over
+    total n-grams, floored permille — the token-domain version of the
+    Gopher "duplicate n-gram fraction" quality gate (a document that
+    repeats its own passages scores low even when no *other* document
+    duplicates it).
+
+    Per-row expression shape: materialize the n-gram list with
+    ``transform(sequence)`` + ``slice`` and count ``array_distinct`` —
+    zero shuffle. The distinct runs over array-typed elements; for
+    pathological single-document token counts (10^6+), switch to the
+    posexplode + per-doc groupBy variant so the work distributes — the
+    permille result is identical.
+
+    Returns ``(id, n_tok, total_ngrams, distinct_ngrams,
+    uniq_permille)``; documents shorter than ``n`` report 1000 (vacuous
+    uniqueness, matching the Gopher convention of not penalizing short
+    docs).
+    """
+    t = F.col(tokens_col)
+    g = F.greatest(F.size(t) - F.lit(n - 1), F.lit(0))
+    grams = F.transform(F.sequence(F.lit(1), g), lambda i: F.slice(t, i, n))
+    distinct = F.when(g > 0, F.size(F.array_distinct(grams))).otherwise(
+        F.lit(0)
+    )
+    uniq = F.when(
+        g > 0,
+        ((distinct * 1000) - F.pmod(distinct * 1000, g)) / g,
+    ).otherwise(F.lit(1000))
+    return df.select(
+        id_col,
+        F.size(t).alias("n_tok"),
+        g.cast("long").alias("total_ngrams"),
+        distinct.cast("long").alias("distinct_ngrams"),
+        uniq.cast("long").alias("uniq_permille"),
+    )

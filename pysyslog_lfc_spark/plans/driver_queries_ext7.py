@@ -321,3 +321,154 @@ def slo_burn_rate_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         long_hours=72,
         alert_permille=1200,
     )
+
+
+# Token arrays derive from the documents fixture via the portable-hash
+# stand-in tokenizer (plans/curation.py::hash_token_ids, same md5 rule
+# the FIM oracle replays); deterministic loop/self-dup injections give
+# the detectors real positives to find.
+
+_TOKS_SQL = r"""
+      SELECT doc_id, list_transform(
+               list_filter(string_split_regex(lower(text), '\s+'), w -> w != ''),
+               w -> CAST(('0x' || substr(md5(w), 1, 15))::BIGINT % 65536 AS INT)
+             ) AS t
+      FROM documents
+"""
+
+
+def _loop_oracle(max_period: int = 4, tail_len: int = 8) -> str:
+    cases = []
+    for p in range(1, max_period + 1):
+        cases.append(
+            f"WHEN m > {p} AND len(list_filter(range({p + 1}, m + 1), "
+            f"i -> tail[i] IS DISTINCT FROM tail[i - {p}])) = 0 THEN {p}"
+        )
+    case = "CASE " + " ".join(cases) + " ELSE 0 END"
+    return f"""
+    WITH toks AS ({_TOKS_SQL}),
+    inj AS (
+      SELECT doc_id,
+             CASE
+               WHEN doc_id % 7 = 0 AND len(t) >= 1
+                 THEN list_concat(t, list_transform(range(12), x -> t[-1]))
+               WHEN doc_id % 11 = 0 AND len(t) >= 2
+                 THEN list_concat(t, flatten(list_transform(range(8), x -> t[-2:])))
+               ELSE t
+             END AS t
+      FROM toks
+    ),
+    tails AS (
+      SELECT doc_id, len(t) AS n_tok,
+             t[greatest(1, len(t) - {tail_len} + 1):] AS tail
+      FROM inj
+    ),
+    per AS (
+      SELECT doc_id, n_tok, len(tail) AS m, tail FROM tails
+    )
+    SELECT doc_id, CAST(n_tok AS INT) AS n_tok, CAST(m AS INT) AS tail_len,
+           CAST({case} AS INT) AS period,
+           ({case}) > 0 AS is_looping
+    FROM per
+"""
+
+
+@query("token_loop_flags", _loop_oracle())
+def token_loop_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-domain loop detection (functions/tokens.py::
+    token_loop_report): smallest trailing period <= 4 over the last 8
+    tokens — the degenerate-generation / boilerplate-cycle filter (the
+    window is deliberately shorter than the injected loops: the strict
+    semantics flag a document only when the WHOLE window cycles, so
+    the window length sets the minimum loop run worth flagging).
+    Deterministic injections (doc_id % 7: 12x last-token repeat ->
+    period 1; doc_id % 11: 8x last-2-token cycle -> period <= 2) give
+    the gate real positives; everything is a per-row array expression,
+    ZERO shuffle. The oracle replays tokenizer, injection, and the
+    period CASE hop-for-hop.
+    """
+    from pysyslog_lfc_spark.functions.tokens import token_loop_report
+    from pysyslog_lfc_spark.plans.curation import hash_token_ids
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", hash_token_ids(F.col("text")).alias("t")
+    )
+    t = F.col("t")
+    injected = docs.select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") % 7 == 0) & (F.size(t) >= 1),
+            F.concat(t, F.array_repeat(F.element_at(t, -1), 12)),
+        )
+        .when(
+            (F.col("doc_id") % 11 == 0) & (F.size(t) >= 2),
+            F.concat(t, F.flatten(F.array_repeat(F.slice(t, -2, 2), 8))),
+        )
+        .otherwise(t)
+        .alias("tokens"),
+    )
+    out = token_loop_report(injected, "tokens", "doc_id", max_period=4, tail_len=8)
+    return out.select(
+        "doc_id",
+        F.col("n_tok").cast("int").alias("n_tok"),
+        F.col("tail_len").cast("int").alias("tail_len"),
+        F.col("period").cast("int").alias("period"),
+        "is_looping",
+    )
+
+
+_UNIQ_ORACLE = rf"""
+    WITH toks AS ({_TOKS_SQL}),
+    inj AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 AND len(t) >= 10
+                  THEN list_concat(t, t[1:10]) ELSE t END AS t
+      FROM toks
+    ),
+    g AS (
+      SELECT doc_id, len(t) AS n_tok,
+             greatest(len(t) - 2, 0) AS total_ngrams,
+             CASE WHEN len(t) >= 3
+                  THEN len(list_distinct(list_transform(
+                         range(1, len(t) - 1),
+                         i -> array_to_string(t[i:i+2], ','))))
+                  ELSE 0 END AS distinct_ngrams
+      FROM inj
+    )
+    SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(total_ngrams AS BIGINT) AS total_ngrams,
+           CAST(distinct_ngrams AS BIGINT) AS distinct_ngrams,
+           CAST(CASE WHEN total_ngrams > 0
+                     THEN (distinct_ngrams * 1000) // total_ngrams
+                     ELSE 1000 END AS BIGINT) AS uniq_permille
+    FROM g
+"""
+
+
+@query("token_ngram_uniqueness", _UNIQ_ORACLE)
+def token_ngram_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document token 3-gram uniqueness (functions/tokens.py::
+    ngram_uniqueness) — the token-domain Gopher duplicate-n-gram
+    quality gate. doc_id % 5 documents get their first 10 tokens
+    re-appended, so the gate sees genuine self-duplication. Zero
+    shuffle: distinct n-grams are counted per row (the oracle counts
+    the same n-grams stringified — DuckDB's list_distinct cannot hash
+    nested lists; the counts are representation-independent).
+    """
+    from pysyslog_lfc_spark.functions.tokens import ngram_uniqueness
+    from pysyslog_lfc_spark.plans.curation import hash_token_ids
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", hash_token_ids(F.col("text")).alias("t")
+    )
+    t = F.col("t")
+    injected = docs.select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") % 5 == 0) & (F.size(t) >= 10),
+            F.concat(t, F.slice(t, 1, 10)),
+        )
+        .otherwise(t)
+        .alias("tokens"),
+    )
+    return ngram_uniqueness(injected, "tokens", "doc_id", n=3)

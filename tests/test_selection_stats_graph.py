@@ -180,3 +180,59 @@ class TestSloBurnRate:
         # burn math: service 2 sustained 80% errors at 20% budget = 4x
         s2 = [r for r in out if r.service == 2][-1]
         assert s2.burn_long_pm == 4000
+
+
+class TestTokenQuality:
+    def test_trailing_period_detects_cycles(self, spark):
+        from pysyslog_lfc_spark.functions.tokens import token_loop_report
+
+        rows = [
+            (1, [5] * 10),                       # pure 1-cycle
+            (2, [1, 2] * 6),                     # pure 2-cycle
+            (3, [1, 2, 3, 1, 2, 3, 1, 2, 3]),    # 3-cycle
+            (4, [9, 9, 9, 1, 2, 3, 4, 5]),       # loop at START only -> clean
+            (5, list(range(12))),                # no cycle
+            (6, [7]),                            # single token: m=1, no p<m
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+        out = {
+            r.doc_id: (r.period, r.is_looping)
+            for r in token_loop_report(
+                df, max_period=4, tail_len=8
+            ).collect()
+        }
+        assert out[1] == (1, True)
+        assert out[2] == (2, True)
+        assert out[3] == (3, True)
+        assert out[4] == (0, False)
+        assert out[5] == (0, False)
+        assert out[6] == (0, False)
+
+    def test_period_is_smallest(self, spark):
+        from pysyslog_lfc_spark.functions.tokens import token_loop_report
+
+        # a 1-cycle is also 2- and 4-periodic; must report 1
+        df = spark.createDataFrame(
+            [(1, [3] * 8)], "doc_id long, tokens array<int>"
+        )
+        r = token_loop_report(df, max_period=4, tail_len=8).first()
+        assert r.period == 1
+
+    def test_ngram_uniqueness(self, spark):
+        from pysyslog_lfc_spark.functions.tokens import ngram_uniqueness
+
+        rows = [
+            (1, [1, 2, 3, 4, 5]),          # 3 trigrams, all distinct
+            (2, [1, 2, 1, 2, 1, 2]),       # 4 trigrams, 2 distinct -> 500
+            (3, [1, 2]),                   # shorter than n -> 1000 vacuous
+            (4, [8] * 10),                 # 8 trigrams, 1 distinct -> 125
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+        out = {
+            r.doc_id: (r.total_ngrams, r.distinct_ngrams, r.uniq_permille)
+            for r in ngram_uniqueness(df, n=3).collect()
+        }
+        assert out[1] == (3, 3, 1000)
+        assert out[2] == (4, 2, 500)
+        assert out[3] == (0, 0, 1000)
+        assert out[4] == (8, 1, 125)
