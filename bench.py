@@ -160,6 +160,8 @@ BENCH_QUERIES = [
     "slo_burn_rate_alerts",
     "token_loop_flags",
     "token_ngram_uniqueness",
+    "zipf_fit_words",
+    "dedup_containment",
 ]
 
 

@@ -1098,3 +1098,84 @@ def repeated_ngram_coverage(
             .alias("dup_permille"),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold_permille: int = 500,
+) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT pairs: directed ``(id_a, id_b)``
+    where at least ``threshold_permille``/1000 of A's n-gram shingles
+    also appear in B — the doc-in-doc detector (quote farms, article +
+    wrapper boilerplate, chunk-of-larger-doc republication) that
+    symmetric Jaccard structurally misses: a 50-shingle doc fully
+    quoted inside a 5000-shingle page has Jaccard ~0.01 but
+    containment 1.0.
+
+    Candidate generation is prefix-filtered ON THE CONTAINED SIDE
+    only (the asymmetric variant of the PPJoin prefix theorem): if
+    ``|A∩B| >= ceil(t·|A|)`` then A's first ``|A| - ceil(t·|A|) + 1``
+    sorted shingles must hit B somewhere, so the equi-join explodes
+    only A's prefix against B's full shingle stream — B cannot be
+    prefix-filtered (the witness may sit anywhere in B), which is why
+    containment joins cost more than Jaccard joins at equal corpus
+    size. Size filter inside the join: ``|B| >= ceil(t·|A|)`` (a
+    small doc cannot contain a big one's worth of shingles). Exact
+    verification re-joins candidate docs' shingle arrays and keeps
+    integer-permille containment — no float ratios in the gate.
+    Stop-shingle fan-out on the B side is the knob `ngram_jaccard_
+    pairs` already documents; cap with a frequency filter when the
+    corpus has degenerate boilerplate.
+
+    Returns ``(id_a, id_b, n_shared, containment_permille)`` with
+    ``id_a != id_b`` (both directions possible when sizes allow).
+    """
+    t = F.lit(threshold_permille)
+    sh = _shingled(df, text_col, id_col, n)
+    need = F.ceil(t * F.col("_n_sh") / F.lit(1000)).cast("int")
+    p = (F.col("_n_sh") - need + 1).cast("int")
+    pre = sh.select(
+        "_id",
+        "_n_sh",
+        F.explode(F.call_function("slice", F.col("_sh"), F.lit(1), p)).alias("_s"),
+    )
+    full = sh.select(
+        F.col("_id").alias("id_b"),
+        F.col("_n_sh").alias("n_b"),
+        F.explode("_sh").alias("_s"),
+    )
+    a = pre.select(F.col("_id").alias("id_a"), F.col("_n_sh").alias("n_a"), "_s")
+    cand = (
+        a.join(full, "_s")
+        .where(
+            (F.col("id_a") != F.col("id_b"))
+            & (F.col("n_b") >= F.ceil(t * F.col("n_a") / F.lit(1000)))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    cand_ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .unionByName(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    shc = _shingled(df.join(F.broadcast(cand_ids), id_col), text_col, id_col, n)
+    av = shc.select(
+        F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"), F.col("_n_sh").alias("n_a")
+    )
+    bv = shc.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
+    num = F.size(F.array_intersect("sh_a", "sh_b")) * F.lit(1000)
+    return (
+        av.join(F.broadcast(cand), "id_a")
+        .join(bv, "id_b")
+        .withColumn("n_shared", F.size(F.array_intersect("sh_a", "sh_b")).cast("long"))
+        .withColumn(
+            "containment_permille",
+            ((num - F.pmod(num, F.col("n_a"))) / F.col("n_a")).cast("long"),
+        )
+        .where(F.col("n_shared") * 1000 >= t * F.col("n_a"))
+        .select("id_a", "id_b", "n_shared", "containment_permille")
+    )

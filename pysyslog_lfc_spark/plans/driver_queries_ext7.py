@@ -2,9 +2,13 @@
 
 Imported by :mod:`pysyslog_lfc_spark.plans.driver_queries` (bottom of
 file) so these register into the same ``_QUERIES``/``_ORACLES`` maps.
-This batch: pointer-jumping connected components and the
-keep-one-representative dedup clustering stage, both gated against
-DuckDB's true ``WITH RECURSIVE`` reachability closure.
+This batch: pointer-jumping connected components + keep-one-
+representative dedup clustering (both gated against DuckDB's true
+``WITH RECURSIVE`` reachability closure), 2-D Pareto skyline vs the
+O(n^2) NOT-EXISTS dominance oracle, cross-source quantile
+normalization, k-core decomposition vs 16 materialized peel-stage
+CTEs, multi-window SLO burn-rate alerting, and the token-domain
+loop / n-gram-uniqueness quality gates.
 """
 
 from __future__ import annotations
@@ -472,3 +476,134 @@ def token_ngram_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("tokens"),
     )
     return ngram_uniqueness(injected, "tokens", "doc_id", n=3)
+
+
+_ZIPF_ORACLE = r"""
+    WITH w AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> '')) AS w
+      FROM documents
+    ),
+    tf AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM w GROUP BY w),
+    ranked AS (
+      SELECT freq,
+             row_number() OVER (ORDER BY freq DESC, w ASC) AS rank
+      FROM tf QUALIFY rank <= 1000
+    ),
+    b AS (
+      SELECT 1 AS k,
+             CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000) AS BIGINT) AS x,
+             CAST(floor(ln(CAST(freq AS DOUBLE)) * 1000) AS BIGINT) AS y
+      FROM ranked
+    ),
+    m AS (
+      SELECT k, CAST(count(*) AS BIGINT) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM b GROUP BY k
+    ),
+    d AS (
+      SELECT k, n,
+             CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov_n,
+             CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS varx_n,
+             CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vary_n,
+             CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+      FROM m
+    )
+    SELECT k, n,
+           CASE WHEN varx_n > 0 AND vary_n > 0 THEN
+             CAST(floor(cov_n / (sqrt(varx_n) * sqrt(vary_n)) * 1000000) AS BIGINT)
+           END AS corr_micro,
+           CASE WHEN varx_n > 0 THEN
+             CAST(floor(cov_n / varx_n * 1000000) AS BIGINT)
+           END AS slope_micro,
+           CASE WHEN varx_n > 0 THEN
+             CAST(floor((syd - cov_n / varx_n * sxd) / CAST(n AS DOUBLE) * 1000)
+                  AS BIGINT)
+           END AS intercept_milli
+    FROM d
+"""
+
+
+@query("zipf_fit_words", _ZIPF_ORACLE)
+def zipf_fit_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus word distribution: OLS of
+    ln(freq) on ln(rank) over the top-1000 words — slope_micro near
+    -1e6 is the healthy-natural-text diagnostic; a flat or broken
+    power law flags templated or machine-generated corpora. Composes the word
+    count (one corpus exchange), a rank window over the |vocab| frame
+    (tiny-frame convention, same as global_rank's offsets), and
+    functions/stats.py::grouped_linreg's exact integer moments.
+    ln is permille-floored before the moments (the established
+    engine-portability convention from collocation_pmi)."""
+    from pyspark.sql import Window as W
+    from pysyslog_lfc_spark.functions.stats import grouped_linreg
+    from pysyslog_lfc_spark.functions.text import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(tokenize(F.lower(F.col("text")))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    ranked = (
+        tf.withColumn(
+            "rank", F.row_number().over(W.orderBy(F.desc("freq"), F.asc("w")))
+        )
+        .where(F.col("rank") <= 1000)
+    )
+    pts = ranked.select(
+        F.lit(1).alias("k"),
+        F.floor(F.log(F.col("rank").cast("double")) * 1000)
+        .cast("long")
+        .alias("lx"),
+        F.floor(F.log(F.col("freq").cast("double")) * 1000)
+        .cast("long")
+        .alias("ly"),
+    )
+    return grouped_linreg(pts, ["k"], F.col("lx"), F.col("ly"))
+
+
+_CONTAIN_ORACLE = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), w -> w != '') AS ws
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(ws[i : i + 2], ' ') AS s
+      FROM (SELECT doc_id, ws, unnest(range(1, greatest(len(ws) - 1, 1))) AS i
+            FROM toks)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id != b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_shared,
+           CAST((n_shared * 1000) // sa.n AS BIGINT) AS containment_permille
+    FROM cand JOIN sizes sa ON sa.doc_id = id_a
+    WHERE n_shared * 1000 >= 300 * sa.n
+"""
+
+
+@query("dedup_containment", _CONTAIN_ORACLE)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric doc-in-doc containment pairs (functions/dedup.py::
+    containment_pairs, 3-gram shingles, threshold 0.3): >= 30% of A's
+    shingles inside B — the quote-farm / wrapper-boilerplate detector
+    symmetric Jaccard misses (a fully-quoted small doc has Jaccard
+    ~|A|/|B| but containment 1.0). Prefix-filtered on the contained
+    side only (asymmetric PPJoin theorem); the oracle is the full
+    brute-force shared-shingle join + integer-permille ratio.
+    """
+    from pysyslog_lfc_spark.functions import dedup as DD
+
+    return DD.containment_pairs(
+        _t(spark, sf_dir, "documents"), threshold_permille=300
+    )

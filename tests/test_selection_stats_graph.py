@@ -236,3 +236,59 @@ class TestTokenQuality:
         assert out[2] == (4, 2, 500)
         assert out[3] == (0, 0, 1000)
         assert out[4] == (8, 1, 125)
+
+
+class TestContainmentPairs:
+    def test_small_doc_in_big_doc(self, spark):
+        from pysyslog_lfc_spark.functions.dedup import containment_pairs
+
+        quoted = "alpha beta gamma delta epsilon zeta eta theta"
+        filler = " ".join(f"w{i} x{i} y{i}" for i in range(40))
+        docs = spark.createDataFrame(
+            [
+                (1, quoted),                      # fully quoted inside 2
+                (2, filler + " " + quoted + " " + filler.replace("w", "z")),
+                (3, "totally unrelated words only here"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            (r.id_a, r.id_b): r.containment_permille
+            for r in containment_pairs(docs, threshold_permille=500).collect()
+        }
+        assert out.get((1, 2)) == 1000        # A fully inside B
+        assert (2, 1) not in out              # big doc not inside small one
+        assert all(3 not in k for k in out)
+
+    def test_matches_brute_force(self, spark):
+        import itertools
+        import random
+
+        from pysyslog_lfc_spark.functions.dedup import containment_pairs
+
+        rng = random.Random(4)
+        vocab = [f"t{i}" for i in range(30)]
+        docs = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(5, 25))))
+            for i in range(25)
+        ]
+
+        def sh(text):
+            ws = text.split()
+            return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+        t_pm = 400
+        want = {}
+        for (ia, ta), (ib, tb) in itertools.permutations(docs, 2):
+            sa, sb = sh(ta), sh(tb)
+            if not sa:
+                continue
+            shared = len(sa & sb)
+            if shared * 1000 >= t_pm * len(sa):
+                want[(ia, ib)] = (shared * 1000) // len(sa)
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            (r.id_a, r.id_b): r.containment_permille
+            for r in containment_pairs(df, threshold_permille=t_pm).collect()
+        }
+        assert got == want
