@@ -58,6 +58,13 @@ AUDIT_QUERIES = [
     "cross_source_overlap",
     "interval_coverage_users",
     "cooccurrence_lift",
+    "pareto_skyline_orders",
+    "score_quantile_normalize",
+    "slo_burn_rate_alerts",
+    "dedup_containment",
+    "token_loop_flags",
+    "token_ngram_uniqueness",
+    "phrase_blocklist_hits",
     "boilerplate_ngrams",
     "truncation_loss",
     "vocab_coverage",
