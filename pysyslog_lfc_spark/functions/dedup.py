@@ -799,6 +799,15 @@ def connected_components(
         if cur == prev:  # star fixpoint: every edge is (child, root)
             break
         prev = cur
+    else:
+        # budget exhausted before the star fixpoint — the edge set is
+        # still contracting and labels would be mid-merge; refuse
+        # rather than emit split components silently (same stance as
+        # graph.py::connected_components / kcore).
+        raise ValueError(
+            f"connected_components did not converge within max_iter="
+            f"{max_iter} star rounds; raise max_iter"
+        )
 
     comp = edges.select(F.col("u").alias("node"), F.col("v").alias("component"))
     roots = all_nodes.join(

@@ -275,6 +275,16 @@ def connected_components(
         if cur == prev:  # hook fixpoint == every node at its component min
             break
         prev = cur
+    else:
+        # Round budget exhausted WITHOUT a detected fixpoint: labels may
+        # still be mid-propagation, and returning them would silently
+        # split components. Refusing beats wrong answers (the same
+        # refuse-on-mismatch stance the resume manifest takes).
+        raise ValueError(
+            "connected_components did not converge within "
+            f"max_diameter={max_diameter} rounds; raise max_diameter "
+            "(the graph's effective diameter exceeds the budget)"
+        )
     return lbl.select("node", F.col("lbl").alias("component"))
 
 
@@ -417,6 +427,14 @@ def kcore(
         if cur == prev:
             break
         prev = cur
+    else:
+        # still peeling when the budget ran out — the survivors are NOT
+        # the k-core (nodes below k remain); refuse rather than return
+        # a superset silently.
+        raise ValueError(
+            f"kcore did not reach its fixpoint within max_iter={max_iter} "
+            "rounds; raise max_iter (the deletion cascade is longer)"
+        )
     return (
         sym.groupBy(F.col("u").alias("node"))
         .agg(F.count(F.lit(1)).alias("degree"))

@@ -292,3 +292,29 @@ class TestContainmentPairs:
             for r in containment_pairs(df, threshold_permille=t_pm).collect()
         }
         assert got == want
+
+
+class TestIterationBudgetGuards:
+    def test_cc_raises_when_budget_too_small(self, spark):
+        import pytest
+
+        from pysyslog_lfc_spark.functions.graph import connected_components
+
+        # 40-hop chain cannot converge in a 2-round budget (rounds =
+        # ceil(log2(2)) + 1 = 2); must refuse, not split the chain
+        edges = [(i, i + 1) for i in range(40)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        with pytest.raises(ValueError, match="did not converge"):
+            connected_components(df, max_diameter=2).collect()
+
+    def test_kcore_raises_when_budget_too_small(self, spark):
+        import pytest
+
+        from pysyslog_lfc_spark.functions.graph import kcore
+
+        # path graph: 2-core peels one endpoint per round -> cascade
+        # of ~n rounds; max_iter=2 must refuse, not return a superset
+        edges = [(i, i + 1) for i in range(12)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        with pytest.raises(ValueError, match="did not reach"):
+            kcore(df, k=2, max_iter=2)
