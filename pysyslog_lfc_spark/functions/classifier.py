@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from pysyslog_lfc_spark.functions.importance import exploded_feature_buckets
 
@@ -175,4 +175,63 @@ def classifier_score(
         )
         .cast("long")
         .alias("score_permille"),
+    )
+
+
+def calibration_report(
+    df: DataFrame,
+    score_permille_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram + Expected Calibration Error (ECE) over an
+    integer permille score (Guo et al. 2017's equal-width binning) —
+    the acceptance check for any quality/toxicity classifier whose
+    threshold gates a training corpus.
+
+    bin = min(n_bins−1, score·n_bins DIV 1000) via the subtract-mod
+    exact floor-division; per bin the report carries mean confidence,
+    empirical accuracy, their gap (all exact integer milli units —
+    permille scores and 0/1 labels sum exactly) and the bin's ECE
+    contribution n_b·gap DIV N in micro units, so the scalar
+    ECE = SUM(ece_part_micro) is an order-free integer aggregate.
+
+    Plan: ONE map-side-partial hash aggregate of the corpus to an
+    ``n_bins``-row frame; N is a window over that frame.
+
+    Returns (bin, n, conf_milli, acc_milli, gap_milli, ece_part_micro).
+    Empty bins are absent (both engines groupBy observed bins).
+    """
+    s = F.col(score_permille_col).cast("long")
+    num = (s * F.lit(int(n_bins))).cast("decimal(38,0)")
+    raw_bin = ((num - F.pmod(num, F.lit(1000))) / 1000).cast("long")
+    binned = df.select(
+        F.least(F.lit(int(n_bins) - 1), raw_bin).alias("bin"),
+        s.alias("_s"),
+        F.col(label_col).cast("long").alias("_y"),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("_s").cast("decimal(38,0)")).alias("_ss"),
+        F.sum("_y").cast("long").alias("_pos"),
+    )
+    big_n = F.sum("n").over(Window.partitionBy())
+
+    def _fdiv(num_c, den_c):
+        num_c = num_c.cast("decimal(38,0)")
+        return ((num_c - F.pmod(num_c, den_c)) / den_c).cast("long")
+
+    withn = per_bin.withColumn("_N", big_n)
+    conf = _fdiv(F.col("_ss"), F.col("n"))
+    acc = _fdiv(F.col("_pos") * F.lit(1000), F.col("n"))
+    gap = F.abs(conf - acc)
+    return withn.select(
+        "bin",
+        "n",
+        conf.alias("conf_milli"),
+        acc.alias("acc_milli"),
+        gap.alias("gap_milli"),
+        _fdiv(F.col("n") * gap * F.lit(1000), F.col("_N")).alias(
+            "ece_part_micro"
+        ),
     )

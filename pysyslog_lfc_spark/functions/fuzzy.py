@@ -28,7 +28,7 @@ ids) and vocabulary normalization in training-data pipelines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 
 def deletion_variants(df: DataFrame, word_col: str = "w") -> DataFrame:
@@ -82,3 +82,189 @@ def edit1_pairs(
         .distinct()
     )
     return cand.where(F.levenshtein("w_a", "w_b") == 1)
+
+
+def qgram_profile(
+    df: DataFrame, id_col: str, str_col: str, q: int = 2
+) -> DataFrame:
+    """One row per (id, length, distinct positional-less q-gram).
+
+    Pure codegen: transform over an integer sequence + substring, then
+    array_distinct + explode. Strings shorter than ``q`` produce no
+    rows (they are handled by the short-string band join in
+    :func:`edit_distance_pairs`)."""
+    s = F.col(str_col)
+    return (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.length(s).alias("_len"),
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(1, length({str_col}) - {q - 1}),"
+                        f" i -> substring({str_col}, i, {q}))"
+                    )
+                )
+            ).alias("_gram"),
+        )
+        .where(F.col("_len") >= q)
+    )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    str_col: str,
+    max_dist: int = 2,
+    q: int = 2,
+    max_gram_freq: int | None = None,
+) -> DataFrame:
+    """All unordered pairs within Levenshtein distance ``max_dist``,
+    general-k sibling of :func:`edit1_pairs` — the record-linkage /
+    typo-clustering join.
+
+    Candidates-then-verify, never the O(n²) cross join:
+
+    - **q-gram filter** (complete for pairs where either string has
+      length ≥ q·(max_dist+1)): one edit destroys at most ``q``
+      q-grams, so after ≤ k edits at least ``len − q + 1 − k·q ≥ 1``
+      grams of the longer string survive in the other — such pairs
+      MUST share a q-gram. Equi-join the distinct-gram profiles,
+      pre-filtered by the length bound |len_a − len_b| ≤ k.
+    - **short-string band join**: pairs where BOTH strings are shorter
+      than q·(k+1)+k fall outside the guarantee; they equi-join on
+      length-band ``len DIV (k+1)`` (|len_a − len_b| ≤ k means the
+      bands differ by at most 1 in either direction, covered by
+      exploding [band−1, band, band+1] on one side). The short frame
+      is bounded by the alphabet (strings shorter than ~3k chars),
+      never corpus-sized in practice.
+    - **verify**: candidates dedup to bare id pairs (vectors/strings
+      are NOT dragged through the candidate shuffle), strings re-join
+      once, one exact ``levenshtein`` call keeps semantics exact.
+
+    ``max_gram_freq``: optional stop-gram cap — a gram shared by more
+    than this many strings is dropped from candidate generation
+    (bounded recall for bounded fan-out at extreme scale; the DuckDB
+    oracle doubles as the completeness proof when unset).
+
+    Returns (id_a, id_b, dist), id_a < id_b, dist ≤ max_dist.
+    Reference anchor: the reference has no similarity surface
+    (src/pysyslog/flow.py routes on exact predicates only) — this is
+    Spark-first record-linkage for the training-data pipeline.
+    """
+    k = max_dist
+    words = (
+        df.select(F.col(id_col).alias("_id"), F.col(str_col).alias("_s"))
+        .where(F.col(str_col).isNotNull())
+    )
+    prof = qgram_profile(words, "_id", "_s", q=q)
+    if max_gram_freq is not None:
+        freq = prof.groupBy("_gram").agg(F.count(F.lit(1)).alias("__n"))
+        prof = (
+            prof.join(freq, "_gram")
+            .where(F.col("__n") <= max_gram_freq)
+            .drop("__n")
+        )
+    a = prof.select(
+        F.col("_id").alias("id_a"), F.col("_len").alias("_la"), "_gram"
+    )
+    b = prof.select(
+        F.col("_id").alias("id_b"), F.col("_len").alias("_lb"), "_gram"
+    )
+    cand_gram = (
+        a.join(b, "_gram")
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("_la") - F.col("_lb")) <= k)
+        )
+        .select("id_a", "id_b")
+    )
+    short_cut = q * (k + 1) + k
+    short = words.where(F.length("_s") < short_cut).select(
+        "_id", F.length("_s").alias("_len")
+    )
+    sa = short.select(
+        F.col("_id").alias("id_a"),
+        F.col("_len").alias("_la"),
+        F.explode(
+            F.array(
+                (F.col("_len") / (k + 1)).cast("long") - 1,
+                (F.col("_len") / (k + 1)).cast("long"),
+                (F.col("_len") / (k + 1)).cast("long") + 1,
+            )
+        ).alias("_band"),
+    )
+    sb = short.select(
+        F.col("_id").alias("id_b"),
+        F.col("_len").alias("_lb"),
+        (F.col("_len") / (k + 1)).cast("long").alias("_band"),
+    )
+    cand_short = (
+        sa.join(sb, "_band")
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("_la") - F.col("_lb")) <= k)
+        )
+        .select("id_a", "id_b")
+    )
+    cand = cand_gram.unionByName(cand_short).distinct()
+    wa = words.select(F.col("_id").alias("id_a"), F.col("_s").alias("_sa"))
+    wb = words.select(F.col("_id").alias("id_b"), F.col("_s").alias("_sb"))
+    return (
+        cand.join(wa, "id_a")
+        .join(wb, "id_b")
+        .withColumn("dist", F.levenshtein("_sa", "_sb"))
+        .where(F.col("dist") <= k)
+        .select("id_a", "id_b", F.col("dist").cast("int").alias("dist"))
+    )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    key: Column,
+    window: int = 3,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo 1995): sort the
+    corpus by a blocking key and emit every pair within ``window``
+    positions — the classic entity-resolution candidate generator for
+    similarity measures with no equi-join decomposition.
+
+    The global sort position comes from
+    :func:`pysyslog_lfc_spark.functions.curriculum.global_rank`'s
+    two-level decomposition (per-score window + broadcast offsets) —
+    never a single-task ``row_number() OVER (ORDER BY key)``. Pair
+    generation is rank arithmetic: explode j ∈ [1, window-1] and
+    equi-join rank + j against rank, an integer-keyed hash join whose
+    fan-out is exactly (window-1)·n rows.
+
+    Returns (id_a, id_b, key_a, key_b, rank_a, rank_b) with
+    rank_b − rank_a ∈ [1, window−1]. Ties in ``key`` break by id, so
+    the pair set is fully deterministic.
+    """
+    from pysyslog_lfc_spark.functions.curriculum import global_rank
+
+    ranked = global_rank(
+        df.select(F.col(id_col).alias("_id"), key.alias("_k")),
+        F.col("_k"),
+        "_id",
+        out_score="_key",
+        out_rank="_rank",
+    ).select("_id", "_key", "_rank")
+    a = ranked.select(
+        F.col("_id").alias("id_a"),
+        F.col("_key").alias("key_a"),
+        F.col("_rank").alias("rank_a"),
+        F.explode(
+            F.sequence(F.lit(1), F.lit(int(window) - 1))
+        ).alias("_j"),
+    ).withColumn("_target", F.col("rank_a") + F.col("_j"))
+    b = ranked.select(
+        F.col("_id").alias("id_b"),
+        F.col("_key").alias("key_b"),
+        F.col("_rank").alias("rank_b"),
+    )
+    return (
+        a.join(b, a["_target"] == b["rank_b"])
+        .select("id_a", "id_b", "key_a", "key_b", "rank_a", "rank_b")
+    )

@@ -208,3 +208,141 @@ def quantile_normalize(
         pos.join(glob, pos["__pos"] == glob["__grank"])
         .select(id_col, group_col, score_col, "q_permille", "normalized")
     )
+
+
+def cuped_lift(
+    df: DataFrame,
+    arm_col: str,
+    x: Column,
+    y: Column,
+) -> DataFrame:
+    """CUPED variance-reduced A/B comparison (Deng et al., WSDM 2013):
+    adjust the experiment metric ``y`` by the pre-experiment covariate
+    ``x`` — y' = y − θ·(x − mean(x)) with θ = cov(x,y)/var(x) pooled
+    over ALL units — and report per-arm means of both the raw and the
+    adjusted metric plus the variance-reduction factor (1 − ρ²).
+
+    ``x`` and ``y`` MUST be integer-valued expressions (cents, millis,
+    counts — same contract as :func:`grouped_linreg`): the per-arm
+    moment sums are exact DECIMAL(38,0) integers, so every aggregate is
+    order-free, and the final per-arm scalar chain runs once in
+    correctly-rounded IEEE double — bit-identical in any conformant
+    engine.
+
+    Plan: ONE map-side-partial hash aggregate over the unit frame
+    (grouped by arm); the pooled moments re-aggregate the |arms|-row
+    frame and broadcast back. The unit frame is scanned once.
+
+    Returns one row per arm:
+      (arm, n, mean_y_milli, mean_adj_milli, theta_micro,
+       var_reduction_micro)
+    """
+    base = df.select(
+        F.col(arm_col).alias("arm"),
+        x.cast("long").alias("_x"),
+        y.cast("long").alias("_y"),
+    )
+    per_arm = base.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("_x").cast(_D38)).alias("_sx"),
+        F.sum(F.col("_y").cast(_D38)).alias("_sy"),
+        F.sum((F.col("_x") * F.col("_y")).cast(_D38)).alias("_sxy"),
+        F.sum((F.col("_x") * F.col("_x")).cast(_D38)).alias("_sxx"),
+        F.sum((F.col("_y") * F.col("_y")).cast(_D38)).alias("_syy"),
+    )
+    pooled = per_arm.groupBy().agg(
+        F.sum("n").cast("long").alias("_N"),
+        F.sum("_sx").alias("_gx"),
+        F.sum("_sy").alias("_gy"),
+        F.sum("_sxy").alias("_gxy"),
+        F.sum("_sxx").alias("_gxx"),
+        F.sum("_syy").alias("_gyy"),
+    )
+    j = per_arm.join(F.broadcast(pooled))
+    bign = F.col("_N").cast("double")
+    gx = F.col("_gx").cast("double")
+    gy = F.col("_gy").cast("double")
+    cov_n = bign * F.col("_gxy").cast("double") - gx * gy
+    varx_n = bign * F.col("_gxx").cast("double") - gx * gx
+    vary_n = bign * F.col("_gyy").cast("double") - gy * gy
+    theta = cov_n / varx_n
+    rho2 = (cov_n * cov_n) / (varx_n * vary_n)
+    n = F.col("n").cast("double")
+    mean_y = F.col("_sy").cast("double") / n
+    mean_adj = mean_y - theta * (
+        F.col("_sx").cast("double") / n - gx / bign
+    )
+    return j.select(
+        "arm",
+        "n",
+        F.floor(mean_y * 1000).cast("long").alias("mean_y_milli"),
+        F.when(varx_n > 0, F.floor(mean_adj * 1000))
+        .cast("long")
+        .alias("mean_adj_milli"),
+        F.when(varx_n > 0, F.floor(theta * 1000000))
+        .cast("long")
+        .alias("theta_micro"),
+        F.when(
+            (varx_n > 0) & (vary_n > 0),
+            F.floor((F.lit(1.0) - rho2) * 1000000),
+        )
+        .cast("long")
+        .alias("var_reduction_micro"),
+    )
+
+
+# floor(log10(1 + 1/d) · 1e6) for d = 1..9 — Benford's-law expected
+# first-digit shares in micro units. Hardcoded literals (not computed
+# via log10 at runtime) so both engines compare against the identical
+# integer constants regardless of libm ULP differences.
+BENFORD_MICRO = {
+    1: 301029, 2: 176091, 3: 124938, 4: 96910, 5: 79181,
+    6: 66946, 7: 57991, 8: 51152, 9: 45757,
+}
+
+
+def benford_deviation(df: DataFrame, value: Column) -> DataFrame:
+    """Benford's-law first-digit diagnostic over a positive
+    integer-valued measure (fraud / synthetic-data / unit-mix smell
+    test; Benford 1938, Hill 1995).
+
+    The first significant digit comes from the BIGINT's string form
+    (``substring(cast(v as string), 1, 1)``) — exact in any engine,
+    where ``v DIV 10^floor(log10(v))`` risks libm ULP misfloors at
+    powers of ten. Observed shares are integer micros
+    (``1e6·cnt DIV total`` via the subtract-mod exact floor-division);
+    expected shares are the hardcoded :data:`BENFORD_MICRO` constants,
+    so per-digit deviation is an exact integer and the table-level
+    statistic is an order-free integer SUM.
+
+    Plan: ONE map-side-partial hash aggregate of the fact column to a
+    ≤9-row digit frame; the total is a window over that frame.
+
+    Returns (digit, n, share_micro, benford_micro, dev_micro) for each
+    observed digit, ascending digit order not guaranteed.
+    """
+    d = (
+        df.select(value.cast("long").alias("_v"))
+        .where(F.col("_v") > 0)
+        .select(F.substring(F.col("_v").cast("string"), 1, 1).cast("int").alias("digit"))
+    )
+    counts = d.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    total = F.sum("n").over(Window.partitionBy())
+    num = (F.col("n") * F.lit(1000000)).cast(_D38)
+    share = ((num - F.pmod(num, F.col("_total"))) / F.col("_total")).cast("long")
+    expected = F.element_at(
+        F.create_map(
+            *[F.lit(v) for kv in BENFORD_MICRO.items() for v in kv]
+        ),
+        F.col("digit"),
+    ).cast("long")
+    return (
+        counts.withColumn("_total", total)
+        .select(
+            "digit",
+            "n",
+            share.alias("share_micro"),
+            expected.alias("benford_micro"),
+            F.abs(share - expected).alias("dev_micro"),
+        )
+    )

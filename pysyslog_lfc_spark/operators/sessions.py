@@ -484,3 +484,71 @@ def cdc_latest_state(
         F.col("_s.es_us").alias("last_es_us"),
         "n_changes",
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value: Column,
+    end_ts: str,
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Time-weighted average (TWAP) per series over irregular samples:
+    each sample holds its value until the next sample (LOCF step
+    function, the standard semantics for gauges sampled on change);
+    the final sample extends to ``end_ts``. The average weights each
+    value by the microseconds it was in effect, starting the clock at
+    each series' first sample.
+
+    ``value`` MUST be an integer-valued expression (cents/millis —
+    same exactness contract as stats.grouped_linreg): the weighted sum
+    Σ v·Δt is then an exact DECIMAL(38,0) integer and the TWAP a
+    subtract-mod exact floor-division — order-free, engine-portable.
+
+    Plan: ONE hash exchange keyed by the series (the lead window and
+    the final groupBy share the partitioning, so AQE plans a single
+    shuffle); window frames are bounded by per-series sample counts.
+    At 10^12 rows with hot series, pre-split hot keys by day and merge
+    the (Σ v·Δt, Σ Δt) partials — they are algebraic.
+
+    Returns (key_cols..., n_samples, span_us, twap_milli).
+    """
+    tiebreak = [order_tiebreak] if order_tiebreak else []
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col("_ts_us"), *[F.col(c) for c in tiebreak]
+    )
+    end_us = _epoch_us(F.lit(end_ts).cast("timestamp"))
+    ts_us = _epoch_us(F.col(ts_col))
+    stepped = (
+        df.where(F.col(ts_col).cast("timestamp_ntz") <= F.lit(end_ts).cast("timestamp_ntz"))
+        .select(
+            *key_cols,
+            *tiebreak,
+            ts_us.alias("_ts_us"),
+            value.cast("long").alias("_v"),
+        )
+        .withColumn(
+            "_dur_us",
+            F.coalesce(F.lead("_ts_us").over(w), end_us) - F.col("_ts_us"),
+        )
+    )
+    agg = stepped.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_samples"),
+        F.sum(F.col("_dur_us").cast("decimal(38,0)")).alias("_den"),
+        F.sum(
+            (F.col("_v").cast("decimal(38,0)") * F.col("_dur_us")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("_num"),
+    )
+    num_milli = (F.col("_num") * 1000).cast("decimal(38,0)")
+    twap = (
+        (num_milli - F.pmod(num_milli, F.col("_den"))) / F.col("_den")
+    ).cast("long")
+    return agg.select(
+        *key_cols,
+        "n_samples",
+        F.col("_den").cast("long").alias("span_us"),
+        twap.alias("twap_milli"),
+    )

@@ -1,0 +1,332 @@
+"""Driver-query registrations, round-2 session-14 batch.
+
+Imported by :mod:`pysyslog_lfc_spark.plans.driver_queries` (bottom of
+file) so these register into the same ``_QUERIES``/``_ORACLES`` maps.
+This batch: general-k edit-distance similarity join (q-gram filtered,
+gated against DuckDB's brute-force ``levenshtein``), sorted-
+neighborhood entity-resolution blocking vs the single-window
+``row_number`` oracle, CUPED variance-reduced A/B lift from exact
+integer moments, Benford first-digit deviation, per-series
+time-weighted average (TWAP), and a classifier reliability/ECE report
+over the oracle-replayable quality score.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pysyslog_lfc_spark.plans.driver_queries import _t, query
+
+
+_EDIT_ORACLE = """
+    WITH w AS (
+      SELECT c_custkey AS id, substr(c_name, 10) AS s
+      FROM customer WHERE c_custkey < 600
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist
+    FROM w a JOIN w b ON a.id < b.id
+    WHERE levenshtein(a.s, b.s) <= 2
+"""
+
+
+@query("fuzzy_edit_pairs", _EDIT_ORACLE)
+def fuzzy_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General-k Levenshtein similarity join (functions/fuzzy.py::
+    edit_distance_pairs): q-gram-filtered candidates + short-string
+    band join + one exact verify, vs DuckDB's O(n²) brute-force
+    ``levenshtein`` cross join — the oracle doubles as the candidate-
+    completeness proof (every true pair must survive the filter).
+
+    Fixture: customer-name digit suffixes, k=2 — pairs differing in at
+    most two digit positions. At 10^8 distinct strings the gram
+    equi-join replaces 10^16 comparisons with Σ freq(gram)² bounded
+    work (plus the documented ``max_gram_freq`` recall knob for
+    stop-grams). Reference anchor: the reference matches fields
+    exactly (src/pysyslog/components/filters/field.py) — fuzzy joins
+    are a from-scratch Spark-first extension.
+    """
+    from pysyslog_lfc_spark.functions.fuzzy import edit_distance_pairs
+
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_custkey") < 600)
+    named = cust.select(
+        F.col("c_custkey").alias("id"),
+        F.expr("substring(c_name, 10)").alias("s"),
+    )
+    return edit_distance_pairs(named, "id", "s", max_dist=2, q=2)
+
+
+_SN_ORACLE = """
+    WITH r AS (
+      SELECT c_custkey AS id,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS k,
+             row_number() OVER (
+               ORDER BY CAST(round(c_acctbal * 100) AS BIGINT), c_custkey
+             ) AS rnk
+      FROM customer
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           a.k AS key_a, b.k AS key_b,
+           a.rnk AS rank_a, b.rnk AS rank_b
+    FROM r a JOIN r b ON b.rnk - a.rnk BETWEEN 1 AND 2
+"""
+
+
+@query("blocking_sorted_neighborhood", _SN_ORACLE)
+def blocking_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking (functions/fuzzy.py::
+    sorted_neighborhood_pairs): candidate pairs within a 3-position
+    window under ORDER BY (acctbal cents, id), vs DuckDB's
+    single-window ``row_number`` ground truth.
+
+    The Spark side never runs the unpartitioned global window the
+    oracle uses: ranks come from curriculum.global_rank's two-level
+    decomposition (per-score window + broadcast offsets) and pair
+    generation is an integer-keyed equi-join on rank+j — the shape
+    that survives 10^12 rows where ORDER-BY-everything cannot.
+    """
+    from pysyslog_lfc_spark.functions.fuzzy import sorted_neighborhood_pairs
+
+    cust = _t(spark, sf_dir, "customer")
+    keyed = cust.select(
+        F.col("c_custkey").alias("cid"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    return sorted_neighborhood_pairs(
+        keyed, "cid", F.col("cents"), window=3
+    )
+
+
+_CUPED_ORACLE = """
+    WITH u AS (
+      SELECT user_id % 2 AS arm,
+             SUM(CASE WHEN date_part('day', ts) <= 15
+                 THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS x,
+             SUM(CASE WHEN date_part('day', ts) > 15
+                 THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS y
+      FROM events GROUP BY user_id
+    ),
+    m AS (
+      SELECT arm, COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+      FROM u GROUP BY arm
+    ),
+    g AS (
+      SELECT SUM(n) AS nn, SUM(sx) AS gx, SUM(sy) AS gy,
+             SUM(sxy) AS gxy, SUM(sxx) AS gxx, SUM(syy) AS gyy
+      FROM m
+    )
+    SELECT m.arm, m.n,
+      CAST(floor(CAST(m.sy AS DOUBLE) / CAST(m.n AS DOUBLE) * 1000) AS BIGINT)
+        AS mean_y_milli,
+      CAST(floor((CAST(m.sy AS DOUBLE) / CAST(m.n AS DOUBLE)
+        - ((CAST(g.nn AS DOUBLE) * CAST(g.gxy AS DOUBLE)
+            - CAST(g.gx AS DOUBLE) * CAST(g.gy AS DOUBLE))
+           / (CAST(g.nn AS DOUBLE) * CAST(g.gxx AS DOUBLE)
+              - CAST(g.gx AS DOUBLE) * CAST(g.gx AS DOUBLE)))
+          * (CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE)
+             - CAST(g.gx AS DOUBLE) / CAST(g.nn AS DOUBLE))) * 1000)
+        AS BIGINT) AS mean_adj_milli,
+      CAST(floor((CAST(g.nn AS DOUBLE) * CAST(g.gxy AS DOUBLE)
+            - CAST(g.gx AS DOUBLE) * CAST(g.gy AS DOUBLE))
+           / (CAST(g.nn AS DOUBLE) * CAST(g.gxx AS DOUBLE)
+              - CAST(g.gx AS DOUBLE) * CAST(g.gx AS DOUBLE)) * 1000000)
+        AS BIGINT) AS theta_micro,
+      CAST(floor((1 - ((CAST(g.nn AS DOUBLE) * CAST(g.gxy AS DOUBLE)
+                        - CAST(g.gx AS DOUBLE) * CAST(g.gy AS DOUBLE))
+                       * (CAST(g.nn AS DOUBLE) * CAST(g.gxy AS DOUBLE)
+                          - CAST(g.gx AS DOUBLE) * CAST(g.gy AS DOUBLE)))
+                      / ((CAST(g.nn AS DOUBLE) * CAST(g.gxx AS DOUBLE)
+                          - CAST(g.gx AS DOUBLE) * CAST(g.gx AS DOUBLE))
+                         * (CAST(g.nn AS DOUBLE) * CAST(g.gyy AS DOUBLE)
+                            - CAST(g.gy AS DOUBLE) * CAST(g.gy AS DOUBLE))))
+                 * 1000000) AS BIGINT) AS var_reduction_micro
+    FROM m, g
+"""
+
+
+@query("ab_cuped_lift", _CUPED_ORACLE)
+def ab_cuped_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B comparison (functions/stats.py::
+    cuped_lift, Deng et al. WSDM 2013): per-user pre-period spend
+    (days 1-15, cents) is the covariate for post-period spend
+    (days 16-30); arms split by user_id parity.
+
+    Exactness: every aggregate is an integer moment (DECIMAL(38,0) /
+    HUGEINT), the θ / adjusted-mean / 1−ρ² chain runs once per arm in
+    correctly-rounded double — the oracle replays the identical
+    expression tree, so the value hash gates the mechanism, not a
+    tolerance. ONE corpus exchange (user grain), then |arms|-row math.
+    """
+    from pysyslog_lfc_spark.functions.stats import cuped_lift
+
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    day = F.dayofmonth("ts")
+    users = ev.groupBy("user_id").agg(
+        F.sum(F.when(day <= 15, cents).otherwise(F.lit(0))).alias("x"),
+        F.sum(F.when(day > 15, cents).otherwise(F.lit(0))).alias("y"),
+    ).select(
+        F.pmod(F.col("user_id"), F.lit(2)).cast("long").alias("arm"),
+        "x",
+        "y",
+    )
+    return cuped_lift(users, "arm", F.col("x"), F.col("y"))
+
+
+_BENFORD_ORACLE = """
+    WITH v AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders
+    ),
+    d AS (
+      SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+             COUNT(*) AS n
+      FROM v WHERE v > 0 GROUP BY 1
+    ),
+    t AS (SELECT SUM(n) AS total FROM d),
+    b(digit, benford_micro) AS (VALUES
+      (1, 301029), (2, 176091), (3, 124938), (4, 96910), (5, 79181),
+      (6, 66946), (7, 57991), (8, 51152), (9, 45757))
+    SELECT d.digit, d.n,
+      CAST((d.n * 1000000 - (d.n * 1000000) % t.total) / t.total AS BIGINT)
+        AS share_micro,
+      CAST(b.benford_micro AS BIGINT) AS benford_micro,
+      CAST(abs((d.n * 1000000 - (d.n * 1000000) % t.total) / t.total
+               - b.benford_micro) AS BIGINT) AS dev_micro
+    FROM d CROSS JOIN t JOIN b ON d.digit = b.digit
+"""
+
+
+@query("benford_totalprice", _BENFORD_ORACLE)
+def benford_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit deviation over order totals (functions/
+    stats.py::benford_deviation) — the data-quality smell test for a
+    numeric measure. First digit extracted from the BIGINT's string
+    form (exact in both engines, unlike log10-based digit math);
+    shares and deviations are exact integer micros, the expected
+    shares hardcoded constants. One hash agg to a ≤9-row frame.
+    """
+    from pysyslog_lfc_spark.functions.stats import benford_deviation
+
+    orders = _t(spark, sf_dir, "orders")
+    return benford_deviation(orders, F.round(F.col("o_totalprice") * 100))
+
+
+_TWAP_ORACLE = """
+    WITH s AS (
+      SELECT user_id, event_id, epoch_us(ts) AS tu,
+             CAST(round(value * 100) AS BIGINT) AS v
+      FROM events WHERE ts <= TIMESTAMP '2024-01-31 00:00:00'
+    ),
+    d AS (
+      SELECT user_id, v,
+             coalesce(lead(tu) OVER (PARTITION BY user_id
+                                     ORDER BY tu, event_id),
+                      epoch_us(TIMESTAMP '2024-01-31 00:00:00')) - tu AS dur
+      FROM s
+    ),
+    a AS (
+      SELECT user_id, COUNT(*) AS n_samples,
+             SUM(dur) AS den, SUM(v * dur) AS num
+      FROM d GROUP BY user_id
+    )
+    SELECT user_id, n_samples, CAST(den AS BIGINT) AS span_us,
+           CAST((num * 1000 - (num * 1000) % den) / den AS BIGINT)
+             AS twap_milli
+    FROM a
+"""
+
+
+@query("timeseries_twap", _TWAP_ORACLE)
+def timeseries_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series time-weighted average (operators/sessions.py::
+    time_weighted_avg): LOCF step-function TWAP of the event gauge in
+    cents per user, final sample held to the fixed window end.
+
+    Σ v·Δt and Σ Δt are exact integers (DECIMAL(38,0) vs DuckDB
+    HUGEINT) and the TWAP a subtract-mod exact floor-division, so the
+    gate is bit-exact. One series-keyed exchange shared by the lead
+    window and the final aggregate.
+    """
+    from pysyslog_lfc_spark.operators.sessions import time_weighted_avg
+
+    ev = _t(spark, sf_dir, "events")
+    return time_weighted_avg(
+        ev,
+        ["user_id"],
+        "ts",
+        F.round(F.col("value") * 100),
+        "2024-01-31 00:00:00",
+        order_tiebreak="event_id",
+    )
+
+
+_CALIB_ORACLE = r"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(text, '\s+'), w -> w != '') AS ws
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id, lang,
+             CAST(len(ws) AS INTEGER) AS n_words,
+             coalesce(list_sum(list_transform(ws, w -> length(w))), 0)
+               / greatest(len(ws), 1) AS raw_avg,
+             len(list_filter(ws, w -> list_contains(
+               ['the','a','of','and','to','in'], lower(w))))
+               / greatest(len(ws), 1) AS raw_stop
+      FROM toks
+    ),
+    scored AS (
+      SELECT CAST(floor((least(n_words / 100e0, 1e0) * 5e-1
+                         + least(raw_stop * 5e0, 1e0) * 3e-1
+                         + least(raw_avg / 8e0, 1e0) * 2e-1) * 1000)
+                  AS BIGINT) AS s,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM feat
+    ),
+    binned AS (
+      SELECT least(7, CAST((s * 8 - (s * 8) % 1000) / 1000 AS BIGINT)) AS bin,
+             s, y
+      FROM scored
+    ),
+    per_bin AS (
+      SELECT bin, COUNT(*) AS n, SUM(s) AS ss, SUM(y) AS pos
+      FROM binned GROUP BY bin
+    ),
+    t AS (SELECT SUM(n) AS nn FROM per_bin)
+    SELECT bin, n,
+      CAST((ss - ss % n) / n AS BIGINT) AS conf_milli,
+      CAST((pos * 1000 - (pos * 1000) % n) / n AS BIGINT) AS acc_milli,
+      CAST(abs((ss - ss % n) / n
+               - (pos * 1000 - (pos * 1000) % n) / n) AS BIGINT) AS gap_milli,
+      CAST((n * abs((ss - ss % n) / n
+                    - (pos * 1000 - (pos * 1000) % n) / n) * 1000
+            - (n * abs((ss - ss % n) / n
+                       - (pos * 1000 - (pos * 1000) % n) / n) * 1000) % t.nn)
+           / t.nn AS BIGINT) AS ece_part_micro
+    FROM per_bin, t
+"""
+
+
+@query("calibration_quality_vs_en", _CALIB_ORACLE)
+def calibration_quality_vs_en(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier reliability diagram + ECE (functions/classifier.py::
+    calibration_report, Guo et al. 2017): the oracle-replayable
+    quality permille score binned into 8 equal-width bins against the
+    lang=='en' label. Every report column is an exact integer (milli
+    confidences/accuracies, micro ECE parts), so the scalar
+    ECE = SUM(ece_part_micro) gates bit-for-bit. ONE corpus hash agg
+    to the 8-row bin frame.
+    """
+    from pysyslog_lfc_spark.functions.classifier import calibration_report
+    from pysyslog_lfc_spark.functions import text as TX
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = TX.quality_features(docs).select(
+        "quality_permille",
+        (F.col("lang") == "en").cast("long").alias("label"),
+    )
+    return calibration_report(feats, "quality_permille", "label", n_bins=8)

@@ -1,0 +1,252 @@
+"""Session-14 operators: general-k edit-distance join, sorted-
+neighborhood blocking, CUPED, Benford, TWAP, calibration/ECE."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+class TestEditDistancePairs:
+    WORDS = [
+        # long strings (q-gram path)
+        "gateway", "gateways", "getaway", "monitor", "monitoring",
+        "monster", "kernel", "kernell", "colonel",
+        # short strings (band-join path; below q*(k+1) = 6 chars)
+        "ab", "b", "abc", "abd", "xyz", "xy", "q",
+    ]
+
+    def _expected(self, k: int) -> set:
+        out = set()
+        for i, a in enumerate(self.WORDS):
+            for j in range(i + 1, len(self.WORDS)):
+                b = self.WORDS[j]
+                d = _lev(a, b)
+                if d <= k:
+                    pair = tuple(sorted([i, j]))
+                    out.add((pair[0], pair[1], d))
+        return out
+
+    @pytest.mark.parametrize("k", [1, 2])
+    def test_exact_pair_set(self, spark, k):
+        from pysyslog_lfc_spark.functions.fuzzy import edit_distance_pairs
+
+        df = spark.createDataFrame(
+            [(i, w) for i, w in enumerate(self.WORDS)], "id long, s string"
+        )
+        got = {
+            (r.id_a, r.id_b, r.dist)
+            for r in edit_distance_pairs(df, "id", "s", max_dist=k).collect()
+        }
+        assert got == self._expected(k)
+
+    def test_short_short_pair_found(self, spark):
+        # "ab" (len 2) vs "b" (len 1): both below the q-gram guarantee;
+        # only the band join can produce this pair.
+        from pysyslog_lfc_spark.functions.fuzzy import edit_distance_pairs
+
+        df = spark.createDataFrame(
+            [(0, "ab"), (1, "b")], "id long, s string"
+        )
+        got = edit_distance_pairs(df, "id", "s", max_dist=1).collect()
+        assert [(r.id_a, r.id_b, r.dist) for r in got] == [(0, 1, 1)]
+
+    def test_gram_freq_cap_trades_recall(self, spark):
+        from pysyslog_lfc_spark.functions.fuzzy import edit_distance_pairs
+
+        df = spark.createDataFrame(
+            [(i, w) for i, w in enumerate(self.WORDS)], "id long, s string"
+        )
+        capped = edit_distance_pairs(
+            df, "id", "s", max_dist=2, max_gram_freq=1
+        ).count()
+        full = len(self._expected(2))
+        assert capped <= full
+
+
+class TestSortedNeighborhood:
+    def test_matches_bruteforce_rank(self, spark):
+        from pysyslog_lfc_spark.functions.fuzzy import (
+            sorted_neighborhood_pairs,
+        )
+
+        rows = [(i, (i * 37) % 11) for i in range(40)]  # repeated keys
+        df = spark.createDataFrame(rows, "id long, k long")
+        got = {
+            (r.id_a, r.id_b)
+            for r in sorted_neighborhood_pairs(
+                df, "id", F.col("k"), window=4
+            ).collect()
+        }
+        ranked = sorted(rows, key=lambda r: (r[1], r[0]))
+        want = set()
+        for i in range(len(ranked)):
+            for j in range(i + 1, min(i + 4, len(ranked))):
+                want.add((ranked[i][0], ranked[j][0]))
+        assert got == want
+
+    def test_rank_gap_bounded(self, spark):
+        from pysyslog_lfc_spark.functions.fuzzy import (
+            sorted_neighborhood_pairs,
+        )
+
+        df = spark.createDataFrame(
+            [(i, i % 5) for i in range(25)], "id long, k long"
+        )
+        out = sorted_neighborhood_pairs(df, "id", F.col("k"), window=3)
+        gaps = {r.rank_b - r.rank_a for r in out.collect()}
+        assert gaps <= {1, 2}
+
+
+class TestCuped:
+    def test_matches_numpy(self, spark):
+        import numpy as np
+
+        from pysyslog_lfc_spark.functions.stats import cuped_lift
+
+        rng = [(i % 2, (i * 13) % 97, (i * 13) % 97 * 2 + (i * 7) % 23)
+               for i in range(60)]
+        df = spark.createDataFrame(rng, "arm long, x long, y long")
+        out = {r.arm: r for r in cuped_lift(df, "arm", F.col("x"), F.col("y")).collect()}
+
+        xs = np.array([r[1] for r in rng], dtype=float)
+        ys = np.array([r[2] for r in rng], dtype=float)
+        theta = (
+            (len(xs) * (xs * ys).sum() - xs.sum() * ys.sum())
+            / (len(xs) * (xs * xs).sum() - xs.sum() ** 2)
+        )
+        for arm in (0, 1):
+            sel = [r for r in rng if r[0] == arm]
+            my = sum(r[2] for r in sel) / len(sel)
+            mx = sum(r[1] for r in sel) / len(sel)
+            adj = my - theta * (mx - xs.mean())
+            assert out[arm].n == len(sel)
+            assert abs(out[arm].mean_y_milli / 1000 - my) < 1e-3
+            assert abs(out[arm].mean_adj_milli / 1000 - adj) < 2e-3
+            assert abs(out[arm].theta_micro / 1e6 - theta) < 2e-6
+
+    def test_adjustment_reduces_spread_when_correlated(self, spark):
+        # y = 10*x + arm-level shift: after CUPED the arm difference
+        # reflects the shift, not the covariate imbalance.
+        from pysyslog_lfc_spark.functions.stats import cuped_lift
+
+        rows = [(i % 2, i, 10 * i + (i % 2) * 5) for i in range(1, 41)]
+        df = spark.createDataFrame(rows, "arm long, x long, y long")
+        out = {r.arm: r for r in cuped_lift(df, "arm", F.col("x"), F.col("y")).collect()}
+        raw_diff = abs(out[1].mean_y_milli - out[0].mean_y_milli)
+        adj_diff = abs(out[1].mean_adj_milli - out[0].mean_adj_milli)
+        assert adj_diff < raw_diff  # covariate imbalance removed
+        assert out[0].var_reduction_micro < 10000  # rho ~ 1 => ~0
+
+
+class TestBenford:
+    def test_counts_and_shares(self, spark):
+        from pysyslog_lfc_spark.functions.stats import benford_deviation
+
+        vals = [1, 10, 19, 2, 25, 31, 99, 900, 7, -5, 0]
+        df = spark.createDataFrame([(v,) for v in vals], "v long")
+        out = {r.digit: r for r in benford_deviation(df, F.col("v")).collect()}
+        assert sum(r.n for r in out.values()) == 9  # negatives/zero dropped
+        assert out[1].n == 3 and out[9].n == 2
+        assert out[1].share_micro == 3 * 1000000 // 9
+        assert out[1].benford_micro == 301029
+        assert out[1].dev_micro == abs(3 * 1000000 // 9 - 301029)
+
+
+class TestTwap:
+    def test_hand_computed_step_function(self, spark):
+        from pysyslog_lfc_spark.operators.sessions import time_weighted_avg
+
+        rows = [
+            (1, "2024-01-01 00:00:00", 10, 1),
+            (1, "2024-01-01 00:00:10", 20, 2),
+            (2, "2024-01-01 00:00:20", 7, 3),
+        ]
+        df = spark.createDataFrame(
+            rows, "uid long, ts string, v long, eid long"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        out = {
+            r.uid: r
+            for r in time_weighted_avg(
+                df, ["uid"], "ts", F.col("v"),
+                "2024-01-01 00:00:30", order_tiebreak="eid",
+            ).collect()
+        }
+        # user 1: 10 for 10s, 20 for 20s over 30s => 16.666... => 16666
+        assert out[1].twap_milli == (10 * 10 + 20 * 20) * 1000 // 30
+        assert out[1].span_us == 30_000_000
+        # user 2: constant 7 over its 10s tail
+        assert out[2].twap_milli == 7000
+        assert out[2].n_samples == 1
+
+    def test_duplicate_ts_tiebreak_deterministic(self, spark):
+        from pysyslog_lfc_spark.operators.sessions import time_weighted_avg
+
+        rows = [
+            (1, "2024-01-01 00:00:00", 5, 2),
+            (1, "2024-01-01 00:00:00", 9, 1),  # same ts, earlier eid
+        ]
+        df = spark.createDataFrame(
+            rows, "uid long, ts string, v long, eid long"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        out = time_weighted_avg(
+            df, ["uid"], "ts", F.col("v"),
+            "2024-01-01 00:00:10", order_tiebreak="eid",
+        ).collect()[0]
+        # eid=1 (v=9) holds 0us; eid=2 (v=5) holds the full 10s
+        assert out.twap_milli == 5000
+
+
+class TestCalibration:
+    def test_perfectly_calibrated_bins(self, spark):
+        from pysyslog_lfc_spark.functions.classifier import (
+            calibration_report,
+        )
+
+        # 10 rows at 250 permille with 25% positives; 8 rows at 750
+        # with 75% positives => zero gap in both bins.
+        rows = [(250, 1 if i < 2 else 0) for i in range(8)] + [
+            (750, 1 if i < 6 else 0) for i in range(8)
+        ]
+        df = spark.createDataFrame(rows, "s long, y long")
+        out = {r.bin: r for r in calibration_report(df, "s", "y", n_bins=4).collect()}
+        assert set(out) == {1, 3}
+        assert out[1].conf_milli == 250 and out[1].acc_milli == 250
+        assert out[3].gap_milli == 0
+        assert sum(r.ece_part_micro for r in out.values()) == 0
+
+    def test_gap_and_ece(self, spark):
+        from pysyslog_lfc_spark.functions.classifier import (
+            calibration_report,
+        )
+
+        # all scores 900 permille but only half positive => gap 400
+        rows = [(900, i % 2) for i in range(10)]
+        df = spark.createDataFrame(rows, "s long, y long")
+        out = calibration_report(df, "s", "y", n_bins=10).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r.bin == 9 and r.conf_milli == 900 and r.acc_milli == 500
+        assert r.gap_milli == 400
+        assert r.ece_part_micro == 400 * 1000  # only bin => n/N = 1
+
+    def test_score_1000_clamps_to_top_bin(self, spark):
+        from pysyslog_lfc_spark.functions.classifier import (
+            calibration_report,
+        )
+
+        df = spark.createDataFrame([(1000, 1)], "s long, y long")
+        out = calibration_report(df, "s", "y", n_bins=8).collect()
+        assert out[0].bin == 7
