@@ -136,6 +136,12 @@ AUDIT_QUERIES = [
     "topk_parts_per_nation",
     "hll_rolling_distinct_7d",
     "template_drift_ampm",
+    "fuzzy_edit_pairs",
+    "blocking_sorted_neighborhood",
+    "ab_cuped_lift",
+    "benford_totalprice",
+    "timeseries_twap",
+    "calibration_quality_vs_en",
 ]
 
 
