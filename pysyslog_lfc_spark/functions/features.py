@@ -1,0 +1,175 @@
+"""Feature engineering for training-data pipelines: leave-one-out
+target encoding, exact equal-frequency discretization, and per-group
+winsorization — the tabular-feature prep stages that sit between
+curation and model training.
+
+Exactness contract (the driver gates by value hash): everything here
+is integer arithmetic — inputs are integer-valued expressions (cents,
+counts, permille scores), divisions are the subtract-mod exact floor
+(``(a − a mod b) / b`` as DECIMAL(38,0), which both engines evaluate
+identically where ``floor(a/b)`` can misfloor near-integer quotients
+and ``a DIV b`` wraps decimals through BIGINT).
+
+Scale shapes: target encoding is ONE map-side-partial hash aggregate
+to a |categories| frame plus one keyed re-join; bin edges ride the
+two-level :func:`pysyslog_lfc_spark.functions.curriculum.global_rank`
+(never a single-task ORDER BY window); winsorization is one grouped
+rank window + a broadcast per-group bounds frame.
+
+The reference engine has no feature surface (its flow stages are
+parse/filter/format only — src/pysyslog/flow.py); these are
+from-scratch Spark-first extensions for the 100 TB training pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+_D38 = "decimal(38,0)"
+
+
+def _floordiv(num: Column, den: Column) -> Column:
+    num = num.cast(_D38)
+    return ((num - F.pmod(num, den)) / den).cast("long")
+
+
+def target_encode_loo(
+    df: DataFrame,
+    cat_col: str,
+    target: Column,
+    scale: int = 1000,
+) -> DataFrame:
+    """Leave-one-out target encoding (the categorical-feature encoding
+    that avoids self-leakage: each row's category mean EXCLUDES the
+    row's own target — Micci-Barreca 2001's empirical-Bayes family,
+    LOO variant):
+
+        enc = scale · (Σ_cat target − target_row) / (n_cat − 1)
+
+    ``target`` MUST be integer-valued; ``enc_scaled`` is the exact
+    floored integer, NULL for singleton categories (n_cat == 1, where
+    LOO is undefined — impute downstream with the global mean).
+
+    Plan: one map-side-partial hash aggregate to the category frame,
+    broadcast (or hash if |categories| is corpus-scale) re-join, then
+    a pure per-row expression. The corpus is scanned once and never
+    shuffled wider than (cat, target).
+
+    Returns the input plus ``enc_scaled``.
+    """
+    base = df.withColumn("__t", target.cast("long"))
+    cat = base.groupBy(cat_col).agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum(F.col("__t").cast(_D38)).alias("__sum"),
+    )
+    joined = base.join(cat, cat_col)
+    enc = F.when(
+        F.col("__n") > 1,
+        _floordiv(
+            (F.col("__sum") - F.col("__t")) * F.lit(int(scale)),
+            F.col("__n") - 1,
+        ),
+    ).cast("long")
+    return joined.withColumn("enc_scaled", enc).drop("__t", "__n", "__sum")
+
+
+def equidepth_bin_edges(
+    df: DataFrame,
+    value: Column,
+    id_col: str,
+    n_bins: int,
+) -> DataFrame:
+    """Exact equal-frequency (equi-depth) bin edges: edge j is the
+    value at global rank ``j·N DIV n_bins`` under ORDER BY (value, id)
+    for j = 1..n_bins−1 — feature discretization where equal-width
+    bins collapse under skew (quantile binning, the ``pd.qcut``
+    analog, computed exactly instead of by sketch).
+
+    The rank comes from curriculum.global_rank's two-level
+    decomposition; the edge-rank set is pure arithmetic on the
+    broadcast total, so selecting edges is a codegen filter — no
+    second pass, no driver collect of the corpus.
+
+    Returns (edge_idx, edge_value), edge_idx in [1, n_bins−1].
+    Rows with NULL value are excluded.
+    """
+    from pysyslog_lfc_spark.functions.curriculum import global_rank
+
+    vals = df.select(
+        F.col(id_col).alias("__id"), value.cast("long").alias("__v")
+    ).where(value.isNotNull())
+    ranked = global_rank(vals, F.col("__v"), "__id", out_score="__score",
+                         out_rank="__rank")
+    total = ranked.groupBy().agg(F.count(F.lit(1)).alias("__N"))
+    withn = ranked.join(F.broadcast(total))
+    # rank r is an edge iff r = j*N DIV n_bins for some j in 1..B-1
+    # <=> j = ceil(r*B/N) gives back r (guard r*B % N == 0 fast path
+    # is wrong under duplicates of the floor; invert explicitly):
+    b = F.lit(int(n_bins))
+    n = F.col("__N")
+    j = _floordiv(F.col("__rank") * b + n - 1, n)  # ceil(r*B/N)
+    r_of_j = _floordiv(j * n, b)
+    return (
+        withn.where(
+            (j >= 1) & (j <= n_bins - 1) & (r_of_j == F.col("__rank"))
+        )
+        .select(
+            j.cast("int").alias("edge_idx"),
+            F.col("__score").cast("long").alias("edge_value"),
+        )
+    )
+
+
+def winsorize(
+    df: DataFrame,
+    group_col: str,
+    value: Column,
+    id_col: str,
+    lo_permille: int = 50,
+    hi_permille: int = 950,
+) -> DataFrame:
+    """Per-group winsorization at exact nearest-rank percentiles:
+    values below the ``lo_permille`` bound (the value at rank
+    ``max(1, ceil(n·lo/1000))`` under ORDER BY (value, id)) clip up,
+    values above the ``hi_permille`` bound clip down — the outlier
+    taming that preserves row count where trimming drops rows.
+
+    One grouped rank window over the corpus (the only corpus
+    exchange; the window's partition key is the group, so it
+    distributes), then the per-group (lo, hi) bounds frame — two rows
+    of interest per group — re-joins broadcast.
+
+    Returns the input plus ``clipped`` (exact integer).
+    """
+    base = df.withColumn("__v", value.cast("long"))
+    w = Window.partitionBy(group_col).orderBy("__v", id_col)
+    ranked = base.withColumn("__r", F.row_number().over(w)).withColumn(
+        "__n", F.count(F.lit(1)).over(Window.partitionBy(group_col))
+    )
+
+    def _ceil_rank(p: int) -> Column:
+        num = (F.col("__n") * F.lit(int(p)) + F.lit(999)).cast(_D38)
+        return F.greatest(
+            F.lit(1).cast("long"),
+            ((num - F.pmod(num, F.lit(1000))) / 1000).cast("long"),
+        )
+
+    bounds = (
+        ranked.where(
+            (F.col("__r") == _ceil_rank(lo_permille))
+            | (F.col("__r") == _ceil_rank(hi_permille))
+        )
+        .groupBy(group_col)
+        .agg(
+            F.min(F.when(F.col("__r") == _ceil_rank(lo_permille), F.col("__v"))).alias("__lo"),
+            F.max(F.when(F.col("__r") == _ceil_rank(hi_permille), F.col("__v"))).alias("__hi"),
+        )
+    )
+    out = base.join(F.broadcast(bounds), group_col).withColumn(
+        "clipped",
+        F.least(
+            F.greatest(F.col("__v"), F.coalesce(F.col("__lo"), F.col("__v"))),
+            F.coalesce(F.col("__hi"), F.col("__v")),
+        ),
+    )
+    return out.drop("__v", "__lo", "__hi")

@@ -268,3 +268,52 @@ def sorted_neighborhood_pairs(
         a.join(b, a["_target"] == b["rank_b"])
         .select("id_a", "id_b", "key_a", "key_b", "rank_a", "rank_b")
     )
+
+
+def resolve_entities(
+    df: DataFrame,
+    id_col: str,
+    str_col: str,
+    window: int = 5,
+    max_dist: int = 1,
+    max_diameter: int = 64,
+) -> DataFrame:
+    """End-to-end entity resolution: sorted-neighborhood blocking →
+    exact ``levenshtein`` verification → transitive closure into
+    entity clusters (the full Hernández-Stolfo merge/purge loop, each
+    stage this module / functions.graph already gates independently).
+
+    Matched pairs are candidates within ``window`` sort positions of
+    each other (sorted by the string itself) at edit distance ≤
+    ``max_dist``; connected components over those pairs (pointer-jump,
+    log-diameter rounds) assign every record the MIN member id as its
+    ``entity_id``; unmatched records are their own entity.
+
+    Scale: blocking fan-out is exactly (window−1)·n candidate rows,
+    verification is one codegen ``levenshtein`` per candidate, and the
+    component frame holds only matched ids — the corpus is never
+    joined against itself. (Multi-pass ER runs this with several sort
+    keys and unions the pair sets before the closure.)
+
+    Returns (id, entity_id, cluster_sz) — cluster_sz 1 for singletons.
+    """
+    from pysyslog_lfc_spark.functions.graph import connected_components
+
+    base = df.select(F.col(id_col).alias("_rid"), F.col(str_col).alias("_rs"))
+    cand = sorted_neighborhood_pairs(base, "_rid", F.col("_rs"), window=window)
+    matches = cand.where(
+        F.levenshtein("key_a", "key_b") <= int(max_dist)
+    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    comp = connected_components(matches, max_diameter=max_diameter)
+    labeled = base.join(
+        comp, base["_rid"] == comp["node"], "left"
+    ).select(
+        F.col("_rid").alias(id_col),
+        F.coalesce(F.col("component"), F.col("_rid")).alias("entity_id"),
+    )
+    sizes = labeled.groupBy("entity_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_sz")
+    )
+    return labeled.join(sizes, "entity_id").select(
+        id_col, "entity_id", "cluster_sz"
+    )

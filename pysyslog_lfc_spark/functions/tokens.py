@@ -14,7 +14,7 @@ parser-stage filter, src/pysyslog/flow.py:98-134, scaled out).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def trailing_period(
@@ -106,4 +106,64 @@ def ngram_uniqueness(
         g.cast("long").alias("total_ngrams"),
         distinct.cast("long").alias("distinct_ngrams"),
         uniq.cast("long").alias("uniq_permille"),
+    )
+
+
+def ngram_continuation_topk(
+    df: DataFrame,
+    tokens_col: str,
+    n: int = 2,
+    k: int = 3,
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus n-gram → top-k continuation table over ``array<int>``
+    payloads: for every length-``n`` token context, the ``k`` most
+    frequent next tokens with exact counts (ties broken by token id
+    ascending, fully deterministic) — the draft table for n-gram
+    speculative decoding (He et al. 2023's REST family / assisted
+    generation) and the classical count-based LM backbone.
+
+    Plan: posexplode each sequence into its (context, next) windows —
+    a map-side ``transform`` over an integer sequence, zero Python —
+    then ONE corpus-sized hash aggregate keyed by (context, next)
+    (map-side partial combine absorbs in-document repetition before
+    the exchange), and a rank window partitioned by context whose
+    frame is bounded by the per-context continuation fan-out (≤ vocab,
+    in practice the Zipf head). ``min_count`` prunes the long tail
+    BEFORE the window, which is what keeps the context frame bounded
+    at 10^12 tokens.
+
+    Returns (ctx array<int>, next_token, cnt, rnk), rnk in [1, k].
+    """
+    t = F.col(tokens_col)
+    # guard: Spark's sequence(1, m) turns DESCENDING for m < 1 — filter
+    # too-short sequences before the window transform ever evaluates
+    windows = df.where(F.size(t) > int(n)).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - F.lit(int(n))),
+                lambda i: F.struct(
+                    F.slice(t, i, int(n)).alias("ctx"),
+                    F.element_at(t, i + F.lit(int(n))).alias("nxt"),
+                ),
+            )
+        ).alias("g")
+    ).select(F.col("g.ctx").alias("ctx"), F.col("g.nxt").alias("nxt"))
+    counts = (
+        windows.groupBy("ctx", "nxt")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .where(F.col("cnt") >= int(min_count))
+    )
+    w = Window.partitionBy("ctx").orderBy(
+        F.col("cnt").desc(), F.col("nxt").asc()
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= int(k))
+        .select(
+            "ctx",
+            F.col("nxt").alias("next_token"),
+            "cnt",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
     )

@@ -552,3 +552,92 @@ def time_weighted_avg(
         F.col("_den").cast("long").alias("span_us"),
         twap.alias("twap_milli"),
     )
+
+
+def linear_attribution(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    id_col: str,
+    value: Column,
+    conversion_type: str,
+    touch_types: list[str],
+    lookback_us: int,
+) -> DataFrame:
+    """Multi-touch LINEAR attribution: each conversion's value splits
+    equally across every qualifying touch (touch_types, same user,
+    within ``lookback_us`` before or at the conversion); conversions
+    with no touch credit themselves as ``direct``. The marketing /
+    abuse-forensics "which clicks earned this purchase" operator.
+
+    Exact integer credit: with m touches each gets
+    ``credit_milli = 1000·value DIV m`` and the LAST touch (latest ts,
+    id tiebreak) absorbs the remainder, so SUM(credit) ==
+    1000·Σ conversions exactly — no float leakage, and the invariant
+    is itself a one-line audit query.
+
+    Plan: user-keyed equi-join (the only corpus-vs-corpus exchange;
+    per-user fan-out is bounded by touches/user · conversions/user —
+    split hot users by day upstream if that product explodes), a
+    conversion-keyed count/rank window, and the final touch-keyed
+    re-aggregate.
+
+    Returns (touch_id, touch_type, total_credit_milli, n_conversions).
+    """
+    tu = _epoch_us(F.col(ts_col))
+    conv = df.where(F.col(type_col) == conversion_type).select(
+        F.col(user_col).alias("_u"),
+        F.col(id_col).alias("_conv_id"),
+        tu.alias("_conv_ts"),
+        value.cast("long").alias("_val"),
+    )
+    touch = df.where(F.col(type_col).isin(list(touch_types))).select(
+        F.col(user_col).alias("_u"),
+        F.col(id_col).alias("_touch_id"),
+        F.col(type_col).alias("_touch_type"),
+        tu.alias("_touch_ts"),
+    )
+    joined = conv.join(touch, "_u").where(
+        (F.col("_touch_ts") <= F.col("_conv_ts"))
+        & (F.col("_touch_ts") >= F.col("_conv_ts") - F.lit(int(lookback_us)))
+    )
+    w_cnt = Window.partitionBy("_conv_id")
+    w_rnk = Window.partitionBy("_conv_id").orderBy(
+        F.col("_touch_ts"), F.col("_touch_id")
+    )
+    num = (F.col("_val") * 1000).cast("decimal(38,0)")
+    base = ((num - F.pmod(num, F.col("_m"))) / F.col("_m")).cast("long")
+    credited = (
+        joined.withColumn("_m", F.count(F.lit(1)).over(w_cnt))
+        .withColumn("_r", F.row_number().over(w_rnk))
+        .withColumn(
+            "credit_milli",
+            F.when(F.col("_r") < F.col("_m"), base).otherwise(
+                F.col("_val") * 1000 - base * (F.col("_m") - 1)
+            ),
+        )
+    )
+    direct = (
+        conv.join(
+            credited.select("_conv_id").distinct(), "_conv_id", "left_anti"
+        )
+        .select(
+            F.col("_conv_id").alias("_touch_id"),
+            F.lit("direct").alias("_touch_type"),
+            (F.col("_val") * 1000).alias("credit_milli"),
+            F.col("_conv_id"),
+        )
+    )
+    allc = credited.select(
+        "_touch_id", "_touch_type", "credit_milli", "_conv_id"
+    ).unionByName(direct)
+    return allc.groupBy("_touch_id", "_touch_type").agg(
+        F.sum("credit_milli").cast("long").alias("total_credit_milli"),
+        F.countDistinct("_conv_id").cast("long").alias("n_conversions"),
+    ).select(
+        F.col("_touch_id").alias("touch_id"),
+        F.col("_touch_type").alias("touch_type"),
+        "total_credit_milli",
+        "n_conversions",
+    )

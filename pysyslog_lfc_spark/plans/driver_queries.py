@@ -3976,3 +3976,4 @@ from pysyslog_lfc_spark.plans import driver_queries_ext5  # noqa: E402,F401
 from pysyslog_lfc_spark.plans import driver_queries_ext6  # noqa: E402,F401
 from pysyslog_lfc_spark.plans import driver_queries_ext7  # noqa: E402,F401
 from pysyslog_lfc_spark.plans import driver_queries_ext8  # noqa: E402,F401
+from pysyslog_lfc_spark.plans import driver_queries_ext9  # noqa: E402,F401

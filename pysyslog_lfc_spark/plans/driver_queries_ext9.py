@@ -1,0 +1,312 @@
+"""Driver-query registrations, round-2 session-15 batch.
+
+Imported by :mod:`pysyslog_lfc_spark.plans.driver_queries` (bottom of
+file) so these register into the same ``_QUERIES``/``_ORACLES`` maps.
+This batch: feature engineering (leave-one-out target encoding, exact
+equi-depth bin edges, per-group winsorization), the token-domain
+n-gram → top-k continuation table (speculative-decoding draft table),
+multi-touch linear attribution with exact integer credit splitting,
+and the end-to-end entity-resolution capstone (sorted-neighborhood →
+levenshtein verify → transitive closure) gated against DuckDB's
+recursive-CTE ground truth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pysyslog_lfc_spark.plans.driver_queries import _t, query
+from pysyslog_lfc_spark.plans.driver_queries_ext7 import _TOKS_SQL
+
+
+# DuckDB % keeps the dividend's sign (truncation); Spark pmod floors.
+# ((x % d) + d) % d replicates pmod for any sign, so the subtract-mod
+# floor-division stays exact when the numerator can be negative
+# (acctbal cents are negative for ~10% of customers).
+_TE_ORACLE = """
+    WITH b AS (
+      SELECT c_custkey, c_mktsegment,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS t
+      FROM customer
+    ),
+    cat AS (
+      SELECT c_mktsegment, COUNT(*) AS n, SUM(t) AS s
+      FROM b GROUP BY 1
+    )
+    SELECT b.c_custkey, b.c_mktsegment,
+      CASE WHEN cat.n > 1 THEN CAST(
+        ((b2.num) - (((b2.num % (cat.n - 1)) + (cat.n - 1)) % (cat.n - 1)))
+          / (cat.n - 1) AS BIGINT)
+      END AS enc_scaled
+    FROM b
+    JOIN cat USING (c_mktsegment)
+    CROSS JOIN LATERAL (SELECT (cat.s - b.t) * 1000 AS num) b2
+"""
+
+
+@query("target_encode_mktsegment", _TE_ORACLE)
+def target_encode_mktsegment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding (functions/features.py::
+    target_encode_loo, Micci-Barreca 2001 LOO variant): market segment
+    encoded by the mean acctbal cents of the OTHER members — the
+    self-leakage-free categorical feature. Exact DECIMAL(38,0)
+    arithmetic with pmod-floored division (the oracle emulates pmod
+    for negative balances). One hash agg to the category frame + one
+    keyed re-join; the corpus is scanned once.
+    """
+    from pysyslog_lfc_spark.functions.features import target_encode_loo
+
+    cust = _t(spark, sf_dir, "customer")
+    out = target_encode_loo(
+        cust, "c_mktsegment", F.round(F.col("c_acctbal") * 100), scale=1000
+    )
+    return out.select("c_custkey", "c_mktsegment", "enc_scaled")
+
+
+_BINS_ORACLE = """
+    WITH v AS (
+      SELECT o_orderkey AS id, CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      FROM orders
+    ),
+    r AS (
+      SELECT v AS score, row_number() OVER (ORDER BY v, id) AS rnk FROM v
+    ),
+    t AS (SELECT COUNT(*) AS n FROM v),
+    e AS (
+      SELECT score, rnk, n,
+             ((rnk * 10 + n - 1) - (rnk * 10 + n - 1) % n) / n AS j
+      FROM r, t
+    )
+    SELECT CAST(j AS INT) AS edge_idx, CAST(score AS BIGINT) AS edge_value
+    FROM e
+    WHERE j BETWEEN 1 AND 9 AND ((j * n) - (j * n) % 10) / 10 = rnk
+"""
+
+
+@query("feature_equidepth_bins", _BINS_ORACLE)
+def feature_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equal-frequency discretization edges (functions/
+    features.py::equidepth_bin_edges): decile cut points of order
+    totals in cents — the pd.qcut analog computed exactly at corpus
+    scale via the two-level global rank (the oracle runs the
+    single-window ORDER BY the Spark side must never plan). Edge
+    selection is pure integer arithmetic on the broadcast total.
+    """
+    from pysyslog_lfc_spark.functions.features import equidepth_bin_edges
+
+    orders = _t(spark, sf_dir, "orders")
+    return equidepth_bin_edges(
+        orders, F.round(F.col("o_totalprice") * 100), "o_orderkey", n_bins=10
+    )
+
+
+_WINSOR_ORACLE = """
+    WITH b AS (
+      SELECT o_orderkey, o_orderpriority AS grp,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      FROM orders
+    ),
+    r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY grp ORDER BY v, o_orderkey) AS rk,
+             COUNT(*) OVER (PARTITION BY grp) AS n
+      FROM b
+    ),
+    lo AS (
+      SELECT grp, v AS lo FROM r
+      WHERE rk = greatest(1, ((n * 50 + 999) - (n * 50 + 999) % 1000) / 1000)
+    ),
+    hi AS (
+      SELECT grp, v AS hi FROM r
+      WHERE rk = greatest(1, ((n * 950 + 999) - (n * 950 + 999) % 1000) / 1000)
+    )
+    SELECT b.o_orderkey, b.grp,
+           CAST(least(greatest(b.v, lo.lo), hi.hi) AS BIGINT) AS clipped
+    FROM b JOIN lo USING (grp) JOIN hi USING (grp)
+"""
+
+
+@query("winsorize_order_prices", _WINSOR_ORACLE)
+def winsorize_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization at exact nearest-rank p05/p95
+    (functions/features.py::winsorize): order totals clipped inside
+    each priority class — outlier taming that keeps row count. One
+    grouped rank window (the only corpus exchange) + broadcast bounds
+    re-join; every bound is the value at an integer-computed rank, so
+    the gate is bit-exact.
+    """
+    from pysyslog_lfc_spark.functions.features import winsorize
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("grp"),
+        "o_totalprice",
+    )
+    out = winsorize(
+        orders, "grp", F.round(F.col("o_totalprice") * 100), "o_orderkey",
+        lo_permille=50, hi_permille=950,
+    )
+    return out.select("o_orderkey", "grp", "clipped")
+
+
+_NGRAM_ORACLE = f"""
+    WITH toks AS ({_TOKS_SQL}),
+    grams AS (
+      SELECT unnest(list_transform(
+               range(1, greatest(len(t) - 2, 0) + 1),
+               i -> {{'ctx': t[i:i+1], 'nxt': t[i+2]}})) AS g
+      FROM toks WHERE len(t) > 2
+    ),
+    counts AS (
+      SELECT g['ctx'] AS ctx, g['nxt'] AS nxt, COUNT(*) AS cnt
+      FROM grams GROUP BY 1, 2
+      HAVING COUNT(*) >= 2
+    ),
+    ranked AS (
+      SELECT ctx, nxt, cnt,
+             row_number() OVER (PARTITION BY ctx ORDER BY cnt DESC, nxt ASC)
+               AS rnk
+      FROM counts
+    )
+    SELECT ctx, CAST(nxt AS INT) AS next_token, CAST(cnt AS BIGINT) AS cnt,
+           CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 3
+"""
+
+
+@query("token_ngram_continuations", _NGRAM_ORACLE)
+def token_ngram_continuations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-domain n-gram → top-k continuation table (functions/
+    tokens.py::ngram_continuation_topk): for every 2-token context the
+    3 most frequent next tokens with exact counts — the draft table
+    for n-gram speculative decoding (REST-style) built over the same
+    ``array<int>`` payloads the training pipeline packs. One corpus
+    hash aggregate keyed by (context, next) with map-side combine; the
+    rank window runs over the min_count-pruned context frame only.
+    """
+    from pysyslog_lfc_spark.functions.tokens import ngram_continuation_topk
+    from pysyslog_lfc_spark.plans.curation import hash_token_ids
+
+    docs = _t(spark, sf_dir, "documents").select(
+        hash_token_ids(F.col("text")).alias("t")
+    )
+    return ngram_continuation_topk(docs, "t", n=2, k=3, min_count=2)
+
+
+_ATTR_ORACLE = """
+    WITH conv AS (
+      SELECT user_id AS u, event_id AS cid, epoch_us(ts) AS cts,
+             CAST(round(value * 100) AS BIGINT) AS val
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+      SELECT user_id AS u, event_id AS tid, event_type AS ttype,
+             epoch_us(ts) AS tts
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    j AS (
+      SELECT c.cid, c.val, t.tid, t.ttype, t.tts
+      FROM conv c JOIN touch t
+        ON c.u = t.u AND t.tts <= c.cts AND t.tts >= c.cts - 259200000000
+    ),
+    cr AS (
+      SELECT cid, tid, ttype, val,
+             COUNT(*) OVER (PARTITION BY cid) AS m,
+             row_number() OVER (PARTITION BY cid ORDER BY tts, tid) AS r
+      FROM j
+    ),
+    credited AS (
+      SELECT tid, ttype, cid,
+             CASE WHEN r < m
+               THEN (val * 1000 - (val * 1000) % m) / m
+               ELSE val * 1000
+                    - ((val * 1000 - (val * 1000) % m) / m) * (m - 1)
+             END AS credit
+      FROM cr
+    ),
+    direct AS (
+      SELECT cid AS tid, 'direct' AS ttype, cid, val * 1000 AS credit
+      FROM conv WHERE cid NOT IN (SELECT cid FROM credited)
+    ),
+    allc AS (
+      SELECT * FROM credited UNION ALL SELECT * FROM direct
+    )
+    SELECT tid AS touch_id, ttype AS touch_type,
+           CAST(SUM(credit) AS BIGINT) AS total_credit_milli,
+           CAST(COUNT(DISTINCT cid) AS BIGINT) AS n_conversions
+    FROM allc GROUP BY 1, 2
+"""
+
+
+@query("attribution_linear_touch", _ATTR_ORACLE)
+def attribution_linear_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch linear attribution (operators/sessions.py::
+    linear_attribution): purchase cents split equally across the
+    user's click/view touches in the 3 preceding days, remainder to
+    the last touch, untouched purchases credited 'direct'. SUM of all
+    credit equals 1000·Σ purchases exactly (integer invariant). One
+    user-keyed join + conversion-keyed window + touch-keyed
+    re-aggregate.
+    """
+    from pysyslog_lfc_spark.operators.sessions import linear_attribution
+
+    ev = _t(spark, sf_dir, "events")
+    return linear_attribution(
+        ev, "user_id", "ts", "event_type", "event_id",
+        F.round(F.col("value") * 100),
+        conversion_type="purchase",
+        touch_types=["click", "view"],
+        lookback_us=3 * 24 * 3600 * 1000000,
+    )
+
+
+_ER_ORACLE = """
+    WITH RECURSIVE
+    b AS (
+      SELECT c_custkey AS id, substr(c_name, 10) AS s
+      FROM customer WHERE c_custkey < 400
+    ),
+    r AS (
+      SELECT id, s, row_number() OVER (ORDER BY s, id) AS rnk FROM b
+    ),
+    pairs AS (
+      SELECT a.id AS u, bb.id AS v
+      FROM r a JOIN r bb ON bb.rnk - a.rnk BETWEEN 1 AND 3
+      WHERE levenshtein(a.s, bb.s) <= 1
+    ),
+    sym AS (SELECT u, v FROM pairs UNION SELECT v AS u, u AS v FROM pairs),
+    reach(node, rt) AS (
+      SELECT u, u FROM sym
+      UNION
+      SELECT reach.node, sym.v FROM reach JOIN sym ON reach.rt = sym.u
+    ),
+    comp AS (SELECT node, min(rt) AS component FROM reach GROUP BY node),
+    lab AS (
+      SELECT b.id, coalesce(comp.component, b.id) AS entity_id
+      FROM b LEFT JOIN comp ON b.id = comp.node
+    ),
+    sz AS (SELECT entity_id, COUNT(*) AS cluster_sz FROM lab GROUP BY 1)
+    SELECT lab.id, lab.entity_id, CAST(sz.cluster_sz AS BIGINT) AS cluster_sz
+    FROM lab JOIN sz USING (entity_id)
+"""
+
+
+@query("er_resolve_customers", _ER_ORACLE)
+def er_resolve_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution (functions/fuzzy.py::
+    resolve_entities): customer-name digit suffixes blocked by a
+    4-wide sorted neighborhood, verified at edit distance ≤ 1, closed
+    transitively into entities (pointer-jump components) — the full
+    merge/purge loop vs DuckDB's recursive-CTE reachability ground
+    truth. Zero-padded numbering makes each decade a 10-node chain:
+    the closure, not pairwise matching, is what the gate proves.
+    """
+    from pysyslog_lfc_spark.functions.fuzzy import resolve_entities
+
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_custkey") < 400)
+    named = cust.select(
+        F.col("c_custkey").alias("id"),
+        F.expr("substring(c_name, 10)").alias("s"),
+    )
+    return resolve_entities(named, "id", "s", window=4, max_dist=1)

@@ -1,0 +1,188 @@
+"""Session-15 operators: feature engineering (LOO target encoding,
+equi-depth bins, winsorization), token n-gram continuation table,
+linear attribution, entity-resolution capstone."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+class TestTargetEncodeLoo:
+    def test_loo_excludes_self(self, spark):
+        from pysyslog_lfc_spark.functions.features import target_encode_loo
+
+        rows = [("a", 10), ("a", 20), ("a", 30), ("b", 5), ("b", 7), ("c", 99)]
+        df = spark.createDataFrame(rows, "cat string, t long")
+        out = {
+            (r.cat, r.t): r.enc_scaled
+            for r in target_encode_loo(df, "cat", F.col("t")).collect()
+        }
+        assert out[("a", 10)] == (20 + 30) * 1000 // 2
+        assert out[("a", 30)] == (10 + 20) * 1000 // 2
+        assert out[("b", 5)] == 7000
+        assert out[("c", 99)] is None  # singleton: LOO undefined
+
+    def test_negative_targets_floor_correctly(self, spark):
+        from pysyslog_lfc_spark.functions.features import target_encode_loo
+
+        rows = [("a", -10), ("a", 3)]
+        df = spark.createDataFrame(rows, "cat string, t long")
+        out = {r.t: r.enc_scaled for r in target_encode_loo(df, "cat", F.col("t")).collect()}
+        assert out[-10] == 3000
+        assert out[3] == -10000
+
+
+class TestEquidepthBins:
+    def test_decile_edges_match_sorted_positions(self, spark):
+        from pysyslog_lfc_spark.functions.features import equidepth_bin_edges
+
+        vals = [(i, (i * 7919) % 1000) for i in range(200)]
+        df = spark.createDataFrame(vals, "id long, v long")
+        out = {
+            r.edge_idx: r.edge_value
+            for r in equidepth_bin_edges(df, F.col("v"), "id", 10).collect()
+        }
+        ordered = sorted(vals, key=lambda r: (r[1], r[0]))
+        for j in range(1, 10):
+            assert out[j] == ordered[j * 200 // 10 - 1][1]  # rank is 1-based
+
+    def test_skewed_distribution_repeated_edges(self, spark):
+        from pysyslog_lfc_spark.functions.features import equidepth_bin_edges
+
+        vals = [(i, 1 if i < 90 else i) for i in range(100)]
+        df = spark.createDataFrame(vals, "id long, v long")
+        out = equidepth_bin_edges(df, F.col("v"), "id", 4).collect()
+        edges = {r.edge_idx: r.edge_value for r in out}
+        assert edges[1] == 1 and edges[2] == 1  # skew mass pins the edges
+
+
+class TestWinsorize:
+    def test_clip_bounds(self, spark):
+        from pysyslog_lfc_spark.functions.features import winsorize
+
+        rows = [("g", i, i) for i in range(1, 101)]  # values 1..100
+        df = spark.createDataFrame(rows, "grp string, id long, v long")
+        out = winsorize(
+            df, "grp", F.col("v"), "id", lo_permille=100, hi_permille=900
+        )
+        got = {r.id: r.clipped for r in out.collect()}
+        # nearest-rank: lo = value at rank ceil(100*100/1000)=10 -> 10
+        # hi = value at rank ceil(100*900/1000)=90 -> 90
+        assert got[1] == 10 and got[5] == 10
+        assert got[100] == 90 and got[95] == 90
+        assert got[50] == 50  # interior untouched
+
+    def test_row_count_preserved(self, spark):
+        from pysyslog_lfc_spark.functions.features import winsorize
+
+        rows = [("a", i, i * 3) for i in range(20)] + [
+            ("b", 100 + i, -i) for i in range(7)
+        ]
+        df = spark.createDataFrame(rows, "grp string, id long, v long")
+        assert winsorize(df, "grp", F.col("v"), "id").count() == len(rows)
+
+
+class TestNgramContinuation:
+    def test_counts_and_tiebreak(self, spark):
+        from pysyslog_lfc_spark.functions.tokens import ngram_continuation_topk
+
+        seqs = [
+            ([1, 2, 3, 1, 2, 4, 1, 2, 3],),  # ctx (1,2)->3 x2, ->4 x1
+            ([1, 2, 4],),                     # ctx (1,2)->4 x1
+            ([9],),                           # too short: no windows
+        ]
+        df = spark.createDataFrame(seqs, "t array<int>")
+        out = ngram_continuation_topk(df, "t", n=2, k=2, min_count=1)
+        rows = {(tuple(r.ctx), r.next_token): (r.cnt, r.rnk) for r in out.collect()}
+        assert rows[((1, 2), 3)] == (2, 1)
+        assert rows[((1, 2), 4)] == (2, 2)  # tie on cnt=2 -> higher id second
+        assert ((2, 3), 1) in rows
+
+    def test_min_count_prunes(self, spark):
+        from pysyslog_lfc_spark.functions.tokens import ngram_continuation_topk
+
+        df = spark.createDataFrame([([1, 2, 3, 1, 2, 3, 5],)], "t array<int>")
+        out = ngram_continuation_topk(df, "t", n=2, k=3, min_count=2)
+        rows = {(tuple(r.ctx), r.next_token) for r in out.collect()}
+        assert rows == {((1, 2), 3)}  # every other window occurs once
+
+
+class TestLinearAttribution:
+    def _events(self, spark):
+        rows = [
+            # user 1: clicks at t0,t1; purchase 100 cents at t2
+            (1, "2024-01-01 00:00:00", "click", 10, 0.0),
+            (1, "2024-01-01 01:00:00", "view", 11, 0.0),
+            (1, "2024-01-01 02:00:00", "purchase", 12, 1.0),
+            # user 2: no touches; purchase -> direct
+            (2, "2024-01-05 00:00:00", "purchase", 20, 0.5),
+            # user 3: touch outside lookback
+            (3, "2024-01-01 00:00:00", "click", 30, 0.0),
+            (3, "2024-01-09 00:00:00", "purchase", 31, 0.2),
+        ]
+        return spark.createDataFrame(
+            rows, "user_id long, ts string, event_type string, event_id long, value double"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    def test_split_and_remainder(self, spark):
+        from pysyslog_lfc_spark.operators.sessions import linear_attribution
+
+        out = linear_attribution(
+            self._events(spark), "user_id", "ts", "event_type", "event_id",
+            F.round(F.col("value") * 100),
+            conversion_type="purchase",
+            touch_types=["click", "view"],
+            lookback_us=3 * 24 * 3600 * 1000000,
+        )
+        got = {r.touch_id: r for r in out.collect()}
+        # purchase 100 cents -> 100000 milli over 2 touches: 50000 each
+        assert got[10].total_credit_milli == 50000
+        assert got[11].total_credit_milli == 50000
+        assert got[20].touch_type == "direct" and got[20].total_credit_milli == 50000
+        assert got[31].touch_type == "direct"  # click too old
+        # conservation: total credit == 1000 * total purchase cents
+        assert sum(r.total_credit_milli for r in got.values()) == 1000 * (100 + 50 + 20)
+
+    def test_remainder_goes_to_last_touch(self, spark):
+        from pysyslog_lfc_spark.operators.sessions import linear_attribution
+
+        rows = [
+            (1, "2024-01-01 00:00:00", "click", 1, 0.0),
+            (1, "2024-01-01 01:00:00", "click", 2, 0.0),
+            (1, "2024-01-01 02:00:00", "click", 3, 0.0),
+            (1, "2024-01-01 03:00:00", "purchase", 4, 0.01),  # 1 cent -> 1000 milli
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, ts string, event_type string, event_id long, value double"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        out = linear_attribution(
+            df, "user_id", "ts", "event_type", "event_id",
+            F.round(F.col("value") * 100), "purchase", ["click"],
+            24 * 3600 * 1000000,
+        )
+        got = {r.touch_id: r.total_credit_milli for r in out.collect()}
+        assert got == {1: 333, 2: 333, 3: 334}  # remainder to latest
+
+
+class TestResolveEntities:
+    def test_chain_clusters(self, spark):
+        from pysyslog_lfc_spark.functions.fuzzy import resolve_entities
+
+        # names n000..n019: consecutive ids differ by one digit except
+        # across the 009->010 boundary (2 digits), splitting decades.
+        rows = [(i, f"n{i:03d}") for i in range(20)]
+        df = spark.createDataFrame(rows, "id long, s string")
+        out = resolve_entities(df, "id", "s", window=3, max_dist=1)
+        got = {r.id: (r.entity_id, r.cluster_sz) for r in out.collect()}
+        assert {got[i][0] for i in range(10)} == {0}
+        assert {got[i][0] for i in range(10, 20)} == {10}
+        assert got[0][1] == 10 and got[15][1] == 10
+
+    def test_singletons_self_entity(self, spark):
+        from pysyslog_lfc_spark.functions.fuzzy import resolve_entities
+
+        rows = [(1, "alpha"), (2, "omega"), (3, "kappa")]
+        df = spark.createDataFrame(rows, "id long, s string")
+        out = resolve_entities(df, "id", "s", window=2, max_dist=1)
+        got = {r.id: (r.entity_id, r.cluster_sz) for r in out.collect()}
+        assert got == {1: (1, 1), 2: (2, 1), 3: (3, 1)}
