@@ -1115,6 +1115,7 @@ def containment_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold_permille: int = 500,
+    max_shingle_freq: int | None = None,
 ) -> DataFrame:
     """Asymmetric shingle CONTAINMENT pairs: directed ``(id_a, id_b)``
     where at least ``threshold_permille``/1000 of A's n-gram shingles
@@ -1124,67 +1125,63 @@ def containment_pairs(
     quoted inside a 5000-shingle page has Jaccard ~0.01 but
     containment 1.0.
 
-    Candidate generation is prefix-filtered ON THE CONTAINED SIDE
-    only (the asymmetric variant of the PPJoin prefix theorem): if
-    ``|A∩B| >= ceil(t·|A|)`` then A's first ``|A| - ceil(t·|A|) + 1``
-    sorted shingles must hit B somewhere, so the equi-join explodes
-    only A's prefix against B's full shingle stream — B cannot be
-    prefix-filtered (the witness may sit anywhere in B), which is why
-    containment joins cost more than Jaccard joins at equal corpus
-    size. Size filter inside the join: ``|B| >= ceil(t·|A|)`` (a
-    small doc cannot contain a big one's worth of shingles). Exact
-    verification re-joins candidate docs' shingle arrays and keeps
-    integer-permille containment — no float ratios in the gate.
-    Stop-shingle fan-out on the B side is the knob `ngram_jaccard_
-    pairs` already documents; cap with a frequency filter when the
-    corpus has degenerate boilerplate.
+    Single-pass count plan: explode both sides' DISTINCT shingles,
+    equi-join on the shingle, and the per-pair match count IS the
+    exact ``|A ∩ B|`` — no candidate/verify split and no shingle
+    arrays dragged through any exchange. (The earlier prefix-filtered
+    candidates + ``array_intersect`` verify recomputed the shingle
+    subtree per stage and ran ~10⁶ array intersections for ~500
+    surviving pairs — measured 2.5x slower at 5k docs / 260k
+    shingles. The asymmetric prefix theorem only trims the A-side
+    explode by (1−t), so at moderate thresholds counting wins
+    outright; the prefix architecture lives on in
+    :func:`jaccard_prefix_pairs` where the symmetric bound is strong.)
+    The size filter ``|B| ≥ ceil(t·|A|)`` rides inside the join; the
+    group-by absorbs match rows with a map-side partial count.
+
+    Scale knob ``max_shingle_freq``: the join's fan-out is
+    Σ_s freq(s)², so a shingle shared by the whole corpus is
+    quadratic — cap it to drop stop-shingles from pairing (bounded
+    undercount of ``n_shared``, same contract as
+    :func:`ngram_jaccard_pairs`). Off by default: exact semantics.
 
     Returns ``(id_a, id_b, n_shared, containment_permille)`` with
-    ``id_a != id_b`` (both directions possible when sizes allow).
+    ``id_a != id_b`` (both directions possible when sizes allow);
+    requires ``threshold_permille ≥ 1`` (zero-overlap pairs never
+    materialize).
+
+    Reference anchor: no similarity surface in the reference
+    (src/pysyslog/flow.py) — containment extends the dedup family for
+    the training-data pipeline.
     """
     t = F.lit(threshold_permille)
     sh = _shingled(df, text_col, id_col, n)
-    need = F.ceil(t * F.col("_n_sh") / F.lit(1000)).cast("int")
-    p = (F.col("_n_sh") - need + 1).cast("int")
-    pre = sh.select(
-        "_id",
-        "_n_sh",
-        F.explode(F.call_function("slice", F.col("_sh"), F.lit(1), p)).alias("_s"),
+    ex = sh.select("_id", "_n_sh", F.explode("_sh").alias("_s"))
+    if max_shingle_freq is not None:
+        freq = ex.groupBy("_s").agg(F.count(F.lit(1)).alias("_f"))
+        ex = ex.join(freq, "_s").where(F.col("_f") <= max_shingle_freq).drop("_f")
+    a = ex.select(
+        F.col("_id").alias("id_a"), F.col("_n_sh").alias("n_a"), "_s"
     )
-    full = sh.select(
-        F.col("_id").alias("id_b"),
-        F.col("_n_sh").alias("n_b"),
-        F.explode("_sh").alias("_s"),
+    b = ex.select(
+        F.col("_id").alias("id_b"), F.col("_n_sh").alias("n_b"), "_s"
     )
-    a = pre.select(F.col("_id").alias("id_a"), F.col("_n_sh").alias("n_a"), "_s")
-    cand = (
-        a.join(full, "_s")
-        .where(
-            (F.col("id_a") != F.col("id_b"))
-            & (F.col("n_b") >= F.ceil(t * F.col("n_a") / F.lit(1000)))
-        )
-        .select("id_a", "id_b")
-        .distinct()
+    matched = a.join(b, "_s").where(
+        (F.col("id_a") != F.col("id_b"))
+        & (F.col("n_b") >= F.ceil(t * F.col("n_a") / F.lit(1000)))
     )
-    cand_ids = (
-        cand.select(F.col("id_a").alias(id_col))
-        .unionByName(cand.select(F.col("id_b").alias(id_col)))
-        .distinct()
+    counted = matched.groupBy("id_a", "id_b", "n_a").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shared")
     )
-    shc = _shingled(df.join(F.broadcast(cand_ids), id_col), text_col, id_col, n)
-    av = shc.select(
-        F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"), F.col("_n_sh").alias("n_a")
-    )
-    bv = shc.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
-    num = F.size(F.array_intersect("sh_a", "sh_b")) * F.lit(1000)
+    num = F.col("n_shared") * F.lit(1000)
     return (
-        av.join(F.broadcast(cand), "id_a")
-        .join(bv, "id_b")
-        .withColumn("n_shared", F.size(F.array_intersect("sh_a", "sh_b")).cast("long"))
-        .withColumn(
-            "containment_permille",
-            ((num - F.pmod(num, F.col("n_a"))) / F.col("n_a")).cast("long"),
+        counted.where(num >= t * F.col("n_a"))
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            ((num - F.pmod(num, F.col("n_a"))) / F.col("n_a"))
+            .cast("long")
+            .alias("containment_permille"),
         )
-        .where(F.col("n_shared") * 1000 >= t * F.col("n_a"))
-        .select("id_a", "id_b", "n_shared", "containment_permille")
     )
