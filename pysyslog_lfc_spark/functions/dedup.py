@@ -161,21 +161,38 @@ def minhash_signatures(
 ) -> DataFrame:
     """64-permutation MinHash signature per document.
 
-    Computed as a single explode + groupBy with ``perms`` min()
-    aggregates of seeded xxhash64 — map-side partial aggregation means
-    the shuffle carries one signature row per (doc, partition), never
-    the shingle stream.
+    Computed as PER-ROW array expressions — ZERO shuffle: each shingle
+    string hashes once (one ``transform``), then every permutation is
+    ``array_min(transform(hashes, h -> xxhash64(h, i)))`` over the
+    fixed-width 64-bit values (ANSI-safe: no overflowing LCG
+    multiplies). All ``perms`` mins ride the scan stage in whole-stage
+    codegen, so signatures cost one corpus pass and no exchange.
+
+    (The previous explode + groupBy-with-64-min-aggregates formulation
+    had the right shuffle story — map-side combine — but paid hash-agg
+    buffer management on 64 aggregate states: measured 4.25s vs 0.18s
+    for 5k docs / 260k shingles at sf0.1, bit-identical output.)
+
+    Documents with zero shingles (fewer than ``n`` words) drop, matching
+    the aggregate formulation which never saw an exploded row for them.
     """
-    sh = _shingled(df, text_col, id_col, n)
-    # hash each variable-length shingle string ONCE, then derive the
-    # `perms` permutations by re-hashing the fixed-width 64-bit value —
-    # far cheaper than `perms` string hashes (and ANSI-safe: no
-    # overflowing LCG multiplies)
-    ex = sh.select("_id", F.explode("_sh").alias("_s")).select(
-        "_id", F.xxhash64("_s").alias("_h")
-    )
-    aggs = [F.min(F.xxhash64("_h", F.lit(i))).alias(f"mh_{i}") for i in range(perms)]
-    return ex.groupBy("_id").agg(*aggs)
+    sh = _shingled(df, text_col, id_col, n).where(F.size("_sh") > 0)
+    hs = sh.withColumn("_hs", F.transform("_sh", lambda s: F.xxhash64(s)))
+    aggs = [
+        F.array_min(
+            F.transform("_hs", lambda h: F.xxhash64(h, F.lit(i)))
+        ).alias(f"mh_{i}")
+        for i in range(perms)
+    ]
+    # one id-keyed exchange ON PURPOSE: LSH consumers reference the
+    # signature frame from several plan branches (band self-join x/y,
+    # candidate-id derivation, verification), and an exchange is what
+    # Spark's ReusedExchange matches on — without it every branch
+    # re-runs the shingle kernel + 64 permutations (measured 6.97s vs
+    # 2.91s for the candidate stage at sf0.1). The shuffled rows are
+    # (id, 64x8B) — narrow — and at 10^12 docs this is the same single
+    # exchange the old aggregate formulation paid.
+    return hs.select("_id", *aggs).repartition(F.col("_id"))
 
 
 def _band_keys(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
@@ -263,10 +280,14 @@ def _verify_jaccard_pairs(
     leave the kernel above the join and re-shingle the whole corpus),
     and the final equi-join moves candidate docs' arrays only.
     """
+    # ONE reference to the candidate subtree for the id set (explode,
+    # not a union of two selects — every extra reference to `cand`
+    # replants the whole signature/band-join pipeline in the plan, and
+    # runtime exchange reuse does not reliably collapse them all)
     cand_ids = (
-        cand.select(F.col("id_a").alias(id_col))
-        .unionByName(cand.select(F.col("id_b").alias(id_col)))
-        .distinct()
+        cand.select(
+            F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias(id_col)
+        ).distinct()
     )
     sh = _shingled(df.join(F.broadcast(cand_ids), id_col), text_col, id_col, n)
     a = sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"), F.col("_n_sh").alias("n_a"))
