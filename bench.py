@@ -162,6 +162,19 @@ BENCH_QUERIES = [
     "token_ngram_uniqueness",
     "zipf_fit_words",
     "dedup_containment",
+    # session-14/15
+    "fuzzy_edit_pairs",
+    "blocking_sorted_neighborhood",
+    "ab_cuped_lift",
+    "benford_totalprice",
+    "timeseries_twap",
+    "calibration_quality_vs_en",
+    "target_encode_mktsegment",
+    "feature_equidepth_bins",
+    "winsorize_order_prices",
+    "token_ngram_continuations",
+    "attribution_linear_touch",
+    "er_resolve_customers",
 ]
 
 

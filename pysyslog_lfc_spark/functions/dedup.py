@@ -173,10 +173,26 @@ def minhash_signatures(
     buffer management on 64 aggregate states: measured 4.25s vs 0.18s
     for 5k docs / 260k shingles at sf0.1, bit-identical output.)
 
+    Shingles here are the RAW gram stream (no distinct, no sort): the
+    min over a multiset equals the min over its set, so MinHash is
+    invariant to duplicate shingles — which frees the signature
+    pipeline from the Arrow ``array_distinct`` kernel entirely. Zero
+    Python anywhere in this path; replanting the subtree costs only
+    codegen expressions. (The verify stages keep the distinct-shingle
+    kernel — intersection COUNTS do depend on distinctness.)
+
     Documents with zero shingles (fewer than ``n`` words) drop, matching
     the aggregate formulation which never saw an exploded row for them.
     """
-    sh = _shingled(df, text_col, id_col, n).where(F.size("_sh") > 0)
+    from pysyslog_lfc_spark.functions.text import tokenize
+
+    words = tokenize(F.lower(F.col(text_col)))
+    k = F.size(words) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.array_join(F.slice(words, i, n), " "),
+    )
+    sh = df.where(k >= 1).select(F.col(id_col).alias("_id"), grams.alias("_sh"))
     hs = sh.withColumn("_hs", F.transform("_sh", lambda s: F.xxhash64(s)))
     aggs = [
         F.array_min(
@@ -946,10 +962,15 @@ def incremental_near_dups(
     sh_old = _shingled(old_df, text_col, id_col, n).select(
         F.col("_id").alias("id_old"), F.col("_sh").alias("sh_b"), F.col("_n_sh").alias("n_b")
     )
-    a_f = sh_new.join(F.broadcast(cand), "id_new")
-    b_f = sh_old.join(F.broadcast(cand.select("id_old").distinct()), "id_old")
+    # ONE reference to the candidate subtree: every extra reference
+    # replants both signature pipelines in the plan (runtime exchange
+    # reuse does not reliably collapse them — measured 11.5s vs 5.5s at
+    # sf0.1 with a second broadcast(cand.select(id_old)) prune join,
+    # which saved nothing anyway: the shingle kernel sits above the raw
+    # scans here, so both sides' kernels run over their full frames
+    # regardless and the pair join prunes rows immediately after).
     verified = (
-        a_f.join(b_f, "id_old")
+        F.broadcast(cand).join(sh_new, "id_new").join(sh_old, "id_old")
         .withColumn("n_shared", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",

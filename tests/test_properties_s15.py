@@ -1,0 +1,104 @@
+"""Property-based replays for the session-14/15 operators: the
+edit-distance join vs a brute-force reference on random vocabularies
+(candidate completeness is the property the q-gram/band filters must
+never violate), and n-gram continuation-table reconstruction from
+hand-counted windows."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+word_strategy = st.lists(
+    st.text(alphabet="abcdef", min_size=1, max_size=9),
+    min_size=2,
+    max_size=14,
+    unique=True,
+)
+
+token_seqs = st.lists(
+    st.lists(st.integers(min_value=0, max_value=6), min_size=0, max_size=12),
+    min_size=1,
+    max_size=6,
+)
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@settings(max_examples=10, deadline=None)
+@given(words=word_strategy, k=st.sampled_from([1, 2]))
+def test_edit_distance_pairs_matches_bruteforce(spark, words, k):
+    from pysyslog_lfc_spark.functions.fuzzy import edit_distance_pairs
+
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "id long, s string"
+    )
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in edit_distance_pairs(df, "id", "s", max_dist=k).collect()
+    }
+    want = set()
+    for i in range(len(words)):
+        for j in range(i + 1, len(words)):
+            d = _lev(words[i], words[j])
+            if d <= k:
+                want.add((i, j, d))
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(seqs=token_seqs)
+def test_ngram_continuation_matches_hand_count(spark, seqs):
+    from collections import Counter
+
+    from pysyslog_lfc_spark.functions.tokens import ngram_continuation_topk
+
+    df = spark.createDataFrame([(s,) for s in seqs], "t array<int>")
+    got = {
+        (tuple(r.ctx), r.next_token): (r.cnt, r.rnk)
+        for r in ngram_continuation_topk(df, "t", n=2, k=3, min_count=1).collect()
+    }
+    counts: Counter = Counter()
+    for s in seqs:
+        for i in range(len(s) - 2):
+            counts[(tuple(s[i : i + 2]), s[i + 2])] += 1
+    want = {}
+    by_ctx: dict = {}
+    for (ctx, nxt), c in counts.items():
+        by_ctx.setdefault(ctx, []).append((nxt, c))
+    for ctx, items in by_ctx.items():
+        items.sort(key=lambda t: (-t[1], t[0]))
+        for rnk, (nxt, c) in enumerate(items[:3], 1):
+            want[(ctx, nxt)] = (c, rnk)
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    vals=st.lists(st.integers(min_value=-1000, max_value=1000),
+                  min_size=2, max_size=40),
+    bins=st.sampled_from([2, 4, 5]),
+)
+def test_equidepth_edges_are_sorted_positions(spark, vals, bins):
+    from pysyslog_lfc_spark.functions.features import equidepth_bin_edges
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    out = {
+        r.edge_idx: r.edge_value
+        for r in equidepth_bin_edges(df, F.col("v"), "id", bins).collect()
+    }
+    ordered = [v for v, _ in sorted((v, i) for i, v in rows)]
+    n = len(vals)
+    for j in range(1, bins):
+        r = j * n // bins
+        if r >= 1:
+            assert out.get(j, ordered[r - 1]) == ordered[r - 1]
