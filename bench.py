@@ -175,6 +175,7 @@ BENCH_QUERIES = [
     "token_ngram_continuations",
     "attribution_linear_touch",
     "er_resolve_customers",
+    "classifier_auc_quality_vs_en",
 ]
 
 

@@ -235,3 +235,69 @@ def calibration_report(
             "ece_part_micro"
         ),
     )
+
+
+def roc_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Exact ROC-AUC of an integer score against a 0/1 label via the
+    rank-sum (Mann–Whitney U) identity with mid-rank tie handling —
+    the threshold-free companion to :func:`calibration_report` for
+    accepting a quality/toxicity classifier before its threshold gates
+    a corpus.
+
+    Identity used: with the corpus reduced to a per-score histogram
+    (pos_s, neg_s) and neg_below_s = Σ_{s'<s} neg_{s'},
+
+        2·U = Σ_s pos_s · (2·neg_below_s + neg_s)
+        AUC = 2·U / (2·P·N)
+
+    (ties contribute the ½ credit through the ``+ neg_s`` term, which
+    is exactly the mid-rank convention).
+
+    Scale design: ONE map-side-partial hash aggregate reduces the
+    corpus to the score-domain frame (≤1001 rows for a permille
+    score); the cumulative window and final fold run over that bounded
+    frame, never the corpus — no global sort of data rows anywhere.
+    2·U, P, N are exact integers (DECIMAL(38,0) partials), so the one
+    double division is bit-deterministic across engines.
+
+    Returns a single row (n_pos, n_neg, u_twice, auc); ``auc`` is NULL
+    when either class is absent.
+    """
+    dec = "decimal(38,0)"
+    hist = (
+        df.select(
+            F.col(score_col).cast("long").alias("_s"),
+            F.col(label_col).cast("long").alias("_y"),
+        )
+        .groupBy("_s")
+        .agg(
+            F.sum("_y").cast(dec).alias("_pos"),
+            (F.count(F.lit(1)) - F.sum("_y")).cast(dec).alias("_neg"),
+        )
+    )
+    below = Window.orderBy("_s").rowsBetween(Window.unboundedPreceding, -1)
+    cum = hist.withColumn(
+        "_nb", F.coalesce(F.sum("_neg").over(below), F.lit(0).cast(dec))
+    )
+    tot = cum.agg(
+        F.sum("_pos").cast("long").alias("n_pos"),
+        F.sum("_neg").cast("long").alias("n_neg"),
+        F.sum(F.col("_pos") * (F.col("_nb") * F.lit(2) + F.col("_neg")))
+        .cast("long")
+        .alias("u_twice"),
+    )
+    p = F.col("n_pos").cast("double")
+    n = F.col("n_neg").cast("double")
+    return tot.select(
+        "n_pos",
+        "n_neg",
+        "u_twice",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.col("u_twice").cast("double") / (F.lit(2.0) * p * n),
+        ).alias("auc"),
+    )

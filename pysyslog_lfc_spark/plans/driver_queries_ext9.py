@@ -310,3 +310,74 @@ def er_resolve_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("substring(c_name, 10)").alias("s"),
     )
     return resolve_entities(named, "id", "s", window=4, max_dist=1)
+
+
+# Same scored frame as _CALIB_ORACLE (ext8): the oracle replays the
+# quality-permille feature pipeline, then applies the histogram
+# rank-sum identity — 2U = Σ_s pos_s·(2·neg_below_s + neg_s) — over
+# the ≤1001-row score-domain frame. All integers until the one double
+# division, which is bit-deterministic given exact operands.
+_AUC_ORACLE = r"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(text, '\s+'), w -> w != '') AS ws
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id, lang,
+             CAST(len(ws) AS INTEGER) AS n_words,
+             coalesce(list_sum(list_transform(ws, w -> length(w))), 0)
+               / greatest(len(ws), 1) AS raw_avg,
+             len(list_filter(ws, w -> list_contains(
+               ['the','a','of','and','to','in'], lower(w))))
+               / greatest(len(ws), 1) AS raw_stop
+      FROM toks
+    ),
+    scored AS (
+      SELECT CAST(floor((least(n_words / 100e0, 1e0) * 5e-1
+                         + least(raw_stop * 5e0, 1e0) * 3e-1
+                         + least(raw_avg / 8e0, 1e0) * 2e-1) * 1000)
+                  AS BIGINT) AS s,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM scored_src
+    ),
+    hist AS (
+      SELECT s, SUM(y) AS pos, COUNT(*) - SUM(y) AS neg
+      FROM scored GROUP BY s
+    ),
+    cum AS (
+      SELECT pos, neg,
+             COALESCE(SUM(neg) OVER (
+               ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS nb
+      FROM hist
+    )
+    SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+           CAST(SUM(neg) AS BIGINT) AS n_neg,
+           CAST(SUM(pos * (2 * nb + neg)) AS BIGINT) AS u_twice,
+           CASE WHEN SUM(pos) > 0 AND SUM(neg) > 0 THEN
+             CAST(SUM(pos * (2 * nb + neg)) AS DOUBLE)
+               / (2e0 * CAST(SUM(pos) AS DOUBLE) * CAST(SUM(neg) AS DOUBLE))
+           END AS auc
+    FROM cum
+"""
+
+
+@query("classifier_auc_quality_vs_en", _AUC_ORACLE.replace("scored_src", "feat"))
+def classifier_auc_quality_vs_en(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC (functions/classifier.py::roc_auc, Mann–Whitney
+    rank-sum with mid-rank ties): does the quality-permille score
+    separate English from non-English documents? The threshold-free
+    acceptance metric beside calibration_quality_vs_en's binned ECE.
+    ONE corpus hash agg to the score histogram; cumulative window and
+    final fold over that bounded frame only.
+    """
+    from pysyslog_lfc_spark.functions import text as TX
+    from pysyslog_lfc_spark.functions.classifier import roc_auc
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = TX.quality_features(docs).select(
+        "quality_permille",
+        (F.col("lang") == "en").cast("long").alias("label"),
+    )
+    return roc_auc(feats, "quality_permille", "label")

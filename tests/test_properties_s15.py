@@ -102,3 +102,31 @@ def test_equidepth_edges_are_sorted_positions(spark, vals, bins):
         r = j * n // bins
         if r >= 1:
             assert out.get(j, ordered[r - 1]) == ordered[r - 1]
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=5), st.booleans()),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_roc_auc_matches_pair_counting(spark, rows):
+    from pysyslog_lfc_spark.functions.classifier import roc_auc
+
+    df = spark.createDataFrame(
+        [(s, int(y)) for s, y in rows], "s long, y long"
+    )
+    got = roc_auc(df, "s", "y").collect()[0]
+    pos = [s for s, y in rows if y]
+    neg = [s for s, y in rows if not y]
+    assert got.n_pos == len(pos) and got.n_neg == len(neg)
+    if not pos or not neg:
+        assert got.auc is None
+        return
+    u2 = sum(2 for p in pos for q in neg if p > q) + sum(
+        1 for p in pos for q in neg if p == q
+    )
+    assert got.u_twice == u2
+    assert abs(got.auc - u2 / (2 * len(pos) * len(neg))) < 1e-12
