@@ -301,3 +301,50 @@ def roc_auc(
             F.col("u_twice").cast("double") / (F.lit(2.0) * p * n),
         ).alias("auc"),
     )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    pred_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Cohen's kappa between two binary raters (Cohen 1960) — the
+    chance-corrected agreement a curation stack reports when a cheap
+    heuristic gate is audited against a trusted label (or two
+    annotators against each other):
+
+        kappa = (p_o − p_e) / (1 − p_e)
+
+    computed from its integer form so the value-hash gate holds:
+    with N rows, a1 = Σ pred, b1 = Σ label, agree = Σ [pred == label],
+    pe_num = a1·b1 + (N−a1)·(N−b1),
+
+        kappa_micro = floor(1e6 · (agree·N − pe_num) / (N² − pe_num))
+
+    (pmod-floored: the numerator is negative for worse-than-chance
+    raters). NULL when the denominator is zero (a constant rater pair,
+    where kappa is undefined). ONE map-side-partial aggregate collapses
+    the corpus to a 1-row frame; the scalar chain is exact
+    DECIMAL(38,0) integer arithmetic.
+    """
+    dec = "decimal(38,0)"
+    t = df.select(
+        F.col(pred_col).cast("long").alias("_p"),
+        F.col(label_col).cast("long").alias("_y"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_p").cast("long").alias("pred_pos"),
+        F.sum("_y").cast("long").alias("label_pos"),
+        F.sum((F.col("_p") == F.col("_y")).cast("long")).cast("long").alias("agree"),
+    )
+    nn = F.col("n").cast(dec)
+    pe_num = (
+        F.col("pred_pos").cast(dec) * F.col("label_pos")
+        + (nn - F.col("pred_pos")) * (nn - F.col("label_pos"))
+    )
+    num = (F.col("agree").cast(dec) * nn - pe_num) * 1_000_000
+    den = nn * nn - pe_num
+    kappa = F.when(den != 0, ((num - F.pmod(num, den)) / den).cast("long"))
+    return t.select(
+        "n", "pred_pos", "label_pos", "agree", kappa.alias("kappa_micro")
+    )

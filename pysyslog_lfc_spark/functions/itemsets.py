@@ -1,0 +1,163 @@
+"""Frequent-itemset pair mining and association rules (market-basket).
+
+Apriori's first two levels (Agrawal & Srikant 1994) as pure DataFrame
+algebra — the co-occurrence analysis a telemetry stack runs over
+"which alert types fire in the same incident" and a curation stack
+runs over "which sources co-cite the same document". MLlib's FPGrowth
+covers arbitrary itemset depth; pairs (plus the rule stats users
+actually read: support / confidence / lift) cover the reporting
+surface, and pairs are where a DataFrame plan can stay exact and
+shuffle-minimal.
+
+Scale design (100 TB view):
+
+- the apriori property prunes BEFORE the quadratic step: items below
+  ``min_item_support`` leave the basket stream via one equi-join on
+  the item key, so the pair self-join only ever fans out over
+  *frequent* items;
+- per-basket fan-out is k·(k-1)/2 over the basket's surviving items.
+  ``max_basket_items`` caps pathological baskets (the "every incident
+  touches the load balancer" hot basket) the same way the shingle
+  joins cap stop-shingles: oversized baskets are dropped, loudly
+  countable by the caller via :func:`basket_profile`;
+- the self-join co-partitions both sides on the basket key — ONE
+  exchange of the filtered basket stream feeds both inputs (Spark
+  reuses the exchange; the plan audit checks this) — and the pair
+  aggregation is a map-side-partial hash agg on (item_a, item_b);
+- rule stats join the ≤|frequent items|-row support frame twice; that
+  frame is broadcast (it is bounded by the support threshold, not by
+  corpus size).
+
+Exactness contract: supports are BIGINT counts; confidence and lift
+are floored integer ratios (permille / micro) via subtract-mod, so
+the driver's value-hash gate holds bit-for-bit against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _floor_ratio(num: Column, den: Column, scale: int) -> Column:
+    """floor(num*scale/den) on BIGINTs, exact (no IEEE division)."""
+    n = num.cast("decimal(38,0)") * scale
+    return ((n - F.pmod(n, den)) / den).cast("long")
+
+
+def basket_items(df: DataFrame, basket_col: str, item_col: str) -> DataFrame:
+    """Distinct (basket, item) stream: presence, not multiplicity —
+    the standard market-basket reading. One (basket,item) hash agg."""
+    return df.select(
+        F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+    ).distinct()
+
+
+def frequent_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_item_support: int = 2,
+    min_pair_support: int = 2,
+    max_basket_items: int | None = None,
+) -> DataFrame:
+    """Support counts for frequent item pairs: (item_a, item_b, pair_n)
+    with item_a < item_b and pair_n >= min_pair_support.
+
+    Plan: distinct basket stream -> item-support hash agg -> frequent
+    filter -> equi-join prune -> basket-keyed self-join (item_a <
+    item_b) -> pair hash agg. The apriori property guarantees no pair
+    with an infrequent member can be frequent, so pruning first is
+    lossless.
+    """
+    b = basket_items(df, basket_col, item_col)
+    sup = b.groupBy("item").agg(F.count(F.lit(1)).alias("item_n"))
+    freq = sup.filter(F.col("item_n") >= min_item_support).select("item")
+    fb = b.join(freq, "item")
+    if max_basket_items is not None:
+        sizes = fb.groupBy("basket").agg(F.count(F.lit(1)).alias("_bn"))
+        fb = fb.join(
+            sizes.filter(F.col("_bn") <= max_basket_items).select("basket"),
+            "basket",
+        )
+    left = fb.select("basket", F.col("item").alias("item_a"))
+    right = fb.select("basket", F.col("item").alias("item_b"))
+    pairs = (
+        left.join(right, "basket")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("pair_n"))
+        .filter(F.col("pair_n") >= min_pair_support)
+    )
+    return pairs
+
+
+def association_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_item_support: int = 2,
+    min_pair_support: int = 2,
+    max_basket_items: int | None = None,
+) -> DataFrame:
+    """Both directed rules per frequent pair, with exact integer stats:
+
+    (antecedent, consequent, pair_n, ante_n, cons_n,
+     conf_permille = floor(1000·pair_n/ante_n),
+     lift_micro    = floor(1e6·pair_n·n_baskets/(ante_n·cons_n)))
+
+    lift > 1 (micro > 1e6) = the pair co-occurs more than independence
+    predicts. The support frame joins in twice (antecedent and
+    consequent); the basket total is a broadcast scalar.
+    """
+    b = basket_items(df, basket_col, item_col)
+    n_baskets = b.select("basket").distinct().count()
+    sup = b.groupBy("item").agg(F.count(F.lit(1)).alias("item_n"))
+    pairs = frequent_pairs(
+        df,
+        basket_col,
+        item_col,
+        min_item_support=min_item_support,
+        min_pair_support=min_pair_support,
+        max_basket_items=max_basket_items,
+    )
+    directed = pairs.select(
+        F.col("item_a").alias("antecedent"),
+        F.col("item_b").alias("consequent"),
+        "pair_n",
+    ).unionByName(
+        pairs.select(
+            F.col("item_b").alias("antecedent"),
+            F.col("item_a").alias("consequent"),
+            "pair_n",
+        )
+    )
+    ante = sup.select(
+        F.col("item").alias("antecedent"), F.col("item_n").alias("ante_n")
+    )
+    cons = sup.select(
+        F.col("item").alias("consequent"), F.col("item_n").alias("cons_n")
+    )
+    out = (
+        directed.join(F.broadcast(ante), "antecedent")
+        .join(F.broadcast(cons), "consequent")
+        .withColumn(
+            "conf_permille", _floor_ratio(F.col("pair_n"), F.col("ante_n"), 1000)
+        )
+        .withColumn(
+            "lift_micro",
+            _floor_ratio(
+                F.col("pair_n") * F.lit(n_baskets),
+                F.col("ante_n").cast("decimal(38,0)") * F.col("cons_n"),
+                1_000_000,
+            ),
+        )
+    )
+    return out.select(
+        "antecedent",
+        "consequent",
+        "pair_n",
+        "ante_n",
+        "cons_n",
+        "conf_permille",
+        "lift_micro",
+    )

@@ -346,3 +346,88 @@ def benford_deviation(df: DataFrame, value: Column) -> DataFrame:
             F.abs(share - expected).alias("dev_micro"),
         )
     )
+
+
+def gini_concentration(
+    df: DataFrame,
+    keys: list[str],
+    value: Column,
+    id_col: str,
+) -> DataFrame:
+    """Per-group Gini coefficient of a non-negative integer-valued
+    measure — the "is this key's traffic/revenue concentrated in a few
+    members" inequality report (the same statistic a curation stack
+    reads over per-domain token counts to spot crawl monoculture).
+
+    Exact rank-sum form (values ascending, rank 1..n):
+
+        G = (2·Σ rk·v − (n+1)·Σ v) / (n·Σ v)
+
+    Ties need no mid-ranking: a tied block contributes v·Σ rk and the
+    block's rank total is fixed regardless of intra-block order, so
+    any deterministic tie-break yields the same sum. Output
+    ``gini_micro`` is the exact floored integer (0 = perfect equality,
+    → 1e6 = total concentration), NULL when the group's mass is zero.
+
+    Plan: ONE exchange on the group key serves both the rank window
+    and the reusing hash aggregate; moments ride DECIMAL(38,0) so a
+    10^12-row group cannot overflow.
+    """
+    w = Window.partitionBy(*keys).orderBy(F.col("_v"), F.col(id_col))
+    ranked = (
+        df.select(*keys, id_col, value.cast("long").alias("_v"))
+        .withColumn("_rk", F.row_number().over(w))
+    )
+    g = ranked.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("_v").cast(_D38)).alias("_s"),
+        F.sum((F.col("_rk").cast(_D38) * F.col("_v"))).alias("_rs"),
+    )
+    num = ((F.lit(2).cast(_D38) * F.col("_rs"))
+           - (F.col("n") + 1).cast(_D38) * F.col("_s")) * 1_000_000
+    den = F.col("n").cast(_D38) * F.col("_s")
+    gini = F.when(
+        F.col("_s") > 0,
+        ((num - F.pmod(num, den)) / den).cast("long"),
+    )
+    return g.select(*keys, "n", F.col("_s").cast("long").alias("total"),
+                    gini.alias("gini_micro"))
+
+
+def weighted_median(
+    df: DataFrame,
+    keys: list[str],
+    value: Column,
+    weight: Column,
+    id_col: str,
+) -> DataFrame:
+    """Per-group lower weighted median: the smallest value v whose
+    cumulative weight reaches half the group's total weight
+    (2·cumw(v) >= W) — the robust center of a weighted distribution
+    (price weighted by quantity, latency weighted by request count).
+
+    Both the running-weight window and the final hash aggregate hang
+    off the same group-key exchange (Spark reuses it). Weights must be
+    non-negative integers; output is exact. Intra-tie order cannot
+    change the answer (the threshold crossing lands inside the tied
+    value block either way); the (value, id) ordering makes the scan
+    deterministic anyway.
+    """
+    wo = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("_v"), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wp = Window.partitionBy(*keys)
+    scanned = (
+        df.select(*keys, id_col, value.cast("long").alias("_v"),
+                  weight.cast("long").alias("_w"))
+        .withColumn("_cum", F.sum("_w").over(wo))
+        .withColumn("_tot", F.sum("_w").over(wp))
+    )
+    return scanned.groupBy(*keys).agg(
+        F.max("_tot").alias("w_total"),
+        F.min(F.when(F.col("_cum") * 2 >= F.col("_tot"), F.col("_v"))).alias(
+            "wmedian"
+        ),
+    )

@@ -1,0 +1,236 @@
+"""Driver-query registrations, round-2 session-16 batch.
+
+Imported by :mod:`pysyslog_lfc_spark.plans.driver_queries` (bottom of
+file) so these register into the same ``_QUERIES``/``_ORACLES`` maps.
+This batch: market-basket association rules (apriori level-2 with
+exact integer confidence/lift), per-group Gini concentration of
+customer revenue, Cohen's-kappa agreement between the heuristic
+quality gate and the language label, and the per-group lower weighted
+median.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pysyslog_lfc_spark.plans.driver_queries import _t, query
+
+
+_ASSOC_ORACLE = """
+    WITH b AS (
+      SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+    ),
+    nb AS (SELECT COUNT(DISTINCT basket) AS n FROM b),
+    sup AS (SELECT item, COUNT(*) AS item_n FROM b GROUP BY 1),
+    fb AS (
+      SELECT b.basket, b.item FROM b JOIN sup USING (item)
+      WHERE sup.item_n >= 20
+    ),
+    pairs AS (
+      SELECT a.item AS item_a, c.item AS item_b, COUNT(*) AS pair_n
+      FROM fb a JOIN fb c ON a.basket = c.basket AND a.item < c.item
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 3
+    ),
+    directed AS (
+      SELECT item_a AS antecedent, item_b AS consequent, pair_n FROM pairs
+      UNION ALL
+      SELECT item_b, item_a, pair_n FROM pairs
+    )
+    SELECT d.antecedent, d.consequent, d.pair_n,
+      sa.item_n AS ante_n, sc.item_n AS cons_n,
+      CAST((d.pair_n * 1000 - (d.pair_n * 1000) % sa.item_n) / sa.item_n
+           AS BIGINT) AS conf_permille,
+      CAST((d.pair_n * nb.n * 1000000
+            - (d.pair_n * nb.n * 1000000) % (sa.item_n * sc.item_n))
+           / (sa.item_n * sc.item_n) AS BIGINT) AS lift_micro
+    FROM directed d
+    JOIN sup sa ON sa.item = d.antecedent
+    JOIN sup sc ON sc.item = d.consequent
+    CROSS JOIN nb
+"""
+
+
+@query("assoc_rules_parts", _ASSOC_ORACLE)
+def assoc_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (functions/itemsets.py::
+    association_rules, Agrawal & Srikant 1994 apriori level-2): parts
+    co-ordered in the same order, support >= 3 over frequent items
+    (>= 20 baskets), both rule directions with exact floored integer
+    confidence (permille) and lift (micro). The apriori prune runs
+    BEFORE the basket self-join, the self-join reuses one
+    basket-keyed exchange, and the support frame broadcasts into the
+    rule stats — never an all-pairs item join.
+    """
+    from pysyslog_lfc_spark.functions.itemsets import association_rules
+
+    li = _t(spark, sf_dir, "lineitem")
+    return association_rules(
+        li, "l_orderkey", "l_partkey", min_item_support=20, min_pair_support=3
+    )
+
+
+_GINI_ORACLE = """
+    WITH rev AS (
+      SELECT o_custkey,
+             SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS v
+      FROM orders GROUP BY 1
+    ),
+    tagged AS (
+      SELECT n_name, o_custkey, v,
+             row_number() OVER (
+               PARTITION BY n_name ORDER BY v, o_custkey) AS rk
+      FROM rev
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation ON n_nationkey = c_nationkey
+    ),
+    g AS (
+      SELECT n_name, COUNT(*) AS n,
+             SUM(CAST(v AS HUGEINT)) AS s,
+             SUM(CAST(rk AS HUGEINT) * v) AS rs
+      FROM tagged GROUP BY 1
+    )
+    SELECT n_name, CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS total,
+      CASE WHEN s > 0 THEN CAST(
+        ((2 * rs - (n + 1) * s) * 1000000
+         - ((2 * rs - (n + 1) * s) * 1000000) % (n * s)) / (n * s)
+        AS BIGINT) END AS gini_micro
+    FROM g
+"""
+
+
+@query("gini_custrev_by_nation", _GINI_ORACLE)
+def gini_custrev_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Gini coefficient of customer revenue
+    (functions/stats.py::gini_concentration): the inequality report a
+    curation stack runs over per-domain token counts to spot crawl
+    monoculture, here over Σ order cents per customer. Exact rank-sum
+    form on DECIMAL(38,0) moments; the revenue agg, the enrich join,
+    and the nation-keyed rank window + reusing hash agg are the only
+    exchanges (nation broadcasts).
+    """
+    from pysyslog_lfc_spark.functions.stats import gini_concentration
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("v")
+    )
+    tagged = rev.join(
+        cust.select("c_custkey", "c_nationkey"),
+        rev.o_custkey == cust.c_custkey,
+    ).join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    return gini_concentration(
+        tagged.select("n_name", "o_custkey", "v"),
+        ["n_name"], F.col("v"), "o_custkey",
+    )
+
+
+_KAPPA_ORACLE = r"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(text, '\s+'), w -> w != '') AS ws
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id, lang,
+             CAST(len(ws) AS INTEGER) AS n_words,
+             coalesce(list_sum(list_transform(ws, w -> length(w))), 0)
+               / greatest(len(ws), 1) AS raw_avg,
+             len(list_filter(ws, w -> list_contains(
+               ['the','a','of','and','to','in'], lower(w))))
+               / greatest(len(ws), 1) AS raw_stop
+      FROM toks
+    ),
+    scored AS (
+      SELECT CASE WHEN CAST(floor((least(n_words / 100e0, 1e0) * 5e-1
+                         + least(raw_stop * 5e0, 1e0) * 3e-1
+                         + least(raw_avg / 8e0, 1e0) * 2e-1) * 1000)
+                  AS BIGINT) >= 500 THEN 1 ELSE 0 END AS p,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM feat
+    ),
+    t AS (
+      SELECT COUNT(*) AS n, SUM(p) AS pred_pos, SUM(y) AS label_pos,
+             SUM(CASE WHEN p = y THEN 1 ELSE 0 END) AS agree
+      FROM scored
+    ),
+    k AS (
+      SELECT *,
+        CAST(pred_pos AS HUGEINT) * label_pos
+          + CAST(n - pred_pos AS HUGEINT) * (n - label_pos) AS pe_num
+      FROM t
+    )
+    SELECT CAST(n AS BIGINT) AS n, CAST(pred_pos AS BIGINT) AS pred_pos,
+      CAST(label_pos AS BIGINT) AS label_pos, CAST(agree AS BIGINT) AS agree,
+      CASE WHEN den2 != 0 THEN CAST(
+        (num2 - ((num2 % nullif(den2, 0)) + den2) % nullif(den2, 0))
+        / nullif(den2, 0) AS BIGINT) END AS kappa_micro
+    FROM k
+    CROSS JOIN LATERAL (SELECT
+      (CAST(agree AS HUGEINT) * n - pe_num) * 1000000 AS num2,
+      CAST(n AS HUGEINT) * n - pe_num AS den2) x
+"""
+
+
+@query("kappa_quality_vs_en", _KAPPA_ORACLE)
+def kappa_quality_vs_en(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's-kappa agreement (functions/classifier.py::cohens_kappa,
+    Cohen 1960) between the heuristic quality gate (quality_permille
+    >= 500) and the lang=='en' label — the chance-corrected audit of a
+    cheap curation gate against a trusted signal. ONE corpus hash agg
+    to a 1-row frame; kappa_micro is pmod-floored exact integer
+    arithmetic (negative for worse-than-chance raters).
+    """
+    from pysyslog_lfc_spark.functions.classifier import cohens_kappa
+    from pysyslog_lfc_spark.functions import text as TX
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = TX.quality_features(docs).select(
+        (F.col("quality_permille") >= 500).cast("long").alias("pred"),
+        (F.col("lang") == "en").cast("long").alias("label"),
+    )
+    return cohens_kappa(feats, "pred", "label")
+
+
+_WMEDIAN_ORACLE = """
+    WITH b AS (
+      SELECT l_returnflag AS flag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+             CAST(l_quantity AS BIGINT) AS w,
+             l_orderkey, l_linenumber
+      FROM lineitem
+    ),
+    scanned AS (
+      SELECT flag, v, w,
+        SUM(w) OVER (PARTITION BY flag ORDER BY v, l_orderkey, l_linenumber
+                     ROWS UNBOUNDED PRECEDING) AS cum,
+        SUM(w) OVER (PARTITION BY flag) AS tot
+      FROM b
+    )
+    SELECT flag, MAX(tot) AS w_total,
+           MIN(CASE WHEN cum * 2 >= tot THEN v END) AS wmedian
+    FROM scanned GROUP BY flag
+"""
+
+
+@query("weighted_median_price_by_flag", _WMEDIAN_ORACLE)
+def weighted_median_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag lower weighted median of extended price cents,
+    weighted by integer quantity (functions/stats.py::weighted_median):
+    the smallest price whose cumulative quantity reaches half the
+    flag's total. One group-key exchange serves the running-weight
+    window and the final hash agg.
+    """
+    from pysyslog_lfc_spark.functions.stats import weighted_median
+
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("v"),
+        F.col("l_quantity").cast("long").alias("w"),
+        (F.col("l_orderkey") * 16 + F.col("l_linenumber")).alias("rid"),
+    )
+    return weighted_median(base, ["flag"], F.col("v"), F.col("w"), "rid")

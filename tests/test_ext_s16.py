@@ -1,0 +1,131 @@
+"""Session-16 operators: market-basket association rules, per-group
+Gini concentration, Cohen's kappa agreement, weighted median."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+class TestAssociationRules:
+    def _baskets(self, spark):
+        rows = [
+            (1, "x"), (1, "y"),
+            (2, "x"), (2, "y"),
+            (3, "x"), (3, "z"),
+            (4, "y"),
+        ]
+        return spark.createDataFrame(rows, "bk long, it string")
+
+    def test_pair_stats_exact(self, spark):
+        from pysyslog_lfc_spark.functions.itemsets import association_rules
+
+        out = association_rules(
+            self._baskets(spark), "bk", "it",
+            min_item_support=1, min_pair_support=2,
+        ).collect()
+        rules = {(r.antecedent, r.consequent): r for r in out}
+        assert set(rules) == {("x", "y"), ("y", "x")}
+        r = rules[("x", "y")]
+        # sup(x)=3, sup(y)=3, pair=2, baskets=4
+        assert (r.pair_n, r.ante_n, r.cons_n) == (2, 3, 3)
+        assert r.conf_permille == 2 * 1000 // 3
+        assert r.lift_micro == 2 * 4 * 1_000_000 // 9
+
+    def test_multiplicity_does_not_inflate_support(self, spark):
+        from pysyslog_lfc_spark.functions.itemsets import frequent_pairs
+
+        rows = [(1, "x"), (1, "x"), (1, "y"), (2, "x"), (2, "y")]
+        df = spark.createDataFrame(rows, "bk long, it string")
+        out = frequent_pairs(df, "bk", "it", 1, 1).collect()
+        assert len(out) == 1 and out[0].pair_n == 2  # presence, not count
+
+    def test_apriori_prune_and_basket_cap(self, spark):
+        from pysyslog_lfc_spark.functions.itemsets import frequent_pairs
+
+        # item z appears once -> pruned before the self-join
+        out = frequent_pairs(self._baskets(spark), "bk", "it", 2, 1).collect()
+        assert all({"x", "y"} >= {r.item_a, r.item_b} for r in out)
+        # cap drops the 3-item basket entirely
+        rows = [(1, "a"), (1, "b"), (1, "c"), (2, "a"), (2, "b")]
+        df = spark.createDataFrame(rows, "bk long, it string")
+        capped = frequent_pairs(df, "bk", "it", 1, 1, max_basket_items=2)
+        assert {(r.item_a, r.item_b, r.pair_n) for r in capped.collect()} == {
+            ("a", "b", 1)
+        }
+
+
+class TestGiniConcentration:
+    def test_equality_and_concentration(self, spark):
+        from pysyslog_lfc_spark.functions.stats import gini_concentration
+
+        rows = (
+            [("eq", i, 5) for i in range(4)]
+            + [("cc", 0, 0), ("cc", 1, 0), ("cc", 2, 0), ("cc", 3, 10)]
+            + [("zz", 0, 0), ("zz", 1, 0)]
+        )
+        df = spark.createDataFrame(rows, "g string, id long, v long")
+        out = {
+            r.g: r for r in gini_concentration(df, ["g"], F.col("v"), "id").collect()
+        }
+        assert out["eq"].gini_micro == 0
+        # G = (2*(4*10) - 5*10) / (4*10) = 30/40
+        assert out["cc"].gini_micro == 750_000
+        assert out["zz"].gini_micro is None  # zero mass: undefined
+        assert out["cc"].total == 10 and out["cc"].n == 4
+
+    def test_tie_order_invariance(self, spark):
+        from pysyslog_lfc_spark.functions.stats import gini_concentration
+
+        a = [("g", i, v) for i, v in enumerate([3, 3, 3, 9])]
+        b = [("g", 3 - i, v) for i, v in enumerate([3, 3, 3, 9])]
+        fa = spark.createDataFrame(a, "g string, id long, v long")
+        fb = spark.createDataFrame(b, "g string, id long, v long")
+        ga = gini_concentration(fa, ["g"], F.col("v"), "id").collect()[0]
+        gb = gini_concentration(fb, ["g"], F.col("v"), "id").collect()[0]
+        assert ga.gini_micro == gb.gini_micro
+
+
+class TestCohensKappa:
+    def _kappa(self, spark, pairs):
+        from pysyslog_lfc_spark.functions.classifier import cohens_kappa
+
+        df = spark.createDataFrame(pairs, "p long, y long")
+        return cohens_kappa(df, "p", "y").collect()[0]
+
+    def test_textbook_2x2(self, spark):
+        # N=10, pred_pos=6, label_pos=5, agree=7 -> kappa = 0.4
+        pairs = (
+            [(1, 1)] * 4 + [(1, 0)] * 2 + [(0, 1)] * 1 + [(0, 0)] * 3
+        )
+        r = self._kappa(spark, pairs)
+        assert (r.n, r.pred_pos, r.label_pos, r.agree) == (10, 6, 5, 7)
+        assert r.kappa_micro == 400_000
+
+    def test_perfect_and_inverse_raters(self, spark):
+        assert self._kappa(spark, [(1, 1), (0, 0), (1, 1)]).kappa_micro == 1_000_000
+        # exact inversion, balanced: kappa = -1
+        assert (
+            self._kappa(spark, [(1, 0), (1, 0), (0, 1), (0, 1)]).kappa_micro
+            == -1_000_000
+        )
+
+    def test_constant_raters_undefined(self, spark):
+        assert self._kappa(spark, [(1, 1), (1, 1)]).kappa_micro is None
+
+
+class TestWeightedMedian:
+    def test_weight_pulls_median(self, spark):
+        from pysyslog_lfc_spark.functions.stats import weighted_median
+
+        rows = [("g", 1, 1, 1), ("g", 2, 2, 1), ("g", 3, 3, 10)]
+        df = spark.createDataFrame(rows, "g string, id long, v long, w long")
+        r = weighted_median(df, ["g"], F.col("v"), F.col("w"), "id").collect()[0]
+        assert (r.w_total, r.wmedian) == (12, 3)
+
+    def test_lower_median_on_even_split(self, spark):
+        from pysyslog_lfc_spark.functions.stats import weighted_median
+
+        rows = [("g", 1, 1, 5), ("g", 2, 2, 5)]
+        df = spark.createDataFrame(rows, "g string, id long, v long, w long")
+        r = weighted_median(df, ["g"], F.col("v"), F.col("w"), "id").collect()[0]
+        assert (r.w_total, r.wmedian) == (10, 1)
