@@ -142,6 +142,10 @@ AUDIT_QUERIES = [
     "benford_totalprice",
     "timeseries_twap",
     "calibration_quality_vs_en",
+    "assoc_rules_parts",
+    "gini_custrev_by_nation",
+    "kappa_quality_vs_en",
+    "weighted_median_price_by_flag",
 ]
 
 
