@@ -173,3 +173,53 @@ def winsorize(
         ),
     )
     return out.drop("__v", "__lo", "__hi")
+
+
+def temporal_purged_folds(
+    df: DataFrame,
+    ts_col: str,
+    id_col: str,
+    n_folds: int,
+    embargo_us: int,
+) -> DataFrame:
+    """Time-ordered K-fold assignment with an embargo flag — the
+    leakage-safe cross-validation split for serially-correlated data
+    (López de Prado 2018's purged K-fold): folds are contiguous
+    equal-count time slices, and a row inside ``embargo_us`` of its
+    fold's start is flagged so a trainer can drop it when the
+    PREVIOUS fold is the test set (observations straddling the
+    boundary leak label information backwards).
+
+    Fold index comes from the exact global time rank — computed with
+    the two-level decomposition (rank on epoch SECONDS + id: the
+    distinct-score frame that broadcasts is bounded by the wall-clock
+    span of the data, never by corpus size — a year of data is ~3e7
+    candidate seconds regardless of row count), never a single-task
+    global window. Fold starts are a K-row broadcast.
+
+    Output: (id, fold 0..K-1, embargo_of_prev bool).
+    """
+    from pysyslog_lfc_spark.functions.curriculum import global_rank
+
+    # NTZ -> TIMESTAMP: exact under the session's pinned UTC zone
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = df.select(id_col, us.alias("_us"), (us - F.pmod(us, F.lit(1_000_000))).alias("_sec"))
+    ranked = global_rank(
+        base, F.col("_sec"), id_col, out_score="_rsec", out_rank="_grk"
+    )
+    total = base.groupBy().agg(F.count(F.lit(1)).alias("_n"))
+    folded = ranked.join(F.broadcast(total)).withColumn(
+        "fold",
+        _floordiv((F.col("_grk") - 1).cast("decimal(38,0)") * n_folds, F.col("_n"))
+        .cast("int"),
+    )
+    starts = folded.groupBy("fold").agg(F.min("_us").alias("_fstart"))
+    out = folded.join(F.broadcast(starts), "fold").select(
+        id_col,
+        "fold",
+        (
+            (F.col("fold") > 0)
+            & (F.col("_us") < F.col("_fstart") + F.lit(embargo_us))
+        ).alias("embargo_of_prev"),
+    )
+    return out

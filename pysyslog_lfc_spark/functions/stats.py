@@ -431,3 +431,56 @@ def weighted_median(
             "wmedian"
         ),
     )
+
+
+def interarrival_burstiness(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Per-key burstiness of the event stream: the squared coefficient
+    of variation CV² = Var(d)/E[d]² of inter-arrival gaps d (µs) — the
+    "is this source Poisson (CV²≈1) or bursty (CV²≫1)" signal that
+    drives rate-limit and batch-size tuning for hot log sources.
+
+    Exact integer form on population moments (m gaps, s1 = Σd,
+    s2 = Σd², all DECIMAL(38,0)):
+
+        cv2_micro = floor(1e6 · (m·s2 − s1²) / s1²)
+
+    NULL when a key has <2 gaps or zero total span (all events at one
+    timestamp — CV² undefined). ONE key exchange serves the lag window
+    and the reusing moment aggregate; the scalar chain never leaves
+    integer arithmetic.
+    """
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col), F.col(tiebreak_col))
+    # TIMESTAMP_NTZ -> TIMESTAMP is an exact reinterpretation under the
+    # session's pinned UTC zone (session.py), matching DuckDB epoch_us
+    # on naive timestamps
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    d = (us - F.lag(us).over(w)).alias("_d")
+    g = (
+        df.select(*keys, ts_col, tiebreak_col)
+        .withColumn("_d", d)
+        .filter(F.col("_d").isNotNull())
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gaps"),
+            F.sum(F.col("_d").cast(_D38)).alias("_s1"),
+            F.sum(F.col("_d").cast(_D38) * F.col("_d")).alias("_s2"),
+        )
+    )
+    num = (F.col("n_gaps").cast(_D38) * F.col("_s2")
+           - F.col("_s1") * F.col("_s1")) * 1_000_000
+    den = F.col("_s1") * F.col("_s1")
+    cv2 = F.when(
+        (F.col("n_gaps") >= 2) & (F.col("_s1") > 0),
+        ((num - F.pmod(num, den)) / den).cast("long"),
+    )
+    return g.select(
+        *keys,
+        "n_gaps",
+        F.col("_s1").cast("long").alias("span_us"),
+        cv2.alias("cv2_micro"),
+    )

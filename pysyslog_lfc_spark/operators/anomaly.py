@@ -172,3 +172,52 @@ def cusum_counts(
         "cusum_half",
         (F.col("cusum_half") >= F.lit(h_half)).alias("alarm"),
     )
+
+
+def flap_detection(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    tiebreak_col: str,
+    state: Column,
+    min_transitions: int = 3,
+) -> DataFrame:
+    """Flapping-entity detection (the Nagios/Icinga "host is flapping"
+    report): count state transitions per key over its time-ordered
+    event stream and flag keys whose churn reaches ``min_transitions``
+    — the alert-fatigue guard that routes oscillating sources to a
+    dampened channel instead of paging on every flip.
+
+    ``state`` is any boolean/int expression (up/down, over/under
+    threshold). A transition is ``state != lag(state)`` over the
+    (key, ts, tiebreak) ordering — ``tiebreak_col`` makes equal
+    timestamps deterministic; the first event of a key is not a
+    transition. first/last states come from order-free struct min/max
+    (never ``F.first`` after a window, whose agg-input ordering is an
+    implementation accident). ONE key exchange serves the lag window
+    and the reusing hash aggregate; output is (key, n_events,
+    n_transitions, first_state, last_state, flapping).
+    """
+    w = Window.partitionBy(key).orderBy(F.col(ts_col), F.col(tiebreak_col))
+    s = df.select(
+        key, ts_col, tiebreak_col, state.cast("int").alias("_st")
+    )
+    lagged = s.withColumn("_prev", F.lag("_st").over(w))
+    pos = F.struct(F.col(ts_col), F.col(tiebreak_col), F.col("_st"))
+    g = lagged.groupBy(key).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(
+            (F.col("_prev").isNotNull() & (F.col("_st") != F.col("_prev")))
+            .cast("long")
+        ).alias("n_transitions"),
+        F.min(pos)["_st"].alias("first_state"),
+        F.max(pos)["_st"].alias("last_state"),
+    )
+    return g.select(
+        key,
+        "n_events",
+        "n_transitions",
+        "first_state",
+        "last_state",
+        (F.col("n_transitions") >= min_transitions).alias("flapping"),
+    )

@@ -234,3 +234,126 @@ def weighted_median_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame
         (F.col("l_orderkey") * 16 + F.col("l_linenumber")).alias("rid"),
     )
     return weighted_median(base, ["flag"], F.col("v"), F.col("w"), "rid")
+
+
+# ---------------------------------------------------------------- session-17
+
+_FLAP_ORACLE = """
+    WITH s AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN value > 5 THEN 1 ELSE 0 END AS st
+      FROM events
+    ),
+    lagged AS (
+      SELECT *,
+        lag(st) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+        first_value(st) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id) AS fs,
+        last_value(st) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS ls
+      FROM s
+    )
+    SELECT user_id,
+      COUNT(*) AS n_events,
+      SUM(CASE WHEN prev IS NOT NULL AND st != prev THEN 1 ELSE 0 END)
+        AS n_transitions,
+      MIN(fs) AS first_state,
+      MIN(ls) AS last_state,
+      SUM(CASE WHEN prev IS NOT NULL AND st != prev THEN 1 ELSE 0 END) >= 5
+        AS flapping
+    FROM lagged GROUP BY user_id
+"""
+
+
+@query("flap_users_value", _FLAP_ORACLE)
+def flap_users_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flapping-entity detection (operators/anomaly.py::flap_detection,
+    the Nagios flap-dampening report): per-user count of value>5
+    up/down transitions over the time-ordered stream, flagged at >= 5
+    transitions. ONE user-keyed exchange serves the lag window and the
+    reusing hash agg; first/last states via order-free struct min/max.
+    """
+    from pysyslog_lfc_spark.operators.anomaly import flap_detection
+
+    ev = _t(spark, sf_dir, "events")
+    return flap_detection(
+        ev, "user_id", "ts", "event_id", F.col("value") > 5, min_transitions=5
+    )
+
+
+_BURST_ORACLE = """
+    WITH d AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap
+      FROM events
+    ),
+    g AS (
+      SELECT user_id, COUNT(*) AS n_gaps,
+             SUM(CAST(gap AS HUGEINT)) AS s1,
+             SUM(CAST(gap AS HUGEINT) * gap) AS s2
+      FROM d WHERE gap IS NOT NULL GROUP BY 1
+    )
+    SELECT user_id, n_gaps, CAST(s1 AS BIGINT) AS span_us,
+      CASE WHEN n_gaps >= 2 AND s1 > 0 THEN CAST(
+        ((n_gaps * s2 - s1 * s1) * 1000000
+         - ((n_gaps * s2 - s1 * s1) * 1000000) % (s1 * s1)) / (s1 * s1)
+        AS BIGINT) END AS cv2_micro
+    FROM g
+"""
+
+
+@query("burstiness_by_user", _BURST_ORACLE)
+def burstiness_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival burstiness CV² (functions/stats.py::
+    interarrival_burstiness): per-user squared coefficient of variation
+    of event gaps in µs — Poisson ≈ 1e6 micro, bursty ≫. Exact integer
+    moments (Cauchy–Schwarz keeps the numerator non-negative); one
+    user-keyed exchange.
+    """
+    from pysyslog_lfc_spark.functions.stats import interarrival_burstiness
+
+    ev = _t(spark, sf_dir, "events")
+    return interarrival_burstiness(ev, ["user_id"], "ts", "event_id")
+
+
+_FOLDS_ORACLE = """
+    WITH b AS (
+      SELECT event_id, epoch_us(ts) AS us,
+             epoch_us(ts) - epoch_us(ts) % 1000000 AS sec
+      FROM events
+    ),
+    r AS (
+      SELECT *, row_number() OVER (ORDER BY sec, event_id) AS rk FROM b
+    ),
+    t AS (SELECT COUNT(*) AS n FROM b),
+    f AS (
+      SELECT event_id, us,
+             CAST(((rk - 1) * 5 - ((rk - 1) * 5) % t.n) / t.n AS INT) AS fold
+      FROM r, t
+    ),
+    starts AS (SELECT fold, MIN(us) AS fstart FROM f GROUP BY 1)
+    SELECT event_id, fold,
+           fold > 0 AND us < fstart + 3600000000 AS embargo_of_prev
+    FROM f JOIN starts USING (fold)
+"""
+
+
+@query("folds_events_temporal", _FOLDS_ORACLE)
+def folds_events_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purged temporal K-fold assignment (functions/features.py::
+    temporal_purged_folds, López de Prado 2018): 5 contiguous
+    equal-count time slices of the event stream plus a 1-hour embargo
+    flag after each fold boundary — the leakage-safe CV split for
+    serially-correlated data. Global time rank via the two-level
+    decomposition (the distinct-seconds frame is wall-clock-bounded);
+    fold starts are a 5-row broadcast. The oracle runs the single
+    ORDER-BY window the Spark side must never plan.
+    """
+    from pysyslog_lfc_spark.functions.features import temporal_purged_folds
+
+    ev = _t(spark, sf_dir, "events")
+    return temporal_purged_folds(
+        ev, "ts", "event_id", n_folds=5, embargo_us=3_600_000_000
+    )

@@ -129,3 +129,100 @@ class TestWeightedMedian:
         df = spark.createDataFrame(rows, "g string, id long, v long, w long")
         r = weighted_median(df, ["g"], F.col("v"), F.col("w"), "id").collect()[0]
         assert (r.w_total, r.wmedian) == (10, 1)
+
+
+class TestFlapDetection:
+    def test_transitions_and_flag(self, spark):
+        from pysyslog_lfc_spark.operators.anomaly import flap_detection
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = []
+        # user 1: up,down,up,down -> 3 transitions; user 2: steady
+        for i, st in enumerate([1, 0, 1, 0]):
+            rows.append((1, t0 + dt.timedelta(seconds=i), i, st * 10.0))
+        for i in range(3):
+            rows.append((2, t0 + dt.timedelta(seconds=i), 10 + i, 10.0))
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_id long, value double"
+        )
+        out = {
+            r.user_id: r
+            for r in flap_detection(
+                df, "user_id", "ts", "event_id", F.col("value") > 5,
+                min_transitions=3,
+            ).collect()
+        }
+        assert out[1].n_transitions == 3 and out[1].flapping
+        assert out[1].first_state == 1 and out[1].last_state == 0
+        assert out[2].n_transitions == 0 and not out[2].flapping
+
+    def test_equal_ts_tiebreak_deterministic(self, spark):
+        from pysyslog_lfc_spark.operators.anomaly import flap_detection
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [(1, t0, 2, 0.0), (1, t0, 1, 10.0), (1, t0, 3, 10.0)]
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_id long, value double"
+        )
+        r = flap_detection(
+            df, "user_id", "ts", "event_id", F.col("value") > 5
+        ).collect()[0]
+        # order by event_id: states 1,0,1 -> 2 transitions, first 1 last 1
+        assert (r.n_transitions, r.first_state, r.last_state) == (2, 1, 1)
+
+
+class TestBurstiness:
+    def test_regular_stream_has_zero_cv2(self, spark):
+        from pysyslog_lfc_spark.functions.stats import interarrival_burstiness
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [(1, t0 + dt.timedelta(seconds=i), i) for i in range(5)]
+        df = spark.createDataFrame(rows, "k long, ts timestamp, id long")
+        r = interarrival_burstiness(df, ["k"], "ts", "id").collect()[0]
+        assert (r.n_gaps, r.span_us, r.cv2_micro) == (4, 4_000_000, 0)
+
+    def test_bursty_gaps_exact(self, spark):
+        from pysyslog_lfc_spark.functions.stats import interarrival_burstiness
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1)
+        # gaps 1s, 1s, 10s: m=3, s1=12e6, s2=102e12
+        offs = [0, 1, 2, 12]
+        rows = [(1, t0 + dt.timedelta(seconds=o), i) for i, o in enumerate(offs)]
+        df = spark.createDataFrame(rows, "k long, ts timestamp, id long")
+        r = interarrival_burstiness(df, ["k"], "ts", "id").collect()[0]
+        m, s1, s2 = 3, 12_000_000, 102 * 10**12
+        assert r.cv2_micro == (m * s2 - s1 * s1) * 10**6 // (s1 * s1)
+
+    def test_single_event_key_is_null(self, spark):
+        from pysyslog_lfc_spark.functions.stats import interarrival_burstiness
+        import datetime as dt
+
+        rows = [(1, dt.datetime(2024, 1, 1), 1), (1, dt.datetime(2024, 1, 1, 0, 0, 1), 2)]
+        df = spark.createDataFrame(rows, "k long, ts timestamp, id long")
+        r = interarrival_burstiness(df, ["k"], "ts", "id").collect()[0]
+        assert r.n_gaps == 1 and r.cv2_micro is None
+
+
+class TestTemporalPurgedFolds:
+    def test_folds_contiguous_and_embargo(self, spark):
+        from pysyslog_lfc_spark.functions.features import temporal_purged_folds
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [(i, t0 + dt.timedelta(minutes=10 * i)) for i in range(20)]
+        df = spark.createDataFrame(rows, "id long, ts timestamp")
+        out = temporal_purged_folds(
+            df, "ts", "id", n_folds=4, embargo_us=15 * 60 * 1_000_000
+        ).collect()
+        folds = {r.id: r.fold for r in out}
+        # contiguous equal slices of 5
+        assert all(folds[i] == i // 5 for i in range(20))
+        emb = {r.id for r in out if r.embargo_of_prev}
+        # first row of folds 1..3 is within 15min of its fold start
+        # (rows are 10min apart -> exactly the first TWO rows? 2nd row is
+        # +10min < 15min embargo -> also flagged)
+        assert emb == {5, 6, 10, 11, 15, 16}

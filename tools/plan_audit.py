@@ -146,6 +146,9 @@ AUDIT_QUERIES = [
     "gini_custrev_by_nation",
     "kappa_quality_vs_en",
     "weighted_median_price_by_flag",
+    "flap_users_value",
+    "burstiness_by_user",
+    "folds_events_temporal",
 ]
 
 
