@@ -792,3 +792,58 @@ def inverted_index_postings(
             ).alias("postings")
         )
     )
+
+
+def flesch_reading_ease(
+    df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Flesch reading-ease score (Flesch 1948) in exact milli units:
+
+        FRE_milli = 206835 − floor(1015·words/sentences)
+                           − floor(84600·syllables/words)
+
+    with sentences = non-empty ``[.!?]+`` segments (min 1), words =
+    whitespace tokens (min 1), and syllables = vowel-group count per
+    lowercased word (``[aeiouy]+``, min 1 per word — the standard
+    heuristic). Each term floors independently, so the score is a
+    well-defined integer both engines reproduce bit-for-bit.
+
+    Per-row array expressions only (interpreted, not codegen — fine
+    for a once-per-corpus readability pass; the hot-loop quality gate
+    stays with quality_features' pure-codegen features). Zero shuffle.
+    """
+    ws = tokenize(F.lower(F.col(text_col)))
+    n_words = F.greatest(F.lit(1), F.size(ws)).cast("long")
+    sents = F.filter(
+        F.split(F.col(text_col), r"[.!?]+"),
+        lambda s: F.trim(s) != "",
+    )
+    n_sents = F.greatest(F.lit(1), F.size(sents)).cast("long")
+    syl = F.aggregate(
+        F.transform(
+            ws,
+            lambda w: F.greatest(
+                F.lit(1), F.size(F.regexp_extract_all(w, F.lit("[aeiouy]+"), 0))
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n_syl = F.when(F.size(ws) > 0, syl).otherwise(F.lit(1)).cast("long")
+
+    def fdiv(num, den):
+        return ((num - F.pmod(num, den)) / den).cast("long")
+
+    fre = (
+        F.lit(206835)
+        - fdiv(F.lit(1015) * n_words, n_sents)
+        - fdiv(F.lit(84600) * n_syl, n_words)
+    )
+    return df.select(
+        "*",
+        n_words.alias("n_words"),
+        n_sents.alias("n_sentences"),
+        n_syl.alias("n_syllables"),
+        fre.alias("fre_milli"),
+    )

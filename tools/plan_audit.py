@@ -149,6 +149,10 @@ AUDIT_QUERIES = [
     "flap_users_value",
     "burstiness_by_user",
     "folds_events_temporal",
+    "shard_assign_hrw",
+    "snapshot_diff_orders",
+    "neyman_alloc_docs",
+    "readability_docs",
 ]
 
 
