@@ -348,3 +348,80 @@ def cohens_kappa(
     return t.select(
         "n", "pred_pos", "label_pos", "agree", kappa.alias("kappa_micro")
     )
+
+
+def gains_table(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Cumulative gains / lift table (the model-validation decile
+    report): rows ranked by score descending, cut into ``n_buckets``
+    equal-count buckets, each reporting how many positives the top
+    cumulative slice captures vs random targeting:
+
+      capture_permille = floor(1000·cum_pos / P)
+      lift_micro       = floor(1e6·cum_pos·N / (cum_n·P))
+
+    Exact integers throughout. The descending global rank uses the
+    two-level decomposition on the NEGATED score (the distinct-score
+    broadcast frame is bounded by the score domain, e.g. ≤1001
+    permille values) — never a single-task global window; bucket
+    counts are one hash agg, and every window below runs over the
+    ≤n_buckets-row frame. NULL stats when the corpus has no positives.
+    """
+    from pysyslog_lfc_spark.functions.curriculum import global_rank
+
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(score_col).cast("long").alias("_s"),
+        F.col(label_col).cast("long").alias("_y"),
+    )
+    ranked = global_rank(
+        base, (-F.col("_s")).alias("_neg"), "_id",
+        out_score="_negs", out_rank="_grk",
+    )
+    total = base.groupBy().agg(F.count(F.lit(1)).cast("long").alias("_N"))
+    dec = "decimal(38,0)"
+
+    def fdiv(num, den):
+        num = num.cast(dec)
+        return ((num - F.pmod(num, den)) / den).cast("long")
+
+    b = (
+        ranked.join(F.broadcast(total))
+        .withColumn("bucket", fdiv((F.col("_grk") - 1) * n_buckets, F.col("_N")).cast("int"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("_y").cast("long").alias("pos"),
+        )
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    frame = Window.partitionBy()
+    staged = (
+        b.withColumn("cum_n", F.sum("n").over(w))
+        .withColumn("cum_pos", F.sum("pos").over(w))
+        .withColumn("_P", F.sum("pos").over(frame))
+        .withColumn("_N", F.sum("n").over(frame))
+    )
+    has_pos = F.col("_P") > 0
+    return staged.select(
+        "bucket",
+        "n",
+        "pos",
+        "cum_n",
+        "cum_pos",
+        F.when(has_pos, fdiv(F.col("cum_pos") * 1000, F.col("_P"))).alias(
+            "capture_permille"
+        ),
+        F.when(
+            has_pos,
+            fdiv(
+                F.col("cum_pos").cast(dec) * F.col("_N") * 1_000_000,
+                F.col("cum_n").cast(dec) * F.col("_P"),
+            ),
+        ).alias("lift_micro"),
+    )

@@ -484,3 +484,121 @@ def interarrival_burstiness(
         F.col("_s1").cast("long").alias("span_us"),
         cv2.alias("cv2_micro"),
     )
+
+
+def spearman_grouped(
+    df: DataFrame,
+    keys: list[str],
+    x: Column,
+    y: Column,
+) -> DataFrame:
+    """Per-group Spearman rank correlation with exact mid-rank ties —
+    the outlier-robust monotonic-association test (Pearson on ranks):
+    heavy-tailed telemetry (latencies, sizes) routinely breaks raw
+    Pearson; ranks don't care.
+
+    Doubled mid-ranks stay integer: for a tied block starting at
+    competition rank r with c members, 2·midrank = 2r + c − 1, where
+    r = rank() and c = a COUNT over the same sort's RANGE(0,0) frame —
+    so both rank windows AND both tie counts ride the ONE group-key
+    exchange (the value partition never becomes its own shuffle).
+    Moments over the doubled ranks are exact DECIMAL(38,0) sums; the
+    closing divide/sqrt chain is one correctly-rounded double scalar
+    per group, micro-floored for the cross-engine hash gate.
+
+    Returns (keys..., n, spearman_micro); NULL for constant inputs.
+    """
+    base = df.select(
+        *keys, x.cast("long").alias("_x"), y.cast("long").alias("_y")
+    )
+    wx = Window.partitionBy(*keys).orderBy("_x")
+    wy = Window.partitionBy(*keys).orderBy("_y")
+    cur = (Window.currentRow, Window.currentRow)
+    u = (
+        F.lit(2) * F.rank().over(wx)
+        + F.count(F.lit(1)).over(wx.rangeBetween(*cur))
+        - 1
+    ).cast("long")
+    v = (
+        F.lit(2) * F.rank().over(wy)
+        + F.count(F.lit(1)).over(wy.rangeBetween(*cur))
+        - 1
+    ).cast("long")
+    ranked = base.withColumn("_u", u).withColumn("_v", v)
+    m = ranked.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("_u").cast(_D38)).alias("_su"),
+        F.sum(F.col("_v").cast(_D38)).alias("_sv"),
+        F.sum((F.col("_u").cast(_D38) * F.col("_v"))).alias("_suv"),
+        F.sum((F.col("_u").cast(_D38) * F.col("_u"))).alias("_suu"),
+        F.sum((F.col("_v").cast(_D38) * F.col("_v"))).alias("_svv"),
+    )
+    n = F.col("n").cast("double")
+    su = F.col("_su").cast("double")
+    sv = F.col("_sv").cast("double")
+    cov_n = n * F.col("_suv").cast("double") - su * sv
+    varu_n = n * F.col("_suu").cast("double") - su * su
+    varv_n = n * F.col("_svv").cast("double") - sv * sv
+    rho = cov_n / (F.sqrt(varu_n) * F.sqrt(varv_n))
+    return m.select(
+        *keys,
+        "n",
+        F.when((varu_n > 0) & (varv_n > 0), F.floor(rho * 1_000_000))
+        .cast("long")
+        .alias("spearman_micro"),
+    )
+
+
+def xcorr_lagged(
+    df: DataFrame,
+    ts_col: str,
+    a: Column,
+    b: Column,
+    bucket_seconds: int,
+    max_lag: int,
+) -> DataFrame:
+    """Lagged cross-correlation between two event streams on a common
+    time grain — "do errors follow deploys, and by how many buckets?".
+    Pearson r between series A at t and series B at t+lag for
+    lag = 0..max_lag, exact-moment machinery via grouped_linreg.
+
+    The corpus collapses to the (bucket) grain in ONE partial-agg
+    exchange; the grain is then DENSIFIED (sequence over the min..max
+    bucket broadcast — missing buckets are real zeros, and skipping
+    them would silently mis-lag the join) and each lag pairs A with
+    lead(B, lag) over the bounded grain frame. The unpartitioned
+    window runs over that time-bounded frame, never the corpus.
+
+    Returns (lag, n, corr_micro, slope_micro, intercept_milli).
+    """
+    sec = F.unix_timestamp(F.col(ts_col).cast("timestamp"))
+    bucket = (sec - F.pmod(sec, F.lit(bucket_seconds))).alias("_b")
+    grain = df.select(
+        bucket,
+        a.cast("long").alias("_a0"),
+        b.cast("long").alias("_b0"),
+    ).groupBy("_b").agg(
+        F.sum("_a0").alias("_a"), F.sum("_b0").alias("_b1")
+    )
+    bounds = grain.agg(
+        F.min("_b").alias("_lo"), F.max("_b").alias("_hi")
+    )
+    dense = bounds.select(
+        F.explode(
+            F.sequence(F.col("_lo"), F.col("_hi"), F.lit(bucket_seconds))
+        ).alias("_b")
+    )
+    filled = dense.join(grain, "_b", "left").select(
+        "_b",
+        F.coalesce(F.col("_a"), F.lit(0)).alias("_a"),
+        F.coalesce(F.col("_b1"), F.lit(0)).alias("_b1"),
+    )
+    w = Window.orderBy("_b")
+    pairs = None
+    for lag in range(max_lag + 1):
+        led = F.lead("_b1", lag).over(w) if lag else F.col("_b1")
+        p = filled.select(
+            F.lit(lag).alias("lag"), F.col("_a"), led.alias("_bl")
+        ).filter(F.col("_bl").isNotNull())
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return grouped_linreg(pairs, ["lag"], F.col("_a"), F.col("_bl"))

@@ -566,3 +566,225 @@ def readability_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flesch_reading_ease(docs, "text").select(
         "doc_id", "n_words", "n_sentences", "n_syllables", "fre_milli"
     )
+
+
+# ---------------------------------------------------------------- session-19
+
+_SPEARMAN_ORACLE = """
+    WITH b AS (
+      SELECT o_orderpriority AS pri,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS x,
+             epoch(o_orderdate)::BIGINT AS y
+      FROM orders
+    ),
+    r AS (
+      SELECT pri,
+        2 * rank() OVER (PARTITION BY pri ORDER BY x)
+          + count(*) OVER (PARTITION BY pri, x) - 1 AS u,
+        2 * rank() OVER (PARTITION BY pri ORDER BY y)
+          + count(*) OVER (PARTITION BY pri, y) - 1 AS v
+      FROM b
+    ),
+    m AS (
+      SELECT pri, CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(u AS HUGEINT)) AS su, sum(CAST(v AS HUGEINT)) AS sv,
+             sum(CAST(u AS HUGEINT) * v) AS suv,
+             sum(CAST(u AS HUGEINT) * u) AS suu,
+             sum(CAST(v AS HUGEINT) * v) AS svv
+      FROM r GROUP BY pri
+    ),
+    d AS (
+      SELECT pri, n,
+        CAST(n AS DOUBLE) * CAST(suv AS DOUBLE)
+          - CAST(su AS DOUBLE) * CAST(sv AS DOUBLE) AS cov_n,
+        CAST(n AS DOUBLE) * CAST(suu AS DOUBLE)
+          - CAST(su AS DOUBLE) * CAST(su AS DOUBLE) AS varu_n,
+        CAST(n AS DOUBLE) * CAST(svv AS DOUBLE)
+          - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) AS varv_n
+      FROM m
+    )
+    SELECT pri, n,
+      CASE WHEN varu_n > 0 AND varv_n > 0 THEN
+        CAST(floor(cov_n / (sqrt(varu_n) * sqrt(varv_n)) * 1000000) AS BIGINT)
+      END AS spearman_micro
+    FROM d
+"""
+
+
+@query("spearman_price_vs_date", _SPEARMAN_ORACLE)
+def spearman_price_vs_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority Spearman rank correlation (functions/stats.py::
+    spearman_grouped) of order value vs order date — the
+    outlier-robust monotonic-trend test. Doubled mid-ranks stay
+    integer (2r + c − 1); both rank windows and both tie counts ride
+    ONE group-key exchange; moments are exact DECIMAL(38,0); only the
+    closing divide/sqrt chain runs in correctly-rounded double.
+    """
+    from pysyslog_lfc_spark.functions.stats import spearman_grouped
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderpriority").alias("pri"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("x"),
+        F.unix_timestamp(F.col("o_orderdate").cast("timestamp")).alias("y"),
+    )
+    return spearman_grouped(base, ["pri"], F.col("x"), F.col("y"))
+
+
+_XCORR_ORACLE = """
+    WITH grain AS (
+      SELECT (epoch_us(ts) // 1000000) - (epoch_us(ts) // 1000000) % 3600
+               AS b,
+             SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS a,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b1
+      FROM events GROUP BY 1
+    ),
+    bounds AS (SELECT MIN(b) AS lo, MAX(b) AS hi FROM grain),
+    dense AS (
+      SELECT gs.b, coalesce(g.a, 0) AS a, coalesce(g.b1, 0) AS b1
+      FROM (SELECT unnest(generate_series(lo, hi, 3600)) AS b FROM bounds) gs
+      LEFT JOIN grain g USING (b)
+    ),
+    lags AS (SELECT unnest(range(4)) AS lag),
+    pairs AS (
+      SELECT l.lag, d1.a AS x, d2.b1 AS y
+      FROM lags l
+      JOIN dense d1 ON true
+      JOIN dense d2 ON d2.b = d1.b + l.lag * 3600
+    ),
+    m AS (
+      SELECT lag, CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+             sum(CAST(x AS HUGEINT) * y) AS sxy,
+             sum(CAST(x AS HUGEINT) * x) AS sxx,
+             sum(CAST(y AS HUGEINT) * y) AS syy
+      FROM pairs GROUP BY lag
+    ),
+    d AS (
+      SELECT lag, n,
+        CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov_n,
+        CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS varx_n,
+        CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vary_n,
+        CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+      FROM m
+    )
+    SELECT CAST(lag AS INT) AS lag, n,
+      CASE WHEN varx_n > 0 AND vary_n > 0 THEN
+        CAST(floor(cov_n / (sqrt(varx_n) * sqrt(vary_n)) * 1000000) AS BIGINT)
+      END AS corr_micro,
+      CASE WHEN varx_n > 0 THEN
+        CAST(floor(cov_n / varx_n * 1000000) AS BIGINT)
+      END AS slope_micro,
+      CASE WHEN varx_n > 0 THEN
+        CAST(floor((syd - cov_n / varx_n * sxd) / CAST(n AS DOUBLE) * 1000)
+             AS BIGINT)
+      END AS intercept_milli
+    FROM d
+"""
+
+
+@query("xcorr_error_purchase", _XCORR_ORACLE)
+def xcorr_error_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation (functions/stats.py::xcorr_lagged):
+    hourly error counts vs purchase counts at lags 0-3h — "does one
+    stream lead the other". One partial-agg exchange to the hour
+    grain, densified with real zeros (skipping empty hours would
+    silently mis-lag), lead pairs over the time-bounded frame, exact
+    moments per lag via grouped_linreg.
+    """
+    from pysyslog_lfc_spark.functions.stats import xcorr_lagged
+
+    ev = _t(spark, sf_dir, "events")
+    out = xcorr_lagged(
+        ev,
+        "ts",
+        (F.col("event_type") == "error").cast("long"),
+        (F.col("event_type") == "purchase").cast("long"),
+        bucket_seconds=3600,
+        max_lag=3,
+    )
+    return out.withColumnRenamed("lag", "lag").select(
+        F.col("lag").cast("int").alias("lag"), "n",
+        "corr_micro", "slope_micro", "intercept_milli",
+    )
+
+
+_GAINS_ORACLE = r"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(text, '\s+'), w -> w != '') AS ws
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id, lang,
+             CAST(len(ws) AS INTEGER) AS n_words,
+             coalesce(list_sum(list_transform(ws, w -> length(w))), 0)
+               / greatest(len(ws), 1) AS raw_avg,
+             len(list_filter(ws, w -> list_contains(
+               ['the','a','of','and','to','in'], lower(w))))
+               / greatest(len(ws), 1) AS raw_stop
+      FROM toks
+    ),
+    scored AS (
+      SELECT doc_id,
+        CAST(floor((least(n_words / 100e0, 1e0) * 5e-1
+                    + least(raw_stop * 5e0, 1e0) * 3e-1
+                    + least(raw_avg / 8e0, 1e0) * 2e-1) * 1000) AS BIGINT) AS s,
+        CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM feat
+    ),
+    r AS (
+      SELECT *, row_number() OVER (ORDER BY s DESC, doc_id) AS rk,
+             COUNT(*) OVER () AS nn
+      FROM scored
+    ),
+    b AS (
+      SELECT CAST(((rk - 1) * 10 - ((rk - 1) * 10) % nn) / nn AS INT)
+               AS bucket,
+             COUNT(*) AS n, SUM(y) AS pos
+      FROM r GROUP BY 1
+    ),
+    c AS (
+      SELECT bucket, n, pos,
+        SUM(n) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum_n,
+        SUM(pos) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum_pos,
+        SUM(pos) OVER () AS tot_p, SUM(n) OVER () AS tot_n
+      FROM b
+    )
+    SELECT bucket, CAST(n AS BIGINT) AS n, CAST(pos AS BIGINT) AS pos,
+      CAST(cum_n AS BIGINT) AS cum_n, CAST(cum_pos AS BIGINT) AS cum_pos,
+      CASE WHEN tot_p > 0 THEN
+        CAST((cum_pos * 1000 - (cum_pos * 1000) % tot_p) / tot_p AS BIGINT)
+      END AS capture_permille,
+      CASE WHEN tot_p > 0 THEN
+        CAST((cum_pos * tot_n * 1000000
+              - (cum_pos * tot_n * 1000000) % (cum_n * tot_p))
+             / (cum_n * tot_p) AS BIGINT)
+      END AS lift_micro
+    FROM c
+"""
+
+
+@query("gains_quality_vs_en", _GAINS_ORACLE)
+def gains_quality_vs_en(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains / lift deciles (functions/classifier.py::
+    gains_table): documents ranked by the heuristic quality score,
+    each top slice's capture of lang=='en' positives vs random
+    targeting — the model-validation report read alongside ROC-AUC and
+    the calibration diagram. Exact integers; descending global rank
+    via the two-level decomposition (≤1001 distinct permille scores
+    broadcast), all windows over the 10-row bucket frame.
+    """
+    from pysyslog_lfc_spark.functions.classifier import gains_table
+    from pysyslog_lfc_spark.functions import text as TX
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = TX.quality_features(docs).select(
+        "doc_id",
+        "quality_permille",
+        (F.col("lang") == "en").cast("long").alias("label"),
+    )
+    return gains_table(feats, "quality_permille", "label", "doc_id", 10)

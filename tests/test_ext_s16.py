@@ -336,3 +336,133 @@ class TestFleschReadingEase:
         df = spark.createDataFrame([(1, "")], "doc_id long, text string")
         r = flesch_reading_ease(df).collect()[0]
         assert (r.n_words, r.n_sentences, r.n_syllables) == (1, 1, 1)
+
+
+class TestSpearmanGrouped:
+    def test_perfect_monotonic_and_ties(self, spark):
+        from pysyslog_lfc_spark.functions.stats import spearman_grouped
+
+        # monotone nonlinear: rho = 1 though pearson < 1
+        rows = [("g", i, i**3) for i in range(1, 8)]
+        df = spark.createDataFrame(rows, "g string, x long, y long")
+        r = spearman_grouped(df, ["g"], F.col("x"), F.col("y")).collect()[0]
+        # the double sqrt chain may land one ULP past +/-1, and the
+        # floor keeps it (the oracle floors the same double, so the
+        # cross-engine gate is unaffected)
+        assert abs(r.spearman_micro - 1_000_000) <= 1
+        # anti-monotone: rho = -1
+        rows = [("g", i, -i) for i in range(6)]
+        df = spark.createDataFrame(rows, "g string, x long, y long")
+        r = spearman_grouped(df, ["g"], F.col("x"), F.col("y")).collect()[0]
+        assert abs(r.spearman_micro + 1_000_000) <= 1
+
+    def test_midrank_ties_match_scipy_formula(self, spark):
+        from pysyslog_lfc_spark.functions.stats import spearman_grouped
+
+        xs = [1, 2, 2, 3, 5, 5, 5, 8]
+        ys = [3, 1, 4, 1, 5, 9, 2, 6]
+        df = spark.createDataFrame(
+            [("g", x, y) for x, y in zip(xs, ys)], "g string, x long, y long"
+        )
+        r = spearman_grouped(df, ["g"], F.col("x"), F.col("y")).collect()[0]
+
+        def midranks(v):
+            s = sorted(range(len(v)), key=lambda i: v[i])
+            out = [0.0] * len(v)
+            i = 0
+            while i < len(s):
+                j = i
+                while j < len(s) and v[s[j]] == v[s[i]]:
+                    j += 1
+                mr = (i + 1 + j) / 2.0
+                for k in range(i, j):
+                    out[s[k]] = mr
+                i = j
+            return out
+
+        import math
+        u, v = midranks(xs), midranks(ys)
+        n = len(u)
+        su, sv = sum(u), sum(v)
+        suv = sum(a * b for a, b in zip(u, v))
+        suu = sum(a * a for a in u)
+        svv = sum(b * b for b in v)
+        rho = (n * suv - su * sv) / math.sqrt(
+            (n * suu - su * su) * (n * svv - sv * sv)
+        )
+        assert r.spearman_micro == math.floor(rho * 1_000_000)
+
+    def test_constant_input_null(self, spark):
+        from pysyslog_lfc_spark.functions.stats import spearman_grouped
+
+        df = spark.createDataFrame(
+            [("g", 1, 1), ("g", 1, 2)], "g string, x long, y long"
+        )
+        r = spearman_grouped(df, ["g"], F.col("x"), F.col("y")).collect()[0]
+        assert r.spearman_micro is None
+
+
+class TestXcorrLagged:
+    def test_shifted_series_peaks_at_lag(self, spark):
+        from pysyslog_lfc_spark.functions.stats import xcorr_lagged
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = []
+        # A fires a burst at hours 0,4,8...; B echoes exactly 2h later
+        for h in range(24):
+            n_a = 5 if h % 4 == 0 else 1
+            n_b = 5 if h % 4 == 2 else 1
+            for i in range(n_a):
+                rows.append((t0 + dt.timedelta(hours=h, seconds=i), "a"))
+            for i in range(n_b):
+                rows.append((t0 + dt.timedelta(hours=h, seconds=30 + i), "b"))
+        df = spark.createDataFrame(rows, "ts timestamp, kind string")
+        out = {
+            r.lag: r.corr_micro
+            for r in xcorr_lagged(
+                df, "ts",
+                (F.col("kind") == "a").cast("long"),
+                (F.col("kind") == "b").cast("long"),
+                3600, 3,
+            ).collect()
+        }
+        assert out[2] == 1_000_000  # exact echo at lag 2
+        assert out[0] < 0 and out[2] > max(out[0], out[1], out[3])
+
+    def test_empty_hours_are_zero_filled(self, spark):
+        from pysyslog_lfc_spark.functions.stats import xcorr_lagged
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1)
+        # events only at hours 0 and 3 -> dense frame must span 4 hours
+        rows = [(t0, "a"), (t0 + dt.timedelta(hours=3), "b")]
+        df = spark.createDataFrame(rows, "ts timestamp, kind string")
+        out = {r.lag: r.n for r in xcorr_lagged(
+            df, "ts",
+            (F.col("kind") == "a").cast("long"),
+            (F.col("kind") == "b").cast("long"),
+            3600, 2,
+        ).collect()}
+        assert out == {0: 4, 1: 3, 2: 2}
+
+
+class TestGainsTable:
+    def test_perfect_classifier_deciles(self, spark):
+        from pysyslog_lfc_spark.functions.classifier import gains_table
+
+        # 100 rows, top-20 scores are exactly the positives
+        rows = [(i, 1000 - i, 1 if i < 20 else 0) for i in range(100)]
+        df = spark.createDataFrame(rows, "id long, s long, y long")
+        out = {r.bucket: r for r in gains_table(df, "s", "y", "id", 10).collect()}
+        assert out[0].cum_pos == 10 and out[0].lift_micro == 5_000_000
+        assert out[1].cum_pos == 20 and out[1].capture_permille == 1000
+        assert out[9].lift_micro == 1_000_000  # full corpus = base rate
+
+    def test_no_positives_null(self, spark):
+        from pysyslog_lfc_spark.functions.classifier import gains_table
+
+        rows = [(i, i, 0) for i in range(20)]
+        df = spark.createDataFrame(rows, "id long, s long, y long")
+        out = gains_table(df, "s", "y", "id", 4).collect()
+        assert all(r.lift_micro is None for r in out)

@@ -153,6 +153,9 @@ AUDIT_QUERIES = [
     "snapshot_diff_orders",
     "neyman_alloc_docs",
     "readability_docs",
+    "spearman_price_vs_date",
+    "xcorr_error_purchase",
+    "gains_quality_vs_en",
 ]
 
 
