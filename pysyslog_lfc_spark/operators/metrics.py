@@ -231,3 +231,37 @@ def slo_burn_rate(
         *keys, "hour_idx", "err_short", "tot_short", "err_long", "tot_long",
         "burn_short_pm", "burn_long_pm", "alert",
     )
+
+
+def apdex(
+    df: DataFrame,
+    keys: list[str],
+    value: Column,
+    threshold: float,
+    tolerating_factor: int = 4,
+) -> DataFrame:
+    """Apdex score per key (the Apdex-standard user-satisfaction index
+    the SRE dashboard shows next to SLO burn): with target T,
+    satisfied = value <= T, tolerating = T < value <= 4T,
+
+        apdex_permille = floor((1000·satisfied + 500·tolerating) / n)
+
+    — the exact integer form of (satisfied + tolerating/2)/n. ONE
+    map-side-partial hash aggregate; no windows, no doubles.
+    """
+    t = F.lit(threshold)
+    t4 = F.lit(threshold * tolerating_factor)
+    sat = (value <= t).cast("long")
+    tol = ((value > t) & (value <= t4)).cast("long")
+    g = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(sat).cast("long").alias("satisfied"),
+        F.sum(tol).cast("long").alias("tolerating"),
+    )
+    num = (F.lit(1000) * F.col("satisfied") + F.lit(500) * F.col("tolerating")).cast(
+        "decimal(38,0)"
+    )
+    den = F.col("n")
+    score = ((num - F.pmod(num, den)) / den).cast("long")
+    return g.select(*keys, "n", "satisfied", "tolerating",
+                    score.alias("apdex_permille"))

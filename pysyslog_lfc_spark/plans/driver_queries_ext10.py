@@ -788,3 +788,113 @@ def gains_quality_vs_en(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("lang") == "en").cast("long").alias("label"),
     )
     return gains_table(feats, "quality_permille", "label", "doc_id", 10)
+
+
+# ---------------------------------------------------------------- session-20
+
+_APACHE_FLOW_INI = r"""
+[flow.apache]
+input.type = memory
+parser.type = grok
+parser.pattern = %{IPORHOST:client} %{USER:ident} %{USER:auth} \[%{HTTPDATE:timestamp}\] "%{WORD:verb} %{NOTSPACE:request} HTTP/%{NUMBER:httpversion}" %{INT:status:int} %{INT:bytes:long} %{QS:referrer} %{QS:agent}
+output.type = memory
+"""
+
+
+_APACHE_ORACLE = r"""
+    SELECT event_id,
+      printf('10.%d.%d.%d', CAST(user_id % 16 AS INTEGER),
+             CAST(event_id % 256 AS INTEGER),
+             CAST(1 + user_id % 254 AS INTEGER)) AS client,
+      '-' AS ident,
+      'u' || CAST(user_id AS VARCHAR) AS auth,
+      strftime(ts, '%d/%b/%Y:%H:%M:%S') || ' +0000' AS timestamp,
+      'GET' AS verb,
+      '/api/v' || CAST(event_id % 3 AS VARCHAR) || '/item/'
+        || CAST(event_id AS VARCHAR) AS request,
+      '1.1' AS httpversion,
+      CAST(200 + (event_id % 4) * 100 AS INTEGER) AS status,
+      CAST(event_id % 10000 AS BIGINT) AS bytes,
+      '"http://ref.example/' || CAST(user_id % 50 AS VARCHAR) || '"'
+        AS referrer,
+      '"ua-' || CAST(user_id % 7 AS VARCHAR) || '"' AS agent
+    FROM events
+"""
+
+
+@query("flow_parse_apache_combined", _APACHE_ORACLE)
+def flow_parse_apache_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apache/Nginx combined access-log parsing as a grok flow — the
+    single most common real grok workload, composed entirely from the
+    existing public pattern library (IPORHOST/USER/HTTPDATE/QS,
+    operators/parsers.py::GROK_PATTERNS): build the canonical combined
+    line deterministically from events, parse it back through the
+    INI-configured grok flow (codegen regexp_extract plan), and gate
+    every extracted field against the oracle's direct reconstruction.
+    """
+    from pysyslog_lfc_spark.config import loads as load_config
+    from pysyslog_lfc_spark.plans.compiler import compile_flow
+
+    cfg = load_config(_APACHE_FLOW_INI).get_flow("apache")
+    ev = _t(spark, sf_dir, "events")
+    line = F.format_string(
+        '10.%d.%d.%d - u%d [%s +0000] "GET /api/v%d/item/%d HTTP/1.1" %d %d "http://ref.example/%d" "ua-%d"',
+        F.col("user_id") % 16,
+        F.col("event_id") % 256,
+        F.col("user_id") % 254 + 1,
+        F.col("user_id"),
+        F.date_format(F.col("ts"), "dd/MMM/yyyy:HH:mm:ss"),
+        F.col("event_id") % 3,
+        F.col("event_id"),
+        (F.col("event_id") % 4) * 100 + 200,
+        F.col("event_id") % 10000,
+        F.col("user_id") % 50,
+        F.col("user_id") % 7,
+    )
+    out = compile_flow(cfg)(ev.select("event_id", line.alias("value")))
+    return out.select(
+        "event_id",
+        F.col("record.client").alias("client"),
+        F.col("record.ident").alias("ident"),
+        F.col("record.auth").alias("auth"),
+        F.col("record.timestamp").alias("timestamp"),
+        F.col("record.verb").alias("verb"),
+        F.col("record.request").alias("request"),
+        F.col("record.httpversion").alias("httpversion"),
+        F.col("record.status").cast("int").alias("status"),
+        F.col("record.bytes").cast("long").alias("bytes"),
+        F.col("record.referrer").alias("referrer"),
+        F.col("record.agent").alias("agent"),
+    )
+
+
+_APDEX_ORACLE = """
+    WITH g AS (
+      SELECT event_type,
+        COUNT(*) AS n,
+        SUM(CASE WHEN value <= 2.0 THEN 1 ELSE 0 END) AS satisfied,
+        SUM(CASE WHEN value > 2.0 AND value <= 8.0 THEN 1 ELSE 0 END)
+          AS tolerating
+      FROM events GROUP BY 1
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+      CAST(satisfied AS BIGINT) AS satisfied,
+      CAST(tolerating AS BIGINT) AS tolerating,
+      CAST((1000 * satisfied + 500 * tolerating
+            - (1000 * satisfied + 500 * tolerating) % n) / n AS BIGINT)
+        AS apdex_permille
+    FROM g
+"""
+
+
+@query("apdex_by_type", _APDEX_ORACLE)
+def apdex_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apdex user-satisfaction index per event type (operators/
+    metrics.py::apdex, target T=2, tolerating <= 4T): the exact
+    integer (1000·sat + 500·tol) DIV n form of the Apdex standard.
+    ONE map-side-partial hash aggregate, no doubles anywhere.
+    """
+    from pysyslog_lfc_spark.operators.metrics import apdex
+
+    ev = _t(spark, sf_dir, "events")
+    return apdex(ev, ["event_type"], F.col("value"), 2.0, 4)

@@ -466,3 +466,22 @@ class TestGainsTable:
         df = spark.createDataFrame(rows, "id long, s long, y long")
         out = gains_table(df, "s", "y", "id", 4).collect()
         assert all(r.lift_micro is None for r in out)
+
+
+class TestApdex:
+    def test_score_bands_exact(self, spark):
+        from pysyslog_lfc_spark.operators.metrics import apdex
+
+        # T=2: satisfied <=2, tolerating (2,8], frustrated >8
+        rows = [("a", v) for v in [1.0, 2.0, 3.0, 8.0, 9.0, 100.0]]
+        df = spark.createDataFrame(rows, "k string, value double")
+        r = apdex(df, ["k"], F.col("value"), 2.0, 4).collect()[0]
+        assert (r.n, r.satisfied, r.tolerating) == (6, 2, 2)
+        # (1000*2 + 500*2) / 6 = 500
+        assert r.apdex_permille == 500
+
+    def test_all_satisfied_is_1000(self, spark):
+        from pysyslog_lfc_spark.operators.metrics import apdex
+
+        df = spark.createDataFrame([("a", 0.5), ("a", 1.0)], "k string, value double")
+        assert apdex(df, ["k"], F.col("value"), 2.0).collect()[0].apdex_permille == 1000

@@ -156,6 +156,8 @@ AUDIT_QUERIES = [
     "spearman_price_vs_date",
     "xcorr_error_purchase",
     "gains_quality_vs_en",
+    "flow_parse_apache_combined",
+    "apdex_by_type",
 ]
 
 
