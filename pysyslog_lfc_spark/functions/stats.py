@@ -602,3 +602,80 @@ def xcorr_lagged(
         ).filter(F.col("_bl").isNotNull())
         pairs = p if pairs is None else pairs.unionByName(p)
     return grouped_linreg(pairs, ["lag"], F.col("_a"), F.col("_bl"))
+
+
+def did_lift(
+    df: DataFrame,
+    treated: Column,
+    post: Column,
+    outcome: Column,
+) -> DataFrame:
+    """Two-period difference-in-differences estimate (the workhorse
+    quasi-experimental lift estimator when randomization wasn't
+    possible — parallel-trends assumption on the caller):
+
+        DiD = (ȳ_treated,post − ȳ_treated,pre)
+            − (ȳ_control,post − ȳ_control,pre)
+
+    ``outcome`` MUST be integer-valued (cast your units). The four
+    cell sums/counts are exact DECIMAL(38,0) integers; each cell mean
+    and the closing 4-term difference run in correctly-rounded double
+    (the cross-engine-exact final-scalar contract of this module —
+    a common-denominator integer form would need n³·s·1e6 ≫ 10^38 at
+    corpus scale). Returns ONE row:
+
+      (n_tp, n_t0, n_cp, n_c0, mean_tp_micro, mean_t0_micro,
+       mean_cp_micro, mean_c0_micro, did_micro)
+
+    NULL did when any cell is empty. ONE map-side-partial hash agg
+    collapses the corpus to the 4-cell frame; the pivot is a 1-row
+    conditional re-aggregate of that frame.
+    """
+    cells = (
+        df.select(
+            treated.cast("int").alias("_t"),
+            post.cast("int").alias("_p"),
+            outcome.cast("long").alias("_y"),
+        )
+        .groupBy("_t", "_p")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            F.sum(F.col("_y").cast(_D38)).alias("_s"),
+        )
+    )
+
+    def cell(t: int, p: int, col: str):
+        return F.max(
+            F.when((F.col("_t") == t) & (F.col("_p") == p), F.col(col))
+        )
+
+    one = cells.groupBy().agg(
+        cell(1, 1, "_n").alias("n_tp"), cell(1, 1, "_s").alias("_s_tp"),
+        cell(1, 0, "_n").alias("n_t0"), cell(1, 0, "_s").alias("_s_t0"),
+        cell(0, 1, "_n").alias("n_cp"), cell(0, 1, "_s").alias("_s_cp"),
+        cell(0, 0, "_n").alias("n_c0"), cell(0, 0, "_s").alias("_s_c0"),
+    )
+
+    def mean(s: str, n: str) -> Column:
+        return F.col(s).cast("double") / F.col(n).cast("double")
+
+    def mean_micro(s: str, n: str) -> Column:
+        num = F.col(s).cast(_D38) * 1_000_000
+        return ((num - F.pmod(num, F.col(n))) / F.col(n)).cast("long")
+
+    complete = (
+        F.col("n_tp").isNotNull() & F.col("n_t0").isNotNull()
+        & F.col("n_cp").isNotNull() & F.col("n_c0").isNotNull()
+    )
+    did = (
+        mean("_s_tp", "n_tp") - mean("_s_t0", "n_t0")
+        - mean("_s_cp", "n_cp") + mean("_s_c0", "n_c0")
+    )
+    return one.select(
+        "n_tp", "n_t0", "n_cp", "n_c0",
+        F.when(complete, mean_micro("_s_tp", "n_tp")).alias("mean_tp_micro"),
+        F.when(complete, mean_micro("_s_t0", "n_t0")).alias("mean_t0_micro"),
+        F.when(complete, mean_micro("_s_cp", "n_cp")).alias("mean_cp_micro"),
+        F.when(complete, mean_micro("_s_c0", "n_c0")).alias("mean_c0_micro"),
+        F.when(complete, F.floor(did * 1_000_000)).cast("long").alias("did_micro"),
+    )

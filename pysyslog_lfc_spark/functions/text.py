@@ -847,3 +847,51 @@ def flesch_reading_ease(
         n_syl.alias("n_syllables"),
         fre.alias("fre_milli"),
     )
+
+
+# Public confusable subset for homoglyph skeletons: digits and symbols
+# that render like latin letters (Unicode TR#39's idea restricted to
+# ASCII lookalikes — the subset both engines can fold with a 1:1
+# translate). Kept small and fixed so the oracle inlines it.
+CONFUSABLE_FROM = "01345782"
+CONFUSABLE_TO = "oleastbz"
+
+
+def homoglyph_skeleton(col: Column) -> Column:
+    """Fold a domain/handle to its visual skeleton: lowercase, strip
+    separator noise ('-', '_', '.'), then map ASCII lookalike digits
+    onto the letters they imitate (0→o, 1→l, 3→e, 4→a, 5→s, 7→t,
+    8→b, 2→z). Registrations that differ only by these substitutions
+    — 'paypa1' vs 'paypal' — collapse to one skeleton. Pure codegen
+    ``translate``; zero shuffle.
+    """
+    folded = F.translate(F.lower(col), CONFUSABLE_FROM, CONFUSABLE_TO)
+    return F.translate(folded, "-_.", "")
+
+
+def spoof_groups(
+    df: DataFrame,
+    domain_col: str,
+) -> DataFrame:
+    """Homoglyph spoof detection over a registration table: group
+    distinct domains by skeleton and keep skeletons claimed by more
+    than one distinct spelling — the phishing-domain watchlist a log
+    pipeline joins inbound hostnames against. One (skeleton)-keyed
+    hash agg over the distinct-domain stream; the skeleton key spreads
+    (no hot reducer) because each skeleton holds only its lookalikes.
+
+    Returns (skeleton, n_variants, first_domain, last_domain) with
+    deterministic min/max exemplars.
+    """
+    d = df.select(F.col(domain_col).alias("_dom")).distinct()
+    g = d.withColumn("_sk", homoglyph_skeleton(F.col("_dom"))).groupBy("_sk").agg(
+        F.count(F.lit(1)).cast("long").alias("n_variants"),
+        F.min("_dom").alias("first_domain"),
+        F.max("_dom").alias("last_domain"),
+    )
+    return g.filter(F.col("n_variants") >= 2).select(
+        F.col("_sk").alias("skeleton"),
+        "n_variants",
+        "first_domain",
+        "last_domain",
+    )

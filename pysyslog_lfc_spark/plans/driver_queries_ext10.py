@@ -898,3 +898,195 @@ def apdex_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     return apdex(ev, ["event_type"], F.col("value"), 2.0, 4)
+
+
+# ---------------------------------------------------------------- session-21
+
+_DID_ORACLE = """
+    WITH b AS (
+      SELECT CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS t,
+             CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS p,
+             CAST(round(value * 1000) AS BIGINT) AS y
+      FROM events
+    ),
+    cells AS (
+      SELECT t, p, COUNT(*) AS n, SUM(CAST(y AS HUGEINT)) AS s
+      FROM b GROUP BY t, p
+    ),
+    one AS (
+      SELECT
+        MAX(CASE WHEN t = 1 AND p = 1 THEN n END) AS n_tp,
+        MAX(CASE WHEN t = 1 AND p = 1 THEN s END) AS s_tp,
+        MAX(CASE WHEN t = 1 AND p = 0 THEN n END) AS n_t0,
+        MAX(CASE WHEN t = 1 AND p = 0 THEN s END) AS s_t0,
+        MAX(CASE WHEN t = 0 AND p = 1 THEN n END) AS n_cp,
+        MAX(CASE WHEN t = 0 AND p = 1 THEN s END) AS s_cp,
+        MAX(CASE WHEN t = 0 AND p = 0 THEN n END) AS n_c0,
+        MAX(CASE WHEN t = 0 AND p = 0 THEN s END) AS s_c0
+      FROM cells
+    )
+    SELECT CAST(n_tp AS BIGINT) AS n_tp, CAST(n_t0 AS BIGINT) AS n_t0,
+      CAST(n_cp AS BIGINT) AS n_cp, CAST(n_c0 AS BIGINT) AS n_c0,
+      CAST((s_tp * 1000000 - (s_tp * 1000000) % n_tp) / n_tp AS BIGINT)
+        AS mean_tp_micro,
+      CAST((s_t0 * 1000000 - (s_t0 * 1000000) % n_t0) / n_t0 AS BIGINT)
+        AS mean_t0_micro,
+      CAST((s_cp * 1000000 - (s_cp * 1000000) % n_cp) / n_cp AS BIGINT)
+        AS mean_cp_micro,
+      CAST((s_c0 * 1000000 - (s_c0 * 1000000) % n_c0) / n_c0 AS BIGINT)
+        AS mean_c0_micro,
+      CAST(floor((CAST(s_tp AS DOUBLE) / CAST(n_tp AS DOUBLE)
+                  - CAST(s_t0 AS DOUBLE) / CAST(n_t0 AS DOUBLE)
+                  - CAST(s_cp AS DOUBLE) / CAST(n_cp AS DOUBLE)
+                  + CAST(s_c0 AS DOUBLE) / CAST(n_c0 AS DOUBLE))
+                 * 1000000) AS BIGINT) AS did_micro
+    FROM one
+"""
+
+
+@query("did_value_lift", _DID_ORACLE)
+def did_value_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-period difference-in-differences (functions/stats.py::
+    did_lift): odd-user cohort vs even-user cohort, before/after the
+    Jan-16 cutover, on milli-value outcomes — the quasi-experimental
+    lift readout when randomization wasn't possible. Exact integer
+    cell sums, one corpus hash agg to the 4-cell frame; only the
+    closing 4-term mean difference runs in correctly-rounded double.
+    """
+    from pysyslog_lfc_spark.functions.stats import did_lift
+
+    ev = _t(spark, sf_dir, "events")
+    return did_lift(
+        ev,
+        F.col("user_id") % 2 == 1,
+        F.col("ts") >= F.lit("2024-01-16").cast("timestamp"),
+        F.round(F.col("value") * 1000),
+    )
+
+
+_SPOOF_ORACLE = """
+    WITH regs AS (
+      SELECT 'cust' || CAST(c_custkey AS VARCHAR) || '.example' AS dom
+      FROM customer
+      UNION ALL
+      SELECT translate('cust' || CAST(c_custkey AS VARCHAR) || '.example',
+                       'ul5', 'ol5') AS dom
+      FROM customer WHERE c_custkey % 11 = 0
+      UNION ALL
+      SELECT replace('cust' || CAST(c_custkey AS VARCHAR) || '.example',
+                     'cust', 'cu5t') AS dom
+      FROM customer WHERE c_custkey % 13 = 0
+    ),
+    d AS (SELECT DISTINCT dom FROM regs),
+    g AS (
+      SELECT translate(translate(lower(dom), '01345782', 'oleastbz'),
+                       '-_.', '') AS skeleton,
+             COUNT(*) AS n_variants,
+             MIN(dom) AS first_domain,
+             MAX(dom) AS last_domain
+      FROM d GROUP BY 1
+    )
+    SELECT skeleton, CAST(n_variants AS BIGINT) AS n_variants,
+           first_domain, last_domain
+    FROM g WHERE n_variants >= 2
+"""
+
+
+@query("domain_spoof_groups", _SPOOF_ORACLE)
+def domain_spoof_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Homoglyph spoof-domain detection (functions/text.py::
+    spoof_groups, Unicode TR#39's confusable folding restricted to the
+    ASCII-lookalike subset): a synthetic registration table of
+    customer domains plus deterministic lookalike registrations
+    ('cust42' vs 'cu5t42', 'u'→'o' swaps); spellings differing only by
+    confusables collapse to one skeleton, and every skeleton with >= 2
+    distinct spellings lands on the phishing watchlist. Pure codegen
+    translate; one skeleton-keyed hash agg over the distinct stream.
+    """
+    from pysyslog_lfc_spark.functions.text import spoof_groups
+
+    cust = _t(spark, sf_dir, "customer")
+    base = F.concat(
+        F.lit("cust"), F.col("c_custkey").cast("string"), F.lit(".example")
+    )
+    regs = (
+        cust.select(base.alias("dom"))
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 11 == 0).select(
+                F.translate(base, "ul5", "ol5").alias("dom")
+            )
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 13 == 0).select(
+                F.regexp_replace(base, "cust", "cu5t").alias("dom")
+            )
+        )
+    )
+    return spoof_groups(regs, "dom")
+
+
+_FUNNEL_TTC_ORACLE = """
+    WITH su AS (
+      SELECT user_id, MIN(ts) AS signup_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    pu AS (
+      SELECT s.user_id, s.signup_ts, MIN(e.ts) AS purchase_ts
+      FROM su s JOIN events e
+        ON e.user_id = s.user_id AND e.event_type = 'purchase'
+           AND e.ts >= s.signup_ts
+      GROUP BY s.user_id, s.signup_ts
+    ),
+    gaps AS (
+      SELECT CAST(date_trunc('week', signup_ts) AS DATE) AS cohort_week,
+             (epoch_us(purchase_ts) - epoch_us(signup_ts)) // 1000000
+               AS gap_sec
+      FROM pu
+    )
+    SELECT cohort_week, COUNT(*) AS n_converted,
+           quantile_cont(gap_sec, 0.5) AS p50_sec,
+           quantile_cont(gap_sec, 0.9) AS p90_sec
+    FROM gaps GROUP BY cohort_week
+"""
+
+
+@query("funnel_time_to_convert", _FUNNEL_TTC_ORACLE)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→purchase conversion latency percentiles per signup-week
+    cohort — the funnel's "how long does conversion take" companion to
+    the conversion-rate query. Two user-keyed aggregates (first
+    signup, first subsequent purchase — the corpus never self-joins
+    unkeyed), exact integer second gaps, interpolated percentiles per
+    cohort key (both engines compute ANSI quantile_cont's
+    (1−g)·lo + g·hi on the sorted group).
+    """
+    ev = _t(spark, sf_dir, "events")
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    pu = (
+        su.join(
+            ev.filter(F.col("event_type") == "purchase").select(
+                "user_id", F.col("ts").alias("pts")
+            ),
+            "user_id",
+        )
+        .filter(F.col("pts") >= F.col("signup_ts"))
+        .groupBy("user_id", "signup_ts")
+        .agg(F.min("pts").alias("purchase_ts"))
+    )
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    gap_us = us("purchase_ts") - us("signup_ts")
+    gaps = pu.select(
+        F.date_trunc("week", F.col("signup_ts")).cast("date").alias("cohort_week"),
+        ((gap_us - F.pmod(gap_us, F.lit(1_000_000))) / 1_000_000)
+        .cast("long")
+        .alias("gap_sec"),
+    )
+    return gaps.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.percentile("gap_sec", 0.5).alias("p50_sec"),
+        F.percentile("gap_sec", 0.9).alias("p90_sec"),
+    )

@@ -485,3 +485,53 @@ class TestApdex:
 
         df = spark.createDataFrame([("a", 0.5), ("a", 1.0)], "k string, value double")
         assert apdex(df, ["k"], F.col("value"), 2.0).collect()[0].apdex_permille == 1000
+
+
+class TestDidLift:
+    def test_textbook_cells(self, spark):
+        from pysyslog_lfc_spark.functions.stats import did_lift
+
+        # treated: pre mean 10 -> post mean 25 (+15)
+        # control: pre mean 10 -> post mean 15 (+5)   => DiD = +10
+        rows = (
+            [(1, 0, 10), (1, 0, 10), (1, 1, 20), (1, 1, 30)]
+            + [(0, 0, 10), (0, 0, 10), (0, 1, 10), (0, 1, 20)]
+        )
+        df = spark.createDataFrame(rows, "t int, p int, y long")
+        r = did_lift(df, F.col("t") == 1, F.col("p") == 1, F.col("y")).collect()[0]
+        assert (r.n_tp, r.n_t0, r.n_cp, r.n_c0) == (2, 2, 2, 2)
+        assert r.mean_tp_micro == 25_000_000 and r.mean_c0_micro == 10_000_000
+        assert r.did_micro == 10_000_000
+
+    def test_empty_cell_is_null(self, spark):
+        from pysyslog_lfc_spark.functions.stats import did_lift
+
+        rows = [(1, 1, 5), (0, 0, 5), (0, 1, 5)]  # no treated-pre cell
+        df = spark.createDataFrame(rows, "t int, p int, y long")
+        r = did_lift(df, F.col("t") == 1, F.col("p") == 1, F.col("y")).collect()[0]
+        assert r.did_micro is None and r.n_t0 is None
+
+
+class TestHomoglyphSpoof:
+    def test_confusables_collapse(self, spark):
+        from pysyslog_lfc_spark.functions.text import spoof_groups
+
+        rows = [
+            ("paypal.example",), ("paypa1.example",), ("paypa1.example",),
+            ("p4ypal.example",), ("innocent.example",),
+        ]
+        df = spark.createDataFrame(rows, "dom string")
+        out = spoof_groups(df, "dom").collect()
+        assert len(out) == 1
+        g = out[0]
+        # 3 distinct spellings of the same skeleton; duplicates ignored
+        assert g.n_variants == 3
+        assert g.skeleton == "paypalexample"
+        assert g.first_domain == "p4ypal.example"
+        assert g.last_domain == "paypal.example"
+
+    def test_unrelated_domains_stay_apart(self, spark):
+        from pysyslog_lfc_spark.functions.text import spoof_groups
+
+        df = spark.createDataFrame([("a.example",), ("b.example",)], "dom string")
+        assert spoof_groups(df, "dom").count() == 0

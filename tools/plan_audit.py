@@ -158,6 +158,9 @@ AUDIT_QUERIES = [
     "gains_quality_vs_en",
     "flow_parse_apache_combined",
     "apdex_by_type",
+    "did_value_lift",
+    "domain_spoof_groups",
+    "funnel_time_to_convert",
 ]
 
 
