@@ -286,7 +286,10 @@ def table_diff(
     compared columns with an unambiguous separator/null sentinel, so
     the verdict is content-derived (resume-safe, oracle-replayable)
     and only keys + one hash column travel through the full outer
-    join — never the wide rows.
+    join — never the wide rows. Sibling of operators/joins.py::
+    snapshot_diff, which returns the per-key old/new VALUES for
+    human-sized diffs; this variant is the one to run at warehouse
+    scale, where shipping wide rows through the join is the cost.
 
     At warehouse scale both sides shuffle on the key once; if the
     snapshots share bucketing (operators/bucketing.py::save_bucketed)

@@ -432,8 +432,8 @@ _DIFF_ORACLE = """
 """
 
 
-@query("snapshot_diff_orders", _DIFF_ORACLE)
-def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("snapshot_diff_summary", _DIFF_ORACLE)
+def snapshot_diff_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyed snapshot diff summary (functions/reporting.py::
     table_diff_summary): two deterministic snapshots of orders (5% of
     keys absent from the old state = added, 5% price-bumped = changed,

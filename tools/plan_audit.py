@@ -150,7 +150,7 @@ AUDIT_QUERIES = [
     "burstiness_by_user",
     "folds_events_temporal",
     "shard_assign_hrw",
-    "snapshot_diff_orders",
+    "snapshot_diff_summary",
     "neyman_alloc_docs",
     "readability_docs",
     "spearman_price_vs_date",
