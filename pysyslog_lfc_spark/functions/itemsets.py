@@ -110,7 +110,12 @@ def association_rules(
     consequent); the basket total is a broadcast scalar.
     """
     b = basket_items(df, basket_col, item_col)
-    n_baskets = b.select("basket").distinct().count()
+    # basket total as a broadcast 1-row frame, NOT a driver-side
+    # .count() action: the lift constant must not cost an extra job
+    # over the basket stream at plan time
+    totals = b.groupBy().agg(
+        F.countDistinct("basket").cast("long").alias("_n_baskets")
+    )
     sup = b.groupBy("item").agg(F.count(F.lit(1)).alias("item_n"))
     pairs = frequent_pairs(
         df,
@@ -140,13 +145,14 @@ def association_rules(
     out = (
         directed.join(F.broadcast(ante), "antecedent")
         .join(F.broadcast(cons), "consequent")
+        .join(F.broadcast(totals))
         .withColumn(
             "conf_permille", _floor_ratio(F.col("pair_n"), F.col("ante_n"), 1000)
         )
         .withColumn(
             "lift_micro",
             _floor_ratio(
-                F.col("pair_n") * F.lit(n_baskets),
+                F.col("pair_n") * F.col("_n_baskets"),
                 F.col("ante_n").cast("decimal(38,0)") * F.col("cons_n"),
                 1_000_000,
             ),
