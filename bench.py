@@ -176,6 +176,24 @@ BENCH_QUERIES = [
     "attribution_linear_touch",
     "er_resolve_customers",
     "classifier_auc_quality_vs_en",
+    # session-16..21
+    "assoc_rules_parts",
+    "gini_custrev_by_nation",
+    "weighted_median_price_by_flag",
+    "flap_users_value",
+    "burstiness_by_user",
+    "shard_assign_hrw",
+    "snapshot_diff_summary",
+    "neyman_alloc_docs",
+    "readability_docs",
+    "spearman_price_vs_date",
+    "xcorr_error_purchase",
+    "gains_quality_vs_en",
+    "flow_parse_apache_combined",
+    "apdex_by_type",
+    "did_value_lift",
+    "domain_spoof_groups",
+    "funnel_time_to_convert",
 ]
 
 
