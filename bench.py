@@ -194,6 +194,8 @@ BENCH_QUERIES = [
     "did_value_lift",
     "domain_spoof_groups",
     "funnel_time_to_convert",
+    "mase_hourly_by_type",
+    "wilson_error_rate",
 ]
 
 

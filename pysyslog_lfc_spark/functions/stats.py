@@ -679,3 +679,50 @@ def did_lift(
         F.when(complete, mean_micro("_s_c0", "n_c0")).alias("mean_c0_micro"),
         F.when(complete, F.floor(did * 1_000_000)).cast("long").alias("did_micro"),
     )
+
+
+def wilson_ci(
+    df: DataFrame,
+    keys: list[str],
+    success: Column,
+    z: float = 1.959963984540054,
+) -> DataFrame:
+    """Per-key binomial rate with its Wilson score interval (Wilson
+    1927 — the CI that behaves at small n and extreme rates, unlike
+    the naive normal interval): the SRE answer to "is this error rate
+    really different, or is the sample just small?".
+
+        center = (p̂ + z²/2n) / (1 + z²/n)
+        half   = z·sqrt(p̂(1−p̂)/n + z²/4n²) / (1 + z²/n)
+
+    n and successes are exact integers; rate_micro is the exact
+    floored integer rate; the interval endpoints are one
+    correctly-rounded double chain each (engine-portable), floored to
+    micro. NULL interval when n = 0 never occurs (keys come from the
+    data); default z is the IEEE-double nearest of the 97.5% normal
+    quantile (95% two-sided).
+    """
+    g = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(success.cast("long")).cast("long").alias("successes"),
+    )
+    num = F.col("successes").cast(_D38) * 1_000_000
+    rate = ((num - F.pmod(num, F.col("n"))) / F.col("n")).cast("long")
+    nd = F.col("n").cast("double")
+    p = F.col("successes").cast("double") / nd
+    z2 = F.lit(z * z)
+    denom = F.lit(1.0) + z2 / nd
+    center = (p + z2 / (F.lit(2.0) * nd)) / denom
+    half = (
+        F.lit(z)
+        * F.sqrt(p * (F.lit(1.0) - p) / nd + z2 / (F.lit(4.0) * nd * nd))
+        / denom
+    )
+    return g.select(
+        *keys,
+        "n",
+        "successes",
+        rate.alias("rate_micro"),
+        F.floor((center - half) * 1_000_000).cast("long").alias("lo_micro"),
+        F.floor((center + half) * 1_000_000).cast("long").alias("hi_micro"),
+    )

@@ -641,3 +641,75 @@ def linear_attribution(
         "total_credit_milli",
         "n_conversions",
     )
+
+
+def seasonal_naive_mase(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    bucket_seconds: int,
+    season: int,
+) -> DataFrame:
+    """Seasonal-naive forecast skill per key, reported as MASE
+    (Hyndman & Koehler 2006 — THE scale-free forecast-error metric):
+    MAE of the seasonal-naive prediction ŷ_t = y_{t−season} divided by
+    MAE of the one-step naive ŷ_t = y_{t−1}, over the key's densified
+    count series (missing buckets are real zeros — skipping them would
+    misalign every lag). MASE < 1e6 micro ⇒ the hour-of-day (or
+    whatever ``season``) structure is real and worth exploiting;
+    ≈ 1e6 ⇒ the series is a random walk to this model family.
+
+    Exact integers end-to-end: counts, absolute differences, and
+    MASE_micro = floor(1e6·Σe_s·n_1 / (n_s·Σe_1)). Plan: ONE
+    partial-agg exchange to the (key, bucket) grain, per-key bounds +
+    sequence explode for the dense grid, two lag windows sharing the
+    key exchange, one closing hash agg. NULL when the naive MAE is 0
+    (constant series) or the series is shorter than the season.
+    """
+    sec = F.unix_timestamp(F.col(ts_col).cast("timestamp"))
+    bucket = (sec - F.pmod(sec, F.lit(bucket_seconds))).alias("_b")
+    grain = (
+        df.select(*keys, bucket)
+        .groupBy(*keys, "_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("_y"))
+    )
+    bounds = grain.groupBy(*keys).agg(
+        F.min("_b").alias("_lo"), F.max("_b").alias("_hi")
+    )
+    dense = bounds.select(
+        *keys,
+        F.explode(
+            F.sequence(F.col("_lo"), F.col("_hi"), F.lit(bucket_seconds))
+        ).alias("_b"),
+    )
+    filled = dense.join(grain, [*keys, "_b"], "left").select(
+        *keys, "_b", F.coalesce(F.col("_y"), F.lit(0)).alias("_y")
+    )
+    w = Window.partitionBy(*keys).orderBy("_b")
+    e1 = F.abs(F.col("_y") - F.lag("_y", 1).over(w))
+    es = F.abs(F.col("_y") - F.lag("_y", season).over(w))
+    g = (
+        filled.withColumn("_e1", e1)
+        .withColumn("_es", es)
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.count("_e1").cast("long").alias("_n1"),
+            F.sum(F.col("_e1").cast("decimal(38,0)")).alias("_se1"),
+            F.count("_es").cast("long").alias("_ns"),
+            F.sum(F.col("_es").cast("decimal(38,0)")).alias("_ses"),
+        )
+    )
+    num = (F.col("_ses") * F.col("_n1")) * 1_000_000
+    den = F.col("_ns").cast("decimal(38,0)") * F.col("_se1")
+    mase = F.when(
+        (F.col("_ns") > 0) & (F.col("_se1") > 0),
+        ((num - F.pmod(num, den)) / den).cast("long"),
+    )
+    return g.select(
+        *keys,
+        "n_buckets",
+        F.col("_se1").cast("long").alias("naive_abs_err"),
+        F.col("_ses").cast("long").alias("seasonal_abs_err"),
+        mase.alias("mase_micro"),
+    )

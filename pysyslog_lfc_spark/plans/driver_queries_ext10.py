@@ -1090,3 +1090,123 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("gap_sec", 0.5).alias("p50_sec"),
         F.percentile("gap_sec", 0.9).alias("p90_sec"),
     )
+
+
+# ---------------------------------------------------------------- session-22
+
+_MASE_ORACLE = """
+    WITH grain AS (
+      SELECT event_type,
+             (epoch_us(ts) // 1000000) - (epoch_us(ts) // 1000000) % 3600
+               AS b,
+             COUNT(*) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT event_type, MIN(b) AS lo, MAX(b) AS hi FROM grain GROUP BY 1
+    ),
+    dense AS (
+      SELECT bo.event_type, gs.b, coalesce(g.y, 0) AS y
+      FROM bounds bo
+      CROSS JOIN LATERAL (
+        SELECT unnest(generate_series(bo.lo, bo.hi, 3600)) AS b) gs
+      LEFT JOIN grain g ON g.event_type = bo.event_type AND g.b = gs.b
+    ),
+    lagged AS (
+      SELECT event_type,
+        abs(y - lag(y, 1) OVER (PARTITION BY event_type ORDER BY b)) AS e1,
+        abs(y - lag(y, 24) OVER (PARTITION BY event_type ORDER BY b)) AS es
+      FROM dense
+    ),
+    m AS (
+      SELECT event_type, COUNT(*) AS n_buckets,
+        COUNT(e1) AS n1, SUM(CAST(e1 AS HUGEINT)) AS se1,
+        COUNT(es) AS ns, SUM(CAST(es AS HUGEINT)) AS ses
+      FROM lagged GROUP BY 1
+    )
+    SELECT event_type, CAST(n_buckets AS BIGINT) AS n_buckets,
+      CAST(se1 AS BIGINT) AS naive_abs_err,
+      CAST(ses AS BIGINT) AS seasonal_abs_err,
+      CASE WHEN ns > 0 AND se1 > 0 THEN CAST(
+        (ses * n1 * 1000000 - (ses * n1 * 1000000) % (ns * se1)) / (ns * se1)
+        AS BIGINT) END AS mase_micro
+    FROM m
+"""
+
+
+@query("mase_hourly_by_type", _MASE_ORACLE)
+def mase_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast skill per event type (operators/
+    sessions.py::seasonal_naive_mase, Hyndman & Koehler 2006): hourly
+    counts, 24-bucket season, densified with real zeros so the lags
+    never misalign. MASE < 1e6 micro = real daily structure. Exact
+    integers end-to-end; one grain exchange + per-key dense grid +
+    two lag windows sharing the key exchange.
+    """
+    from pysyslog_lfc_spark.operators.sessions import seasonal_naive_mase
+
+    ev = _t(spark, sf_dir, "events")
+    return seasonal_naive_mase(
+        ev, ["event_type"], "ts", bucket_seconds=3600, season=24
+    )
+
+
+_WILSON_ORACLE = """
+    WITH g AS (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(CASE WHEN value > 8.0 THEN 1 ELSE 0 END) AS successes
+      FROM events GROUP BY 1
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+      CAST(successes AS BIGINT) AS successes,
+      CAST((successes * 1000000 - (successes * 1000000) % n) / n AS BIGINT)
+        AS rate_micro,
+      CAST(floor(((CAST(successes AS DOUBLE) / CAST(n AS DOUBLE)
+                   + (1.959963984540054 * 1.959963984540054)
+                     / (2.0 * CAST(n AS DOUBLE)))
+                  / (1.0 + (1.959963984540054 * 1.959963984540054)
+                           / CAST(n AS DOUBLE))
+                  - 1.959963984540054
+                    * sqrt(CAST(successes AS DOUBLE) / CAST(n AS DOUBLE)
+                           * (1.0 - CAST(successes AS DOUBLE)
+                                    / CAST(n AS DOUBLE))
+                           / CAST(n AS DOUBLE)
+                           + (1.959963984540054 * 1.959963984540054)
+                             / (4.0 * CAST(n AS DOUBLE)
+                                    * CAST(n AS DOUBLE)))
+                    / (1.0 + (1.959963984540054 * 1.959963984540054)
+                             / CAST(n AS DOUBLE)))
+                 * 1000000) AS BIGINT) AS lo_micro,
+      CAST(floor(((CAST(successes AS DOUBLE) / CAST(n AS DOUBLE)
+                   + (1.959963984540054 * 1.959963984540054)
+                     / (2.0 * CAST(n AS DOUBLE)))
+                  / (1.0 + (1.959963984540054 * 1.959963984540054)
+                           / CAST(n AS DOUBLE))
+                  + 1.959963984540054
+                    * sqrt(CAST(successes AS DOUBLE) / CAST(n AS DOUBLE)
+                           * (1.0 - CAST(successes AS DOUBLE)
+                                    / CAST(n AS DOUBLE))
+                           / CAST(n AS DOUBLE)
+                           + (1.959963984540054 * 1.959963984540054)
+                             / (4.0 * CAST(n AS DOUBLE)
+                                    * CAST(n AS DOUBLE)))
+                    / (1.0 + (1.959963984540054 * 1.959963984540054)
+                             / CAST(n AS DOUBLE)))
+                 * 1000000) AS BIGINT) AS hi_micro
+    FROM g
+"""
+
+
+@query("wilson_error_rate", _WILSON_ORACLE)
+def wilson_error_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type high-value ("error") rate with its Wilson 95% score
+    interval (functions/stats.py::wilson_ci, Wilson 1927): the
+    small-sample-safe CI the SRE reads before declaring one source
+    worse than another. Exact integer n/successes/rate; interval
+    endpoints are one correctly-rounded double chain each. ONE
+    map-side-partial hash agg.
+    """
+    from pysyslog_lfc_spark.functions.stats import wilson_ci
+
+    ev = _t(spark, sf_dir, "events")
+    return wilson_ci(ev, ["event_type"], F.col("value") > 8.0)

@@ -535,3 +535,77 @@ class TestHomoglyphSpoof:
 
         df = spark.createDataFrame([("a.example",), ("b.example",)], "dom string")
         assert spoof_groups(df, "dom").count() == 0
+
+
+class TestSeasonalNaiveMase:
+    def test_perfect_seasonality_beats_naive(self, spark):
+        from pysyslog_lfc_spark.operators.sessions import seasonal_naive_mase
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = []
+        # period-4 pattern repeated 6 times: counts 3,1,1,1 per bucket
+        for b in range(24):
+            n = 3 if b % 4 == 0 else 1
+            for i in range(n):
+                rows.append(("k", t0 + dt.timedelta(hours=b, minutes=i)))
+        df = spark.createDataFrame(rows, "k string, ts timestamp")
+        r = seasonal_naive_mase(df, ["k"], "ts", 3600, 4).collect()[0]
+        # the lag-4 prediction is exact -> seasonal error 0 -> MASE 0
+        assert r.seasonal_abs_err == 0 and r.mase_micro == 0
+        assert r.n_buckets == 24 and r.naive_abs_err > 0
+
+    def test_constant_series_is_null(self, spark):
+        from pysyslog_lfc_spark.operators.sessions import seasonal_naive_mase
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [("k", t0 + dt.timedelta(hours=b)) for b in range(10)]
+        df = spark.createDataFrame(rows, "k string, ts timestamp")
+        r = seasonal_naive_mase(df, ["k"], "ts", 3600, 4).collect()[0]
+        assert r.mase_micro is None  # naive MAE 0: undefined
+
+    def test_gap_hours_are_zero_filled(self, spark):
+        from pysyslog_lfc_spark.operators.sessions import seasonal_naive_mase
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1)
+        # events at hour 0 and hour 5 only -> 6 dense buckets
+        df = spark.createDataFrame(
+            [("k", t0), ("k", t0 + dt.timedelta(hours=5))],
+            "k string, ts timestamp",
+        )
+        r = seasonal_naive_mase(df, ["k"], "ts", 3600, 2).collect()[0]
+        assert r.n_buckets == 6
+        # series 1,0,0,0,0,1: naive errs |0-1|,0,0,0,|1-0| = 2;
+        # lag-2 errs (4 terms) |0-1|,0,0,|1-0| = 2
+        assert (r.naive_abs_err, r.seasonal_abs_err) == (2, 2)
+        assert r.mase_micro == 2 * 5 * 1_000_000 // (4 * 2)
+
+
+class TestWilsonCi:
+    def test_textbook_interval(self, spark):
+        from pysyslog_lfc_spark.functions.stats import wilson_ci
+        import math
+
+        rows = [("k", 1)] * 8 + [("k", 0)] * 2
+        df = spark.createDataFrame(rows, "k string, s long")
+        r = wilson_ci(df, ["k"], F.col("s") == 1).collect()[0]
+        assert (r.n, r.successes, r.rate_micro) == (10, 8, 800_000)
+        z = 1.959963984540054
+        p, n = 0.8, 10.0
+        denom = 1.0 + z * z / n
+        center = (p + z * z / (2.0 * n)) / denom
+        half = z * math.sqrt(p * (1.0 - p) / n + z * z / (4.0 * n * n)) / denom
+        assert r.lo_micro == math.floor((center - half) * 1_000_000)
+        assert r.hi_micro == math.floor((center + half) * 1_000_000)
+        # Wilson for 8/10 is ~ [0.49, 0.94]: sanity
+        assert 480_000 < r.lo_micro < 520_000 and 920_000 < r.hi_micro < 960_000
+
+    def test_extreme_rates_stay_in_unit_interval(self, spark):
+        from pysyslog_lfc_spark.functions.stats import wilson_ci
+
+        df = spark.createDataFrame([("k", 1)] * 3, "k string, s long")
+        r = wilson_ci(df, ["k"], F.col("s") == 1).collect()[0]
+        assert r.rate_micro == 1_000_000
+        assert r.hi_micro <= 1_000_000 and r.lo_micro > 0

@@ -161,6 +161,8 @@ AUDIT_QUERIES = [
     "did_value_lift",
     "domain_spoof_groups",
     "funnel_time_to_convert",
+    "mase_hourly_by_type",
+    "wilson_error_rate",
 ]
 
 
