@@ -1,5 +1,10 @@
-"""Session-16 operators: market-basket association rules, per-group
-Gini concentration, Cohen's kappa agreement, weighted median."""
+"""Round-2 session 16-22 operators: market-basket association rules,
+Gini concentration, Cohen's kappa, weighted median, flap detection,
+inter-arrival burstiness, purged temporal folds, HRW shard routing,
+snapshot diff, Neyman allocation, Flesch readability, Spearman rank
+correlation, lagged cross-correlation, gains/lift table, Apdex,
+difference-in-differences, homoglyph spoof groups, seasonal-naive
+MASE, Wilson score intervals."""
 
 from __future__ import annotations
 
