@@ -196,6 +196,8 @@ BENCH_QUERIES = [
     "funnel_time_to_convert",
     "mase_hourly_by_type",
     "wilson_error_rate",
+    "welch_t_value_by_cohort",
+    "anova_value_by_type",
 ]
 
 

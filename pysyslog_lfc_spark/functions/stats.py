@@ -726,3 +726,141 @@ def wilson_ci(
         F.floor((center - half) * 1_000_000).cast("long").alias("lo_micro"),
         F.floor((center + half) * 1_000_000).cast("long").alias("hi_micro"),
     )
+
+
+def welch_t(
+    df: DataFrame,
+    treated: Column,
+    outcome: Column,
+) -> DataFrame:
+    """Welch's unequal-variance two-sample t statistic (Welch 1947 —
+    the default A/B significance test; never assume pooled variance):
+
+        t = (m̄₁ − m̄₀) / sqrt(s₁²/n₁ + s₀²/n₀)
+
+    with the Welch–Satterthwaite degrees of freedom. ``outcome`` MUST
+    be integer-valued; moments are exact DECIMAL(38,0); the closing
+    scalar chain (two sample variances, one sqrt, one ratio) runs in
+    correctly-rounded double, milli-floored. ONE map-side-partial hash
+    agg to a 2-cell frame. NULL when either arm has n < 2 or both
+    variances are zero.
+
+    Returns (n_1, n_0, mean_1_micro, mean_0_micro, t_milli, df_milli).
+    """
+    cells = (
+        df.select(treated.cast("int").alias("_t"), outcome.cast("long").alias("_y"))
+        .groupBy("_t")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            F.sum(F.col("_y").cast(_D38)).alias("_s"),
+            F.sum(F.col("_y").cast(_D38) * F.col("_y")).alias("_q"),
+        )
+    )
+
+    def cell(t: int, col: str):
+        return F.max(F.when(F.col("_t") == t, F.col(col)))
+
+    one = cells.groupBy().agg(
+        cell(1, "_n").alias("n_1"), cell(1, "_s").alias("_s1"),
+        cell(1, "_q").alias("_q1"),
+        cell(0, "_n").alias("n_0"), cell(0, "_s").alias("_s0"),
+        cell(0, "_q").alias("_q0"),
+    )
+
+    def var_over_n(n: str, s: str, q: str) -> Column:
+        # s²/n / (n-1) / n = sample variance / n, from exact moments
+        nd = F.col(n).cast("double")
+        sd = F.col(s).cast("double")
+        qd = F.col(q).cast("double")
+        return (qd - sd * sd / nd) / (nd - F.lit(1.0)) / nd
+
+    def mean_micro(s: str, n: str) -> Column:
+        num = F.col(s).cast(_D38) * 1_000_000
+        return ((num - F.pmod(num, F.col(n))) / F.col(n)).cast("long")
+
+    v1 = var_over_n("n_1", "_s1", "_q1")
+    v0 = var_over_n("n_0", "_s0", "_q0")
+    m1 = F.col("_s1").cast("double") / F.col("n_1").cast("double")
+    m0 = F.col("_s0").cast("double") / F.col("n_0").cast("double")
+    se2 = v1 + v0
+    t_stat = (m1 - m0) / F.sqrt(se2)
+    df_ws = (se2 * se2) / (
+        v1 * v1 / (F.col("n_1").cast("double") - F.lit(1.0))
+        + v0 * v0 / (F.col("n_0").cast("double") - F.lit(1.0))
+    )
+    ok = (
+        F.col("n_1").isNotNull() & (F.col("n_1") >= 2)
+        & F.col("n_0").isNotNull() & (F.col("n_0") >= 2)
+        & (se2 > 0)
+    )
+    return one.select(
+        "n_1",
+        "n_0",
+        F.when(F.col("n_1").isNotNull(), mean_micro("_s1", "n_1")).alias(
+            "mean_1_micro"
+        ),
+        F.when(F.col("n_0").isNotNull(), mean_micro("_s0", "n_0")).alias(
+            "mean_0_micro"
+        ),
+        F.when(ok, F.floor(t_stat * 1000)).cast("long").alias("t_milli"),
+        F.when(ok, F.floor(df_ws * 1000)).cast("long").alias("df_milli"),
+    )
+
+
+def anova_oneway(
+    df: DataFrame,
+    group_col: str,
+    outcome: Column,
+) -> DataFrame:
+    """One-way ANOVA F statistic across k groups — "does this numeric
+    metric differ across categories at all" before any pairwise test
+    (the numeric companion to chi2_cells' categorical independence):
+
+        F = (SSB/(k−1)) / (SSW/(N−k))
+
+    Per-group moments (n, Σy, Σy²) are exact DECIMAL(38,0) from ONE
+    corpus hash agg. The one cross-group term that is a sum of
+    RATIOS — T = Σ_g s_g²/n_g — is carried as micro-floored integers
+    (t_g = floor(1e6·s_g²/n_g), subtract-mod exact), so the fold is an
+    order-free INTEGER sum: no double-summation-order hazard between
+    engines (a cumulative double window would hit DuckDB's segment-
+    tree summation order). SSB/SSW are therefore *defined* on the
+    micro grid — bias ≤ k micro-units, identical in both engines.
+    Headroom note: t_g carries s_g²·1e6 in DECIMAL(38,0), so per-group
+    |Σy| must stay below ~10^15.5 — at 10^12-row groups pick outcome
+    units (cents vs micro) accordingly. Returns ONE row (k, n,
+    ssb_milli, ssw_milli, f_milli); NULL F when k < 2, N ≤ k, or
+    SSW ≤ 0.
+    """
+    g = (
+        df.select(F.col(group_col).alias("_g"), outcome.cast("long").alias("_y"))
+        .groupBy("_g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            F.sum(F.col("_y").cast(_D38)).alias("_s"),
+            F.sum(F.col("_y").cast(_D38) * F.col("_y")).alias("_q"),
+        )
+    )
+    t_num = F.col("_s") * F.col("_s") * 1_000_000
+    t_micro = ((t_num - F.pmod(t_num, F.col("_n"))) / F.col("_n")).cast(_D38)
+    one = g.select("_n", "_s", "_q", t_micro.alias("_t")).groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("_n").cast("long").alias("n"),
+        F.sum("_s").alias("_S"),
+        F.sum("_q").alias("_Q"),
+        F.sum("_t").alias("_T"),
+    )
+    nd = F.col("n").cast("double")
+    kd = F.col("k").cast("double")
+    t_d = F.col("_T").cast("double") / F.lit(1e6)
+    ssb = t_d - (F.col("_S").cast("double") * F.col("_S").cast("double") / nd)
+    ssw = F.col("_Q").cast("double") - t_d
+    f_stat = (ssb / (kd - F.lit(1.0))) / (ssw / (nd - kd))
+    ok = (F.col("k") >= 2) & (F.col("n") > F.col("k")) & (ssw > 0)
+    return one.select(
+        "k",
+        "n",
+        F.floor(ssb * 1000).cast("long").alias("ssb_milli"),
+        F.floor(ssw * 1000).cast("long").alias("ssw_milli"),
+        F.when(ok, F.floor(f_stat * 1000)).cast("long").alias("f_milli"),
+    )

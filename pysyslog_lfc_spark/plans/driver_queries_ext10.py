@@ -1210,3 +1210,126 @@ def wilson_error_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     return wilson_ci(ev, ["event_type"], F.col("value") > 8.0)
+
+
+# ---------------------------------------------------------------- session-23
+
+_WELCH_ORACLE = """
+    WITH b AS (
+      SELECT CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS t,
+             CAST(round(value * 1000) AS BIGINT) AS y
+      FROM events
+    ),
+    cells AS (
+      SELECT t, COUNT(*) AS n, SUM(CAST(y AS HUGEINT)) AS s,
+             SUM(CAST(y AS HUGEINT) * y) AS q
+      FROM b GROUP BY t
+    ),
+    one AS (
+      SELECT
+        MAX(CASE WHEN t = 1 THEN n END) AS n_1,
+        MAX(CASE WHEN t = 1 THEN s END) AS s1,
+        MAX(CASE WHEN t = 1 THEN q END) AS q1,
+        MAX(CASE WHEN t = 0 THEN n END) AS n_0,
+        MAX(CASE WHEN t = 0 THEN s END) AS s0,
+        MAX(CASE WHEN t = 0 THEN q END) AS q0
+      FROM cells
+    ),
+    d AS (
+      SELECT *,
+        (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+           / CAST(n_1 AS DOUBLE)) / (CAST(n_1 AS DOUBLE) - 1.0)
+           / CAST(n_1 AS DOUBLE) AS v1,
+        (CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE)
+           / CAST(n_0 AS DOUBLE)) / (CAST(n_0 AS DOUBLE) - 1.0)
+           / CAST(n_0 AS DOUBLE) AS v0,
+        CAST(s1 AS DOUBLE) / CAST(n_1 AS DOUBLE) AS m1,
+        CAST(s0 AS DOUBLE) / CAST(n_0 AS DOUBLE) AS m0
+      FROM one
+    )
+    SELECT CAST(n_1 AS BIGINT) AS n_1, CAST(n_0 AS BIGINT) AS n_0,
+      CAST((s1 * 1000000 - (s1 * 1000000) % n_1) / n_1 AS BIGINT)
+        AS mean_1_micro,
+      CAST((s0 * 1000000 - (s0 * 1000000) % n_0) / n_0 AS BIGINT)
+        AS mean_0_micro,
+      CASE WHEN n_1 >= 2 AND n_0 >= 2 AND v1 + v0 > 0 THEN
+        CAST(floor((m1 - m0) / sqrt(v1 + v0) * 1000) AS BIGINT)
+      END AS t_milli,
+      CASE WHEN n_1 >= 2 AND n_0 >= 2 AND v1 + v0 > 0 THEN
+        CAST(floor(((v1 + v0) * (v1 + v0))
+                   / (v1 * v1 / (CAST(n_1 AS DOUBLE) - 1.0)
+                      + v0 * v0 / (CAST(n_0 AS DOUBLE) - 1.0)) * 1000)
+             AS BIGINT)
+      END AS df_milli
+    FROM d
+"""
+
+
+@query("welch_t_value_by_cohort", _WELCH_ORACLE)
+def welch_t_value_by_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t statistic (functions/stats.py::
+    welch_t, Welch 1947): odd-user vs even-user cohorts on
+    milli-values — the significance number read next to the CUPED and
+    DiD lifts. Exact D38 moments, one corpus hash agg to a 2-cell
+    frame, one correctly-rounded double scalar chain.
+    """
+    from pysyslog_lfc_spark.functions.stats import welch_t
+
+    ev = _t(spark, sf_dir, "events")
+    return welch_t(
+        ev, F.col("user_id") % 2 == 1, F.round(F.col("value") * 1000)
+    )
+
+
+_ANOVA_ORACLE = """
+    WITH b AS (
+      SELECT event_type AS g, CAST(round(value * 1000) AS BIGINT) AS y
+      FROM events
+    ),
+    cells AS (
+      SELECT g, COUNT(*) AS n, SUM(CAST(y AS HUGEINT)) AS s,
+             SUM(CAST(y AS HUGEINT) * y) AS q
+      FROM b GROUP BY g
+    ),
+    terms AS (
+      SELECT n, s, q,
+        (s * s * 1000000 - (s * s * 1000000) % n) / n AS t_micro
+      FROM cells
+    ),
+    one AS (
+      SELECT COUNT(*) AS k, SUM(n) AS n, SUM(s) AS S, SUM(q) AS Q,
+             SUM(t_micro) AS T
+      FROM terms
+    ),
+    d AS (
+      SELECT *,
+        CAST(T AS DOUBLE) / 1000000.0
+          - CAST(S AS DOUBLE) * CAST(S AS DOUBLE) / CAST(n AS DOUBLE) AS ssb,
+        CAST(Q AS DOUBLE) - CAST(T AS DOUBLE) / 1000000.0 AS ssw
+      FROM one
+    )
+    SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+      CAST(floor(ssb * 1000) AS BIGINT) AS ssb_milli,
+      CAST(floor(ssw * 1000) AS BIGINT) AS ssw_milli,
+      CASE WHEN k >= 2 AND n > k AND ssw > 0 THEN
+        CAST(floor((ssb / (CAST(k AS DOUBLE) - 1.0))
+                   / (ssw / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))
+                   * 1000) AS BIGINT)
+      END AS f_milli
+    FROM d
+"""
+
+
+@query("anova_value_by_type", _ANOVA_ORACLE)
+def anova_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F across event types (functions/stats.py::
+    anova_oneway): does mean milli-value differ across categories at
+    all — the numeric companion to chi2_event_hour. The one
+    cross-group ratio sum is carried as order-free micro integers
+    (never a cumulative double window, whose summation order differs
+    between engines); ONE corpus hash agg to the 5-row group frame.
+    """
+    from pysyslog_lfc_spark.functions.stats import anova_oneway
+
+    ev = _t(spark, sf_dir, "events")
+    return anova_oneway(ev, "event_type", F.round(F.col("value") * 1000))

@@ -614,3 +614,62 @@ class TestWilsonCi:
         r = wilson_ci(df, ["k"], F.col("s") == 1).collect()[0]
         assert r.rate_micro == 1_000_000
         assert r.hi_micro <= 1_000_000 and r.lo_micro > 0
+
+
+class TestWelchT:
+    def test_textbook_value(self, spark):
+        from pysyslog_lfc_spark.functions.stats import welch_t
+        import math
+
+        a = [27, 31, 29, 33, 30]      # treated
+        b = [20, 22, 21, 23]          # control
+        rows = [(1, v) for v in a] + [(0, v) for v in b]
+        df = spark.createDataFrame(rows, "t int, y long")
+        r = welch_t(df, F.col("t") == 1, F.col("y")).collect()[0]
+        n1, n0 = len(a), len(b)
+        m1, m0 = sum(a) / n1, sum(b) / n0
+        v1 = (sum(x * x for x in a) - sum(a) ** 2 / n1) / (n1 - 1) / n1
+        v0 = (sum(x * x for x in b) - sum(b) ** 2 / n0) / (n0 - 1) / n0
+        t = (m1 - m0) / math.sqrt(v1 + v0)
+        dfws = (v1 + v0) ** 2 / (v1 * v1 / (n1 - 1) + v0 * v0 / (n0 - 1))
+        assert r.t_milli == math.floor(t * 1000)
+        assert r.df_milli == math.floor(dfws * 1000)
+        assert r.mean_1_micro == 30_000_000
+
+    def test_degenerate_arms_null(self, spark):
+        from pysyslog_lfc_spark.functions.stats import welch_t
+
+        df = spark.createDataFrame([(1, 5), (0, 3), (0, 4)], "t int, y long")
+        r = welch_t(df, F.col("t") == 1, F.col("y")).collect()[0]
+        assert r.t_milli is None  # treated arm has n=1
+
+
+class TestAnovaOneway:
+    def test_matches_hand_computation(self, spark):
+        from pysyslog_lfc_spark.functions.stats import anova_oneway
+        import math
+
+        groups = {"a": [1, 2, 3], "b": [4, 5, 6], "c": [7, 8, 12]}
+        rows = [(g, v) for g, vs in groups.items() for v in vs]
+        df = spark.createDataFrame(rows, "g string, y long")
+        r = anova_oneway(df, "g", F.col("y")).collect()[0]
+        # replicate the micro-floored T definition
+        t_micro = sum(
+            (sum(vs) ** 2 * 1_000_000) // len(vs) for vs in groups.values()
+        )
+        n = sum(len(vs) for vs in groups.values())
+        s = sum(sum(vs) for vs in groups.values())
+        q = sum(v * v for vs in groups.values() for v in vs)
+        ssb = t_micro / 1e6 - s * s / n
+        ssw = q - t_micro / 1e6
+        f = (ssb / (3 - 1)) / (ssw / (n - 3))
+        assert (r.k, r.n) == (3, 9)
+        assert r.f_milli == math.floor(f * 1000)
+
+    def test_identical_groups_small_f(self, spark):
+        from pysyslog_lfc_spark.functions.stats import anova_oneway
+
+        rows = [(g, v) for g in "ab" for v in [1, 2, 3]]
+        df = spark.createDataFrame(rows, "g string, y long")
+        r = anova_oneway(df, "g", F.col("y")).collect()[0]
+        assert r.f_milli == 0  # between-group SS is exactly 0
