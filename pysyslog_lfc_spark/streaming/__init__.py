@@ -19,4 +19,5 @@ from pysyslog_lfc_spark.streaming.flows import (  # noqa: F401
     streaming_dedup,
     stateful_source_gauge,
     streaming_ewma_anomaly,
+    streaming_flap_dampener,
 )

@@ -797,3 +797,91 @@ def stream_dedup_ingest(
         .trigger(**(trigger or {"availableNow": True}))
     )
     return writer.start()
+
+
+_FLAP_STATE = T.StructType(
+    [
+        T.StructField("last_state", T.IntegerType()),
+        T.StructField("trans_times", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def streaming_flap_dampener(
+    events: DataFrame,
+    key_col: str = "entity",
+    ts_col: str = "ts",
+    state_col: str = "state",
+    window_s: float = 300.0,
+    min_transitions: int = 4,
+):
+    """Streaming flap dampening — the stateful twin of
+    operators/anomaly.py::flap_detection (Nagios/Icinga flap logic at
+    ingest time): per entity, every up/down state CHANGE is emitted
+    with the count of changes inside the trailing ``window_s`` and a
+    ``flapping`` verdict once that count reaches ``min_transitions`` —
+    the alert router drops (or batches) notifications for flapping
+    entities instead of paging on every flip.
+
+    Keyed state = (last state, transition times inside the window):
+    O(min_transitions) per entity because the list is pruned to the
+    window on every update — state size is bounded by churn rate, not
+    stream length. Events inside a batch are processed in (ts)
+    order; the first observation of an entity sets its baseline
+    without counting as a transition.
+
+    Output rows: (key, changed_at epoch-sec, new_state,
+    n_recent_transitions, flapping).
+    """
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, T.StringType()),
+            T.StructField("changed_at", T.DoubleType()),
+            T.StructField("new_state", T.IntegerType()),
+            T.StructField("n_recent_transitions", T.IntegerType()),
+            T.StructField("flapping", T.BooleanType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            last_state, times = state.get
+            times = list(times)
+        else:
+            last_state, times = None, []
+        out = []
+        for pdf in pdfs:
+            for _, row in pdf.sort_values(ts_col).iterrows():
+                s = int(row[state_col])
+                t = (
+                    row[ts_col].timestamp()
+                    if hasattr(row[ts_col], "timestamp")
+                    else float(row[ts_col])
+                )
+                if last_state is None:
+                    last_state = s
+                    continue
+                if s != last_state:
+                    last_state = s
+                    times = [x for x in times if x > t - window_s] + [t]
+                    out.append(
+                        [key[0], t, s, len(times), len(times) >= min_transitions]
+                    )
+        state.update((last_state if last_state is not None else -1, times))
+        yield pd.DataFrame(
+            out,
+            columns=[
+                key_col, "changed_at", "new_state",
+                "n_recent_transitions", "flapping",
+            ],
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=_FLAP_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

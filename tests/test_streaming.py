@@ -839,3 +839,55 @@ def test_stream_dedup_ingest_two_epochs(spark, tmp_path):
     run_once([(10, base), (11, fresh), (12, fresh + " white"), (13, "x y z " * 5)])
     final = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
     assert final == {1, 3, 11, 13}
+
+
+def test_streaming_flap_dampener(spark, tmp_path):
+    """Nagios-style flap dampening at ingest: state changes are
+    emitted with a trailing-window churn count; once an entity crosses
+    the threshold its changes arrive marked flapping=true so the alert
+    router can dampen instead of paging per flip. First observation is
+    a baseline, not a transition."""
+    from pysyslog_lfc_spark.streaming import streaming_flap_dampener
+
+    rows = [
+        # hostA flips every 30s: up,down,up,down,up -> 4 transitions
+        ("hostA", "2024-01-01 10:00:00", 1),
+        ("hostA", "2024-01-01 10:00:30", 0),
+        ("hostA", "2024-01-01 10:01:00", 1),
+        ("hostA", "2024-01-01 10:01:30", 0),
+        ("hostA", "2024-01-01 10:02:00", 1),
+        # hostB: one clean failover -> never flapping
+        ("hostB", "2024-01-01 10:00:00", 1),
+        ("hostB", "2024-01-01 10:03:00", 0),
+        # hostC: steady -> no output at all
+        ("hostC", "2024-01-01 10:00:00", 1),
+        ("hostC", "2024-01-01 10:04:00", 1),
+    ]
+    df = (
+        spark.createDataFrame(rows, "entity string, ts_s string, state int")
+        .withColumn("ts", F.col("ts_s").cast("timestamp"))
+        .drop("ts_s")
+    )
+    src = tmp_path / "flap_in"
+    df.coalesce(1).write.mode("overwrite").parquet(str(src))
+    stream = spark.readStream.schema(df.schema).parquet(str(src))
+    q = (
+        streaming_flap_dampener(
+            stream, window_s=300.0, min_transitions=4
+        )
+        .writeStream.format("memory").queryName("flap_t")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM flap_t").collect()
+    by_key = {}
+    for r in got:
+        by_key.setdefault(r.entity, []).append(r)
+    # hostA: 4 change rows, only the 4th crosses the threshold
+    a = sorted(by_key["hostA"], key=lambda r: r.changed_at)
+    assert [r.n_recent_transitions for r in a] == [1, 2, 3, 4]
+    assert [r.flapping for r in a] == [False, False, False, True]
+    # hostB: single change, not flapping
+    assert len(by_key["hostB"]) == 1 and not by_key["hostB"][0].flapping
+    # hostC: no transitions -> no rows
+    assert "hostC" not in by_key
