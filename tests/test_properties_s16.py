@@ -1,0 +1,150 @@
+"""Property-based replays for the session 16-23 operators: association
+rules vs a brute-force basket count, Gini vs the O(n²) mean-absolute-
+difference definition, weighted median vs the expanded-multiset median,
+Cohen's kappa vs its textbook formula, HRW routing invariants, and
+Welch/ANOVA vs direct float references."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+baskets_strategy = st.lists(
+    st.tuples(st.integers(0, 5), st.sampled_from("vwxyz")),
+    min_size=1,
+    max_size=30,
+)
+
+values_strategy = st.lists(st.integers(0, 50), min_size=1, max_size=20)
+
+weighted_strategy = st.lists(
+    st.tuples(st.integers(0, 20), st.integers(1, 9)), min_size=1, max_size=15
+)
+
+binary_pairs = st.lists(
+    st.tuples(st.integers(0, 1), st.integers(0, 1)), min_size=1, max_size=30
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=baskets_strategy)
+def test_frequent_pairs_match_bruteforce(spark, rows):
+    from collections import Counter
+
+    from pysyslog_lfc_spark.functions.itemsets import frequent_pairs
+
+    df = spark.createDataFrame(rows, "bk long, it string")
+    got = {
+        (r.item_a, r.item_b): r.pair_n
+        for r in frequent_pairs(df, "bk", "it", 1, 1).collect()
+    }
+    baskets = {}
+    for bk, it in rows:
+        baskets.setdefault(bk, set()).add(it)
+    want = Counter()
+    for items in baskets.values():
+        s = sorted(items)
+        for i in range(len(s)):
+            for j in range(i + 1, len(s)):
+                want[(s[i], s[j])] += 1
+    assert got == dict(want)
+
+
+@settings(max_examples=10, deadline=None)
+@given(vals=values_strategy)
+def test_gini_matches_mean_absolute_difference(spark, vals):
+    from pysyslog_lfc_spark.functions.stats import gini_concentration
+
+    df = spark.createDataFrame(
+        [("g", i, v) for i, v in enumerate(vals)], "g string, id long, v long"
+    )
+    r = gini_concentration(df, ["g"], F.col("v"), "id").collect()[0]
+    n, s = len(vals), sum(vals)
+    if s == 0:
+        assert r.gini_micro is None
+        return
+    # G = sum_ij |x_i - x_j| / (2 n^2 mu) = MAD form; rank form must agree
+    mad = sum(abs(a - b) for a in vals for b in vals)
+    g_exact = mad * 1_000_000 // (2 * n * s)
+    assert r.gini_micro == g_exact
+    assert 0 <= r.gini_micro < 1_000_000
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=weighted_strategy)
+def test_weighted_median_equals_expanded_multiset_median(spark, rows):
+    from pysyslog_lfc_spark.functions.stats import weighted_median
+
+    df = spark.createDataFrame(
+        [("g", i, v, w) for i, (v, w) in enumerate(rows)],
+        "g string, id long, v long, w long",
+    )
+    r = weighted_median(df, ["g"], F.col("v"), F.col("w"), "id").collect()[0]
+    expanded = sorted(v for v, w in rows for _ in range(w))
+    # lower weighted median = element at ceil(W/2) in the expansion
+    want = expanded[(len(expanded) - 1) // 2]
+    assert r.wmedian == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(pairs=binary_pairs)
+def test_kappa_matches_textbook_formula(spark, pairs):
+    from pysyslog_lfc_spark.functions.classifier import cohens_kappa
+
+    df = spark.createDataFrame(pairs, "p long, y long")
+    r = cohens_kappa(df, "p", "y").collect()[0]
+    n = len(pairs)
+    a1 = sum(p for p, _ in pairs)
+    b1 = sum(y for _, y in pairs)
+    agree = sum(1 for p, y in pairs if p == y)
+    pe_num = a1 * b1 + (n - a1) * (n - b1)
+    den = n * n - pe_num
+    if den == 0:
+        assert r.kappa_micro is None
+        return
+    num = (agree * n - pe_num) * 1_000_000
+    assert r.kappa_micro == num // den  # python // floors like pmod form
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    keys=st.lists(st.integers(0, 10_000), min_size=1, max_size=60, unique=True),
+    n_shards=st.sampled_from([2, 5, 8]),
+)
+def test_hrw_monotone_growth_property(spark, keys, n_shards):
+    from pysyslog_lfc_spark.operators.bucketing import rendezvous_assign
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    rows = df.select(
+        "k",
+        rendezvous_assign(F.col("k"), n_shards).alias("a"),
+        rendezvous_assign(F.col("k"), n_shards + 1).alias("b"),
+    ).collect()
+    for r in rows:
+        assert 0 <= r.a < n_shards and 0 <= r.b < n_shards + 1
+        # the defining HRW property: adding shard N either steals the
+        # key for N or leaves the assignment untouched
+        assert r.b == r.a or r.b == n_shards
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    a=st.lists(st.integers(0, 30), min_size=2, max_size=12),
+    b=st.lists(st.integers(0, 30), min_size=2, max_size=12),
+)
+def test_welch_t_matches_python_reference(spark, a, b):
+    from pysyslog_lfc_spark.functions.stats import welch_t
+
+    rows = [(1, v) for v in a] + [(0, v) for v in b]
+    df = spark.createDataFrame(rows, "t int, y long")
+    r = welch_t(df, F.col("t") == 1, F.col("y")).collect()[0]
+    n1, n0 = len(a), len(b)
+    v1 = (sum(x * x for x in a) - sum(a) ** 2 / n1) / (n1 - 1) / n1
+    v0 = (sum(x * x for x in b) - sum(b) ** 2 / n0) / (n0 - 1) / n0
+    if v1 + v0 <= 0:
+        assert r.t_milli is None
+        return
+    t = (sum(a) / n1 - sum(b) / n0) / math.sqrt(v1 + v0)
+    assert r.t_milli == math.floor(t * 1000)
