@@ -111,6 +111,172 @@ def encode_ppm(arr) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + arr.astype("uint8").tobytes()
 
 
+def decode_bmp(payload: bytes):
+    """Parse an uncompressed 24-bit BMP (BITMAPINFOHEADER, BI_RGB) to an
+    (h, w, 3) uint8 RGB array — pure struct/numpy, no codec library.
+    BMP stores rows bottom-up as BGR with 4-byte row padding; both are
+    undone here."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<IiI", payload, 14)[:3]
+    # re-read height as signed: negative = top-down rows
+    w, h_signed = struct.unpack_from("<ii", payload, 18)
+    planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    h = abs(h_signed)
+    row_bytes = (w * 3 + 3) & ~3
+    raster = np.frombuffer(
+        payload, dtype=np.uint8, count=row_bytes * h, offset=data_off
+    ).reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
+    if h_signed > 0:  # bottom-up (the common case)
+        raster = raster[::-1]
+    return raster[..., ::-1].copy()  # BGR -> RGB
+
+
+def encode_bmp(arr) -> bytes:
+    """(h, w, 3) uint8 RGB array -> uncompressed 24-bit BMP bytes."""
+    import struct
+
+    import numpy as np
+
+    h, w = arr.shape[:2]
+    row_bytes = (w * 3 + 3) & ~3
+    body = np.zeros((h, row_bytes), dtype=np.uint8)
+    body[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)  # RGB->BGR, flip
+    raster = body.tobytes()
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster),
+                       2835, 2835, 0, 0)
+    hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(raster), 0, 0, 14 + 40)
+    return hdr + info + raster
+
+
+def _png_unfilter(raw, h: int, stride: int, bpp: int):
+    """Undo PNG scanline filters (spec §9: none/sub/up/average/paeth).
+    Sequential per scanline — scanlines are short; the parallelism axis
+    is rows-per-Arrow-batch, not pixels."""
+    import numpy as np
+
+    out = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1)
+        pos += 1 + stride
+        cur = line.astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y > 0 else np.zeros(stride, np.int32)
+        if ftype == 0:
+            rec = cur
+        elif ftype == 2:  # up
+            rec = (cur + prev) & 0xFF
+        elif ftype in (1, 3, 4):  # sub / average / paeth need a left scan
+            rec = np.zeros(stride, np.int32)
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                if ftype == 1:
+                    rec[x] = (cur[x] + a) & 0xFF
+                elif ftype == 3:
+                    rec[x] = (cur[x] + ((a + b) >> 1)) & 0xFF
+                else:
+                    c = prev[x - bpp] if x >= bpp else 0
+                    pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    rec[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = rec.astype(np.uint8)
+    return out
+
+
+def decode_png(payload: bytes):
+    """Parse an 8-bit non-interlaced truecolor PNG (color type 2 RGB or
+    6 RGBA) to an (h, w, 3|4) uint8 array — stdlib zlib + numpy, no
+    codec library. Palette/interlaced/16-bit variants raise."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, idat, meta = 8, [], None
+    while pos < len(payload):
+        length, ctype = struct.unpack_from(">I4s", payload, pos)
+        body = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if ctype == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            meta = (w, h, depth, color, interlace)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+    if meta is None:
+        raise ValueError("PNG without IHDR")
+    w, h, depth, color, interlace = meta
+    if depth != 8 or color not in (2, 6) or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG (depth={depth}, color={color}, interlace={interlace})"
+        )
+    ch = 3 if color == 2 else 4
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG raster size mismatch")
+    return _png_unfilter(raw, h, stride, ch).reshape(h, w, ch)
+
+
+def encode_png(arr) -> bytes:
+    """(h, w, 3|4) uint8 array -> non-interlaced 8-bit PNG (filter 0)."""
+    import struct
+    import zlib
+
+    h, w, ch = arr.shape
+    color = 2 if ch == 3 else 6
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+DECODABLE_FORMATS = ("ppm", "png", "bmp")
+
+
+def decode_image(payload: bytes):
+    """Sniff the payload magic and decode any supported codec-free
+    format (PPM/P6, PNG truecolor, BMP 24-bit) to an (h, w, 3) uint8
+    RGB array; PNG alpha is dropped. Anything else raises
+    NotImplementedError at the exact point Pillow would be called."""
+    if payload.startswith(b"P6"):
+        return decode_ppm(payload)
+    if payload.startswith(b"\x89PNG\r\n\x1a\n"):
+        arr = decode_png(payload)
+        return arr[..., :3] if arr.shape[2] == 4 else arr
+    if payload.startswith(b"BM"):
+        return decode_bmp(payload)
+    raise NotImplementedError(
+        "real decode requires Pillow for compressed codecs; codec-free "
+        "PPM/PNG/BMP are decodable in this container"
+    )
+
+
 def _image_stats_features(arr, dim: int) -> list[float]:
     """Real pixel features: per-channel mean/std (scaled to [0,1]) +
     a coarse luminance histogram, padded/truncated to ``dim``."""
@@ -209,12 +375,13 @@ def image_features(
                     if meta_col in pdf.columns
                     else ("ppm" if payload.startswith(b"P6") else "unknown")
                 )
-                if fmt == "ppm" or payload.startswith(b"P6"):
-                    feats.append(_image_stats_features(decode_ppm(payload), dim))
+                if fmt in DECODABLE_FORMATS or payload[:2] in (b"P6", b"BM") \
+                        or payload.startswith(b"\x89PNG"):
+                    feats.append(_image_stats_features(decode_image(payload), dim))
                 else:
                     raise NotImplementedError(
-                        f"real decode of '{fmt}' requires Pillow; only codec-free "
-                        "PPM is decodable in this container"
+                        f"real decode of '{fmt}' requires Pillow; codec-free "
+                        "PPM/PNG/BMP are decodable in this container"
                     )
             out = pdf[keep].copy()
             out["features"] = feats
@@ -250,19 +417,20 @@ def resize_images(
                 nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
                 raw = bytes(payload)
                 if decode == "real":
-                    if not raw.startswith(b"P6"):
-                        raise NotImplementedError(
-                            f"real resize of '{meta['format']}' requires Pillow; "
-                            "only codec-free PPM is decodable in this container"
-                        )
-                    arr = decode_ppm(raw)
+                    arr = decode_image(raw)  # raises for compressed codecs
                     ah, aw = arr.shape[:2]
                     nw, nh = max(1, int(aw * min(1.0, max_side / max(aw, ah)))), max(
                         1, int(ah * min(1.0, max_side / max(aw, ah)))
                     )
                     ys = (np.arange(nh) * ah // nh).astype(int)
                     xs = (np.arange(nw) * aw // nw).astype(int)
-                    new_payloads.append(encode_ppm(arr[ys][:, xs]))
+                    resized = arr[ys][:, xs]
+                    if raw.startswith(b"\x89PNG"):
+                        new_payloads.append(encode_png(resized))
+                    elif raw.startswith(b"BM"):
+                        new_payloads.append(encode_bmp(resized))
+                    else:
+                        new_payloads.append(encode_ppm(resized))
                 else:
                     ratio = (nw * nh) / (w * h)
                     new_payloads.append(raw[: max(1, int(len(raw) * ratio))])
@@ -432,8 +600,9 @@ def image_ahash(
             hashes = []
             for i in range(len(pdf)):
                 payload = bytes(pdf[payload_col].iloc[i])
-                if decode == "real" or payload.startswith(b"P6"):
-                    arr = decode_ppm(payload)
+                if decode == "real" or payload[:2] in (b"P6", b"BM") \
+                        or payload.startswith(b"\x89PNG"):
+                    arr = decode_image(payload)
                     gray = arr.astype("float64").mean(axis=2)
                     hashes.append(_ahash64(gray))
                 elif decode == "fake":
@@ -442,7 +611,8 @@ def image_ahash(
                     hashes.append(v - (1 << 64) if v >= (1 << 63) else v)
                 else:
                     raise NotImplementedError(
-                        "real aHash requires a decodable payload (PPM in this container)"
+                        "real aHash requires a decodable payload "
+                        "(PPM/PNG/BMP in this container)"
                     )
             out = pdf[keep].copy()
             out["ahash"] = pd.Series(hashes, dtype="int64")

@@ -1649,3 +1649,48 @@ class TestJlProjection:
         # is closer to itself+noise than to an unrelated vector
         v0 = np.array(a[0]); v1 = np.array(a[1])
         assert np.linalg.norm(v0 - v0) < np.linalg.norm(v0 - v1)
+
+
+def test_multimodal_real_png_bmp_decode(spark):
+    """decode='real' covers PNG (stdlib zlib + unfilter) and BMP
+    (struct/numpy) alongside PPM: identical pixels in any of the three
+    containers must produce identical features and identical aHash."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    arr = rng.randint(0, 256, (8, 12, 3), dtype=np.uint8)
+    rows = [
+        (1, MM.encode_ppm(arr), {"width": 12, "height": 8, "format": "ppm"}),
+        (2, MM.encode_png(arr), {"width": 12, "height": 8, "format": "png"}),
+        (3, MM.encode_bmp(arr), {"width": 12, "height": 8, "format": "bmp"}),
+    ]
+    df = spark.createDataFrame(
+        rows, "img_id long, payload binary, image_meta struct<width:int,height:int,format:string>"
+    )
+    feats = {r.img_id: r.features for r in MM.image_features(df, decode="real").collect()}
+    assert feats[1] == feats[2] == feats[3]
+    # resize keeps the container format and stays decodable
+    out = {r.img_id: (bytes(r.payload), r.image_meta) for r in
+           MM.resize_images(df, max_side=6, decode="real").collect()}
+    assert out[2][0].startswith(b"\x89PNG") and out[3][0].startswith(b"BM")
+    for i in (1, 2, 3):
+        dec = MM.decode_image(out[i][0])
+        assert dec.shape[:2] == (out[i][1].height, out[i][1].width)
+        assert max(dec.shape[:2]) <= 6
+    # all three resized variants hold the same pixels
+    assert np.array_equal(MM.decode_image(out[1][0]), MM.decode_image(out[2][0]))
+    assert np.array_equal(MM.decode_image(out[1][0]), MM.decode_image(out[3][0]))
+
+
+def test_multimodal_compressed_codecs_still_raise(spark):
+    """JPEG and friends still raise at the Pillow call site — the
+    honesty contract survives the PNG/BMP upgrade."""
+    rows = [(1, b"\xff\xd8\xff\xe0 fake jpeg", {"width": 2, "height": 2, "format": "jpeg"})]
+    df = spark.createDataFrame(
+        rows, "img_id long, payload binary, image_meta struct<width:int,height:int,format:string>"
+    )
+    with pytest.raises(Exception) as ei:
+        MM.image_features(df, decode="real").collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )
