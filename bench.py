@@ -198,6 +198,7 @@ BENCH_QUERIES = [
     "wilson_error_rate",
     "welch_t_value_by_cohort",
     "anova_value_by_type",
+    "token_prefix_artifacts",
 ]
 
 

@@ -167,3 +167,67 @@ def ngram_continuation_topk(
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+def prefix_sequence_flags(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+) -> DataFrame:
+    """Truncation-artifact detection over token sequences: flag every
+    DISTINCT sequence that is a STRICT PREFIX of some other sequence
+    in the corpus — the training-data hygiene pass that drops the
+    clipped duplicate when a document was ingested both whole and
+    truncated (the prefix teaches the model to stop early).
+
+    The exact set semantics ("∃ an extension") reduce to an ADJACENCY
+    test: in lexicographic token order, every extension of t sorts in
+    a contiguous block immediately after t, so t has an extension iff
+    its immediate successor starts with t. That turns an all-pairs
+    containment join into ONE sort:
+
+    - dedup to distinct sequences (groupBy the array — keeps the
+      min id as representative and the duplicate count),
+    - ``repartitionByRange`` on the token array (Spark's distributed
+      range sort — never a single-task global window),
+    - per-partition ``lead`` for the successor; partition boundaries
+      are healed with a ≤|partitions|-row "first element of each
+      partition" frame (the only unpartitioned window runs over that
+      bounded frame),
+    - strict-prefix check = pure codegen slice/size comparison.
+
+    Returns one row per distinct sequence:
+    (rep_id, n_dups, n_tok, is_strict_prefix).
+    """
+    d = (
+        df.select(F.col(id_col).alias("_id"), F.col(tokens_col).alias("_t"))
+        .groupBy("_t")
+        .agg(
+            F.min("_id").alias("rep_id"),
+            F.count(F.lit(1)).cast("long").alias("n_dups"),
+        )
+    )
+    ranged = d.repartitionByRange(F.col("_t")).sortWithinPartitions("_t")
+    ranged = ranged.withColumn("_pid", F.spark_partition_id())
+    w = Window.partitionBy("_pid").orderBy("_t")
+    firsts = ranged.groupBy("_pid").agg(F.min("_t").alias("_first"))
+    wf = Window.orderBy("_pid")  # bounded: one row per partition
+    nxt_first = firsts.select(
+        "_pid", F.lead("_first").over(wf).alias("_next_first")
+    )
+    cand = F.coalesce(F.lead("_t").over(w), F.col("_next_first"))
+    flagged = (
+        ranged.join(F.broadcast(nxt_first), "_pid", "left")
+        .withColumn("_cand", cand)
+        .select(
+            "rep_id",
+            "n_dups",
+            F.size("_t").alias("n_tok"),
+            (
+                F.col("_cand").isNotNull()
+                & (F.size("_cand") > F.size("_t"))
+                & (F.slice("_cand", 1, F.size("_t")) == F.col("_t"))
+            ).alias("is_strict_prefix"),
+        )
+    )
+    return flagged

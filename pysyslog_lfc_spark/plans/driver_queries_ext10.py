@@ -1333,3 +1333,66 @@ def anova_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     return anova_oneway(ev, "event_type", F.round(F.col("value") * 1000))
+
+
+_PREFIX_ORACLE = r"""
+    WITH toks AS (
+      SELECT doc_id, list_transform(
+               list_filter(string_split_regex(lower(text), '\s+'), w -> w != ''),
+               w -> CAST(('0x' || substr(md5(w), 1, 15))::BIGINT % 65536 AS INT)
+             ) AS t
+      FROM documents
+    ),
+    corpus AS (
+      SELECT doc_id AS id, t FROM toks
+      UNION ALL
+      SELECT doc_id + 1000000 AS id,
+             t[1:greatest(1, len(t) // 2)] AS t
+      FROM toks WHERE doc_id % 9 = 0 AND len(t) >= 2
+    ),
+    d AS (
+      SELECT t, MIN(id) AS rep_id, COUNT(*) AS n_dups
+      FROM corpus GROUP BY t
+    ),
+    adj AS (
+      SELECT rep_id, n_dups, len(t) AS n_tok, t,
+             lead(t) OVER (ORDER BY t) AS nxt
+      FROM d
+    )
+    SELECT rep_id, CAST(n_dups AS BIGINT) AS n_dups,
+           CAST(n_tok AS INT) AS n_tok,
+           nxt IS NOT NULL AND len(nxt) > n_tok AND nxt[1:n_tok] = t
+             AS is_strict_prefix
+    FROM adj
+"""
+
+
+@query("token_prefix_artifacts", _PREFIX_ORACLE)
+def token_prefix_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncation-artifact detection (functions/tokens.py::
+    prefix_sequence_flags): every distinct token sequence flagged when
+    it is a strict prefix of another sequence — the hygiene pass that
+    drops clipped duplicates. Deterministic injections (half-length
+    copies of every 9th document) give the gate real positives. The
+    exact ∃-extension semantics reduce to lexicographic ADJACENCY
+    after a distributed range sort — never an all-pairs containment
+    join; the oracle runs the single ORDER-BY window the Spark side
+    must never plan.
+    """
+    from pysyslog_lfc_spark.functions.tokens import prefix_sequence_flags
+    from pysyslog_lfc_spark.plans.curation import hash_token_ids
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", hash_token_ids(F.col("text")).alias("t"))
+    injected = toks.filter(
+        (F.col("doc_id") % 9 == 0) & (F.size("t") >= 2)
+    ).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.slice(
+            F.col("t"), 1,
+            F.greatest(F.lit(1), (F.size("t") - F.pmod(F.size("t"), F.lit(2))) / 2)
+            .cast("int"),
+        ).alias("t"),
+    )
+    corpus = toks.unionByName(injected)
+    return prefix_sequence_flags(corpus, "doc_id", "t")

@@ -673,3 +673,33 @@ class TestAnovaOneway:
         df = spark.createDataFrame(rows, "g string, y long")
         r = anova_oneway(df, "g", F.col("y")).collect()[0]
         assert r.f_milli == 0  # between-group SS is exactly 0
+
+
+class TestPrefixSequenceFlags:
+    def test_strict_prefix_detected_through_duplicates(self, spark):
+        from pysyslog_lfc_spark.functions.tokens import prefix_sequence_flags
+
+        rows = [
+            (1, [1, 2]), (2, [1, 2]),          # duplicated prefix
+            (3, [1, 2, 3]),                     # its extension
+            (4, [5, 6]),                        # no extension
+            (5, [1, 3]),                        # shares first token only
+            (6, []),                            # empty: prefix of everything
+        ]
+        df = spark.createDataFrame(rows, "id long, t array<int>")
+        out = {tuple(): None}
+        got = {r.rep_id: r for r in prefix_sequence_flags(df, "id", "t").collect()}
+        assert got[1].is_strict_prefix and got[1].n_dups == 2  # dups healed
+        assert not got[3].is_strict_prefix
+        assert not got[4].is_strict_prefix
+        assert not got[5].is_strict_prefix
+        assert got[6].is_strict_prefix and got[6].n_tok == 0
+
+    def test_chain_of_prefixes(self, spark):
+        from pysyslog_lfc_spark.functions.tokens import prefix_sequence_flags
+
+        rows = [(i, list(range(i))) for i in range(1, 6)]  # [0], [0,1], ...
+        df = spark.createDataFrame(rows, "id long, t array<int>")
+        got = {r.rep_id: r.is_strict_prefix
+               for r in prefix_sequence_flags(df, "id", "t").collect()}
+        assert got == {1: True, 2: True, 3: True, 4: True, 5: False}

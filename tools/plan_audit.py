@@ -165,6 +165,7 @@ AUDIT_QUERIES = [
     "wilson_error_rate",
     "welch_t_value_by_cohort",
     "anova_value_by_type",
+    "token_prefix_artifacts",
 ]
 
 
