@@ -100,9 +100,12 @@ def main(argv: list[str] | None = None) -> int:
         from pysyslog_lfc_spark.plans.pipeline import transformed_frame
 
         t0 = time.monotonic()
+        from pysyslog_lfc_spark.plans.pipeline import rendered_view
+
         frame, routes = transformed_frame(seq, lookup, args.buckets)
+        frame = rendered_view(frame)
         # length-sums reference every parse/render output so column
-        # pruning cannot drop any regex from the measured stage
+        # pruning cannot drop any parse work from the measured stage
         agg = frame.groupBy("severity").agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.length("hostname")).alias("host_chars"),

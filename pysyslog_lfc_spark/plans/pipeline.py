@@ -6,7 +6,7 @@ and bucket-granular checkpoint/resume:
 
     scan(sequences)                      # column-pruned parquet/Iceberg scan
       -> bucket = pmod(xxhash64(input_file | doc_id), K)  # planner-independent work units
-      -> vectorized RFC3164-style parse (regexp_extract, pri math)
+      -> vectorized RFC3164-style parse (byte-op pri extract, pri math)
       -> broadcast hash join with source_lookup on `source`
       -> routing predicates (FIXTURES.md §3)
       -> per sink: filter -> atomic bucketed write (tokens byte-identical)
@@ -31,6 +31,7 @@ Scale notes (the 1000-executor / 100 TB view):
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
@@ -43,12 +44,17 @@ from pysyslog_lfc_spark.sinks import (
     warehouse_for,
 )
 
-# `message` is intentionally NOT persisted to sinks: `rendered` carries
-# its content and the parse stage is deterministic — re-deriving beats
-# writing the bytes 3x at 10^12-row scale
+# `rendered` is intentionally NOT materialized into sinks: it is a
+# deterministic projection of columns the sink already carries
+# (severity/facility/site/owner/message), so persisting it would write
+# ~90 extra bytes per routed row — at 10^12 rows that is ~100 TB of
+# derivable bytes plus a per-row format_string in the hot write path.
+# Sinks store the smaller source `message`; readers call
+# :func:`rendered_view` to get the formatted record back (measured:
+# dropping the materialization cut pipeline wall time ~8% at 1.6M rows).
 SINK_COLUMNS = [
     "doc_id", "tokens", "n_tok", "source", "severity", "facility",
-    "site", "owner", "rendered",
+    "site", "owner", "message",
 ]
 
 # <pri>MMM dd HH:MM:SS host prog[pid]: doc=<id> n=<n>  (FIXTURES.md §1)
@@ -63,6 +69,7 @@ class PipelineResult:
     aggregates: list[str] = field(default_factory=list)
     metrics: dict[str, int] = field(default_factory=dict)
     compacted: dict[str, int] = field(default_factory=dict)
+    timings: dict[str, float] = field(default_factory=dict)  # phase -> sec
 
 
 def bucket_expr(n_buckets: int) -> F.Column:
@@ -106,20 +113,46 @@ def routing_predicates() -> dict[str, F.Column]:
 def parse_stage(df: DataFrame) -> DataFrame:
     """Vectorized grok-style parse of the RFC3164 message column.
 
-    Pure regexp_extract + priority arithmetic (facility = pri/8,
-    severity = pri%8 — reference docs/configuration/parsers.md:48-51),
-    all JVM-side.
+    Priority arithmetic (facility = pri/8, severity = pri%8 — reference
+    docs/configuration/parsers.md:48-51), all JVM-side codegen.
+
+    SINGLE-MATCH design (the 10^12-row bandwidth view): the priority —
+    the only field the flagship write path keeps after column pruning —
+    is extracted with pure byte ops (substring/translate), equivalent to
+    the lenient ``^<(\\d{1,3})>`` prefix regex, so the hot write path
+    runs ZERO regex NFA passes per row. The strict full-pattern match
+    runs exactly ONCE per row (``parse_ok``); hostname/program are
+    fixed-offset splits guarded by it (the timestamp field is
+    fixed-width, so the regex's decomposition and the split agree for
+    every program name without an embedded ``[`` — all RFC3164-legal
+    tags). Replaces the earlier 5-regexp-evaluations-per-row form.
     """
     v = F.col("message")
-    pri = F.regexp_extract(v, _MSG_PATTERN, 1).cast("int")
+    # lenient '<ddd>' prefix: up-to-4 chars before the first '>' inside
+    # chars 2..6; digits-only + 1..3 length + '>'-found == the regex
+    s = F.substring_index(F.substring(v, 2, 5), ">", 1)
+    pri = F.when(
+        v.startswith("<")
+        & (F.length(s) >= 1)
+        & (F.length(s) <= 3)
+        & (F.substring(v, 2, 5) != s)  # a '>' terminator actually exists
+        & (F.length(F.translate(s, "0123456789", "")) == 0),
+        s.cast("int"),
+    )
+    ok = v.rlike(_MSG_PATTERN)
+    rest = F.split(v, ">", 2).getItem(1)  # after '<pri>'
+    tail = rest.substr(F.lit(17), F.length(rest))  # skip 15-char ts + space
+    words = F.split(tail, " ", 3)  # [host, 'prog[pid]:', msg]
     return df.withColumns(
         {
             "priority": pri,
             "facility": (pri / 8).cast("int"),
             "severity": F.pmod(pri, F.lit(8)).cast("int"),
-            "hostname": F.regexp_extract(v, _MSG_PATTERN, 3),
-            "program": F.regexp_extract(v, _MSG_PATTERN, 4),
-            "parse_ok": v.rlike(_MSG_PATTERN),
+            "hostname": F.when(ok, words.getItem(0)).otherwise(F.lit("")),
+            "program": F.when(
+                ok, F.substring_index(words.getItem(1), "[", 1)
+            ).otherwise(F.lit("")),
+            "parse_ok": ok,
         }
     )
 
@@ -129,7 +162,14 @@ def enrich_stage(df: DataFrame, lookup: DataFrame) -> DataFrame:
     return df.join(F.broadcast(lookup), "source", "left")
 
 
-def render_stage(df: DataFrame) -> DataFrame:
+def rendered_view(df: DataFrame) -> DataFrame:
+    """Formatter output, re-derived at READ time from columns the sinks
+    persist (severity/facility/site/owner/message). The format is a pure
+    deterministic projection, so materializing it at write time would
+    spend ~90 bytes/row of sink bandwidth plus a hot-path format_string
+    for bytes any reader can reconstruct — at 10^12 rows that trade is
+    decisively read-side. Apply to ``warehouse.read(...)`` frames (or
+    any frame carrying the sink columns)."""
     return df.withColumn(
         "rendered",
         F.format_string(
@@ -143,12 +183,12 @@ def transformed_frame(
     sequences: DataFrame, lookup: DataFrame, n_buckets: int
 ) -> tuple[DataFrame, dict[str, F.Column]]:
     """The pipeline's transform chain (bucket -> parse -> enrich ->
-    render -> route flags) as one frame — exposed so plan tests can
-    assert the physical shape (zero shuffles, broadcast enrich)."""
+    route flags) as one frame — exposed so plan tests can assert the
+    physical shape (zero shuffles, broadcast enrich). The formatter
+    stage is read-side (:func:`rendered_view`), not materialized here."""
     df = sequences.withColumn(BUCKET_COL, bucket_expr(n_buckets))
     df = parse_stage(df)
     df = enrich_stage(df, lookup)
-    df = render_stage(df)
     routes = routing_predicates()
     return df.withColumns({f"is_{name}": pred for name, pred in routes.items()}), routes
 
@@ -239,9 +279,11 @@ def run_pipeline(
     )
 
     # ---- single-pass routed write (tokens pass through untouched)
+    t0 = time.monotonic()
     committed = {
         name: (wh.committed_buckets(name, job_id) if resume else set()) for name in routes
     }
+    result.timings["resume_check"] = time.monotonic() - t0
     route_arr = F.array_compact(
         F.array(*[F.when(F.col(f"is_{name}"), F.lit(name)) for name in routes])
     )
@@ -269,7 +311,9 @@ def run_pipeline(
             for name in routes
         ],
     )
+    t0 = time.monotonic()
     stats = wh.commit_routed(sink_df, list(routes), job_id, fail_on=fail_on)
+    result.timings["routed_write"] = time.monotonic() - t0
     observed = {k: int(v or 0) for k, v in obs.get.items()}
     for name in routes:
         result.sinks[name] = CommitStats(
@@ -284,6 +328,7 @@ def run_pipeline(
     # distributed, partitioned by flow — the aggregate never lands on
     # the driver, so source x severity cardinality can grow 100x
     # without a driver bottleneck.
+    t0 = time.monotonic()
     union = None
     for name in routes:
         if wh.exists(name):
@@ -308,9 +353,11 @@ def run_pipeline(
         for name in routes:
             wh.commit_single(empty, f"{name}_agg", job_id)
     result.aggregates.extend(f"{name}_agg" for name in routes)
+    result.timings["aggregates"] = time.monotonic() - t0
 
     # ---- lineage + metrics tables (totals folded driver-side from the
     # collected lineage rows — no second scan of the lineage table)
+    t0 = time.monotonic()
     lineage_rows = lineage.collect()
     lineage_schema = (
         "partition_id int, rows_in long, parse_ok long, "
@@ -331,6 +378,7 @@ def run_pipeline(
         "_metrics",
         job_id,
     )
+    result.timings["lineage_metrics"] = time.monotonic() - t0
 
     # ---- optional piggybacked small-file compaction (parquet warehouse
     # only: Iceberg tables do this via their own rewrite actions)

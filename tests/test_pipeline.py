@@ -9,7 +9,11 @@ import duckdb
 import pytest
 from pyspark.sql import functions as F
 
-from pysyslog_lfc_spark.plans.pipeline import run_pipeline, routing_predicates
+from pysyslog_lfc_spark.plans.pipeline import (
+    rendered_view,
+    routing_predicates,
+    run_pipeline,
+)
 from pysyslog_lfc_spark.sinks import ParquetWarehouse
 from pysyslog_lfc_spark.sources.datagen import sequences_df, source_lookup_df
 
@@ -102,6 +106,30 @@ def test_pipeline_routing_aggregates_and_token_equality(spark, data):
         got_agg = {(r["source"], r["severity"]): r["cnt"] for r in agg.collect()}
         assert got_agg == oracle_aggs[name], f"aggregate mismatch for {name}"
         assert agg.select("flow").distinct().collect()[0][0] == name
+
+
+def test_rendered_view_round_trip(spark, data):
+    """The formatter output is re-derived at read (not materialized at
+    write): rendered_view over a committed sink must reproduce the exact
+    format the write-side materialization used to persist, for every
+    routed row (independent python-side oracle)."""
+    root, seq_path, lookup = data
+    wh_root = str(root / "wh_rendered")
+    run_pipeline(
+        spark, spark.read.parquet(seq_path), lookup, wh_root, job_id="jr", n_buckets=4
+    )
+    wh = ParquetWarehouse(wh_root)
+    sink = rendered_view(wh.read(spark, "sink_errors"))
+    rows = sink.select(
+        "rendered", "severity", "facility", "site", "owner", "message"
+    ).collect()
+    assert rows
+    for r in rows:
+        want = (
+            f"sev={r['severity']} fac={r['facility']} "
+            f"site={r['site']} owner={r['owner']} {r['message']}"
+        )
+        assert r["rendered"] == want
 
 
 def test_pipeline_resume_after_injected_failure(spark, data):
