@@ -271,11 +271,15 @@ def minhash_lsh_pairs(
         .select(F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"))
         .distinct()
     )
+    # Materialize the candidate id-pair set ONCE before verification:
+    # _verify_jaccard_pairs references it from two plan branches, and
+    # even with AQE exchange reuse the replanted signature/band subtree
+    # cost ~+2s of the ~6.5s sf0.1 wall (measured). The frame is bare
+    # id pairs — LSH keeps it ~O(dup pairs), tiny next to the corpus —
+    # so pinning it is cheap at any scale. (localCheckpoint truncates
+    # the formatted plan here; per-stage shape is documented above.)
+    cand = cand.localCheckpoint(eager=True)
     # exact verification on candidates only (see _verify_jaccard_pairs).
-    # Deriving cand_ids re-plans the candidate subtree, but its
-    # expensive stages are the signature aggregation exchanges, which
-    # AQE reuses at runtime (verified: same wall time as a single
-    # evaluation at sf0.1).
     return _verify_jaccard_pairs(df, cand, text_col, id_col, n, threshold)
 
 
@@ -991,6 +995,7 @@ def semantic_dedup(
     centroid_stride: int = 37,
     centroids=None,
     row_block: int = 4096,
+    max_centroids: int = 4096,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster embeddings around coarse centroids, then
@@ -1008,6 +1013,11 @@ def semantic_dedup(
     paper's knob; pass a ``kmeans_centroids`` matrix for trained cells,
     or leave the deterministic ``id % centroid_stride`` sample for a
     reproducible index the DuckDB oracle can replay cell-for-cell).
+    The fallback sample is BUDGETED: stride die -> ``ORDER BY id LIMIT
+    max_centroids`` plans as TakeOrderedAndProject, so the driver
+    collects at most ``max_centroids`` vectors (~``max_centroids`` x
+    dim x 8 bytes — 32 MB at 4096 x 1024-dim) no matter the corpus
+    size; at 10^9+ docs pass trained ``centroids`` instead.
     Assignment is one broadcast BLAS matmul per Arrow batch (centroid
     matrix rides the closure); the only shuffle carries (id, vec, cell)
     once, to group cells; the intra-cell matmul runs in row blocks of
@@ -1029,6 +1039,8 @@ def semantic_dedup(
         rows = (
             df.where(F.col(id_col) % centroid_stride == 0)
             .select(id_col, vec_col)
+            .orderBy(id_col)
+            .limit(int(max_centroids))
             .collect()
         )
         c_ids = np.array([r[0] for r in rows], dtype="int64")

@@ -399,10 +399,13 @@ def kcore(
     distributed and AQE broadcasts it only when it is actually small).
     The edge frame is ``localCheckpoint``-pinned per round (the same
     lineage-cut rationale as :func:`connected_components`) and the
-    loop exits when the surviving-edge count stops changing; the
-    fixpoint is unique (the k-core is), so convergence order does not
-    matter. Rounds needed = longest deletion cascade; ``max_iter``
-    bounds pathological chains.
+    loop exits when the surviving-edge count stops changing; deletion
+    is monotone, so an unchanged count proves an unchanged edge set.
+    The checkpoint is LAZY and the count() right after it is the one
+    materializing action — ONE driver action per round, not a separate
+    checkpoint job plus a count job. The fixpoint is unique (the
+    k-core is), so convergence order does not matter. Rounds needed =
+    longest deletion cascade; ``max_iter`` bounds pathological chains.
     """
     e = (
         edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
@@ -412,18 +415,18 @@ def kcore(
     sym = (
         e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    prev = sym.count()
+    prev = sym.count()  # materializes the checkpoint: one action
     for _ in range(max(1, max_iter)):
         deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("__d"))
         keep = deg.where(F.col("__d") >= k).select("u")
         sym = (
             sym.join(keep, "u", "left_semi")
             .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        cur = sym.count()
+        cur = sym.count()  # materializes this round's checkpoint too
         if cur == prev:
             break
         prev = cur

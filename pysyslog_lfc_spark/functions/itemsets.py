@@ -52,6 +52,31 @@ def basket_items(df: DataFrame, basket_col: str, item_col: str) -> DataFrame:
     ).distinct()
 
 
+def _pruned_stream(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_item_support: int,
+    max_basket_items: int | None,
+) -> tuple[DataFrame, DataFrame | None]:
+    """Shared prune pipeline: distinct basket stream -> frequent-item
+    filter -> optional oversized-basket drop. Returns ``(fb,
+    keep_baskets)`` where ``fb`` is the pruned (basket, item) stream
+    the pair self-join runs over and ``keep_baskets`` is the surviving
+    basket-key frame (None when no cap was applied). Basket size for
+    the cap counts FREQUENT items only — the cap exists to bound the
+    k^2 fan-out, which only frequent items contribute to."""
+    b = basket_items(df, basket_col, item_col)
+    sup = b.groupBy("item").agg(F.count(F.lit(1)).alias("item_n"))
+    freq = sup.filter(F.col("item_n") >= min_item_support).select("item")
+    fb = b.join(freq, "item")
+    if max_basket_items is None:
+        return fb, None
+    sizes = fb.groupBy("basket").agg(F.count(F.lit(1)).alias("_bn"))
+    keep = sizes.filter(F.col("_bn") <= max_basket_items).select("basket")
+    return fb.join(keep, "basket"), keep
+
+
 def frequent_pairs(
     df: DataFrame,
     basket_col: str,
@@ -69,26 +94,22 @@ def frequent_pairs(
     with an infrequent member can be frequent, so pruning first is
     lossless.
     """
-    b = basket_items(df, basket_col, item_col)
-    sup = b.groupBy("item").agg(F.count(F.lit(1)).alias("item_n"))
-    freq = sup.filter(F.col("item_n") >= min_item_support).select("item")
-    fb = b.join(freq, "item")
-    if max_basket_items is not None:
-        sizes = fb.groupBy("basket").agg(F.count(F.lit(1)).alias("_bn"))
-        fb = fb.join(
-            sizes.filter(F.col("_bn") <= max_basket_items).select("basket"),
-            "basket",
-        )
+    fb, _ = _pruned_stream(
+        df, basket_col, item_col, min_item_support, max_basket_items
+    )
+    return _pairs_from(fb, min_pair_support)
+
+
+def _pairs_from(fb: DataFrame, min_pair_support: int) -> DataFrame:
     left = fb.select("basket", F.col("item").alias("item_a"))
     right = fb.select("basket", F.col("item").alias("item_b"))
-    pairs = (
+    return (
         left.join(right, "basket")
         .filter(F.col("item_a") < F.col("item_b"))
         .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).alias("pair_n"))
         .filter(F.col("pair_n") >= min_pair_support)
     )
-    return pairs
 
 
 def association_rules(
@@ -108,8 +129,21 @@ def association_rules(
     lift > 1 (micro > 1e6) = the pair co-occurs more than independence
     predicts. The support frame joins in twice (antecedent and
     consequent); the basket total is a broadcast scalar.
+
+    When ``max_basket_items`` drops oversized baskets, EVERY statistic
+    — pair counts, item supports, and the basket total — is computed
+    over the same capped basket universe, so confidence and lift keep
+    their probabilistic definitions on the mined population (counting
+    supports over uncapped baskets would systematically understate
+    both). The cap membership itself derives from pre-cap frequent-item
+    counts, one-shot, not iterated to fixpoint.
     """
+    fb, keep = _pruned_stream(
+        df, basket_col, item_col, min_item_support, max_basket_items
+    )
     b = basket_items(df, basket_col, item_col)
+    if keep is not None:
+        b = b.join(keep, "basket")  # supports/total over the capped universe
     # basket total as a broadcast 1-row frame, NOT a driver-side
     # .count() action: the lift constant must not cost an extra job
     # over the basket stream at plan time
@@ -117,14 +151,7 @@ def association_rules(
         F.countDistinct("basket").cast("long").alias("_n_baskets")
     )
     sup = b.groupBy("item").agg(F.count(F.lit(1)).alias("item_n"))
-    pairs = frequent_pairs(
-        df,
-        basket_col,
-        item_col,
-        min_item_support=min_item_support,
-        min_pair_support=min_pair_support,
-        max_basket_items=max_basket_items,
-    )
+    pairs = _pairs_from(fb, min_pair_support)
     directed = pairs.select(
         F.col("item_a").alias("antecedent"),
         F.col("item_b").alias("consequent"),

@@ -159,7 +159,15 @@ def encode_bmp(arr) -> bytes:
 def _png_unfilter(raw, h: int, stride: int, bpp: int):
     """Undo PNG scanline filters (spec §9: none/sub/up/average/paeth).
     Sequential per scanline — scanlines are short; the parallelism axis
-    is rows-per-Arrow-batch, not pixels."""
+    is rows-per-Arrow-batch, not pixels.
+
+    Per-line cost: none/up are whole-line numpy ops; sub — the filter
+    real encoders emit most — is a per-lane modular cumsum (vectorized:
+    rec[x] = cur[x] + rec[x-bpp] telescopes to a running sum mod 256);
+    average/paeth carry a true sequential dependence, so they scan
+    per PIXEL (bpp-wide numpy lanes), not per byte. Very large
+    average/paeth-heavy images remain the slow path — that bound is
+    inherent to the filter recurrences without a C codec."""
     import numpy as np
 
     out = np.zeros((h, stride), dtype=np.uint8)
@@ -172,22 +180,29 @@ def _png_unfilter(raw, h: int, stride: int, bpp: int):
         prev = out[y - 1].astype(np.int32) if y > 0 else np.zeros(stride, np.int32)
         if ftype == 0:
             rec = cur
+        elif ftype == 1:  # sub: per-lane cumulative sum mod 256
+            lanes = cur.reshape(stride // bpp, bpp)
+            rec = (np.cumsum(lanes, axis=0, dtype=np.int64) & 0xFF).reshape(stride)
         elif ftype == 2:  # up
             rec = (cur + prev) & 0xFF
-        elif ftype in (1, 3, 4):  # sub / average / paeth need a left scan
+        elif ftype in (3, 4):  # average / paeth: left-to-right per pixel
             rec = np.zeros(stride, np.int32)
-            for x in range(stride):
-                a = rec[x - bpp] if x >= bpp else 0
-                b = prev[x]
-                if ftype == 1:
-                    rec[x] = (cur[x] + a) & 0xFF
-                elif ftype == 3:
-                    rec[x] = (cur[x] + ((a + b) >> 1)) & 0xFF
+            a = np.zeros(bpp, np.int32)  # reconstructed left pixel
+            c = np.zeros(bpp, np.int32)  # upper-left pixel
+            for x0 in range(0, stride, bpp):
+                b = prev[x0 : x0 + bpp]
+                if ftype == 3:
+                    pred = (a + b) >> 1
                 else:
-                    c = prev[x - bpp] if x >= bpp else 0
-                    pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
-                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                    rec[x] = (cur[x] + pred) & 0xFF
+                    pa = np.abs(b - c)
+                    pb = np.abs(a - c)
+                    pc = np.abs(a + b - 2 * c)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+                    )
+                rec[x0 : x0 + bpp] = (cur[x0 : x0 + bpp] + pred) & 0xFF
+                a = rec[x0 : x0 + bpp]
+                c = b
         else:
             raise ValueError(f"unknown PNG filter type {ftype}")
         out[y] = rec.astype(np.uint8)

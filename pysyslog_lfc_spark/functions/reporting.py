@@ -282,9 +282,14 @@ def table_diff(
     """Keyed snapshot diff — the dataset-versioning audit between two
     states of a table: every key classified as ``added`` (new only),
     ``removed`` (old only), ``changed`` (both, fingerprint differs) or
-    ``unchanged``. The row fingerprint is a portable md5 over the
-    compared columns with an unambiguous separator/null sentinel, so
-    the verdict is content-derived (resume-safe, oracle-replayable)
+    ``unchanged``. The row fingerprint is INJECTIVE by construction:
+    each column is md5-hashed first (fixed 32 hex chars; NULL becomes
+    the 1-char non-hex sentinel ``-``), and the row hash is the md5 of
+    the separator-joined fixed-width pieces — no column value can
+    collide with a separator or the null sentinel (a raw
+    ``concat_ws(sep, ...)`` would misclassify values containing the
+    separator byte as ``unchanged``), so the verdict is content-derived
+    (resume-safe, oracle-replayable)
     and only keys + one hash column travel through the full outer
     join — never the wide rows. Sibling of operators/joins.py::
     snapshot_diff, which returns the per-key old/new VALUES for
@@ -298,8 +303,11 @@ def table_diff(
     sep = "\x1f"
 
     def fp(df: DataFrame) -> Column:
+        # md5 per column -> fixed-width hex (or '-' for NULL), then one
+        # md5 over the join: injective regardless of column content
         parts = [
-            F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in compare_cols
+            F.coalesce(F.md5(F.col(c).cast("string")), F.lit("-"))
+            for c in compare_cols
         ]
         return F.md5(F.concat_ws(sep, *parts))
 

@@ -264,6 +264,7 @@ def build_vocab(
     min_count: int = 1,
     specials: tuple[str, ...] = (),
     lowercase: bool = False,
+    max_vocab: int | None = None,
 ) -> DataFrame:
     """Frequency-ranked vocabulary table — the tokenizer-training step
     of an LLM data pipeline: ``(token, n, token_id)`` with ids assigned
@@ -271,11 +272,20 @@ def build_vocab(
     pure function of the corpus), ``specials`` pinned to ids 0..k-1.
 
     Scale shape: explode + one partial-agg shuffle on token collapses
-    the corpus to |V| rows; the only non-distributed step is the final
-    rank, a single-task window over the ALREADY-AGGREGATED vocab —
-    bounded by vocab size (~10^6-10^7 short rows even at 100 TB of
-    text), not by corpus size. min_count pruning happens before the
-    rank, post-aggregation.
+    the corpus to |V| rows; ranking is then fully distributed —
+    no single-task global window anywhere:
+
+    - ``max_vocab`` set (the production tokenizer path — real vocabs
+      are capped at 32k-256k entries): ``orderBy().limit()`` plans as
+      TakeOrderedAndProject (per-partition top-k, merged on the
+      driver), so only ``max_vocab`` short rows ever converge, and the
+      rank window runs over that capped frame.
+    - uncapped: two-level rank (:func:`~pysyslog_lfc_spark.functions.
+      curriculum.global_rank` on key ``(-n, token)``) — within-count
+      window partitioned by ``n`` plus a broadcast cumulative-offset
+      join over the |distinct counts| frame. Worst single task is the
+      largest tie class (the hapax bucket under Zipf), never the whole
+      vocabulary.
     """
     from pyspark.sql import Window
 
@@ -289,10 +299,23 @@ def build_vocab(
         .agg(F.count(F.lit(1)).alias("n"))
         .where(F.col("n") >= min_count)
     )
-    w = Window.orderBy(F.desc("n"), F.asc("token"))
-    ranked = counts.withColumn(
-        "token_id", F.row_number().over(w) - 1 + len(specials)
-    )
+    if max_vocab is not None:
+        # TakeOrderedAndProject: distributed top-k, max_vocab-bounded
+        capped = counts.orderBy(F.desc("n"), F.asc("token")).limit(int(max_vocab))
+        w = Window.orderBy(F.desc("n"), F.asc("token"))
+        ranked = capped.withColumn(
+            "token_id", F.row_number().over(w) - 1 + len(specials)
+        )
+    else:
+        from pysyslog_lfc_spark.functions.curriculum import global_rank
+
+        ranked = (
+            global_rank(counts, -F.col("n"), "token", out_score="__neg_n")
+            .withColumn(
+                "token_id", (F.col("global_rank") - 1 + len(specials)).cast("int")
+            )
+            .select("token", "n", "token_id")
+        )
     if not specials:
         return ranked
     spark = df.sparkSession

@@ -1289,7 +1289,8 @@ def enrich_cidr_lpm(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_semantic",
     """
     WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         cent AS (SELECT vec_id AS cid, v AS cv FROM c WHERE vec_id % 37 = 0),
+         cent AS (SELECT vec_id AS cid, v AS cv FROM c
+                  WHERE vec_id % 37 = 0 ORDER BY vec_id LIMIT 4096),
          assign AS (
            SELECT vec_id, cid FROM (
              SELECT c.vec_id, cent.cid,

@@ -814,6 +814,7 @@ def streaming_flap_dampener(
     state_col: str = "state",
     window_s: float = 300.0,
     min_transitions: int = 4,
+    idle_timeout_s: float | None = None,
 ):
     """Streaming flap dampening — the stateful twin of
     operators/anomaly.py::flap_detection (Nagios/Icinga flap logic at
@@ -825,15 +826,30 @@ def streaming_flap_dampener(
 
     Keyed state = (last state, transition times inside the window):
     O(min_transitions) per entity because the list is pruned to the
-    window on every update — state size is bounded by churn rate, not
-    stream length. Events inside a batch are processed in (ts)
-    order; the first observation of an entity sets its baseline
-    without counting as a transition.
+    window on every update. PER-entity state is bounded by churn rate;
+    TOTAL state is bounded by entity cardinality × idle eviction:
+    ``idle_timeout_s`` (default ``10 * window_s``) evicts entities that
+    produced no events for that long, via a processing-time timeout.
+    An evicted entity that later reappears re-baselines — its first
+    event after eviction does not count as a transition (by then its
+    transition window has long since emptied, so only the remembered
+    ``last_state`` is lost). Pass ``float('inf')`` to keep state
+    forever (the pre-eviction behavior, only safe on bounded keyspaces).
+
+    A micro-batch's rows for one key can arrive as MULTIPLE Arrow
+    chunks (> spark.sql.execution.arrow.maxRecordsPerBatch); all
+    chunks are concatenated BEFORE the (ts) sort, so events inside a
+    batch are processed in global ts order regardless of chunking.
+    The first observation of an entity sets its baseline without
+    counting as a transition.
 
     Output rows: (key, changed_at epoch-sec, new_state,
     n_recent_transitions, flapping).
     """
     import pandas as pd
+
+    if idle_timeout_s is None:
+        idle_timeout_s = 10.0 * window_s
 
     out_schema = T.StructType(
         [
@@ -846,30 +862,51 @@ def streaming_flap_dampener(
     )
 
     def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            # idle eviction: no events for idle_timeout_s -> drop state
+            state.remove()
+            yield pd.DataFrame(
+                [],
+                columns=[
+                    key_col, "changed_at", "new_state",
+                    "n_recent_transitions", "flapping",
+                ],
+            )
+            return
         if state.exists:
             last_state, times = state.get
             times = list(times)
         else:
             last_state, times = None, []
         out = []
-        for pdf in pdfs:
-            for _, row in pdf.sort_values(ts_col).iterrows():
-                s = int(row[state_col])
-                t = (
-                    row[ts_col].timestamp()
-                    if hasattr(row[ts_col], "timestamp")
-                    else float(row[ts_col])
+        # one concat + ONE sort across every Arrow chunk of this key's
+        # batch rows — per-chunk sorting would interleave out of order
+        # whenever a key's rows span maxRecordsPerBatch boundaries
+        chunks = [pdf for pdf in pdfs if not pdf.empty]
+        batch = (
+            pd.concat(chunks, ignore_index=True).sort_values(ts_col)
+            if chunks
+            else pd.DataFrame(columns=[ts_col, state_col])
+        )
+        for _, row in batch.iterrows():
+            s = int(row[state_col])
+            t = (
+                row[ts_col].timestamp()
+                if hasattr(row[ts_col], "timestamp")
+                else float(row[ts_col])
+            )
+            if last_state is None:
+                last_state = s
+                continue
+            if s != last_state:
+                last_state = s
+                times = [x for x in times if x > t - window_s] + [t]
+                out.append(
+                    [key[0], t, s, len(times), len(times) >= min_transitions]
                 )
-                if last_state is None:
-                    last_state = s
-                    continue
-                if s != last_state:
-                    last_state = s
-                    times = [x for x in times if x > t - window_s] + [t]
-                    out.append(
-                        [key[0], t, s, len(times), len(times) >= min_transitions]
-                    )
         state.update((last_state if last_state is not None else -1, times))
+        if idle_timeout_s != float("inf"):
+            state.setTimeoutDuration(int(idle_timeout_s * 1000))
         yield pd.DataFrame(
             out,
             columns=[
@@ -883,5 +920,7 @@ def streaming_flap_dampener(
         outputStructType=out_schema,
         stateStructType=_FLAP_STATE,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout_s != float("inf")
+        else GroupStateTimeout.NoTimeout,
     )

@@ -44,6 +44,35 @@ class TestAssociationRules:
         out = frequent_pairs(df, "bk", "it", 1, 1).collect()
         assert len(out) == 1 and out[0].pair_n == 2  # presence, not count
 
+    def test_capped_stats_use_capped_universe(self, spark):
+        """With max_basket_items set, ante_n/cons_n/n_baskets must come
+        from the SAME capped basket universe as pair_n — mixing capped
+        pair counts with uncapped supports understates confidence/lift."""
+        from pysyslog_lfc_spark.functions.itemsets import association_rules
+
+        # basket 1 is oversized (3 frequent items) -> dropped by cap=2;
+        # x,y still co-occur in baskets 2,3
+        rows = [
+            (1, "x"), (1, "y"), (1, "z"),
+            (2, "x"), (2, "y"),
+            (3, "x"), (3, "y"),
+            (4, "z"),
+        ]
+        df = spark.createDataFrame(rows, "bk long, it string")
+        out = {
+            (r.antecedent, r.consequent): r
+            for r in association_rules(
+                df, "bk", "it",
+                min_item_support=1, min_pair_support=1, max_basket_items=2,
+            ).collect()
+        }
+        r = out[("x", "y")]
+        # capped universe = baskets {2,3,4}: sup(x)=2, sup(y)=2, pairs=2
+        assert (r.pair_n, r.ante_n, r.cons_n) == (2, 2, 2)
+        assert r.conf_permille == 1000  # 2/2, not 2/3 from the uncapped sup
+        # lift = pair*n_baskets/(ante*cons) = 2*3/(2*2) over 3 capped baskets
+        assert r.lift_micro == 2 * 3 * 1_000_000 // 4
+
     def test_apriori_prune_and_basket_cap(self, spark):
         from pysyslog_lfc_spark.functions.itemsets import frequent_pairs
 

@@ -52,6 +52,20 @@ class TestSemanticDedup:
         b = semantic_dedup(_df(spark, rows), threshold=0.99, centroid_stride=5)
         assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
 
+    def test_centroid_fallback_collect_is_capped(self, spark):
+        """The stride-sample fallback must never collect more than
+        max_centroids rows to the driver (the 10^9-doc safety bound):
+        with stride 1 and cap 4, exactly the 4 smallest ids become
+        cells, and every row still gets an assignment."""
+        rows = [(i, [float(i + 1), 1.0]) for i in range(20)]
+        out = semantic_dedup(
+            _df(spark, rows), threshold=2.0, centroid_stride=1, max_centroids=4
+        ).collect()
+        cells = {r["cell"] for r in out}
+        assert cells <= {0, 1, 2, 3}  # only the 4 smallest ids are centroids
+        assert len(out) == 20  # every vector assigned despite the cap
+        assert all(r["keep"] for r in out)  # threshold 2.0: nothing drops
+
     def test_row_block_smaller_than_cell(self, spark):
         # block-wise scan must agree with the single-shot matmul
         rows = [(i, [1.0, float(i) * 1e-6]) for i in range(10)]
