@@ -1,0 +1,283 @@
+"""Contract tests for sinks this sandbox cannot exercise live.
+
+Neither PostgreSQL (no server / JDBC driver jar) nor Iceberg (no
+iceberg-spark-runtime jar) can run here, so option-mapping or
+call-sequence bugs in their writers would otherwise survive to
+production. These tests pin the EXACT DataFrameWriter option dicts
+(write_jdbc) and the ``writeTo`` call sequences (IcebergWarehouse)
+against recording fakes — the writer logic runs for real; only the
+external system is faked.
+
+Reference surface: docs/configuration/outputs/postgresql.md:9-48
+(host/port/database/table/batch_size -> url/dbtable/batchsize).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pysyslog_lfc_spark.sinks import BUCKET_COL, ROUTE_COL, IcebergWarehouse
+from pysyslog_lfc_spark.sinks_ext import write_jdbc
+
+
+# ------------------------------------------------------------ jdbc fakes
+
+class _FakeJdbcWriter:
+    def __init__(self, log):
+        self._log = log
+
+    def format(self, fmt):
+        self._log["format"] = fmt
+        return self
+
+    def option(self, k, v):
+        self._log["options"][k] = v
+        return self
+
+    def mode(self, m):
+        self._log["mode"] = m
+        return self
+
+    def save(self):
+        self._log["saved"] = True
+
+
+class _FakeJdbcDF:
+    def __init__(self, log):
+        self.write = _FakeJdbcWriter(log)
+
+
+class TestJdbcContract:
+    def test_option_mapping_full(self):
+        log = {"options": {}, "saved": False}
+        write_jdbc(
+            _FakeJdbcDF(log),
+            url="jdbc:postgresql://db1:5433/logs",
+            table="syslog",
+            user="svc",
+            password="pw",
+            batch_size=5000,
+            num_partitions=8,
+            mode="overwrite",
+        )
+        assert log["format"] == "jdbc"
+        assert log["mode"] == "overwrite"
+        assert log["saved"]
+        assert log["options"] == {
+            "url": "jdbc:postgresql://db1:5433/logs",
+            "dbtable": "syslog",
+            "batchsize": "5000",  # string: Spark JDBC option contract
+            "user": "svc",
+            "password": "pw",
+            "numPartitions": "8",
+        }
+
+    def test_option_mapping_minimal_defaults(self):
+        log = {"options": {}, "saved": False}
+        write_jdbc(_FakeJdbcDF(log), url="jdbc:postgresql://h:5432/d", table="t")
+        assert log["mode"] == "append"  # default write disposition
+        # no credential/partition keys leak in when unset
+        assert log["options"] == {
+            "url": "jdbc:postgresql://h:5432/d",
+            "dbtable": "t",
+            "batchsize": "1000",
+        }
+
+    def test_ini_wiring_builds_reference_url(self, spark, monkeypatch):
+        """output.postgresql INI options (reference postgresql.md:9-48)
+        must map host/port/database -> the JDBC url and batch_size ->
+        batchsize, through the real flow-config path."""
+        import pysyslog_lfc_spark.sinks_ext as sinks_ext
+        from pysyslog_lfc_spark import config
+        from pysyslog_lfc_spark.plans.io import _postgresql_output
+
+        seen = {}
+
+        def record(df, **kw):
+            seen.update(kw)
+            seen["n_cols"] = len(df.columns)
+
+        monkeypatch.setattr(sinks_ext, "write_jdbc", record)
+        cfg = config.loads(
+            """[flow.pg]
+input.type = memory
+parser.type = text
+output.type = postgresql
+output.host = pg-host
+output.port = 6543
+output.database = telemetry
+output.table = rendered_logs
+output.user = writer
+output.batch_size = 250
+"""
+        )
+        df = spark.createDataFrame([("x",)], "rendered string")
+        _postgresql_output(df, cfg.get_flow("pg"))
+        assert seen["url"] == "jdbc:postgresql://pg-host:6543/telemetry"
+        assert seen["table"] == "rendered_logs"
+        assert seen["user"] == "writer"
+        assert seen["batch_size"] == 250
+        assert seen["n_cols"] == 1  # only the rendered payload is shipped
+
+    def test_ini_wiring_requires_database_and_table(self, spark):
+        from pysyslog_lfc_spark.config import ConfigError
+        from pysyslog_lfc_spark import config
+        from pysyslog_lfc_spark.plans.io import _postgresql_output
+
+        cfg = config.loads(
+            """[flow.pg]
+input.type = memory
+parser.type = text
+output.type = postgresql
+output.host = h
+"""
+        )
+        df = spark.createDataFrame([("x",)], "rendered string")
+        with pytest.raises(ConfigError, match="database and output.table"):
+            _postgresql_output(df, cfg.get_flow("pg"))
+
+
+# --------------------------------------------------------- iceberg fakes
+
+class _FakeWriteTo:
+    def __init__(self, rec, qual):
+        self._rec = rec
+        self._qual = qual
+
+    def partitionedBy(self, *cols):
+        self._rec.append(("partitionedBy", self._qual, [str(c) for c in cols]))
+        return self
+
+    def append(self):
+        self._rec.append(("append", self._qual))
+
+    def create(self):
+        self._rec.append(("create", self._qual))
+
+
+class _FakeIcebergDF:
+    """Records the transform chain the warehouse applies before writeTo."""
+
+    def __init__(self, rec, columns):
+        self._rec = rec
+        self.columns = list(columns)
+
+    def withColumn(self, name, col):
+        out = _FakeIcebergDF(self._rec, self.columns + [name])
+        self._rec.append(("withColumn", name))
+        return out
+
+    def where(self, cond):
+        self._rec.append(("where", str(cond)))
+        return self
+
+    def drop(self, col):
+        out = _FakeIcebergDF(self._rec, [c for c in self.columns if c != col])
+        self._rec.append(("drop", col))
+        return out
+
+    def writeTo(self, qual):
+        return _FakeWriteTo(self._rec, qual)
+
+
+class _FakeRow(tuple):
+    pass
+
+
+class _FakeSqlResult:
+    def __init__(self, rows):
+        self._rows = rows
+
+    def collect(self):
+        return [_FakeRow((r,)) for r in self._rows]
+
+
+class _FakeCatalog:
+    def __init__(self, existing):
+        self._existing = existing
+
+    def tableExists(self, qualified):
+        return qualified in self._existing
+
+
+class _FakeSpark:
+    def __init__(self, existing=(), bucket_rows=()):
+        self.rec = []
+        self.catalog = _FakeCatalog(set(existing))
+        self._bucket_rows = list(bucket_rows)
+
+    def sql(self, q):
+        self.rec.append(("sql", " ".join(q.split())))
+        return _FakeSqlResult(self._bucket_rows)
+
+
+class TestIcebergContract:
+    def test_namespace_created_on_init(self):
+        fs = _FakeSpark()
+        IcebergWarehouse(fs, "cat", namespace="ns")
+        assert fs.rec[0] == ("sql", "CREATE NAMESPACE IF NOT EXISTS cat.ns")
+
+    def test_commit_routed_creates_partitioned_then_appends(self, spark):
+        """First commit of a route: writeTo(qual).partitionedBy(bucket)
+        .create(); a later commit to the existing table: append() — and
+        the committed-bucket manifest is the (job, bucket) DISTINCT scan."""
+        fs = _FakeSpark(bucket_rows=[0, 3])
+        wh = IcebergWarehouse(fs, "cat", namespace="ns")
+        df = _FakeIcebergDF(fs.rec, ["doc_id", ROUTE_COL, BUCKET_COL])
+
+        stats = wh.commit_routed(df, ["sink_errors"], "j1")
+        ops = [r for r in fs.rec if r[0] in ("create", "append", "partitionedBy")]
+        assert ops == [
+            ("partitionedBy", "cat.ns.sink_errors", [f"Column<'{BUCKET_COL}'>"]),
+            ("create", "cat.ns.sink_errors"),
+        ]
+        # job tag added, route column dropped before the write
+        assert ("withColumn", "job") in fs.rec
+        assert ("drop", ROUTE_COL) in fs.rec
+        manifest = [r for r in fs.rec if r[0] == "sql" and "DISTINCT" in r[1]]
+        assert manifest == [
+            (
+                "sql",
+                f"SELECT DISTINCT {BUCKET_COL} FROM cat.ns.sink_errors "
+                "WHERE job = 'j1'",
+            )
+        ]
+        assert stats["sink_errors"].buckets_committed == (0, 3)
+
+        # second commit: the table now "exists" -> append, never create
+        fs2 = _FakeSpark(existing={"cat.ns.sink_errors"}, bucket_rows=[1])
+        wh2 = IcebergWarehouse(fs2, "cat", namespace="ns")
+        df2 = _FakeIcebergDF(fs2.rec, ["doc_id", ROUTE_COL, BUCKET_COL, "job"])
+        wh2.commit_routed(df2, ["sink_errors"], "j1")
+        ops2 = [r for r in fs2.rec if r[0] in ("create", "append", "partitionedBy")]
+        assert ops2 == [("append", "cat.ns.sink_errors")]
+
+    def test_commit_single_appends_or_creates(self):
+        fs = _FakeSpark()
+        wh = IcebergWarehouse(fs, "cat")
+        df = _FakeIcebergDF(fs.rec, ["counter", "value"])
+        wh.commit_single(df, "_metrics", "j9")
+        ops = [r for r in fs.rec if r[0] in ("create", "append")]
+        assert ops == [("create", "cat.pysyslog._metrics")]
+        assert ("withColumn", "job") in fs.rec
+
+        fs2 = _FakeSpark(existing={"cat.pysyslog._metrics"})
+        wh2 = IcebergWarehouse(fs2, "cat")
+        df2 = _FakeIcebergDF(fs2.rec, ["counter", "value", "job"])
+        wh2.commit_single(df2, "_metrics", "j9")
+        assert [r for r in fs2.rec if r[0] in ("create", "append")] == [
+            ("append", "cat.pysyslog._metrics")
+        ]
+        # a frame already carrying `job` is not double-tagged
+        assert ("withColumn", "job") not in fs2.rec
+
+    def test_committed_buckets_swallows_missing_table(self):
+        class _Boom(_FakeSpark):
+            def sql(self, q):
+                if "DISTINCT" in q:
+                    raise RuntimeError("table not found")
+                return super().sql(q)
+
+        wh = IcebergWarehouse(_Boom(), "cat")
+        assert wh.committed_buckets("nope", "j1") == set()

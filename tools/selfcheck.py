@@ -6,11 +6,18 @@ names, and an order-insensitive value hash (columns sorted by name,
 rows sorted by their stringified tuple). Usage:
 
     python tools/selfcheck.py [sf_dir] [query ...]
+
+A full run (no query filter) also writes ``SELFCHECK.json`` at the repo
+root — the per-query verdict table for ALL registered queries, so the
+complete gate is auditable as a committed round artifact even when the
+driver samples a subset.
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
+import os
 import sys
 import time
 
@@ -67,6 +74,7 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    verdicts: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -78,12 +86,18 @@ def main() -> int:
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
             failures.append(name)
+            verdicts[name] = {"status": "FAIL", "err": f"spark: {e}"[:500]}
             continue
         sql = oracles.get(name)
         if sql is None:
             print(f"ok?   {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
             if not srows:
                 print(f"WARN  {name}: empty result for rows-only query")
+            verdicts[name] = {
+                "status": "ROWS_ONLY",
+                "rows": len(srows),
+                "sec": round(time.time() - t0, 2),
+            }
             continue
         try:
             cur = con.execute(sql)
@@ -92,6 +106,7 @@ def main() -> int:
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
             failures.append(name)
+            verdicts[name] = {"status": "FAIL", "err": f"duckdb: {e}"[:500]}
             continue
         problems = []
         if len(srows) != len(orows):
@@ -113,8 +128,35 @@ def main() -> int:
         if problems:
             print(f"FAIL  {name}: {', '.join(problems)}  ({len(srows)} rows)")
             failures.append(name)
+            verdicts[name] = {
+                "status": "FAIL",
+                "rows": len(srows),
+                "problems": problems,
+            }
         else:
             print(f"PASS  {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            verdicts[name] = {
+                "status": "PASS",
+                "rows": len(srows),
+                "sec": round(time.time() - t0, 2),
+            }
+
+    if not only:  # full run: persist the auditable round artifact
+        summary = {
+            "sf_dir": sf_dir,
+            "n_queries": len(verdicts),
+            "n_pass": sum(1 for v in verdicts.values() if v["status"] == "PASS"),
+            "n_rows_only": sum(
+                1 for v in verdicts.values() if v["status"] == "ROWS_ONLY"
+            ),
+            "n_fail": len(failures),
+            "failures": failures,
+            "verdicts": verdicts,
+        }
+        out_path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SELFCHECK.json")
+        with open(out_path, "w") as f:
+            json.dump(summary, f, indent=1)
+        print(f"\nwrote {out_path}")
 
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nall green")
     return 1 if failures else 0
