@@ -271,14 +271,208 @@ def encode_png(arr) -> bytes:
     )
 
 
-DECODABLE_FORMATS = ("ppm", "png", "bmp")
+def _lzw_decode(data: bytes, min_code_size: int, expected: int) -> bytearray:
+    """GIF-flavor LZW decompression (spec appendix F): LSB-first
+    variable-width codes, clear/EOI, code width grows with the table up
+    to 12 bits; a full (4096-entry) table freezes until a clear code
+    ('deferred clear', which compliant decoders must accept)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    base = [bytes([j]) for j in range(clear)] + [None, None]  # clear/eoi slots
+    table = list(base)
+    code_size = min_code_size + 1
+    out = bytearray()
+    acc = accbits = i = 0
+    prev: bytes | None = None
+    while len(out) < expected:
+        while accbits < code_size:
+            if i >= len(data):
+                raise ValueError("GIF LZW stream truncated")
+            acc |= data[i] << accbits
+            i += 1
+            accbits += 8
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        accbits -= code_size
+        if code == clear:
+            table = list(base)
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(table) and table[code] is not None:
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the one-behind special case
+        else:
+            raise ValueError(f"bad LZW code {code}")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+    return out
+
+
+def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """GIF-flavor LZW compression — the exact mirror of
+    :func:`_lzw_decode` (same width-growth points, freeze at 4096)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    table = {bytes([j]): j for j in range(clear)}
+    next_code = eoi + 1
+    code_size = min_code_size + 1
+    out = bytearray()
+    acc = accbits = 0
+
+    def emit(code: int) -> None:
+        nonlocal acc, accbits
+        acc |= code << accbits
+        accbits += code_size
+        while accbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            accbits -= 8
+
+    emit(clear)
+    w = b""
+    for b in indices:
+        wk = w + bytes([b])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+            # decoder's table length tracks next_code 1:1; both bump
+            # the width at the same stream position
+            if next_code == (1 << code_size) + 1 and code_size < 12:
+                code_size += 1
+        w = bytes([b])
+    if w:
+        emit(table[w])
+    emit(eoi)
+    if accbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def decode_gif(payload: bytes):
+    """Parse a GIF87a/89a first frame to an (h, w, 3) uint8 RGB array —
+    pure stdlib LZW + palette lookup, no codec library. Handles global
+    and local color tables, extension blocks, interlaced images
+    (four-pass row reorder) and deferred-clear LZW streams; animation
+    beyond the first image descriptor is out of scope (the first frame
+    is the thumbnail/feature input a curation pipeline wants)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    packed = payload[10]
+    pos = 13
+    palette = None
+    if packed >> 7:
+        n = 2 << (packed & 7)
+        palette = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: skip sub-blocks
+            pos += 2
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+        _left, _top, iw, ih = struct.unpack_from("<HHHH", payload, pos + 1)
+        ipacked = payload[pos + 9]
+        pos += 10
+        if ipacked >> 7:  # local color table
+            n = 2 << (ipacked & 7)
+            palette = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
+            pos += 3 * n
+        if palette is None:
+            raise ValueError("GIF image without a color table")
+        min_code = payload[pos]
+        pos += 1
+        chunks = []
+        while payload[pos]:
+            size = payload[pos]
+            chunks.append(payload[pos + 1 : pos + 1 + size])
+            pos += 1 + size
+        pos += 1
+        idx = np.frombuffer(
+            bytes(_lzw_decode(b"".join(chunks), min_code, iw * ih)), np.uint8
+        )
+        if len(idx) < iw * ih:
+            raise ValueError("GIF pixel data short")
+        grid = idx[: iw * ih].reshape(ih, iw)
+        if (ipacked >> 6) & 1:  # interlaced: rows arrive in 4 passes
+            order = (
+                list(range(0, ih, 8))
+                + list(range(4, ih, 8))
+                + list(range(2, ih, 4))
+                + list(range(1, ih, 2))
+            )
+            de = np.empty_like(grid)
+            de[order] = grid
+            grid = de
+        return palette[grid]
+    raise ValueError("GIF without an image descriptor")
+
+
+def encode_gif(arr) -> bytes:
+    """(h, w, 3) uint8 array -> single-frame GIF89a with a global color
+    table and real LZW compression. Requires <= 256 distinct colors
+    (GIF's hard palette bound); raises ValueError beyond it — this
+    encoder exists for round-trip tests and palette-sized thumbnails,
+    not general quantization."""
+    import struct
+
+    import numpy as np
+
+    h, w, _ = arr.shape
+    flat = arr.reshape(-1, 3)
+    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError(f"GIF needs <=256 colors, got {len(colors)}")
+    depth = max(1, int(len(colors) - 1).bit_length())  # palette size exponent
+    n = 1 << depth
+    pal = np.zeros((n, 3), np.uint8)
+    pal[: len(colors)] = colors
+    min_code = max(2, depth)
+    lzw = _lzw_encode(inverse.astype(np.uint8).tobytes(), min_code)
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0)
+    out += pal.tobytes()
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    out.append(min_code)
+    for off in range(0, len(lzw), 255):
+        chunk = lzw[off : off + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+DECODABLE_FORMATS = ("ppm", "png", "bmp", "gif")
 
 
 def decode_image(payload: bytes):
     """Sniff the payload magic and decode any supported codec-free
-    format (PPM/P6, PNG truecolor, BMP 24-bit) to an (h, w, 3) uint8
-    RGB array; PNG alpha is dropped. Anything else raises
-    NotImplementedError at the exact point Pillow would be called."""
+    format (PPM/P6, PNG truecolor, BMP 24-bit, GIF first frame) to an
+    (h, w, 3) uint8 RGB array; PNG alpha is dropped. Anything else
+    raises NotImplementedError at the exact point Pillow would be
+    called."""
     if payload.startswith(b"P6"):
         return decode_ppm(payload)
     if payload.startswith(b"\x89PNG\r\n\x1a\n"):
@@ -286,9 +480,11 @@ def decode_image(payload: bytes):
         return arr[..., :3] if arr.shape[2] == 4 else arr
     if payload.startswith(b"BM"):
         return decode_bmp(payload)
+    if payload.startswith(b"GIF8"):
+        return decode_gif(payload)
     raise NotImplementedError(
         "real decode requires Pillow for compressed codecs; codec-free "
-        "PPM/PNG/BMP are decodable in this container"
+        "PPM/PNG/BMP/GIF are decodable in this container"
     )
 
 
@@ -444,6 +640,8 @@ def resize_images(
                         new_payloads.append(encode_png(resized))
                     elif raw.startswith(b"BM"):
                         new_payloads.append(encode_bmp(resized))
+                    elif raw.startswith(b"GIF8"):
+                        new_payloads.append(encode_gif(resized))
                     else:
                         new_payloads.append(encode_ppm(resized))
                 else:

@@ -1663,23 +1663,110 @@ def test_multimodal_real_png_bmp_decode(spark):
         (1, MM.encode_ppm(arr), {"width": 12, "height": 8, "format": "ppm"}),
         (2, MM.encode_png(arr), {"width": 12, "height": 8, "format": "png"}),
         (3, MM.encode_bmp(arr), {"width": 12, "height": 8, "format": "bmp"}),
+        (4, MM.encode_gif(arr), {"width": 12, "height": 8, "format": "gif"}),
     ]
     df = spark.createDataFrame(
         rows, "img_id long, payload binary, image_meta struct<width:int,height:int,format:string>"
     )
     feats = {r.img_id: r.features for r in MM.image_features(df, decode="real").collect()}
-    assert feats[1] == feats[2] == feats[3]
+    assert feats[1] == feats[2] == feats[3] == feats[4]
     # resize keeps the container format and stays decodable
     out = {r.img_id: (bytes(r.payload), r.image_meta) for r in
            MM.resize_images(df, max_side=6, decode="real").collect()}
     assert out[2][0].startswith(b"\x89PNG") and out[3][0].startswith(b"BM")
-    for i in (1, 2, 3):
+    assert out[4][0].startswith(b"GIF89a")
+    for i in (1, 2, 3, 4):
         dec = MM.decode_image(out[i][0])
         assert dec.shape[:2] == (out[i][1].height, out[i][1].width)
         assert max(dec.shape[:2]) <= 6
-    # all three resized variants hold the same pixels
-    assert np.array_equal(MM.decode_image(out[1][0]), MM.decode_image(out[2][0]))
-    assert np.array_equal(MM.decode_image(out[1][0]), MM.decode_image(out[3][0]))
+    # all resized variants hold the same pixels
+    for i in (2, 3, 4):
+        assert np.array_equal(MM.decode_image(out[1][0]), MM.decode_image(out[i][0]))
+
+
+def test_gif_decode_known_public_fixture():
+    """The canonical 1x1 white-pixel GIF89a (the web's smallest-GIF
+    byte string) must decode exactly — external validation of the LZW
+    bit order, clear/EOI handling and palette mapping, independent of
+    our own encoder."""
+    import numpy as np
+
+    one = (
+        b"GIF89a\x01\x00\x01\x00\x80\x00\x00\xff\xff\xff\x00\x00\x00"
+        b"\x21\xf9\x04\x01\x00\x00\x00\x00"
+        b"\x2c\x00\x00\x00\x00\x01\x00\x01\x00\x00\x02\x02\x44\x01\x00\x3b"
+    )
+    assert np.array_equal(MM.decode_gif(one), np.full((1, 1, 3), 255, np.uint8))
+
+
+def test_gif_round_trip_and_code_width_growth():
+    """encode_gif -> decode_gif is exact across palette sizes that
+    force every LZW code-width transition (2 colors .. 256 colors,
+    images large enough to grow the dictionary past several widths)."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    for h, w, ncol in [(1, 1, 1), (2, 3, 2), (8, 12, 5), (64, 64, 200), (130, 97, 256)]:
+        pal = rng.randint(0, 256, (ncol, 3), dtype=np.uint8)
+        arr = pal[rng.randint(0, ncol, (h, w))]
+        assert np.array_equal(MM.decode_gif(MM.encode_gif(arr)), arr), (h, w, ncol)
+    # >256 distinct colors is a hard GIF bound -> loud error
+    grad = np.arange(300, dtype=np.int32)
+    rainbow = np.stack([grad % 256, grad // 2 % 256, grad // 3 % 256], 1).astype(
+        np.uint8
+    )[None].repeat(2, 0)
+    with pytest.raises(ValueError, match="256 colors"):
+        MM.encode_gif(rainbow)
+
+
+def test_gif_decode_interlaced_and_reference_lzw():
+    """decode_gif against an independent in-test GIF writer: scalar
+    reference LZW (no width tricks: emits a clear code before every
+    pixel so each code is width min+1 and the table never grows) plus
+    an interlaced image descriptor — validates the four-pass row
+    reorder and that deferred-table streams decode."""
+    import struct
+
+    import numpy as np
+
+    rng = np.random.RandomState(9)
+    h, w = 13, 6  # odd height exercises all four interlace passes
+    idx = rng.randint(0, 4, (h, w)).astype(np.uint8)
+    pal = np.array([[250, 0, 0], [0, 250, 0], [0, 0, 250], [9, 9, 9]], np.uint8)
+
+    min_code = 2
+    clear, eoi = 4, 5
+    order = (
+        list(range(0, h, 8)) + list(range(4, h, 8))
+        + list(range(2, h, 4)) + list(range(1, h, 2))
+    )
+    acc, accbits, stream = 0, 0, bytearray()
+    codes = []
+    for row in order:  # interlaced storage order
+        for px in idx[row]:
+            codes.extend([clear, int(px)])  # clear before every pixel
+    codes.append(eoi)
+    for c in codes:
+        acc |= c << accbits
+        accbits += min_code + 1
+        while accbits >= 8:
+            stream.append(acc & 0xFF)
+            acc >>= 8
+            accbits -= 8
+    if accbits:
+        stream.append(acc & 0xFF)
+
+    gif = bytearray(b"GIF89a")
+    gif += struct.pack("<HHBBB", w, h, 0x81, 0, 0)  # GCT, 4 entries
+    gif += pal.tobytes()
+    gif += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x40"  # interlaced
+    gif.append(min_code)
+    for off in range(0, len(stream), 255):
+        chunk = stream[off : off + 255]
+        gif.append(len(chunk))
+        gif += chunk
+    gif += b"\x00\x3b"
+    assert np.array_equal(MM.decode_gif(bytes(gif)), pal[idx])
 
 
 def test_png_unfilter_all_filter_types():
