@@ -199,6 +199,10 @@ BENCH_QUERIES = [
     "welch_t_value_by_cohort",
     "anova_value_by_type",
     "token_prefix_artifacts",
+    # round-3
+    "gopher_quality_flags",
+    "unit_dedup_ccnet",
+    "ann_recall_eval",
 ]
 
 

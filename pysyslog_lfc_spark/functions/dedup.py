@@ -1239,3 +1239,63 @@ def containment_pairs(
             .alias("containment_permille"),
         )
     )
+
+
+def word_blocks(col: Column, n: int = 3) -> Column:
+    """Consecutive n-word blocks of a text column (the last block may
+    be shorter) — the 'unit' stream for :func:`unit_dedup_keep_first`
+    on corpora without newline structure. On newline-delimited text use
+    ``F.split(col, '\\n+')`` (CCNet's paragraph unit) instead."""
+    from pysyslog_lfc_spark.functions.text import tokenize
+
+    words = tokenize(col)
+    k = F.ceil(F.size(words) / F.lit(n)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.array_join(F.slice(words, i * n + 1, n), " "),
+    )
+
+
+def unit_dedup_keep_first(
+    df: DataFrame,
+    units_col: Column,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style unit-level exact deduplication (Wenzek et al. 2019,
+    arXiv:1911.00359 §3.1 — paragraph dedup before language ID): every
+    unit (paragraph / line / word block) that already occurred earlier
+    in the corpus is a duplicate; 'earlier' is the total order
+    (id, unit_index), so the verdict is deterministic and independent
+    of partitioning. Returns per-document stats:
+
+    (id, n_units, n_dup_units, kept_ratio_permille)
+
+    Scale shape: units are md5-hashed IMMEDIATELY after the explode, so
+    the duplicate-detection shuffle moves 16-byte keys, never unit
+    text (at 10^12 docs the unit stream dwarfs the corpus; md5
+    collisions are negligible against corpus sizes < 2^64). The
+    keep-first rank is a window PARTITIONED BY unit hash — bounded by
+    the largest duplicate class, never a global sort — and the per-doc
+    rollup is one map-side-partial hash agg.
+    """
+    from pyspark.sql import Window
+
+    ex = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(units_col).alias("_idx", "_unit"),
+    ).select("_id", "_idx", F.md5(F.col("_unit")).alias("_h"))
+    w = Window.partitionBy("_h").orderBy("_id", "_idx")
+    flagged = ex.withColumn("_dup", (F.row_number().over(w) > 1).cast("int"))
+    n_units = F.count(F.lit(1)).cast("long")
+    n_dup = F.sum("_dup").cast("long")
+    kept = (n_units - n_dup) * 1000
+    return (
+        flagged.groupBy(F.col("_id").alias(id_col))
+        .agg(
+            n_units.alias("n_units"),
+            n_dup.alias("n_dup_units"),
+            ((kept - F.pmod(kept, n_units)) / n_units)
+            .cast("long")
+            .alias("kept_ratio_permille"),
+        )
+    )

@@ -107,6 +107,66 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len_milli: int = 3000,
+    max_mean_word_len_milli: int = 10_000,
+    min_alpha_word_ratio_milli: int = 800,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, arXiv:
+    2112.11446 §A.1.1) as one pass of codegen expressions — the
+    standard pre-training heuristic gate:
+
+    - word count inside [min_words, max_words]
+    - mean word length inside [3, 10] chars (exported as floor-milli
+      integers so the gate is engine-portable — no double rounding)
+    - >= 80% of words contain at least one alphabetic character
+    - at least 2 distinct canonical stopwords present (the 'is this
+      actually prose' check)
+
+    Returns the input plus per-rule flags and the composite ``keep``.
+    Scale shape: pure per-row expressions over the tokenized words —
+    no shuffle, no Python; the gate runs inside the corpus scan.
+    """
+    words = tokenize(F.col(text_col))
+    n_words = F.size(words)
+    sum_len = F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w))
+    mean_len_milli = F.when(
+        n_words > 0, F.floor(sum_len * 1000 / n_words).cast("long")
+    ).otherwise(F.lit(0))
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    alpha_milli = F.when(
+        n_words > 0, F.floor(n_alpha * 1000 / n_words).cast("long")
+    ).otherwise(F.lit(0))
+    stop_hits = sum(
+        (F.array_contains(words, s).cast("int") for s in STOPWORDS),
+        start=F.lit(0),
+    ).cast("int")
+    f_count = (n_words >= min_words) & (n_words <= max_words)
+    f_len = (mean_len_milli >= min_mean_word_len_milli) & (
+        mean_len_milli <= max_mean_word_len_milli
+    )
+    f_alpha = alpha_milli >= min_alpha_word_ratio_milli
+    f_stop = stop_hits >= min_stopword_hits
+    return df.withColumns(
+        {
+            "n_words": n_words,
+            "mean_word_len_milli": mean_len_milli,
+            "alpha_word_ratio_milli": alpha_milli,
+            "stopword_hits": stop_hits,
+            "flag_word_count": f_count,
+            "flag_mean_word_len": f_len,
+            "flag_alpha_ratio": f_alpha,
+            "flag_stopwords": f_stop,
+            "keep": f_count & f_len & f_alpha & f_stop,
+        }
+    )
+
+
 def lang_id(col: Column) -> Column:
     """Keyword-marker language ID. score(lang) = marker occurrences in
     the token stream; argmax wins, alphabetical tie-break, 'und'

@@ -3978,3 +3978,4 @@ from pysyslog_lfc_spark.plans import driver_queries_ext7  # noqa: E402,F401
 from pysyslog_lfc_spark.plans import driver_queries_ext8  # noqa: E402,F401
 from pysyslog_lfc_spark.plans import driver_queries_ext9  # noqa: E402,F401
 from pysyslog_lfc_spark.plans import driver_queries_ext10  # noqa: E402,F401
+from pysyslog_lfc_spark.plans import driver_queries_ext11  # noqa: E402,F401

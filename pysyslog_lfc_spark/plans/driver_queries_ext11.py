@@ -1,0 +1,165 @@
+"""Driver-query registrations, round-3 batch.
+
+Imported by :mod:`pysyslog_lfc_spark.plans.driver_queries` (bottom of
+file) so these register into the same ``_QUERIES``/``_ORACLES`` maps.
+This batch: Gopher document-quality rules, CCNet-style unit-level
+exact dedup, and an ANN recall@k evaluation that scores the LSH index
+against the brute-force ground truth (the index-quality report a
+similarity-search deployment publishes next to the index).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pysyslog_lfc_spark.plans.driver_queries import _t, all_oracles, query
+
+
+_GOPHER_ORACLE = """
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS ws
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             len(ws) AS n_words,
+             CASE WHEN len(ws) > 0 THEN CAST(floor(
+               list_aggregate(list_transform(ws, x -> length(x)), 'sum')
+               * 1000.0 / len(ws)) AS BIGINT) ELSE 0 END AS mean_word_len_milli,
+             CASE WHEN len(ws) > 0 THEN CAST(floor(
+               len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
+               * 1000.0 / len(ws)) AS BIGINT) ELSE 0 END AS alpha_word_ratio_milli,
+             CAST(
+               CASE WHEN list_contains(ws, 'the') THEN 1 ELSE 0 END
+             + CASE WHEN list_contains(ws, 'a') THEN 1 ELSE 0 END
+             + CASE WHEN list_contains(ws, 'of') THEN 1 ELSE 0 END
+             + CASE WHEN list_contains(ws, 'and') THEN 1 ELSE 0 END
+             + CASE WHEN list_contains(ws, 'to') THEN 1 ELSE 0 END
+             + CASE WHEN list_contains(ws, 'in') THEN 1 ELSE 0 END
+             AS INTEGER) AS stopword_hits
+      FROM w
+    )
+    SELECT doc_id, n_words, mean_word_len_milli, alpha_word_ratio_milli,
+           stopword_hits,
+           n_words BETWEEN 50 AND 100000 AS flag_word_count,
+           mean_word_len_milli BETWEEN 3000 AND 10000 AS flag_mean_word_len,
+           alpha_word_ratio_milli >= 800 AS flag_alpha_ratio,
+           stopword_hits >= 2 AS flag_stopwords,
+           (n_words BETWEEN 50 AND 100000)
+             AND (mean_word_len_milli BETWEEN 3000 AND 10000)
+             AND alpha_word_ratio_milli >= 800
+             AND stopword_hits >= 2 AS keep
+    FROM m
+"""
+
+
+@query("gopher_quality_flags", _GOPHER_ORACLE)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher pre-training quality rules (functions/text.py::
+    gopher_quality_flags, Rae et al. 2021 §A.1.1): word-count bounds,
+    mean word length in [3,10], >=80% alphabetic words, >=2 canonical
+    stopwords — per-rule flags plus the composite keep, all as
+    floor-milli integers so the gate is engine-portable. Pure codegen
+    expressions inside the corpus scan; no shuffle, no Python."""
+    from pysyslog_lfc_spark.functions.text import gopher_quality_flags as gq
+
+    docs = _t(spark, sf_dir, "documents")
+    return gq(docs).select(
+        "doc_id", "n_words", "mean_word_len_milli", "alpha_word_ratio_milli",
+        "stopword_hits", "flag_word_count", "flag_mean_word_len",
+        "flag_alpha_ratio", "flag_stopwords", "keep",
+    )
+
+
+_UNIT_DEDUP_ORACLE = """
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS ws
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, CAST(g.i AS INTEGER) AS idx,
+             md5(array_to_string(ws[(g.i * 3 + 1):((g.i + 1) * 3)], ' ')) AS h
+      FROM w, LATERAL (
+        SELECT unnest(range(CAST(ceil(len(ws) / 3.0) AS BIGINT))) AS i
+      ) g
+    ),
+    flagged AS (
+      SELECT doc_id,
+             CASE WHEN row_number() OVER (PARTITION BY h ORDER BY doc_id, idx) > 1
+                  THEN 1 ELSE 0 END AS dup
+      FROM b
+    )
+    SELECT doc_id,
+           COUNT(*)::BIGINT AS n_units,
+           SUM(dup)::BIGINT AS n_dup_units,
+           CAST(((COUNT(*) - SUM(dup)) * 1000
+                 - ((COUNT(*) - SUM(dup)) * 1000) % COUNT(*)) / COUNT(*)
+                AS BIGINT) AS kept_ratio_permille
+    FROM flagged GROUP BY 1
+"""
+
+
+@query("unit_dedup_ccnet", _UNIT_DEDUP_ORACLE)
+def unit_dedup_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unit-level exact dedup (functions/dedup.py::
+    unit_dedup_keep_first, Wenzek et al. 2019 §3.1): every 3-word block
+    that already occurred earlier in (doc_id, position) order is a
+    duplicate; per-doc duplicate stats drive the corpus cleaning
+    report. Units md5-hash immediately after the explode so the
+    dedup shuffle moves 16-byte keys, never text; on newline corpora
+    the unit stream is split('\\n') paragraphs instead of word blocks."""
+    from pysyslog_lfc_spark.functions.dedup import unit_dedup_keep_first, word_blocks
+
+    docs = _t(spark, sf_dir, "documents")
+    return unit_dedup_keep_first(docs, word_blocks(F.col("text"), 3), "doc_id")
+
+
+def _recall_oracle_sql() -> str:
+    """Compose the already-registered brute-force and LSH oracles —
+    recall@10 is exactly |approx ∩ exact| per query over the two."""
+    brute = all_oracles()["ann_cosine_topk"]
+    lsh = all_oracles()["ann_lsh_topk"]
+    return f"""
+    WITH brute AS ({brute}),
+         lsh AS ({lsh})
+    SELECT b.query_id,
+           COUNT(l.neighbor_id)::BIGINT AS n_hits,
+           (COUNT(l.neighbor_id) * 100)::BIGINT AS recall_permille
+    FROM brute b
+    LEFT JOIN lsh l
+      ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
+    GROUP BY 1
+    """
+
+
+@query("ann_recall_eval", _recall_oracle_sql())
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality evaluation: recall@10 of the hyperplane-LSH ANN
+    index against the brute-force exact top-10, per query point — the
+    metric that decides whether an ANN index is deployable. Both sides
+    reuse the registered operators (functions/similarity.py); the
+    oracle composes their already-verified SQL replicas, so even the
+    EVALUATION is hash-gated. k=10 makes recall_permille exact
+    (n_hits*100)."""
+    from pysyslog_lfc_spark.functions import similarity as SIM
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") >= 5)
+    queries = emb.where(F.col("vec_id") < 5)
+    brute = SIM.brute_force_topk(corpus, queries, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    lsh = (
+        SIM.lsh_ann_topk(corpus, queries, k=10, dim=64)
+        .select("query_id", "neighbor_id")
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        brute.join(lsh, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_hits"))
+        .withColumn("recall_permille", (F.col("n_hits") * 100).cast("long"))
+    )

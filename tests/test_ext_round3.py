@@ -1,0 +1,136 @@
+"""Round-3 operators: Gopher quality rules, CCNet unit-level dedup,
+ANN recall evaluation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+class TestGopherQualityFlags:
+    def _df(self, spark, texts):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+
+    def test_rules_fire_individually(self, spark):
+        from pysyslog_lfc_spark.functions.text import gopher_quality_flags
+
+        prose = "the quick brown fox jumps over a lazy dog " * 8  # 72 words
+        short = "the a of and"  # stopwords fine, too short
+        longwords = " ".join(["abcdefghijklmnop"] * 60) + " the a"  # mean len > 10
+        nostop = " ".join(["alpha beta gamma delta"] * 20)  # no canonical stopwords
+        out = {
+            r.doc_id: r
+            for r in gopher_quality_flags(
+                self._df(spark, [prose, short, longwords, nostop])
+            ).collect()
+        }
+        assert out[0].keep
+        assert not out[1].keep and not out[1].flag_word_count
+        assert out[1].flag_stopwords
+        assert not out[2].keep and not out[2].flag_mean_word_len
+        assert not out[3].keep and not out[3].flag_stopwords
+
+    def test_milli_integers_exact(self, spark):
+        from pysyslog_lfc_spark.functions.text import gopher_quality_flags
+
+        r = gopher_quality_flags(self._df(spark, ["ab abcd the in"])).collect()[0]
+        # words: ab(2) abcd(4) the(3) in(2) -> sum 11 over 4 words
+        assert r.n_words == 4
+        assert r.mean_word_len_milli == 11 * 1000 // 4
+        assert r.alpha_word_ratio_milli == 1000
+        assert r.stopword_hits == 2
+
+    def test_empty_document(self, spark):
+        from pysyslog_lfc_spark.functions.text import gopher_quality_flags
+
+        r = gopher_quality_flags(self._df(spark, [""])).collect()[0]
+        assert r.n_words == 0 and not r.keep
+        assert r.mean_word_len_milli == 0 and r.alpha_word_ratio_milli == 0
+
+
+class TestUnitDedupKeepFirst:
+    def test_keep_first_across_docs(self, spark):
+        from pysyslog_lfc_spark.functions.dedup import (
+            unit_dedup_keep_first,
+            word_blocks,
+        )
+
+        # 2-word blocks: doc0 = [ax bx, cx dx]; doc1 repeats doc0's first
+        # block then adds a fresh one; doc2 repeats a block INSIDE itself
+        df = spark.createDataFrame(
+            [
+                (0, "ax bx cx dx"),
+                (1, "ax bx ee ff"),
+                (2, "gg hh gg hh"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r.doc_id: r
+            for r in unit_dedup_keep_first(
+                df, word_blocks(F.col("text"), 2), "doc_id"
+            ).collect()
+        }
+        assert (out[0].n_units, out[0].n_dup_units) == (2, 0)
+        assert (out[1].n_units, out[1].n_dup_units) == (2, 1)  # 'ax bx' seen in doc0
+        assert (out[2].n_units, out[2].n_dup_units) == (2, 1)  # intra-doc repeat
+        assert out[1].kept_ratio_permille == 500
+
+    def test_order_is_partitioning_independent(self, spark):
+        from pysyslog_lfc_spark.functions.dedup import (
+            unit_dedup_keep_first,
+            word_blocks,
+        )
+
+        rows = [(i, f"tok{i % 4} tok{(i + 1) % 4}") for i in range(32)]
+        a = spark.createDataFrame(rows, "doc_id long, text string").repartition(1)
+        b = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+        ra = sorted(
+            tuple(r)
+            for r in unit_dedup_keep_first(a, word_blocks(F.col("text"), 2)).collect()
+        )
+        rb = sorted(
+            tuple(r)
+            for r in unit_dedup_keep_first(b, word_blocks(F.col("text"), 2)).collect()
+        )
+        assert ra == rb
+
+    def test_short_tail_block_counts(self, spark):
+        from pysyslog_lfc_spark.functions.dedup import (
+            unit_dedup_keep_first,
+            word_blocks,
+        )
+
+        df = spark.createDataFrame([(0, "p q r s t")], "doc_id long, text string")
+        r = unit_dedup_keep_first(df, word_blocks(F.col("text"), 2)).collect()[0]
+        assert r.n_units == 3  # [p q] [r s] [t]
+
+
+class TestAnnRecallEval:
+    def test_recall_is_one_when_index_exact(self, spark):
+        """Brute force against itself must report recall 1000/1000...
+        i.e. n_hits == k for every query."""
+        from pysyslog_lfc_spark.functions import similarity as SIM
+
+        import numpy as np
+
+        rng = np.random.RandomState(5)
+        rows = [(i, rng.randn(8).tolist()) for i in range(30)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        corpus = emb.where(F.col("vec_id") >= 5)
+        queries = emb.where(F.col("vec_id") < 5)
+        brute = SIM.brute_force_topk(corpus, queries, k=4).select(
+            "query_id", "neighbor_id"
+        )
+        joined = (
+            brute.alias("a")
+            .join(
+                brute.alias("b"),
+                (F.col("a.query_id") == F.col("b.query_id"))
+                & (F.col("a.neighbor_id") == F.col("b.neighbor_id")),
+            )
+            .groupBy("a.query_id")
+            .count()
+        )
+        assert all(r["count"] == 4 for r in joined.collect())

@@ -310,10 +310,20 @@ class TestTableDiff:
 
         old = spark.createDataFrame([(1, None)], "k long, v string")
         new = spark.createDataFrame([(1, "\x00")], "k long, v string")
-        # NULL and the literal sentinel collide by design of the cheap
-        # fingerprint; document the contract: they compare EQUAL
+        # the fingerprint is injective: NULL and any literal value —
+        # including bytes that collide with naive sentinels — differ
         r = table_diff(old, new, ["k"], ["v"]).collect()[0]
-        assert r.status == "unchanged"
+        assert r.status == "changed"
+
+    def test_separator_bytes_in_values_distinct(self, spark):
+        """Values containing the field separator must not alias across
+        columns: ('a\\x1fb', '') vs ('a', '\\x1fb') is a CHANGE."""
+        from pysyslog_lfc_spark.functions.reporting import table_diff
+
+        old = spark.createDataFrame([(1, "a\x1fb", "")], "k long, v1 string, v2 string")
+        new = spark.createDataFrame([(1, "a", "\x1fb")], "k long, v1 string, v2 string")
+        r = table_diff(old, new, ["k"], ["v1", "v2"]).collect()[0]
+        assert r.status == "changed"
 
 
 class TestNeymanAllocation:
