@@ -137,3 +137,53 @@ def pareto_skyline(
         .where(F.col(y_col) == F.col("__ymax"))
         .drop("__ymax")
     )
+
+
+def grouped_rank(
+    df: DataFrame,
+    group_col: str,
+    score: Column,
+    id_col: str,
+    out_score: str = "score",
+    out_rank: str = "rank_in_group",
+    broadcast_offsets: bool = True,
+) -> DataFrame:
+    """Exact 1-based rank under ``ORDER BY score, id`` WITHIN each
+    group — :func:`global_rank`'s two-level decomposition with every
+    stage keyed by ``(group, score)`` instead of ``(score)``, so no
+    window ever spans more than one (group, score) cell:
+
+    1. ``row_number`` within (group, score) — distributed;
+    2. per-(group, score) counts -> per-group cumulative offsets (the
+       offset frame has |groups| x |distinct scores per group| rows —
+       bounded for permille/length-style scores);
+    3. rank = offset + within-cell row_number.
+
+    The per-group rank is what per-source quantile bucketing (CCNet
+    head/middle/tail, per-domain curriculum) needs; rows with a NULL
+    score are EXCLUDED (rank is undefined for them — callers bucket
+    them separately), keeping null-ordering semantics out of the
+    contract entirely. ``broadcast_offsets=False`` falls back to a
+    shuffle join for pathological score domains.
+    """
+    scored = df.withColumn(out_score, score).where(F.col(out_score).isNotNull())
+    w_in = Window.partitionBy(group_col, out_score).orderBy(F.col(id_col))
+    ranked = scored.withColumn("__rn", F.row_number().over(w_in))
+    counts = scored.groupBy(group_col, out_score).agg(F.count(F.lit(1)).alias("__n"))
+    w_cum = (
+        Window.partitionBy(group_col)
+        .orderBy(out_score)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        group_col,
+        out_score,
+        F.coalesce(F.sum("__n").over(w_cum), F.lit(0)).alias("__off"),
+    )
+    if broadcast_offsets:
+        offsets = F.broadcast(offsets)
+    return (
+        ranked.join(offsets, [group_col, out_score])
+        .withColumn(out_rank, (F.col("__off") + F.col("__rn")).cast("long"))
+        .drop("__rn", "__off")
+    )

@@ -43,6 +43,7 @@ def bigram_lm_score(
     text_col: str = "text",
     id_col: str = "doc_id",
     broadcast_model: bool = True,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Score each document by its average add-one-smoothed bigram
     log-probability under a model trained on ``model_df`` (defaults to
@@ -83,12 +84,90 @@ def bigram_lm_score(
         F.floor(F.avg("_lp") * 1000).cast("long").alias("logprob_permille"),
         F.count(F.lit(1)).alias("n_bigrams"),
     )
+    keep = list(keep_cols or [])  # ride the id-keyed join for free
     return (
-        df.select(F.col(id_col))
+        df.select(F.col(id_col), *keep)
         .join(agg, id_col, "left")
         .select(
             F.col(id_col),
+            *keep,
             F.col("logprob_permille"),
             F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
         )
     )
+
+
+def lm_buckets(
+    df: DataFrame,
+    model_df: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet's per-source perplexity buckets (Wenzek et al. 2020 §3.3):
+    rank every document within its ``group_col`` by LM score and carve
+    each group into ``n_buckets`` equal-size buckets — 3 gives CCNet's
+    canonical head/middle/tail, the mixing unit its corpus releases
+    ship as directories.
+
+    Output: (id, group, logprob_permille, rank_in_group: 1 = most
+    reference-like, n_scored_in_group, bucket) — bucket is
+    'head'/'middle'/'tail' for 3, else 'b<i>'; documents with no score
+    (< 2 tokens) land in 'unscored' with null rank.
+
+    Scale shape: scoring is the broadcast-model map-side join of
+    :func:`bigram_lm_score`; the within-group rank is
+    curriculum.grouped_rank's two-level decomposition (no window ever
+    spans more than one (group, permille-score) cell — NOT a
+    per-source single-task sort, which at CCNet scale is a
+    billion-row window); group sizes broadcast back (one row per
+    group). Rank-bucketing rather than score-threshold bucketing keeps
+    the three shards equal-sized under any score skew — exactly
+    CCNet's definition (terciles of the score distribution).
+    """
+    from pysyslog_lfc_spark.functions.curriculum import grouped_rank
+
+    scored = bigram_lm_score(
+        df, model_df=model_df, text_col=text_col, id_col=id_col,
+        keep_cols=[group_col],
+    )
+    has = scored.where(F.col("logprob_permille").isNotNull())
+    ranked = grouped_rank(
+        has,
+        group_col,
+        -F.col("logprob_permille"),  # rank 1 = highest score (head)
+        id_col,
+        out_score="__neg_lp",
+        out_rank="rank_in_group",
+    ).drop("__neg_lp")
+    sizes = has.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_scored_in_group")
+    )
+    names = (
+        ["head", "middle", "tail"]
+        if n_buckets == 3
+        else [f"b{i}" for i in range(n_buckets)]
+    )
+    idx = F.floor(
+        (F.col("rank_in_group") - 1) * n_buckets / F.col("n_scored_in_group")
+    ).cast("int")
+    bucket = F.lit(names[0])
+    for i in range(1, n_buckets):
+        bucket = F.when(idx >= i, F.lit(names[i])).otherwise(bucket)
+    with_b = (
+        ranked.join(F.broadcast(sizes), group_col)
+        .withColumn("bucket", bucket)
+    )
+    unscored = scored.where(F.col("logprob_permille").isNull()).select(
+        id_col,
+        group_col,
+        "logprob_permille",
+        F.lit(None).cast("long").alias("rank_in_group"),
+        F.lit(None).cast("long").alias("n_scored_in_group"),
+        F.lit("unscored").alias("bucket"),
+    )
+    return with_b.select(
+        id_col, group_col, "logprob_permille", "rank_in_group",
+        "n_scored_in_group", "bucket",
+    ).unionByName(unscored)

@@ -3979,3 +3979,4 @@ from pysyslog_lfc_spark.plans import driver_queries_ext8  # noqa: E402,F401
 from pysyslog_lfc_spark.plans import driver_queries_ext9  # noqa: E402,F401
 from pysyslog_lfc_spark.plans import driver_queries_ext10  # noqa: E402,F401
 from pysyslog_lfc_spark.plans import driver_queries_ext11  # noqa: E402,F401
+from pysyslog_lfc_spark.plans import driver_queries_ext12  # noqa: E402,F401

@@ -1,0 +1,147 @@
+"""Driver-query registrations, round-3 batch 2.
+
+Imported by :mod:`pysyslog_lfc_spark.plans.driver_queries` (bottom of
+file) so these register into the same ``_QUERIES``/``_ORACLES`` maps.
+This batch: the two fuzzy decontamination lenses (MinHash-LSH surface
+near-dups and embedding-space semantic leaks) that complement the
+exact n-gram rule already registered, plus CCNet's per-source
+perplexity head/middle/tail buckets — the corpus-sharding step CCNet
+releases ship as directories.
+
+The synthetic "benchmark" slice is ``id % 29 == 0`` of the same table
+(deterministic, needs no external data); in production the benchmark
+side is the eval-suite corpus — small by definition, which is exactly
+the asymmetry both operators' scale shapes exploit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pysyslog_lfc_spark.plans.driver_queries import _t, all_oracles, query
+
+
+_FUZZY_DECON_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), w -> w != '') AS ws
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(ws[i : i + 2], ' ') AS s
+  FROM (SELECT doc_id, ws, unnest(range(1, greatest(len(ws) - 1, 1))) AS i FROM toks)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+  FROM sh a JOIN sh b ON a.s = b.s
+  WHERE a.doc_id % 29 != 0 AND b.doc_id % 29 = 0
+  GROUP BY a.doc_id, b.doc_id
+),
+verified AS (
+  SELECT id_a, round(n_shared / (sa.n + sb.n - n_shared), 4) AS jaccard
+  FROM cand JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+  WHERE round(n_shared / (sa.n + sb.n - n_shared), 4) >= 0.9
+)
+SELECT id_a AS doc_id, count(*)::BIGINT AS n_bench_matches,
+       max(jaccard) AS max_jaccard
+FROM verified GROUP BY 1
+"""
+
+
+@query("decontaminate_fuzzy", _FUZZY_DECON_ORACLE)
+def decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy benchmark decontamination (functions/decontaminate.py::
+    fuzzy_decontaminate): corpus docs that are MinHash-LSH near-dups
+    (3-gram Jaccard >= 0.9) of any benchmark doc. Corpus band keys
+    join against the BROADCAST benchmark band keys (eval sets are
+    small by definition — the corpus never shuffles); candidates
+    verify with exact Jaccard, and at 16x4 banding the per-pair miss
+    probability at j=0.9 is (1-0.9^4)^16 ~= 3.9e-8, so the oracle can
+    be the exact all-pairs rule."""
+    from pysyslog_lfc_spark.functions.decontaminate import fuzzy_decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 29 != 0)
+    bench = docs.where(F.col("doc_id") % 29 == 0)
+    return fuzzy_decontaminate(corpus, bench, threshold=0.9)
+
+
+_EMB_DECON_ORACLE = """
+WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 29 = 0),
+     c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 29 != 0),
+     s AS (
+       SELECT c.vec_id, round(list_cosine_similarity(c.v, b.v), 4) AS cos
+       FROM c CROSS JOIN b
+     )
+SELECT vec_id, max(cos) AS max_bench_cos,
+       SUM(CASE WHEN cos >= 0.35 THEN 1 ELSE 0 END)::BIGINT AS n_bench_hits,
+       SUM(CASE WHEN cos >= 0.35 THEN 1 ELSE 0 END) > 0 AS contaminated
+FROM s GROUP BY 1
+"""
+
+
+@query("decontaminate_embedding", _EMB_DECON_ORACLE)
+def decontaminate_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination (functions/decontaminate.py::
+    embedding_decontaminate): every corpus vector scored against the
+    collected+normalized benchmark matrix with one BLAS matmul per
+    Arrow batch; per-pair cosines round to 4 BEFORE the max so the
+    audit report is engine-portable. Threshold 0.35 here because the
+    synthetic embeddings carry no planted near-dups across the % 29
+    split (max cross cos ~0.48); production runs set ~0.95. Keeps
+    non-hits too — the frame doubles as the threshold-sweep report."""
+    from pysyslog_lfc_spark.functions.decontaminate import embedding_decontaminate
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") % 29 != 0)
+    bench = emb.where(F.col("vec_id") % 29 == 0)
+    return embedding_decontaminate(corpus, bench, threshold=0.35)
+
+
+def _ccnet_oracle_sql() -> str:
+    """Compose the already-verified LM-score oracle: per-source rank
+    under (-score, doc_id) then equal-size tercile carve — DuckDB's
+    row_number replays grouped_rank's two-level decomposition."""
+    lm = all_oracles()["lm_quality_score"]
+    return f"""
+    WITH lm AS ({lm}),
+    j AS (
+      SELECT d.doc_id, d.source, lm.logprob_permille
+      FROM documents d JOIN lm ON d.doc_id = lm.doc_id
+    ),
+    s AS (
+      SELECT doc_id, source, logprob_permille,
+             row_number() OVER (
+               PARTITION BY source ORDER BY -logprob_permille, doc_id
+             ) AS rank_in_group,
+             count(*) OVER (PARTITION BY source) AS n_scored_in_group
+      FROM j WHERE logprob_permille IS NOT NULL
+    )
+    SELECT doc_id, source, logprob_permille,
+           CAST(rank_in_group AS BIGINT) AS rank_in_group,
+           CAST(n_scored_in_group AS BIGINT) AS n_scored_in_group,
+           CASE WHEN floor((rank_in_group - 1) * 3.0 / n_scored_in_group) >= 2 THEN 'tail'
+                WHEN floor((rank_in_group - 1) * 3.0 / n_scored_in_group) >= 1 THEN 'middle'
+                ELSE 'head' END AS bucket
+    FROM s
+    UNION ALL
+    SELECT doc_id, source, NULL, NULL, NULL, 'unscored'
+    FROM j WHERE logprob_permille IS NULL
+    """
+
+
+@query("ccnet_lm_buckets", _ccnet_oracle_sql())
+def ccnet_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet per-source perplexity buckets (functions/lm.py::
+    lm_buckets, Wenzek et al. 2020 §3.3): documents ranked within
+    their source by bigram-LM score (model = the English slice, same
+    model as lm_quality_score) and carved into equal-size
+    head/middle/tail shards. The within-source rank is
+    curriculum.grouped_rank's two-level decomposition — no single-task
+    per-source window anywhere in the plan."""
+    from pysyslog_lfc_spark.functions.lm import lm_buckets
+
+    docs = _t(spark, sf_dir, "documents")
+    return lm_buckets(docs, model_df=docs.where(F.col("lang") == "en"))

@@ -1,0 +1,135 @@
+"""Round-3 batch 2: fuzzy (MinHash-LSH) decontamination, embedding
+decontamination, grouped_rank, and CCNet per-source LM buckets."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _docs(spark):
+    # doc 100 is a near-copy of benchmark doc 0; doc 101 is unrelated.
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, base, "bench"),
+        (100, base + " extra", "corp"),
+        (101, "one two three four five six seven eight nine ten", "corp"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, tag string")
+
+
+class TestFuzzyDecontaminate:
+    def test_near_copy_flagged_unrelated_not(self, spark):
+        from pysyslog_lfc_spark.functions.decontaminate import fuzzy_decontaminate
+
+        docs = _docs(spark)
+        out = fuzzy_decontaminate(
+            docs.where(F.col("tag") == "corp"),
+            docs.where(F.col("tag") == "bench"),
+            threshold=0.5,
+        ).collect()
+        assert {r.doc_id for r in out} == {100}
+        (r,) = out
+        # 8 shared 3-grams of 8 (bench) and 9 (corpus) distinct grams
+        assert r.n_bench_matches == 1
+        assert abs(r.max_jaccard - round(8 / 9, 4)) < 1e-9
+
+    def test_corpus_corpus_dups_not_reported(self, spark):
+        from pysyslog_lfc_spark.functions.decontaminate import fuzzy_decontaminate
+
+        # two identical corpus docs, disjoint from the benchmark: the
+        # asymmetric join must not emit corpus-corpus pairs
+        rows = [
+            (1, "a b c d e f g h"),
+            (2, "a b c d e f g h"),
+        ]
+        corpus = spark.createDataFrame(rows, "doc_id long, text string")
+        bench = spark.createDataFrame(
+            [(50, "q r s t u v w x")], "doc_id long, text string"
+        )
+        assert fuzzy_decontaminate(corpus, bench, threshold=0.5).count() == 0
+
+
+class TestEmbeddingDecontaminate:
+    def test_exact_match_and_miss(self, spark):
+        from pysyslog_lfc_spark.functions.decontaminate import (
+            embedding_decontaminate,
+        )
+
+        bench = spark.createDataFrame(
+            [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+            "vec_id long, embedding array<double>",
+        )
+        corpus = spark.createDataFrame(
+            [
+                (10, [2.0, 0.0, 0.0]),   # parallel to bench 0 -> cos 1.0
+                (11, [1.0, 1.0, 0.0]),   # cos 0.7071 to both
+                (12, [0.0, 0.0, 5.0]),   # orthogonal -> cos 0.0
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        out = {
+            r.vec_id: r
+            for r in embedding_decontaminate(corpus, bench, threshold=0.95).collect()
+        }
+        assert len(out) == 3  # non-hits kept: the frame is the audit report
+        assert out[10].contaminated and out[10].n_bench_hits == 1
+        assert abs(out[10].max_bench_cos - 1.0) < 1e-9
+        assert not out[11].contaminated
+        assert abs(out[11].max_bench_cos - 0.7071) < 1e-9
+        assert not out[12].contaminated and out[12].n_bench_hits == 0
+
+
+class TestGroupedRank:
+    def test_rank_matches_window_semantics(self, spark):
+        from pysyslog_lfc_spark.functions.curriculum import grouped_rank
+
+        rows = [
+            ("a", 1, 30), ("a", 2, 10), ("a", 3, 10), ("a", 4, None),
+            ("b", 5, 7), ("b", 6, 5),
+        ]
+        df = spark.createDataFrame(rows, "g string, id long, s int")
+        got = {
+            (r.g, r.id): r.rank_in_group
+            for r in grouped_rank(df, "g", F.col("s"), "id").collect()
+        }
+        # ORDER BY s, id within group; null-score row excluded
+        assert got == {
+            ("a", 2): 1, ("a", 3): 2, ("a", 1): 3,
+            ("b", 6): 1, ("b", 5): 2,
+        }
+
+    def test_no_unpartitioned_window_in_plan(self, spark):
+        from pysyslog_lfc_spark.functions.curriculum import grouped_rank
+
+        df = spark.range(100).select(
+            (F.col("id") % 4).cast("string").alias("g"),
+            F.col("id"),
+            (F.col("id") % 7).alias("s"),
+        )
+        plan = grouped_rank(df, "g", F.col("s"), "id")._jdf.queryExecution().executedPlan().toString()
+        # every Window operator must carry a partition spec over more
+        # than the constant frame (the offsets cumsum partitions by g)
+        for line in plan.splitlines():
+            if "Window" in line and "windowspecdefinition" in line:
+                assert "windowspecdefinition(s" not in line.replace(" ", "")
+
+
+class TestLmBuckets:
+    def test_equal_terciles_and_unscored(self, spark):
+        from pysyslog_lfc_spark.functions.lm import lm_buckets
+
+        mk = lambda i, n: (i, " ".join(f"w{j % n}" for j in range(8)), "s1")
+        rows = [mk(i, n) for i, n in enumerate([1, 1, 2, 2, 3, 3])]
+        rows.append((99, "solo", "s1"))  # 1 token -> unscored
+        docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        out = lm_buckets(docs).collect()
+        by_bucket: dict[str, list[int]] = {}
+        for r in out:
+            by_bucket.setdefault(r.bucket, []).append(r.doc_id)
+        assert sorted(by_bucket) == ["head", "middle", "tail", "unscored"]
+        assert by_bucket["unscored"] == [99]
+        sizes = {b: len(v) for b, v in by_bucket.items() if b != "unscored"}
+        assert sizes == {"head": 2, "middle": 2, "tail": 2}
+        # rank covers 1..6 exactly once
+        ranks = sorted(r.rank_in_group for r in out if r.bucket != "unscored")
+        assert ranks == [1, 2, 3, 4, 5, 6]
