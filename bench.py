@@ -203,6 +203,11 @@ BENCH_QUERIES = [
     "gopher_quality_flags",
     "unit_dedup_ccnet",
     "ann_recall_eval",
+    "decontaminate_fuzzy",
+    "decontaminate_embedding",
+    "ccnet_lm_buckets",
+    "token_surprisal_select",
+    "doremi_domain_weights",
 ]
 
 

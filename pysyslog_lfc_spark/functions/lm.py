@@ -19,7 +19,7 @@ threshold.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from pysyslog_lfc_spark.functions.text import tokenize
 
@@ -171,3 +171,96 @@ def lm_buckets(
         id_col, group_col, "logprob_permille", "rank_in_group",
         "n_scored_in_group", "bucket",
     ).unionByName(unscored)
+
+
+def token_surprisal_windows(
+    df: DataFrame,
+    model_df: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+) -> DataFrame:
+    """RHO-1-style focus-span detection (Lin et al. 2024, "Not All
+    Tokens Are What You Need"): score every bigram position by its
+    surprisal under a reference LM, slide a ``window``-bigram frame
+    over each document, and report the document's PEAK window — the
+    span a selective-loss trainer would upweight (or a noise filter
+    would inspect: boilerplate scores low, mid-document junk spikes).
+
+    Output (one row per doc): ``(id, n_bigrams, n_windows,
+    peak_start: int 1-based bigram index | null, peak_permille: bigint
+    | null)`` where ``peak_permille = floor(1000 * max window-mean
+    -ln p)`` (HIGHER = more surprising). Docs with fewer than
+    ``window + 1`` tokens have no full window -> null peak.
+
+    Scale shape: per-bigram scoring is the same broadcast-model
+    map-side join as :func:`bigram_lm_score` (corpus never shuffles
+    for the model); the sliding mean is ONE window pass partitioned by
+    doc (docs are bounded, so no single-task hazard) and the per-doc
+    peak folds into the same doc-keyed exchange — two narrow shuffles
+    total (doc repartition + final agg reuses it). The window mean
+    floors at permille AFTER an 8-term deterministic-order frame sum,
+    so Spark and DuckDB agree (divergence ~1e-15 vs a 1e-3 grid).
+    """
+    model_df = model_df if model_df is not None else df
+    from pysyslog_lfc_spark.functions.text import tokenize
+
+    mwords = model_df.select(F.explode(tokenize(F.col(text_col))).alias("w"))
+    uni = F.broadcast(mwords.groupBy("w").agg(F.count(F.lit(1)).alias("_c1")))
+    vdf = F.broadcast(mwords.agg(F.countDistinct("w").alias("_V")))
+    bi = F.broadcast(
+        _bigrams(model_df, text_col, [])
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("_c12"))
+    )
+
+    ws = tokenize(F.col(text_col))
+    z = F.arrays_zip(
+        F.slice(ws, 1, F.size(ws) - 1).alias("w1"),
+        F.slice(ws, 2, F.size(ws) - 1).alias("w2"),
+    )
+    db = df.select(F.col(id_col), F.posexplode(z).alias("_i0", "_bg")).select(
+        F.col(id_col),
+        (F.col("_i0") + 1).alias("pos"),  # 1-based bigram index
+        F.col("_bg.w1").alias("w1"),
+        F.col("_bg.w2").alias("w2"),
+    )
+    p = (F.coalesce(F.col("_c12"), F.lit(0)) + 1) / (
+        F.coalesce(F.col("_c1"), F.lit(0)) + F.col("_V")
+    )
+    scored = (
+        db.join(bi, ["w1", "w2"], "left")
+        .join(uni, db["w1"] == uni["w"], "left")
+        .crossJoin(vdf)
+        .select(F.col(id_col), "pos", (-F.log(p)).alias("_sp"))
+    )
+    frame = (
+        Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
+    )
+    wins = scored.select(
+        F.col(id_col),
+        F.col("pos").alias("start"),
+        F.floor(F.avg("_sp").over(frame) * 1000).cast("long").alias("w_pm"),
+        F.count(F.lit(1)).over(frame).alias("_wn"),
+    ).where(F.col("_wn") == window)
+    peak = wins.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_windows"),
+        F.max(F.struct(F.col("w_pm"), (-F.col("start")).alias("_ns"))).alias(
+            "_pk"
+        ),
+    )
+    counts = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams")
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(counts, id_col, "left")
+        .join(peak, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+            (-F.col("_pk._ns")).cast("int").alias("peak_start"),
+            F.col("_pk.w_pm").alias("peak_permille"),
+        )
+    )

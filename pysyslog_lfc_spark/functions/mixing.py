@@ -163,3 +163,114 @@ def token_budget_cap(
         )
         .drop("__before")
     )
+
+
+def doremi_weights(
+    df: DataFrame,
+    model_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    eta: float = 1.0,
+    smoothing: float = 0.1,
+) -> DataFrame:
+    """DoReMi-flavored domain reweighting (Xie et al. 2023): boost
+    domains whose text the reference LM finds hard (high excess loss),
+    starting from token-share baseline weights — one exponentiated-
+    gradient step of DoReMi's Group-DRO loop, with the repo's bigram
+    LM standing in for the proxy/reference pair:
+
+        excess_d = clamp(loss_d - min_t loss_t, 0, 20/eta)
+        lambda_d  ~ baseline_d * exp(eta * excess_d)
+        weight_d  = (1 - smoothing) * lambda_d + smoothing * uniform
+
+    Returns one row per domain: ``(source, n_docs, n_tokens,
+    baseline_ppm, loss_permille, excess_permille, weight_ppm)`` —
+    ``loss_permille = -floor-permille mean doc logprob`` (higher =
+    harder), ppm values floored.
+
+    Scale shape: the corpus collapses to |domains| rows in the FIRST
+    aggregation (doc scoring is lm.bigram_lm_score's broadcast-model
+    map-side join); every subsequent op is on that tiny frame with
+    1-row scalar totals broadcast back. Portability: excess is an
+    EXACT integer permille (clamped), so exp() sees identical inputs
+    in both engines; residual libm-ULP drift (~2e-16 relative) meets
+    the output's 1e-6 ppm floor grid, where a flip needs the true
+    value within ~1e-10 of a grid point — negligible over |domains|
+    rows.
+    """
+    from pysyslog_lfc_spark.functions.lm import bigram_lm_score
+    from pysyslog_lfc_spark.functions.text import tokenize
+
+    scored = bigram_lm_score(
+        df, model_df=model_df, text_col=text_col, id_col=id_col,
+        keep_cols=[source_col],
+    )
+    toks = df.select(
+        F.col(source_col), F.size(tokenize(F.col(text_col))).alias("_nt")
+    )
+    tok_per = toks.groupBy(source_col).agg(
+        F.sum("_nt").cast("long").alias("n_tokens")
+    )
+    per = (
+        scored.where(F.col("logprob_permille").isNotNull())
+        .groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            # integer mean of integers: floor(sum/n) — engine-exact
+            F.floor(
+                F.sum("logprob_permille") / F.count(F.lit(1))
+            ).cast("long").alias("_mean_lp_pm"),
+        )
+        .join(tok_per, source_col)
+        .withColumn("loss_permille", -F.col("_mean_lp_pm"))
+    )
+    tot = F.broadcast(
+        per.groupBy().agg(
+            F.sum("n_tokens").alias("_T"),
+            F.min("loss_permille").alias("_minloss"),
+            F.count(F.lit(1)).alias("_D"),
+        )
+    )
+    cap_pm = int(round(20000.0 / float(eta)))  # clamp eta*excess at 20
+    with_b = (
+        per.join(tot)
+        # integer excess: exact in both engines, clamp keeps exp < 5e8
+        .withColumn(
+            "excess_permille",
+            F.least(
+                F.col("loss_permille") - F.col("_minloss"), F.lit(cap_pm)
+            ).cast("long"),
+        )
+        .withColumn(
+            "_base",
+            F.col("n_tokens").cast("double") / F.col("_T").cast("double"),
+        )
+        .withColumn(
+            "_boost",
+            F.exp(
+                F.lit(float(eta))
+                * F.col("excess_permille").cast("double")
+                / F.lit(1e3)
+            ),
+        )
+        .withColumn("_lam_raw", F.col("_base") * F.col("_boost"))
+    )
+    lam_tot = F.broadcast(with_b.groupBy().agg(F.sum("_lam_raw").alias("_LT")))
+    s = float(smoothing)
+    w = (
+        F.lit(1.0 - s) * F.col("_lam_raw") / F.col("_LT")
+        + F.lit(s) / F.col("_D").cast("double")
+    )
+    return (
+        with_b.join(lam_tot)
+        .select(
+            F.col(source_col),
+            "n_docs",
+            "n_tokens",
+            F.floor(F.col("_base") * 1e6).cast("long").alias("baseline_ppm"),
+            "loss_permille",
+            "excess_permille",
+            F.floor(w * 1e6).cast("long").alias("weight_ppm"),
+        )
+    )

@@ -145,3 +145,143 @@ def ccnet_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return lm_buckets(docs, model_df=docs.where(F.col("lang") == "en"))
+
+
+_SURPRISAL_ORACLE = r"""
+    WITH mtoks AS (
+      SELECT list_filter(string_split_regex(text, '\s+'), w -> w != '') AS ws
+      FROM documents WHERE lang = 'en'
+    ),
+    muni AS (
+      SELECT w, count(*) AS c1
+      FROM (SELECT unnest(ws) AS w FROM mtoks) GROUP BY w
+    ),
+    vocab AS (
+      SELECT count(DISTINCT w) AS V FROM (SELECT unnest(ws) AS w FROM mtoks)
+    ),
+    mbi AS (
+      SELECT w1, w2, count(*) AS c12 FROM (
+        SELECT ws[i] AS w1, ws[i+1] AS w2
+        FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM mtoks)
+      ) GROUP BY w1, w2
+    ),
+    dtoks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\s+'), w -> w != '') AS ws
+      FROM documents
+    ),
+    dbi AS (
+      SELECT doc_id, i AS pos, ws[i] AS w1, ws[i+1] AS w2
+      FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM dtoks)
+    ),
+    scored AS (
+      SELECT doc_id, pos,
+             -ln((coalesce(c12, 0) + 1) / (coalesce(c1, 0) + V)) AS sp
+      FROM dbi LEFT JOIN mbi USING (w1, w2)
+               LEFT JOIN muni ON dbi.w1 = muni.w, vocab
+    ),
+    wins AS (
+      SELECT doc_id, pos AS start,
+             CAST(floor(avg(sp) OVER w * 1000) AS BIGINT) AS w_pm,
+             count(*) OVER w AS wn
+      FROM scored
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING)
+    ),
+    fw AS (SELECT * FROM wins WHERE wn = 8),
+    nb AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams FROM scored GROUP BY 1),
+    nw AS (SELECT doc_id, count(*)::BIGINT AS n_windows FROM fw GROUP BY 1),
+    pk AS (
+      SELECT doc_id, start, w_pm FROM (
+        SELECT doc_id, start, w_pm,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY w_pm DESC, start) AS rn
+        FROM fw
+      ) WHERE rn = 1
+    )
+    SELECT d.doc_id,
+           coalesce(nb.n_bigrams, 0) AS n_bigrams,
+           coalesce(nw.n_windows, 0) AS n_windows,
+           CAST(pk.start AS INT) AS peak_start,
+           pk.w_pm AS peak_permille
+    FROM (SELECT doc_id FROM documents) d
+    LEFT JOIN nb USING (doc_id)
+    LEFT JOIN nw USING (doc_id)
+    LEFT JOIN pk USING (doc_id)
+"""
+
+
+@query("token_surprisal_select", _SURPRISAL_ORACLE)
+def token_surprisal_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RHO-1-style focus-span detection (functions/lm.py::
+    token_surprisal_windows): per-bigram surprisal under the broadcast
+    English bigram model, 8-bigram sliding-window means, per-doc peak
+    window (start + permille). Corpus never shuffles for the model;
+    one doc-keyed window pass + doc agg."""
+    from pysyslog_lfc_spark.functions.lm import token_surprisal_windows
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_surprisal_windows(
+        docs, model_df=docs.where(F.col("lang") == "en"), window=8
+    )
+
+
+def _doremi_oracle_sql() -> str:
+    """Compose the verified LM-score oracle into DoReMi's per-domain
+    exponentiated-gradient step (integer excess permille; final ppm
+    floors tolerate libm-exp ULP drift)."""
+    lm = all_oracles()["lm_quality_score"]
+    return f"""
+    WITH lm AS ({lm}),
+    toks AS (
+      SELECT source,
+             len(list_filter(string_split_regex(text, '\\s+'), w -> w != '')) AS nt
+      FROM documents
+    ),
+    tokper AS (SELECT source, sum(nt)::BIGINT AS n_tokens FROM toks GROUP BY 1),
+    per AS (
+      SELECT d.source, count(*)::BIGINT AS n_docs,
+             CAST(floor(sum(lm.logprob_permille) * 1.0 / count(*)) AS BIGINT) AS mean_lp
+      FROM documents d JOIN lm ON d.doc_id = lm.doc_id
+      WHERE lm.logprob_permille IS NOT NULL GROUP BY 1
+    ),
+    j AS (
+      SELECT per.source, n_docs, n_tokens, -mean_lp AS loss_permille
+      FROM per JOIN tokper USING (source)
+    ),
+    tot AS (
+      SELECT sum(n_tokens)::BIGINT AS T, min(loss_permille) AS minloss,
+             count(*)::BIGINT AS D
+      FROM j
+    ),
+    wb AS (
+      SELECT source, n_docs, n_tokens, loss_permille,
+             least(loss_permille - minloss, 20000)::BIGINT AS excess_permille,
+             n_tokens::DOUBLE / T::DOUBLE AS base,
+             exp(1.0 * least(loss_permille - minloss, 20000)::DOUBLE / 1e3) AS boost,
+             D
+      FROM j, tot
+    ),
+    lt AS (SELECT sum(base * boost) AS LT FROM wb)
+    SELECT source, n_docs, n_tokens,
+           CAST(floor(base * 1e6) AS BIGINT) AS baseline_ppm,
+           loss_permille, excess_permille,
+           CAST(floor((0.9 * base * boost / LT + 0.1 / D::DOUBLE) * 1e6) AS BIGINT)
+             AS weight_ppm
+    FROM wb, lt
+    """
+
+
+@query("doremi_domain_weights", _doremi_oracle_sql())
+def doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-flavored domain reweighting (functions/mixing.py::
+    doremi_weights, Xie et al. 2023): token-share baseline x
+    exp(eta * excess loss) with uniform smoothing, one exponentiated-
+    gradient step; the corpus collapses to |domains| rows in the first
+    agg, scoring rides the broadcast bigram model."""
+    from pysyslog_lfc_spark.functions.mixing import doremi_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return doremi_weights(
+        docs, model_df=docs.where(F.col("lang") == "en"),
+        eta=1.0, smoothing=0.1,
+    )

@@ -1,0 +1,107 @@
+"""Round-3 batch 3: RHO-1-style token-surprisal windows and DoReMi
+domain reweighting."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+
+class TestTokenSurprisalWindows:
+    def test_peak_is_max_window_and_short_docs_null(self, spark):
+        from pysyslog_lfc_spark.functions.lm import token_surprisal_windows
+
+        # model: "a b" repeated -> "a b" is the only common bigram.
+        # doc 1: common prefix then a rare tail -> peak at the tail.
+        # doc 2: 3 tokens -> 2 bigrams < window -> no full window.
+        rows = [
+            (1, "a b a b a b a b a b x y z w v u t s r q"),
+            (2, "a b a"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        model = spark.createDataFrame(
+            [(0, "a b a b a b a b")], "doc_id long, text string"
+        )
+        out = {
+            r.doc_id: r
+            for r in token_surprisal_windows(
+                df, model_df=model, window=4
+            ).collect()
+        }
+        assert out[1].n_bigrams == 19
+        assert out[1].n_windows == 16
+        # brute-force the expected peak in python
+        toks = rows[0][1].split()
+        muni = {"a": 4, "b": 4}
+        mbi = {("a", "b"): 4, ("b", "a"): 3}
+        V = 2
+        sp = [
+            -math.log(
+                (mbi.get((toks[i], toks[i + 1]), 0) + 1)
+                / (muni.get(toks[i], 0) + V)
+            )
+            for i in range(len(toks) - 1)
+        ]
+        means = [
+            math.floor(sum(sp[i : i + 4]) / 4 * 1000)
+            for i in range(len(sp) - 3)
+        ]
+        best = max(means)
+        start = means.index(best) + 1  # 1-based
+        assert out[1].peak_permille == best
+        assert out[1].peak_start == start
+        assert out[2].n_bigrams == 2
+        assert out[2].n_windows == 0
+        assert out[2].peak_start is None and out[2].peak_permille is None
+
+    def test_no_unbounded_window_in_plan(self, spark):
+        from pysyslog_lfc_spark.functions.lm import token_surprisal_windows
+
+        df = spark.createDataFrame(
+            [(1, "a b c d e f g h i j")], "doc_id long, text string"
+        )
+        plan = token_surprisal_windows(df)._jdf.queryExecution().toString()
+        # every Window must be partitioned (by doc id) — no global sort
+        for line in plan.splitlines():
+            if "Window " in line and "windowspecdefinition" in line:
+                assert "doc_id" in line, line
+
+
+class TestDoremiWeights:
+    def _frames(self, spark):
+        # 'easy' repeats the model text; 'hard' is out-of-model.
+        rows = [(i, "the cat sat on the mat", "easy") for i in range(4)] + [
+            (10 + i, "zq xv jk wp lm nr", "hard") for i in range(4)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        model = df.where(F.col("source") == "easy")
+        return df, model
+
+    def test_hard_domain_boosted_weights_sum_to_one(self, spark):
+        from pysyslog_lfc_spark.functions.mixing import doremi_weights
+
+        df, model = self._frames(spark)
+        out = {
+            r.source: r
+            for r in doremi_weights(df, model, eta=1.0, smoothing=0.1).collect()
+        }
+        easy, hard = out["easy"], out["hard"]
+        assert easy.excess_permille == 0
+        assert hard.excess_permille > 0
+        # same token share, higher loss -> strictly higher weight
+        assert easy.baseline_ppm == hard.baseline_ppm
+        assert hard.weight_ppm > easy.weight_ppm
+        total = sum(r.weight_ppm for r in out.values())
+        assert 1_000_000 - len(out) <= total <= 1_000_000
+
+    def test_excess_clamped(self, spark):
+        from pysyslog_lfc_spark.functions.mixing import doremi_weights
+
+        df, model = self._frames(spark)
+        out = {
+            r.source: r
+            for r in doremi_weights(df, model, eta=10.0, smoothing=0.0).collect()
+        }
+        # cap = 20000/eta = 2000 permille
+        assert out["hard"].excess_permille <= 2000
