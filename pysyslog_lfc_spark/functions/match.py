@@ -45,15 +45,12 @@ from pysyslog_lfc_spark.functions.text import tokenize
 def word_grams(words: Column, n: int) -> Column:
     """All word n-grams of ``words`` joined by single spaces, WITH
     multiplicity and in stream order (unlike text.shingles, which
-    dedups and sorts — hit counting needs every occurrence)."""
-    k = F.size(words) - (n - 1)
-    return F.when(
-        k >= 1,
-        F.transform(
-            F.sequence(F.lit(1), k),
-            lambda i: F.array_join(F.slice(words, i, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    dedups and sorts — hit counting needs every occurrence). Linear
+    (text.sliding_grams): safe to pass a computed expression, though
+    a materialized column still saves the O(n) re-evaluations."""
+    from pysyslog_lfc_spark.functions.text import sliding_grams
+
+    return sliding_grams(words, n)
 
 
 def normalize_phrases(phrases: Sequence[str]) -> dict[str, tuple[str, int]]:

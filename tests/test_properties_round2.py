@@ -70,17 +70,22 @@ def test_gapfill_matches_python_replay(spark, events):
     # replay the spec in plain python
     base = int(T0.replace(tzinfo=dt.timezone.utc).timestamp())
     per_key: dict[int, dict[int, tuple]] = {}
-    for k, off, v in [(r[0], (r[1] - T0).total_seconds(), r[2]) for r in rows]:
+    for k, off, v, i in [
+        (r[0], (r[1] - T0).total_seconds(), r[2], r[3]) for r in rows
+    ]:
+        # later (ts, eid) wins — eid is the tiebreak column passed to
+        # gapfill_locf, so equal timestamps resolve by event order,
+        # never by value
         b = base + int(off // step) * step
         cur = per_key.setdefault(k, {})
-        cur[b] = max(cur.get(b, ()), (off, v))  # later (ts, order) wins
+        cur[b] = max(cur.get(b, ()), (off, i, v))
     want = {}
     for k, bins in per_key.items():
         lo, hi = min(bins), max(bins)
         last = None
         for b in range(lo, hi + step, step):
             if b in bins:
-                last = bins[b][1]
+                last = bins[b][2]
                 want[(k, b)] = (last, False)
             else:
                 want[(k, b)] = (last, True)
