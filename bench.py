@@ -208,6 +208,10 @@ BENCH_QUERIES = [
     "ccnet_lm_buckets",
     "token_surprisal_select",
     "doremi_domain_weights",
+    "dedup_exact_substr_rewrite",
+    "bloom_membership",
+    "unimax_source_budget",
+    "unit_dedup_sentences",
 ]
 
 

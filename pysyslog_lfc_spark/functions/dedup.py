@@ -1161,6 +1161,91 @@ def repeated_ngram_coverage(
     )
 
 
+def exact_substr_rewrite(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 8,
+) -> DataFrame:
+    """ExactSubstr REWRITE (the removal half of Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"):
+    every token position covered by a ``width``-token window whose
+    exact text occurred earlier in the corpus (global first occurrence
+    by ``(doc_id, position)`` is canonical) is REMOVED, and each
+    document's surviving tokens are reassembled in order. The
+    diagnostic twin :func:`repeated_ngram_coverage` reports the same
+    coverage as counts; this produces the cleaned corpus.
+
+    Returns ``(id, clean_text, n_tok, removed_tokens)``.
+
+    100 TB design: duplicate windows come from ONE hash partition by
+    gram text (same budget as the diagnostic). Removal then avoids the
+    per-token membership probe entirely: each duplicate window becomes
+    two DELTAS (+1 at its start, -1 one past its end), the exploded
+    token stream left-joins the tiny delta frame on (doc, position),
+    and a per-doc running sum turns deltas into cover depth — a token
+    survives iff its depth is 0. The token explode, delta join, window,
+    and reassembly groupBy all share the doc-keyed exchange, so the
+    corpus-wide cost is one gram-keyed and one doc-keyed shuffle.
+    Per-doc window frames are bounded by document length, never corpus
+    size.
+    """
+    from pysyslog_lfc_spark.functions.text import sliding_grams, tokenize
+
+    toks = tokenize(F.col(text_col))
+    grams = sliding_grams(toks, width)
+    ex = df.select(F.col(id_col), F.posexplode(grams).alias("pos", "gram"))
+    first = W.partitionBy("gram").orderBy(id_col, "pos")
+    dup = (
+        ex.withColumn("_rn", F.row_number().over(first))
+        .where(F.col("_rn") > 1)
+        .select(id_col, "pos")
+    )
+    deltas = (
+        dup.select(id_col, F.col("pos").alias("p"), F.lit(1).alias("_d"))
+        .unionByName(
+            dup.select(
+                id_col, (F.col("pos") + width).alias("p"), F.lit(-1).alias("_d")
+            )
+        )
+        .groupBy(id_col, "p")
+        .agg(F.sum("_d").alias("_d"))
+    )
+    tok_rows = df.select(
+        F.col(id_col), F.posexplode(toks).alias("p", "_w")
+    )
+    wd = W.partitionBy(id_col).orderBy("p")
+    kept = (
+        tok_rows.join(deltas, [id_col, "p"], "left")
+        .withColumn(
+            "_depth",
+            F.sum(F.coalesce(F.col("_d"), F.lit(0))).over(
+                wd.rowsBetween(W.unboundedPreceding, 0)
+            ),
+        )
+        .where(F.col("_depth") == 0)
+    )
+    reassembled = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "_w"))),
+                lambda s: s["_w"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("_n_kept"),
+    )
+    base = df.select(F.col(id_col), F.size(toks).cast("long").alias("n_tok"))
+    return base.join(reassembled, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.col("n_tok"),
+        (F.col("n_tok") - F.coalesce("_n_kept", F.lit(0)))
+        .cast("long")
+        .alias("removed_tokens"),
+    )
+
+
 def containment_pairs(
     df: DataFrame,
     text_col: str = "text",

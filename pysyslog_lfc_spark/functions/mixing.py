@@ -274,3 +274,87 @@ def doremi_weights(
             F.floor(w * 1e6).cast("long").alias("weight_ppm"),
         )
     )
+
+
+def unimax_allocations(
+    df: DataFrame,
+    budget_tokens: int,
+    max_epochs: int = 4,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """UniMax sampling allocations (Chung et al. 2023, "UniMax: Fairer
+    and More Effective Language Sampling for Large-Scale Multilingual
+    Pretraining"): spread a total token ``budget`` as uniformly as
+    possible across sources, except no source repeats more than
+    ``max_epochs`` times — the published alternative to temperature
+    sampling that avoids both head-domination and tail over-epoching.
+
+    Waterfill, integer-exact: sort sources ascending by cap
+    (``max_epochs * n_tokens``); while the per-source equal share
+    exceeds the next cap, that source gets its cap; the first source
+    whose cap covers the share marks the waterline, and the remaining
+    budget splits evenly over the uncapped sources (floored, with the
+    remainder given one token each to the first ``R mod m`` by sort
+    order, so allocations sum exactly to ``min(budget, sum of caps)``).
+
+    Returns one row per source: ``(source, n_docs, n_tokens,
+    cap_tokens, alloc_tokens, epochs_milli)``.
+
+    Scale shape: the corpus collapses to |sources| rows in the first
+    aggregation; every window below runs on that dimension-bounded
+    frame (comment-proof: |sources| is a catalog, not data). All
+    arithmetic is BIGINT, so the DuckDB oracle matches exactly.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(source_col),
+        F.size(F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")).alias("_nt"),
+    )
+    per = toks.groupBy(source_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_nt").cast("long").alias("n_tokens"),
+    ).withColumn("cap_tokens", (F.col("n_tokens") * max_epochs).cast("long"))
+    w = Window.orderBy("cap_tokens", source_col)
+    wall = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    j = F.row_number().over(w)
+    ranked = per.select(
+        "*",
+        j.alias("_j"),
+        F.sum("cap_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)).alias("_pfx"),
+        F.count(F.lit(1)).over(wall).alias("_D"),
+    ).withColumn("_pfx", F.coalesce("_pfx", F.lit(0)))
+    # a source is CAPPED iff its cap fits under the share computed from
+    # the budget left after all smaller caps are granted
+    B = F.lit(int(budget_tokens))
+    capped = F.col("cap_tokens") * (F.col("_D") - F.col("_j") + 1) <= (B - F.col("_pfx"))
+    marked = ranked.withColumn("_capped", capped.cast("int"))
+    # waterline: budget left and head-count after the last capped source
+    agg = marked.select(
+        "*",
+        F.sum(F.when(F.col("_capped") == 1, F.col("cap_tokens")).otherwise(0)).over(wall).alias("_granted"),
+        F.sum("_capped").over(wall).alias("_ncap"),
+    )
+    rem = B - F.col("_granted")
+    m = F.col("_D") - F.col("_ncap")
+    share = F.floor(rem / m).cast("long")
+    extra = F.pmod(rem, m)
+    # rank among the UNCAPPED sources decides who gets a remainder token
+    ru = F.col("_j") - F.col("_ncap")
+    alloc = F.when(F.col("_capped") == 1, F.col("cap_tokens")).otherwise(
+        share + (ru <= extra).cast("long")
+    )
+    return agg.select(
+        source_col,
+        "n_docs",
+        "n_tokens",
+        "cap_tokens",
+        alloc.cast("long").alias("alloc_tokens"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.floor(alloc * 1000 / F.col("n_tokens")),
+        ).otherwise(F.lit(0)).cast("long").alias("epochs_milli"),
+    )

@@ -388,3 +388,99 @@ def hll_merge(reg: DataFrame, group_cols: list[str]) -> DataFrame:
     ``group_cols`` (max per bucket) — lossless: merging per-source
     frames equals sketching the unioned raw data."""
     return reg.groupBy(*group_cols, "bucket").agg(F.max("mj").alias("mj"))
+
+
+def bloom_build(
+    df: DataFrame,
+    value_col: str,
+    m_bits: int = 1 << 15,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Bloom filter (Bloom 1970) over a column, as a table of occupied
+    32-bit words: ``(word_idx int, bits long)`` with ``bits`` in
+    [0, 2^32) — the fixed-size set synopsis that answers "definitely
+    absent / probably present" without holding the distinct set (the
+    classic pre-filter in front of an expensive membership join, e.g.
+    "has this URL ever been crawled" at ingest).
+
+    Probe positions use Kirsch–Mitzenmacher double hashing (2006,
+    public): ``pos_i = (h1 + i * h2) mod m`` with h1/h2 the two
+    independent 60-bit md5 slices — ONE md5 per value for any
+    ``k_hashes``, and every position is engine-portable so the DuckDB
+    oracle replays the exact bit pattern (32-bit words keep all
+    bit arithmetic inside positive BIGINT range in both engines).
+
+    Mergeable: two filters with the same (m, k) fold with
+    ``bit_or`` on word_idx — exactly what the map-side partial
+    aggregation of the groupBy already exploits. 100 TB shape: the
+    shuffle carries at most ``m/32`` rows regardless of input size.
+    """
+    if m_bits < 32 or m_bits % 32:
+        raise ValueError("bloom_build: m_bits must be a positive multiple of 32")
+    if k_hashes < 1:
+        raise ValueError("bloom_build: k_hashes must be >= 1")
+    from pysyslog_lfc_spark.functions.text import portable_hash60_hi
+
+    v = F.col(value_col).cast("string")
+    h1 = portable_hash60(v)
+    h2 = F.pmod(portable_hash60_hi(v), F.lit(m_bits))
+    i = F.explode(F.sequence(F.lit(0), F.lit(k_hashes - 1))).alias("_i")
+    probes = df.select(h1.alias("_h1"), h2.alias("_h2"), i)
+    pos = F.pmod(F.col("_h1") + F.col("_i") * F.col("_h2"), F.lit(m_bits))
+    return (
+        probes.select(pos.alias("_pos"))
+        .select(
+            F.floor(F.col("_pos") / 32).cast("int").alias("word_idx"),
+            # shiftleft() only takes a literal shift in the Python API —
+            # go through expr for the column-valued bit index
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pmod(_pos, 32) AS INT))"
+            ).alias("_b"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("_b").alias("bits"))
+    )
+
+
+def bloom_probe(
+    bloom: DataFrame,
+    queries: DataFrame,
+    value_col: str,
+    m_bits: int,
+    k_hashes: int,
+    out_col: str = "in_bloom",
+) -> DataFrame:
+    """Membership probe against a :func:`bloom_build` filter: a query
+    is ``in_bloom`` iff ALL ``k_hashes`` probe bits are set (no false
+    negatives; false-positive rate ~ (1 - e^{-kn/m})^k).
+
+    The filter is sketch-sized — it broadcasts; the query stream pays
+    one explode (k rows per value) and one regroup on its own key,
+    never a corpus-sized shuffle.
+    """
+    from pysyslog_lfc_spark.functions.text import portable_hash60_hi
+
+    v = F.col(value_col).cast("string")
+    h1 = portable_hash60(v)
+    h2 = F.pmod(portable_hash60_hi(v), F.lit(m_bits))
+    i = F.explode(F.sequence(F.lit(0), F.lit(k_hashes - 1))).alias("_i")
+    q = queries.select(F.col(value_col), h1.alias("_h1"), h2.alias("_h2"), i)
+    pos = F.pmod(F.col("_h1") + F.col("_i") * F.col("_h2"), F.lit(m_bits))
+    probed = (
+        q.select(F.col(value_col), pos.alias("_pos"))
+        .select(
+            value_col,
+            F.floor(F.col("_pos") / 32).cast("int").alias("word_idx"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pmod(_pos, 32) AS INT))"
+            ).alias("_b"),
+        )
+        .join(F.broadcast(bloom), "word_idx", "left")
+        .withColumn(
+            "_hit",
+            (F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("_b")) != 0).cast("int"),
+        )
+    )
+    return probed.groupBy(value_col).agg(
+        (F.min("_hit") == 1).alias(out_col)
+    )

@@ -3980,3 +3980,4 @@ from pysyslog_lfc_spark.plans import driver_queries_ext9  # noqa: E402,F401
 from pysyslog_lfc_spark.plans import driver_queries_ext10  # noqa: E402,F401
 from pysyslog_lfc_spark.plans import driver_queries_ext11  # noqa: E402,F401
 from pysyslog_lfc_spark.plans import driver_queries_ext12  # noqa: E402,F401
+from pysyslog_lfc_spark.plans import driver_queries_ext13  # noqa: E402,F401

@@ -1,0 +1,267 @@
+"""Driver-query registrations, round-3 batch 4.
+
+Imported by :mod:`pysyslog_lfc_spark.plans.driver_queries` (bottom of
+file) so these register into the same ``_QUERIES``/``_ORACLES`` maps.
+This batch: the ExactSubstr REWRITE (the removal half of Lee et al.
+2021 — the repo previously shipped only the coverage diagnostic), a
+portable Bloom-filter membership pre-filter (the missing member of the
+sketch family), UniMax budget allocations (the published alternative
+to temperature sampling), and sentence-unit dedup (the CCNet unit rule
+at sentence granularity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pysyslog_lfc_spark.plans.driver_queries import _t, query
+
+
+_EXACT_SUBSTR_ORACLE = r"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), w -> w != '') AS ws
+      FROM documents
+    ),
+    ex AS (
+      SELECT doc_id, i AS pos, array_to_string(ws[i+1:i+8], ' ') AS gram
+      FROM base, unnest(generate_series(0, len(ws) - 8)) AS t(i)
+      WHERE len(ws) >= 8
+    ),
+    dup AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos,
+               row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+        FROM ex
+      ) WHERE rn > 1
+    ),
+    cov AS (
+      SELECT DISTINCT doc_id, pos + j AS p
+      FROM dup, unnest(generate_series(0, 7)) AS u(j)
+    ),
+    toks AS (
+      SELECT doc_id, j AS p, ws[j+1] AS w
+      FROM base, unnest(generate_series(0, len(ws) - 1)) AS t(j)
+      WHERE len(ws) >= 1
+    ),
+    kept AS (
+      SELECT t.doc_id, t.p, t.w
+      FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.p = c.p
+      WHERE c.p IS NULL
+    ),
+    re AS (
+      SELECT doc_id, string_agg(w, ' ' ORDER BY p) AS clean_text,
+             count(*)::BIGINT AS n_kept
+      FROM kept GROUP BY 1
+    )
+    SELECT b.doc_id,
+           coalesce(re.clean_text, '') AS clean_text,
+           CAST(len(b.ws) AS BIGINT) AS n_tok,
+           CAST(len(b.ws) - coalesce(re.n_kept, 0) AS BIGINT) AS removed_tokens
+    FROM base b LEFT JOIN re USING (doc_id)
+"""
+
+
+@query("dedup_exact_substr_rewrite", _EXACT_SUBSTR_ORACLE)
+def dedup_exact_substr_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr rewrite (functions/dedup.py::exact_substr_rewrite,
+    Lee et al. 2021): remove every token covered by an 8-token window
+    whose text occurred earlier in the corpus, reassemble survivors.
+    Duplicate windows = one gram-keyed shuffle; removal = delta +
+    running-sum cover depth on the doc-keyed exchange (never a
+    per-token membership probe)."""
+    from pysyslog_lfc_spark.functions.dedup import exact_substr_rewrite
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_substr_rewrite(docs, "text", "doc_id", width=8)
+
+
+_BLOOM_M = 4096
+_BLOOM_K = 3
+
+_BLOOM_ORACLE = f"""
+    WITH probes AS (SELECT unnest(generate_series(0, {_BLOOM_K - 1})) AS i),
+    ins AS (
+      SELECT ('0x' || substr(md5(o_custkey::VARCHAR), 1, 15))::BIGINT AS h1,
+             ('0x' || substr(md5(o_custkey::VARCHAR), 17, 15))::BIGINT % {_BLOOM_M} AS h2
+      FROM orders
+    ),
+    bloom AS (
+      SELECT CAST(pos // 32 AS INT) AS word_idx,
+             bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS bits
+      FROM (SELECT (h1 + i * h2) % {_BLOOM_M} AS pos FROM ins, probes)
+      GROUP BY 1
+    ),
+    q AS (
+      SELECT c_custkey,
+             ('0x' || substr(md5(c_custkey::VARCHAR), 1, 15))::BIGINT AS h1,
+             ('0x' || substr(md5(c_custkey::VARCHAR), 17, 15))::BIGINT % {_BLOOM_M} AS h2
+      FROM customer
+    ),
+    qp AS (
+      SELECT c_custkey,
+             CAST(((h1 + i * h2) % {_BLOOM_M}) // 32 AS INT) AS word_idx,
+             1::BIGINT << CAST(((h1 + i * h2) % {_BLOOM_M}) % 32 AS INT) AS b
+      FROM q, probes
+    ),
+    hit AS (
+      SELECT c_custkey,
+             min(CASE WHEN (coalesce(bits, 0) & b) <> 0 THEN 1 ELSE 0 END) = 1
+               AS in_bloom
+      FROM qp LEFT JOIN bloom USING (word_idx)
+      GROUP BY 1
+    )
+    SELECT h.c_custkey, h.in_bloom,
+           (m.o_custkey IS NOT NULL) AS is_member
+    FROM hit h
+    LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) m
+      ON h.c_custkey = m.o_custkey
+"""
+
+
+@query("bloom_membership", _BLOOM_ORACLE)
+def bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership pre-filter (functions/sketches.py::
+    bloom_build/bloom_probe): build a 4096-bit / 3-hash filter over the
+    customers that placed orders, probe every customer, and report the
+    bloom verdict beside exact membership — no false negatives by
+    construction; the false-positive rows are the sketch's documented
+    cost. Filter is sketch-sized (bit_or partial agg), probe stream
+    never shuffles wide."""
+    from pysyslog_lfc_spark.functions.sketches import bloom_build, bloom_probe
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    bloom = bloom_build(orders, "o_custkey", m_bits=_BLOOM_M, k_hashes=_BLOOM_K)
+    probed = bloom_probe(
+        bloom,
+        customer.select("c_custkey"),
+        "c_custkey",
+        m_bits=_BLOOM_M,
+        k_hashes=_BLOOM_K,
+    )
+    members = orders.select(F.col("o_custkey")).distinct().withColumn(
+        "_m", F.lit(1)
+    )
+    return (
+        probed.join(members, probed["c_custkey"] == members["o_custkey"], "left")
+        .select(
+            "c_custkey",
+            "in_bloom",
+            F.col("_m").isNotNull().alias("is_member"),
+        )
+    )
+
+
+_UNIMAX_BUDGET = 600_000
+_UNIMAX_EPOCHS = 4
+
+_UNIMAX_ORACLE = f"""
+    WITH toks AS (
+      SELECT source,
+             len(list_filter(string_split_regex(text, '\\s+'), w -> w != ''))
+               AS nt
+      FROM documents
+    ),
+    per AS (
+      SELECT source, count(*)::BIGINT AS n_docs, sum(nt)::BIGINT AS n_tokens
+      FROM toks GROUP BY 1
+    ),
+    c AS (SELECT *, (n_tokens * {_UNIMAX_EPOCHS})::BIGINT AS cap_tokens FROM per),
+    r AS (
+      SELECT *,
+             row_number() OVER (ORDER BY cap_tokens, source) AS j,
+             coalesce(sum(cap_tokens) OVER (
+               ORDER BY cap_tokens, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pfx,
+             count(*) OVER () AS D
+      FROM c
+    ),
+    mk AS (
+      SELECT *, CASE WHEN cap_tokens * (D - j + 1) <= {_UNIMAX_BUDGET} - pfx
+                     THEN 1 ELSE 0 END AS capped
+      FROM r
+    ),
+    ag AS (
+      SELECT *,
+             sum(CASE WHEN capped = 1 THEN cap_tokens ELSE 0 END) OVER ()
+               AS granted,
+             sum(capped) OVER () AS ncap
+      FROM mk
+    ),
+    al AS (
+      SELECT source, n_docs, n_tokens, cap_tokens,
+             CAST(CASE WHEN capped = 1 THEN cap_tokens
+                  ELSE ({_UNIMAX_BUDGET} - granted) // (D - ncap)
+                       + (CASE WHEN j - ncap <=
+                               ({_UNIMAX_BUDGET} - granted) % (D - ncap)
+                          THEN 1 ELSE 0 END)
+                  END AS BIGINT) AS alloc_tokens
+      FROM ag
+    )
+    SELECT source, n_docs, n_tokens, cap_tokens, alloc_tokens,
+           CAST(CASE WHEN n_tokens > 0
+                THEN (alloc_tokens * 1000) // n_tokens ELSE 0 END AS BIGINT)
+             AS epochs_milli
+    FROM al
+"""
+
+
+@query("unimax_source_budget", _UNIMAX_ORACLE)
+def unimax_source_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax budget allocations (functions/mixing.py::
+    unimax_allocations, Chung et al. 2023): spread a 600k-token budget
+    uniformly across sources with a 4-epoch per-source cap —
+    integer-exact waterfill over the |sources|-row frame; the corpus
+    collapses in the first agg."""
+    from pysyslog_lfc_spark.functions.mixing import unimax_allocations
+
+    docs = _t(spark, sf_dir, "documents")
+    return unimax_allocations(
+        docs, budget_tokens=_UNIMAX_BUDGET, max_epochs=_UNIMAX_EPOCHS
+    )
+
+
+_SENT_DEDUP_ORACLE = r"""
+    WITH b AS (
+      SELECT doc_id, CAST(g.i AS INTEGER) AS idx,
+             md5(us[g.i + 1]) AS h
+      FROM (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '[.!?]+\s+'), x -> x != '')
+                 AS us
+        FROM documents
+      ), LATERAL (SELECT unnest(range(len(us))) AS i) g
+    ),
+    flagged AS (
+      SELECT doc_id,
+             CASE WHEN row_number() OVER (PARTITION BY h ORDER BY doc_id, idx) > 1
+                  THEN 1 ELSE 0 END AS dup
+      FROM b
+    )
+    SELECT doc_id,
+           COUNT(*)::BIGINT AS n_units,
+           SUM(dup)::BIGINT AS n_dup_units,
+           CAST(((COUNT(*) - SUM(dup)) * 1000
+                 - ((COUNT(*) - SUM(dup)) * 1000) % COUNT(*)) / COUNT(*)
+                AS BIGINT) AS kept_ratio_permille
+    FROM flagged GROUP BY 1
+"""
+
+
+@query("unit_dedup_sentences", _SENT_DEDUP_ORACLE)
+def unit_dedup_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-unit exact dedup (functions/dedup.py::
+    unit_dedup_keep_first over a sentence split): every sentence seen
+    earlier in (doc, position) order is a duplicate — the CCNet unit
+    rule at the granularity dedup pipelines use for boilerplate
+    stripping. Same md5-immediately-after-explode shuffle shape as the
+    word-block variant."""
+    from pysyslog_lfc_spark.functions.dedup import unit_dedup_keep_first
+
+    docs = _t(spark, sf_dir, "documents")
+    units = F.filter(
+        F.split(F.col("text"), r"[.!?]+\s+"), lambda x: x != ""
+    )
+    return unit_dedup_keep_first(docs, units, "doc_id")

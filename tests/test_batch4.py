@@ -1,0 +1,205 @@
+"""Round-3 batch 4: linear gram builders, ExactSubstr rewrite, Bloom
+filter, UniMax allocations."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+class TestLinearGramBuilders:
+    def test_sliding_grams_matches_index_form(self, spark):
+        from pysyslog_lfc_spark.functions.text import sliding_grams, tokenize
+
+        rows = [
+            (1, "a b c d e"),
+            (2, "a b"),          # shorter than n=3 -> empty
+            (3, ""),             # no tokens -> empty
+            (4, "x  y\tz  w"),   # whitespace runs
+        ]
+        df = spark.createDataFrame(rows, "id long, text string")
+        words = tokenize(F.col("text"))
+        k = F.size(words) - 2
+        index_form = F.when(
+            k >= 1,
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.array_join(F.slice(words, i, 3), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        out = df.select(
+            "id",
+            sliding_grams(words, 3).alias("lin"),
+            index_form.alias("idx"),
+        ).collect()
+        for r in out:
+            assert r.lin == r.idx, r.id
+        by_id = {r.id: r.lin for r in out}
+        assert by_id[1] == ["a b c", "b c d", "c d e"]
+        assert by_id[2] == [] and by_id[3] == []
+        assert by_id[4] == ["x y z", "y z w"]
+
+    def test_word_chunks_matches_index_form(self, spark):
+        from pysyslog_lfc_spark.functions.text import tokenize, word_chunks
+
+        rows = [(i, " ".join(chr(97 + j % 26) + str(j) for j in range(i)))
+                for i in range(0, 12)]
+        df = spark.createDataFrame(rows, "id long, text string")
+        words = tokenize(F.col("text"))
+        n_blk = F.ceil(F.size(words) / F.lit(3)).cast("int")
+        index_form = F.transform(
+            F.sequence(F.lit(0), n_blk - 1),
+            lambda i: F.array_join(F.slice(words, i * 3 + 1, 3), " "),
+        )
+        out = df.select(
+            "id", word_chunks(words, 3).alias("lin"), index_form.alias("idx")
+        ).collect()
+        for r in out:
+            if r.id == 0:
+                assert r.lin == []  # index form yields null seq for k=0
+            else:
+                assert r.lin == r.idx, r.id
+
+    def test_word_chunks_null_text_is_null(self, spark):
+        from pysyslog_lfc_spark.functions.text import tokenize, word_chunks
+
+        df = spark.createDataFrame([(1, None)], "id long, text string")
+        r = df.select(word_chunks(tokenize(F.col("text")), 3).alias("c")).first()
+        assert r.c is None
+
+
+class TestExactSubstrRewrite:
+    def test_removes_later_occurrences_only(self, spark):
+        from pysyslog_lfc_spark.functions.dedup import exact_substr_rewrite
+
+        boiler = "the quick brown fox jumps over the lazy dog"  # 9 tokens
+        rows = [
+            (1, boiler + " unique tail one"),
+            (2, "prefix two " + boiler),  # whole 9-token span duplicated
+            (3, "no overlap at all here"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.doc_id: r for r in
+               exact_substr_rewrite(df, width=8).collect()}
+        # doc 1 is canonical (first occurrence) -> untouched
+        assert out[1].removed_tokens == 0
+        assert out[1].clean_text == rows[0][1]
+        # doc 2 loses exactly the 9 duplicated tokens, keeps its prefix
+        assert out[2].removed_tokens == 9
+        assert out[2].clean_text == "prefix two"
+        assert out[3].removed_tokens == 0
+
+    def test_overlapping_windows_count_once(self, spark):
+        from pysyslog_lfc_spark.functions.dedup import exact_substr_rewrite
+
+        # ten identical tokens -> doc 2's windows overlap heavily; the
+        # union of covered positions is all 10, not 3 windows * 8
+        rows = [(1, " ".join(["tok"] * 10)), (2, " ".join(["tok"] * 10))]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.doc_id: r for r in
+               exact_substr_rewrite(df, width=8).collect()}
+        # doc 1: windows at pos 1 and 2 duplicate pos-0's window too
+        # (identical text), so only the globally-first window survives
+        assert out[2].clean_text == ""
+        assert out[2].removed_tokens == 10
+
+
+class TestBloom:
+    def test_no_false_negatives_and_merge(self, spark):
+        from pysyslog_lfc_spark.functions.sketches import (
+            bloom_build,
+            bloom_probe,
+        )
+
+        a = spark.range(0, 200).select(F.col("id").alias("v"))
+        b = spark.range(200, 400).select(F.col("id").alias("v"))
+        m, k = 4096, 3
+        bl_a = bloom_build(a, "v", m, k)
+        bl_b = bloom_build(b, "v", m, k)
+        merged = (
+            bl_a.unionByName(bl_b)
+            .groupBy("word_idx")
+            .agg(F.bit_or("bits").alias("bits"))
+        )
+        whole = bloom_build(a.unionByName(b), "v", m, k)
+        assert (
+            merged.exceptAll(whole).count() == 0
+            and whole.exceptAll(merged).count() == 0
+        ), "bit_or merge must equal building over the union"
+        probe = bloom_probe(whole, a.unionByName(b), "v", m, k)
+        assert probe.where(~F.col("in_bloom")).count() == 0
+
+    def test_absent_values_mostly_reject(self, spark):
+        from pysyslog_lfc_spark.functions.sketches import (
+            bloom_build,
+            bloom_probe,
+        )
+
+        members = spark.range(0, 300).select(F.col("id").alias("v"))
+        absent = spark.range(10_000, 11_000).select(F.col("id").alias("v"))
+        bl = bloom_build(members, "v", 8192, 3)
+        fp = bloom_probe(bl, absent, "v", 8192, 3).where("in_bloom").count()
+        # expected fp rate ~(1-e^{-3*300/8192})^3 ~ 0.1%; allow head room
+        assert fp < 50
+
+    def test_build_validates_params(self, spark):
+        import pytest
+
+        from pysyslog_lfc_spark.functions.sketches import bloom_build
+
+        df = spark.range(1).select(F.col("id").alias("v"))
+        with pytest.raises(ValueError):
+            bloom_build(df, "v", m_bits=100)  # not a multiple of 32
+        with pytest.raises(ValueError):
+            bloom_build(df, "v", k_hashes=0)
+
+
+class TestUnimax:
+    def test_waterfill_caps_and_budget(self, spark):
+        from pysyslog_lfc_spark.functions.mixing import unimax_allocations
+
+        # three sources: tiny (cap 8), small (cap 40), huge (cap 4000)
+        rows = (
+            [(f"t{i}", "a b", "tiny") for i in range(1)]
+            + [(f"s{i}", "a b c d e", "small") for i in range(2)]
+            + [(f"h{i}", " ".join(["w"] * 100), "huge") for i in range(10)]
+        )
+        df = spark.createDataFrame(rows, "doc_id string, text string, source string")
+        out = {
+            r.source: r
+            for r in unimax_allocations(
+                df, budget_tokens=500, max_epochs=4
+            ).collect()
+        }
+        # caps: tiny 2*4=8, small 10*4=40, huge 1000*4=4000
+        assert out["tiny"].cap_tokens == 8 and out["tiny"].alloc_tokens == 8
+        assert out["small"].cap_tokens == 40 and out["small"].alloc_tokens == 40
+        # remainder goes to the single uncapped source
+        assert out["huge"].alloc_tokens == 500 - 8 - 40
+        total = sum(r.alloc_tokens for r in out.values())
+        assert total == 500
+
+    def test_budget_exceeds_all_caps(self, spark):
+        from pysyslog_lfc_spark.functions.mixing import unimax_allocations
+
+        rows = [("a", "x y", "s1"), ("b", "x y z", "s2")]
+        df = spark.createDataFrame(rows, "doc_id string, text string, source string")
+        out = {
+            r.source: r
+            for r in unimax_allocations(
+                df, budget_tokens=10_000, max_epochs=2
+            ).collect()
+        }
+        # every source capped; no division-by-zero on the empty
+        # uncapped set (CASE keeps the share branch unevaluated)
+        assert out["s1"].alloc_tokens == 4 and out["s2"].alloc_tokens == 6
+
+    def test_even_split_distributes_remainder(self, spark):
+        from pysyslog_lfc_spark.functions.mixing import unimax_allocations
+
+        rows = [(f"d{s}{i}", " ".join(["w"] * 50), f"s{s}")
+                for s in range(3) for i in range(4)]
+        df = spark.createDataFrame(rows, "doc_id string, text string, source string")
+        out = unimax_allocations(df, budget_tokens=100, max_epochs=4).collect()
+        allocs = sorted(r.alloc_tokens for r in out)
+        assert sum(allocs) == 100
+        assert allocs == [33, 33, 34]
