@@ -1,0 +1,172 @@
+"""Embedding clustering and neighbor-label evaluation.
+
+The reference engine has no vector surface at all (its closest analog
+is per-flow metric grouping, ``src/pysyslog/outputs/metrics.py``); a
+training-data pipeline needs clustering for semantic sharding /
+semdedup-style pruning and a k-NN label check as the standard
+"are these embeddings any good" probe. Both are built deterministic
+end-to-end so the DuckDB oracle replays them exactly:
+
+- k-means init is the ``k`` vectors with the smallest ids (no RNG);
+- centroid components round to a 1e-4 grid after every mean, and
+  squared distances round to 1e-6 before the argmin, so cross-engine
+  float drift (~1e-13 from differing summation order) sits ~7 orders
+  of magnitude under the decision grids;
+- every tie (equal distance, equal vote count) breaks by id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from pysyslog_lfc_spark.functions.similarity import _np_mat, _raw_vec
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    n_iter: int = 3,
+) -> DataFrame:
+    """Deterministic Lloyd k-means (Lloyd 1982): ``n_iter`` rounds of
+    assign-to-nearest / recompute-means, squared-euclidean metric via
+    the expansion |v|^2 - 2 v.c + |c|^2 (the same arithmetic the SQL
+    oracle uses). Returns the FINAL assignment ``(id, cluster_id,
+    dist2_micro)`` with ``dist2_micro = round(dist^2, 6) * 1e6`` as a
+    portable integer.
+
+    Scale shape: each round is ONE corpus pass — a mapInPandas BLAS
+    kernel scores all ``k`` centroids per Arrow batch (centroids ride
+    in as a broadcast-sized closure; k x dim doubles), then one
+    (cluster, dim)-keyed mean aggregation whose shuffle carries
+    ``k x dim`` cells regardless of corpus size. The only driver
+    materialization per round is that k x dim centroid frame —
+    documented bound, independent of row count. ``n_iter`` is fixed
+    (not convergence-tested) so the plan is replayable and the oracle
+    can unroll it.
+
+    Init is deliberately NAIVE (smallest ids), because it is the only
+    zero-pass deterministic choice: quality depends on those ids
+    landing in distinct regions. For production clustering, run once,
+    inspect, and re-run passing better-separated seeds by id — or add
+    a farthest-first traversal (Gonzalez 1985) upstream; it costs k
+    extra corpus passes.
+    """
+    import numpy as np
+
+    if k < 1 or n_iter < 1:
+        raise ValueError("kmeans_lloyd: k and n_iter must be >= 1")
+    spark = df.sparkSession
+    base = _raw_vec(df, vec_col, id_col)
+    init = base.orderBy("_id").limit(k).collect()
+    if len(init) < k:
+        raise ValueError(f"kmeans_lloyd: need >= k={k} vectors")
+    cents = np.round(
+        np.stack([np.asarray(r["_v"], dtype="float64") for r in init]), 4
+    )
+
+    def assign_with(c_mat):
+        c2 = (c_mat * c_mat).sum(axis=1)
+
+        def score(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                v = _np_mat(pdf["_v"])
+                d2 = (
+                    (v * v).sum(axis=1)[:, None]
+                    - 2.0 * (v @ c_mat.T)
+                    + c2[None, :]
+                )
+                d2 = np.round(d2, 6)
+                # argmin with cluster-id tie-break: argmin returns the
+                # FIRST minimum, which is the smallest cluster id
+                cl = d2.argmin(axis=1)
+                yield pd.DataFrame(
+                    {
+                        "_id": pdf["_id"],
+                        "cluster_id": cl.astype("int32"),
+                        "dist2_micro": np.rint(
+                            d2[np.arange(len(cl)), cl] * 1e6
+                        ).astype("int64"),
+                    }
+                )
+
+        return base.mapInPandas(
+            score, "_id long, cluster_id int, dist2_micro long"
+        )
+
+    for _ in range(n_iter - 1):
+        assigned = assign_with(cents)
+        means = (
+            base.join(assigned.select("_id", "cluster_id"), "_id")
+            .select("cluster_id", F.posexplode("_v").alias("d", "x"))
+            .groupBy("cluster_id", "d")
+            .agg(F.round(F.avg("x"), 4).alias("c"))
+            .collect()
+        )
+        nxt = cents.copy()  # empty clusters keep their previous centroid
+        for r in means:
+            nxt[r["cluster_id"], r["d"]] = r["c"]
+        cents = nxt
+    return assign_with(cents).select(
+        F.col("_id").alias(id_col), "cluster_id", "dist2_micro"
+    )
+
+
+def knn_label_eval(
+    train: DataFrame,
+    test: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    k: int = 5,
+) -> DataFrame:
+    """k-NN classification check: predict each test vector's label by
+    majority vote of its ``k`` exact cosine neighbors in ``train``
+    (vote ties -> smallest label; neighbor ranking ties -> smallest
+    id, inherited from brute_force_topk). Returns ``(id, true_label,
+    pred_label, n_votes, correct)`` — the standard embedding-quality
+    probe (a degenerate-embedding space scores at chance).
+
+    Scale shape: the test side is small by contract (it is an eval
+    split) — brute_force_topk broadcasts it and the train corpus scans
+    ONCE; the vote is a groupBy over k x |test| rows.
+    """
+    from pysyslog_lfc_spark.functions.similarity import brute_force_topk
+
+    topk = brute_force_topk(train, test, k=k, vec_col=vec_col, id_col=id_col)
+    votes = (
+        topk.join(
+            train.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(label_col).alias("_nl"),
+            ),
+            "neighbor_id",
+        )
+        .groupBy("query_id", "_nl")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    best = votes.groupBy("query_id").agg(
+        F.max(
+            F.struct(
+                F.col("n_votes"), (-F.col("_nl")).alias("_neg"), F.col("_nl")
+            )
+        ).alias("_w")
+    )
+    truth = test.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("true_label")
+    )
+    return (
+        truth.join(best, "query_id")
+        .select(
+            F.col("query_id").alias(id_col),
+            "true_label",
+            F.col("_w._nl").alias("pred_label"),
+            F.col("_w.n_votes").cast("long").alias("n_votes"),
+            (F.col("_w._nl") == F.col("true_label")).alias("correct"),
+        )
+    )

@@ -414,6 +414,15 @@ def bloom_build(
     ``bit_or`` on word_idx — exactly what the map-side partial
     aggregation of the groupBy already exploits. 100 TB shape: the
     shuffle carries at most ``m/32`` rows regardless of input size.
+
+    Role split vs :mod:`pysyslog_lfc_spark.operators.bloom`: that
+    module is the JOIN-PRUNE form — xxhash64 words collected to the
+    driver and embedded as a codegen literal so a fact scan filters
+    before its shuffle. This one is the portable SYNOPSIS form: it
+    stays a table (persist it, ship it between runs, merge shards) and
+    every bit is md5-derived so the DuckDB oracle replays membership
+    verdicts exactly — the auditability contract the sketch family
+    (KMV/CMS/HLL/DDSketch) shares.
     """
     if m_bits < 32 or m_bits % 32:
         raise ValueError("bloom_build: m_bits must be a positive multiple of 32")

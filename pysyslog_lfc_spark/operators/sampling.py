@@ -322,3 +322,43 @@ def neyman_allocation(
     return staged.select(
         "stratum", "n_rows", "w_sigma", alloc.alias("alloc")
     )
+
+
+def label_rebalance(
+    df: DataFrame,
+    label_col: str,
+    id_col: str,
+    salt: str = "rebalance",
+) -> DataFrame:
+    """Class-balanced downsampling: keep exactly ``min(class sizes)``
+    rows per class, chosen by the deterministic hash die (smallest
+    ``(hash, id)`` first) — the standard majority-class cut before
+    training a classifier on skewed labels, made resume-safe and
+    oracle-replayable like every sampler in this module.
+
+    Returns the kept rows as ``(id, label, rank_in_class)``.
+
+    Scale shape: class counts collapse to a |labels|-row broadcast;
+    the rank is one window PARTITIONED BY label — bounded by the
+    largest class, which is the honest cost of an EXACT per-class
+    count (at 10^9-row classes, switch to :func:`hash_sample` with
+    rate = n_min/n_class and accept +-sqrt jitter instead).
+    """
+    n_min = F.broadcast(
+        df.groupBy(label_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(F.min("_n").alias("_n_min"))
+    )
+    w = Window.partitionBy(label_col).orderBy(
+        portable_hash60(
+            F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))
+        ),
+        F.col(id_col),
+    )
+    return (
+        df.select(F.col(id_col), F.col(label_col))
+        .withColumn("rank_in_class", F.row_number().over(w))
+        .join(n_min)
+        .where(F.col("rank_in_class") <= F.col("_n_min"))
+        .select(id_col, label_col, F.col("rank_in_class").cast("long").alias("rank_in_class"))
+    )

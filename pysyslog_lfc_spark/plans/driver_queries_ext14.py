@@ -1,0 +1,180 @@
+"""Driver-query registrations, round-3 batch 5.
+
+Imported by :mod:`pysyslog_lfc_spark.plans.driver_queries` (bottom of
+file). This batch is the embedding/label family: deterministic Lloyd
+k-means (the clustering trainer behind semantic sharding and IVF cell
+construction, previously implicit), the k-NN label probe (the standard
+"are these embeddings any good" check), and class-balanced
+downsampling. All three are deterministic end-to-end, so the oracles
+replay them exactly — the k-means oracle UNROLLS the fixed Lloyd
+iterations as SQL CTE layers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pysyslog_lfc_spark.plans.driver_queries import _t, query
+
+
+_KMEANS_K = 8
+_KMEANS_ITER = 3
+_KMEANS_DIM = 64
+
+
+def _kmeans_oracle_sql(k: int = _KMEANS_K, n_iter: int = _KMEANS_ITER,
+                       dim: int = _KMEANS_DIM) -> str:
+    """Unroll the fixed Lloyd iterations: c0 = the k smallest-id
+    vectors rounded to 1e-4; each layer = (distance CTE via the
+    |v|^2 - 2 v.c + |c|^2 expansion rounded to 1e-6, argmin with
+    cluster-id tie-break, per-(cluster, dim) rounded means with
+    empty clusters carrying their previous centroid)."""
+    parts = [
+        "WITH pts AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),",
+        f"""c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl,
+             list_transform(v, x -> round(x, 4)) AS c
+      FROM (SELECT * FROM pts ORDER BY vec_id LIMIT {k})
+    )""",
+    ]
+    for i in range(n_iter):
+        parts.append(f""",
+    s{i} AS (
+      SELECT p.vec_id, c.cl,
+             round(list_inner_product(p.v, p.v)
+                   - 2 * list_inner_product(p.v, c.c)
+                   + list_inner_product(c.c, c.c), 6) AS d2
+      FROM pts p, c{i} c
+    ),
+    a{i} AS (
+      SELECT vec_id, cl, d2 FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d2, cl) AS rn
+        FROM s{i}
+      ) WHERE rn = 1
+    )""")
+        if i < n_iter - 1:
+            parts.append(f""",
+    m{i} AS (
+      SELECT a.cl, t.i AS d, round(avg(p.v[t.i + 1]), 4) AS cx
+      FROM a{i} a JOIN pts p USING (vec_id),
+           unnest(generate_series(0, {dim - 1})) AS t(i)
+      GROUP BY 1, 2
+    ),
+    c{i + 1} AS (
+      SELECT c.cl, coalesce(n.arr, c.c) AS c
+      FROM c{i} c LEFT JOIN (
+        SELECT cl, list(cx ORDER BY d) AS arr FROM m{i} GROUP BY 1
+      ) n USING (cl)
+    )""")
+    last = n_iter - 1
+    parts.append(f"""
+    SELECT vec_id, CAST(cl AS INT) AS cluster_id,
+           CAST(round(d2 * 1000000, 0) AS BIGINT) AS dist2_micro
+    FROM a{last}
+    """)
+    return "".join(parts)
+
+
+@query("kmeans_embeddings", _kmeans_oracle_sql())
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd k-means (functions/clustering.py::
+    kmeans_lloyd): 3 fixed assign/mean rounds, k=8, init = the 8
+    smallest-id vectors; every decision sits on an integer-safe grid
+    (centroids 1e-4, distances 1e-6) so the unrolled SQL replica
+    matches bit-for-bit. One corpus pass per round; the per-round
+    shuffle carries k x dim mean cells only."""
+    from pysyslog_lfc_spark.functions.clustering import kmeans_lloyd
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans_lloyd(emb, k=_KMEANS_K, n_iter=_KMEANS_ITER)
+
+
+_KNN_ORACLE = """
+    WITH tr AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v, label
+      FROM embeddings WHERE vec_id % 10 <> 0
+    ),
+    te AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+             label AS true_label
+      FROM embeddings WHERE vec_id % 10 = 0
+    ),
+    sc AS (
+      SELECT query_id, vec_id AS neighbor_id,
+             round(list_cosine_similarity(qv, v), 4) AS cos
+      FROM te, tr
+    ),
+    top AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id) AS rn
+        FROM sc
+      ) WHERE rn <= 5
+    ),
+    votes AS (
+      SELECT t.query_id, tr.label AS nl, count(*) AS n_votes
+      FROM top t JOIN tr ON t.neighbor_id = tr.vec_id
+      GROUP BY 1, 2
+    ),
+    best AS (
+      SELECT query_id, nl, n_votes FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY n_votes DESC, nl) AS rn
+        FROM votes
+      ) WHERE rn = 1
+    )
+    SELECT te.query_id AS vec_id, te.true_label,
+           b.nl AS pred_label, b.n_votes::BIGINT AS n_votes,
+           (b.nl = te.true_label) AS correct
+    FROM te JOIN best b USING (query_id)
+"""
+
+
+@query("knn_label_eval", _KNN_ORACLE)
+def knn_label_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label probe (functions/clustering.py::knn_label_eval):
+    every 10th vector is the eval split, predicted by majority vote of
+    its 5 exact cosine neighbors in the rest (vote tie -> smallest
+    label). The eval split broadcasts; the train corpus scans once."""
+    from pysyslog_lfc_spark.functions.clustering import knn_label_eval
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_label_eval(
+        emb.where(F.col("vec_id") % 10 != 0),
+        emb.where(F.col("vec_id") % 10 == 0),
+        k=5,
+    )
+
+
+_REBALANCE_ORACLE = """
+    WITH n AS (
+      SELECT min(cnt) AS n_min FROM (
+        SELECT label, count(*) AS cnt FROM embeddings GROUP BY 1
+      )
+    ),
+    r AS (
+      SELECT vec_id, label,
+             row_number() OVER (
+               PARTITION BY label
+               ORDER BY ('0x' || substr(md5('rebalance:' || vec_id::VARCHAR), 1, 15))::BIGINT,
+                        vec_id
+             ) AS rank_in_class
+      FROM embeddings
+    )
+    SELECT vec_id, label, rank_in_class::BIGINT AS rank_in_class
+    FROM r, n WHERE rank_in_class <= n_min
+"""
+
+
+@query("label_rebalance_eval", _REBALANCE_ORACLE)
+def label_rebalance_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling (operators/sampling.py::
+    label_rebalance): keep exactly min(class sizes) rows per label,
+    smallest (portable hash, id) first — deterministic, resume-safe,
+    and replayed exactly by the oracle."""
+    from pysyslog_lfc_spark.operators.sampling import label_rebalance
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return label_rebalance(emb, "label", "vec_id")

@@ -1,0 +1,120 @@
+"""Round-3 batch 5: k-means, k-NN label eval, label rebalancing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _vec_rows(spec):
+    # spec: list of (id, base, label); vector = base + tiny id-jitter
+    rows = []
+    for vid, base, label in spec:
+        v = [float(b) + 0.001 * (vid % 7) for b in base]
+        rows.append((vid, v, label))
+    return rows
+
+
+class TestKmeansLloyd:
+    def test_separated_clusters_recovered(self, spark):
+        from pysyslog_lfc_spark.functions.clustering import kmeans_lloyd
+
+        # ids interleave across the two groups so the smallest-id init
+        # (the operator's documented deterministic-but-naive choice)
+        # starts one centroid in each
+        a = [10.0, 0.0, 0.0]
+        b = [0.0, 10.0, 0.0]
+        spec = [(2 * i, a, 0) for i in range(6)] + [
+            (2 * i + 1, b, 1) for i in range(6)
+        ]
+        df = spark.createDataFrame(
+            _vec_rows(spec), "vec_id long, embedding array<float>, label int"
+        )
+        out = kmeans_lloyd(df, k=2, n_iter=3).collect()
+        by_id = {r.vec_id: r.cluster_id for r in out}
+        assert len({by_id[2 * i] for i in range(6)}) == 1
+        assert len({by_id[2 * i + 1] for i in range(6)}) == 1
+        assert by_id[0] != by_id[1]
+        # converged assignment -> tiny within-cluster distance
+        assert all(r.dist2_micro < 10_000 for r in out)
+
+    def test_k_larger_than_corpus_rejected(self, spark):
+        from pysyslog_lfc_spark.functions.clustering import kmeans_lloyd
+
+        df = spark.createDataFrame(
+            _vec_rows([(0, [1.0, 0.0], 0)]),
+            "vec_id long, embedding array<float>, label int",
+        )
+        with pytest.raises(ValueError):
+            kmeans_lloyd(df, k=4, n_iter=1)
+
+    def test_deterministic_across_partitionings(self, spark):
+        from pysyslog_lfc_spark.functions.clustering import kmeans_lloyd
+
+        spec = [(i, [float(i % 3), float(i % 5), 1.0], 0) for i in range(30)]
+        df = spark.createDataFrame(
+            _vec_rows(spec), "vec_id long, embedding array<float>, label int"
+        )
+        one = sorted(map(tuple, kmeans_lloyd(df.coalesce(1), k=3).collect()))
+        many = sorted(map(tuple, kmeans_lloyd(df.repartition(7), k=3).collect()))
+        assert one == many
+
+
+class TestKnnLabelEval:
+    def test_majority_vote_and_tiebreak(self, spark):
+        from pysyslog_lfc_spark.functions.clustering import knn_label_eval
+
+        # train: 3 vectors near +x labeled 0, 2 near +y labeled 1
+        train_spec = [(i, [5.0, 0.0], 0) for i in range(3)] + [
+            (i + 3, [0.0, 5.0], 1) for i in range(2)
+        ]
+        train = spark.createDataFrame(
+            _vec_rows(train_spec), "vec_id long, embedding array<float>, label int"
+        )
+        test = spark.createDataFrame(
+            [(100, [5.0, 0.1], 0), (101, [0.1, 5.0], 1)],
+            "vec_id long, embedding array<float>, label int",
+        )
+        out = {r.vec_id: r for r in knn_label_eval(train, test, k=5).collect()}
+        # all 5 train vectors vote; +x test point gets 3 votes for 0
+        assert out[100].pred_label == 0 and out[100].n_votes == 3
+        assert out[101].pred_label == 1 or out[101].n_votes >= 2
+        assert out[100].correct
+
+    def test_vote_tie_prefers_smaller_label(self, spark):
+        from pysyslog_lfc_spark.functions.clustering import knn_label_eval
+
+        train = spark.createDataFrame(
+            [(0, [1.0, 0.0], 7), (1, [1.0, 0.0], 3)],
+            "vec_id long, embedding array<float>, label int",
+        )
+        test = spark.createDataFrame(
+            [(10, [1.0, 0.0], 3)], "vec_id long, embedding array<float>, label int"
+        )
+        r = knn_label_eval(train, test, k=2).first()
+        assert r.pred_label == 3 and r.n_votes == 1 and r.correct
+
+
+class TestLabelRebalance:
+    def test_exact_min_class_count_kept(self, spark):
+        from pysyslog_lfc_spark.operators.sampling import label_rebalance
+
+        rows = [(i, 0) for i in range(50)] + [(100 + i, 1) for i in range(7)]
+        df = spark.createDataFrame(rows, "vec_id long, label int")
+        out = label_rebalance(df, "label", "vec_id").collect()
+        by_label = {}
+        for r in out:
+            by_label.setdefault(r.label, []).append(r)
+        assert len(by_label[0]) == 7 and len(by_label[1]) == 7
+        assert all(1 <= r.rank_in_class <= 7 for r in out)
+
+    def test_deterministic_selection(self, spark):
+        from pysyslog_lfc_spark.operators.sampling import label_rebalance
+
+        rows = [(i, i % 3) for i in range(40)]
+        df = spark.createDataFrame(rows, "vec_id long, label int")
+        a = sorted(map(tuple, label_rebalance(df, "label", "vec_id").collect()))
+        b = sorted(
+            map(tuple, label_rebalance(df.repartition(9), "label", "vec_id").collect())
+        )
+        assert a == b
