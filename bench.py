@@ -212,6 +212,11 @@ BENCH_QUERIES = [
     "bloom_membership",
     "unimax_source_budget",
     "unit_dedup_sentences",
+    "kmeans_embeddings",
+    "knn_label_eval",
+    "label_rebalance_eval",
+    "split_leakage_safe",
+    "embedding_top_pc",
 ]
 
 

@@ -170,3 +170,90 @@ def knn_label_eval(
             (F.col("_w._nl") == F.col("true_label")).alias("correct"),
         )
     )
+
+
+def top_principal_component(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    n_iter: int = 8,
+) -> DataFrame:
+    """Top principal component of the int8-quantized corpus — the
+    direction "all-but-the-top" embedding postprocessing removes
+    (Mu & Viswanath 2018, public): dominant eigenvector of the scaled
+    covariance ``M = n * S2 - s s^T`` where ``S2 = sum q q^T`` and
+    ``s = sum q`` over the quantized vectors, found by ``n_iter``
+    deterministic power-iteration steps from the all-ones direction.
+
+    Returns ``(d, pc_micro, lambda_scaled)``: component on a 1e-6
+    grid and ``round(v^T M v)`` as the (scaled) eigenvalue.
+
+    Determinism/portability: S2, s, n are INTEGER-exact (|q| <= 127,
+    BIGINT-safe to ~2.4e7 vectors for the n*S2 product — document the
+    float fallback past that), so both engines iterate from the
+    bit-identical matrix; each step renormalizes onto a 1e-6 grid,
+    ~7 orders above the ~1e-13 drift of differing matvec summation
+    orders, and the SQL oracle unrolls the same steps as CTE layers.
+
+    Scale shape: ONE corpus pass — the gram_matrix_int8 treeAggregate
+    pattern widened to also carry column sums and the count (each
+    Arrow batch folds to dim^2 + dim + 1 partial cells); the
+    dim x dim eigen-solve is bounded driver work, same class as the
+    k x dim centroid frame in :func:`kmeans_lloyd`.
+    """
+    import numpy as np
+
+    from pysyslog_lfc_spark.functions.similarity import quantize_embeddings
+
+    q = quantize_embeddings(df, vec_col)
+
+    def partial(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["q_vec"]])
+            G = X.T @ X
+            cols = X.sum(axis=0)
+            idx = np.concatenate(
+                [
+                    np.arange(G.size, dtype=np.int64),
+                    G.size + np.arange(dim, dtype=np.int64),
+                    np.asarray([G.size + dim], dtype=np.int64),
+                ]
+            )
+            val = np.concatenate(
+                [G.reshape(-1), cols, np.asarray([len(X)], dtype=np.int64)]
+            )
+            yield pd.DataFrame({"idx": idx, "val": val})
+
+    cells = (
+        q.select("q_vec")
+        .mapInPandas(partial, "idx long, val long")
+        .groupBy("idx")
+        .agg(F.sum("val").alias("v"))
+        .collect()
+    )
+    flat = {r["idx"]: r["v"] for r in cells}
+    s2 = np.asarray(
+        [[flat.get(i * dim + j, 0) for j in range(dim)] for i in range(dim)],
+        dtype=np.float64,
+    )
+    s = np.asarray([flat.get(dim * dim + d, 0) for d in range(dim)], dtype=np.float64)
+    n = float(flat.get(dim * dim + dim, 0))
+    m = n * s2 - np.outer(s, s)
+    v = np.round(np.full(dim, 1.0 / np.sqrt(dim)), 6)
+    for _ in range(n_iter):
+        w = m @ v
+        nm = float(np.sqrt((w * w).sum()))
+        if nm == 0.0:
+            break
+        v = np.round(w / nm, 6)
+    lam = int(np.rint(float(v @ m @ v)))
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(d, int(np.rint(v[d] * 1e6)), lam) for d in range(dim)],
+        "d int, pc_micro bigint, lambda_scaled bigint",
+    )

@@ -362,3 +362,50 @@ def label_rebalance(
         .where(F.col("rank_in_class") <= F.col("_n_min"))
         .select(id_col, label_col, F.col("rank_in_class").cast("long").alias("rank_in_class"))
     )
+
+
+def cluster_aware_split(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str,
+    cluster_col: str = "cluster_id",
+    permille: tuple[int, ...] = (800, 100, 100),
+    names: tuple[str, ...] = ("train", "val", "test"),
+    salt: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: every member of a
+    near-duplicate cluster follows its cluster REPRESENTATIVE's hash
+    die, so near-dups can never straddle the train/test boundary — the
+    documented failure mode of naive per-row splitting (Lee et al.
+    2021 §6 measure the eval inflation it causes). Unclustered rows
+    are their own representative, i.e. this degrades to
+    :func:`split_assign` exactly when ``clusters`` is empty.
+
+    ``clusters`` is (id, cluster_id) from functions/dedup.dedup_clusters
+    (cluster_id = smallest member id). Returns (id, rep_id, split).
+
+    Scale shape: the cluster frame is O(duplicate docs) — broadcast it;
+    the corpus pays one hash + CASE projection, no shuffle.
+    """
+    rep = df.select(F.col(id_col)).join(
+        F.broadcast(
+            clusters.select(
+                F.col(id_col), F.col(cluster_col).alias("__cl")
+            )
+        ),
+        id_col,
+        "left",
+    ).withColumn("rep_id", F.coalesce(F.col("__cl"), F.col(id_col)))
+    if sum(permille) != 1000 or len(permille) != len(names):
+        raise ValueError("permille must sum to 1000 and match names")
+    key = sample_key(F.col("rep_id"), salt)
+    expr = None
+    hi = 0
+    for p, name in zip(permille, names):
+        hi += p
+        expr = (
+            F.when(key < hi, F.lit(name))
+            if expr is None
+            else expr.when(key < hi, F.lit(name))
+        )
+    return rep.select(id_col, "rep_id", expr.alias("split"))

@@ -40,14 +40,14 @@ def _kmeans_oracle_sql(k: int = _KMEANS_K, n_iter: int = _KMEANS_ITER,
     ]
     for i in range(n_iter):
         parts.append(f""",
-    s{i} AS (
+    s{i} AS MATERIALIZED (
       SELECT p.vec_id, c.cl,
              round(list_inner_product(p.v, p.v)
                    - 2 * list_inner_product(p.v, c.c)
                    + list_inner_product(c.c, c.c), 6) AS d2
       FROM pts p, c{i} c
     ),
-    a{i} AS (
+    a{i} AS MATERIALIZED (
       SELECT vec_id, cl, d2 FROM (
         SELECT *, row_number() OVER (PARTITION BY vec_id
                                      ORDER BY d2, cl) AS rn
@@ -62,7 +62,7 @@ def _kmeans_oracle_sql(k: int = _KMEANS_K, n_iter: int = _KMEANS_ITER,
            unnest(generate_series(0, {dim - 1})) AS t(i)
       GROUP BY 1, 2
     ),
-    c{i + 1} AS (
+    c{i + 1} AS MATERIALIZED (
       SELECT c.cl, coalesce(n.arr, c.c) AS c
       FROM c{i} c LEFT JOIN (
         SELECT cl, list(cx ORDER BY d) AS arr FROM m{i} GROUP BY 1
@@ -178,3 +178,126 @@ def label_rebalance_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return label_rebalance(emb, "label", "vec_id")
+
+
+def _split_leakage_oracle_sql() -> str:
+    """Compose the verified connected-components oracle: the split key
+    hashes the cluster representative (min member id), unclustered
+    docs hash themselves."""
+    from pysyslog_lfc_spark.plans.driver_queries import all_oracles
+
+    cl = all_oracles()["dedup_clusters_cc"]
+    return f"""
+    WITH cl AS ({cl}),
+    sp AS (
+      SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS rep_id
+      FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+    )
+    SELECT doc_id, rep_id,
+           CASE WHEN k < 800 THEN 'train'
+                WHEN k < 900 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id, rep_id,
+             ('0x' || substr(md5('split:' || rep_id::VARCHAR), 1, 15))::BIGINT
+               % 1000 AS k
+      FROM sp
+    )
+    """
+
+
+@query("split_leakage_safe", _split_leakage_oracle_sql())
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split (operators/sampling.py::
+    cluster_aware_split): near-dup cluster members (MinHash-LSH 0.9 +
+    exact verify + connected components) all follow their cluster
+    representative's hash die, so duplicates never straddle the
+    train/test boundary (the eval-inflation hazard Lee et al. 2021 §6
+    measure). Cluster frame is O(dup docs) and broadcasts; the corpus
+    pays one hash + CASE projection."""
+    from pysyslog_lfc_spark.functions.dedup import dedup_clusters
+    from pysyslog_lfc_spark.operators.sampling import cluster_aware_split
+
+    docs = _t(spark, sf_dir, "documents")
+    clusters = dedup_clusters(docs, threshold=0.9)
+    return cluster_aware_split(docs, clusters, "doc_id")
+
+
+def _pca_oracle_sql(dim: int = 64, n_iter: int = 8) -> str:
+    """Unrolled power iteration over the INTEGER-exact scaled
+    covariance M = n*S2 - s s^T of the int8-quantized corpus (the
+    same quantization CTE the verified gram-matrix oracle uses);
+    each step renormalizes onto the 1e-6 grid."""
+    head = f"""
+    WITH e AS (
+      SELECT vec_id,
+             CAST(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+                  AS DOUBLE) / 127e0 AS q_scale,
+             embedding
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id,
+             CASE WHEN q_scale = 0e0
+                  THEN list_transform(embedding, x -> 0)
+                  ELSE list_transform(embedding,
+                         x -> CAST(floor(CAST(x AS DOUBLE) / q_scale + 0.5e0) AS INT))
+             END AS qv
+      FROM e
+    ),
+    cell AS (
+      SELECT a.i - 1 AS i, b.j - 1 AS j,
+             CAST(sum(CAST(qv[a.i] AS BIGINT) * qv[b.j]) AS BIGINT) AS s2
+      FROM q, unnest(generate_series(1, {dim})) AS a(i),
+              unnest(generate_series(1, {dim})) AS b(j)
+      GROUP BY 1, 2
+    ),
+    colsum AS (
+      SELECT a.i - 1 AS i, CAST(sum(qv[a.i]) AS BIGINT) AS s
+      FROM q, unnest(generate_series(1, {dim})) AS a(i)
+      GROUP BY 1
+    ),
+    nn AS (SELECT count(*)::BIGINT AS n FROM q),
+    m AS MATERIALIZED (
+      SELECT c.i, c.j, CAST(nn.n * c.s2 - si.s * sj.s AS DOUBLE) AS m
+      FROM cell c JOIN colsum si ON si.i = c.i
+                  JOIN colsum sj ON sj.i = c.j, nn
+    ),
+    v0 AS (
+      SELECT t.i, round(1.0 / sqrt({dim}.0), 6) AS x
+      FROM unnest(generate_series(0, {dim - 1})) AS t(i)
+    )"""
+    steps = []
+    for t in range(n_iter):
+        steps.append(f""",
+    w{t} AS MATERIALIZED (
+      SELECT m.i, sum(m.m * v.x) AS w FROM m JOIN v{t} v ON v.i = m.j
+      GROUP BY 1
+    ),
+    nrm{t} AS MATERIALIZED (SELECT sqrt(sum(w * w)) AS nm FROM w{t}),
+    v{t + 1} AS MATERIALIZED (SELECT i, round(w / nm, 6) AS x FROM w{t}, nrm{t})""")
+    tail = f""",
+    lam AS (
+      SELECT CAST(round(sum(v1.x * m.m * v2.x), 0) AS BIGINT) AS l
+      FROM m JOIN v{n_iter} v1 ON v1.i = m.i
+             JOIN v{n_iter} v2 ON v2.i = m.j
+    )
+    SELECT v.i AS d, CAST(round(v.x * 1000000, 0) AS BIGINT) AS pc_micro,
+           lam.l AS lambda_scaled
+    FROM v{n_iter} v, lam
+    """
+    return head + "".join(steps) + tail
+
+
+@query("embedding_top_pc", _pca_oracle_sql())
+def embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the int8-quantized corpus
+    (functions/clustering.py::top_principal_component, the direction
+    "all-but-the-top" postprocessing removes): one treeAggregate-style
+    corpus pass collects the integer-exact S2/s/n cells, then 8
+    power-iteration steps on the bounded dim x dim matrix — the oracle
+    unrolls the identical steps as CTE layers."""
+    from pysyslog_lfc_spark.functions.clustering import top_principal_component
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return top_principal_component(emb, dim=64, n_iter=8)

@@ -118,3 +118,84 @@ class TestLabelRebalance:
             map(tuple, label_rebalance(df.repartition(9), "label", "vec_id").collect())
         )
         assert a == b
+
+
+class TestTopPrincipalComponent:
+    def test_recovers_dominant_direction(self, spark):
+        from pysyslog_lfc_spark.functions.clustering import (
+            top_principal_component,
+        )
+
+        # variance concentrated on dim 0: v_i = (8*i_sign, small noise)
+        rows = [
+            (i, [float(10 * (1 if i % 2 else -1)), 0.1 * (i % 3), 0.05], 0)
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        out = {r.d: r for r in
+               top_principal_component(df, dim=3, n_iter=8).collect()}
+        assert len(out) == 3
+        # component is unit-norm on the 1e-6 grid and dominated by dim 0
+        comps = [out[d].pc_micro / 1e6 for d in range(3)]
+        assert abs(abs(comps[0]) - 1.0) < 0.01
+        assert abs(comps[1]) < 0.1 and abs(comps[2]) < 0.1
+        assert out[0].lambda_scaled > 0
+
+    def test_deterministic_across_partitionings(self, spark):
+        from pysyslog_lfc_spark.functions.clustering import (
+            top_principal_component,
+        )
+
+        rows = [
+            (i, [float(i % 5), float(i % 7), float(i % 3), 1.0], 0)
+            for i in range(60)
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        a = sorted(map(tuple, top_principal_component(df.coalesce(1), dim=4).collect()))
+        b = sorted(map(tuple, top_principal_component(df.repartition(8), dim=4).collect()))
+        assert a == b
+
+
+class TestClusterAwareSplit:
+    def test_cluster_members_share_split(self, spark):
+        from pysyslog_lfc_spark.operators.sampling import cluster_aware_split
+
+        df = spark.createDataFrame(
+            [(i,) for i in range(200)], "doc_id long"
+        )
+        clusters = spark.createDataFrame(
+            [(5, 1), (17, 1), (99, 1), (40, 2), (41, 2)],
+            "doc_id long, cluster_id long",
+        )
+        out = {r.doc_id: r for r in
+               cluster_aware_split(df, clusters, "doc_id").collect()}
+        assert len(out) == 200
+        assert out[5].split == out[17].split == out[99].split
+        assert out[40].split == out[41].split
+        assert out[5].rep_id == 1 and out[40].rep_id == 2
+        # unclustered rows are their own representative
+        assert out[7].rep_id == 7
+
+    def test_degrades_to_plain_split_without_clusters(self, spark):
+        from pysyslog_lfc_spark.operators.sampling import (
+            cluster_aware_split,
+            split_assign,
+        )
+
+        df = spark.createDataFrame([(i,) for i in range(300)], "doc_id long")
+        empty = spark.createDataFrame([], "doc_id long, cluster_id long")
+        a = {
+            r.doc_id: r.split
+            for r in cluster_aware_split(
+                df, empty, "doc_id", permille=(980, 10, 10)
+            ).collect()
+        }
+        b = {
+            r.doc_id: r.split
+            for r in split_assign(df, "doc_id").collect()
+        }
+        assert a == b
