@@ -217,6 +217,7 @@ BENCH_QUERIES = [
     "label_rebalance_eval",
     "split_leakage_safe",
     "embedding_top_pc",
+    "dedup_token_windows_fp",
 ]
 
 

@@ -301,3 +301,51 @@ def embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return top_principal_component(emb, dim=64, n_iter=8)
+
+
+_FP_WINDOW_ORACLE = r"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), w -> w != '') AS ws
+      FROM documents
+    ),
+    ex AS (
+      SELECT doc_id, i AS pos, array_to_string(ws[i+1:i+16], ' ') AS gram
+      FROM base, unnest(generate_series(0, len(ws) - 16)) AS t(i)
+      WHERE len(ws) >= 16
+    ),
+    dup AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos,
+               row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+        FROM ex
+      ) WHERE rn > 1
+    ),
+    cov AS (
+      SELECT DISTINCT doc_id, pos + j AS p
+      FROM dup, unnest(generate_series(0, 15)) AS u(j)
+    ),
+    per AS (SELECT doc_id, count(*) AS dup_tokens FROM cov GROUP BY doc_id)
+    SELECT b.doc_id,
+           CAST(len(b.ws) AS INT) AS n_tok,
+           CAST(coalesce(p.dup_tokens, 0) AS INT) AS dup_tokens,
+           CAST(CASE WHEN len(b.ws) > 0
+                THEN 1000 * coalesce(p.dup_tokens, 0) // len(b.ws)
+                ELSE 0 END AS INT) AS dup_permille
+    FROM base b LEFT JOIN per p USING (doc_id)
+"""
+
+
+@query("dedup_token_windows_fp", _FP_WINDOW_ORACLE)
+def dedup_token_windows_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-window coverage at width 16 over per-row BINARY-DOUBLED
+    fingerprints (functions/dedup.py::window_fingerprints): the
+    explode/first-occurrence shuffle moves 8-byte fingerprints instead
+    of ~100-byte gram strings — the suffix-array prefix-doubling trick
+    applied row-locally, with the identical exact answer (oracle =
+    the gram-text rule; a fingerprint collision would hash-fail the
+    gate)."""
+    from pysyslog_lfc_spark.functions.dedup import repeated_window_coverage_fp
+
+    docs = _t(spark, sf_dir, "documents")
+    return repeated_window_coverage_fp(docs, "text", "doc_id", width=16)

@@ -1,0 +1,78 @@
+"""Frame-level audio features (round-3): rFFT band energies over the
+real PCM16 WAV tier."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+
+def _tone_wav(freq: float, rate: int = 8000, secs: float = 0.25):
+    from pysyslog_lfc_spark.functions.multimodal import encode_wav
+
+    t = np.arange(int(rate * secs)) / rate
+    samples = (0.5 * 32767 * np.sin(2 * math.pi * freq * t)).astype("<i2")
+    return encode_wav(samples, rate), samples
+
+
+class TestAudioFrameFeatures:
+    def test_tone_lands_in_expected_band(self, spark):
+        from pysyslog_lfc_spark.functions.multimodal import audio_frame_features
+
+        rate = 8000
+        lo_wav, _ = _tone_wav(200.0, rate)   # bin ~6 of 129 -> band 0
+        hi_wav, _ = _tone_wav(3000.0, rate)  # bin ~96 of 129 -> band 5/6
+        df = spark.createDataFrame(
+            [(1, bytearray(lo_wav)), (2, bytearray(hi_wav))],
+            "sample_id long, payload binary",
+        )
+        out = audio_frame_features(df, frame_len=256, hop=128, n_bands=8)
+        rows = out.collect()
+        assert rows, "expected frames"
+        by_id = {}
+        for r in rows:
+            by_id.setdefault(r.sample_id, []).append(r)
+        # full-scale-ish sine: rms ~ 0.35 (0.5/sqrt(2))
+        for rid, frames in by_id.items():
+            mid = frames[len(frames) // 2]
+            assert 250 < mid.rms_milli < 450, (rid, mid.rms_milli)
+            peak_band = max(
+                range(8), key=lambda b: mid.band_db_milli[b]
+            )
+            if rid == 1:
+                assert peak_band == 0
+            else:
+                assert peak_band in (5, 6)
+        # frame count: 1 + (2000 - 256) // 128 = 14
+        assert len(by_id[1]) == 14
+
+    def test_zcr_tracks_frequency(self, spark):
+        from pysyslog_lfc_spark.functions.multimodal import audio_frame_features
+
+        rate = 8000
+        lo_wav, _ = _tone_wav(100.0, rate)
+        hi_wav, _ = _tone_wav(2000.0, rate)
+        df = spark.createDataFrame(
+            [(1, bytearray(lo_wav)), (2, bytearray(hi_wav))],
+            "sample_id long, payload binary",
+        )
+        rows = audio_frame_features(df).collect()
+        zcr = {}
+        for r in rows:
+            zcr.setdefault(r.sample_id, []).append(r.zcr_milli)
+        # zcr ~ 2 * f / rate: 100 Hz -> 25 milli, 2000 Hz -> 500 milli
+        assert sum(zcr[1]) / len(zcr[1]) < 60
+        assert sum(zcr[2]) / len(zcr[2]) > 350
+
+    def test_short_clip_yields_no_frames(self, spark):
+        from pysyslog_lfc_spark.functions.multimodal import (
+            audio_frame_features,
+            encode_wav,
+        )
+
+        tiny = encode_wav(np.zeros(100, dtype="<i2"), 8000)
+        df = spark.createDataFrame(
+            [(1, bytearray(tiny))], "sample_id long, payload binary"
+        )
+        assert audio_frame_features(df, frame_len=256).count() == 0

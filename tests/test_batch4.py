@@ -203,3 +203,52 @@ class TestUnimax:
         allocs = sorted(r.alloc_tokens for r in out)
         assert sum(allocs) == 100
         assert allocs == [33, 33, 34]
+
+
+class TestWindowFingerprints:
+    def test_matches_gram_text_rule(self, spark):
+        from pysyslog_lfc_spark.functions.dedup import (
+            repeated_ngram_coverage,
+            repeated_window_coverage_fp,
+        )
+
+        boiler = " ".join(f"w{i}" for i in range(20))
+        rows = [
+            (1, boiler + " tail one two three"),
+            (2, "lead in " + boiler),
+            (3, " ".join(f"u{i}" for i in range(30))),
+            (4, "short doc"),
+            (5, ""),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        for width in (3, 5, 8, 16):
+            a = sorted(
+                map(tuple, repeated_ngram_coverage(df, width=width).collect())
+            )
+            b = sorted(
+                map(
+                    tuple,
+                    repeated_window_coverage_fp(df, width=width).collect(),
+                )
+            )
+            assert a == b, f"width={width}"
+
+    def test_non_power_of_two_width_alignment(self, spark):
+        # width 5: doubling covers 4, the final combine aligns a
+        # 1-token shift — windows sharing a 4-prefix but differing at
+        # token 5 must NOT collide
+        from pyspark.sql import functions as F
+
+        from pysyslog_lfc_spark.functions.dedup import window_fingerprints
+        from pysyslog_lfc_spark.functions.text import tokenize
+
+        df = spark.createDataFrame(
+            [(1, "a b c d e"), (2, "a b c d X")], "doc_id long, text string"
+        )
+        out = df.select(
+            "doc_id",
+            window_fingerprints(tokenize(F.col("text")), 5).alias("fp"),
+        ).collect()
+        fps = {r.doc_id: r.fp for r in out}
+        assert len(fps[1]) == 1 and len(fps[2]) == 1
+        assert fps[1][0] != fps[2][0]
