@@ -166,6 +166,25 @@ AUDIT_QUERIES = [
     "welch_t_value_by_cohort",
     "anova_value_by_type",
     "token_prefix_artifacts",
+    # round-3 additions
+    "gopher_quality_flags",
+    "unit_dedup_ccnet",
+    "ann_recall_eval",
+    "decontaminate_fuzzy",
+    "decontaminate_embedding",
+    "ccnet_lm_buckets",
+    "token_surprisal_select",
+    "doremi_domain_weights",
+    "dedup_exact_substr_rewrite",
+    "bloom_membership",
+    "unimax_source_budget",
+    "unit_dedup_sentences",
+    "kmeans_embeddings",
+    "knn_label_eval",
+    "label_rebalance_eval",
+    "split_leakage_safe",
+    "embedding_top_pc",
+    "dedup_token_windows_fp",
 ]
 
 
