@@ -1390,11 +1390,15 @@ def window_fingerprints(
     fingerprint with the fingerprint ``d`` positions ahead —
     ``fp_{2d}[i] = xxhash64(fp_d[i], fp_d[i+d])`` — plus one final
     combine aligning the tail so the last round covers exactly
-    ``width``. O(len * log width) work per ROW, zero shuffle, and no
-    window STRING is ever materialized (the gram-text form ships
-    ~6 bytes per token per window through the explode; this ships 8
-    bytes per window regardless of width — the prefix-doubling trick
-    from suffix-array construction applied row-locally).
+    ``width``. Zero shuffle, and no window STRING is ever materialized
+    (the gram-text form ships ~6 bytes per token per window through
+    the explode; this ships 8 bytes per window regardless of width —
+    the prefix-doubling trick from suffix-array construction applied
+    row-locally). Compute honesty: Catalyst re-evaluates the ``fp``
+    subtree per zip_with reference, so per-row hashing is O(len *
+    width) like the sliding chain (measured parity with the gram form
+    at sf0.1), NOT O(len * log width); the at-scale win is the
+    constant-size shuffle key, not the map-side arithmetic.
 
     Windows are equal iff their fingerprints are equal, modulo
     xxhash64 collisions (~n^2/2^65 — the same accepted-risk class as

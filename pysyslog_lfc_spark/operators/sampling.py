@@ -372,6 +372,7 @@ def cluster_aware_split(
     permille: tuple[int, ...] = (800, 100, 100),
     names: tuple[str, ...] = ("train", "val", "test"),
     salt: str = "split",
+    broadcast_clusters: bool = True,
 ) -> DataFrame:
     """Leakage-safe train/val/test assignment: every member of a
     near-duplicate cluster follows its cluster REPRESENTATIVE's hash
@@ -384,18 +385,20 @@ def cluster_aware_split(
     ``clusters`` is (id, cluster_id) from functions/dedup.dedup_clusters
     (cluster_id = smallest member id). Returns (id, rep_id, split).
 
-    Scale shape: the cluster frame is O(duplicate docs) — broadcast it;
-    the corpus pays one hash + CASE projection, no shuffle.
+    Scale shape: with ``broadcast_clusters=True`` (default) the cluster
+    frame rides a broadcast hash join and the corpus pays one hash +
+    CASE projection, no shuffle — right when duplicates are a small
+    fraction. A heavily-duplicated web crawl can have BILLIONS of
+    clustered rows; pass ``broadcast_clusters=False`` there and the
+    join becomes one ordinary id-keyed shuffle instead of an
+    executor-memory hazard.
     """
-    rep = df.select(F.col(id_col)).join(
-        F.broadcast(
-            clusters.select(
-                F.col(id_col), F.col(cluster_col).alias("__cl")
-            )
-        ),
-        id_col,
-        "left",
-    ).withColumn("rep_id", F.coalesce(F.col("__cl"), F.col(id_col)))
+    cl = clusters.select(F.col(id_col), F.col(cluster_col).alias("__cl"))
+    if broadcast_clusters:
+        cl = F.broadcast(cl)
+    rep = df.select(F.col(id_col)).join(cl, id_col, "left").withColumn(
+        "rep_id", F.coalesce(F.col("__cl"), F.col(id_col))
+    )
     if sum(permille) != 1000 or len(permille) != len(names):
         raise ValueError("permille must sum to 1000 and match names")
     key = sample_key(F.col("rep_id"), salt)
