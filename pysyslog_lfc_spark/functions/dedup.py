@@ -1176,6 +1176,16 @@ def exact_substr_rewrite(
     diagnostic twin :func:`repeated_ngram_coverage` reports the same
     coverage as counts; this produces the cleaned corpus.
 
+    Variable-length equivalence (why no suffix array is needed): a
+    maximal repeated substring of length M >= width covers exactly the
+    union of its M - width + 1 overlapping ``width``-windows, and every
+    window of a LATER occurrence is later than the matching window of
+    the first occurrence — so removing later-occurrence window
+    coverage removes precisely the non-canonical copies of every
+    repeat of length >= width, the same span set Lee et al.'s
+    suffix-array pass produces at this minimum match length. The SA
+    buys match-length diagnostics, not different output.
+
     Returns ``(id, clean_text, n_tok, removed_tokens)``.
 
     100 TB design: duplicate windows come from ONE hash partition by

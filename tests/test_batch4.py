@@ -252,3 +252,42 @@ class TestWindowFingerprints:
         fps = {r.doc_id: r.fp for r in out}
         assert len(fps[1]) == 1 and len(fps[2]) == 1
         assert fps[1][0] != fps[2][0]
+
+
+class TestExactSubstrRewriteProperty:
+    def test_matches_python_brute_force(self, spark):
+        """Randomized corpora: the Spark plan equals a direct python
+        replay of the first-occurrence window-removal rule."""
+        import random
+
+        rng = random.Random(7)
+        from pysyslog_lfc_spark.functions.dedup import exact_substr_rewrite
+
+        width = 4
+        for trial in range(3):
+            vocab = [f"t{i}" for i in range(6)]  # tiny vocab -> repeats
+            docs = [
+                (d, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 14))))
+                for d in range(8)
+            ]
+            df = spark.createDataFrame(docs, "doc_id long, text string")
+            got = {
+                r.doc_id: (r.clean_text, r.n_tok, r.removed_tokens)
+                for r in exact_substr_rewrite(df, width=width).collect()
+            }
+            # python replay
+            toks = {d: t.split() if t else [] for d, t in docs}
+            seen: dict[tuple, tuple] = {}
+            covered: dict[int, set] = {d: set() for d, _ in docs}
+            for d in sorted(toks):
+                ws = toks[d]
+                for p in range(len(ws) - width + 1):
+                    key = tuple(ws[p : p + width])
+                    if key in seen:
+                        covered[d].update(range(p, p + width))
+                    else:
+                        seen[key] = (d, p)
+            for d, ws in toks.items():
+                kept = [w for i, w in enumerate(ws) if i not in covered[d]]
+                want = (" ".join(kept), len(ws), len(ws) - len(kept))
+                assert got[d] == want, (trial, d, got[d], want)
