@@ -1491,3 +1491,51 @@ def repeated_window_coverage_fp(
             .alias("dup_permille"),
         )
     )
+
+
+def soft_dedup_weights(
+    df: DataFrame,
+    clusters: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.9,
+    scale: int = 1000,
+) -> DataFrame:
+    """Dedup as *reweighting* instead of dropping: every document
+    survives, but each near-dup cluster's members share one document's
+    worth of sampling mass — weight_permille = floor(scale /
+    cluster_size), unclustered docs keep the full ``scale``. The
+    soft alternative to keep-one dedup when downstream sampling can
+    consume weights (loss weighting / sampling temperature), preserving
+    rare-but-duplicated content at reduced influence instead of
+    deleting it — the duplicate-discounting view of Lee et al. 2021's
+    measurement that duplicate clusters concentrate training loss.
+
+    ``clusters`` defaults to :func:`dedup_clusters` (MinHash-LSH
+    pairs -> connected components; (id, cluster_id) rows only for
+    docs with at least one near-dup).
+
+    100 TB design: the cluster frame is O(near-dup docs) and joins
+    back broadcast-shaped; the corpus pays one keyed left join + a
+    projection — it never self-joins. Cluster sizes aggregate the
+    cluster frame, never the corpus.
+    """
+    if clusters is None:
+        clusters = dedup_clusters(
+            df, text_col=text_col, id_col=id_col, threshold=threshold
+        )
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_sz")
+    )
+    cl = clusters.join(sizes, "cluster_id")
+    out = df.select(F.col(id_col)).join(F.broadcast(cl), id_col, "left")
+    return out.select(
+        F.col(id_col),
+        F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("rep_id"),
+        F.coalesce(F.col("cluster_sz"), F.lit(1)).alias("cluster_sz"),
+        F.floor(
+            F.lit(scale) / F.coalesce(F.col("cluster_sz"), F.lit(1))
+        )
+        .cast("long")
+        .alias("weight_permille"),
+    )

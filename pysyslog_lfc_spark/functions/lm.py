@@ -264,3 +264,138 @@ def token_surprisal_windows(
             F.col("_pk.w_pm").alias("peak_permille"),
         )
     )
+
+
+def _trigrams(df: DataFrame, text_col: str, keep_cols: list[str]) -> DataFrame:
+    """(keep_cols..., w1, w2, w3) — one row per consecutive word
+    triple. Non-overlapping slices + arrays_zip: codegen, O(n_words)."""
+    ws = tokenize(F.col(text_col))
+    n = F.greatest(F.lit(0), F.size(ws) - 2)  # 1-token docs: no slice(-1)
+    z = F.arrays_zip(
+        F.slice(ws, 1, n).alias("w1"),
+        F.slice(ws, 2, n).alias("w2"),
+        F.slice(ws, 3, n).alias("w3"),
+    )
+    return df.select(*keep_cols, F.explode(z).alias("_tg")).select(
+        *keep_cols,
+        F.col("_tg.w1").alias("w1"),
+        F.col("_tg.w2").alias("w2"),
+        F.col("_tg.w3").alias("w3"),
+    )
+
+
+def stupid_backoff_score(
+    df: DataFrame,
+    model_df: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Per-document average trigram log-score under a Stupid Backoff
+    model (Brants et al. 2007, "Large Language Models in Machine
+    Translation" §4) trained on ``model_df`` — the count-based LM the
+    paper designed *for distributed estimation*: no discounting, no
+    normalization pass, just raw counts and a fixed backoff factor
+    alpha = 0.4, which the paper shows approaches Kneser-Ney quality
+    as the training corpus grows:
+
+        S(w3 | w1 w2) = c(w1w2w3)/c(w1w2)           if c(w1w2w3) > 0
+                      = 0.4 * c(w2w3)/c(w2)         elif c(w2w3) > 0
+                      = 0.16 * c(w3)/N              elif c(w3) > 0
+                      = 0.16 / (N + V)              else (OOV floor)
+
+    Returns (id, sb_logprob_permille: bigint nullable, n_trigrams)
+    where each position contributes floor(1e6 * ln S) — floored to an
+    INTEGER micro term *before* summation, so the per-doc sum is
+    aggregation-order-free where a double sum is not — and the doc
+    score is the pmod-floored integer average in permille. Documents
+    with fewer than three tokens score null with ``n_trigrams = 0``.
+
+    100 TB design: like :func:`bigram_lm_score`, the model is built
+    from a bounded reference slice, so all four count frames (tri, bi,
+    uni, 1-row totals) broadcast; scoring is map-side joins over the
+    corpus trigram stream with zero shuffle on the big side — exactly
+    the serving shape Brants et al. distribute. Only the per-doc
+    (id, micro-sum) aggregate shuffles.
+    """
+    model_df = model_df if model_df is not None else df
+    mwords = model_df.select(F.explode(tokenize(F.col(text_col))).alias("w"))
+    totals = mwords.agg(
+        F.count(F.lit(1)).alias("_N"), F.countDistinct("w").alias("_V")
+    )
+    uni = mwords.groupBy("w").agg(F.count(F.lit(1)).alias("_c1"))
+    bi = (
+        _bigrams(model_df, text_col, [])
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("_c12"))
+    )
+    tri = (
+        _trigrams(model_df, text_col, [])
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("_c123"))
+    )
+    if broadcast_model:
+        uni, bi, tri = F.broadcast(uni), F.broadcast(bi), F.broadcast(tri)
+
+    dt = _trigrams(df, text_col, [id_col])
+    bi12 = bi.select(
+        F.col("w1").alias("_b1"), F.col("w2").alias("_b2"), "_c12"
+    )
+    bi23 = bi.select(
+        F.col("w1").alias("_p1"),
+        F.col("w2").alias("_p2"),
+        F.col("_c12").alias("_c23"),
+    )
+    uni2 = uni.select(F.col("w").alias("_u2"), F.col("_c1").alias("_c2"))
+    uni3 = uni.select(F.col("w").alias("_u3"), F.col("_c1").alias("_c3"))
+    joined = (
+        dt.join(tri, ["w1", "w2", "w3"], "left")
+        .join(
+            bi12,
+            (dt["w1"] == bi12["_b1"]) & (dt["w2"] == bi12["_b2"]),
+            "left",
+        )
+        .join(
+            bi23,
+            (dt["w2"] == bi23["_p1"]) & (dt["w3"] == bi23["_p2"]),
+            "left",
+        )
+        .join(uni2, dt["w2"] == uni2["_u2"], "left")
+        .join(uni3, dt["w3"] == uni3["_u3"], "left")
+        .crossJoin(F.broadcast(totals))
+    )
+    s = (
+        F.when(
+            F.col("_c123").isNotNull(), F.col("_c123") / F.col("_c12")
+        )
+        .when(
+            F.col("_c23").isNotNull(),
+            F.lit(0.4) * F.col("_c23") / F.col("_c2"),
+        )
+        .when(
+            F.col("_c3").isNotNull(),
+            F.lit(0.16) * F.col("_c3") / F.col("_N"),
+        )
+        .otherwise(F.lit(0.16) / (F.col("_N") + F.col("_V")))
+    )
+    scored = joined.select(
+        F.col(id_col),
+        F.floor(F.log(s) * F.lit(1000000.0)).cast("long").alias("_lpm"),
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.sum("_lpm").alias("_sum_micro"),
+        F.count(F.lit(1)).alias("n_trigrams"),
+    )
+    den = F.col("n_trigrams") * F.lit(1000)
+    avg_pm = (
+        (F.col("_sum_micro") - F.pmod(F.col("_sum_micro"), den)) / den
+    ).cast("long")
+    return (
+        df.select(F.col(id_col))
+        .join(agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            avg_pm.alias("sb_logprob_permille"),
+            F.coalesce("n_trigrams", F.lit(0)).alias("n_trigrams"),
+        )
+    )

@@ -1,0 +1,109 @@
+"""Chat/SFT training-example assembly — the formatting stage between a
+curated conversation corpus and the packer: flatten ordered multi-turn
+conversations into single token sequences with per-position loss masks
+(train on assistant turns only — the public chat-SFT convention: the
+loss is masked over prompt/user positions and unmasked over assistant
+content including its end-of-turn token, so the model learns to emit
+the terminator).
+
+Layout per turn: ``[role_marker] content... [EOT]`` — role markers are
+deterministic ids from the portable hash (a real chat template would be
+a tokenizer special-token lookup; the id derivation is the only stubbed
+step, the array plumbing is real and oracle-gated).
+
+100 TB design: ONE conversation-keyed exchange (the collect_list
+aggregate); every flatten/mask step is per-row array codegen after the
+regroup — no Python, no second shuffle. Turn order inside a
+conversation is total ((order_cols...) lexicographic via struct
+sort_array), so assembly is deterministic and resume-replayable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from pysyslog_lfc_spark.functions.text import portable_hash60
+
+VOCAB = 65536
+EOT_TEXT = "<|eot|>"
+
+
+def role_marker_id(role: Column, vocab_size: int = VOCAB) -> Column:
+    """Deterministic special-token id for a role string."""
+    return F.pmod(
+        portable_hash60(F.concat(F.lit("role:"), role)), F.lit(vocab_size)
+    ).cast("int")
+
+
+def eot_id(vocab_size: int = VOCAB) -> Column:
+    return F.pmod(
+        portable_hash60(F.lit(EOT_TEXT)), F.lit(vocab_size)
+    ).cast("int")
+
+
+def assemble_conversations(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_cols: list[str] | None = None,
+    role_col: str = "role",
+    tokens_col: str = "toks",
+    assistant_role: str = "assistant",
+    vocab_size: int = VOCAB,
+) -> DataFrame:
+    """Flatten one conversation per row:
+
+    (conv_id, n_turns, n_tokens, n_train_tokens, tokens: array<int>,
+     loss_mask: array<int>)
+
+    ``loss_mask[i] = 1`` exactly where position i is assistant content
+    or an assistant turn's EOT; role markers and user/system turns are
+    0. ``len(tokens) == len(loss_mask)`` always (invariant-tested).
+    """
+    order_cols = order_cols or ["ts"]
+    s = F.sort_array(
+        F.collect_list(
+            F.struct(
+                *[F.col(c) for c in order_cols],
+                F.col(role_col).alias("role"),
+                F.col(tokens_col).alias("toks"),
+            )
+        )
+    )
+    eot = eot_id(vocab_size)
+    conv = df.groupBy(F.col(conv_col)).agg(s.alias("_s"))
+
+    def turn_tokens(t):
+        return F.concat(
+            F.array(role_marker_id(t["role"], vocab_size)),
+            t["toks"],
+            F.array(eot),
+        )
+
+    def turn_mask(t):
+        is_a = (
+            F.when(t["role"] == assistant_role, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+        )
+        return F.concat(
+            F.array(F.lit(0).cast("int")),
+            F.transform(t["toks"], lambda _: is_a),
+            F.array(is_a),
+        )
+
+    out = conv.select(
+        F.col(conv_col),
+        F.size("_s").alias("n_turns"),
+        F.flatten(F.transform("_s", turn_tokens)).alias("tokens"),
+        F.flatten(F.transform("_s", turn_mask)).alias("loss_mask"),
+    )
+    return out.select(
+        conv_col,
+        "n_turns",
+        F.size("tokens").alias("n_tokens"),
+        F.aggregate(
+            "loss_mask", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("n_train_tokens"),
+        "tokens",
+        "loss_mask",
+    )

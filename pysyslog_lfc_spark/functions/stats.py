@@ -864,3 +864,108 @@ def anova_oneway(
         F.floor(ssw * 1000).cast("long").alias("ssw_milli"),
         F.when(ok, F.floor(f_stat * 1000)).cast("long").alias("f_milli"),
     )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    group_col: str,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Kaplan-Meier survival curve per group (Kaplan & Meier 1958) —
+    the churn/retention estimator: at each distinct duration t with
+    d_t observed events out of n_t subjects still at risk,
+
+        S(t) = prod_{u <= t, d_u > 0} (1 - d_u / n_u)
+
+    ``event_col`` is 1 when the terminal event was observed and 0 when
+    the subject is right-censored (still active at the observation
+    cut); censored subjects leave the risk set at their duration but
+    contribute no factor — the textbook treatment.
+
+    Returns one row per (group, distinct duration):
+    (group, t, n_risk, n_events, n_censored, survival_ppm) where
+    ``survival_ppm = floor(1e6 * S(t))`` with each factor entering as
+    ``floor(1e6 * ln(1 - d/n))`` — an INTEGER micro term, so the
+    cumulative product (a cumulative integer sum in log space) is
+    engine-portable; S hits exact 0 when the last at-risk subjects all
+    fail. Cross-engine contract: ln/exp run on identical doubles in
+    both engines and */ are correctly rounded; the micro floor absorbs
+    sub-ulp drift.
+
+    100 TB design: the subject table collapses to the (group, t) grain
+    in ONE map-side-partial hash aggregate; both windows (risk-set
+    countdown, cumulative log-sum) run over that collapsed frame,
+    which is bounded by |groups| x |distinct durations| — never the
+    subject count. Zero Python.
+    """
+    g, t = F.col(group_col), F.col(duration_col)
+    grain = df.groupBy(g.alias("grp"), t.alias("t")).agg(
+        F.sum(F.col(event_col).cast("long")).alias("n_events"),
+        F.sum(F.lit(1) - F.col(event_col).cast("long")).alias("n_censored"),
+    )
+    w_all = Window.partitionBy("grp")
+    w_prev = (
+        Window.partitionBy("grp")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = (
+        Window.partitionBy("grp")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    leave = F.col("n_events") + F.col("n_censored")
+    risked = grain.select(
+        "grp",
+        "t",
+        "n_events",
+        "n_censored",
+        (
+            F.sum(leave).over(w_all)
+            - F.coalesce(F.sum(leave).over(w_prev), F.lit(0))
+        ).alias("n_risk"),
+    )
+    # integer micro log-factor; NULL marks the S -> exact-0 boundary
+    term = (
+        F.when(F.col("n_events") == 0, F.lit(0))
+        .when(F.col("n_events") == F.col("n_risk"), F.lit(None))
+        .otherwise(
+            F.floor(
+                F.log(
+                    (F.col("n_risk") - F.col("n_events"))
+                    / F.col("n_risk").cast("double")
+                )
+                * F.lit(1000000.0)
+            ).cast("long")
+        )
+    )
+    stepped = risked.select(
+        "*",
+        F.sum(term).over(w_cum).alias("_cum_micro"),
+        F.max(
+            F.when(
+                (F.col("n_events") == F.col("n_risk"))
+                & (F.col("n_events") > 0),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        )
+        .over(w_cum)
+        .alias("_dead"),
+    )
+    surv = F.when(F.col("_dead") == 1, F.lit(0)).otherwise(
+        F.floor(
+            F.exp(
+                F.coalesce(F.col("_cum_micro"), F.lit(0)) / F.lit(1000000.0)
+            )
+            * F.lit(1000000.0)
+        ).cast("long")
+    )
+    return stepped.select(
+        F.col("grp").alias(group_col),
+        F.col("t"),
+        F.col("n_risk"),
+        F.col("n_events"),
+        F.col("n_censored"),
+        surv.alias("survival_ppm"),
+    )

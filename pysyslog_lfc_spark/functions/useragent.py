@@ -1,0 +1,131 @@
+"""User-agent string classification — the standard web/CDN log
+enrichment stage (reference scope: the enrichment step of the
+parser→filter→formatter flow, docs/configuration/parsers.md's access-log
+family; the grok Apache flow already extracts the raw ``agent`` field —
+this module types it).
+
+Public knowledge: the token conventions are the ones every UA parser
+(browscap, ua-parser's public regexes.yaml) keys on — ``Edg/`` before
+``Chrome/`` before ``Safari/``, ``like Mac OS X`` marks iOS, Android
+UAs also contain ``Linux``, bot self-identification substrings. The
+rule set here is a deliberately small, deterministic, RE2-portable
+subset (first-match-wins CASE chains) so the whole classifier stays
+pure codegen and the DuckDB oracle can replay it token-for-token.
+
+100 TB design: zero shuffle, zero Python — one projection inside the
+corpus scan. At 10^12 rows the only cost is the handful of substring
+scans per row; the regexes are anchored token searches with no
+backtracking hazard (RE2-safe alternations of literals).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Substring each rule keys on. Order matters and is part of the
+# contract: Edge/Opera ship "Chrome/" too, iOS ships "like Mac OS X",
+# Android ships "Linux".
+BOT_RE = r"(?i)(bot|spider|crawl|slurp|curl|wget|python-requests|headless)"
+
+#: Deterministic fixture pool for tests/benchmarks (public UA shapes).
+UA_FIXTURES: list[str] = [
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 "
+    "(KHTML, like Gecko) Chrome/124.0.0.0 Safari/537.36",
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 "
+    "(KHTML, like Gecko) Chrome/124.0.0.0 Safari/537.36 Edg/124.0.2478.51",
+    "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 "
+    "(KHTML, like Gecko) Version/17.4 Safari/605.1.15",
+    "Mozilla/5.0 (X11; Linux x86_64; rv:124.0) Gecko/20100101 Firefox/124.0",
+    "Mozilla/5.0 (iPhone; CPU iPhone OS 17_4 like Mac OS X) "
+    "AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.4 Mobile/15E148 "
+    "Safari/604.1",
+    "Mozilla/5.0 (Linux; Android 14; Pixel 8) AppleWebKit/537.36 "
+    "(KHTML, like Gecko) Chrome/124.0.0.0 Mobile Safari/537.36",
+    "Mozilla/5.0 (iPad; CPU OS 17_4 like Mac OS X) AppleWebKit/605.1.15 "
+    "(KHTML, like Gecko) Version/17.4 Mobile/15E148 Safari/604.1",
+    "Mozilla/5.0 (compatible; Googlebot/2.1; +http://www.google.com/bot.html)",
+    "curl/8.5.0",
+    "Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36 (KHTML, like "
+    "Gecko) Chrome/123.0.0.0 Safari/537.36 OPR/109.0.0.0",
+]
+
+
+def _has(col: Column, token: str) -> Column:
+    return col.contains(token)
+
+
+def browser_family(ua: Column) -> Column:
+    """First-match-wins browser family; 'Bot' wins over everything
+    (Googlebot UAs contain no browser token anyway, but curl-like
+    agents must not fall through to 'Other' vs 'Bot' ambiguity)."""
+    return (
+        F.when(ua.rlike(BOT_RE), F.lit("Bot"))
+        .when(_has(ua, "Edg/"), F.lit("Edge"))
+        .when(_has(ua, "OPR/"), F.lit("Opera"))
+        .when(_has(ua, "Firefox/"), F.lit("Firefox"))
+        .when(_has(ua, "Chrome/"), F.lit("Chrome"))
+        .when(_has(ua, "Version/") & _has(ua, "Safari/"), F.lit("Safari"))
+        .when(_has(ua, "MSIE ") | _has(ua, "Trident/"), F.lit("IE"))
+        .otherwise(F.lit("Other"))
+    )
+
+
+def browser_major(ua: Column) -> Column:
+    """Major version digits for the matched family ('' → null)."""
+    ver = (
+        F.when(_has(ua, "Edg/"), F.regexp_extract(ua, r"Edg/(\d+)", 1))
+        .when(_has(ua, "OPR/"), F.regexp_extract(ua, r"OPR/(\d+)", 1))
+        .when(
+            _has(ua, "Firefox/"), F.regexp_extract(ua, r"Firefox/(\d+)", 1)
+        )
+        .when(_has(ua, "Chrome/"), F.regexp_extract(ua, r"Chrome/(\d+)", 1))
+        .when(
+            _has(ua, "Version/") & _has(ua, "Safari/"),
+            F.regexp_extract(ua, r"Version/(\d+)", 1),
+        )
+        .otherwise(F.lit(""))
+    )
+    return F.when(ver == "", F.lit(None).cast("string")).otherwise(ver)
+
+
+def os_family(ua: Column) -> Column:
+    """iOS before macOS ("like Mac OS X"), Android before Linux."""
+    return (
+        F.when(_has(ua, "Windows NT"), F.lit("Windows"))
+        .when(_has(ua, "Android"), F.lit("Android"))
+        .when(_has(ua, "like Mac OS X"), F.lit("iOS"))
+        .when(_has(ua, "Mac OS X"), F.lit("macOS"))
+        .when(_has(ua, "Linux"), F.lit("Linux"))
+        .otherwise(F.lit("Other"))
+    )
+
+
+def device_class(ua: Column) -> Column:
+    """bot / tablet / mobile / desktop. iPads never say 'Mobile'-only;
+    Android tablets are the UAs with Android but no 'Mobile' token —
+    both land in 'tablet' per the public convention."""
+    return (
+        F.when(ua.rlike(BOT_RE), F.lit("bot"))
+        .when(_has(ua, "iPad") | _has(ua, "Tablet"), F.lit("tablet"))
+        .when(
+            _has(ua, "Mobile") | _has(ua, "iPhone"),
+            F.lit("mobile"),
+        )
+        .when(
+            _has(ua, "Android"), F.lit("tablet")
+        )  # Android without Mobile
+        .otherwise(F.lit("desktop"))
+    )
+
+
+def parse_user_agent(df: DataFrame, ua_col: str = "user_agent") -> DataFrame:
+    """Append (browser, browser_major, os, device) typed columns —
+    pure per-row codegen, no shuffle, no Python."""
+    ua = F.col(ua_col)
+    return df.select(
+        "*",
+        browser_family(ua).alias("browser"),
+        browser_major(ua).alias("browser_major"),
+        os_family(ua).alias("os"),
+        device_class(ua).alias("device"),
+    )

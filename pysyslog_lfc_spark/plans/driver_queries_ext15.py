@@ -1,0 +1,320 @@
+"""Driver-query registrations, round-3 batch 8.
+
+Imported by :mod:`pysyslog_lfc_spark.plans.driver_queries` (bottom of
+file). This batch: the Stupid Backoff trigram LM (the count-based LM
+Brants et al. 2007 designed for distributed estimation — the natural
+upgrade over the CCNet bigram scorer), user-agent classification (the
+standard access-log enrichment next to the grok Apache flow), a
+Kaplan-Meier user-retention curve (the churn estimator over the events
+table), and dedup-as-reweighting (every near-dup cluster shares one
+document's sampling mass instead of being dropped).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pysyslog_lfc_spark.plans.driver_queries import _t, query
+
+
+_SB_ORACLE = r"""
+WITH mtoks AS (
+  SELECT list_filter(string_split_regex(text, '\s+'), w -> w != '') AS ws
+  FROM documents WHERE lang = 'en'
+),
+muni AS (
+  SELECT w, count(*) AS c1
+  FROM (SELECT unnest(ws) AS w FROM mtoks) GROUP BY w
+),
+tot AS (
+  SELECT count(*)::BIGINT AS N, count(DISTINCT w)::BIGINT AS V
+  FROM (SELECT unnest(ws) AS w FROM mtoks)
+),
+mbi AS (
+  SELECT w1, w2, count(*) AS c12 FROM (
+    SELECT ws[i] AS w1, ws[i+1] AS w2
+    FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM mtoks)
+  ) GROUP BY 1, 2
+),
+mtri AS (
+  SELECT w1, w2, w3, count(*) AS c123 FROM (
+    SELECT ws[i] AS w1, ws[i+1] AS w2, ws[i+2] AS w3
+    FROM (SELECT ws, unnest(range(1, len(ws) - 1)) AS i FROM mtoks)
+  ) GROUP BY 1, 2, 3
+),
+dtoks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), w -> w != '') AS ws
+  FROM documents
+),
+dtri AS (
+  SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2, ws[i+2] AS w3
+  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i FROM dtoks)
+),
+scored AS (
+  SELECT doc_id,
+         CAST(floor(ln(CASE
+           WHEN t.c123 IS NOT NULL THEN t.c123 / b12.c12
+           WHEN b23.c23 IS NOT NULL THEN 0.4 * b23.c23 / u2.c2
+           WHEN u3.c3 IS NOT NULL THEN 0.16 * u3.c3 / tot.N
+           ELSE 0.16 / (tot.N + tot.V) END) * 1000000.0) AS BIGINT) AS lpm
+  FROM dtri
+  LEFT JOIN mtri t USING (w1, w2, w3)
+  LEFT JOIN mbi b12 ON dtri.w1 = b12.w1 AND dtri.w2 = b12.w2
+  LEFT JOIN (SELECT w1 AS p1, w2 AS p2, c12 AS c23 FROM mbi) b23
+         ON dtri.w2 = b23.p1 AND dtri.w3 = b23.p2
+  LEFT JOIN (SELECT w AS u2w, c1 AS c2 FROM muni) u2 ON dtri.w2 = u2.u2w
+  LEFT JOIN (SELECT w AS u3w, c1 AS c3 FROM muni) u3 ON dtri.w3 = u3.u3w
+  , tot
+),
+agg AS (
+  SELECT doc_id, sum(lpm) AS sm, count(*) AS n_trigrams
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST((a.sm - ((a.sm % (1000 * a.n_trigrams) + 1000 * a.n_trigrams)
+                     % (1000 * a.n_trigrams))) / (1000 * a.n_trigrams)
+            AS BIGINT) AS sb_logprob_permille,
+       coalesce(a.n_trigrams, 0) AS n_trigrams
+FROM (SELECT doc_id FROM documents) d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@query("lm_stupid_backoff", _SB_ORACLE)
+def lm_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid Backoff trigram LM scoring (functions/lm.py::
+    stupid_backoff_score — Brants et al. 2007): model counts from the
+    English slice, every document scored by its average trigram
+    backoff log-score. Each position's ln S floors to an integer micro
+    term before summation, so the per-doc aggregate is order-free; the
+    model frames broadcast and the corpus never shuffles on words."""
+    from pysyslog_lfc_spark.functions import lm
+
+    docs = _t(spark, sf_dir, "documents")
+    model = docs.where(F.col("lang") == "en")
+    return lm.stupid_backoff_score(docs, model_df=model)
+
+
+def _ua_oracle_sql() -> str:
+    from pysyslog_lfc_spark.functions.useragent import BOT_RE, UA_FIXTURES
+
+    lits = ", ".join("'" + s.replace("'", "''") + "'" for s in UA_FIXTURES)
+    return f"""
+    WITH ua_pool AS (SELECT [{lits}] AS pool),
+    ev AS (
+      SELECT user_id,
+             pool[CAST(('0x' || substr(md5('ua:' || event_id), 1, 15))::BIGINT
+                       % {len(UA_FIXTURES)} AS INT) + 1] AS ua
+      FROM events, ua_pool
+    ),
+    parsed AS (
+      SELECT user_id,
+        CASE
+          WHEN regexp_matches(ua, '{BOT_RE}') THEN 'Bot'
+          WHEN contains(ua, 'Edg/') THEN 'Edge'
+          WHEN contains(ua, 'OPR/') THEN 'Opera'
+          WHEN contains(ua, 'Firefox/') THEN 'Firefox'
+          WHEN contains(ua, 'Chrome/') THEN 'Chrome'
+          WHEN contains(ua, 'Version/') AND contains(ua, 'Safari/') THEN 'Safari'
+          WHEN contains(ua, 'MSIE ') OR contains(ua, 'Trident/') THEN 'IE'
+          ELSE 'Other' END AS browser,
+        nullif(CASE
+          WHEN contains(ua, 'Edg/') THEN regexp_extract(ua, 'Edg/(\\d+)', 1)
+          WHEN contains(ua, 'OPR/') THEN regexp_extract(ua, 'OPR/(\\d+)', 1)
+          WHEN contains(ua, 'Firefox/') THEN regexp_extract(ua, 'Firefox/(\\d+)', 1)
+          WHEN contains(ua, 'Chrome/') THEN regexp_extract(ua, 'Chrome/(\\d+)', 1)
+          WHEN contains(ua, 'Version/') AND contains(ua, 'Safari/')
+               THEN regexp_extract(ua, 'Version/(\\d+)', 1)
+          ELSE '' END, '') AS browser_major,
+        CASE
+          WHEN contains(ua, 'Windows NT') THEN 'Windows'
+          WHEN contains(ua, 'Android') THEN 'Android'
+          WHEN contains(ua, 'like Mac OS X') THEN 'iOS'
+          WHEN contains(ua, 'Mac OS X') THEN 'macOS'
+          WHEN contains(ua, 'Linux') THEN 'Linux'
+          ELSE 'Other' END AS os,
+        CASE
+          WHEN regexp_matches(ua, '{BOT_RE}') THEN 'bot'
+          WHEN contains(ua, 'iPad') OR contains(ua, 'Tablet') THEN 'tablet'
+          WHEN contains(ua, 'Mobile') OR contains(ua, 'iPhone') THEN 'mobile'
+          WHEN contains(ua, 'Android') THEN 'tablet'
+          ELSE 'desktop' END AS device
+      FROM ev
+    )
+    SELECT browser, browser_major, os, device,
+           count(*)::BIGINT AS n_events,
+           count(DISTINCT user_id)::BIGINT AS n_users
+    FROM parsed GROUP BY 1, 2, 3, 4
+    """
+
+
+@query("flow_parse_useragent", _ua_oracle_sql())
+def flow_parse_useragent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-agent classification (functions/useragent.py): first-match
+    token rules (Edg/ before Chrome/, 'like Mac OS X' = iOS, Android
+    before Linux, bots first) as pure codegen CASE chains — the
+    access-log enrichment stage beside the grok Apache flow. UA strings
+    synthesized deterministically from the public fixture pool by the
+    portable md5 die, identically in both engines; one hash agg to the
+    (browser, version, os, device)-sized frame."""
+    from pysyslog_lfc_spark.functions.text import portable_hash60
+    from pysyslog_lfc_spark.functions.useragent import (
+        UA_FIXTURES,
+        parse_user_agent,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.element_at(
+            F.array(*[F.lit(s) for s in UA_FIXTURES]),
+            (
+                F.pmod(
+                    portable_hash60(
+                        F.concat(F.lit("ua:"), F.col("event_id"))
+                    ),
+                    F.lit(len(UA_FIXTURES)),
+                )
+                + 1
+            ).cast("int"),
+        ).alias("user_agent"),
+    )
+    return (
+        parse_user_agent(ev)
+        .groupBy("browser", "browser_major", "os", "device")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+_KM_ORACLE = """
+WITH maxd AS (SELECT max(ts::DATE) AS mx FROM events),
+ranked AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+u AS (
+  SELECT e.user_id,
+         date_diff('day', min(e.ts::DATE), max(e.ts::DATE)) AS dur_days,
+         CASE WHEN max(e.ts::DATE) <= maxd.mx - 7 THEN 1 ELSE 0 END AS churned
+  FROM events e, maxd GROUP BY e.user_id, maxd.mx
+),
+subj AS (
+  SELECT r.event_type AS cohort, u.dur_days AS t, u.churned
+  FROM u JOIN ranked r ON u.user_id = r.user_id AND r.rn = 1
+),
+grain AS (
+  SELECT cohort, t,
+         sum(churned)::BIGINT AS n_events,
+         sum(1 - churned)::BIGINT AS n_censored
+  FROM subj GROUP BY 1, 2
+),
+risked AS (
+  SELECT cohort, t, n_events, n_censored,
+         CAST(sum(n_events + n_censored) OVER (PARTITION BY cohort)
+              - coalesce(sum(n_events + n_censored) OVER (
+                  PARTITION BY cohort ORDER BY t
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS n_risk
+  FROM grain
+),
+stepped AS (
+  SELECT *,
+         sum(CASE WHEN n_events = 0 THEN 0
+                  WHEN n_events = n_risk THEN NULL
+                  ELSE CAST(floor(ln((n_risk - n_events)
+                                     / CAST(n_risk AS DOUBLE))
+                                  * 1000000.0) AS BIGINT) END)
+           OVER (PARTITION BY cohort ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_micro,
+         max(CASE WHEN n_events = n_risk AND n_events > 0 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY cohort ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS dead
+  FROM risked
+)
+SELECT cohort, CAST(t AS INT) AS t, n_risk, n_events, n_censored,
+       CASE WHEN dead = 1 THEN 0
+            ELSE CAST(floor(exp(coalesce(cum_micro, 0) / 1000000.0)
+                            * 1000000.0) AS BIGINT) END AS survival_ppm
+FROM stepped
+"""
+
+
+@query("km_user_retention", _KM_ORACLE)
+def km_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier retention (functions/stats.py::kaplan_meier):
+    per-user lifetime = days between first and last event, censored
+    when still active in the final 7 days of the corpus; cohort = the
+    user's first event type ((ts, event_id)-tiebroken struct-min —
+    never ``F.first``). The subject table collapses to the
+    (cohort, duration) grain in one hash agg; both curve windows run
+    over that bounded frame."""
+    from pysyslog_lfc_spark.functions.stats import kaplan_meier
+
+    ev = _t(spark, sf_dir, "events")
+    maxd = ev.agg(F.max(F.to_date("ts")).alias("_mx"))
+    users = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(
+                F.struct(F.col("ts"), F.col("event_id"), F.col("event_type"))
+            )["event_type"].alias("cohort"),
+            F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts"))).alias(
+                "dur_days"
+            ),
+            F.max(F.to_date("ts")).alias("_last"),
+        )
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            "cohort",
+            "dur_days",
+            F.when(
+                F.col("_last") <= F.date_sub(F.col("_mx"), 7), F.lit(1)
+            )
+            .otherwise(F.lit(0))
+            .alias("churned"),
+        )
+    )
+    return kaplan_meier(users, "cohort", "dur_days", "churned")
+
+
+def _soft_weights_oracle_sql() -> str:
+    """Compose the verified connected-components oracle; weights are
+    floor(1000 / cluster size), singletons keep 1000."""
+    from pysyslog_lfc_spark.plans.driver_queries import all_oracles
+
+    cl = all_oracles()["dedup_clusters_cc"]
+    return f"""
+    WITH cl AS ({cl}),
+    sz AS (SELECT cluster_id, count(*) AS cluster_sz FROM cl GROUP BY 1),
+    j AS (
+      SELECT d.doc_id, cl.cluster_id, sz.cluster_sz
+      FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+                       LEFT JOIN sz ON cl.cluster_id = sz.cluster_id
+    )
+    SELECT doc_id,
+           coalesce(cluster_id, doc_id) AS rep_id,
+           coalesce(cluster_sz, 1) AS cluster_sz,
+           CAST(floor(1000 / coalesce(cluster_sz, 1)) AS BIGINT)
+             AS weight_permille
+    FROM j
+    """
+
+
+@query("dedup_soft_weights", _soft_weights_oracle_sql())
+def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup as reweighting (functions/dedup.py::soft_dedup_weights):
+    every doc survives, near-dup cluster members share one document's
+    sampling mass (weight = floor(1000/cluster size)) — the soft
+    alternative to keep-one dedup for weight-aware samplers. Cluster
+    frame is O(dup docs) and broadcasts; the corpus pays one keyed
+    join, never a self-join."""
+    from pysyslog_lfc_spark.functions.dedup import soft_dedup_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return soft_dedup_weights(docs, threshold=0.9)

@@ -1,0 +1,201 @@
+"""Round-3 batch 8: Stupid Backoff LM, UA classification,
+Kaplan-Meier, soft dedup weights."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Row, functions as F
+
+
+class TestStupidBackoff:
+    def test_hand_computed_backoff_chain(self, spark):
+        """One scoring doc exercises all four backoff tiers against a
+        hand-built model corpus."""
+        from pysyslog_lfc_spark.functions.lm import stupid_backoff_score
+
+        model = spark.createDataFrame(
+            [Row(doc_id=1, text="a b c a b d")]
+        )
+        # model: N=6 tokens, V=4; tri counts: (a,b,c)=1 (b,c,a)=1
+        # (c,a,b)=1 (a,b,d)=1; bi: (a,b)=2 (b,c)=1 (c,a)=1 (b,d)=1;
+        # uni: a=2 b=2 c=1 d=1
+        score = stupid_backoff_score(
+            spark.createDataFrame([Row(doc_id=9, text="a b c b c c a z q")]),
+            model_df=model,
+        ).collect()[0]
+        # positions (w1,w2,w3):
+        # (a,b,c): tri hit      -> ln(1/2)
+        # (b,c,b): no tri, no bi (c,b) -> uni b: ln(.16*2/6)
+        # (c,b,c): no tri(c,b,c); bi (b,c)=1 hit -> ln(.4*1/2)
+        # (b,c,c): no tri; bi (c,c)? no -> uni c: ln(.16*1/6)
+        # (c,c,a): no tri; bi (c,a)=1 -> ln(.4*1/1)
+        # (c,a,z): no tri; no bi (a,z); no uni z -> ln(.16/(6+4))
+        # (a,z,q): no tri; no bi (z,q); no uni q -> ln(.16/10)
+        terms = [
+            math.log(1 / 2),
+            math.log(0.16 * 2 / 6),
+            math.log(0.4 * 1 / 2),
+            math.log(0.16 * 1 / 6),
+            math.log(0.4 * 1 / 1),
+            math.log(0.16 / 10),
+            math.log(0.16 / 10),
+        ]
+        micro = sum(math.floor(t * 1000000.0) for t in terms)
+        den = len(terms) * 1000
+        expected = (micro - (micro % den + den) % den) // den
+        assert score.n_trigrams == len(terms)
+        assert score.sb_logprob_permille == expected
+
+    def test_short_docs_score_null(self, spark):
+        from pysyslog_lfc_spark.functions.lm import stupid_backoff_score
+
+        out = {
+            r.doc_id: r
+            for r in stupid_backoff_score(
+                spark.createDataFrame(
+                    [
+                        Row(doc_id=1, text="one"),
+                        Row(doc_id=2, text="one two"),
+                        Row(doc_id=3, text="one two three"),
+                    ]
+                )
+            ).collect()
+        }
+        assert out[1].sb_logprob_permille is None and out[1].n_trigrams == 0
+        assert out[2].sb_logprob_permille is None and out[2].n_trigrams == 0
+        assert out[3].n_trigrams == 1
+
+
+class TestUserAgent:
+    def test_fixture_pool_classification(self, spark):
+        from pysyslog_lfc_spark.functions.useragent import (
+            UA_FIXTURES,
+            parse_user_agent,
+        )
+
+        df = spark.createDataFrame(
+            [Row(i=i, user_agent=s) for i, s in enumerate(UA_FIXTURES)]
+        )
+        got = {
+            r.i: (r.browser, r.browser_major, r.os, r.device)
+            for r in parse_user_agent(df).collect()
+        }
+        assert got[0] == ("Chrome", "124", "Windows", "desktop")
+        assert got[1] == ("Edge", "124", "Windows", "desktop")
+        assert got[2] == ("Safari", "17", "macOS", "desktop")
+        assert got[3] == ("Firefox", "124", "Linux", "desktop")
+        assert got[4] == ("Safari", "17", "iOS", "mobile")
+        assert got[5] == ("Chrome", "124", "Android", "mobile")
+        assert got[6] == ("Safari", "17", "iOS", "tablet")
+        assert got[7] == ("Bot", None, "Other", "bot")
+        assert got[8] == ("Bot", None, "Other", "bot")
+        assert got[9] == ("Opera", "109", "Linux", "desktop")
+
+    def test_android_tablet_and_ie(self, spark):
+        from pysyslog_lfc_spark.functions.useragent import parse_user_agent
+
+        df = spark.createDataFrame(
+            [
+                Row(
+                    i=0,
+                    user_agent="Mozilla/5.0 (Linux; Android 13; SM-X700) "
+                    "AppleWebKit/537.36 (KHTML, like Gecko) "
+                    "Chrome/112.0.0.0 Safari/537.36",
+                ),
+                Row(
+                    i=1,
+                    user_agent="Mozilla/5.0 (compatible; MSIE 10.0; "
+                    "Windows NT 6.1; Trident/6.0)",
+                ),
+            ]
+        )
+        got = {
+            r.i: (r.browser, r.os, r.device)
+            for r in parse_user_agent(df).collect()
+        }
+        assert got[0] == ("Chrome", "Android", "tablet")
+        assert got[1] == ("IE", "Windows", "desktop")
+
+
+class TestKaplanMeier:
+    def test_textbook_curve(self, spark):
+        """Classic worked example: durations 1,2+,3,4+,5 (+=censored)."""
+        from pysyslog_lfc_spark.functions.stats import kaplan_meier
+
+        rows = [
+            Row(g="a", t=1, ev=1),
+            Row(g="a", t=2, ev=0),
+            Row(g="a", t=3, ev=1),
+            Row(g="a", t=4, ev=0),
+            Row(g="a", t=5, ev=1),
+        ]
+        out = {
+            r.t: r
+            for r in kaplan_meier(
+                spark.createDataFrame(rows), "g", "t", "ev"
+            ).collect()
+        }
+        assert [out[t].n_risk for t in (1, 2, 3, 4, 5)] == [5, 4, 3, 2, 1]
+        # S(1)=4/5, S(3)=4/5*2/3, S(5)=0 (last at-risk fails)
+        s1 = math.floor(
+            math.exp(math.floor(math.log(4 / 5) * 1e6) / 1e6) * 1e6
+        )
+        s3_micro = math.floor(math.log(4 / 5) * 1e6) + math.floor(
+            math.log(2 / 3) * 1e6
+        )
+        s3 = math.floor(math.exp(s3_micro / 1e6) * 1e6)
+        assert out[1].survival_ppm == s1
+        assert out[2].survival_ppm == s1  # censoring leaves S flat
+        assert out[3].survival_ppm == s3
+        assert out[5].survival_ppm == 0
+
+    def test_groups_independent(self, spark):
+        from pysyslog_lfc_spark.functions.stats import kaplan_meier
+
+        rows = [Row(g="a", t=1, ev=1), Row(g="b", t=1, ev=0)]
+        out = {
+            r.g: r
+            for r in kaplan_meier(
+                spark.createDataFrame(rows), "g", "t", "ev"
+            ).collect()
+        }
+        assert out["a"].survival_ppm == 0  # 1/1 failed
+        assert out["b"].survival_ppm == 1000000  # only censoring
+
+
+class TestSoftDedupWeights:
+    def test_cluster_mass_shares(self, spark):
+        from pysyslog_lfc_spark.functions.dedup import soft_dedup_weights
+
+        docs = spark.createDataFrame(
+            [Row(doc_id=i, text=f"doc {i}") for i in range(1, 6)]
+        )
+        clusters = spark.createDataFrame(
+            [
+                Row(doc_id=1, cluster_id=1),
+                Row(doc_id=2, cluster_id=1),
+                Row(doc_id=3, cluster_id=1),
+                Row(doc_id=4, cluster_id=4),
+                Row(doc_id=5, cluster_id=4),
+            ]
+        )
+        out = {
+            r.doc_id: r
+            for r in soft_dedup_weights(docs, clusters).collect()
+        }
+        assert out[1].weight_permille == 333
+        assert out[2].cluster_sz == 3 and out[2].rep_id == 1
+        assert out[4].weight_permille == 500
+        # total mass: cluster of 3 -> 999, cluster of 2 -> 1000
+        assert sum(r.weight_permille for r in out.values()) == 999 + 1000
+
+    def test_unclustered_keep_full_mass(self, spark):
+        from pysyslog_lfc_spark.functions.dedup import soft_dedup_weights
+
+        docs = spark.createDataFrame([Row(doc_id=7, text="x")])
+        clusters = spark.createDataFrame(
+            [], "doc_id long, cluster_id long"
+        )
+        r = soft_dedup_weights(docs, clusters).collect()[0]
+        assert (r.rep_id, r.cluster_sz, r.weight_permille) == (7, 1, 1000)
