@@ -204,6 +204,21 @@ def top_principal_component(
     """
     import numpy as np
 
+    s2, s, n = _int_cov_stats(df, vec_col, dim)
+    v, lam = _power_iter(s2, s, n, dim, n_iter)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(d, int(np.rint(v[d] * 1e6)), lam) for d in range(dim)],
+        "d int, pc_micro bigint, lambda_scaled bigint",
+    )
+
+
+def _int_cov_stats(df: DataFrame, vec_col: str, dim: int):
+    """One corpus pass -> (S2 = sum q q^T, s = sum q, n) as exact
+    integers (numpy int64 / int): the treeAggregate pattern — each
+    Arrow batch folds to dim^2 + dim + 1 partial cells."""
+    import numpy as np
+
     from pysyslog_lfc_spark.functions.similarity import quantize_embeddings
 
     q = quantize_embeddings(df, vec_col)
@@ -239,11 +254,23 @@ def top_principal_component(
     flat = {r["idx"]: r["v"] for r in cells}
     s2 = np.asarray(
         [[flat.get(i * dim + j, 0) for j in range(dim)] for i in range(dim)],
-        dtype=np.float64,
+        dtype=np.int64,
     )
-    s = np.asarray([flat.get(dim * dim + d, 0) for d in range(dim)], dtype=np.float64)
-    n = float(flat.get(dim * dim + dim, 0))
-    m = n * s2 - np.outer(s, s)
+    s = np.asarray(
+        [flat.get(dim * dim + d, 0) for d in range(dim)], dtype=np.int64
+    )
+    n = int(flat.get(dim * dim + dim, 0))
+    return s2, s, n
+
+
+def _power_iter(s2, s, n, dim: int, n_iter: int):
+    """Deterministic grid-renormalized power iteration on
+    M = n*S2 - s s^T; returns (v on the 1e-6 grid, scaled eigenvalue)."""
+    import numpy as np
+
+    m = float(n) * s2.astype(np.float64) - np.outer(
+        s.astype(np.float64), s.astype(np.float64)
+    )
     v = np.round(np.full(dim, 1.0 / np.sqrt(dim)), 6)
     for _ in range(n_iter):
         w = m @ v
@@ -252,8 +279,67 @@ def top_principal_component(
             break
         v = np.round(w / nm, 6)
     lam = int(np.rint(float(v @ m @ v)))
-    spark = df.sparkSession
-    return spark.createDataFrame(
-        [(d, int(np.rint(v[d] * 1e6)), lam) for d in range(dim)],
-        "d int, pc_micro bigint, lambda_scaled bigint",
+    return v, lam
+
+
+def all_but_top_debias(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    n_iter: int = 8,
+) -> DataFrame:
+    """All-but-the-top embedding postprocessing (Mu & Viswanath 2018,
+    public): subtract the corpus mean and remove the projection onto
+    the top principal component — the cheap isotropy fix that measurably
+    improves similarity search over raw embeddings. Works on the int8-
+    quantized form so every input to the float chain is exact:
+
+        debiased_d = (q_d - s_d/n) - p * v_d,
+        p = (A - B/n) / 1e6,  A = sum_d q_d * v_micro_d (exact BIGINT),
+        B = sum_d s_d * v_micro_d (exact BIGINT),  v_d = v_micro_d/1e6
+
+    Returns one row per (id, d): (id, d, debias_e4) with the component
+    on a 1e-4 grid — engine-portable because A/B/s/n are exact integers
+    and the remaining chain is correctly-rounded double ops evaluated
+    in the same parenthesization in both engines.
+
+    Scale shape: the stats pass is the ONE treeAggregate corpus scan of
+    :func:`top_principal_component`; v/s/n are dim-bounded driver
+    constants baked back as literal arrays, so the debias itself is
+    pure per-row codegen (zip_with dot product + posexplode) — ZERO
+    shuffle over the corpus.
+    """
+    import numpy as np
+
+    from pysyslog_lfc_spark.functions.similarity import quantize_embeddings
+
+    s2, s, n = _int_cov_stats(df, vec_col, dim)
+    v, _lam = _power_iter(s2, s, n, dim, n_iter)
+    v_micro = [int(np.rint(v[d] * 1e6)) for d in range(dim)]
+    s_list = [int(x) for x in s]
+    b_exact = sum(sd * vm for sd, vm in zip(s_list, v_micro))
+
+    v_arr = F.array(*[F.lit(vm).cast("long") for vm in v_micro])
+    s_arr = F.array(*[F.lit(sd).cast("long") for sd in s_list])
+    n_lit = F.lit(n).cast("long")
+    b_lit = F.lit(b_exact).cast("long")
+
+    q = quantize_embeddings(df, vec_col)
+    a = F.aggregate(
+        F.zip_with("q_vec", v_arr, lambda x, y: x.cast("long") * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    rows = q.select(
+        F.col(id_col), a.alias("_A"), F.posexplode("q_vec").alias("d", "_qd")
+    )
+    p = (F.col("_A") - b_lit / n_lit) / F.lit(1000000.0)
+    mu_d = F.element_at(s_arr, F.col("d") + 1) / n_lit
+    v_d = F.element_at(v_arr, F.col("d") + 1) / F.lit(1000000.0)
+    debias = (F.col("_qd") - mu_d) - p * v_d
+    return rows.select(
+        F.col(id_col),
+        F.col("d").cast("int").alias("d"),
+        F.round(debias * F.lit(10000.0), 0).cast("long").alias("debias_e4"),
     )

@@ -969,3 +969,70 @@ def kaplan_meier(
         F.col("n_censored"),
         surv.alias("survival_ppm"),
     )
+
+
+def acf_lags(
+    df: DataFrame,
+    ts_col: str = "ts",
+    max_lag: int = 6,
+    step_s: int = 3600,
+) -> DataFrame:
+    """Autocorrelation function of the event-count series at lags
+    1..``max_lag`` (bucket width ``step_s`` seconds) — the seasonality
+    detector that picks the right seasonal-naive period for
+    :func:`~pysyslog_lfc_spark.operators.sessions.seasonal_naive_mase`
+    and validates the hour-of-day baseline's assumption. A strong
+    lag-24h peak = daily cycle; no significant lag = Poisson-like.
+
+    Returns one row per lag: (lag, n, corr_micro, slope_micro,
+    intercept_milli) — the exact-integer-moment correlation of
+    (y_t, y_{t-lag}) pairs via :func:`grouped_linreg`.
+
+    Scale shape: the corpus collapses to the time grain in ONE
+    map-side-partial hash agg; the grid is densified with REAL zeros
+    (skipping empty buckets silently mis-lags the series — the xcorr
+    lesson); every window after that runs over the timespan-bounded
+    grain frame, never the events. Lag pairs fan out map-side
+    (max_lag rows per grain row) into one bounded-frame aggregate.
+    """
+    grain = df.groupBy(
+        (
+            F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(step_s)).cast(
+                "long"
+            )
+        ).alias("b")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    span = grain.agg(
+        F.min("b").alias("_mn"), F.max("b").alias("_mx")
+    )
+    dense = (
+        span.select(
+            F.explode(F.sequence(F.col("_mn"), F.col("_mx"))).alias("b")
+        )
+        .join(grain, "b", "left")
+        .select("b", F.coalesce("cnt", F.lit(0)).alias("cnt"))
+    )
+    w = Window.orderBy("b")
+    lagged = dense.select(
+        "b",
+        "cnt",
+        *[
+            F.lag("cnt", k).over(w).alias(f"_l{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    stacked = lagged.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("lag"),
+                        F.col("cnt").alias("y"),
+                        F.col(f"_l{k}").alias("x"),
+                    )
+                    for k in range(1, max_lag + 1)
+                ]
+            )
+        ).alias("p")
+    ).select("p.lag", "p.x", "p.y").where(F.col("x").isNotNull())
+    return grouped_linreg(stacked, ["lag"], F.col("x"), F.col("y"))

@@ -1043,3 +1043,65 @@ def spoof_groups(
         "first_domain",
         "last_domain",
     )
+
+
+def vocab_growth_curve(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Vocabulary-growth (Heaps'-law) curve: cumulative distinct word
+    types V(N) against cumulative token count N, sampled at
+    ``n_buckets`` contiguous checkpoints of the corpus in ``id_col``
+    order — the diagnostic whose log-log slope (Heaps' beta, typically
+    0.4-0.8 for natural text) flags templated or synthetic corpora,
+    and the Good-Turing companion to :func:`frequency_spectrum`.
+
+    Returns (bucket, n_tokens, n_new_types, cum_tokens, cum_types).
+
+    100 TB design: a *type's* first appearance is ``min(id)`` — one
+    explode + hash agg over the corpus (the same exchange the word
+    count pays); per-doc token counts are a second map-side partial
+    agg. Both collapse to the ``n_buckets``-row frame BEFORE the
+    cumulative windows run, so the unpartitioned ORDER BY window only
+    ever sees ``n_buckets`` rows — never the corpus (the build_vocab
+    lesson). Bucket boundaries are exact integer arithmetic on the
+    [min(id), max(id)] span via the subtract-mod floor division.
+    """
+    ids = df.agg(
+        F.min(F.col(id_col)).alias("_mn"), F.max(F.col(id_col)).alias("_mx")
+    )
+
+    def bucket_of(idc: Column) -> Column:
+        # floor((id - mn) * B / span) via subtract-mod; span >= 1
+        num = (idc - F.col("_mn")) * F.lit(n_buckets)
+        den = F.col("_mx") - F.col("_mn") + F.lit(1)
+        return ((num - F.pmod(num, den)) / den).cast("long")
+
+    toks = df.select(F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("w"))
+    first_seen = toks.groupBy("w").agg(F.min(F.col(id_col)).alias("_fid"))
+    new_types = (
+        first_seen.crossJoin(F.broadcast(ids))
+        .groupBy(bucket_of(F.col("_fid")).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_new_types"))
+    )
+    tokens_per_bucket = (
+        df.select(F.col(id_col), token_count(F.col(text_col)).alias("_nt"))
+        .crossJoin(F.broadcast(ids))
+        .groupBy(bucket_of(F.col(id_col)).alias("bucket"))
+        .agg(F.sum("_nt").alias("n_tokens"))
+    )
+    curve = tokens_per_bucket.join(new_types, "bucket", "left").select(
+        "bucket",
+        "n_tokens",
+        F.coalesce("n_new_types", F.lit(0)).alias("n_new_types"),
+    )
+    w_cum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return curve.select(
+        "bucket",
+        "n_tokens",
+        "n_new_types",
+        F.sum("n_tokens").over(w_cum).alias("cum_tokens"),
+        F.sum("n_new_types").over(w_cum).alias("cum_types"),
+    )

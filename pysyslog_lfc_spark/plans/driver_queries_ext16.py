@@ -1,0 +1,363 @@
+"""Driver-query registrations, round-3 batch 9.
+
+Imported by :mod:`pysyslog_lfc_spark.plans.driver_queries` (bottom of
+file). This batch: all-but-the-top embedding debias (composes the
+verified top-PC oracle), the Heaps'-law vocabulary-growth curve and its
+log-log OLS fit, the autocorrelation function of the event-count
+series, and chat-SFT conversation assembly with per-position loss
+masks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pysyslog_lfc_spark.plans.driver_queries import _t, query
+
+
+def _debias_oracle_sql(dim: int = 64) -> str:
+    """Compose the verified top-PC oracle (pc_micro per dim) with a
+    re-derivation of the quantized corpus + column sums + count, then
+    replay the exact double chain per (vec, dim)."""
+    from pysyslog_lfc_spark.plans.driver_queries import all_oracles
+
+    pc = all_oracles()["embedding_top_pc"]
+    return f"""
+    WITH pc AS ({pc}),
+    vlist AS (SELECT list(pc_micro ORDER BY d) AS v FROM pc),
+    e AS (
+      SELECT vec_id,
+             CAST(list_max(list_transform(embedding,
+                    x -> abs(CAST(x AS DOUBLE)))) AS DOUBLE) / 127e0 AS q_scale,
+             embedding
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id,
+             CASE WHEN q_scale = 0e0
+                  THEN list_transform(embedding, x -> 0)
+                  ELSE list_transform(embedding,
+                         x -> CAST(floor(CAST(x AS DOUBLE) / q_scale + 0.5e0)
+                                   AS INT))
+             END AS qv
+      FROM e
+    ),
+    colsum AS (
+      SELECT a.i - 1 AS d, CAST(sum(qv[a.i]) AS BIGINT) AS s
+      FROM q, unnest(generate_series(1, {dim})) AS a(i)
+      GROUP BY 1
+    ),
+    nn AS (SELECT count(*)::BIGINT AS n FROM q),
+    bb AS (
+      SELECT CAST(sum(c.s * v.v[c.d + 1]) AS BIGINT) AS B
+      FROM colsum c, vlist v
+    ),
+    aa AS (
+      SELECT vec_id,
+             CAST(sum(CAST(qv[t.i] AS BIGINT) * v.v[t.i]) AS BIGINT) AS A
+      FROM q, unnest(generate_series(1, {dim})) AS t(i), vlist v
+      GROUP BY vec_id
+    )
+    SELECT q.vec_id, CAST(t.i - 1 AS INT) AS d,
+           CAST(round(((qv[t.i] - c.s / CAST(nn.n AS DOUBLE))
+                       - ((aa.A - bb.B / CAST(nn.n AS DOUBLE)) / 1000000.0)
+                         * (v.v[t.i] / 1000000.0)) * 10000.0, 0)
+                AS BIGINT) AS debias_e4
+    FROM q
+    JOIN aa ON aa.vec_id = q.vec_id,
+    unnest(generate_series(1, {dim})) AS t(i), vlist v, nn, bb
+    JOIN colsum c ON c.d = t.i - 1
+    """
+
+
+@query("embedding_debias_abtt", _debias_oracle_sql())
+def embedding_debias_abtt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-but-the-top debias (functions/clustering.py::
+    all_but_top_debias — Mu & Viswanath 2018): mean-center the
+    int8-quantized corpus and remove the top-PC projection. A/B/s/n
+    are exact integers (dot products on the 1e-6 pc grid), the final
+    chain is correctly-rounded doubles in identical parenthesization,
+    output on a 1e-4 grid. Stats pass = ONE treeAggregate corpus scan;
+    the debias itself is zero-shuffle per-row codegen with the
+    dim-bounded constants baked back as literals."""
+    from pysyslog_lfc_spark.functions.clustering import all_but_top_debias
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return all_but_top_debias(emb)
+
+
+_HEAPS_CURVE_SQL = r"""
+    WITH ids AS (
+      SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM documents
+    ),
+    dtoks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), w -> w != '') AS ws
+      FROM documents
+    ),
+    toks AS (SELECT doc_id, unnest(ws) AS w FROM dtoks),
+    first_seen AS (SELECT w, min(doc_id) AS fid FROM toks GROUP BY w),
+    nt AS (
+      SELECT (fid - ids.mn) * 32 // (ids.mx - ids.mn + 1) AS bucket,
+             count(*)::BIGINT AS n_new_types
+      FROM first_seen, ids GROUP BY 1
+    ),
+    tb AS (
+      SELECT (doc_id - ids.mn) * 32 // (ids.mx - ids.mn + 1) AS bucket,
+             CAST(sum(len(ws)) AS BIGINT) AS n_tokens
+      FROM dtoks, ids GROUP BY 1
+    ),
+    curve AS (
+      SELECT tb.bucket, tb.n_tokens,
+             coalesce(nt.n_new_types, 0) AS n_new_types
+      FROM tb LEFT JOIN nt ON tb.bucket = nt.bucket
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket, n_tokens, n_new_types,
+           CAST(sum(n_tokens) OVER (ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_tokens,
+           CAST(sum(n_new_types) OVER (ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_types
+    FROM curve
+"""
+
+
+@query("vocab_growth_heaps", _HEAPS_CURVE_SQL)
+def vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve (functions/text.py::
+    vocab_growth_curve): cumulative distinct types vs cumulative
+    tokens at 32 contiguous doc-order checkpoints. First appearance of
+    a type = min(doc_id) — one explode + hash agg; both cumulative
+    windows run over the 32-row checkpoint frame, never the corpus."""
+    from pysyslog_lfc_spark.functions.text import vocab_growth_curve
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocab_growth_curve(docs, n_buckets=32)
+
+
+_HEAPS_FIT_ORACLE = (
+    "WITH curve AS ("
+    + _HEAPS_CURVE_SQL
+    + """),
+    b AS (
+      SELECT 'corpus' AS k,
+             CAST(floor(ln(CAST(cum_tokens AS DOUBLE)) * 1000) AS BIGINT) AS x,
+             CAST(floor(ln(CAST(cum_types AS DOUBLE)) * 1000) AS BIGINT) AS y
+      FROM curve
+    ),
+    m AS (
+      SELECT k, CAST(count(*) AS BIGINT) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM b GROUP BY k
+    ),
+    d AS (
+      SELECT k, n,
+             CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov_n,
+             CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS varx_n,
+             CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vary_n,
+             CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+      FROM m
+    )
+    SELECT k, n,
+           CASE WHEN varx_n > 0 AND vary_n > 0 THEN
+             CAST(floor(cov_n / (sqrt(varx_n) * sqrt(vary_n)) * 1000000)
+                  AS BIGINT)
+           END AS corr_micro,
+           CASE WHEN varx_n > 0 THEN
+             CAST(floor(cov_n / varx_n * 1000000) AS BIGINT)
+           END AS slope_micro,
+           CASE WHEN varx_n > 0 THEN
+             CAST(floor((syd - cov_n / varx_n * sxd) / CAST(n AS DOUBLE)
+                        * 1000) AS BIGINT)
+           END AS intercept_milli
+    FROM d
+    """
+)
+
+
+@query("heaps_fit", _HEAPS_FIT_ORACLE)
+def heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law log-log OLS fit over the vocabulary-growth curve:
+    slope_micro estimates Heaps' beta (natural text ~0.4e6-0.8e6;
+    near-1e6 or near-0 flags synthetic/templated corpora). ln is
+    permille-floored before the exact integer moments (the
+    collocation_pmi convention); composes functions/text.py::
+    vocab_growth_curve + functions/stats.py::grouped_linreg."""
+    from pysyslog_lfc_spark.functions.stats import grouped_linreg
+    from pysyslog_lfc_spark.functions.text import vocab_growth_curve
+
+    docs = _t(spark, sf_dir, "documents")
+    curve = vocab_growth_curve(docs, n_buckets=32)
+    pts = curve.select(
+        F.lit("corpus").alias("k"),
+        F.floor(F.log(F.col("cum_tokens").cast("double")) * 1000)
+        .cast("long")
+        .alias("x"),
+        F.floor(F.log(F.col("cum_types").cast("double")) * 1000)
+        .cast("long")
+        .alias("y"),
+    )
+    return grouped_linreg(pts, ["k"], F.col("x"), F.col("y"))
+
+
+def _acf_oracle_sql(max_lag: int = 6) -> str:
+    lag_cols = ",\n             ".join(
+        f"lag(cnt, {k}) OVER (ORDER BY b) AS l{k}"
+        for k in range(1, max_lag + 1)
+    )
+    pair_sel = "\n      UNION ALL\n      ".join(
+        f"SELECT {k} AS lag, l{k} AS x, cnt AS y FROM lagged "
+        f"WHERE l{k} IS NOT NULL"
+        for k in range(1, max_lag + 1)
+    )
+    return f"""
+    WITH grain AS (
+      SELECT epoch_us(ts) // 1000000 // 3600 AS b, count(*)::BIGINT AS cnt
+      FROM events GROUP BY 1
+    ),
+    span AS (SELECT min(b) AS mn, max(b) AS mx FROM grain),
+    dense AS (
+      SELECT g.b, coalesce(grain.cnt, 0) AS cnt
+      FROM (SELECT unnest(generate_series(mn, mx)) AS b FROM span) g
+      LEFT JOIN grain ON grain.b = g.b
+    ),
+    lagged AS (
+      SELECT b, cnt,
+             {lag_cols}
+      FROM dense
+    ),
+    b AS (
+      {pair_sel}
+    ),
+    m AS (
+      SELECT lag, CAST(count(*) AS BIGINT) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM b GROUP BY lag
+    ),
+    d AS (
+      SELECT lag, n,
+             CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov_n,
+             CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS varx_n,
+             CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vary_n,
+             CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+      FROM m
+    )
+    SELECT lag, n,
+           CASE WHEN varx_n > 0 AND vary_n > 0 THEN
+             CAST(floor(cov_n / (sqrt(varx_n) * sqrt(vary_n)) * 1000000)
+                  AS BIGINT)
+           END AS corr_micro,
+           CASE WHEN varx_n > 0 THEN
+             CAST(floor(cov_n / varx_n * 1000000) AS BIGINT)
+           END AS slope_micro,
+           CASE WHEN varx_n > 0 THEN
+             CAST(floor((syd - cov_n / varx_n * sxd) / CAST(n AS DOUBLE)
+                        * 1000) AS BIGINT)
+           END AS intercept_milli
+    FROM d
+    """
+
+
+@query("acf_event_counts", _acf_oracle_sql())
+def acf_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the hourly event-count series at
+    lags 1-6 (functions/stats.py::acf_lags): the seasonality detector
+    feeding seasonal-naive forecasting and the hour-of-day baseline.
+    Corpus collapses to the hour grain in one hash agg; the grid is
+    densified with real zeros; lag pairs fan out over the bounded
+    grain frame into grouped_linreg's exact integer moments."""
+    from pysyslog_lfc_spark.functions.stats import acf_lags
+
+    ev = _t(spark, sf_dir, "events")
+    return acf_lags(ev, "ts", max_lag=6, step_s=3600)
+
+
+_SFT_ORACLE = r"""
+WITH t AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN (row_number() OVER (
+                PARTITION BY user_id ORDER BY ts, event_id)) % 2 = 1
+              THEN 'user' ELSE 'assistant' END AS role,
+         list_transform(
+           list_filter(
+             string_split_regex(lower(event_type || ' ' || coalesce(props, '')),
+                                '\s+'),
+             w -> w != ''),
+           w -> CAST(('0x' || substr(md5(w), 1, 15))::BIGINT % 65536 AS INT)
+         ) AS toks
+  FROM events
+),
+conv AS (
+  SELECT user_id,
+         list(struct_pack(ts := ts, event_id := event_id,
+                          role := role, toks := toks)
+              ORDER BY ts, event_id) AS s
+  FROM t GROUP BY user_id
+),
+flat AS (
+  SELECT user_id,
+    CAST(len(s) AS INT) AS n_turns,
+    flatten(list_transform(s, x -> list_concat(list_concat(
+      [CAST(('0x' || substr(md5('role:' || x.role), 1, 15))::BIGINT
+            % 65536 AS INT)],
+      x.toks),
+      [CAST(('0x' || substr(md5('<|eot|>'), 1, 15))::BIGINT
+            % 65536 AS INT)]))) AS tokens,
+    flatten(list_transform(s, x -> list_concat(list_concat(
+      [CAST(0 AS INT)],
+      list_transform(x.toks,
+        y -> CAST(CASE WHEN x.role = 'assistant' THEN 1 ELSE 0 END AS INT))),
+      [CAST(CASE WHEN x.role = 'assistant' THEN 1 ELSE 0 END AS INT)])))
+      AS loss_mask
+  FROM conv
+)
+SELECT user_id, n_turns,
+       CAST(len(tokens) AS INT) AS n_tokens,
+       CAST(list_sum(loss_mask) AS BIGINT) AS n_train_tokens,
+       tokens, loss_mask
+FROM flat
+"""
+
+
+@query("sft_conversations", _SFT_ORACLE)
+def sft_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat-SFT assembly (functions/sft.py::assemble_conversations):
+    per-user event streams become alternating user/assistant turns
+    ((ts, event_id)-ordered row_number parity), each turn's text is
+    tokenized by the deterministic hash tokenizer, and conversations
+    flatten to single token sequences with loss masks that train only
+    on assistant content + its end-of-turn. ONE conversation-keyed
+    exchange; all flatten/mask steps are per-row array codegen."""
+    from pysyslog_lfc_spark.functions.sft import assemble_conversations
+    from pysyslog_lfc_spark.plans.curation import hash_token_ids
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    turns = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.row_number().over(w) % 2 == 1, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+        .alias("role"),
+        hash_token_ids(
+            F.concat_ws(" ", F.col("event_type"), F.col("props"))
+        ).alias("toks"),
+    )
+    return assemble_conversations(
+        turns,
+        conv_col="user_id",
+        order_cols=["ts", "event_id"],
+        role_col="role",
+        tokens_col="toks",
+    )

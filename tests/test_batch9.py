@@ -1,0 +1,189 @@
+"""Round-3 batch 9: all-but-the-top debias, Heaps curve, ACF, SFT
+assembly."""
+
+from __future__ import annotations
+
+import datetime
+
+import numpy as np
+from pyspark.sql import Row, functions as F
+
+
+class TestAllButTopDebias:
+    def test_removes_top_component(self, spark):
+        """Vectors dominated by one direction: after debias, the
+        projection of the debiased matrix onto that direction is ~0."""
+        from pysyslog_lfc_spark.functions.clustering import (
+            all_but_top_debias,
+        )
+
+        rng = np.random.RandomState(7)
+        dim = 8
+        base = np.zeros(dim)
+        base[0] = 1.0
+        vecs = [
+            (float(i + 1)) * base + 0.01 * rng.randn(dim) for i in range(40)
+        ]
+        df = spark.createDataFrame(
+            [Row(vec_id=i, embedding=[float(x) for x in v])
+             for i, v in enumerate(vecs)]
+        )
+        out = all_but_top_debias(df, dim=dim, n_iter=8).collect()
+        mat = np.zeros((40, dim))
+        for r in out:
+            mat[r.vec_id, r.d] = r.debias_e4 / 1e4
+        # residual energy along dim 0 should be tiny vs original
+        orig = np.stack(vecs)
+        assert abs(mat[:, 0]).max() < 0.05 * abs(orig[:, 0]).max()
+        # and the mean is removed
+        assert abs(mat.mean(axis=0)).max() < 0.05
+
+    def test_row_count_and_grid(self, spark):
+        from pysyslog_lfc_spark.functions.clustering import (
+            all_but_top_debias,
+        )
+
+        df = spark.createDataFrame(
+            [Row(vec_id=i, embedding=[1.0, 0.0, 0.0, float(i)])
+             for i in range(6)]
+        )
+        out = all_but_top_debias(df, dim=4, n_iter=4)
+        assert out.count() == 24
+        assert [f.name for f in out.schema.fields] == [
+            "vec_id", "d", "debias_e4",
+        ]
+
+
+class TestVocabGrowth:
+    def test_hand_curve(self, spark):
+        from pysyslog_lfc_spark.functions.text import vocab_growth_curve
+
+        docs = spark.createDataFrame(
+            [
+                Row(doc_id=0, text="a b c"),
+                Row(doc_id=1, text="a b d"),
+                Row(doc_id=2, text="a e"),
+                Row(doc_id=3, text="f f f f"),
+            ]
+        )
+        out = {
+            r.bucket: r
+            for r in vocab_growth_curve(docs, n_buckets=4).collect()
+        }
+        # doc i lands in bucket i (span 4, B 4)
+        assert out[0].n_new_types == 3 and out[0].n_tokens == 3
+        assert out[1].n_new_types == 1  # d
+        assert out[2].n_new_types == 1  # e
+        assert out[3].n_new_types == 1 and out[3].n_tokens == 4
+        assert out[3].cum_tokens == 12 and out[3].cum_types == 6
+
+    def test_monotone_and_bounded(self, spark):
+        from pysyslog_lfc_spark.functions.text import vocab_growth_curve
+
+        docs = spark.createDataFrame(
+            [Row(doc_id=i, text=f"w{i % 7} w{i % 3} common")
+             for i in range(50)]
+        )
+        rows = sorted(
+            vocab_growth_curve(docs, n_buckets=8).collect(),
+            key=lambda r: r.bucket,
+        )
+        cums = [r.cum_types for r in rows]
+        assert cums == sorted(cums)
+        # distinct: w0..w6 (the %3 family overlaps w0..w2) + common = 8
+        assert cums[-1] == 8
+
+    def test_single_doc_id_span(self, spark):
+        from pysyslog_lfc_spark.functions.text import vocab_growth_curve
+
+        docs = spark.createDataFrame([Row(doc_id=5, text="x y")])
+        r = vocab_growth_curve(docs, n_buckets=4).collect()
+        assert len(r) == 1 and r[0].bucket == 0
+        assert r[0].cum_types == 2
+
+
+class TestACF:
+    def test_periodic_series_peaks_at_period(self, spark):
+        from pysyslog_lfc_spark.functions.stats import acf_lags
+
+        # counts per hour follow period 3: 5,1,1,5,1,1,...
+        rows = []
+        eid = 0
+        t0 = datetime.datetime(2024, 1, 1)
+        for h in range(48):
+            n = 5 if h % 3 == 0 else 1
+            for _ in range(n):
+                rows.append(
+                    Row(ts=t0 + datetime.timedelta(hours=h), eid=eid)
+                )
+                eid += 1
+        df = spark.createDataFrame(rows)
+        out = {r.lag: r for r in acf_lags(df, "ts", max_lag=4).collect()}
+        assert out[3].corr_micro > 900000  # ~1 at the true period
+        assert out[1].corr_micro < 0  # anti-correlated off-period
+        assert out[2].corr_micro < 0
+
+    def test_gap_hours_enter_as_zero(self, spark):
+        from pysyslog_lfc_spark.functions.stats import acf_lags
+
+        t0 = datetime.datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [
+                Row(ts=t0, eid=1),
+                Row(ts=t0 + datetime.timedelta(hours=4), eid=2),
+            ]
+        )
+        out = {r.lag: r for r in acf_lags(df, "ts", max_lag=2).collect()}
+        # dense grid 5 buckets -> lag1 has 4 pairs, lag2 has 3
+        assert out[1].n == 4 and out[2].n == 3
+
+
+class TestSftAssembly:
+    def test_layout_and_masks(self, spark):
+        from pysyslog_lfc_spark.functions.sft import (
+            assemble_conversations,
+            eot_id,
+            role_marker_id,
+        )
+
+        turns = spark.createDataFrame(
+            [
+                Row(conv_id=1, ts=1, role="user", toks=[10, 11]),
+                Row(conv_id=1, ts=2, role="assistant", toks=[20]),
+                Row(conv_id=1, ts=3, role="user", toks=[30]),
+            ]
+        )
+        out = assemble_conversations(
+            turns, conv_col="conv_id", order_cols=["ts"]
+        ).collect()[0]
+        uid = spark.range(1).select(
+            role_marker_id(F.lit("user")).alias("u"),
+            role_marker_id(F.lit("assistant")).alias("a"),
+            eot_id().alias("e"),
+        ).collect()[0]
+        assert out.tokens == [
+            uid.u, 10, 11, uid.e,
+            uid.a, 20, uid.e,
+            uid.u, 30, uid.e,
+        ]
+        assert out.loss_mask == [0, 0, 0, 0, 0, 1, 1, 0, 0, 0]
+        assert out.n_turns == 3
+        assert out.n_tokens == len(out.tokens) == len(out.loss_mask)
+        assert out.n_train_tokens == 2
+
+    def test_order_is_total_and_deterministic(self, spark):
+        from pysyslog_lfc_spark.functions.sft import assemble_conversations
+
+        turns = spark.createDataFrame(
+            [
+                Row(conv_id=1, ts=1, eid=2, role="assistant", toks=[2]),
+                Row(conv_id=1, ts=1, eid=1, role="user", toks=[1]),
+            ]
+        )
+        a = assemble_conversations(
+            turns.repartition(4), conv_col="conv_id", order_cols=["ts", "eid"]
+        ).collect()[0]
+        b = assemble_conversations(
+            turns.coalesce(1), conv_col="conv_id", order_cols=["ts", "eid"]
+        ).collect()[0]
+        assert a.tokens == b.tokens and a.loss_mask == b.loss_mask
