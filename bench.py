@@ -218,6 +218,18 @@ BENCH_QUERIES = [
     "split_leakage_safe",
     "embedding_top_pc",
     "dedup_token_windows_fp",
+    # round-3 batches 8-10
+    "lm_stupid_backoff",
+    "flow_parse_useragent",
+    "km_user_retention",
+    "dedup_soft_weights",
+    "embedding_debias_abtt",
+    "vocab_growth_heaps",
+    "acf_event_counts",
+    "sft_conversations",
+    "heavy_hitters_mg",
+    "watermark_lateness_report",
+    "ab_mann_whitney",
 ]
 
 

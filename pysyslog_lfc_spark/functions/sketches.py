@@ -493,3 +493,69 @@ def bloom_probe(
     return probed.groupBy(value_col).agg(
         (F.min("_hit") == 1).alias(out_col)
     )
+
+
+def mg_heavy_hitters(
+    df: DataFrame,
+    item_col: str,
+    phi_permille: int = 10,
+    s: int | None = None,
+) -> DataFrame:
+    """Exact frequent items above a frequency threshold phi via
+    candidate generation with the Misra-Gries bound (Misra & Gries
+    1982; mergeable-summaries analysis Agarwal et al. 2012): each Arrow
+    batch emits only items whose in-batch count exceeds
+    ``len(batch)/(s+1)`` with ``s = ceil(1000/phi_permille)`` — by the
+    averaging argument any item with global frequency > N/s must
+    exceed the local bound in at least one batch, so the union of
+    batch survivors is a PROVABLY complete candidate set for the
+    ``phi_permille/1000 >= 1/s`` threshold. Candidates are then
+    recounted exactly, so the output is the exact answer and the
+    DuckDB oracle is a plain GROUP BY ... HAVING — correctness never
+    depends on sketch internals or partitioning.
+
+    Returns (item, cnt, share_permille) for every item with
+    ``1000*cnt > N*phi_permille``.
+
+    100 TB design: the candidate pass is one Arrow-batched scan whose
+    output is bounded by s x batches (pandas value_counts — no per-row
+    Python); the recount broadcasts the candidate set, so the corpus
+    shuffles only candidate rows, which map-side partial aggregation
+    collapses to <= |candidates| rows per task before the exchange.
+    """
+    if s is None:
+        s = -(-1000 // phi_permille)  # ceil
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vc = pdf[item_col].value_counts()
+            keep = vc[vc * (s + 1) > len(pdf)]
+            yield pd.DataFrame({item_col: keep.index})
+
+    cand = (
+        df.select(item_col)
+        .mapInPandas(gen, df.select(item_col).schema)
+        .distinct()
+    )
+    totals = df.agg(F.count(F.lit(1)).alias("_N"))
+    counts = (
+        df.join(F.broadcast(cand), item_col)
+        .groupBy(item_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    num = F.col("cnt") * F.lit(1000)
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .where(num > F.col("_N") * F.lit(phi_permille))
+        .select(
+            F.col(item_col).alias("item"),
+            "cnt",
+            ((num - F.pmod(num, F.col("_N"))) / F.col("_N"))
+            .cast("long")
+            .alias("share_permille"),
+        )
+    )

@@ -1036,3 +1036,84 @@ def acf_lags(
         ).alias("p")
     ).select("p.lag", "p.x", "p.y").where(F.col("x").isNotNull())
     return grouped_linreg(stacked, ["lag"], F.col("x"), F.col("y"))
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_col: str,
+    value: Column,
+    arm_a: str,
+    arm_b: str,
+) -> DataFrame:
+    """Mann-Whitney U rank-sum test (Mann & Whitney 1947) between two
+    named arms — the nonparametric companion to :func:`welch_t` when
+    the metric is heavy-tailed (revenue, latency): compares rank
+    distributions, immune to outliers. ``value`` MUST be an
+    integer-valued expression (cast your units), the house contract
+    that keeps every moment exact.
+
+    Doubled midranks stay integer (2r = 2*cnt_less + cnt_eq + 1 — the
+    spearman trick), so the rank sum, U statistic, and the
+    tie-correction term T = sum(t^3 - t) are all exact BIGINTs; only
+    the closing z chain runs in correctly-rounded double:
+
+        z = (2U_A - n_a*n_b) / (2*sqrt(n_a*n_b/12 * ((n+1) - T/(n*(n-1)))))
+
+    Returns ONE row: (n_a, n_b, u2_a = 2*U_A exact, z_milli).
+    z_milli is NULL when either arm is empty or all values tie.
+
+    Scale shape: the corpus collapses to the distinct-value frame in
+    ONE map-side-partial hash aggregate; the cumulative-count window
+    runs over that frame only (the global_rank convention — for
+    continuous metrics pre-floor to a bounded grid), and the closing
+    scalar chain runs on a 1-row frame.
+    """
+    cells = (
+        df.where(F.col(group_col).isin([arm_a, arm_b]))
+        .groupBy(value.alias("v"))
+        .agg(
+            F.sum(
+                F.when(F.col(group_col) == arm_a, 1).otherwise(0)
+            ).alias("na"),
+            F.sum(
+                F.when(F.col(group_col) == arm_b, 1).otherwise(0)
+            ).alias("nb"),
+        )
+    )
+    w_prev = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    t = F.col("na") + F.col("nb")
+    stepped = cells.select(
+        "na",
+        "nb",
+        t.alias("t"),
+        F.coalesce(F.sum(t).over(w_prev), F.lit(0)).alias("cum_before"),
+    )
+    agg = stepped.agg(
+        F.sum("na").cast("long").alias("n_a"),
+        F.sum("nb").cast("long").alias("n_b"),
+        F.sum(
+            F.col("na")
+            * (F.lit(2) * F.col("cum_before") + F.col("t") + F.lit(1))
+        )
+        .cast("long")
+        .alias("_r2a"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("long")
+        .alias("_T"),
+    )
+    n = F.col("n_a") + F.col("n_b")
+    u2a = F.col("_r2a") - F.col("n_a") * (F.col("n_a") + 1)
+    var_term = (n + 1) - F.col("_T") / (n * (n - 1))
+    z = (u2a - F.col("n_a") * F.col("n_b")) / (
+        F.lit(2.0)
+        * F.sqrt(F.col("n_a") * F.col("n_b") / F.lit(12.0) * var_term)
+    )
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0) & (n > 1) & (
+        F.col("_T") < n * n * n - n
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        u2a.alias("u2_a"),
+        F.when(ok, F.floor(z * 1000)).cast("long").alias("z_milli"),
+    )

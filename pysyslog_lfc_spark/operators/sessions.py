@@ -713,3 +713,53 @@ def seasonal_naive_mase(
         F.col("_ses").cast("long").alias("seasonal_abs_err"),
         mase.alias("mase_micro"),
     )
+
+
+def watermark_lateness(
+    df: DataFrame,
+    key_col: str,
+    arrival_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Out-of-order-arrival (clock-skew) report per key — the
+    empirical input to watermark sizing: for each event, lateness =
+    how far its event time lags the maximum event time already seen on
+    that key in *arrival* order (``arrival_col`` = the monotone ingest
+    sequence). A stream whose p95 lateness is 40 s needs
+    ``withWatermark("ts", "~40s")``; a key with huge max-lateness has
+    a skewed producer clock.
+
+    Returns per key: (key, n_events, n_late, max_lateness_s,
+    p95_lateness_milli) — p95 is the exact interpolated percentile in
+    integer millis (the agg_percentiles convention).
+
+    Scale shape: ONE key exchange serves the running-max window and
+    the reusing hash aggregate; lateness is a per-row expression. The
+    window frame is keyed — never unpartitioned.
+    """
+    es = F.unix_timestamp(F.col(ts_col))
+    w_prev = (
+        Window.partitionBy(key_col)
+        .orderBy(arrival_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    late = df.select(
+        F.col(key_col),
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.coalesce(
+                (F.max(es).over(w_prev) - es).cast("long"),
+                F.lit(0).cast("long"),
+            ),
+        ).alias("_late_s"),
+    )
+    return late.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("_late_s") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_late"),
+        F.max("_late_s").alias("max_lateness_s"),
+        F.floor(F.percentile(F.col("_late_s"), F.lit(0.95)) * 1000)
+        .cast("long")
+        .alias("p95_lateness_milli"),
+    )

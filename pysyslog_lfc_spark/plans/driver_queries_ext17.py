@@ -1,0 +1,136 @@
+"""Driver-query registrations, round-3 batch 10.
+
+Imported by :mod:`pysyslog_lfc_spark.plans.driver_queries` (bottom of
+file). This batch: exact frequent items via Misra-Gries-bounded
+candidate generation + exact recount, the watermark-sizing lateness
+report (out-of-order arrival per key), and the Mann-Whitney U rank-sum
+test (nonparametric A/B significance beside welch_t/cuped/did).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pysyslog_lfc_spark.plans.driver_queries import _t, query
+
+
+_MG_ORACLE = """
+WITH n AS (SELECT count(*)::BIGINT AS N FROM events),
+c AS (
+  SELECT event_type AS item, count(*)::BIGINT AS cnt
+  FROM events GROUP BY 1
+)
+SELECT item, cnt,
+       CAST((1000 * cnt - ((1000 * cnt) % N)) / N AS BIGINT)
+         AS share_permille
+FROM c, n WHERE 1000 * cnt > N * 100
+"""
+
+
+@query("heavy_hitters_mg", _MG_ORACLE)
+def heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact frequent items (functions/sketches.py::mg_heavy_hitters):
+    Arrow batches emit only items above the Misra-Gries local bound
+    (provably complete candidates for the 10% threshold by the
+    averaging argument), then an exact broadcast-semi recount — so the
+    oracle is a plain GROUP BY ... HAVING and correctness never
+    depends on sketch internals or partitioning."""
+    from pysyslog_lfc_spark.functions.sketches import mg_heavy_hitters
+
+    ev = _t(spark, sf_dir, "events")
+    return mg_heavy_hitters(ev, "event_type", phi_permille=100)
+
+
+_LATENESS_ORACLE = """
+WITH late AS (
+  SELECT event_type,
+         greatest(0, coalesce(
+           max(epoch_us(ts) // 1000000) OVER (
+             PARTITION BY event_type ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           - epoch_us(ts) // 1000000, 0)) AS late_s
+  FROM events
+)
+SELECT event_type,
+       count(*)::BIGINT AS n_events,
+       CAST(sum(CASE WHEN late_s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       CAST(max(late_s) AS BIGINT) AS max_lateness_s,
+       CAST(floor(quantile_cont(late_s, 0.95) * 1000) AS BIGINT)
+         AS p95_lateness_milli
+FROM late GROUP BY 1
+"""
+
+
+@query("watermark_lateness_report", _LATENESS_ORACLE)
+def watermark_lateness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order-arrival report (operators/sessions.py::
+    watermark_lateness): per event type, how far event times lag the
+    running event-time maximum in arrival (event_id) order — the
+    empirical watermark-sizing input for every withWatermark stream in
+    streaming/flows.py. One keyed exchange serves the running-max
+    window and the reusing aggregate."""
+    from pysyslog_lfc_spark.operators.sessions import watermark_lateness
+
+    ev = _t(spark, sf_dir, "events")
+    return watermark_lateness(ev, "event_type", "event_id", "ts")
+
+
+_MWU_ORACLE = """
+WITH u AS (
+  SELECT CASE WHEN o_custkey % 2 = 0 THEN 'even' ELSE 'odd' END AS arm,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders
+),
+cells AS (
+  SELECT v,
+         CAST(sum(CASE WHEN arm = 'even' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(sum(CASE WHEN arm = 'odd' THEN 1 ELSE 0 END) AS BIGINT) AS nb
+  FROM u GROUP BY v
+),
+stepped AS (
+  SELECT na, nb, na + nb AS t,
+         coalesce(sum(na + nb) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+  FROM cells
+),
+agg AS (
+  SELECT CAST(sum(na) AS BIGINT) AS n_a,
+         CAST(sum(nb) AS BIGINT) AS n_b,
+         CAST(sum(na * (2 * cum_before + t + 1)) AS BIGINT) AS r2a,
+         CAST(sum(t * t * t - t) AS BIGINT) AS tt
+  FROM stepped
+)
+SELECT n_a, n_b,
+       r2a - n_a * (n_a + 1) AS u2_a,
+       CASE WHEN n_a > 0 AND n_b > 0 AND n_a + n_b > 1
+                 AND tt < (n_a + n_b) * (n_a + n_b) * (n_a + n_b)
+                          - (n_a + n_b) THEN
+         CAST(floor((r2a - n_a * (n_a + 1) - n_a * n_b)
+                    / (2.0 * sqrt(n_a * n_b / 12.0
+                       * ((n_a + n_b + 1)
+                          - tt / ((n_a + n_b) * (n_a + n_b - 1)))))
+                    * 1000) AS BIGINT)
+       END AS z_milli
+FROM agg
+"""
+
+
+@query("ab_mann_whitney", _MWU_ORACLE)
+def ab_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test (functions/stats.py::
+    mann_whitney_u): nonparametric A/B significance over order value
+    cents between even/odd customer-key arms — the heavy-tail-immune
+    companion to welch_t. Doubled midranks keep every moment an exact
+    BIGINT; the corpus collapses to the distinct-value frame in one
+    hash agg before any window runs."""
+    from pysyslog_lfc_spark.functions.stats import mann_whitney_u
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.when(F.pmod(F.col("o_custkey"), F.lit(2)) == 0, F.lit("even"))
+        .otherwise(F.lit("odd"))
+        .alias("arm"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    return mann_whitney_u(orders, "arm", F.col("cents"), "even", "odd")

@@ -1,0 +1,137 @@
+"""Round-3 batch 10: MG heavy hitters, watermark lateness,
+Mann-Whitney U."""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+from pyspark.sql import Row, functions as F
+
+
+class TestMgHeavyHitters:
+    def test_exact_counts_above_threshold(self, spark):
+        from pysyslog_lfc_spark.functions.sketches import mg_heavy_hitters
+
+        # 100 'hot' (50%), 60 'warm' (30%), 40 singletons-ish cold
+        rows = (
+            [Row(k="hot")] * 100
+            + [Row(k="warm")] * 60
+            + [Row(k=f"cold{i}") for i in range(40)]
+        )
+        df = spark.createDataFrame(rows).repartition(8)
+        out = {
+            r.item: r
+            for r in mg_heavy_hitters(df, "k", phi_permille=200).collect()
+        }
+        assert set(out) == {"hot", "warm"}
+        assert out["hot"].cnt == 100 and out["hot"].share_permille == 500
+        assert out["warm"].cnt == 60 and out["warm"].share_permille == 300
+
+    def test_completeness_under_many_partitions(self, spark):
+        """An item just above threshold must survive candidate
+        generation regardless of how rows are partitioned."""
+        from pysyslog_lfc_spark.functions.sketches import mg_heavy_hitters
+
+        rows = [Row(k="edge")] * 26 + [
+            Row(k=f"c{i % 37}x{i}") for i in range(74)
+        ]
+        df = spark.createDataFrame(rows).repartition(16)
+        out = mg_heavy_hitters(df, "k", phi_permille=250).collect()
+        assert [r.item for r in out] == ["edge"]
+        assert out[0].cnt == 26
+
+    def test_threshold_is_strict(self, spark):
+        from pysyslog_lfc_spark.functions.sketches import mg_heavy_hitters
+
+        rows = [Row(k="a")] * 10 + [Row(k="b")] * 10
+        df = spark.createDataFrame(rows)
+        # share exactly 500 permille: 1000*10 > 20*500 is false
+        assert mg_heavy_hitters(df, "k", phi_permille=500).count() == 0
+
+
+class TestWatermarkLateness:
+    def test_hand_lateness(self, spark):
+        from pysyslog_lfc_spark.operators.sessions import watermark_lateness
+
+        t0 = datetime.datetime(2024, 1, 1)
+
+        def ts(s):
+            return t0 + datetime.timedelta(seconds=s)
+
+        rows = [
+            Row(k="a", arr=1, ts=ts(100)),
+            Row(k="a", arr=2, ts=ts(90)),   # 10 s late
+            Row(k="a", arr=3, ts=ts(200)),
+            Row(k="a", arr=4, ts=ts(160)),  # 40 s late
+            Row(k="b", arr=1, ts=ts(10)),
+            Row(k="b", arr=2, ts=ts(20)),   # in order
+        ]
+        out = {
+            r.k: r
+            for r in watermark_lateness(
+                spark.createDataFrame(rows), "k", "arr", "ts"
+            ).collect()
+        }
+        assert out["a"].n_late == 2 and out["a"].max_lateness_s == 40
+        assert out["b"].n_late == 0 and out["b"].max_lateness_s == 0
+        # p95 over [0, 10, 0, 40]: h = 0.95*(4-1) = 2.85 -> interpolate
+        # between sorted[2]=10 and sorted[3]=40 in IEEE eval order
+        h = 0.95 * 3
+        expect = math.floor((10 + (h - math.floor(h)) * (40 - 10)) * 1000)
+        assert out["a"].p95_lateness_milli == expect
+
+    def test_first_event_never_late(self, spark):
+        from pysyslog_lfc_spark.operators.sessions import watermark_lateness
+
+        df = spark.createDataFrame(
+            [Row(k="x", arr=1, ts=datetime.datetime(2024, 1, 1))]
+        )
+        r = watermark_lateness(df, "k", "arr", "ts").collect()[0]
+        assert r.n_late == 0 and r.max_lateness_s == 0
+
+
+class TestMannWhitney:
+    def test_hand_computed_with_ties(self, spark):
+        from pysyslog_lfc_spark.functions.stats import mann_whitney_u
+
+        # A: 1, 2, 2   B: 2, 3
+        rows = [
+            Row(g="A", v=1),
+            Row(g="A", v=2),
+            Row(g="A", v=2),
+            Row(g="B", v=2),
+            Row(g="B", v=3),
+        ]
+        out = mann_whitney_u(
+            spark.createDataFrame(rows), "g", F.col("v"), "A", "B"
+        ).collect()[0]
+        # midranks: v=1 -> 1; v=2 (3 ties, ranks 2-4) -> 3; v=3 -> 5
+        # R_A = 1 + 3 + 3 = 7 -> 2R_A = 14; U_A = 7 - 3*4/2 = 1 -> u2 = 2
+        assert (out.n_a, out.n_b, out.u2_a) == (3, 2, 2)
+        n, T = 5, (3**3 - 3)
+        var = 3 * 2 / 12 * ((n + 1) - T / (n * (n - 1)))
+        z = (2 - 3 * 2) / (2 * math.sqrt(var))
+        assert out.z_milli == math.floor(z * 1000)
+
+    def test_all_ties_degenerate(self, spark):
+        from pysyslog_lfc_spark.functions.stats import mann_whitney_u
+
+        rows = [Row(g="A", v=5), Row(g="B", v=5)]
+        out = mann_whitney_u(
+            spark.createDataFrame(rows), "g", F.col("v"), "A", "B"
+        ).collect()[0]
+        assert out.z_milli is None
+
+    def test_symmetry(self, spark):
+        """Swapping arms negates z (up to the floor grid)."""
+        from pysyslog_lfc_spark.functions.stats import mann_whitney_u
+
+        rows = [Row(g="A", v=i) for i in range(10)] + [
+            Row(g="B", v=i + 4) for i in range(10)
+        ]
+        df = spark.createDataFrame(rows)
+        z1 = mann_whitney_u(df, "g", F.col("v"), "A", "B").collect()[0]
+        z2 = mann_whitney_u(df, "g", F.col("v"), "B", "A").collect()[0]
+        assert z1.z_milli < 0 < z2.z_milli
+        assert abs(z1.z_milli + z2.z_milli) <= 1
