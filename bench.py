@@ -230,6 +230,9 @@ BENCH_QUERIES = [
     "heavy_hitters_mg",
     "watermark_lateness_report",
     "ab_mann_whitney",
+    "dedup_span_loss_mask",
+    "lm_min_k_prob",
+    "sampling_ess_soft_weights",
 ]
 
 

@@ -1539,3 +1539,77 @@ def soft_dedup_weights(
         .cast("long")
         .alias("weight_permille"),
     )
+
+
+def span_loss_mask(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 8,
+) -> DataFrame:
+    """Duplicated-span LOSS MASKING — the third treatment of
+    cross-document repeats after the coverage report
+    (:func:`repeated_ngram_coverage`) and the rewrite
+    (:func:`exact_substr_rewrite`): keep every token but zero the
+    training-loss mask over positions covered by a later-occurrence
+    ``width``-token window, so duplicated passages stay in context yet
+    contribute no gradient — the mask-instead-of-remove option for
+    pipelines that must not break document continuity (the SFT packer
+    consumes the same mask shape as functions/sft.py).
+
+    Returns (id, n_tok, dup_tokens, loss_mask: array<int> with
+    ``len == n_tok``, 1 = train, 0 = duplicated).
+
+    100 TB design: identical shuffle shape to the rewrite — one gram
+    hash partition for the first-occurrence rule, (doc_id, pos) pairs
+    onward, one doc-keyed regroup for the position set. Mask assembly
+    is a per-row ``transform(sequence)`` probe of the per-doc sorted
+    dup-position array (O(n_tok * dup) per row; the explode-join
+    scatter is the swap-in for 10^6-token documents).
+    """
+    from pysyslog_lfc_spark.functions.text import (
+        sliding_grams,
+        token_count,
+        tokenize,
+    )
+
+    toks = tokenize(F.col(text_col))
+    grams = sliding_grams(toks, width)
+    ex = df.select(F.col(id_col), F.posexplode(grams).alias("pos", "gram"))
+    first = W.partitionBy("gram").orderBy(id_col, "pos")
+    dup = (
+        ex.withColumn("_rn", F.row_number().over(first))
+        .where(F.col("_rn") > 1)
+        .select(id_col, "pos")
+    )
+    covered = dup.select(
+        id_col,
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + width - 1)
+        ).alias("p"),
+    ).distinct()
+    cov_arr = covered.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("p")).alias("_cov")
+    )
+    base = df.select(F.col(id_col), token_count(F.col(text_col)).alias("n_tok"))
+    joined = base.join(cov_arr, id_col, "left").select(
+        id_col,
+        "n_tok",
+        F.coalesce("_cov", F.array().cast("array<int>")).alias("_cov"),
+    )
+    mask = F.transform(
+        F.sequence(F.lit(0), F.col("n_tok") - 1),
+        lambda p: F.when(
+            F.array_contains(F.col("_cov"), p.cast("int")), F.lit(0)
+        )
+        .otherwise(F.lit(1))
+        .cast("int"),
+    )
+    return joined.select(
+        id_col,
+        F.col("n_tok").cast("int").alias("n_tok"),
+        F.size("_cov").cast("int").alias("dup_tokens"),
+        F.when(F.col("n_tok") > 0, mask)
+        .otherwise(F.array().cast("array<int>"))
+        .alias("loss_mask"),
+    )

@@ -399,3 +399,110 @@ def stupid_backoff_score(
             F.coalesce("n_trigrams", F.lit(0)).alias("n_trigrams"),
         )
     )
+
+
+def min_k_prob(
+    df: DataFrame,
+    model_df: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_permille: int = 200,
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Min-K% prob membership score (Shi et al. 2023, "Detecting
+    Pretraining Data from Large Language Models"): a document the model
+    has memorized has *no very-unlikely tokens*, so the mean
+    log-probability of its k% LEAST likely positions separates
+    training-set members from non-members far better than full-document
+    perplexity. Here the reference model is the same add-one bigram LM
+    as :func:`bigram_lm_score` (per-position probabilities, broadcast
+    counts) — the score is the contamination/memorization audit run
+    before releasing eval sets.
+
+    Returns (id, n_bigrams, k_count, min_k_permille) where
+    ``k_count = max(1, floor(k_permille * n_bigrams / 1000))`` and
+    ``min_k_permille = floor-average (permille) of the k_count lowest
+    position scores``, each position entering as floor(1e6 * ln p) —
+    an exact integer before any aggregation. Docs with < 2 tokens
+    score null.
+
+    Scale shape: scoring is the zero-corpus-shuffle broadcast-model
+    join; the ascending rank runs in a window partitioned BY DOCUMENT
+    (frame bounded by document length, never the corpus), sharing the
+    doc-keyed exchange with the final aggregate.
+    """
+    model_df = model_df if model_df is not None else df
+    mwords = model_df.select(F.explode(tokenize(F.col(text_col))).alias("w"))
+    uni = mwords.groupBy("w").agg(F.count(F.lit(1)).alias("_c1"))
+    vdf = mwords.agg(F.countDistinct("w").alias("_V"))
+    bi = (
+        _bigrams(model_df, text_col, [])
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("_c12"))
+    )
+    if broadcast_model:
+        bi, uni = F.broadcast(bi), F.broadcast(uni)
+
+    ws = tokenize(F.col(text_col))
+    z = F.arrays_zip(
+        F.slice(ws, 1, F.size(ws) - 1).alias("w1"),
+        F.slice(ws, 2, F.size(ws) - 1).alias("w2"),
+    )
+    db = df.select(
+        F.col(id_col), F.posexplode(z).alias("pos", "_bg")
+    ).select(
+        F.col(id_col),
+        "pos",
+        F.col("_bg.w1").alias("w1"),
+        F.col("_bg.w2").alias("w2"),
+    )
+    p = (F.coalesce(F.col("_c12"), F.lit(0)) + 1) / (
+        F.coalesce(F.col("_c1"), F.lit(0)) + F.col("_V")
+    )
+    scored = (
+        db.join(bi, ["w1", "w2"], "left")
+        .join(uni, db["w1"] == uni["w"], "left")
+        .crossJoin(F.broadcast(vdf))
+        .select(
+            F.col(id_col),
+            F.col("pos"),
+            F.floor(F.log(p) * F.lit(1000000.0)).cast("long").alias("_lpm"),
+        )
+    )
+    w_doc = Window.partitionBy(id_col)
+    w_rank = Window.partitionBy(id_col).orderBy("_lpm", "pos")
+    ranked = scored.select(
+        F.col(id_col),
+        "_lpm",
+        F.row_number().over(w_rank).alias("_rn"),
+        F.count(F.lit(1)).over(w_doc).alias("n_bigrams"),
+    )
+    kc = F.greatest(
+        F.lit(1).cast("long"),
+        (
+            (
+                F.col("n_bigrams") * F.lit(k_permille)
+                - F.pmod(F.col("n_bigrams") * F.lit(k_permille), F.lit(1000))
+            )
+            / 1000
+        ).cast("long"),
+    )
+    kept = ranked.where(F.col("_rn") <= kc).groupBy(id_col).agg(
+        F.max("n_bigrams").alias("n_bigrams"),
+        F.count(F.lit(1)).alias("k_count"),
+        F.sum("_lpm").alias("_sum"),
+    )
+    den = F.col("k_count") * F.lit(1000)
+    avg_pm = (
+        (F.col("_sum") - F.pmod(F.col("_sum"), den)) / den
+    ).cast("long")
+    return (
+        df.select(F.col(id_col))
+        .join(kept, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("k_count", F.lit(0)).alias("k_count"),
+            avg_pm.alias("min_k_permille"),
+        )
+    )

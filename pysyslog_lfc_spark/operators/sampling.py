@@ -412,3 +412,54 @@ def cluster_aware_split(
             else expr.when(key < hi, F.lit(name))
         )
     return rep.select(id_col, "rep_id", expr.alias("split"))
+
+
+def effective_sample_size(
+    df: DataFrame,
+    weight_col: str,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Kish effective sample size of a weighted corpus (Kish 1965):
+
+        ESS = (sum w)^2 / (sum w^2)
+
+    — the honesty metric for every reweighting stage (soft dedup,
+    temperature mixing, DSIR importance weights): n rows with wildly
+    skewed weights train like ESS << n independent examples, so a
+    pipeline that reports row counts without ESS overstates its
+    effective data. Weights MUST be integer-valued (the house permille
+    convention), which makes both moments exact.
+
+    Returns per key group (or one global row): (keys..., n, sum_w,
+    ess_milli, max_w_share_micro) where ``ess_milli = floor(1000 *
+    ESS)`` via exact DECIMAL(38,0) moments with the closing division
+    the only non-integer step, and ``max_w_share_micro`` flags a
+    single row dominating the mass.
+
+    Scale shape: ONE map-side-partial hash aggregate; everything after
+    runs on the groups-sized frame.
+    """
+    d38 = "decimal(38,0)"
+    w = F.col(weight_col).cast(d38)
+    gb = df.groupBy(*[F.col(k) for k in keys]) if keys else df.groupBy()
+    agg = gb.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(w).cast(d38).alias("_s1"),
+        F.sum(w * w).cast(d38).alias("_s2"),
+        F.max(F.col(weight_col)).cast("long").alias("_wmax"),
+    )
+    num = (F.col("_s1") * F.col("_s1") * F.lit(1000)).cast(d38)
+    ess = (
+        (num - F.pmod(num, F.col("_s2"))) / F.col("_s2")
+    ).cast("long")
+    share_num = (F.col("_wmax").cast(d38) * F.lit(1000000)).cast(d38)
+    share = (
+        (share_num - F.pmod(share_num, F.col("_s1"))) / F.col("_s1")
+    ).cast("long")
+    return agg.select(
+        *(keys or []),
+        "n",
+        F.col("_s1").cast("long").alias("sum_w"),
+        ess.alias("ess_milli"),
+        share.alias("max_w_share_micro"),
+    )

@@ -1,0 +1,182 @@
+"""Driver-query registrations, round-3 batch 11.
+
+Imported by :mod:`pysyslog_lfc_spark.plans.driver_queries` (bottom of
+file). This batch: duplicated-span loss masking (the mask-instead-of-
+remove third treatment of cross-doc repeats), Min-K% prob membership
+scoring (Shi et al. 2023 — the memorization/contamination audit), and
+Kish effective sample size over the soft-dedup weights (the honesty
+metric for every reweighting stage).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pysyslog_lfc_spark.plans.driver_queries import _t, query
+
+
+_SPAN_MASK_ORACLE = r"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), w -> w != '') AS ws
+      FROM documents
+    ),
+    ex AS (
+      SELECT doc_id, i AS pos, array_to_string(ws[i+1:i+8], ' ') AS gram
+      FROM base, unnest(generate_series(0, len(ws) - 8)) AS t(i)
+      WHERE len(ws) >= 8
+    ),
+    dup AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos,
+               row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+        FROM ex
+      ) WHERE rn > 1
+    ),
+    cov AS (
+      SELECT DISTINCT doc_id, pos + j AS p
+      FROM dup, unnest(generate_series(0, 7)) AS u(j)
+    ),
+    cl AS (
+      SELECT doc_id, list(p ORDER BY p) AS cov FROM cov GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(len(b.ws) AS INT) AS n_tok,
+           CAST(coalesce(len(cl.cov), 0) AS INT) AS dup_tokens,
+           CASE WHEN len(b.ws) > 0 THEN
+             list_transform(generate_series(0, len(b.ws) - 1),
+               p -> CASE WHEN list_contains(coalesce(cl.cov, []), p)
+                         THEN CAST(0 AS INT) ELSE CAST(1 AS INT) END)
+           ELSE CAST([] AS INT[]) END AS loss_mask
+    FROM base b LEFT JOIN cl USING (doc_id)
+"""
+
+
+@query("dedup_span_loss_mask", _SPAN_MASK_ORACLE)
+def dedup_span_loss_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span loss masking (functions/dedup.py::
+    span_loss_mask): every token position covered by a later-occurrence
+    8-token window keeps its token but zeroes its training-loss mask —
+    duplicated passages stay in context, contribute no gradient. Same
+    shuffle shape as the ExactSubstr rewrite; mask assembly is per-row
+    array codegen."""
+    from pysyslog_lfc_spark.functions.dedup import span_loss_mask
+
+    docs = _t(spark, sf_dir, "documents")
+    return span_loss_mask(docs, width=8)
+
+
+_MINK_ORACLE = r"""
+    WITH mtoks AS (
+      SELECT list_filter(string_split_regex(text, '\s+'), w -> w != '') AS ws
+      FROM documents WHERE lang = 'en'
+    ),
+    muni AS (
+      SELECT w, count(*) AS c1
+      FROM (SELECT unnest(ws) AS w FROM mtoks) GROUP BY w
+    ),
+    vocab AS (
+      SELECT count(DISTINCT w) AS V FROM (SELECT unnest(ws) AS w FROM mtoks)
+    ),
+    mbi AS (
+      SELECT w1, w2, count(*) AS c12 FROM (
+        SELECT ws[i] AS w1, ws[i+1] AS w2
+        FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM mtoks)
+      ) GROUP BY w1, w2
+    ),
+    dtoks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), w -> w != '') AS ws
+      FROM documents
+    ),
+    dbi AS (
+      SELECT doc_id, i AS pos, ws[i] AS w1, ws[i+1] AS w2
+      FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM dtoks)
+    ),
+    scored AS (
+      SELECT doc_id, pos,
+             CAST(floor(ln((coalesce(c12, 0) + 1)
+                           / (coalesce(c1, 0) + V)) * 1000000.0)
+                  AS BIGINT) AS lpm
+      FROM dbi LEFT JOIN mbi USING (w1, w2)
+               LEFT JOIN muni ON dbi.w1 = muni.w, vocab
+    ),
+    ranked AS (
+      SELECT doc_id, lpm,
+             row_number() OVER (PARTITION BY doc_id ORDER BY lpm, pos) AS rn,
+             count(*) OVER (PARTITION BY doc_id) AS nb
+      FROM scored
+    ),
+    kept AS (
+      SELECT doc_id, CAST(max(nb) AS BIGINT) AS n_bigrams,
+             count(*)::BIGINT AS k_count, sum(lpm) AS sm
+      FROM ranked
+      WHERE rn <= greatest(1, (nb * 200) // 1000)
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(k.n_bigrams, 0) AS n_bigrams,
+           coalesce(k.k_count, 0) AS k_count,
+           CAST((k.sm - ((k.sm % (1000 * k.k_count) + 1000 * k.k_count)
+                         % (1000 * k.k_count))) / (1000 * k.k_count)
+                AS BIGINT) AS min_k_permille
+    FROM (SELECT doc_id FROM documents) d LEFT JOIN kept k USING (doc_id)
+"""
+
+
+@query("lm_min_k_prob", _MINK_ORACLE)
+def lm_min_k_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-K% prob membership score (functions/lm.py::min_k_prob —
+    Shi et al. 2023): mean log-prob of each document's 20% least
+    likely positions under the broadcast bigram LM — memorized
+    documents have no very-unlikely tokens, so this separates members
+    from non-members better than full perplexity. Per-position scores
+    floor to integer micro terms; the ascending rank window is
+    partitioned BY DOCUMENT, sharing the doc-keyed exchange with the
+    closing aggregate."""
+    from pysyslog_lfc_spark.functions import lm
+
+    docs = _t(spark, sf_dir, "documents")
+    model = docs.where(F.col("lang") == "en")
+    return lm.min_k_prob(docs, model_df=model, k_permille=200)
+
+
+def _ess_oracle_sql() -> str:
+    """Compose the verified soft-dedup-weights oracle; both ESS
+    moments are exact integer sums."""
+    from pysyslog_lfc_spark.plans.driver_queries import all_oracles
+
+    sw = all_oracles()["dedup_soft_weights"]
+    return f"""
+    WITH sw AS ({sw}),
+    m AS (
+      SELECT count(*)::BIGINT AS n,
+             CAST(sum(weight_permille) AS BIGINT) AS s1,
+             CAST(sum(weight_permille * weight_permille) AS BIGINT) AS s2,
+             CAST(max(weight_permille) AS BIGINT) AS wmax
+      FROM sw
+    )
+    SELECT n, s1 AS sum_w,
+           CAST((1000 * s1 * s1 - ((1000 * s1 * s1) % s2)) / s2 AS BIGINT)
+             AS ess_milli,
+           CAST((1000000 * wmax - ((1000000 * wmax) % s1)) / s1 AS BIGINT)
+             AS max_w_share_micro
+    FROM m
+    """
+
+
+@query("sampling_ess_soft_weights", _ess_oracle_sql())
+def sampling_ess_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kish effective sample size (operators/sampling.py::
+    effective_sample_size) of the soft-dedup reweighted corpus — the
+    honesty metric for reweighting stages: n rows at skewed weights
+    train like ESS << n independent examples. Exact DECIMAL(38,0)
+    moments from ONE hash aggregate; the closing division is the only
+    non-integer step."""
+    from pysyslog_lfc_spark.functions.dedup import soft_dedup_weights
+    from pysyslog_lfc_spark.operators.sampling import effective_sample_size
+
+    docs = _t(spark, sf_dir, "documents")
+    weights = soft_dedup_weights(docs, threshold=0.9)
+    return effective_sample_size(weights, "weight_permille")

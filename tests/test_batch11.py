@@ -1,0 +1,127 @@
+"""Round-3 batch 11: span loss mask, Min-K% prob, effective sample
+size."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Row, functions as F
+
+
+class TestSpanLossMask:
+    def test_duplicate_window_masks_later_copy(self, spark):
+        from pysyslog_lfc_spark.functions.dedup import span_loss_mask
+
+        dup = "a b c d e f g h"  # exactly one 8-token window
+        docs = spark.createDataFrame(
+            [
+                Row(doc_id=1, text=dup + " unique one"),
+                Row(doc_id=2, text="prefix " + dup),
+            ]
+        )
+        out = {
+            r.doc_id: r for r in span_loss_mask(docs, width=8).collect()
+        }
+        # doc 1 holds the first occurrence: fully trainable
+        assert out[1].dup_tokens == 0
+        assert out[1].loss_mask == [1] * 10
+        # doc 2's copy (positions 1..8) is masked; 'prefix' survives
+        assert out[2].dup_tokens == 8
+        assert out[2].loss_mask == [1] + [0] * 8
+        assert len(out[2].loss_mask) == out[2].n_tok
+
+    def test_mask_len_equals_ntok_and_short_docs(self, spark):
+        from pysyslog_lfc_spark.functions.dedup import span_loss_mask
+
+        docs = spark.createDataFrame(
+            [Row(doc_id=1, text="too short"), Row(doc_id=2, text="")]
+        )
+        out = {r.doc_id: r for r in span_loss_mask(docs).collect()}
+        assert out[1].loss_mask == [1, 1] and out[1].dup_tokens == 0
+        assert out[2].loss_mask == [] and out[2].n_tok == 0
+
+
+class TestMinKProb:
+    def test_memorized_vs_novel(self, spark):
+        """A doc whose bigrams all appear in the model scores higher
+        (less negative) min-k than one with an out-of-model tail."""
+        from pysyslog_lfc_spark.functions.lm import min_k_prob
+
+        model = spark.createDataFrame(
+            [Row(doc_id=i, text="the cat sat on the mat") for i in range(5)]
+        )
+        docs = spark.createDataFrame(
+            [
+                Row(doc_id=100, text="the cat sat on the mat"),
+                Row(doc_id=101, text="the cat sat on zzz qqq"),
+            ]
+        )
+        out = {
+            r.doc_id: r
+            for r in min_k_prob(docs, model_df=model, k_permille=400).collect()
+        }
+        assert out[100].min_k_permille > out[101].min_k_permille
+
+    def test_k_count_rule_and_short_docs(self, spark):
+        from pysyslog_lfc_spark.functions.lm import min_k_prob
+
+        docs = spark.createDataFrame(
+            [
+                Row(doc_id=1, text="a b c d e f g h i j k"),  # 10 bigrams
+                Row(doc_id=2, text="one"),
+            ]
+        )
+        out = {r.doc_id: r for r in min_k_prob(docs, k_permille=200).collect()}
+        assert out[1].n_bigrams == 10 and out[1].k_count == 2
+        assert out[2].n_bigrams == 0 and out[2].min_k_permille is None
+
+    def test_takes_the_lowest_positions(self, spark):
+        """min-k over k=1 equals the single worst position score."""
+        from pysyslog_lfc_spark.functions.lm import min_k_prob
+
+        model = spark.createDataFrame(
+            [Row(doc_id=0, text="x y " * 50)]  # strong (x,y) bigram
+        )
+        docs = spark.createDataFrame(
+            [Row(doc_id=9, text="x y x y novel")]
+        )
+        out = min_k_prob(docs, model_df=model, k_permille=1).collect()[0]
+        assert out.k_count == 1
+        full = min_k_prob(docs, model_df=model, k_permille=1000).collect()[0]
+        assert out.min_k_permille < full.min_k_permille
+
+
+class TestEffectiveSampleSize:
+    def test_uniform_weights_ess_equals_n(self, spark):
+        from pysyslog_lfc_spark.operators.sampling import (
+            effective_sample_size,
+        )
+
+        df = spark.createDataFrame([Row(w=1000)] * 8)
+        r = effective_sample_size(df, "w").collect()[0]
+        assert r.n == 8 and r.ess_milli == 8000
+        assert r.max_w_share_micro == 125000
+
+    def test_skewed_weights_shrink_ess(self, spark):
+        from pysyslog_lfc_spark.operators.sampling import (
+            effective_sample_size,
+        )
+
+        df = spark.createDataFrame([Row(w=1000)] + [Row(w=1)] * 99)
+        r = effective_sample_size(df, "w").collect()[0]
+        s1, s2 = 1000 + 99, 1000000 + 99
+        assert r.ess_milli == (1000 * s1 * s1) // s2
+        assert r.ess_milli < 2000  # ~1.2 effective rows
+
+    def test_grouped(self, spark):
+        from pysyslog_lfc_spark.operators.sampling import (
+            effective_sample_size,
+        )
+
+        df = spark.createDataFrame(
+            [Row(g="a", w=10), Row(g="a", w=10), Row(g="b", w=5)]
+        )
+        out = {
+            r.g: r for r in effective_sample_size(df, "w", ["g"]).collect()
+        }
+        assert out["a"].ess_milli == 2000 and out["b"].ess_milli == 1000
