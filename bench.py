@@ -233,6 +233,9 @@ BENCH_QUERIES = [
     "dedup_span_loss_mask",
     "lm_min_k_prob",
     "sampling_ess_soft_weights",
+    "moore_lewis_select",
+    "lpa_part_communities",
+    "l_diversity_orders",
 ]
 
 

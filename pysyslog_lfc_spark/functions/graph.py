@@ -442,3 +442,56 @@ def kcore(
         sym.groupBy(F.col("u").alias("node"))
         .agg(F.count(F.lit(1)).alias("degree"))
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src_col: str = "u",
+    dst_col: str = "v",
+    n_iter: int = 3,
+) -> DataFrame:
+    """Community detection by deterministic synchronous label
+    propagation (Raghavan et al. 2007, made reproducible): labels
+    start as node ids; each round every node adopts the most frequent
+    label among its neighbors, ties broken by smallest label; exactly
+    ``n_iter`` synchronous rounds (no convergence check — the fixed
+    unroll is what lets the SQL oracle replay the run bit-for-bit;
+    synchronous LPA can oscillate, so a fixed horizon is also the
+    honest semantics). Complements the exact structure operators:
+    connected_components finds *reachability*, kcore finds *density*,
+    LPA finds *modularity-ish* groupings inside a component.
+
+    Input edges are undirected (u, v) pairs (symmetrized internally);
+    returns (node, community).
+
+    100 TB design: each round is ONE (neighbor-label count) hash
+    aggregate + ONE per-node argmax aggregate — both keyed, both with
+    map-side partial aggregation; the edge set is never rewritten and
+    the label frame stays one row per node. No windows over anything
+    bigger than a (node, label) cell.
+    """
+    e = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+    sym = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+    labels = sym.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(n_iter):
+        nbr = sym.join(
+            labels.select(F.col("node").alias("_n"), "lbl"),
+            F.col("v") == F.col("_n"),
+        ).select("u", "lbl")
+        cnt = nbr.groupBy("u", "lbl").agg(F.count(F.lit(1)).alias("_c"))
+        labels = (
+            cnt.groupBy("u")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("_c")).alias("_nc"), F.col("lbl").alias("_l")
+                    )
+                ).alias("_m")
+            )
+            .select(F.col("u").alias("node"), F.col("_m._l").alias("lbl"))
+        )
+    return labels.select("node", F.col("lbl").alias("community"))

@@ -506,3 +506,54 @@ def min_k_prob(
             avg_pm.alias("min_k_permille"),
         )
     )
+
+
+def moore_lewis_score(
+    df: DataFrame,
+    in_domain_df: DataFrame,
+    general_df: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Moore-Lewis cross-entropy-difference data selection (Moore &
+    Lewis 2010, "Intelligent Selection of Language Model Training
+    Data" — the classic targeted-corpus selection method, the baseline
+    DSIR benchmarks against): score every document by
+
+        ml_diff = avg ln P_in(doc) - avg ln P_gen(doc)
+
+    under an in-domain LM vs a general-corpus LM; documents that look
+    more in-domain than generic (diff > 0) are selected. Both scores
+    are the verified add-one bigram permille floors of
+    :func:`bigram_lm_score`, so the difference is an exact integer.
+
+    Returns (id, in_permille, gen_permille, ml_diff_permille, keep) —
+    null scores (docs with < 2 tokens) yield null diff and
+    ``keep = false``.
+
+    Scale shape: two broadcast-model scoring passes (each zero-shuffle
+    on the corpus side) joined on the id key; no new exchange class
+    beyond :func:`bigram_lm_score` itself.
+    """
+    general_df = general_df if general_df is not None else df
+    in_s = bigram_lm_score(
+        df, model_df=in_domain_df, text_col=text_col, id_col=id_col
+    ).select(
+        F.col(id_col),
+        F.col("logprob_permille").alias("in_permille"),
+    )
+    gen_s = bigram_lm_score(
+        df, model_df=general_df, text_col=text_col, id_col=id_col
+    ).select(
+        F.col(id_col),
+        F.col("logprob_permille").alias("gen_permille"),
+    )
+    j = in_s.join(gen_s, id_col)
+    diff = F.col("in_permille") - F.col("gen_permille")
+    return j.select(
+        F.col(id_col),
+        "in_permille",
+        "gen_permille",
+        diff.alias("ml_diff_permille"),
+        F.coalesce(diff > 0, F.lit(False)).alias("keep"),
+    )

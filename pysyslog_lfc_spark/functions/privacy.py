@@ -108,3 +108,33 @@ def dp_noisy_counts(
             (F.col("n_true") * 1000 + F.col("noise_q3")).cast("long"),
         )
     )
+
+
+def l_diversity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int = 3,
+) -> DataFrame:
+    """l-diversity release gate (Machanavajjhala et al. 2007) — the
+    published successor check to k-anonymity: a quasi-identifier
+    equivalence class is safe only if it contains at least ``l``
+    DISTINCT sensitive values, closing the homogeneity attack k-alone
+    misses (all k records sharing one diagnosis re-identifies the
+    attribute, not the row). Run beside
+    :func:`k_anonymity_report` before any external data release.
+
+    Returns one row per equivalence class: (quasi_cols..., n_rows,
+    n_sensitive, l_diverse) — distinct-count l-diversity (the paper's
+    simplest instantiation; entropy l-diversity swaps the aggregate).
+
+    100 TB design: ONE hash aggregate with a single exact distinct
+    (two-phase under the hood); everything downstream is per-class.
+    """
+    return df.groupBy(*[F.col(c) for c in quasi_cols]).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct(F.col(sensitive_col)).alias("n_sensitive"),
+        (F.countDistinct(F.col(sensitive_col)) >= F.lit(l)).alias(
+            "l_diverse"
+        ),
+    )

@@ -1,0 +1,175 @@
+"""Driver-query registrations, round-3 batch 12.
+
+Imported by :mod:`pysyslog_lfc_spark.plans.driver_queries` (bottom of
+file). This batch: Moore-Lewis cross-entropy-difference data selection
+(the classic targeted-corpus selection DSIR benchmarks against),
+deterministic synchronous label-propagation communities, and the
+l-diversity release gate beside k-anonymity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pysyslog_lfc_spark.plans.driver_queries import _t, query
+
+
+def _lm_cte(prefix: str, model_where: str) -> str:
+    """The verified add-one-bigram scoring SQL (lm_quality_score's
+    oracle shape) parameterized by the model slice and a CTE prefix so
+    two models can coexist in one query."""
+    return rf"""
+    {prefix}mtoks AS (
+      SELECT list_filter(string_split_regex(text, '\s+'), w -> w != '') AS ws
+      FROM documents {model_where}
+    ),
+    {prefix}muni AS (
+      SELECT w, count(*) AS c1
+      FROM (SELECT unnest(ws) AS w FROM {prefix}mtoks) GROUP BY w
+    ),
+    {prefix}vocab AS (
+      SELECT count(DISTINCT w) AS V
+      FROM (SELECT unnest(ws) AS w FROM {prefix}mtoks)
+    ),
+    {prefix}mbi AS (
+      SELECT w1, w2, count(*) AS c12 FROM (
+        SELECT ws[i] AS w1, ws[i+1] AS w2
+        FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM {prefix}mtoks)
+      ) GROUP BY w1, w2
+    ),
+    {prefix}scored AS (
+      SELECT doc_id,
+             ln((coalesce(c12, 0) + 1) / (coalesce(c1, 0) + V)) AS lp
+      FROM dbi LEFT JOIN {prefix}mbi USING (w1, w2)
+               LEFT JOIN {prefix}muni ON dbi.w1 = {prefix}muni.w,
+               {prefix}vocab
+    ),
+    {prefix}agg AS (
+      SELECT doc_id, CAST(floor(avg(lp) * 1000) AS BIGINT) AS pm
+      FROM {prefix}scored GROUP BY doc_id
+    )"""
+
+
+_ML_ORACLE = (
+    r"""
+    WITH dtoks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), w -> w != '') AS ws
+      FROM documents
+    ),
+    dbi AS (
+      SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+      FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM dtoks)
+    ),"""
+    + _lm_cte("in_", "WHERE lang = 'en'")
+    + ","
+    + _lm_cte("gen_", "")
+    + """
+    SELECT d.doc_id,
+           i.pm AS in_permille,
+           g.pm AS gen_permille,
+           i.pm - g.pm AS ml_diff_permille,
+           coalesce(i.pm - g.pm > 0, false) AS keep
+    FROM (SELECT doc_id FROM documents) d
+    LEFT JOIN in_agg i USING (doc_id)
+    LEFT JOIN gen_agg g USING (doc_id)
+    """
+)
+
+
+@query("moore_lewis_select", _ML_ORACLE)
+def moore_lewis_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moore-Lewis cross-entropy-difference selection (functions/
+    lm.py::moore_lewis_score — Moore & Lewis 2010): every document
+    scored under the in-domain (English-slice) LM minus the
+    general-corpus LM; diff > 0 = looks more in-domain than generic.
+    Both scores are the verified bigram permille floors, so the
+    difference is exact; two broadcast-model passes, zero corpus
+    shuffle beyond the per-doc aggregates."""
+    from pysyslog_lfc_spark.functions import lm
+
+    docs = _t(spark, sf_dir, "documents")
+    in_dom = docs.where(F.col("lang") == "en")
+    return lm.moore_lewis_score(docs, in_dom)
+
+
+def _lpa_oracle(n_iter: int) -> str:
+    head = """
+    WITH e0 AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    s0 AS MATERIALIZED (
+      SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0
+    ),
+    l0 AS MATERIALIZED (
+      SELECT u AS node, u AS lbl FROM (SELECT DISTINCT u FROM s0)
+    )"""
+    parts = []
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f""",
+    c{i} AS MATERIALIZED (
+      SELECT s.u, l.lbl, count(*) AS c
+      FROM s0 s JOIN l{i - 1} l ON l.node = s.v
+      GROUP BY s.u, l.lbl
+    ),
+    l{i} AS MATERIALIZED (
+      SELECT u AS node, lbl FROM (
+        SELECT u, lbl,
+               row_number() OVER (PARTITION BY u ORDER BY c DESC, lbl) AS rn
+        FROM c{i}
+      ) WHERE rn = 1
+    )"""
+        )
+    tail = f"""
+    SELECT node, lbl AS community FROM l{n_iter}"""
+    return head + "".join(parts) + tail
+
+
+@query("lpa_part_communities", _lpa_oracle(3))
+def lpa_part_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities (functions/graph.py::
+    label_propagation, 3 synchronous rounds, smallest-label
+    tie-break) over the part co-purchase graph — modularity-ish
+    groupings inside components, beside connected_components
+    (reachability) and kcore (density). The fixed deterministic
+    horizon is what lets the oracle unroll the run as CTE layers."""
+    from pysyslog_lfc_spark.functions.graph import label_propagation
+
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "ok")
+        .where(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    return label_propagation(edges, n_iter=3)
+
+
+_LDIV_ORACLE = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*)::BIGINT AS n_rows,
+       count(DISTINCT o_custkey)::BIGINT AS n_sensitive,
+       count(DISTINCT o_custkey) >= 3 AS l_diverse
+FROM orders GROUP BY 1, 2
+"""
+
+
+@query("l_diversity_orders", _LDIV_ORACLE)
+def l_diversity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity release gate (functions/privacy.py::
+    l_diversity_report — Machanavajjhala et al. 2007): each
+    (status, priority) equivalence class must contain >= 3 distinct
+    customers, closing the homogeneity attack k-anonymity alone
+    misses. ONE hash aggregate with a single exact distinct."""
+    from pysyslog_lfc_spark.functions.privacy import l_diversity_report
+
+    orders = _t(spark, sf_dir, "orders")
+    return l_diversity_report(
+        orders, ["o_orderstatus", "o_orderpriority"], "o_custkey", l=3
+    )

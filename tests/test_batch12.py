@@ -1,0 +1,114 @@
+"""Round-3 batch 12: Moore-Lewis selection, label propagation,
+l-diversity."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+
+class TestMooreLewis:
+    def test_in_domain_docs_selected(self, spark):
+        from pysyslog_lfc_spark.functions.lm import moore_lewis_score
+
+        in_dom = spark.createDataFrame(
+            [Row(doc_id=i, text="alpha beta gamma delta") for i in range(5)]
+        )
+        gen = spark.createDataFrame(
+            [Row(doc_id=i, text="one two three four five six") for i in range(5)]
+            + [Row(doc_id=9, text="alpha beta gamma delta")]
+        )
+        docs = spark.createDataFrame(
+            [
+                Row(doc_id=100, text="alpha beta gamma delta"),
+                Row(doc_id=101, text="one two three four"),
+                Row(doc_id=102, text="x"),
+            ]
+        )
+        out = {
+            r.doc_id: r
+            for r in moore_lewis_score(docs, in_dom, gen).collect()
+        }
+        assert out[100].keep is True and out[100].ml_diff_permille > 0
+        assert out[101].keep is False and out[101].ml_diff_permille < 0
+        assert out[102].ml_diff_permille is None and out[102].keep is False
+
+    def test_diff_is_exact_integer_difference(self, spark):
+        from pysyslog_lfc_spark.functions.lm import (
+            bigram_lm_score,
+            moore_lewis_score,
+        )
+
+        docs = spark.createDataFrame(
+            [Row(doc_id=1, text="a b c a b")]
+        )
+        in_dom = spark.createDataFrame([Row(doc_id=0, text="a b a b")])
+        ml = moore_lewis_score(docs, in_dom).collect()[0]
+        a = bigram_lm_score(docs, model_df=in_dom).collect()[0]
+        b = bigram_lm_score(docs, model_df=docs).collect()[0]
+        assert ml.ml_diff_permille == (
+            a.logprob_permille - b.logprob_permille
+        )
+
+
+class TestLabelPropagation:
+    def test_two_cliques_with_bridge(self, spark):
+        from pysyslog_lfc_spark.functions.graph import label_propagation
+
+        # clique {1,2,3}, clique {10,11,12}, weak bridge 3-10
+        edges = [
+            (1, 2), (1, 3), (2, 3),
+            (10, 11), (10, 12), (11, 12),
+            (3, 10),
+        ]
+        df = spark.createDataFrame(
+            [Row(u=a, v=b) for a, b in edges]
+        )
+        out = {
+            r.node: r.community
+            for r in label_propagation(df, n_iter=3).collect()
+        }
+        # each clique converges to one label; the min-label tie-break
+        # lets the bridge push label 3 into the right clique, but the
+        # two communities stay distinct
+        assert out[1] == out[2] == out[3] == 1
+        assert out[10] == out[11] == out[12]
+        assert out[2] != out[11]
+
+    def test_deterministic_across_partitioning(self, spark):
+        from pysyslog_lfc_spark.functions.graph import label_propagation
+
+        edges = [(i, i + 1) for i in range(1, 20)] + [(5, 15), (2, 18)]
+        df = spark.createDataFrame([Row(u=a, v=b) for a, b in edges])
+        a = sorted(
+            (r.node, r.community)
+            for r in label_propagation(df.repartition(7), n_iter=3).collect()
+        )
+        b = sorted(
+            (r.node, r.community)
+            for r in label_propagation(df.coalesce(1), n_iter=3).collect()
+        )
+        assert a == b
+
+
+class TestLDiversity:
+    def test_homogeneous_class_flagged(self, spark):
+        from pysyslog_lfc_spark.functions.privacy import l_diversity_report
+
+        rows = [
+            Row(zip="1", age="30", diag="flu"),
+            Row(zip="1", age="30", diag="flu"),
+            Row(zip="1", age="30", diag="flu"),
+            Row(zip="2", age="40", diag="flu"),
+            Row(zip="2", age="40", diag="cold"),
+            Row(zip="2", age="40", diag="covid"),
+        ]
+        out = {
+            (r.zip, r.age): r
+            for r in l_diversity_report(
+                spark.createDataFrame(rows), ["zip", "age"], "diag", l=3
+            ).collect()
+        }
+        # k-anonymous (k=3) but NOT l-diverse: the homogeneity attack
+        assert out[("1", "30")].n_rows == 3
+        assert out[("1", "30")].l_diverse is False
+        assert out[("2", "40")].l_diverse is True
