@@ -236,6 +236,9 @@ BENCH_QUERIES = [
     "moore_lewis_select",
     "lpa_part_communities",
     "l_diversity_orders",
+    "psi_event_drift",
+    "distinct_ngram_diversity",
+    "brier_quality_vs_en",
 ]
 
 

@@ -425,3 +425,41 @@ def gains_table(
             ),
         ).alias("lift_micro"),
     )
+
+
+def brier_score(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Brier score of a permille-probability classifier (Brier 1950)
+    — the strictly proper scoring rule beside the reliability diagram
+    (:func:`calibration_report`): mean squared gap between predicted
+    probability and the 0/1 outcome. With permille scores the whole
+    metric is integer-exact:
+
+        brier_micro = floor( sum((s - 1000*y)^2) / n )
+
+    since mean((s/1000 - y)^2) * 1e6 = sum((s - 1000y)^2) / n.
+    Returns ONE row: (n, brier_micro) — 0 is a perfect sharp
+    classifier, 250000 the chance-level coin.
+
+    Scale shape: ONE map-side-partial hash aggregate; DECIMAL(38,0)
+    sum so 10^12 rows cannot overflow.
+    """
+    d = (
+        F.col(score_col).cast("long")
+        - F.lit(1000) * F.col(label_col).cast("long")
+    )
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((d * d).cast("decimal(38,0)")).cast("decimal(38,0)").alias("_sq"),
+    )
+    return agg.select(
+        "n",
+        (
+            (F.col("_sq") - F.pmod(F.col("_sq"), F.col("n"))) / F.col("n")
+        )
+        .cast("long")
+        .alias("brier_micro"),
+    )

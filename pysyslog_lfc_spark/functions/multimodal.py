@@ -952,3 +952,66 @@ def audio_frame_features(
         .select(F.col("_id").alias(id_col), "frame_idx", "rms_milli",
                 "zcr_milli", "band_db_milli")
     )
+
+
+def audio_vad_segments(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "sample_id",
+    frame_len: int = 256,
+    hop: int = 128,
+    rms_milli_threshold: int = 50,
+    min_frames: int = 2,
+) -> DataFrame:
+    """Energy-gate voice-activity segmentation over the real PCM16 WAV
+    tier: frames from :func:`audio_frame_features` whose RMS clears
+    ``rms_milli_threshold`` are active; consecutive active frames fold
+    into segments (gaps-and-islands on the frame index) and segments
+    shorter than ``min_frames`` drop — the classic first-pass VAD that
+    feeds silence trimming and speech/music routing before any model.
+
+    Output: (id, seg_start_frame, seg_end_frame, n_frames,
+    mean_rms_milli) — mean is the subtract-mod integer floor.
+
+    Scale shape: the frame pass is the 1:N mapInPandas of
+    audio_frame_features; the island window and the segment aggregate
+    share ONE clip-keyed exchange, frames bounded per clip by
+    duration/hop. Compressed codecs still raise at the documented
+    library boundary.
+    """
+    from pyspark.sql import Window
+
+    frames = audio_frame_features(
+        df, payload_col=payload_col, id_col=id_col,
+        frame_len=frame_len, hop=hop,
+    )
+    active = frames.where(
+        F.col("rms_milli") >= F.lit(rms_milli_threshold)
+    ).select(id_col, "frame_idx", "rms_milli")
+    w = Window.partitionBy(id_col).orderBy("frame_idx")
+    runs = active.select(
+        F.col(id_col),
+        "frame_idx",
+        "rms_milli",
+        (F.col("frame_idx") - F.row_number().over(w)).alias("_run"),
+    )
+    seg = runs.groupBy(id_col, "_run").agg(
+        F.min("frame_idx").alias("seg_start_frame"),
+        F.max("frame_idx").alias("seg_end_frame"),
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum("rms_milli").alias("_rms_sum"),
+    )
+    mean_rms = (
+        (F.col("_rms_sum") - F.pmod(F.col("_rms_sum"), F.col("n_frames")))
+        / F.col("n_frames")
+    ).cast("long")
+    return (
+        seg.where(F.col("n_frames") >= F.lit(min_frames))
+        .select(
+            F.col(id_col),
+            "seg_start_frame",
+            "seg_end_frame",
+            "n_frames",
+            mean_rms.alias("mean_rms_milli"),
+        )
+    )

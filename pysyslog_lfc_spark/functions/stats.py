@@ -1117,3 +1117,53 @@ def mann_whitney_u(
         u2a.alias("u2_a"),
         F.when(ok, F.floor(z * 1000)).cast("long").alias("z_milli"),
     )
+
+
+def psi_drift(
+    df: DataFrame,
+    bin_col: str,
+    side_col: str,
+    side_a: str,
+    side_b: str,
+) -> DataFrame:
+    """Population Stability Index between two populations over shared
+    bins — the ML-ops standard drift score (PSI < 0.1 stable,
+    0.1-0.25 shifting, > 0.25 drifted; the industry companion to the
+    KL drift report):
+
+        PSI = sum_bins (a_i - b_i) * ln(a_i / b_i)
+
+    with add-one count smoothing so empty bins stay finite (the
+    standard practice; documented, applied identically in the oracle).
+    Each bin's term enters as floor(1e6 * term) — an exact integer
+    from exact integer counts through one correctly-rounded double
+    chain — so the total is aggregation-order-free.
+
+    Returns one row per bin: (bin, n_a, n_b, term_micro, psi_micro)
+    with ``psi_micro`` (the corpus verdict) repeated on every row.
+
+    Scale shape: ONE corpus hash aggregate to the bin frame; the share
+    and total windows run over that bounded frame only.
+    """
+    s = F.col(side_col)
+    cells = df.where(s.isin([side_a, side_b])).groupBy(
+        F.col(bin_col).alias("bin")
+    ).agg(
+        F.sum(F.when(s == side_a, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(s == side_b, 1).otherwise(0)).cast("long").alias("n_b"),
+    )
+    w_all = Window.partitionBy()
+    na = F.sum("n_a").over(w_all)
+    nb = F.sum("n_b").over(w_all)
+    nbins = F.count(F.lit(1)).over(w_all)
+    ai = (F.col("n_a") + 1) / (na + nbins)
+    bi = (F.col("n_b") + 1) / (nb + nbins)
+    term = F.floor(((ai - bi) * F.log(ai / bi)) * F.lit(1000000.0)).cast(
+        "long"
+    )
+    with_terms = cells.select(
+        "bin", "n_a", "n_b", term.alias("term_micro")
+    )
+    return with_terms.select(
+        "*", F.sum("term_micro").over(Window.partitionBy()).alias("psi_micro")
+    )

@@ -3987,3 +3987,4 @@ from pysyslog_lfc_spark.plans import driver_queries_ext16  # noqa: E402,F401
 from pysyslog_lfc_spark.plans import driver_queries_ext17  # noqa: E402,F401
 from pysyslog_lfc_spark.plans import driver_queries_ext18  # noqa: E402,F401
 from pysyslog_lfc_spark.plans import driver_queries_ext19  # noqa: E402,F401
+from pysyslog_lfc_spark.plans import driver_queries_ext20  # noqa: E402,F401

@@ -1,0 +1,178 @@
+"""Driver-query registrations, round-3 batch 13.
+
+Imported by :mod:`pysyslog_lfc_spark.plans.driver_queries` (bottom of
+file). This batch: PSI population drift (the ML-ops standard beside
+the KL report), distinct-n lexical diversity (Li et al. 2016), and the
+Brier proper scoring rule beside the reliability diagram.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pysyslog_lfc_spark.plans.driver_queries import _t, query
+
+
+_PSI_ORACLE = """
+WITH span AS (
+  SELECT min(epoch_us(ts) // 1000000) AS mn,
+         max(epoch_us(ts) // 1000000) AS mx
+  FROM events
+),
+tagged AS (
+  SELECT event_type AS bin,
+         CASE WHEN epoch_us(ts) // 1000000 <= (span.mn + span.mx) // 2
+              THEN 'early' ELSE 'late' END AS side
+  FROM events, span
+),
+cells AS (
+  SELECT bin,
+         CAST(sum(CASE WHEN side = 'early' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_a,
+         CAST(sum(CASE WHEN side = 'late' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_b
+  FROM tagged GROUP BY bin
+),
+tot AS (
+  SELECT CAST(sum(n_a) AS BIGINT) AS na, CAST(sum(n_b) AS BIGINT) AS nb,
+         count(*)::BIGINT AS nbins
+  FROM cells
+),
+terms AS (
+  SELECT bin, n_a, n_b,
+         CAST(floor((((n_a + 1) / CAST(na + nbins AS DOUBLE)
+                      - (n_b + 1) / CAST(nb + nbins AS DOUBLE))
+                     * ln(((n_a + 1) / CAST(na + nbins AS DOUBLE))
+                          / ((n_b + 1) / CAST(nb + nbins AS DOUBLE))))
+                    * 1000000.0) AS BIGINT) AS term_micro
+  FROM cells, tot
+)
+SELECT bin, n_a, n_b, term_micro,
+       CAST(sum(term_micro) OVER () AS BIGINT) AS psi_micro
+FROM terms
+"""
+
+
+@query("psi_event_drift", _PSI_ORACLE)
+def psi_event_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index (functions/stats.py::psi_drift):
+    event-type mix of the first half of the time range vs the second
+    — the ML-ops drift standard (PSI > 0.25 = drifted) beside the KL
+    report. Add-one smoothing keeps empty bins finite; per-bin terms
+    floor to exact micro integers, so the corpus verdict sums
+    order-free. ONE corpus hash agg to the bin frame."""
+    from pysyslog_lfc_spark.functions.stats import psi_drift
+
+    ev = _t(spark, sf_dir, "events")
+    es = F.unix_timestamp(F.col("ts"))
+    span = ev.agg(
+        F.min(es).alias("_mn"), F.max(es).alias("_mx")
+    )
+    mid = (F.col("_mn") + F.col("_mx")) - F.pmod(
+        F.col("_mn") + F.col("_mx"), F.lit(2)
+    )
+    tagged = ev.crossJoin(F.broadcast(span)).select(
+        F.col("event_type").alias("bin"),
+        F.when(es <= mid / 2, F.lit("early"))
+        .otherwise(F.lit("late"))
+        .alias("side"),
+    )
+    return psi_drift(tagged, "bin", "side", "early", "late")
+
+
+_DIVERSITY_ORACLE = r"""
+WITH toks AS (
+  SELECT source,
+         list_filter(string_split_regex(text, '\s+'), w -> w != '') AS ws
+  FROM documents
+),
+u1 AS (
+  SELECT source, count(*)::BIGINT AS total_grams,
+         count(DISTINCT gram)::BIGINT AS distinct_grams
+  FROM (SELECT source, unnest(ws) AS gram FROM toks)
+  GROUP BY source
+),
+u2 AS (
+  SELECT source, count(*)::BIGINT AS total_grams,
+         count(DISTINCT gram)::BIGINT AS distinct_grams
+  FROM (
+    SELECT source, ws[i] || ' ' || ws[i+1] AS gram
+    FROM (SELECT source, ws, unnest(range(1, len(ws))) AS i FROM toks)
+  )
+  GROUP BY source
+),
+unioned AS (
+  SELECT source, 1 AS n, total_grams, distinct_grams FROM u1
+  UNION ALL
+  SELECT source, 2 AS n, total_grams, distinct_grams FROM u2
+)
+SELECT source, n, total_grams, distinct_grams,
+       CAST((distinct_grams * 1000 - (distinct_grams * 1000) % total_grams)
+            / total_grams AS BIGINT) AS distinct_permille
+FROM unioned
+"""
+
+
+@query("distinct_ngram_diversity", _DIVERSITY_ORACLE)
+def distinct_ngram_diversity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-1/distinct-2 lexical diversity per source
+    (functions/text.py::distinct_ngram_diversity — Li et al. 2016):
+    the templated/boilerplate-source detector; one explode + hash agg
+    per n with the standard two-phase exact distinct (HLL swap-in
+    documented for 10^12 tokens)."""
+    from pysyslog_lfc_spark.functions.text import distinct_ngram_diversity
+
+    docs = _t(spark, sf_dir, "documents")
+    return distinct_ngram_diversity(docs, "text", "source", max_n=2)
+
+
+_BRIER_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(text, '\s+'), w -> w != '') AS ws
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, lang,
+         CAST(len(ws) AS INTEGER) AS n_words,
+         coalesce(list_sum(list_transform(ws, w -> length(w))), 0)
+           / greatest(len(ws), 1) AS raw_avg,
+         len(list_filter(ws, w -> list_contains(
+           ['the','a','of','and','to','in'], lower(w))))
+           / greatest(len(ws), 1) AS raw_stop
+  FROM toks
+),
+scored AS (
+  SELECT CAST(floor((least(n_words / 100e0, 1e0) * 5e-1
+                     + least(raw_stop * 5e0, 1e0) * 3e-1
+                     + least(raw_avg / 8e0, 1e0) * 2e-1) * 1000)
+              AS BIGINT) AS s,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM feat
+),
+agg AS (
+  SELECT count(*)::BIGINT AS n,
+         CAST(sum((s - 1000 * y) * (s - 1000 * y)) AS BIGINT) AS sq
+  FROM scored
+)
+SELECT n, CAST((sq - sq % n) / n AS BIGINT) AS brier_micro FROM agg
+"""
+
+
+@query("brier_quality_vs_en", _BRIER_ORACLE)
+def brier_quality_vs_en(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier proper scoring rule (functions/classifier.py::
+    brier_score — Brier 1950) of the quality permille score against
+    the lang=='en' label — the single-number sharpness+calibration
+    verdict beside the reliability diagram and gains table; fully
+    integer-exact with permille scores."""
+    from pysyslog_lfc_spark.functions import text as TX
+    from pysyslog_lfc_spark.functions.classifier import brier_score
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = TX.quality_features(docs).select(
+        "quality_permille",
+        (F.col("lang") == "en").cast("long").alias("label"),
+    )
+    return brier_score(feats, "quality_permille", "label")

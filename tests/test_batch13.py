@@ -1,0 +1,143 @@
+"""Round-3 batch 13: PSI drift, distinct-n diversity, Brier score,
+audio VAD segments."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import Row
+
+
+class TestPsiDrift:
+    def test_identical_mix_is_near_zero(self, spark):
+        from pysyslog_lfc_spark.functions.stats import psi_drift
+
+        rows = []
+        for side in ("a", "b"):
+            rows += [Row(bin="x", side=side)] * 50
+            rows += [Row(bin="y", side=side)] * 50
+        out = psi_drift(
+            spark.createDataFrame(rows), "bin", "side", "a", "b"
+        ).collect()
+        assert all(r.psi_micro == 0 for r in out)
+
+    def test_shifted_mix_drifts(self, spark):
+        from pysyslog_lfc_spark.functions.stats import psi_drift
+
+        rows = (
+            [Row(bin="x", side="a")] * 90
+            + [Row(bin="y", side="a")] * 10
+            + [Row(bin="x", side="b")] * 10
+            + [Row(bin="y", side="b")] * 90
+        )
+        out = psi_drift(
+            spark.createDataFrame(rows), "bin", "side", "a", "b"
+        ).collect()
+        # hand PSI with add-one smoothing over 2 bins
+        a_x, b_x = 91 / 102, 11 / 102
+        a_y, b_y = 11 / 102, 91 / 102
+        expect = sum(
+            math.floor(((ai - bi) * math.log(ai / bi)) * 1e6)
+            for ai, bi in [(a_x, b_x), (a_y, b_y)]
+        )
+        assert out[0].psi_micro == expect
+        assert out[0].psi_micro > 250000  # "drifted" per the rulebook
+
+    def test_empty_bin_stays_finite(self, spark):
+        from pysyslog_lfc_spark.functions.stats import psi_drift
+
+        rows = [Row(bin="only_a", side="a")] * 5 + [
+            Row(bin="shared", side="b")
+        ] * 5
+        out = psi_drift(
+            spark.createDataFrame(rows), "bin", "side", "a", "b"
+        ).collect()
+        assert all(r.term_micro is not None for r in out)
+
+
+class TestDistinctNgramDiversity:
+    def test_templated_vs_varied(self, spark):
+        from pysyslog_lfc_spark.functions.text import (
+            distinct_ngram_diversity,
+        )
+
+        docs = spark.createDataFrame(
+            [Row(source="tmpl", text="buy now buy now buy now")]
+            + [Row(source="varied", text="quick brown fox jumps over dog")]
+        )
+        out = {
+            (r.source, r.n): r
+            for r in distinct_ngram_diversity(docs, max_n=2).collect()
+        }
+        assert out[("tmpl", 1)].distinct_grams == 2
+        assert out[("tmpl", 1)].distinct_permille == 333
+        assert out[("varied", 1)].distinct_permille == 1000
+        # bigrams: "buy now" x3, "now buy" x2 -> 2/5
+        assert out[("tmpl", 2)].total_grams == 5
+        assert out[("tmpl", 2)].distinct_grams == 2
+
+
+class TestBrierScore:
+    def test_perfect_and_chance(self, spark):
+        from pysyslog_lfc_spark.functions.classifier import brier_score
+
+        perfect = spark.createDataFrame(
+            [Row(s=1000, y=1), Row(s=0, y=0)] * 4
+        )
+        assert brier_score(perfect, "s", "y").collect()[0].brier_micro == 0
+        coin = spark.createDataFrame([Row(s=500, y=1), Row(s=500, y=0)] * 4)
+        assert (
+            brier_score(coin, "s", "y").collect()[0].brier_micro == 250000
+        )
+
+    def test_hand_value(self, spark):
+        from pysyslog_lfc_spark.functions.classifier import brier_score
+
+        df = spark.createDataFrame(
+            [Row(s=800, y=1), Row(s=300, y=0), Row(s=600, y=0)]
+        )
+        # sum d^2 = 200^2 + 300^2 + 600^2 = 490000 -> //3 = 163333
+        r = brier_score(df, "s", "y").collect()[0]
+        assert (r.n, r.brier_micro) == (3, 163333)
+
+
+class TestAudioVad:
+    def test_speech_gap_speech(self, spark):
+        from pysyslog_lfc_spark.functions.multimodal import (
+            audio_vad_segments,
+            encode_wav,
+        )
+
+        rate = 8000
+        t = np.arange(rate) / rate  # 1 s
+        tone = 0.5 * 32767 * np.sin(2 * math.pi * 440 * t)
+        sig = tone.copy()
+        sig[2000:6000] = 0.0  # silent middle half
+        wav = encode_wav(sig.astype("<i2"), rate)
+        df = spark.createDataFrame(
+            [(1, bytearray(wav))], "sample_id long, payload binary"
+        )
+        segs = sorted(
+            audio_vad_segments(df, frame_len=256, hop=128).collect(),
+            key=lambda r: r.seg_start_frame,
+        )
+        assert len(segs) == 2  # tone / silence / tone
+        first, second = segs
+        assert first.seg_start_frame == 0
+        # the silent gap [2000, 6000) spans frames ~16..44
+        assert first.seg_end_frame < 16
+        assert second.seg_start_frame > 40
+        assert all(s.mean_rms_milli > 200 for s in segs)
+
+    def test_silence_only_yields_no_segments(self, spark):
+        from pysyslog_lfc_spark.functions.multimodal import (
+            audio_vad_segments,
+            encode_wav,
+        )
+
+        wav = encode_wav(np.zeros(4000, dtype="<i2"), 8000)
+        df = spark.createDataFrame(
+            [(1, bytearray(wav))], "sample_id long, payload binary"
+        )
+        assert audio_vad_segments(df).count() == 0

@@ -185,6 +185,28 @@ AUDIT_QUERIES = [
     "split_leakage_safe",
     "embedding_top_pc",
     "dedup_token_windows_fp",
+    # round-3 batches 8-12
+    "lm_stupid_backoff",
+    "flow_parse_useragent",
+    "km_user_retention",
+    "dedup_soft_weights",
+    "embedding_debias_abtt",
+    "vocab_growth_heaps",
+    "heaps_fit",
+    "acf_event_counts",
+    "sft_conversations",
+    "heavy_hitters_mg",
+    "watermark_lateness_report",
+    "ab_mann_whitney",
+    "dedup_span_loss_mask",
+    "lm_min_k_prob",
+    "sampling_ess_soft_weights",
+    "moore_lewis_select",
+    "lpa_part_communities",
+    "l_diversity_orders",
+    "psi_event_drift",
+    "distinct_ngram_diversity",
+    "brier_quality_vs_en",
 ]
 
 
