@@ -239,6 +239,9 @@ BENCH_QUERIES = [
     "psi_event_drift",
     "distinct_ngram_diversity",
     "brier_quality_vs_en",
+    "text_script_mix",
+    "html_link_graph",
+    "robots_url_filter",
 ]
 
 

@@ -1154,3 +1154,74 @@ def distinct_ngram_diversity(
         .cast("long")
         .alias("distinct_permille"),
     )
+
+
+# Unicode script ranges as literal character classes (identical byte
+# sequences in the Java and RE2 engines; counts via the
+# length-minus-stripped idiom, global replace in both).
+SCRIPT_PATTERNS: dict[str, str] = {
+    "latin": "[A-Za-z]",
+    "cyrillic": "[Ѐ-ӿ]",
+    "cjk": "[一-鿿]",
+    "arabic": "[؀-ۿ]",
+    "digit": "[0-9]",
+}
+
+
+def script_mix(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Unicode-script composition per document — the pre-langid router
+    every web-corpus pipeline runs (CCNet buckets by language AFTER
+    splitting by script; mixed-script docs are also the homoglyph-spoof
+    and code-switching signal): character counts per script family via
+    ``length(text) - length(regexp_replace(text, class, ''))`` — pure
+    codegen, zero shuffle — plus permille shares of the non-space total
+    and the dominant script (ties break alphabetically).
+
+    Returns (id, n_chars, latin, cyrillic, cjk, arabic, digit,
+    latin_permille, ..., dominant).
+    """
+    t = F.col(text_col)
+    nonspace = F.length(F.regexp_replace(t, r"\s", ""))
+    counts = {
+        name: (
+            F.length(t) - F.length(F.regexp_replace(t, pat, ""))
+        ).cast("long")
+        for name, pat in SCRIPT_PATTERNS.items()
+    }
+    base = df.select(
+        F.col(id_col),
+        nonspace.cast("long").alias("n_chars"),
+        *[c.alias(n) for n, c in counts.items()],
+    )
+    shares = [
+        F.when(
+            F.col("n_chars") > 0,
+            (
+                (
+                    F.col(n) * 1000
+                    - F.pmod(F.col(n) * 1000, F.col("n_chars"))
+                )
+                / F.col("n_chars")
+            ).cast("long"),
+        )
+        .otherwise(F.lit(0))
+        .alias(f"{n}_permille")
+        for n in SCRIPT_PATTERNS
+    ]
+    # dominant = alphabetically first name achieving the max count
+    names = sorted(SCRIPT_PATTERNS)
+    best = F.greatest(*[F.col(n) for n in names])
+    dominant = F.when(F.col(names[0]) == best, F.lit(names[0]))
+    for n in names[1:]:
+        dominant = dominant.when(F.col(n) == best, F.lit(n))
+    return base.select(
+        "*",
+        *shares,
+        F.when(F.col("n_chars") > 0, dominant)
+        .otherwise(F.lit("none"))
+        .alias("dominant"),
+    )

@@ -20,7 +20,7 @@ regexes throughout so the DuckDB oracle computes the identical form.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # RFC 3986 decomposition, lookaround-free (RE2-portable):
 # 1=scheme 2=authority 3=path 4=?query 5=#fragment
@@ -86,4 +86,187 @@ def url_dedup(df: DataFrame, url_col: str = "url", id_col: str = "doc_id") -> Da
             F.min(id_col).alias("keep_id"),
         )
         .where(F.col("canonical_url").isNotNull())
+    )
+
+
+def extract_links(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Anchor-href extraction from HTML — the web-graph ingestion step
+    between :func:`~pysyslog_lfc_spark.functions.text.strip_html` (which
+    discards markup) and the domain-authority operators (pagerank,
+    triangle counts) that want the edges the markup held. One
+    ``regexp_extract_all`` over ``href="..."``/``href='...'`` attributes
+    + explode — pure codegen, zero shuffle; relative links pass through
+    with a null host.
+
+    Returns one row per link: (id, href, host).
+    """
+    pat = r"""href=["']([^"']+)["']"""
+    links = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.col(html_col), F.lit(pat), F.lit(1))
+        ).alias("href"),
+    )
+    host = F.regexp_extract(F.col("href"), r"^https?://([^/]+)", 1)
+    return links.select(
+        F.col(id_col),
+        "href",
+        F.when(host == "", F.lit(None).cast("string"))
+        .otherwise(host)
+        .alias("host"),
+    )
+
+
+def domain_link_edges(
+    df: DataFrame,
+    html_col: str = "html",
+    src_host_col: str = "src_host",
+) -> DataFrame:
+    """(src_host, dst_host, n_links) edge list from per-document HTML —
+    the input frame for pagerank_int / label_propagation over REAL
+    extracted links; self-links drop, counts aggregate per ordered
+    pair in one map-side-partial hash agg."""
+    links = extract_links(df, html_col=html_col, id_col=src_host_col)
+    return (
+        links.where(
+            F.col("host").isNotNull()
+            & (F.col("host") != F.col(src_host_col))
+        )
+        .groupBy(
+            F.col(src_host_col).alias("src_host"),
+            F.col("host").alias("dst_host"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_links"))
+    )
+
+
+def parse_robots(
+    df: DataFrame,
+    domain_col: str = "domain",
+    txt_col: str = "robots_txt",
+) -> DataFrame:
+    """Parse robots.txt bodies into (domain, agent, directive, prefix)
+    rules — the Robots Exclusion Protocol grammar (RFC 9309 / the
+    original 1994 REP): ``User-agent`` lines open a group, ``Allow`` /
+    ``Disallow`` lines attach to the most recent agent, ``#`` starts a
+    comment, blank/unknown lines are ignored. Simplification
+    (documented contract): each rule attaches to the single most
+    recent ``User-agent`` line — multi-agent groups ("User-agent: a"
+    immediately followed by "User-agent: b") keep only the last agent;
+    crawl-delay/sitemap lines are dropped.
+
+    Scale shape: split + posexplode + one regexp per line (codegen);
+    the agent carry-forward is a last-non-null window KEYED BY DOMAIN
+    ordered by line number — bounded by the robots file length.
+    """
+    lines = df.select(
+        F.col(domain_col).alias("domain"),
+        F.posexplode(F.split(F.col(txt_col), "\n")).alias("line_no", "raw"),
+    )
+    clean = F.trim(F.regexp_replace(F.col("raw"), "#.*$", ""))
+    directive = F.lower(
+        F.regexp_extract(clean, r"^([A-Za-z-]+)\s*:", 1)
+    )
+    value = F.trim(F.regexp_extract(clean, r"^[A-Za-z-]+\s*:\s*(.*)$", 1))
+    parsed = lines.select(
+        "domain", "line_no", directive.alias("directive"),
+        value.alias("value"),
+    ).where(F.col("directive").isin(["user-agent", "allow", "disallow"]))
+    w = (
+        Window.partitionBy("domain")
+        .orderBy("line_no")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    with_agent = parsed.select(
+        "domain",
+        "line_no",
+        "directive",
+        "value",
+        F.last(
+            F.when(F.col("directive") == "user-agent", F.col("value")),
+            ignorenulls=True,
+        )
+        .over(w)
+        .alias("agent"),
+    )
+    return (
+        with_agent.where(
+            F.col("directive").isin(["allow", "disallow"])
+            & F.col("agent").isNotNull()
+            & (F.col("value") != "")  # empty Disallow = allow-all no-op
+        )
+        .select("domain", "agent", "directive", F.col("value").alias("prefix"))
+    )
+
+
+def robots_url_filter(
+    urls: DataFrame,
+    rules: DataFrame,
+    agent: str = "*",
+    url_col: str = "url",
+) -> DataFrame:
+    """Crawl-permission check of a URL corpus against parsed robots
+    rules (RFC 9309 decision rule): for each URL take the rules of its
+    host's most specific matching agent group (exact agent if present,
+    else ``*``), keep rules whose path prefix matches, and let the
+    LONGEST match win — ``allow`` beats ``disallow`` on equal length.
+    URLs with no applicable or matching rule are allowed.
+
+    Returns (url, host, path, allowed, rule_directive, rule_prefix).
+
+    100 TB design: the rules frame is crawl-metadata-sized and
+    broadcasts; the corpus pays one broadcast join + a per-URL rank
+    window BOUNDED by the handful of rules matching that URL (keyed by
+    url). Prefix match is codegen ``startswith``.
+    """
+    host = F.regexp_extract(F.col(url_col), r"^https?://([^/]+)", 1)
+    path_raw = F.regexp_extract(F.col(url_col), r"^https?://[^/]+(/.*)$", 1)
+    u = urls.select(
+        F.col(url_col).alias("url"),
+        host.alias("host"),
+        F.when(path_raw == "", F.lit("/")).otherwise(path_raw).alias("path"),
+    )
+    r = rules.where(F.col("agent").isin([agent, "*"]))
+    w_dom = Window.partitionBy("domain")
+    pref = F.when(F.col("agent") == agent, F.lit(1)).otherwise(F.lit(0))
+    r = (
+        r.select("domain", "directive", "prefix", pref.alias("_pref"))
+        .withColumn("_best", F.max("_pref").over(w_dom))
+        .where(F.col("_pref") == F.col("_best"))
+        .select("domain", "directive", "prefix")
+    )
+    # prefix match inside the join condition: a URL whose host has
+    # rules but no matching prefix must SURVIVE as an allowed null-rule
+    # row, not vanish with its join partners
+    j = u.join(
+        F.broadcast(r),
+        (u["host"] == r["domain"])
+        & F.col("path").startswith(F.col("prefix")),
+        "left",
+    )
+    w_url = Window.partitionBy("url").orderBy(
+        F.length(F.col("prefix")).desc(),
+        F.when(F.col("directive") == "allow", 0).otherwise(1),
+    )
+    ranked = j.select(
+        "url",
+        "host",
+        "path",
+        "directive",
+        "prefix",
+        F.row_number().over(w_url).alias("_rn"),
+    ).where(F.col("_rn") == 1)
+    return ranked.select(
+        "url",
+        "host",
+        "path",
+        F.coalesce(F.col("directive") != "disallow", F.lit(True)).alias(
+            "allowed"
+        ),
+        F.col("directive").alias("rule_directive"),
+        F.col("prefix").alias("rule_prefix"),
     )

@@ -1,0 +1,354 @@
+"""Driver-query registrations, round-3 batch 14 — the web-corpus
+ingestion batch: Unicode-script composition (the pre-langid router),
+HTML link-graph extraction (the edges pagerank wants), and robots.txt
+crawl-permission filtering (RFC 9309). WARC container parsing ships
+beside these as a tests-only surface (binary payloads).
+
+Fixture strings are module constants shared verbatim by the Spark
+query and the generated DuckDB SQL, so both engines parse the SAME
+robots bodies / link pools.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pysyslog_lfc_spark.plans.driver_queries import _t, query
+
+
+def _sq(s: str) -> str:
+    """SQL single-quoted literal."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+# ---------------------------------------------------------------- script mix
+
+_CYR = " Привет мир"
+_CJK = " 你好世界数据"
+_ARB = " مرحبا"
+
+_SCRIPT_ORACLE = f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 7 = 0 THEN {_sq(_CYR)} ELSE '' END
+              || CASE WHEN doc_id % 11 = 0 THEN {_sq(_CJK)} ELSE '' END
+              || CASE WHEN doc_id % 13 = 0 THEN {_sq(_ARB)} ELSE '' END
+           AS text
+  FROM documents
+),
+counts AS (
+  SELECT doc_id,
+    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS n_chars,
+    CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+         AS BIGINT) AS latin,
+    CAST(length(text) - length(regexp_replace(text, '[Ѐ-ӿ]', '', 'g'))
+         AS BIGINT) AS cyrillic,
+    CAST(length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g'))
+         AS BIGINT) AS cjk,
+    CAST(length(text) - length(regexp_replace(text, '[؀-ۿ]', '', 'g'))
+         AS BIGINT) AS arabic,
+    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+         AS BIGINT) AS digit
+  FROM aug
+)
+SELECT doc_id, n_chars, latin, cyrillic, cjk, arabic, digit,
+  CASE WHEN n_chars > 0
+       THEN CAST((latin*1000 - (latin*1000) % n_chars) / n_chars AS BIGINT)
+       ELSE 0 END AS latin_permille,
+  CASE WHEN n_chars > 0
+       THEN CAST((cyrillic*1000 - (cyrillic*1000) % n_chars) / n_chars
+                 AS BIGINT) ELSE 0 END AS cyrillic_permille,
+  CASE WHEN n_chars > 0
+       THEN CAST((cjk*1000 - (cjk*1000) % n_chars) / n_chars AS BIGINT)
+       ELSE 0 END AS cjk_permille,
+  CASE WHEN n_chars > 0
+       THEN CAST((arabic*1000 - (arabic*1000) % n_chars) / n_chars AS BIGINT)
+       ELSE 0 END AS arabic_permille,
+  CASE WHEN n_chars > 0
+       THEN CAST((digit*1000 - (digit*1000) % n_chars) / n_chars AS BIGINT)
+       ELSE 0 END AS digit_permille,
+  CASE WHEN n_chars = 0 THEN 'none'
+       WHEN arabic = greatest(arabic, cjk, cyrillic, digit, latin)
+            THEN 'arabic'
+       WHEN cjk = greatest(arabic, cjk, cyrillic, digit, latin) THEN 'cjk'
+       WHEN cyrillic = greatest(arabic, cjk, cyrillic, digit, latin)
+            THEN 'cyrillic'
+       WHEN digit = greatest(arabic, cjk, cyrillic, digit, latin)
+            THEN 'digit'
+       ELSE 'latin' END AS dominant
+FROM counts
+"""
+
+
+@query("text_script_mix", _SCRIPT_ORACLE)
+def text_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script composition (functions/text.py::script_mix) —
+    the pre-langid router of web-corpus pipelines; deterministic
+    Cyrillic/CJK/Arabic injections give the gate real non-Latin
+    positives. Pure length-minus-stripped codegen, zero shuffle."""
+    from pysyslog_lfc_spark.functions.text import script_mix
+
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(_CYR)).otherwise(""),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(_CJK)).otherwise(""),
+            F.when(F.col("doc_id") % 13 == 0, F.lit(_ARB)).otherwise(""),
+        ).alias("text"),
+    )
+    return script_mix(aug)
+
+
+# ------------------------------------------------------------- link graph
+
+_LINK_POOL = [
+    "http://news.example.org/a",
+    "http://blog.example.net/p/1",
+    "http://docs.example.com/guide",
+    "http://shop.example.io/item?x=1",
+    "http://news.example.org/b",
+]
+
+
+def _link_oracle_sql() -> str:
+    lits = ", ".join(_sq(s) for s in _LINK_POOL)
+    return f"""
+    WITH pool AS (SELECT [{lits}] AS p),
+    pages AS (
+      SELECT source || '.example.com' AS src_host,
+             '<p><a href="' ||
+             p[CAST(('0x' || substr(md5('lnk:' || doc_id), 1, 15))::BIGINT
+                    % {len(_LINK_POOL)} AS INT) + 1] ||
+             '">x</a><a href="/rel/' || doc_id || '">y</a></p>' AS html
+      FROM documents, pool
+    ),
+    links AS (
+      SELECT src_host, unnest(regexp_extract_all(html,
+               'href=["'']([^"'']+)["'']', 1)) AS href
+      FROM pages
+    ),
+    hosted AS (
+      SELECT src_host,
+             nullif(regexp_extract(href, '^https?://([^/]+)', 1), '') AS host
+      FROM links
+    )
+    SELECT src_host, host AS dst_host, count(*)::BIGINT AS n_links
+    FROM hosted
+    WHERE host IS NOT NULL AND host != src_host
+    GROUP BY 1, 2
+    """
+
+
+@query("html_link_graph", _link_oracle_sql())
+def html_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML link-graph extraction (functions/urls.py::extract_links /
+    domain_link_edges): one regexp_extract_all over href attributes +
+    explode, relative links and self-links drop, edges aggregate per
+    ordered host pair — the web-graph ingestion step that feeds
+    pagerank_domains real extracted edges. HTML synthesized from the
+    deterministic link pool identically in both engines."""
+    from pysyslog_lfc_spark.functions.text import portable_hash60
+    from pysyslog_lfc_spark.functions.urls import domain_link_edges
+
+    docs = _t(spark, sf_dir, "documents")
+    pool = F.array(*[F.lit(s) for s in _LINK_POOL])
+    pages = docs.select(
+        F.concat(F.col("source"), F.lit(".example.com")).alias("src_host"),
+        F.concat(
+            F.lit('<p><a href="'),
+            F.element_at(
+                pool,
+                (
+                    F.pmod(
+                        portable_hash60(
+                            F.concat(F.lit("lnk:"), F.col("doc_id"))
+                        ),
+                        F.lit(len(_LINK_POOL)),
+                    )
+                    + 1
+                ).cast("int"),
+            ),
+            F.lit('">x</a><a href="/rel/'),
+            F.col("doc_id"),
+            F.lit('">y</a></p>'),
+        ).alias("html"),
+    )
+    return domain_link_edges(pages, html_col="html", src_host_col="src_host")
+
+
+# ---------------------------------------------------------------- robots
+
+_ROBOTS: list[tuple[str, str]] = [
+    (
+        "alpha.example.com",
+        "User-agent: *\nDisallow: /private\nAllow: /private/ok\n",
+    ),
+    (
+        "beta.example.com",
+        "User-agent: specialbot\nDisallow: /\n"
+        "User-agent: *\nDisallow: /tmp  # scratch\nDisallow:\n",
+    ),
+    ("gamma.example.com", "# empty policy\n"),
+    (
+        "delta.example.com",
+        "User-agent: *\nDisallow: /\nAllow: /pub\n",
+    ),
+    (
+        "epsilon.example.com",
+        "Sitemap: http://epsilon.example.com/map.xml\n"
+        "User-agent: *\nAllow: /private\nDisallow: /priv\n",
+    ),
+]
+
+_PATH_POOL = [
+    "/private/p",
+    "/private/ok/q",
+    "/tmp/t",
+    "/pub/a",
+    "/index",
+    "",
+]
+
+_DOMAINS = [d for d, _ in _ROBOTS]
+
+
+def _robots_oracle_sql() -> str:
+    rob_vals = ", ".join(f"({_sq(d)}, {_sq(t)})" for d, t in _ROBOTS)
+    dom_lits = ", ".join(_sq(d) for d in _DOMAINS)
+    path_lits = ", ".join(_sq(p) for p in _PATH_POOL)
+    return f"""
+    WITH robots(domain, txt) AS (VALUES {rob_vals}),
+    lines AS (
+      SELECT domain, t.i - 1 AS line_no, parts[t.i] AS raw
+      FROM (SELECT domain, string_split(txt, chr(10)) AS parts FROM robots),
+           unnest(generate_series(1, len(parts))) AS t(i)
+    ),
+    cleaned AS (
+      SELECT domain, line_no,
+             lower(regexp_extract(trim(regexp_replace(raw, '#.*$', '')),
+                                  '^([A-Za-z-]+)\\s*:', 1)) AS directive,
+             trim(regexp_extract(trim(regexp_replace(raw, '#.*$', '')),
+                                 '^[A-Za-z-]+\\s*:\\s*(.*)$', 1)) AS value
+      FROM lines
+    ),
+    parsed AS (
+      SELECT * FROM cleaned
+      WHERE directive IN ('user-agent', 'allow', 'disallow')
+    ),
+    with_agent AS (
+      SELECT domain, line_no, directive, value,
+             last_value(CASE WHEN directive = 'user-agent' THEN value END
+                        IGNORE NULLS)
+               OVER (PARTITION BY domain ORDER BY line_no
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS agent
+      FROM parsed
+    ),
+    rules AS (
+      SELECT domain, agent, directive, value AS prefix
+      FROM with_agent
+      WHERE directive IN ('allow', 'disallow')
+        AND agent IS NOT NULL AND value != ''
+    ),
+    scoped AS (
+      SELECT domain, directive, prefix FROM (
+        SELECT *,
+               CASE WHEN agent = '*' THEN 1 ELSE 0 END AS pref,
+               max(CASE WHEN agent = '*' THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY domain) AS best
+        FROM rules WHERE agent IN ('*')
+      ) WHERE pref = best
+    ),
+    doms AS (SELECT [{dom_lits}] AS ds),
+    paths AS (SELECT [{path_lits}] AS ps),
+    urls AS (
+      SELECT 'http://' ||
+             ds[CAST(('0x' || substr(md5('dom:' || doc_id), 1, 15))::BIGINT
+                     % {len(_DOMAINS)} AS INT) + 1] ||
+             ps[CAST(('0x' || substr(md5('path:' || doc_id), 1, 15))::BIGINT
+                     % {len(_PATH_POOL)} AS INT) + 1] AS url
+      FROM documents, doms, paths
+    ),
+    u AS (
+      SELECT DISTINCT url,
+             regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+             CASE WHEN regexp_extract(url, '^https?://[^/]+(/.*)$', 1) = ''
+                  THEN '/' ELSE regexp_extract(url, '^https?://[^/]+(/.*)$', 1)
+             END AS path
+      FROM urls
+    ),
+    j AS (
+      SELECT u.url, u.host, u.path, s.directive, s.prefix
+      FROM u LEFT JOIN scoped s
+        ON u.host = s.domain AND starts_with(u.path, s.prefix)
+    ),
+    ranked AS (
+      SELECT url, host, path, directive, prefix,
+             row_number() OVER (
+               PARTITION BY url
+               ORDER BY length(prefix) DESC,
+                        CASE WHEN directive = 'allow' THEN 0 ELSE 1 END
+             ) AS rn
+      FROM j
+    )
+    SELECT url, host, path,
+           coalesce(directive != 'disallow', true) AS allowed,
+           directive AS rule_directive,
+           prefix AS rule_prefix
+    FROM ranked WHERE rn = 1
+    """
+
+
+@query("robots_url_filter", _robots_oracle_sql())
+def robots_url_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt crawl-permission filter (functions/urls.py::
+    parse_robots + robots_url_filter — RFC 9309): parse real robots
+    bodies (comments, empty Disallow no-op, agent groups, sitemap
+    lines ignored), then gate a synthesized URL corpus by the
+    longest-prefix-match rule with allow-beats-disallow on ties. Rules
+    broadcast; the corpus pays one broadcast join + a per-URL rank
+    window bounded by its matching rules."""
+    from pysyslog_lfc_spark.functions.text import portable_hash60
+    from pysyslog_lfc_spark.functions.urls import (
+        parse_robots,
+        robots_url_filter,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    robots_df = spark.createDataFrame(_ROBOTS, "domain string, robots_txt string")
+    rules = parse_robots(robots_df)
+    doms = F.array(*[F.lit(d) for d in _DOMAINS])
+    paths = F.array(*[F.lit(p) for p in _PATH_POOL])
+    urls = docs.select(
+        F.concat(
+            F.lit("http://"),
+            F.element_at(
+                doms,
+                (
+                    F.pmod(
+                        portable_hash60(
+                            F.concat(F.lit("dom:"), F.col("doc_id"))
+                        ),
+                        F.lit(len(_DOMAINS)),
+                    )
+                    + 1
+                ).cast("int"),
+            ),
+            F.element_at(
+                paths,
+                (
+                    F.pmod(
+                        portable_hash60(
+                            F.concat(F.lit("path:"), F.col("doc_id"))
+                        ),
+                        F.lit(len(_PATH_POOL)),
+                    )
+                    + 1
+                ).cast("int"),
+            ),
+        ).alias("url"),
+    ).distinct()
+    return robots_url_filter(urls, rules, agent="*")

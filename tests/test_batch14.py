@@ -1,0 +1,193 @@
+"""Round-3 batch 14: script mix, link extraction, robots.txt, WARC."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+
+class TestScriptMix:
+    def test_mixed_scripts_counted(self, spark):
+        from pysyslog_lfc_spark.functions.text import script_mix
+
+        docs = spark.createDataFrame(
+            [
+                Row(doc_id=1, text="hello мир 123"),
+                Row(doc_id=2, text="你好世界"),
+                Row(doc_id=3, text="   "),
+            ]
+        )
+        out = {r.doc_id: r for r in script_mix(docs).collect()}
+        r1 = out[1]
+        assert (r1.latin, r1.cyrillic, r1.digit) == (5, 3, 3)
+        assert r1.n_chars == 11
+        assert r1.dominant == "latin"
+        assert out[2].dominant == "cjk" and out[2].cjk == 4
+        assert out[3].dominant == "none" and out[3].n_chars == 0
+
+    def test_tie_breaks_alphabetically(self, spark):
+        from pysyslog_lfc_spark.functions.text import script_mix
+
+        docs = spark.createDataFrame([Row(doc_id=1, text="ab 12")])
+        r = script_mix(docs).collect()[0]
+        assert r.latin == 2 and r.digit == 2
+        assert r.dominant == "digit"  # 'digit' < 'latin'
+
+
+class TestLinkExtraction:
+    def test_hrefs_both_quote_styles_and_relative(self, spark):
+        from pysyslog_lfc_spark.functions.urls import extract_links
+
+        html = (
+            '<a href="http://a.com/x">1</a>'
+            "<a href='https://b.org/y'>2</a>"
+            '<a href="/rel/z">3</a>'
+        )
+        df = spark.createDataFrame([Row(doc_id=1, html=html)])
+        out = sorted(
+            extract_links(df, "html").collect(), key=lambda r: r.href
+        )
+        assert [(r.href, r.host) for r in out] == [
+            ("/rel/z", None),
+            ("http://a.com/x", "a.com"),
+            ("https://b.org/y", "b.org"),
+        ]
+
+    def test_domain_edges_drop_self_links(self, spark):
+        from pysyslog_lfc_spark.functions.urls import domain_link_edges
+
+        df = spark.createDataFrame(
+            [
+                Row(
+                    src_host="a.com",
+                    html='<a href="http://a.com/self">s</a>'
+                    '<a href="http://b.com/1">x</a>'
+                    '<a href="http://b.com/2">y</a>',
+                )
+            ]
+        )
+        out = domain_link_edges(df).collect()
+        assert len(out) == 1
+        assert (out[0].src_host, out[0].dst_host, out[0].n_links) == (
+            "a.com", "b.com", 2,
+        )
+
+
+class TestRobots:
+    def _rules(self, spark, txt):
+        from pysyslog_lfc_spark.functions.urls import parse_robots
+
+        df = spark.createDataFrame(
+            [Row(domain="d.com", robots_txt=txt)]
+        )
+        return parse_robots(df)
+
+    def test_parse_comments_and_empty_disallow(self, spark):
+        rules = self._rules(
+            spark,
+            "User-agent: *\n"
+            "Disallow: /tmp  # scratch space\n"
+            "Disallow:\n"  # empty = allow-all no-op, dropped
+            "Sitemap: http://d.com/map.xml\n"
+            "Allow: /tmp/keep\n",
+        ).collect()
+        got = sorted((r.directive, r.prefix) for r in rules)
+        assert got == [("allow", "/tmp/keep"), ("disallow", "/tmp")]
+        assert all(r.agent == "*" for r in rules)
+
+    def test_longest_match_wins_allow_beats_disallow(self, spark):
+        from pysyslog_lfc_spark.functions.urls import robots_url_filter
+
+        rules = self._rules(
+            spark,
+            "User-agent: *\nDisallow: /p\nAllow: /p/ok\n",
+        )
+        urls = spark.createDataFrame(
+            [
+                Row(url="http://d.com/p/x"),
+                Row(url="http://d.com/p/ok/y"),
+                Row(url="http://d.com/open"),
+                Row(url="http://other.com/p/x"),  # no rules -> allowed
+                Row(url="http://d.com"),  # bare host -> path '/'
+            ]
+        )
+        out = {
+            r.url: r for r in robots_url_filter(urls, rules).collect()
+        }
+        assert out["http://d.com/p/x"].allowed is False
+        assert out["http://d.com/p/ok/y"].allowed is True
+        assert out["http://d.com/open"].allowed is True
+        assert out["http://other.com/p/x"].allowed is True
+        assert out["http://d.com"].path == "/"
+        assert len(out) == 5  # every URL survives exactly once
+
+    def test_specific_agent_group_preferred(self, spark):
+        from pysyslog_lfc_spark.functions.urls import robots_url_filter
+
+        rules = self._rules(
+            spark,
+            "User-agent: mybot\nDisallow: /only-mybot\n"
+            "User-agent: *\nDisallow: /everyone\n",
+        )
+        urls = spark.createDataFrame(
+            [
+                Row(url="http://d.com/only-mybot/x"),
+                Row(url="http://d.com/everyone/x"),
+            ]
+        )
+        got = {
+            r.url: r.allowed
+            for r in robots_url_filter(urls, rules, agent="mybot").collect()
+        }
+        # mybot's own group applies; the '*' group is superseded
+        assert got["http://d.com/only-mybot/x"] is False
+        assert got["http://d.com/everyone/x"] is True
+
+
+class TestWarc:
+    def test_round_trip_and_fields(self, spark):
+        from pysyslog_lfc_spark.functions.warc import build_warc, parse_warc
+
+        blob = build_warc(
+            [
+                ("warcinfo", "", b"software: test"),
+                ("response", "http://x.com/a", b"<html>alpha</html>"),
+                ("response", "http://x.com/b", "unicode é".encode()),
+            ]
+        )
+        df = spark.createDataFrame(
+            [(1, bytearray(blob))], "file_id long, payload binary"
+        )
+        out = sorted(parse_warc(df).collect(), key=lambda r: r.rec_idx)
+        assert [r.warc_type for r in out] == [
+            "warcinfo", "response", "response",
+        ]
+        assert out[1].target_uri == "http://x.com/a"
+        assert out[1].payload_text == "<html>alpha</html>"
+        assert out[2].payload_text == "unicode é"
+        assert out[2].content_length == len("unicode é".encode())
+
+    def test_gzip_members_and_truncated_tail(self, spark):
+        import gzip
+
+        from pysyslog_lfc_spark.functions.warc import build_warc, parse_warc
+
+        r1 = build_warc([("response", "http://x.com/1", b"one")])
+        r2 = build_warc([("response", "http://x.com/2", b"two")])
+        gz = gzip.compress(r1) + gzip.compress(r2)
+        truncated = build_warc(
+            [("response", "http://x.com/3", b"three")]
+        ) + b"WARC/1.0\r\nContent-Length: 99\r\n\r\nshort"
+        df = spark.createDataFrame(
+            [(1, bytearray(gz)), (2, bytearray(truncated))],
+            "file_id long, payload binary",
+        )
+        out = parse_warc(df).collect()
+        by_file = {}
+        for r in out:
+            by_file.setdefault(r.file_id, []).append(r)
+        assert len(by_file[1]) == 2  # both gzip members
+        assert [r.payload_text for r in sorted(
+            by_file[1], key=lambda r: r.target_uri)] == ["one", "two"]
+        # truncated record dropped, prior record kept
+        assert len(by_file[2]) == 1
+        assert by_file[2][0].payload_text == "three"

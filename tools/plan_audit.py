@@ -207,6 +207,9 @@ AUDIT_QUERIES = [
     "psi_event_drift",
     "distinct_ngram_diversity",
     "brier_quality_vs_en",
+    "text_script_mix",
+    "html_link_graph",
+    "robots_url_filter",
 ]
 
 
