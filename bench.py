@@ -242,6 +242,8 @@ BENCH_QUERIES = [
     "text_script_mix",
     "html_link_graph",
     "robots_url_filter",
+    "flow_parse_cri",
+    "flow_parse_journald",
 ]
 
 

@@ -1015,3 +1015,160 @@ def audio_vad_segments(
             mean_rms.alias("mean_rms_milli"),
         )
     )
+
+
+def _dct2_8x8(gray32):
+    """Top-left 8x8 of the orthonormal 2-D DCT-II of a 32x32 block —
+    the pHash frequency transform, written as two explicit cosine-
+    matrix matmuls (numpy has no DCT without scipy; the matrix form is
+    exact and deterministic)."""
+    import numpy as np
+
+    n = gray32.shape[0]
+    k = np.arange(n)
+    c = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+    c *= np.sqrt(2.0 / n)
+    c[0] *= np.sqrt(0.5)
+    return (c @ gray32 @ c.T)[:8, :8]
+
+
+def _phash64(gray) -> int:
+    """64-bit perceptual hash (the classic public pHash): 32x32 block-
+    mean downsample -> DCT-II -> top-left 8x8 -> bit = coefficient >
+    median of the 63 non-DC coefficients. Robust to resize/brightness
+    where aHash flips bits (DCT phase survives global scaling)."""
+    import numpy as np
+
+    h, w = gray.shape
+    # block bounds that stay non-empty for images smaller than 32px
+    # (a degenerate block falls back to its nearest single row/col)
+    yb = (np.arange(33) * h) // 32
+    xb = (np.arange(33) * w) // 32
+    small = np.array(
+        [
+            [
+                gray[
+                    yb[i]: max(yb[i + 1], yb[i] + 1),
+                    xb[j]: max(xb[j + 1], xb[j] + 1),
+                ].mean()
+                for j in range(32)
+            ]
+            for i in range(32)
+        ]
+    )
+    coeffs = _dct2_8x8(small)
+    flat = coeffs.flatten()
+    med = float(np.median(flat[1:]))
+    bits = flat > med
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def image_phash(
+    df: DataFrame,
+    payload_col: str = "payload",
+    meta_col: str = "image_meta",
+    decode: Literal["fake", "real"] = "fake",
+) -> DataFrame:
+    """DCT perceptual-hash stage — appends ``phash: long`` and drops
+    the payload; the robust upgrade over :func:`image_ahash` (tolerant
+    of resize, recompression-free brightness shifts). Same Arrow
+    mapInPandas contract, same :func:`image_near_dup_pairs` band join
+    downstream (pass ``hash_col="phash"``)."""
+    out_fields = [f for f in df.schema.fields if f.name != payload_col]
+    out_schema = T.StructType(out_fields + [T.StructField("phash", T.LongType())])
+    keep = [f.name for f in out_fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for i in range(len(pdf)):
+                payload = bytes(pdf[payload_col].iloc[i])
+                if decode == "real" or payload[:2] in (b"P6", b"BM") \
+                        or payload.startswith(b"\x89PNG"):
+                    arr = decode_image(payload)
+                    gray = arr.astype("float64").mean(axis=2)
+                    hashes.append(_phash64(gray))
+                elif decode == "fake":
+                    dig = hashlib.sha256(b"phash:" + payload).digest()
+                    v = int.from_bytes(dig[:8], "big")
+                    hashes.append(v - (1 << 64) if v >= (1 << 63) else v)
+                else:
+                    raise NotImplementedError(
+                        "real pHash requires a decodable payload "
+                        "(PPM/PNG/BMP/GIF in this container)"
+                    )
+            out = pdf[keep].copy()
+            out["phash"] = pd.Series(hashes, dtype="int64")
+            yield out
+
+    return df.mapInPandas(run, out_schema)
+
+
+def video_shot_boundaries(
+    df: DataFrame,
+    payload_col: str = "payload",
+    meta_col: str = "video_meta",
+    id_col: str = "sample_id",
+    diff_milli_threshold: int = 120,
+) -> DataFrame:
+    """Shot-boundary (scene-cut) detection over raw interleaved RGB
+    video payloads — the classic frame-difference detector that feeds
+    keyframe sampling and per-shot captioning: for each consecutive
+    frame pair, the mean absolute pixel difference normalized to
+    [0, 1000] milli; a cut is a pair whose diff clears the threshold.
+
+    Output: one row per frame transition — (id, frame_idx: the LATER
+    frame, diff_milli, is_boundary). Encoded codecs raise at the
+    documented pyav boundary; frames of one clip never leave their
+    row, so the pass is ZERO-shuffle.
+    """
+    import numpy as np
+
+    out_schema = (
+        f"{id_col} long, frame_idx int, diff_milli long, "
+        "is_boundary boolean"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in range(len(pdf)):
+                meta = pdf[meta_col].iloc[i]
+                payload = bytes(pdf[payload_col].iloc[i])
+                w, h, n_frames = (
+                    int(meta["width"]),
+                    int(meta["height"]),
+                    int(meta["n_frames"]),
+                )
+                frame_bytes = w * h * 3
+                if len(payload) != n_frames * frame_bytes:
+                    raise NotImplementedError(
+                        "shot detection on encoded video requires pyav; "
+                        "only raw interleaved RGB is sliceable here"
+                    )
+                frames = np.frombuffer(
+                    payload, dtype=np.uint8,
+                    count=n_frames * frame_bytes,
+                ).reshape(n_frames, h, w, 3).astype(np.int64)
+                diffs = np.abs(np.diff(frames, axis=0)).mean(axis=(1, 2, 3))
+                for fi, d in enumerate(diffs, start=1):
+                    dm = int(d * 1000) // 255
+                    rows.append(
+                        (
+                            pdf[id_col].iloc[i],
+                            fi,
+                            dm,
+                            dm >= diff_milli_threshold,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "frame_idx", "diff_milli", "is_boundary"],
+            )
+
+    return df.select(id_col, meta_col, payload_col).mapInPandas(
+        run, out_schema
+    )

@@ -816,6 +816,41 @@ def _passthrough(cfg: ComponentConfig) -> ParserFn:
     return parse
 
 
+
+def _cri(cfg: ComponentConfig) -> ParserFn:
+    """parser.cri: the Kubernetes CRI container-log line format
+    (public contract, kubelet docs):
+
+        <RFC3339Nano timestamp> <stdout|stderr> <P|F> <message>
+
+    where ``P`` marks a partial line continued by the next entry and
+    ``F`` a full one. Fields: ``ts`` (timestamp; the nanosecond tail
+    is truncated to microseconds before the cast — Spark timestamps
+    are micros), ``stream``, ``tag``, ``message``. Non-matching lines
+    drop (the parser-invalid => drop contract). Pure regexp codegen,
+    zero Python; fold P-continuations downstream with
+    :func:`assemble_multiline` keyed on (stream, container).
+    """
+    pat = r"^(\S+) (stdout|stderr) ([PF]) (.*)$"
+
+    def parse(df: DataFrame, raw: str = "value") -> DataFrame:
+        line = F.col(raw)
+        ts_raw = F.regexp_extract(line, pat, 1)
+        ts_us = F.regexp_replace(ts_raw, r"(\.\d{6})\d+", r"$1")
+        rec = F.struct(
+            F.try_to_timestamp(ts_us).alias("ts"),
+            F.regexp_extract(line, pat, 2).alias("stream"),
+            F.regexp_extract(line, pat, 3).alias("tag"),
+            F.regexp_extract(line, pat, 4).alias("message"),
+        )
+        return (
+            df.where(line.rlike(pat))
+            .withColumn(RECORD_COL, rec)
+        )
+
+    return parse
+
+
 BUILTIN_PARSERS = {
     "text": _text,
     "json": _json,
@@ -828,6 +863,7 @@ BUILTIN_PARSERS = {
     "cef": _cef,
     "leef": _leef,
     "xml": _xml,
+    "cri": _cri,
     "passthrough": _passthrough,
 }
 
@@ -888,3 +924,76 @@ def assemble_multiline(
         )
         .drop("__items")
     )
+
+
+def parse_journald_export(
+    df: DataFrame,
+    partition_cols: list[str],
+    order_cols: list[str],
+    line_col: str = "value",
+    fields: tuple[str, ...] = (
+        "MESSAGE",
+        "PRIORITY",
+        "_HOSTNAME",
+        "SYSLOG_IDENTIFIER",
+        "_PID",
+    ),
+) -> DataFrame:
+    """systemd journal EXPORT-format record assembly (public format,
+    systemd.io/JOURNAL_EXPORT_FORMATS): records are blank-line-
+    separated blocks of ``KEY=value`` lines. This is the multi-line
+    sibling of :func:`assemble_multiline`: a running count of blank
+    lines segments the stream, each segment regroups into one record,
+    and the requested well-known fields extract via anchored
+    multiline regexps (``(?m)^KEY=...``) — codegen end to end; the
+    length-prefixed binary-field variant is out of scope (text subset,
+    documented). Missing fields are null.
+
+    Returns: partition_cols + (record_idx, field columns lowercased).
+
+    100 TB design: ONE shuffle on the log's partition key (same
+    contract as assemble_multiline); the segment window and the
+    regroup share it. Journald files are per-host, so the key is
+    natural and bounded-skew.
+    """
+    w_seg = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    is_blank = (F.trim(F.col(line_col)) == "").cast("long")
+    seg = df.select(
+        *partition_cols,
+        *order_cols,
+        F.col(line_col),
+        (F.sum(is_blank).over(w_seg) - is_blank).alias("record_idx"),
+    ).where(F.trim(F.col(line_col)) != "")
+    assembled = (
+        seg.groupBy(*partition_cols, "record_idx")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                *[F.col(c) for c in order_cols],
+                                F.col(line_col).alias("_l"),
+                            )
+                        )
+                    ),
+                    lambda s: s["_l"],
+                ),
+                "\n",
+            ).alias("_rec")
+        )
+    )
+    outs = [
+        F.nullif(
+            F.regexp_extract(
+                F.col("_rec"), "(?m)^" + f + "=(.*)$", 1
+            ),
+            F.lit(""),
+        ).alias(f.lower().lstrip("_"))
+        for f in fields
+    ]
+    return assembled.select(*partition_cols, "record_idx", *outs)

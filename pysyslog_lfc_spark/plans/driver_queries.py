@@ -3989,3 +3989,4 @@ from pysyslog_lfc_spark.plans import driver_queries_ext18  # noqa: E402,F401
 from pysyslog_lfc_spark.plans import driver_queries_ext19  # noqa: E402,F401
 from pysyslog_lfc_spark.plans import driver_queries_ext20  # noqa: E402,F401
 from pysyslog_lfc_spark.plans import driver_queries_ext21  # noqa: E402,F401
+from pysyslog_lfc_spark.plans import driver_queries_ext22  # noqa: E402,F401

@@ -1,0 +1,131 @@
+"""Driver-query registrations, round-3 batch 15 (log-tier parsers).
+
+Imported by :mod:`pysyslog_lfc_spark.plans.driver_queries` (bottom of
+file). Kubernetes CRI container-log lines and systemd journald
+EXPORT-format blocks — the two highest-volume real-world log formats
+missing from the parser family. Oracles derive the expected records
+DIRECTLY from the events table (independent derivation, not a regex
+replay), so the gate checks the parser's semantics, not its mechanism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pysyslog_lfc_spark.config import ComponentConfig
+from pysyslog_lfc_spark.plans.driver_queries import _t, query
+
+
+_CRI_ORACLE = """
+SELECT event_id, ts,
+       CASE WHEN ('0x' || substr(md5('st:' || event_id), 1, 15))::BIGINT % 2
+                 = 0 THEN 'stdout' ELSE 'stderr' END AS stream,
+       'F' AS tag,
+       event_type || ' ' || coalesce(props, '') AS message
+FROM events
+"""
+
+
+@query("flow_parse_cri", _CRI_ORACLE)
+def flow_parse_cri(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parser.cri (operators/parsers.py::_cri — the Kubernetes CRI
+    container-log line contract `<RFC3339Nano> <stream> <P|F> <msg>`):
+    both engines know the expected record straight from events; Spark
+    additionally round-trips it through a rendered CRI line with a
+    nanosecond timestamp tail (truncated to micros at parse — the
+    Spark timestamp grain). Pure regexp codegen, zero Python."""
+    from pysyslog_lfc_spark.functions.text import portable_hash60
+    from pysyslog_lfc_spark.operators.parsers import compile_parser
+
+    ev = _t(spark, sf_dir, "events")
+    stream = F.when(
+        F.pmod(
+            portable_hash60(F.concat(F.lit("st:"), F.col("event_id"))),
+            F.lit(2),
+        )
+        == 0,
+        F.lit("stdout"),
+    ).otherwise(F.lit("stderr"))
+    lines = ev.select(
+        "event_id",
+        F.concat(
+            F.date_format(F.col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"),
+            F.lit("789Z "),  # nano tail the parser must truncate
+            stream,
+            F.lit(" F "),
+            F.col("event_type"),
+            F.lit(" "),
+            F.coalesce(F.col("props"), F.lit("")),
+        ).alias("value"),
+    )
+    parse = compile_parser(ComponentConfig("cri", {}))
+    rec = parse(lines)
+    return rec.select(
+        "event_id",
+        F.col("record.ts").alias("ts"),
+        F.col("record.stream").alias("stream"),
+        F.col("record.tag").alias("tag"),
+        F.col("record.message").alias("message"),
+    )
+
+
+_JOURNALD_ORACLE = """
+SELECT 'host' || (user_id % 4) AS file,
+       CAST(row_number() OVER (PARTITION BY user_id % 4 ORDER BY event_id)
+            - 1 AS BIGINT) AS record_idx,
+       event_type || ' ' || coalesce(props, '') AS message,
+       CAST(('0x' || substr(md5('pri:' || event_id), 1, 15))::BIGINT % 8
+            AS VARCHAR) AS priority,
+       'host' || (user_id % 4) AS hostname,
+       event_type AS syslog_identifier,
+       CAST(event_id AS VARCHAR) AS pid
+FROM events
+"""
+
+
+@query("flow_parse_journald", _JOURNALD_ORACLE)
+def flow_parse_journald(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """systemd journald EXPORT-format assembly (operators/parsers.py::
+    parse_journald_export): every event renders as a KEY=value block +
+    blank separator into one of 4 per-host files; the parser segments
+    by blank-line running count, regroups each block on ONE
+    partition-key shuffle, and extracts the well-known fields with
+    anchored multiline regexps. The oracle derives expected records
+    independently from events."""
+    from pysyslog_lfc_spark.functions.text import portable_hash60
+    from pysyslog_lfc_spark.operators.parsers import parse_journald_export
+
+    ev = _t(spark, sf_dir, "events")
+    pri = F.pmod(
+        portable_hash60(F.concat(F.lit("pri:"), F.col("event_id"))),
+        F.lit(8),
+    )
+    block = F.array(
+        F.concat(
+            F.lit("MESSAGE="),
+            F.col("event_type"),
+            F.lit(" "),
+            F.coalesce(F.col("props"), F.lit("")),
+        ),
+        F.concat(F.lit("PRIORITY="), pri.cast("string")),
+        F.concat(
+            F.lit("_HOSTNAME=host"),
+            F.pmod(F.col("user_id"), F.lit(4)).cast("string"),
+        ),
+        F.concat(F.lit("SYSLOG_IDENTIFIER="), F.col("event_type")),
+        F.concat(F.lit("_PID="), F.col("event_id").cast("string")),
+        F.lit(""),
+    )
+    lines = ev.select(
+        F.concat(
+            F.lit("host"), F.pmod(F.col("user_id"), F.lit(4)).cast("string")
+        ).alias("file"),
+        "event_id",
+        F.posexplode(block).alias("line_idx", "value"),
+    )
+    return parse_journald_export(
+        lines,
+        partition_cols=["file"],
+        order_cols=["event_id", "line_idx"],
+    )

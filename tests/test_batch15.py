@@ -1,0 +1,177 @@
+"""Round-3 batch 15: pHash, shot boundaries, CRI + journald parsers."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Row, functions as F
+
+
+def _ppm_img(arr):
+    from pysyslog_lfc_spark.functions.multimodal import encode_ppm
+
+    return encode_ppm(arr.astype("uint8"))
+
+
+class TestPhash:
+    def test_resize_invariance_beats_random(self, spark):
+        """pHash of an image and its 2x upscale agree within a few
+        bits; a different image is far away."""
+        from pysyslog_lfc_spark.functions.multimodal import image_phash
+
+        rng = np.random.RandomState(3)
+        base = rng.randint(0, 255, (32, 32, 3))
+        big = np.repeat(np.repeat(base, 2, axis=0), 2, axis=1)
+        other = rng.randint(0, 255, (32, 32, 3))
+        df = spark.createDataFrame(
+            [
+                (1, bytearray(_ppm_img(base))),
+                (2, bytearray(_ppm_img(big))),
+                (3, bytearray(_ppm_img(other))),
+            ],
+            "doc_id long, payload binary",
+        )
+        out = {
+            r.doc_id: r.phash
+            for r in image_phash(df, decode="real").collect()
+        }
+
+        def ham(a, b):
+            return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+        assert ham(out[1], out[2]) <= 6
+        assert ham(out[1], out[3]) > 16
+
+    def test_band_join_finds_near_pair(self, spark):
+        from pysyslog_lfc_spark.functions.multimodal import (
+            image_near_dup_pairs,
+            image_phash,
+        )
+
+        rng = np.random.RandomState(5)
+        base = rng.randint(0, 255, (16, 16, 3))
+        tweak = base.copy()
+        tweak[0, 0] = 255 - tweak[0, 0]
+        far = rng.randint(0, 255, (16, 16, 3))
+        df = spark.createDataFrame(
+            [
+                (1, bytearray(_ppm_img(base))),
+                (2, bytearray(_ppm_img(tweak))),
+                (3, bytearray(_ppm_img(far))),
+            ],
+            "doc_id long, payload binary",
+        )
+        hashed = image_phash(df, decode="real")
+        pairs = image_near_dup_pairs(
+            hashed, hash_col="phash", max_hamming=3, bands=4
+        ).collect()
+        assert {(p.id_a, p.id_b) for p in pairs} == {(1, 2)}
+
+
+class TestShotBoundaries:
+    def test_cut_detected_at_scene_change(self, spark):
+        from pysyslog_lfc_spark.functions.multimodal import (
+            video_shot_boundaries,
+        )
+
+        h = w = 8
+        dark = np.zeros((h, w, 3), dtype=np.uint8)
+        light = np.full((h, w, 3), 200, dtype=np.uint8)
+        frames = np.stack([dark, dark, dark, light, light, dark])
+        payload = frames.tobytes()
+        df = spark.createDataFrame(
+            [(1, bytearray(payload))], "sample_id long, payload binary"
+        ).select(
+            "sample_id",
+            F.struct(
+                F.lit(w).alias("width"),
+                F.lit(h).alias("height"),
+                F.lit(6).alias("n_frames"),
+            ).alias("video_meta"),
+            "payload",
+        )
+        out = {
+            r.frame_idx: r
+            for r in video_shot_boundaries(df).collect()
+        }
+        assert len(out) == 5  # n_frames - 1 transitions
+        assert out[3].is_boundary and out[5].is_boundary
+        assert not out[1].is_boundary and not out[2].is_boundary
+        # 0 -> 200 jump: 200/255 ~ 784 milli
+        assert out[3].diff_milli == (200 * 1000) // 255
+
+    def test_encoded_video_raises(self, spark):
+        import pytest
+
+        from pysyslog_lfc_spark.functions.multimodal import (
+            video_shot_boundaries,
+        )
+
+        df = spark.createDataFrame(
+            [(1, bytearray(b"notrawrgb"))], "sample_id long, payload binary"
+        ).select(
+            "sample_id",
+            F.struct(
+                F.lit(8).alias("width"),
+                F.lit(8).alias("height"),
+                F.lit(4).alias("n_frames"),
+            ).alias("video_meta"),
+            "payload",
+        )
+        with pytest.raises(Exception, match="pyav|NotImplemented"):
+            video_shot_boundaries(df).collect()
+
+
+class TestCriParser:
+    def test_parse_and_nano_truncation(self, spark):
+        from pysyslog_lfc_spark.config import ComponentConfig
+        from pysyslog_lfc_spark.operators.parsers import compile_parser
+
+        lines = spark.createDataFrame(
+            [
+                Row(value="2024-03-01T10:20:30.123456789Z stdout F hello world"),
+                Row(value="2024-03-01T10:20:31.5Z stderr P partial chunk"),
+                Row(value="not a cri line"),
+            ]
+        )
+        parse = compile_parser(ComponentConfig("cri", {}))
+        out = parse(lines).select("record.*").collect()
+        assert len(out) == 2  # invalid line dropped
+        full = next(r for r in out if r.tag == "F")
+        assert full.stream == "stdout"
+        assert full.message == "hello world"
+        assert full.ts.microsecond == 123456  # nanos truncated
+        part = next(r for r in out if r.tag == "P")
+        assert part.stream == "stderr" and part.message == "partial chunk"
+
+
+class TestJournaldParser:
+    def test_blocks_assemble_and_fields_extract(self, spark):
+        from pysyslog_lfc_spark.operators.parsers import (
+            parse_journald_export,
+        )
+
+        lines = [
+            "MESSAGE=boot ok",
+            "PRIORITY=6",
+            "_HOSTNAME=web1",
+            "",
+            "MESSAGE=disk full",
+            "PRIORITY=2",
+            "_PID=42",
+            "SYSLOG_IDENTIFIER=kernel",
+            "",
+        ]
+        df = spark.createDataFrame(
+            [Row(file="f", line_no=i, value=ln) for i, ln in enumerate(lines)]
+        )
+        out = sorted(
+            parse_journald_export(
+                df, ["file"], ["line_no"]
+            ).collect(),
+            key=lambda r: r.record_idx,
+        )
+        assert len(out) == 2
+        assert out[0].message == "boot ok" and out[0].priority == "6"
+        assert out[0].hostname == "web1" and out[0].pid is None
+        assert out[1].message == "disk full" and out[1].pid == "42"
+        assert out[1].syslog_identifier == "kernel"
