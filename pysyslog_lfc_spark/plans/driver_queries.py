@@ -3990,3 +3990,4 @@ from pysyslog_lfc_spark.plans import driver_queries_ext19  # noqa: E402,F401
 from pysyslog_lfc_spark.plans import driver_queries_ext20  # noqa: E402,F401
 from pysyslog_lfc_spark.plans import driver_queries_ext21  # noqa: E402,F401
 from pysyslog_lfc_spark.plans import driver_queries_ext22  # noqa: E402,F401
+from pysyslog_lfc_spark.plans import driver_queries_ext23  # noqa: E402,F401

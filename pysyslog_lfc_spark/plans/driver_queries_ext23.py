@@ -1,0 +1,196 @@
+"""Driver-query registrations, round-3 batch 16 (evaluation harnesses).
+
+Imported by :mod:`pysyslog_lfc_spark.plans.driver_queries` (bottom of
+file). nDCG@10 of the LSH index against the exact top-10 (the ranked
+companion to ann_recall_eval) and a planted-duplicate recall gate for
+the MinHash dedup pipeline — both oracles compose already-verified SQL
+replicas, so the evaluations themselves are hash-gated.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pysyslog_lfc_spark.plans.driver_queries import _t, query
+
+
+def _ndcg_oracle_sql() -> str:
+    from pysyslog_lfc_spark.plans.driver_queries import all_oracles
+
+    brute = all_oracles()["ann_cosine_topk"]
+    lsh = all_oracles()["ann_lsh_topk"]
+    return f"""
+    WITH brute AS ({brute}),
+         lsh AS ({lsh}),
+    hits AS (
+      SELECT l.query_id, l.rank
+      FROM lsh l JOIN brute b
+        ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+    ),
+    dcg AS (
+      SELECT query_id,
+             count(*)::BIGINT AS n_hits,
+             CAST(sum(CAST(floor((1000000.0 * ln(2.0)) / ln(rank + 1))
+                           AS BIGINT)) AS BIGINT) AS dcg_micro
+      FROM hits GROUP BY query_id
+    ),
+    idcg AS (
+      SELECT CAST(sum(CAST(floor((1000000.0 * ln(2.0)) / ln(i + 1))
+                           AS BIGINT)) AS BIGINT) AS idcg_micro
+      FROM unnest(generate_series(1, 10)) AS t(i)
+    ),
+    qs AS (SELECT DISTINCT query_id FROM brute)
+    SELECT q.query_id,
+           coalesce(d.n_hits, 0) AS n_hits,
+           coalesce(d.dcg_micro, 0) AS dcg_micro,
+           CAST((coalesce(d.dcg_micro, 0) * 1000
+                 - ((coalesce(d.dcg_micro, 0) * 1000) % idcg.idcg_micro))
+                / idcg.idcg_micro AS BIGINT) AS ndcg_permille
+    FROM qs q LEFT JOIN dcg d USING (query_id), idcg
+    """
+
+
+@query("ann_ndcg_eval", _ndcg_oracle_sql())
+def ann_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 of the hyperplane-LSH index vs the exact top-10 — the
+    rank-weighted companion to ann_recall_eval (a hit at rank 1 counts
+    more than a hit at rank 10). Binary relevance, per-position gain
+    floor((1e6·ln2)/ln(rank+1)) as an exact integer micro term; the
+    oracle composes the two already-verified index replicas, so the
+    evaluation itself is hash-gated."""
+    from pysyslog_lfc_spark.functions import similarity as SIM
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") >= 5)
+    queries = emb.where(F.col("vec_id") < 5)
+    brute = SIM.brute_force_topk(corpus, queries, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    lsh = SIM.lsh_ann_topk(corpus, queries, k=10, dim=64).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    term = F.floor(
+        (F.lit(1000000.0) * F.log(F.lit(2.0))) / F.log(F.col("rank") + 1)
+    ).cast("long")
+    hits = lsh.join(brute, ["query_id", "neighbor_id"])
+    dcg = hits.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits"),
+        F.sum(term).cast("long").alias("dcg_micro"),
+    )
+    idcg = spark.range(1, 11).agg(
+        F.sum(
+            F.floor(
+                (F.lit(1000000.0) * F.log(F.lit(2.0)))
+                / F.log(F.col("id") + 1)
+            ).cast("long")
+        ).alias("idcg_micro")
+    )
+    qs = brute.select("query_id").distinct()
+    num = F.coalesce(F.col("dcg_micro"), F.lit(0)) * 1000
+    return (
+        qs.join(dcg, "query_id", "left")
+        .crossJoin(F.broadcast(idcg))
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.coalesce("dcg_micro", F.lit(0)).alias("dcg_micro"),
+            ((num - F.pmod(num, F.col("idcg_micro"))) / F.col("idcg_micro"))
+            .cast("long")
+            .alias("ndcg_permille"),
+        )
+    )
+
+
+_RECALL_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), w -> w != '')
+           AS ws
+  FROM documents
+),
+base AS (
+  SELECT doc_id, ws FROM toks WHERE doc_id % 9 = 0 AND len(ws) >= 60
+),
+orig AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(ws) - 1),
+           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+  FROM base
+),
+pert AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(ws2) - 1),
+           i -> ws2[i] || ' ' || ws2[i+1] || ' ' || ws2[i+2])) AS sh
+  FROM (SELECT doc_id, list_concat(ws, ['qq', 'ww']) AS ws2 FROM base)
+),
+pairs AS (
+  SELECT o.doc_id AS id_a, o.doc_id + 2000000 AS id_b,
+         len(o.sh)::BIGINT AS n_a, len(p.sh)::BIGINT AS n_b,
+         len(list_intersect(o.sh, p.sh))::BIGINT AS n_shared
+  FROM orig o JOIN pert p USING (doc_id)
+)
+SELECT id_a, id_b, n_a, n_b, n_shared,
+       round(n_shared / CAST(n_a + n_b - n_shared AS DOUBLE), 4) AS jac4,
+       round(n_shared / CAST(n_a + n_b - n_shared AS DOUBLE), 4) >= 0.9
+         AS is_true_dup,
+       round(n_shared / CAST(n_a + n_b - n_shared AS DOUBLE), 4) >= 0.9
+         AS found_by_pipeline
+FROM pairs
+"""
+
+
+@query("dedup_recall_eval", _RECALL_ORACLE)
+def dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted-duplicate recall gate for the MinHash-LSH dedup
+    pipeline: every >=60-token doc (doc_id % 9) gets a near-identical
+    twin (two appended tokens -> trigram Jaccard >= ~0.95); the REAL
+    pipeline (functions/dedup.py::minhash_lsh_pairs, 16x4 banding,
+    threshold 0.9, per-pair miss prob <= 4e-8) must find exactly the
+    pairs the exact rule admits — the oracle derives the truth
+    independently and asserts found == is_true, so a single LSH miss
+    anywhere hash-fails the gate."""
+    from pysyslog_lfc_spark.functions.dedup import minhash_lsh_pairs
+    from pysyslog_lfc_spark.functions.text import shingles, token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.where(
+        (F.col("doc_id") % 9 == 0) & (token_count(F.col("text")) >= 60)
+    )
+    pert = base.select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" qq ww")).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(pert)
+    pipe = minhash_lsh_pairs(corpus, threshold=0.9).select(
+        "id_a", "id_b", F.lit(True).alias("_found")
+    )
+    sh_o = shingles(F.col("text"))
+    sh_p = shingles(F.concat(F.col("text"), F.lit(" qq ww")))
+    truth = base.select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 2000000).alias("id_b"),
+        F.size(sh_o).cast("long").alias("n_a"),
+        F.size(sh_p).cast("long").alias("n_b"),
+        F.size(F.array_intersect(sh_o, sh_p)).cast("long").alias("n_shared"),
+    )
+    jac = F.round(
+        F.col("n_shared")
+        / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast("double"),
+        4,
+    )
+    return (
+        truth.join(pipe, ["id_a", "id_b"], "left")
+        .select(
+            "id_a",
+            "id_b",
+            "n_a",
+            "n_b",
+            "n_shared",
+            jac.alias("jac4"),
+            (jac >= 0.9).alias("is_true_dup"),
+            F.coalesce(F.col("_found"), F.lit(False)).alias(
+                "found_by_pipeline"
+            ),
+        )
+    )

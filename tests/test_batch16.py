@@ -1,0 +1,71 @@
+"""Round-3 batch 16: evaluation harnesses (nDCG, planted dedup
+recall)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Row, functions as F
+
+
+class TestNdcgMath:
+    def test_perfect_and_partial_ranking(self, spark):
+        """Reimplement the per-query nDCG aggregation on a toy ranked
+        list and check the integer math end to end."""
+        brute = spark.createDataFrame(
+            [Row(query_id=1, neighbor_id=n) for n in (10, 11, 12)]
+        )
+        lsh = spark.createDataFrame(
+            [
+                Row(query_id=1, neighbor_id=10, rank=1),
+                Row(query_id=1, neighbor_id=99, rank=2),  # miss
+                Row(query_id=1, neighbor_id=12, rank=3),
+            ]
+        )
+        term = F.floor(
+            (F.lit(1000000.0) * F.log(F.lit(2.0)))
+            / F.log(F.col("rank") + 1)
+        ).cast("long")
+        hits = lsh.join(brute, ["query_id", "neighbor_id"])
+        got = hits.agg(F.sum(term).alias("dcg")).collect()[0].dcg
+
+        def t(r):
+            return math.floor((1000000.0 * math.log(2.0)) / math.log(r + 1))
+
+        assert got == t(1) + t(3)
+        assert t(1) == 1000000  # rank-1 gain is exactly 1
+
+
+class TestDedupRecallHarness:
+    def test_pipeline_finds_planted_twin(self, spark):
+        from pysyslog_lfc_spark.functions.dedup import minhash_lsh_pairs
+
+        words = " ".join(f"w{i}" for i in range(80))
+        docs = spark.createDataFrame(
+            [
+                Row(doc_id=1, text=words),
+                Row(doc_id=2, text=words + " qq ww"),  # planted twin
+                Row(doc_id=3, text=" ".join(f"z{i}" for i in range(80))),
+            ]
+        )
+        pairs = {
+            (r.id_a, r.id_b)
+            for r in minhash_lsh_pairs(docs, threshold=0.9).collect()
+        }
+        assert (1, 2) in pairs
+        assert all(3 not in p for p in pairs)
+
+    def test_short_twin_below_threshold_rejected(self, spark):
+        """A heavy perturbation drops exact Jaccard below 0.9, so the
+        verify stage must reject it even if LSH proposes it."""
+        from pysyslog_lfc_spark.functions.dedup import minhash_lsh_pairs
+
+        words = " ".join(f"w{i}" for i in range(20))
+        docs = spark.createDataFrame(
+            [
+                Row(doc_id=1, text=words),
+                Row(doc_id=2, text=words + " a b c d e f g h"),
+            ]
+        )
+        pairs = minhash_lsh_pairs(docs, threshold=0.9).collect()
+        assert pairs == []

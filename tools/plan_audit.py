@@ -212,6 +212,8 @@ AUDIT_QUERIES = [
     "robots_url_filter",
     "flow_parse_cri",
     "flow_parse_journald",
+    "ann_ndcg_eval",
+    "dedup_recall_eval",
 ]
 
 
