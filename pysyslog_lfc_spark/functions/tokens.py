@@ -231,3 +231,135 @@ def prefix_sequence_flags(
         )
     )
     return flagged
+
+
+def token_bigram_score(
+    df: DataFrame,
+    tokens_col: str = "t",
+    id_col: str = "doc_id",
+    model_df: DataFrame | None = None,
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Add-one bigram LM scoring DIRECTLY over ``array<int>`` token
+    payloads — the token-domain twin of
+    :func:`~pysyslog_lfc_spark.functions.lm.bigram_lm_score`, for
+    pipelines whose corpus is already tokenized (the engine-primary
+    tokenized-sequence table): no detokenization round trip, the model
+    is a count table over int pairs.
+
+        p(t2 | t1) = (c(t1 t2) + 1) / (c(t1) + V)
+
+    Returns (id, logprob_permille, n_bigrams) with every position
+    entering as floor(1e6 * ln p) — an exact integer micro term before
+    ANY aggregation (order-free), then the pmod-floored permille
+    average. Sequences shorter than 2 tokens score null.
+
+    Scale shape: model counts broadcast (bounded reference slice);
+    scoring joins are map-side int-pair lookups — cheaper than the
+    text twin's string joins by the width of the keys; only the
+    per-sequence (id, micro-sum) aggregate shuffles.
+    """
+    model_df = model_df if model_df is not None else df
+    tcol = F.col(tokens_col)
+
+    def bigrams(frame: DataFrame, keep: list[str]) -> DataFrame:
+        ts = F.col(tokens_col)
+        z = F.arrays_zip(
+            F.slice(ts, 1, F.greatest(F.lit(0), F.size(ts) - 1)).alias("t1"),
+            F.slice(ts, 2, F.greatest(F.lit(0), F.size(ts) - 1)).alias("t2"),
+        )
+        return frame.select(*keep, F.explode(z).alias("_bg")).select(
+            *keep,
+            F.col("_bg.t1").alias("t1"),
+            F.col("_bg.t2").alias("t2"),
+        )
+
+    muni = model_df.select(F.explode(tcol).alias("tok")).groupBy("tok").agg(
+        F.count(F.lit(1)).alias("_c1")
+    )
+    totals = model_df.select(F.explode(tcol).alias("tok")).agg(
+        F.countDistinct("tok").alias("_V")
+    )
+    mbi = bigrams(model_df, []).groupBy("t1", "t2").agg(
+        F.count(F.lit(1)).alias("_c12")
+    )
+    if broadcast_model:
+        muni, mbi = F.broadcast(muni), F.broadcast(mbi)
+
+    db = bigrams(df, [id_col])
+    p = (F.coalesce(F.col("_c12"), F.lit(0)) + 1) / (
+        F.coalesce(F.col("_c1"), F.lit(0)) + F.col("_V")
+    )
+    scored = (
+        db.join(mbi, ["t1", "t2"], "left")
+        .join(muni, db["t1"] == muni["tok"], "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col(id_col),
+            F.floor(F.log(p) * F.lit(1000000.0)).cast("long").alias("_lpm"),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.sum("_lpm").alias("_sm"), F.count(F.lit(1)).alias("n_bigrams")
+    )
+    den = F.col("n_bigrams") * F.lit(1000)
+    avg_pm = ((F.col("_sm") - F.pmod(F.col("_sm"), den)) / den).cast("long")
+    return (
+        df.select(F.col(id_col))
+        .join(agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            avg_pm.alias("logprob_permille"),
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        )
+    )
+
+
+def token_entropy(
+    df: DataFrame,
+    tokens_col: str = "t",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Shannon entropy of each sequence's OWN token distribution —
+    the token-domain repetition/diversity signal (near-zero entropy =
+    looped or padded junk; the aggregate-identity twin of the
+    behavioral user_event_entropy report):
+
+        H = ln n - (sum_tok c ln c) / n
+
+    Returns (id, n_tok, n_distinct, entropy_milli) with the c·ln c
+    terms floored to exact integer micro BEFORE the per-sequence sum
+    (order-free), then one correctly-rounded double close.
+
+    Scale shape: explode + ONE (id, token) hash aggregate + the
+    per-id re-aggregate riding the same keyed exchange — never a
+    per-row O(k^2) distinct-count loop inside an interpreted HOF.
+    """
+    cnts = (
+        df.select(F.col(id_col), F.explode(F.col(tokens_col)).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    term = F.floor(
+        F.col("_c") * F.log(F.col("_c").cast("double")) * F.lit(1000000.0)
+    ).cast("long")
+    per = cnts.groupBy(id_col).agg(
+        F.sum("_c").cast("long").alias("n_tok"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum(term).alias("_clnc_micro"),
+    )
+    h = F.log(F.col("n_tok").cast("double")) - (
+        F.col("_clnc_micro") / F.lit(1000000.0)
+    ) / F.col("n_tok")
+    return (
+        df.select(F.col(id_col))
+        .join(per, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_tok", F.lit(0)).alias("n_tok"),
+            F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
+            F.when(
+                F.col("n_tok") > 0, F.floor(h * 1000).cast("long")
+            ).alias("entropy_milli"),
+        )
+    )

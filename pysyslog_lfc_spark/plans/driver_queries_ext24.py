@@ -1,0 +1,129 @@
+"""Driver-query registrations, round-3 batch 17 (token-domain LM).
+
+Imported by :mod:`pysyslog_lfc_spark.plans.driver_queries` (bottom of
+file). LM scoring and entropy DIRECTLY over ``array<int>`` token
+payloads — the engine-primary tokenized-sequence representation of the
+north rule, no detokenization round trip.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pysyslog_lfc_spark.plans.driver_queries import _t, query
+
+
+_TOKLM_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_transform(
+           list_filter(string_split_regex(lower(text), '\s+'), w -> w != ''),
+           w -> CAST(('0x' || substr(md5(w), 1, 15))::BIGINT % 65536 AS INT)
+         ) AS t
+  FROM documents
+),
+mtoks AS (SELECT t FROM toks WHERE lang = 'en'),
+muni AS (
+  SELECT tok, count(*) AS c1
+  FROM (SELECT unnest(t) AS tok FROM mtoks) GROUP BY tok
+),
+vocab AS (
+  SELECT count(DISTINCT tok) AS V FROM (SELECT unnest(t) AS tok FROM mtoks)
+),
+mbi AS (
+  SELECT t1, t2, count(*) AS c12 FROM (
+    SELECT t[i] AS t1, t[i+1] AS t2
+    FROM (SELECT t, unnest(range(1, len(t))) AS i FROM mtoks)
+  ) GROUP BY t1, t2
+),
+dbi AS (
+  SELECT doc_id, t[i] AS t1, t[i+1] AS t2
+  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)
+),
+scored AS (
+  SELECT doc_id,
+         CAST(floor(ln((coalesce(c12, 0) + 1)
+                       / (coalesce(c1, 0) + V)) * 1000000.0)
+              AS BIGINT) AS lpm
+  FROM dbi LEFT JOIN mbi USING (t1, t2)
+           LEFT JOIN muni ON dbi.t1 = muni.tok, vocab
+),
+agg AS (
+  SELECT doc_id, sum(lpm) AS sm, count(*) AS n_bigrams
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST((a.sm - ((a.sm % (1000 * a.n_bigrams) + 1000 * a.n_bigrams)
+                     % (1000 * a.n_bigrams))) / (1000 * a.n_bigrams)
+            AS BIGINT) AS logprob_permille,
+       coalesce(a.n_bigrams, 0) AS n_bigrams
+FROM (SELECT doc_id FROM documents) d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@query("token_bigram_lm", _TOKLM_ORACLE)
+def token_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-domain add-one bigram LM (functions/tokens.py::
+    token_bigram_score): scoring runs directly over array<int>
+    payloads — int-pair model joins instead of string joins, no
+    detokenization; every position floors to an integer micro term
+    before aggregation. Model = the English slice, tokenized by the
+    deterministic hash tokenizer in both engines."""
+    from pysyslog_lfc_spark.functions.tokens import token_bigram_score
+    from pysyslog_lfc_spark.plans.curation import hash_token_ids
+
+    docs = _t(spark, sf_dir, "documents")
+    seqs = docs.select(
+        "doc_id", "lang", hash_token_ids(F.col("text")).alias("t")
+    )
+    model = seqs.where(F.col("lang") == "en")
+    return token_bigram_score(seqs, model_df=model)
+
+
+_TOKENT_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_transform(
+           list_filter(string_split_regex(lower(text), '\s+'), w -> w != ''),
+           w -> CAST(('0x' || substr(md5(w), 1, 15))::BIGINT % 65536 AS INT)
+         ) AS t
+  FROM documents
+),
+cnts AS (
+  SELECT doc_id, tok, count(*)::BIGINT AS c
+  FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+  GROUP BY doc_id, tok
+),
+per AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_tok,
+         count(*)::BIGINT AS n_distinct,
+         CAST(sum(CAST(floor(c * ln(CAST(c AS DOUBLE)) * 1000000.0)
+                       AS BIGINT)) AS BIGINT) AS clnc
+  FROM cnts GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_tok, 0) AS n_tok,
+       coalesce(p.n_distinct, 0) AS n_distinct,
+       CASE WHEN p.n_tok > 0 THEN
+         CAST(floor((ln(CAST(p.n_tok AS DOUBLE))
+                     - (p.clnc / 1000000.0) / p.n_tok) * 1000) AS BIGINT)
+       END AS entropy_milli
+FROM (SELECT doc_id FROM documents) d LEFT JOIN per p USING (doc_id)
+"""
+
+
+@query("token_entropy_seq", _TOKENT_ORACLE)
+def token_entropy_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sequence token entropy (functions/tokens.py::token_entropy):
+    H = ln n − Σ c·ln c / n over each sequence's own token counts —
+    the token-domain loop/padding detector; c·ln c terms floor to
+    exact micro integers before the order-free sum. One (id, token)
+    hash agg, re-aggregate on the same keyed exchange."""
+    from pysyslog_lfc_spark.functions.tokens import token_entropy
+    from pysyslog_lfc_spark.plans.curation import hash_token_ids
+
+    docs = _t(spark, sf_dir, "documents")
+    seqs = docs.select("doc_id", hash_token_ids(F.col("text")).alias("t"))
+    return token_entropy(seqs)

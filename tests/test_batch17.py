@@ -1,0 +1,80 @@
+"""Round-3 batch 17: token-domain bigram LM and sequence entropy."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Row
+
+
+class TestTokenBigramLm:
+    def test_hand_computed(self, spark):
+        from pysyslog_lfc_spark.functions.tokens import token_bigram_score
+
+        model = spark.createDataFrame(
+            [Row(doc_id=1, t=[1, 2, 3, 1, 2])]
+        )
+        # model: N tokens 5, V=3; bi: (1,2)x2 (2,3) (3,1); uni 1:2 2:2 3:1
+        docs = spark.createDataFrame([Row(doc_id=9, t=[1, 2, 9])])
+        out = token_bigram_score(docs, model_df=model).collect()[0]
+        terms = [
+            math.log((2 + 1) / (2 + 3)),  # (1,2): c12=2, c1(1)=2
+            math.log((0 + 1) / (2 + 3)),  # (2,9): unseen, c1(2)=2
+        ]
+        micro = sum(math.floor(t * 1e6) for t in terms)
+        den = 2 * 1000
+        assert out.n_bigrams == 2
+        assert out.logprob_permille == (micro - (micro % den + den) % den) // den
+
+    def test_memorized_scores_higher(self, spark):
+        from pysyslog_lfc_spark.functions.tokens import token_bigram_score
+
+        model = spark.createDataFrame(
+            [Row(doc_id=i, t=[5, 6, 7, 8]) for i in range(4)]
+        )
+        docs = spark.createDataFrame(
+            [Row(doc_id=1, t=[5, 6, 7, 8]), Row(doc_id=2, t=[9, 10, 11, 12])]
+        )
+        out = {
+            r.doc_id: r.logprob_permille
+            for r in token_bigram_score(docs, model_df=model).collect()
+        }
+        assert out[1] > out[2]
+
+    def test_short_sequence_null(self, spark):
+        from pysyslog_lfc_spark.functions.tokens import token_bigram_score
+
+        docs = spark.createDataFrame(
+            [Row(doc_id=1, t=[7]), Row(doc_id=2, t=[1, 2])]
+        )
+        out = {r.doc_id: r for r in token_bigram_score(docs).collect()}
+        assert out[1].logprob_permille is None and out[1].n_bigrams == 0
+        assert out[2].n_bigrams == 1
+
+
+class TestTokenEntropy:
+    def test_uniform_and_constant(self, spark):
+        from pysyslog_lfc_spark.functions.tokens import token_entropy
+
+        docs = spark.createDataFrame(
+            [
+                Row(doc_id=1, t=[1, 2, 3, 4]),  # uniform: H = ln 4
+                Row(doc_id=2, t=[7, 7, 7, 7]),  # constant: H = 0
+                Row(doc_id=3, t=[]),
+            ]
+        )
+        out = {r.doc_id: r for r in token_entropy(docs).collect()}
+        assert out[1].entropy_milli == math.floor(math.log(4) * 1000)
+        assert out[2].entropy_milli == 0
+        assert out[2].n_distinct == 1
+        assert out[3].entropy_milli is None and out[3].n_tok == 0
+
+    def test_skewed_between_bounds(self, spark):
+        from pysyslog_lfc_spark.functions.tokens import token_entropy
+
+        docs = spark.createDataFrame([Row(doc_id=1, t=[1, 1, 1, 2])])
+        r = token_entropy(docs).collect()[0]
+        # H = ln4 - (3 ln3)/4 exactly
+        h = math.log(4) - (math.floor(3 * math.log(3) * 1e6) / 1e6) / 4
+        assert r.entropy_milli == math.floor(h * 1000)
+        assert 0 < r.entropy_milli < math.floor(math.log(4) * 1000)

@@ -214,6 +214,8 @@ AUDIT_QUERIES = [
     "flow_parse_journald",
     "ann_ndcg_eval",
     "dedup_recall_eval",
+    "token_bigram_lm",
+    "token_entropy_seq",
 ]
 
 
