@@ -1167,3 +1167,130 @@ def psi_drift(
     return with_terms.select(
         "*", F.sum("term_micro").over(Window.partitionBy()).alias("psi_micro")
     )
+
+
+def ks_test(
+    df: DataFrame,
+    group_col: str,
+    value: Column,
+    arm_a: str,
+    arm_b: str,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test (Kolmogorov 1933 / Smirnov
+    1939) — the distribution-shape companion to :func:`mann_whitney_u`
+    (which only sees location shifts): D = max |F_a(x) - F_b(x)| over
+    the pooled support. Cross-multiplied integer form keeps D exact:
+
+        D_num = max over values |cumA * n_b - cumB * n_a|
+        d_micro = floor(1e6 * D_num / (n_a * n_b))
+
+    Returns ONE row: (n_a, n_b, d_micro, ks_stat_milli) where
+    ``ks_stat_milli = floor(1000 * sqrt(n_a*n_b/(n_a+n_b)) * D)`` —
+    the scaled statistic compared against the Kolmogorov critical
+    values (1.358 at alpha=.05). NULL when either arm is empty.
+
+    Scale shape: the corpus collapses to the distinct-value frame in
+    ONE hash aggregate; both cumulative windows run over that frame
+    (the global_rank convention — pre-floor continuous metrics to a
+    bounded grid); the close is a 1-row scalar chain.
+    """
+    cells = (
+        df.where(F.col(group_col).isin([arm_a, arm_b]))
+        .groupBy(value.alias("v"))
+        .agg(
+            F.sum(
+                F.when(F.col(group_col) == arm_a, 1).otherwise(0)
+            ).alias("na"),
+            F.sum(
+                F.when(F.col(group_col) == arm_b, 1).otherwise(0)
+            ).alias("nb"),
+        )
+    )
+    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    stepped = cells.select(
+        F.sum("na").over(w_cum).alias("ca"),
+        F.sum("nb").over(w_cum).alias("cb"),
+        F.sum("na").over(w_all).alias("ta"),
+        F.sum("nb").over(w_all).alias("tb"),
+    )
+    agg = stepped.agg(
+        F.max("ta").cast("long").alias("n_a"),
+        F.max("tb").cast("long").alias("n_b"),
+        F.max(
+            F.abs(F.col("ca") * F.col("tb") - F.col("cb") * F.col("ta"))
+        )
+        .cast("long")
+        .alias("_dnum"),
+    )
+    den = F.col("n_a") * F.col("n_b")
+    d_micro = (
+        (F.col("_dnum") * F.lit(1000000) - F.pmod(
+            F.col("_dnum") * F.lit(1000000), den
+        ))
+        / den
+    ).cast("long")
+    d = F.col("_dnum") / den.cast("double")
+    stat = F.floor(
+        F.sqrt(
+            den.cast("double") / (F.col("n_a") + F.col("n_b"))
+        )
+        * d
+        * 1000
+    ).cast("long")
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.when(ok, d_micro).alias("d_micro"),
+        F.when(ok, stat).alias("ks_stat_milli"),
+    )
+
+
+def cramers_v(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+) -> DataFrame:
+    """Cramér's V effect size (Cramér 1946) — the "is this chi-squared
+    big?" normalization the raw statistic can't answer (chi2 grows
+    with n; V in [0,1] doesn't):
+
+        V = sqrt( (chi2 / n) / min(r - 1, c - 1) )
+
+    Composes :func:`chi2_cells`, which reports OBSERVED cells only —
+    a zero cell still contributes (0 - E)^2 / E = E to the full
+    statistic, and over the whole table the expected counts sum to n,
+    so the missing-cell mass is recovered EXACTLY as
+    ``n - sum(E over observed cells)`` (carried here as
+    ``n*1e6 - sum(expected_milli)*1000`` — integer, order-free,
+    within |cells| milli of the real-valued statistic and identical
+    in both engines). The close is one double chain over a 1-row
+    frame. Returns (n, n_rows, n_cols, chi2_micro, v_milli); NULL V
+    for a degenerate 1xC / Rx1 table.
+    """
+    cells = chi2_cells(df, row_col, col_col)
+    agg = cells.agg(
+        F.sum("observed").cast("long").alias("n"),
+        F.countDistinct(row_col).cast("long").alias("n_rows"),
+        F.countDistinct(col_col).cast("long").alias("n_cols"),
+        F.sum("chi2_micro").cast("long").alias("_obs_micro"),
+        F.sum("expected_milli").cast("long").alias("_e_milli"),
+    )
+    chi2_full = (
+        F.col("_obs_micro")
+        + F.col("n") * F.lit(1000000)
+        - F.col("_e_milli") * F.lit(1000)
+    )
+    dof = F.least(F.col("n_rows") - 1, F.col("n_cols") - 1)
+    v = F.sqrt(
+        (chi2_full / F.lit(1000000.0))
+        / (F.col("n") * dof).cast("double")
+    )
+    return agg.select(
+        "n",
+        "n_rows",
+        "n_cols",
+        chi2_full.cast("long").alias("chi2_micro"),
+        F.when(dof > 0, F.floor(v * 1000)).cast("long").alias("v_milli"),
+    )

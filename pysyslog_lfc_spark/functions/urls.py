@@ -270,3 +270,64 @@ def robots_url_filter(
         F.col("directive").alias("rule_directive"),
         F.col("prefix").alias("rule_prefix"),
     )
+
+
+def dga_domain_score(
+    df: DataFrame,
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Domain-generation-algorithm (DGA) heuristic scoring — the SIEM
+    staple for spotting malware C2 domains among DNS logs (public
+    heuristic family: algorithmically generated labels are long,
+    vowel-poor, digit-heavy, with long consonant runs; cf. the
+    published DGA-detection literature since Conficker). Scores the
+    second-level label with an integer-exact feature combo:
+
+        score = max(0, 300 - vowel_permille)
+              + 40 * max(0, max_consonant_run - 4)
+              + digit_permille / 2           (floored)
+              + 20 * max(0, sld_len - 12)
+
+    Returns (domain, sld, sld_len, digit_permille, vowel_permille,
+    max_consonant_run, dga_score, is_suspicious: score >= 300).
+    Pure regexp/array codegen, zero shuffle, oracle-replayable — the
+    deterministic triage tier before any learned classifier.
+    """
+    parts = F.split(F.lower(F.col(domain_col)), r"\.")
+    sld = F.when(F.size(parts) >= 2, F.element_at(parts, -2)).otherwise(
+        F.element_at(parts, 1)
+    )
+    n = F.length(sld)
+    digits = n - F.length(F.regexp_replace(sld, "[0-9]", ""))
+    vowels = n - F.length(F.regexp_replace(sld, "[aeiou]", ""))
+    runs = F.regexp_extract_all(
+        sld, F.lit("[bcdfghjklmnpqrstvwxyz]+"), F.lit(0)
+    )
+    max_run = F.coalesce(
+        F.array_max(F.transform(runs, lambda r: F.length(r))), F.lit(0)
+    )
+
+    def permille(x):
+        num = x * F.lit(1000)
+        return F.when(
+            n > 0, ((num - F.pmod(num, n)) / n).cast("long")
+        ).otherwise(F.lit(0))
+
+    dp, vp = permille(digits), permille(vowels)
+    half_dp = ((dp - F.pmod(dp, F.lit(2))) / 2).cast("long")
+    score = (
+        F.greatest(F.lit(0).cast("long"), 300 - vp)
+        + F.lit(40) * F.greatest(F.lit(0), max_run - 4)
+        + half_dp
+        + F.lit(20) * F.greatest(F.lit(0), n - 12)
+    ).cast("long")
+    return df.select(
+        F.col(domain_col).alias("domain"),
+        sld.alias("sld"),
+        n.cast("int").alias("sld_len"),
+        dp.alias("digit_permille"),
+        vp.alias("vowel_permille"),
+        max_run.cast("int").alias("max_consonant_run"),
+        score.alias("dga_score"),
+        (score >= 300).alias("is_suspicious"),
+    )

@@ -3992,3 +3992,4 @@ from pysyslog_lfc_spark.plans import driver_queries_ext21  # noqa: E402,F401
 from pysyslog_lfc_spark.plans import driver_queries_ext22  # noqa: E402,F401
 from pysyslog_lfc_spark.plans import driver_queries_ext23  # noqa: E402,F401
 from pysyslog_lfc_spark.plans import driver_queries_ext24  # noqa: E402,F401
+from pysyslog_lfc_spark.plans import driver_queries_ext25  # noqa: E402,F401

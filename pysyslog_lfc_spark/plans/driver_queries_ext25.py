@@ -1,0 +1,191 @@
+"""Driver-query registrations, round-3 batch 18.
+
+Imported by :mod:`pysyslog_lfc_spark.plans.driver_queries` (bottom of
+file). Two-sample Kolmogorov-Smirnov (distribution-shape companion to
+the Mann-Whitney location test), Cramér's V effect size (the "is this
+chi-squared big?" normalization), and DGA domain heuristic scoring
+(the SIEM C2-domain triage tier).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pysyslog_lfc_spark.plans.driver_queries import _t, query
+
+
+_KS_ORACLE = """
+WITH u AS (
+  SELECT CASE WHEN o_custkey % 2 = 0 THEN 'even' ELSE 'odd' END AS arm,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders
+),
+cells AS (
+  SELECT v,
+         CAST(sum(CASE WHEN arm = 'even' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(sum(CASE WHEN arm = 'odd' THEN 1 ELSE 0 END) AS BIGINT) AS nb
+  FROM u GROUP BY v
+),
+stepped AS (
+  SELECT sum(na) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+         sum(nb) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+         sum(na) OVER () AS ta,
+         sum(nb) OVER () AS tb
+  FROM cells
+),
+agg AS (
+  SELECT CAST(max(ta) AS BIGINT) AS n_a,
+         CAST(max(tb) AS BIGINT) AS n_b,
+         CAST(max(abs(ca * tb - cb * ta)) AS BIGINT) AS dnum
+  FROM stepped
+)
+SELECT n_a, n_b,
+       CASE WHEN n_a > 0 AND n_b > 0 THEN
+         CAST((dnum * 1000000 - ((dnum * 1000000) % (n_a * n_b)))
+              / (n_a * n_b) AS BIGINT) END AS d_micro,
+       CASE WHEN n_a > 0 AND n_b > 0 THEN
+         CAST(floor(sqrt(CAST(n_a * n_b AS DOUBLE) / (n_a + n_b))
+                    * (dnum / CAST(n_a * n_b AS DOUBLE)) * 1000)
+              AS BIGINT) END AS ks_stat_milli
+FROM agg
+"""
+
+
+@query("ks_value_by_cohort", _KS_ORACLE)
+def ks_value_by_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test (functions/stats.py::
+    ks_test): D = max CDF gap between even/odd customer-key arms over
+    order value cents — detects shape differences the rank-sum test
+    misses. Cross-multiplied integers keep D exact; the corpus
+    collapses to the distinct-value frame before any window."""
+    from pysyslog_lfc_spark.functions.stats import ks_test
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.when(F.pmod(F.col("o_custkey"), F.lit(2)) == 0, F.lit("even"))
+        .otherwise(F.lit("odd"))
+        .alias("arm"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    return ks_test(orders, "arm", F.col("cents"), "even", "odd")
+
+
+def _cramers_oracle_sql() -> str:
+    from pysyslog_lfc_spark.plans.driver_queries import all_oracles
+
+    chi2 = all_oracles()["chi2_event_hour"]
+    return f"""
+    WITH cells AS ({chi2}),
+    m AS (
+      SELECT CAST(sum(observed) AS BIGINT) AS n,
+             count(DISTINCT event_type)::BIGINT AS n_rows,
+             count(DISTINCT hour)::BIGINT AS n_cols,
+             CAST(sum(chi2_micro) AS BIGINT) AS obs_micro,
+             CAST(sum(expected_milli) AS BIGINT) AS e_milli
+      FROM cells
+    ),
+    full_chi AS (
+      SELECT n, n_rows, n_cols,
+             obs_micro + n * 1000000 - e_milli * 1000 AS chi2_micro
+      FROM m
+    )
+    SELECT n, n_rows, n_cols, CAST(chi2_micro AS BIGINT) AS chi2_micro,
+           CASE WHEN least(n_rows - 1, n_cols - 1) > 0 THEN
+             CAST(floor(sqrt((chi2_micro / 1000000.0)
+                             / CAST(n * least(n_rows - 1, n_cols - 1)
+                                    AS DOUBLE)) * 1000) AS BIGINT)
+           END AS v_milli
+    FROM full_chi
+    """
+
+
+@query("cramers_v_event_hour", _cramers_oracle_sql())
+def cramers_v_event_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V effect size (functions/stats.py::cramers_v) of the
+    event-type x hour contingency — normalizes the chi-squared
+    statistic into [0,1] so drift alerts can threshold on effect size
+    rather than n-inflated significance. Composes the verified
+    chi2_cells micro parts; the oracle composes the verified chi2
+    replica the same way."""
+    from pysyslog_lfc_spark.functions.stats import cramers_v
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.hour(F.col("ts")).alias("hour")
+    )
+    return cramers_v(ev, "event_type", "hour")
+
+
+_DGA_ORACLE = """
+WITH doms AS (
+  SELECT DISTINCT CASE WHEN doc_id % 3 = 0
+              THEN substr(md5('dga:' || doc_id), 1, 12) || '.com'
+              ELSE source || '.example.com' END AS domain
+  FROM documents
+),
+feat AS (
+  SELECT domain,
+         CASE WHEN len(string_split(lower(domain), '.')) >= 2
+              THEN string_split(lower(domain), '.')[-2]
+              ELSE string_split(lower(domain), '.')[1] END AS sld
+  FROM doms
+),
+counts AS (
+  SELECT domain, sld,
+         CAST(length(sld) AS BIGINT) AS n,
+         CAST(length(sld) - length(regexp_replace(sld, '[0-9]', '', 'g'))
+              AS BIGINT) AS digits,
+         CAST(length(sld) - length(regexp_replace(sld, '[aeiou]', '', 'g'))
+              AS BIGINT) AS vowels,
+         coalesce(list_max(list_transform(
+           regexp_extract_all(sld, '[bcdfghjklmnpqrstvwxyz]+'),
+           r -> length(r))), 0) AS max_run
+  FROM feat
+),
+pm AS (
+  SELECT domain, sld, n, max_run,
+         CASE WHEN n > 0 THEN CAST((digits * 1000 - (digits * 1000) % n) / n
+                                   AS BIGINT) ELSE 0 END AS dp,
+         CASE WHEN n > 0 THEN CAST((vowels * 1000 - (vowels * 1000) % n) / n
+                                   AS BIGINT) ELSE 0 END AS vp
+  FROM counts
+)
+SELECT domain, sld, CAST(n AS INT) AS sld_len,
+       dp AS digit_permille, vp AS vowel_permille,
+       CAST(max_run AS INT) AS max_consonant_run,
+       CAST(greatest(0, 300 - vp)
+            + 40 * greatest(0, max_run - 4)
+            + CAST((dp - dp % 2) / 2 AS BIGINT)
+            + 20 * greatest(0, n - 12) AS BIGINT) AS dga_score,
+       greatest(0, 300 - vp) + 40 * greatest(0, max_run - 4)
+         + CAST((dp - dp % 2) / 2 AS BIGINT)
+         + 20 * greatest(0, n - 12) >= 300 AS is_suspicious
+FROM pm
+"""
+
+
+@query("dga_domain_scan", _DGA_ORACLE)
+def dga_domain_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DGA domain triage (functions/urls.py::dga_domain_score): the
+    deterministic consonant-run / vowel-ratio / digit-ratio / length
+    combo that flags algorithmically generated C2 domains in DNS logs
+    — md5-hex injections give the gate real positives next to the
+    benign fixture domains. Pure codegen, zero shuffle."""
+    from pysyslog_lfc_spark.functions.urls import dga_domain_score
+
+    docs = _t(spark, sf_dir, "documents")
+    doms = docs.select(
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.substring(
+                    F.md5(F.concat(F.lit("dga:"), F.col("doc_id"))), 1, 12
+                ),
+                F.lit(".com"),
+            ),
+        )
+        .otherwise(F.concat(F.col("source"), F.lit(".example.com")))
+        .alias("domain")
+    ).distinct()
+    return dga_domain_score(doms)

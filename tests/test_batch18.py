@@ -1,0 +1,94 @@
+"""Round-3 batch 18: KS test, Cramér's V, DGA scoring."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Row, functions as F
+
+
+class TestKsTest:
+    def test_hand_computed(self, spark):
+        from pysyslog_lfc_spark.functions.stats import ks_test
+
+        # A: 1,2,3  B: 3,4 -> max CDF gap at v=2: |2/3 - 0/2| = 2/3
+        rows = [
+            Row(g="A", v=1), Row(g="A", v=2), Row(g="A", v=3),
+            Row(g="B", v=3), Row(g="B", v=4),
+        ]
+        out = ks_test(
+            spark.createDataFrame(rows), "g", F.col("v"), "A", "B"
+        ).collect()[0]
+        assert (out.n_a, out.n_b) == (3, 2)
+        assert out.d_micro == (4 * 1000000) // 6  # |2*2 - 0*3| / 6
+        d = 4 / 6
+        expect = math.floor(math.sqrt(6 / 5) * d * 1000)
+        assert out.ks_stat_milli == expect
+
+    def test_identical_distributions_zero(self, spark):
+        from pysyslog_lfc_spark.functions.stats import ks_test
+
+        rows = [Row(g=g, v=v) for g in ("A", "B") for v in (1, 2, 3)]
+        out = ks_test(
+            spark.createDataFrame(rows), "g", F.col("v"), "A", "B"
+        ).collect()[0]
+        assert out.d_micro == 0 and out.ks_stat_milli == 0
+
+
+class TestCramersV:
+    def test_perfect_association(self, spark):
+        from pysyslog_lfc_spark.functions.stats import cramers_v
+
+        rows = [Row(a="x", b="1")] * 10 + [Row(a="y", b="2")] * 10
+        out = cramers_v(spark.createDataFrame(rows), "a", "b").collect()[0]
+        assert out.n == 20 and out.n_rows == 2 and out.n_cols == 2
+        # perfect association: V ~ 1 (floored milli, tiny floor loss)
+        assert out.v_milli >= 999
+
+    def test_independence_near_zero(self, spark):
+        from pysyslog_lfc_spark.functions.stats import cramers_v
+
+        rows = [
+            Row(a=a, b=b) for a in ("x", "y") for b in ("1", "2")
+            for _ in range(25)
+        ]
+        out = cramers_v(spark.createDataFrame(rows), "a", "b").collect()[0]
+        assert out.v_milli == 0
+
+    def test_degenerate_table_null(self, spark):
+        from pysyslog_lfc_spark.functions.stats import cramers_v
+
+        rows = [Row(a="x", b="1"), Row(a="x", b="2")]
+        out = cramers_v(spark.createDataFrame(rows), "a", "b").collect()[0]
+        assert out.v_milli is None
+
+
+class TestDgaScore:
+    def test_benign_vs_generated(self, spark):
+        from pysyslog_lfc_spark.functions.urls import dga_domain_score
+
+        df = spark.createDataFrame(
+            [
+                Row(domain="www.example.com"),
+                Row(domain="news.example.org"),
+                Row(domain="xk3q9f7zt2lp.com"),  # DGA-looking
+                Row(domain="a8f0c3b9d21e.net"),  # hex DGA
+            ]
+        )
+        out = {r.domain: r for r in dga_domain_score(df).collect()}
+        assert out["www.example.com"].is_suspicious is False
+        assert out["www.example.com"].sld == "example"
+        assert out["xk3q9f7zt2lp.com"].is_suspicious is True
+        assert out["a8f0c3b9d21e.net"].is_suspicious is True
+        assert out["a8f0c3b9d21e.net"].digit_permille > 300
+
+    def test_feature_values(self, spark):
+        from pysyslog_lfc_spark.functions.urls import dga_domain_score
+
+        r = dga_domain_score(
+            spark.createDataFrame([Row(domain="abc123xyz.io")])
+        ).collect()[0]
+        assert r.sld_len == 9
+        assert r.digit_permille == 333
+        assert r.vowel_permille == 111  # one 'a'
+        assert r.max_consonant_run == 3  # 'xyz'

@@ -216,6 +216,9 @@ AUDIT_QUERIES = [
     "dedup_recall_eval",
     "token_bigram_lm",
     "token_entropy_seq",
+    "ks_value_by_cohort",
+    "cramers_v_event_hour",
+    "dga_domain_scan",
 ]
 
 
