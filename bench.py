@@ -251,6 +251,7 @@ BENCH_QUERIES = [
     "ks_value_by_cohort",
     "cramers_v_event_hour",
     "dga_domain_scan",
+    "text_line_stats",
 ]
 
 

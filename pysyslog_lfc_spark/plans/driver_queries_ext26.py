@@ -1,0 +1,88 @@
+"""Driver-query registrations, round-3 batch 19.
+
+Imported by :mod:`pysyslog_lfc_spark.plans.driver_queries` (bottom of
+file). Line-level document statistics — the Dolma/data-juicer filter
+family that word-level scores miss. (The streaming lateness monitor
+ships beside it as a tests-only stateful surface.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pysyslog_lfc_spark.plans.driver_queries import _t, query
+
+
+_LINE_ORACLE = r"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN replace(text, ' ', chr(10))
+              WHEN doc_id % 7 = 0
+              THEN text || chr(10) || chr(10) || 'tail line'
+              ELSE text END AS text
+  FROM documents
+),
+l AS (
+  SELECT doc_id,
+         string_split(text, chr(10)) AS lines,
+         list_filter(string_split(text, chr(10)),
+                     x -> trim(x) != '') AS nonblank
+  FROM aug
+),
+m AS (
+  SELECT doc_id,
+         len(lines)::BIGINT AS n_lines,
+         (len(lines) - len(nonblank))::BIGINT AS n_blank,
+         CAST(coalesce(list_sum(list_transform(nonblank, x -> length(x))), 0)
+              AS BIGINT) AS total_len,
+         len(nonblank)::BIGINT AS n_nb,
+         CAST(len(list_filter(nonblank, x -> length(x) < 10)) AS BIGINT)
+           AS n_short,
+         coalesce(list_max(list_transform(lines, x -> length(x))), 0)
+           AS max_len
+  FROM l
+)
+SELECT doc_id,
+       CAST(n_lines AS INT) AS n_lines,
+       CAST(n_blank AS INT) AS n_blank_lines,
+       CASE WHEN n_lines > 0 THEN
+         CAST((n_blank * 1000 - (n_blank * 1000) % n_lines) / n_lines
+              AS BIGINT) ELSE 0 END AS blank_permille,
+       CASE WHEN n_nb > 0 THEN
+         CAST((total_len * 1000 - (total_len * 1000) % n_nb) / n_nb
+              AS BIGINT) ELSE 0 END AS mean_line_len_milli,
+       CAST(max_len AS INT) AS max_line_len,
+       CASE WHEN n_nb > 0 THEN
+         CAST((n_short * 1000 - (n_short * 1000) % n_nb) / n_nb
+              AS BIGINT) ELSE 0 END AS short_line_permille
+FROM m
+"""
+
+
+@query("text_line_stats", _LINE_ORACLE)
+def text_line_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level document statistics (functions/text.py::line_stats —
+    the Dolma/data-juicer structural filters: minified one-liners,
+    menu-like short-line walls, blank-heavy templates). Deterministic
+    injections reshape every 5th doc into a line-per-word wall and
+    every 7th gains a blank + tail line, so the gate sees real
+    structural variety. Pure array codegen, zero shuffle."""
+    from pysyslog_lfc_spark.functions.text import line_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.regexp_replace(F.col("text"), " ", "\n"),
+        )
+        .when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit("\n\ntail line")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return line_stats(aug)

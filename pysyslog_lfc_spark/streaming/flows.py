@@ -924,3 +924,86 @@ def streaming_flap_dampener(
         if idle_timeout_s != float("inf")
         else GroupStateTimeout.NoTimeout,
     )
+
+
+_LATENESS_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("batch_events", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("n_late", T.LongType()),
+        T.StructField("max_lateness_s", T.LongType()),
+        T.StructField("max_event_ts", T.DoubleType()),
+    ]
+)
+_LATENESS_STATE = T.StructType(
+    [
+        T.StructField("max_ts", T.DoubleType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("n_late", T.LongType()),
+        T.StructField("max_late", T.LongType()),
+    ]
+)
+
+
+def streaming_lateness_monitor(
+    df: DataFrame,
+    key_col: str = "source",
+    ts_col: str = "ts",
+):
+    """Streaming twin of the batch watermark-sizing report
+    (operators/sessions.py::watermark_lateness): keyed state carries
+    the running event-time maximum; every arriving row's lateness =
+    max_seen - event_time (clamped at 0), and each micro-batch emits
+    one summary row per active key — the LIVE feedback loop for
+    tuning ``withWatermark`` bounds while a job runs, where the batch
+    report is the offline calibration.
+
+    State per key is one double + three counters — O(distinct keys)
+    forever. Rows inside a micro-batch fold in event-arrival order
+    (same at-arrival contract as the reference's sequential pipeline).
+
+    Emits (key, batch_events, n_events, n_late, max_lateness_s,
+    max_event_ts) per key per micro-batch.
+    """
+    import pandas as pd
+
+    def update(key, pdfs, state: GroupState):
+        max_ts, n_events, n_late, max_late = (
+            state.get if state.exists else (float("-inf"), 0, 0, 0)
+        )
+        batch = 0
+        for pdf in pdfs:
+            for _, row in pdf.iterrows():
+                t = (
+                    row[ts_col].timestamp()
+                    if hasattr(row[ts_col], "timestamp")
+                    else float(row[ts_col])
+                )
+                late = int(max(0.0, max_ts - t))
+                if late > 0:
+                    n_late += 1
+                    max_late = max(max_late, late)
+                max_ts = max(max_ts, t)
+                n_events += 1
+                batch += 1
+        state.update((max_ts, n_events, n_late, max_late))
+        yield pd.DataFrame(
+            [[key[0], batch, n_events, n_late, max_late, max_ts]],
+            columns=[
+                "key",
+                "batch_events",
+                "n_events",
+                "n_late",
+                "max_lateness_s",
+                "max_event_ts",
+            ],
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=_LATENESS_SCHEMA,
+        stateStructType=_LATENESS_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

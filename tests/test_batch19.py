@@ -1,0 +1,77 @@
+"""Round-3 batch 19: line stats and the streaming lateness monitor."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row, functions as F
+
+
+class TestLineStats:
+    def test_structural_shapes(self, spark):
+        from pysyslog_lfc_spark.functions.text import line_stats
+
+        docs = spark.createDataFrame(
+            [
+                Row(doc_id=1, text="one normal line of prose here"),
+                Row(doc_id=2, text="a\nb\nc\nd"),          # short-line wall
+                Row(doc_id=3, text="x\n\n\ny"),             # blank-heavy
+                Row(doc_id=4, text="long line over ten\nok"),
+            ]
+        )
+        out = {r.doc_id: r for r in line_stats(docs).collect()}
+        assert out[1].n_lines == 1 and out[1].n_blank_lines == 0
+        assert out[1].max_line_len == 29
+        assert out[2].short_line_permille == 1000
+        assert out[2].mean_line_len_milli == 1000  # every line 1 char
+        assert out[3].n_blank_lines == 2
+        assert out[3].blank_permille == 500
+        assert out[4].short_line_permille == 500
+
+    def test_empty_text(self, spark):
+        from pysyslog_lfc_spark.functions.text import line_stats
+
+        r = line_stats(
+            spark.createDataFrame([Row(doc_id=1, text="")])
+        ).collect()[0]
+        # split('') -> [''] : one line, blank
+        assert r.n_lines == 1 and r.n_blank_lines == 1
+        assert r.mean_line_len_milli == 0 and r.blank_permille == 1000
+
+
+class TestStreamingLatenessMonitor:
+    def test_state_carries_across_batches(self, spark, tmp_path):
+        from pysyslog_lfc_spark.streaming.flows import (
+            streaming_lateness_monitor,
+        )
+
+        rows = [
+            # key a: 100, 90 (10 late), 200, 160 (40 late)
+            ("a", "2024-01-01 10:01:40"),
+            ("a", "2024-01-01 10:01:30"),
+            ("a", "2024-01-01 10:03:20"),
+            ("a", "2024-01-01 10:02:40"),
+            # key b: in order
+            ("b", "2024-01-01 10:00:10"),
+            ("b", "2024-01-01 10:00:20"),
+        ]
+        df = (
+            spark.createDataFrame(rows, "source string, ts_s string")
+            .withColumn("ts", F.col("ts_s").cast("timestamp"))
+            .drop("ts_s")
+        )
+        src = tmp_path / "late_in"
+        df.coalesce(1).write.mode("overwrite").parquet(str(src))
+        stream = spark.readStream.schema(df.schema).parquet(str(src))
+        q = (
+            streaming_lateness_monitor(stream)
+            .writeStream.format("memory")
+            .queryName("late_t")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {r.key: r for r in spark.sql("SELECT * FROM late_t").collect()}
+        assert got["a"].n_events == 4
+        assert got["a"].n_late == 2
+        assert got["a"].max_lateness_s == 40
+        assert got["b"].n_late == 0 and got["b"].max_lateness_s == 0
