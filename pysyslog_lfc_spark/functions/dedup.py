@@ -1613,3 +1613,69 @@ def span_loss_mask(
         .otherwise(F.array().cast("array<int>"))
         .alias("loss_mask"),
     )
+
+
+def cluster_quality_report(
+    pairs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-cluster dedup quality — the audit run after any clustering
+    dedup pass to catch chaining artifacts (transitive closure can
+    glue B-C-D chains whose END-to-END similarity is low even though
+    every EDGE clears the threshold): per transitive cluster, the
+    verified pair-edge stats.
+
+    Inputs: ``pairs`` (id_a, id_b, jaccard — the verified pair frame)
+    and ``clusters`` (id, cluster_id). Returns one row per cluster:
+    (cluster_id, n_members, n_edges, edge_density_permille,
+    min_jac_e4, mean_jac_e4) — a cluster with density well below 1000
+    and a low min edge is a chained cluster worth re-verifying
+    end-to-end before dropping members.
+
+    Scale shape: pairs join the (broadcastable) cluster frame on one
+    endpoint; both aggregates are keyed by cluster_id with map-side
+    partials. jac carried as e4 integers (the verify grid), means as
+    subtract-mod floors.
+    """
+    cl = clusters.select(
+        F.col(id_col).alias("_m"), F.col("cluster_id")
+    )
+    sizes = cl.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    tagged = pairs.join(
+        F.broadcast(cl), pairs["id_a"] == F.col("_m")
+    ).select(
+        "cluster_id",
+        F.round(F.col("jaccard") * 10000, 0).cast("long").alias("_j4"),
+    )
+    edges = tagged.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.min("_j4").alias("min_jac_e4"),
+        F.sum("_j4").alias("_jsum"),
+    )
+    mean_j = (
+        (F.col("_jsum") - F.pmod(F.col("_jsum"), F.col("n_edges")))
+        / F.col("n_edges")
+    ).cast("long")
+    max_edges = (F.col("n_members") * (F.col("n_members") - 1)) / 2
+    density_num = F.col("n_edges") * F.lit(1000) * 2
+    density_den = F.col("n_members") * (F.col("n_members") - 1)
+    density = F.when(
+        density_den > 0,
+        (
+            (density_num - F.pmod(density_num, density_den)) / density_den
+        ).cast("long"),
+    )
+    return (
+        sizes.join(edges, "cluster_id", "left")
+        .select(
+            "cluster_id",
+            "n_members",
+            F.coalesce("n_edges", F.lit(0)).alias("n_edges"),
+            density.alias("edge_density_permille"),
+            F.col("min_jac_e4"),
+            F.when(F.col("n_edges") > 0, mean_j).alias("mean_jac_e4"),
+        )
+    )

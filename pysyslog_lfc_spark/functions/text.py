@@ -1281,3 +1281,52 @@ def line_stats(
             "short_line_permille"
         ),
     )
+
+
+def license_marker_scan(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """License/copyright marker detection — the training-data
+    compliance pass run before corpus release (the public marker
+    families every compliance pipeline greps for): SPDX license tags,
+    Creative-Commons license URLs, and rights-reserved boilerplate.
+
+    Returns (id, spdx_id, cc_license, has_rights_reserved,
+    has_copyright_symbol, n_markers) — extraction columns are null
+    when absent; ``n_markers`` counts distinct marker families hit.
+
+    Pure regexp codegen inside the corpus scan — zero shuffle; the
+    result frame is the routing input for license-aware filtering
+    (drop / quarantine / attribute).
+    """
+    t = F.col(text_col)
+    spdx = F.nullif(
+        F.regexp_extract(
+            t, r"SPDX-License-Identifier:\s*([A-Za-z0-9.+-]+)", 1
+        ),
+        F.lit(""),
+    )
+    cc = F.nullif(
+        F.regexp_extract(
+            t, r"creativecommons\.org/licenses/([a-z-]+)", 1
+        ),
+        F.lit(""),
+    )
+    rights = t.rlike("(?i)all rights reserved")
+    csym = t.contains("©") | t.rlike(r"(?i)copyright\s+(19|20)\d\d")
+    n = (
+        spdx.isNotNull().cast("int")
+        + cc.isNotNull().cast("int")
+        + rights.cast("int")
+        + csym.cast("int")
+    )
+    return df.select(
+        F.col(id_col),
+        spdx.alias("spdx_id"),
+        cc.alias("cc_license"),
+        rights.alias("has_rights_reserved"),
+        csym.alias("has_copyright_symbol"),
+        n.cast("int").alias("n_markers"),
+    )

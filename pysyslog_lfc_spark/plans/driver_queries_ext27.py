@@ -1,0 +1,148 @@
+"""Driver-query registrations, round-3 batch 20.
+
+Imported by :mod:`pysyslog_lfc_spark.plans.driver_queries` (bottom of
+file). License/copyright marker scanning (the corpus-release
+compliance pass) and the per-cluster dedup quality audit (the
+chained-cluster detector).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pysyslog_lfc_spark.plans.driver_queries import _t, query
+
+
+_LICENSE_ORACLE = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 17 = 0
+                 THEN ' SPDX-License-Identifier: MIT' ELSE '' END
+         || CASE WHEN doc_id % 19 = 0
+                 THEN ' see https://creativecommons.org/licenses/by-sa/4.0/'
+                 ELSE '' END
+         || CASE WHEN doc_id % 23 = 0
+                 THEN ' All Rights Reserved.' ELSE '' END
+         || CASE WHEN doc_id % 29 = 0
+                 THEN ' Copyright 2021 Example Corp' ELSE '' END AS text
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         nullif(regexp_extract(text,
+           'SPDX-License-Identifier:\s*([A-Za-z0-9.+-]+)', 1), '') AS spdx_id,
+         nullif(regexp_extract(text,
+           'creativecommons\.org/licenses/([a-z-]+)', 1), '') AS cc_license,
+         regexp_matches(text, '(?i)all rights reserved')
+           AS has_rights_reserved,
+         (contains(text, '©')
+          OR regexp_matches(text, '(?i)copyright\s+(19|20)\d\d'))
+           AS has_copyright_symbol
+  FROM aug
+)
+SELECT doc_id, spdx_id, cc_license, has_rights_reserved,
+       has_copyright_symbol,
+       CAST((CASE WHEN spdx_id IS NOT NULL THEN 1 ELSE 0 END)
+            + (CASE WHEN cc_license IS NOT NULL THEN 1 ELSE 0 END)
+            + (CASE WHEN has_rights_reserved THEN 1 ELSE 0 END)
+            + (CASE WHEN has_copyright_symbol THEN 1 ELSE 0 END)
+            AS INT) AS n_markers
+FROM m
+"""
+
+
+@query("license_marker_scan", _LICENSE_ORACLE)
+def license_marker_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """License/copyright compliance scan (functions/text.py::
+    license_marker_scan): SPDX tags, Creative-Commons license URLs,
+    rights-reserved boilerplate and copyright lines — the release
+    pass that routes documents to drop/quarantine/attribute. Marker
+    injections give the gate real positives of every family; pure
+    regexp codegen, zero shuffle."""
+    from pysyslog_lfc_spark.functions.text import license_marker_scan
+
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 17 == 0,
+                F.lit(" SPDX-License-Identifier: MIT"),
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 19 == 0,
+                F.lit(
+                    " see https://creativecommons.org/licenses/by-sa/4.0/"
+                ),
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 23 == 0, F.lit(" All Rights Reserved.")
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 29 == 0,
+                F.lit(" Copyright 2021 Example Corp"),
+            ).otherwise(""),
+        ).alias("text"),
+    )
+    return license_marker_scan(aug)
+
+
+def _cluster_quality_oracle_sql() -> str:
+    from pysyslog_lfc_spark.plans.driver_queries import all_oracles
+
+    pairs = all_oracles()["dedup_minhash_lsh"]
+    cc = all_oracles()["dedup_clusters_cc"]
+    return f"""
+    WITH pairs AS ({pairs}),
+    cl AS ({cc}),
+    sizes AS (
+      SELECT cluster_id, count(*)::BIGINT AS n_members FROM cl GROUP BY 1
+    ),
+    tagged AS (
+      SELECT cl.cluster_id,
+             CAST(round(p.jaccard * 10000, 0) AS BIGINT) AS j4
+      FROM pairs p JOIN cl ON p.id_a = cl.doc_id
+    ),
+    edges AS (
+      SELECT cluster_id, count(*)::BIGINT AS n_edges,
+             CAST(min(j4) AS BIGINT) AS min_jac_e4,
+             CAST(sum(j4) AS BIGINT) AS jsum
+      FROM tagged GROUP BY 1
+    )
+    SELECT s.cluster_id, s.n_members,
+           coalesce(e.n_edges, 0) AS n_edges,
+           CASE WHEN s.n_members * (s.n_members - 1) > 0 THEN
+             CAST((e.n_edges * 2000
+                   - (e.n_edges * 2000) % (s.n_members * (s.n_members - 1)))
+                  / (s.n_members * (s.n_members - 1)) AS BIGINT)
+           END AS edge_density_permille,
+           e.min_jac_e4,
+           CASE WHEN e.n_edges > 0 THEN
+             CAST((e.jsum - e.jsum % e.n_edges) / e.n_edges AS BIGINT)
+           END AS mean_jac_e4
+    FROM sizes s LEFT JOIN edges e USING (cluster_id)
+    """
+
+
+@query("dedup_cluster_quality", _cluster_quality_oracle_sql())
+def dedup_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster dedup audit (functions/dedup.py::
+    cluster_quality_report): edge density and min/mean verified
+    Jaccard per transitive cluster — the chained-cluster detector
+    (closure can glue chains whose end-to-end similarity is low even
+    though every edge clears the threshold). Composes the two verified
+    replicas (pairs + components), so the audit itself is
+    hash-gated."""
+    from pysyslog_lfc_spark.functions.dedup import (
+        cluster_quality_report,
+        dedup_clusters,
+        minhash_lsh_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.9)
+    clusters = dedup_clusters(docs, threshold=0.9)
+    return cluster_quality_report(pairs, clusters)

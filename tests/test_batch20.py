@@ -1,0 +1,63 @@
+"""Round-3 batch 20: license markers and dedup cluster quality."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+
+class TestLicenseMarkers:
+    def test_each_family_detected(self, spark):
+        from pysyslog_lfc_spark.functions.text import license_marker_scan
+
+        docs = spark.createDataFrame(
+            [
+                Row(doc_id=1, text="code\nSPDX-License-Identifier: Apache-2.0"),
+                Row(
+                    doc_id=2,
+                    text="photo from creativecommons.org/licenses/by-nc/2.0/x",
+                ),
+                Row(doc_id=3, text="Novel text. ALL RIGHTS RESERVED."),
+                Row(doc_id=4, text="© 2020 Someone"),
+                Row(doc_id=5, text="Copyright 1999 Corp"),
+                Row(doc_id=6, text="plain unlicensed prose"),
+            ]
+        )
+        out = {r.doc_id: r for r in license_marker_scan(docs).collect()}
+        assert out[1].spdx_id == "Apache-2.0" and out[1].n_markers == 1
+        assert out[2].cc_license == "by-nc"
+        assert out[3].has_rights_reserved is True
+        assert out[4].has_copyright_symbol is True
+        assert out[5].has_copyright_symbol is True
+        assert out[6].n_markers == 0 and out[6].spdx_id is None
+
+
+class TestClusterQuality:
+    def test_dense_vs_chained(self, spark):
+        from pysyslog_lfc_spark.functions.dedup import (
+            cluster_quality_report,
+        )
+
+        # cluster 1 = triangle (dense), cluster 10 = chain of 3
+        pairs = spark.createDataFrame(
+            [
+                Row(id_a=1, id_b=2, jaccard=0.95),
+                Row(id_a=1, id_b=3, jaccard=0.92),
+                Row(id_a=2, id_b=3, jaccard=0.91),
+                Row(id_a=10, id_b=11, jaccard=0.90),
+                Row(id_a=11, id_b=12, jaccard=0.90),
+            ]
+        )
+        clusters = spark.createDataFrame(
+            [Row(doc_id=i, cluster_id=1) for i in (1, 2, 3)]
+            + [Row(doc_id=i, cluster_id=10) for i in (10, 11, 12)]
+        )
+        out = {
+            r.cluster_id: r
+            for r in cluster_quality_report(pairs, clusters).collect()
+        }
+        assert out[1].n_edges == 3
+        assert out[1].edge_density_permille == 1000
+        assert out[1].min_jac_e4 == 9100
+        assert out[1].mean_jac_e4 == (9500 + 9200 + 9100) // 3
+        assert out[10].n_edges == 2
+        assert out[10].edge_density_permille == 666  # chained: 2 of 3

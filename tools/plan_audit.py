@@ -220,6 +220,8 @@ AUDIT_QUERIES = [
     "cramers_v_event_hour",
     "dga_domain_scan",
     "text_line_stats",
+    "license_marker_scan",
+    "dedup_cluster_quality",
 ]
 
 
