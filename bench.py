@@ -254,6 +254,8 @@ BENCH_QUERIES = [
     "text_line_stats",
     "license_marker_scan",
     "dedup_cluster_quality",
+    "sft_qa_mining",
+    "injection_marker_scan",
 ]
 
 

@@ -107,3 +107,42 @@ def assemble_conversations(
         "tokens",
         "loss_mask",
     )
+
+
+def qa_pair_mining(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Instruction-pair mining from web text — the public SFT-data
+    recipe of extracting naturally occurring Q/A structure (FAQ pages,
+    forum threads, study guides) into (question, answer) training
+    pairs: anchored multiline ``Q:``/``Question:`` lines immediately
+    followed by ``A:``/``Answer:`` lines.
+
+    Returns one row per mined pair:
+    (id, pair_idx, question, answer, q_chars, a_chars).
+
+    Both capture groups come from TWO ``regexp_extract_all`` passes of
+    the same anchored pattern zipped positionally (extract_all returns
+    one group per call in every engine) — pure codegen + one explode,
+    zero shuffle; docs without Q/A structure simply produce no rows.
+    """
+    pat = r"(?m)^Q(?:uestion)?:[ \t]*(.+)\n+A(?:nswer)?:[ \t]*(.+)$"
+    t = F.col(text_col)
+    qs = F.regexp_extract_all(t, F.lit(pat), F.lit(1))
+    ans = F.regexp_extract_all(t, F.lit(pat), F.lit(2))
+    pairs = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.arrays_zip(qs.alias("q"), ans.alias("a"))
+        ).alias("pair_idx", "_p"),
+    )
+    return pairs.select(
+        F.col(id_col),
+        F.col("pair_idx").cast("int").alias("pair_idx"),
+        F.col("_p.q").alias("question"),
+        F.col("_p.a").alias("answer"),
+        F.length("_p.q").cast("int").alias("q_chars"),
+        F.length("_p.a").cast("int").alias("a_chars"),
+    )

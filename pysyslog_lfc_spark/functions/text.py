@@ -1330,3 +1330,46 @@ def license_marker_scan(
         csym.alias("has_copyright_symbol"),
         n.cast("int").alias("n_markers"),
     )
+
+
+# Prompt-injection marker families (public jailbreak phrasing classes;
+# RE2-portable, case-insensitive). A hit routes the document to review
+# before it can enter an instruction-tuning corpus.
+INJECTION_PATTERNS: dict[str, str] = {
+    "override": r"(?i)(ignore|disregard|forget)( all| any)?"
+    r"( previous| prior| above| earlier)? (instructions|prompts|rules)",
+    "persona": r"(?i)you are (now|no longer)\b",
+    "system_probe": r"(?i)(reveal|print|repeat|show)( your| the)? system"
+    r" prompt",
+    "exfil": r"(?i)(send|post|upload) (this|the|your) (data|conversation|"
+    r"keys?|secrets?)",
+}
+
+
+def injection_marker_scan(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Prompt-injection marker scan — the SFT-corpus safety pass that
+    quarantines documents carrying jailbreak phrasing before they can
+    be mined into instruction pairs (run beside
+    :func:`~pysyslog_lfc_spark.functions.sft.qa_pair_mining` and the
+    secrets scan): per-family boolean flags + hit count.
+
+    Returns (id, flag_<family>..., n_families). Pure regexp codegen,
+    zero shuffle; patterns are RE2-portable so the oracle replays them
+    verbatim.
+    """
+    t = F.col(text_col)
+    flags = {
+        name: t.rlike(pat) for name, pat in INJECTION_PATTERNS.items()
+    }
+    n = None
+    for c in flags.values():
+        n = c.cast("int") if n is None else n + c.cast("int")
+    return df.select(
+        F.col(id_col),
+        *[c.alias(f"flag_{name}") for name, c in flags.items()],
+        n.cast("int").alias("n_families"),
+    )
