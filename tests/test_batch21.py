@@ -64,3 +64,38 @@ class TestInjectionScan:
         assert out[4].flag_exfil is True
         assert out[5].n_families == 0
         assert out[6].n_families == 2
+
+
+class TestCriIniFlow:
+    def test_cri_parser_via_ini_flow(self, spark):
+        """Integration: parser.type = cri resolves through the
+        registry and runs inside a full INI flow with a filter and a
+        text template — the reference's parser->filter->format
+        composition over the CRI line format."""
+        from pysyslog_lfc_spark import config
+        from pysyslog_lfc_spark.plans.compiler import run_flow
+
+        cfg = config.loads(
+            """
+[flow.k8s]
+input.type = memory
+parser.type = cri
+filter.errs.type = field
+filter.errs.field = stream
+filter.errs.op = eq
+filter.errs.value = stderr
+output.type = memory
+output.format = text
+format.template = {tag}|{message}
+"""
+        )
+        out = run_flow(
+            spark,
+            cfg.get_flow("k8s"),
+            lines=[
+                "2024-03-01T10:20:30.123456789Z stderr F boom happened",
+                "2024-03-01T10:20:31.000000000Z stdout F quiet line",
+                "not a cri line at all",
+            ],
+        )
+        assert out == ["F|boom happened"]
