@@ -1,0 +1,189 @@
+"""Property-based replays for the round-3 operators: Kaplan-Meier vs
+the textbook product, Mann-Whitney U vs brute-force pair counting, KS
+vs the brute-force CDF sweep, Kish ESS vs its definition, token entropy
+vs a Python reference, MG heavy hitters vs exact counting, and
+structural invariants of the SFT assembler and span loss mask."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import Row, functions as F
+
+subjects_strategy = st.lists(
+    st.tuples(st.integers(0, 8), st.integers(0, 1)),  # (duration, event)
+    min_size=1,
+    max_size=20,
+)
+
+two_arm_strategy = st.lists(
+    st.tuples(st.sampled_from("AB"), st.integers(0, 6)),
+    min_size=2,
+    max_size=25,
+)
+
+weights_strategy = st.lists(st.integers(1, 50), min_size=1, max_size=20)
+
+tokens_strategy = st.lists(
+    st.integers(0, 5), min_size=0, max_size=15
+)
+
+items_strategy = st.lists(st.sampled_from("abcde"), min_size=1, max_size=40)
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=subjects_strategy)
+def test_kaplan_meier_matches_textbook_product(spark, rows):
+    from pysyslog_lfc_spark.functions.stats import kaplan_meier
+
+    df = spark.createDataFrame(
+        [Row(g="g", t=t, ev=e) for t, e in rows]
+    )
+    got = {
+        r.t: r for r in kaplan_meier(df, "g", "t", "ev").collect()
+    }
+    # textbook sweep
+    remaining = len(rows)
+    cum_micro = 0
+    dead = False
+    for t in sorted({t for t, _ in rows}):
+        d = sum(1 for tt, e in rows if tt == t and e == 1)
+        c = sum(1 for tt, e in rows if tt == t and e == 0)
+        n = remaining
+        assert got[t].n_risk == n
+        assert got[t].n_events == d and got[t].n_censored == c
+        if d == n and d > 0:
+            dead = True
+        elif d > 0:
+            cum_micro += math.floor(math.log((n - d) / n) * 1e6)
+        expect = 0 if dead else math.floor(
+            math.exp(cum_micro / 1e6) * 1e6
+        )
+        assert got[t].survival_ppm == expect
+        remaining -= d + c
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=two_arm_strategy)
+def test_mann_whitney_u_matches_pair_counting(spark, rows):
+    from pysyslog_lfc_spark.functions.stats import mann_whitney_u
+
+    df = spark.createDataFrame([Row(g=g, v=v) for g, v in rows])
+    out = mann_whitney_u(df, "g", F.col("v"), "A", "B").collect()[0]
+    a = [v for g, v in rows if g == "A"]
+    b = [v for g, v in rows if g == "B"]
+    assert (out.n_a, out.n_b) == (len(a), len(b))
+    # U_A = #(a > b) + #(a == b)/2 over all cross pairs -> 2U exact
+    u2 = sum(
+        2 if x > y else (1 if x == y else 0) for x in a for y in b
+    )
+    assert out.u2_a == u2
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=two_arm_strategy)
+def test_ks_matches_bruteforce_cdf_sweep(spark, rows):
+    from pysyslog_lfc_spark.functions.stats import ks_test
+
+    df = spark.createDataFrame([Row(g=g, v=v) for g, v in rows])
+    out = ks_test(df, "g", F.col("v"), "A", "B").collect()[0]
+    a = sorted(v for g, v in rows if g == "A")
+    b = sorted(v for g, v in rows if g == "B")
+    if not a or not b:
+        assert out.d_micro is None
+        return
+    dnum = 0
+    for x in sorted(set(a + b)):
+        ca = sum(1 for v in a if v <= x)
+        cb = sum(1 for v in b if v <= x)
+        dnum = max(dnum, abs(ca * len(b) - cb * len(a)))
+    assert out.d_micro == (dnum * 1000000) // (len(a) * len(b))
+
+
+@settings(max_examples=10, deadline=None)
+@given(ws=weights_strategy)
+def test_ess_matches_definition(spark, ws):
+    from pysyslog_lfc_spark.operators.sampling import effective_sample_size
+
+    df = spark.createDataFrame([Row(w=w) for w in ws])
+    r = effective_sample_size(df, "w").collect()[0]
+    s1, s2 = sum(ws), sum(w * w for w in ws)
+    assert r.ess_milli == (1000 * s1 * s1) // s2
+    assert r.max_w_share_micro == (1000000 * max(ws)) // s1
+    assert r.ess_milli <= r.n * 1000  # ESS never exceeds n
+
+
+@settings(max_examples=10, deadline=None)
+@given(t=tokens_strategy)
+def test_token_entropy_matches_python(spark, t):
+    from collections import Counter
+
+    from pysyslog_lfc_spark.functions.tokens import token_entropy
+
+    df = spark.createDataFrame(
+        [(1, t)], "doc_id long, t array<int>"
+    )
+    r = token_entropy(df).collect()[0]
+    if not t:
+        assert r.entropy_milli is None
+        return
+    c = Counter(t)
+    clnc = sum(math.floor(v * math.log(v) * 1e6) for v in c.values())
+    h = math.log(len(t)) - (clnc / 1e6) / len(t)
+    assert r.entropy_milli == math.floor(h * 1000)
+    assert r.n_distinct == len(c)
+    # bounds: 0 <= H <= ln(n)
+    assert -1 <= r.entropy_milli <= math.floor(math.log(len(t)) * 1000) + 1
+
+
+@settings(max_examples=8, deadline=None)
+@given(items=items_strategy)
+def test_mg_heavy_hitters_exact_above_threshold(spark, items):
+    from collections import Counter
+
+    from pysyslog_lfc_spark.functions.sketches import mg_heavy_hitters
+
+    df = spark.createDataFrame(
+        [Row(k=i) for i in items]
+    ).repartition(4)
+    got = {
+        r.item: r.cnt
+        for r in mg_heavy_hitters(df, "k", phi_permille=300).collect()
+    }
+    n = len(items)
+    want = {
+        k: c for k, c in Counter(items).items() if 1000 * c > n * 300
+    }
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    turns=st.lists(
+        st.tuples(
+            st.sampled_from(["user", "assistant"]),
+            st.lists(st.integers(0, 99), min_size=0, max_size=5),
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_sft_assembly_invariants(spark, turns):
+    from pysyslog_lfc_spark.functions.sft import assemble_conversations
+
+    df = spark.createDataFrame(
+        [(1, i, role, toks) for i, (role, toks) in enumerate(turns)],
+        "conv_id long, ts long, role string, toks array<int>",
+    )
+    r = assemble_conversations(df, conv_col="conv_id", order_cols=["ts"]).collect()[0]
+    assert len(r.tokens) == len(r.loss_mask) == r.n_tokens
+    assert r.n_turns == len(turns)
+    # every turn contributes len(toks) + 2 positions
+    assert r.n_tokens == sum(len(t) + 2 for _, t in turns)
+    # trained positions = assistant content + assistant EOTs
+    want_train = sum(
+        len(t) + 1 for role, t in turns if role == "assistant"
+    )
+    assert r.n_train_tokens == want_train
+    assert set(r.loss_mask) <= {0, 1}
