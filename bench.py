@@ -256,6 +256,8 @@ BENCH_QUERIES = [
     "dedup_cluster_quality",
     "sft_qa_mining",
     "injection_marker_scan",
+    "rocchio_label_eval",
+    "markov_next_event_eval",
 ]
 
 

@@ -343,3 +343,90 @@ def all_but_top_debias(
         F.col("d").cast("int").alias("d"),
         F.round(debias * F.lit(10000.0), 0).cast("long").alias("debias_e4"),
     )
+
+
+def rocchio_label_eval(
+    train: DataFrame,
+    test: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    dim: int = 64,
+) -> DataFrame:
+    """Nearest-centroid (Rocchio) classification probe — the
+    parametric companion to :func:`knn_label_eval` (one centroid per
+    class instead of instance votes; the classic strong baseline for
+    "are these embeddings linearly separable by class"): assign each
+    test vector to the class whose TRAIN centroid has the highest
+    cosine similarity.
+
+    Exactness: cosine is scale-invariant, so cos(q, mean_c) =
+    cos(q, sum_c) — the per-class SUM of int8-quantized vectors is an
+    exact integer vector, the dot products and both norms are exact
+    BIGINTs, and the only float work is one sqrt/divide chain per
+    (vector, class), rounded to 4 before the argmax (smallest label
+    wins ties — the knn convention).
+
+    Returns (id, true_label, pred_label, cos4, correct).
+
+    Scale shape: centroid sums = ONE train-side hash aggregate to a
+    |labels| x dim frame, collected (bounded driver work, the kmeans
+    convention) and baked back as literal arrays — classification is
+    pure per-row codegen over the test split, ZERO shuffle.
+    """
+    from pysyslog_lfc_spark.functions.similarity import quantize_embeddings
+
+    qtr = quantize_embeddings(train, vec_col)
+    sums = (
+        qtr.select(
+            F.col(label_col).alias("_l"),
+            F.posexplode("q_vec").alias("d", "x"),
+        )
+        .groupBy("_l", "d")
+        .agg(F.sum("x").cast("long").alias("s"))
+        .collect()
+    )
+    by_label: dict[int, list[int]] = {}
+    for r in sums:
+        by_label.setdefault(r["_l"], [0] * dim)[r["d"]] = int(r["s"])
+    labels = sorted(by_label)
+    cents = [(lb, by_label[lb], sum(v * v for v in by_label[lb]))
+             for lb in labels]
+
+    qte = quantize_embeddings(test, vec_col)
+    qnorm2 = F.aggregate(
+        F.zip_with(
+            "q_vec", F.col("q_vec"), lambda a, b: a.cast("long") * b
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored_cols = []
+    for lb, svec, ss in cents:
+        s_arr = F.array(*[F.lit(v).cast("long") for v in svec])
+        dot = F.aggregate(
+            F.zip_with("q_vec", s_arr, lambda a, b: a.cast("long") * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        cos = F.when(
+            (qnorm2 > 0) & (F.lit(ss) > 0),
+            F.round(
+                dot
+                / (F.sqrt(qnorm2.cast("double")) * F.sqrt(F.lit(float(ss)))),
+                4,
+            ),
+        ).otherwise(F.lit(-2.0))
+        scored_cols.append(
+            F.struct(
+                cos.alias("c"), (-F.lit(lb)).cast("long").alias("_nl")
+            )
+        )
+    best = F.greatest(*scored_cols) if len(scored_cols) > 1 else scored_cols[0]
+    return qte.select(
+        F.col(id_col),
+        F.col(label_col).alias("true_label"),
+        (-best["_nl"]).cast("int").alias("pred_label"),
+        best["c"].alias("cos4"),
+        ((-best["_nl"]).cast("int") == F.col(label_col)).alias("correct"),
+    )

@@ -1,0 +1,193 @@
+"""Driver-query registrations, round-3 batch 22.
+
+Imported by :mod:`pysyslog_lfc_spark.plans.driver_queries` (bottom of
+file). Nearest-centroid (Rocchio) classification probe (the parametric
+companion to the k-NN label check) and a train/test Markov next-event
+prediction evaluation over the behavioral stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pysyslog_lfc_spark.plans.driver_queries import _t, query
+
+
+_ROCCHIO_ORACLE = """
+WITH e AS (
+  SELECT vec_id, label,
+         CAST(list_max(list_transform(embedding,
+                x -> abs(CAST(x AS DOUBLE)))) AS DOUBLE) / 127e0 AS q_scale,
+         embedding
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id, label,
+         CASE WHEN q_scale = 0e0
+              THEN list_transform(embedding, x -> 0)
+              ELSE list_transform(embedding,
+                     x -> CAST(floor(CAST(x AS DOUBLE) / q_scale + 0.5e0)
+                               AS INT))
+         END AS qv
+  FROM e
+),
+train AS (SELECT * FROM q WHERE vec_id % 5 != 0),
+test AS (SELECT * FROM q WHERE vec_id % 5 = 0),
+cent AS (
+  SELECT label AS cl, t.i AS d, CAST(sum(qv[t.i]) AS BIGINT) AS s
+  FROM train, unnest(generate_series(1, 64)) AS t(i)
+  GROUP BY 1, 2
+),
+cnorm AS (
+  SELECT cl, CAST(sum(s * s) AS BIGINT) AS ss FROM cent GROUP BY cl
+),
+qn AS (
+  SELECT vec_id, label,
+         CAST(sum(CAST(qv[t.i] AS BIGINT) * qv[t.i]) AS BIGINT) AS q2
+  FROM test, unnest(generate_series(1, 64)) AS t(i)
+  GROUP BY vec_id, label
+),
+dots AS (
+  SELECT te.vec_id, c.cl,
+         CAST(sum(CAST(qv[c.d] AS BIGINT) * c.s) AS BIGINT) AS dot
+  FROM test te, cent c
+  GROUP BY te.vec_id, c.cl
+),
+scored AS (
+  SELECT qn.vec_id, qn.label AS true_label, d.cl,
+         CASE WHEN qn.q2 > 0 AND n.ss > 0 THEN
+           round(d.dot / (sqrt(CAST(qn.q2 AS DOUBLE))
+                          * sqrt(CAST(n.ss AS DOUBLE))), 4)
+         ELSE -2.0 END AS cos4
+  FROM dots d JOIN qn ON qn.vec_id = d.vec_id
+              JOIN cnorm n ON n.cl = d.cl
+)
+SELECT vec_id, true_label,
+       CAST(cl AS INT) AS pred_label, cos4,
+       cl = true_label AS correct
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY vec_id ORDER BY cos4 DESC, cl) AS rn
+  FROM scored
+) WHERE rn = 1
+"""
+
+
+@query("rocchio_label_eval", _ROCCHIO_ORACLE)
+def rocchio_label_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification probe (functions/clustering.py::
+    rocchio_label_eval): one exact-integer centroid sum per class
+    (cosine is scale-invariant, so the un-normalized SUM stands in for
+    the mean), collected as bounded |labels| x dim driver constants and
+    baked back — classification is zero-shuffle per-row codegen over
+    the hash test split, rounded to 4 before the smallest-label-wins
+    argmax."""
+    from pysyslog_lfc_spark.functions.clustering import rocchio_label_eval
+
+    emb = _t(spark, sf_dir, "embeddings")
+    train = emb.where(F.pmod(F.col("vec_id"), F.lit(5)) != 0)
+    test = emb.where(F.pmod(F.col("vec_id"), F.lit(5)) == 0)
+    return rocchio_label_eval(train, test)
+
+
+_MARKOV_ORACLE = """
+WITH span AS (
+  SELECT (min(epoch_us(ts) // 1000000) + max(epoch_us(ts) // 1000000)) // 2
+           AS mid
+  FROM events
+),
+seq AS (
+  SELECT user_id, event_type,
+         epoch_us(ts) // 1000000 AS es,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+tr AS (
+  SELECT prev, event_type AS next, es FROM seq WHERE prev IS NOT NULL
+),
+train AS (
+  SELECT prev, next, count(*)::BIGINT AS c
+  FROM tr, span WHERE es <= span.mid GROUP BY prev, next
+),
+pred AS (
+  SELECT prev, next AS predicted FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY prev ORDER BY c DESC, next) AS rn
+    FROM train
+  ) WHERE rn = 1
+),
+test AS (
+  SELECT t.prev, t.next FROM tr t, span WHERE t.es > span.mid
+)
+SELECT t.prev AS prev_event,
+       count(*)::BIGINT AS n_test,
+       CAST(sum(CASE WHEN t.next = p.predicted THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct,
+       CAST((sum(CASE WHEN t.next = p.predicted THEN 1 ELSE 0 END) * 1000
+             - (sum(CASE WHEN t.next = p.predicted THEN 1 ELSE 0 END) * 1000)
+               % count(*)) / count(*) AS BIGINT) AS acc_permille,
+       max(p.predicted) AS predicted
+FROM test t LEFT JOIN pred p ON p.prev = t.prev
+GROUP BY t.prev
+"""
+
+
+@query("markov_next_event_eval", _MARKOV_ORACLE)
+def markov_next_event_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov next-event prediction evaluation: transition counts from
+    the first half of the time range train an argmax predictor (count
+    desc, alphabetical tie-break), scored on second-half transitions —
+    the held-out check that turns the event_transitions Sankey frame
+    into a measured behavioral model. Windows are user-keyed; the
+    transition frame collapses to |types|^2 before any rank."""
+    ev = _t(spark, sf_dir, "events")
+    es = F.unix_timestamp(F.col("ts"))
+    span = ev.agg(
+        (
+            (F.min(es) + F.max(es))
+            - F.pmod(F.min(es) + F.max(es), F.lit(2))
+        ).alias("_mid2")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.col("event_type").alias("next"),
+        es.alias("es"),
+        F.lag("event_type").over(w).alias("prev"),
+    ).where(F.col("prev").isNotNull())
+    tagged = seq.crossJoin(F.broadcast(span))
+    train = (
+        tagged.where(F.col("es") <= F.col("_mid2") / 2)
+        .groupBy("prev", "next")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w_rank = Window.partitionBy("prev").orderBy(
+        F.col("c").desc(), F.col("next")
+    )
+    pred = (
+        train.select(
+            "prev", "next", F.row_number().over(w_rank).alias("_rn")
+        )
+        .where(F.col("_rn") == 1)
+        .select("prev", F.col("next").alias("predicted"))
+    )
+    test = tagged.where(F.col("es") > F.col("_mid2") / 2)
+    joined = test.join(F.broadcast(pred), "prev", "left")
+    hit = F.when(F.col("next") == F.col("predicted"), 1).otherwise(0)
+    agg = joined.groupBy(F.col("prev").alias("prev_event")).agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.sum(hit).cast("long").alias("n_correct"),
+        F.max("predicted").alias("predicted"),
+    )
+    num = F.col("n_correct") * F.lit(1000)
+    return agg.select(
+        "prev_event",
+        "n_test",
+        "n_correct",
+        ((num - F.pmod(num, F.col("n_test"))) / F.col("n_test"))
+        .cast("long")
+        .alias("acc_permille"),
+        "predicted",
+    )

@@ -1,0 +1,110 @@
+"""Round-3 batch 22: Rocchio classifier and Markov next-event eval."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Row
+
+
+class TestRocchio:
+    def test_separable_classes_classified(self, spark):
+        from pysyslog_lfc_spark.functions.clustering import (
+            rocchio_label_eval,
+        )
+
+        rng = np.random.RandomState(11)
+        dim = 8
+
+        def vec(center, scale=0.05):
+            return [float(x) for x in center + scale * rng.randn(dim)]
+
+        c0 = np.array([1.0] + [0.0] * (dim - 1))
+        c1 = np.array([0.0, 1.0] + [0.0] * (dim - 2))
+        train = spark.createDataFrame(
+            [Row(vec_id=i, embedding=vec(c0), label=0) for i in range(10)]
+            + [
+                Row(vec_id=100 + i, embedding=vec(c1), label=1)
+                for i in range(10)
+            ]
+        )
+        test = spark.createDataFrame(
+            [
+                Row(vec_id=900, embedding=vec(c0), label=0),
+                Row(vec_id=901, embedding=vec(c1), label=1),
+                Row(vec_id=902, embedding=vec(c1), label=0),  # mislabeled
+            ]
+        )
+        out = {
+            r.vec_id: r
+            for r in rocchio_label_eval(train, test, dim=dim).collect()
+        }
+        assert out[900].pred_label == 0 and out[900].correct
+        assert out[901].pred_label == 1 and out[901].correct
+        assert out[902].pred_label == 1 and not out[902].correct
+        assert out[900].cos4 > 0.9
+
+    def test_tie_breaks_to_smallest_label(self, spark):
+        from pysyslog_lfc_spark.functions.clustering import (
+            rocchio_label_eval,
+        )
+
+        # two identical class centroids -> every score ties -> label 0
+        train = spark.createDataFrame(
+            [
+                Row(vec_id=1, embedding=[1.0, 0.0], label=0),
+                Row(vec_id=2, embedding=[1.0, 0.0], label=1),
+            ]
+        )
+        test = spark.createDataFrame(
+            [Row(vec_id=9, embedding=[1.0, 0.0], label=1)]
+        )
+        r = rocchio_label_eval(train, test, dim=2).collect()[0]
+        assert r.pred_label == 0 and not r.correct
+
+
+class TestMarkovEval:
+    def test_learned_transition_predicts(self, spark):
+        """Deterministic a->b chain in the train half predicts b after
+        a in the test half."""
+        import datetime
+
+        from pysyslog_lfc_spark.plans.driver_queries_ext29 import (
+            markov_next_event_eval,
+        )
+
+        t0 = datetime.datetime(2024, 1, 1)
+        rows, eid = [], 0
+
+        def add(user, hours, etype):
+            nonlocal eid
+            rows.append(
+                (eid, t0 + datetime.timedelta(hours=hours), user, etype,
+                 0.0, "{}")
+            )
+            eid += 1
+
+        # train half (hours 0-10): a->b four times for user 1
+        for i in range(4):
+            add(1, i * 2, "a")
+            add(1, i * 2 + 1, "b")
+        # test half (hours 90-100): a->b twice, a->c once
+        add(2, 90, "a"); add(2, 91, "b")
+        add(3, 94, "a"); add(3, 95, "b")
+        add(4, 98, "a"); add(4, 99, "c")
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        )
+        import pyarrow.parquet  # noqa: F401  (ensure parquet deps warm)
+
+        tmp = "/tmp/markov_eval_fixture"
+        df.write.mode("overwrite").parquet(tmp + "/events.parquet")
+        out = {
+            r.prev_event: r
+            for r in markov_next_event_eval(spark, tmp).collect()
+        }
+        a = out["a"]
+        assert a.predicted == "b"
+        assert a.n_test == 3 and a.n_correct == 2
+        assert a.acc_permille == 666

@@ -224,6 +224,8 @@ AUDIT_QUERIES = [
     "dedup_cluster_quality",
     "sft_qa_mining",
     "injection_marker_scan",
+    "rocchio_label_eval",
+    "markov_next_event_eval",
 ]
 
 
