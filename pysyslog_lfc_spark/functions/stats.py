@@ -1294,3 +1294,129 @@ def cramers_v(
         chi2_full.cast("long").alias("chi2_micro"),
         F.when(dof > 0, F.floor(v * 1000)).cast("long").alias("v_milli"),
     )
+
+
+def trimmed_mean(
+    df: DataFrame,
+    keys: list[str],
+    value: Column,
+    id_col: str,
+    trim_permille: int = 100,
+) -> DataFrame:
+    """Per-group symmetric trimmed mean — the robust location estimate
+    between the mean (outlier-hostage) and the median (throws away
+    everything): drop the lowest and highest ``trim_permille``/1000
+    fraction of rows by rank, average the integer-valued remainder
+    exactly. ``value`` MUST be integer-valued (the house contract).
+
+    Trim counts use the subtract-mod floor (k = floor(n * p / 1000)
+    per side; a group with n <= 2k returns NULL), ranks are
+    (value, id)-tiebroken, and the surviving sum is an exact
+    DECIMAL(38,0) — output ``trimmed_mean_milli`` is the pmod-floored
+    integer milli mean. Returns (keys..., n, n_trimmed_per_side,
+    trimmed_mean_milli).
+
+    Scale shape: ONE group-key exchange serves the rank window, the
+    group-count window, and the closing aggregate.
+    """
+    d38 = "decimal(38,0)"
+    w_rank = Window.partitionBy(*keys).orderBy("v", id_col)
+    w_all = Window.partitionBy(*keys)
+    base = df.select(
+        *[F.col(k) for k in keys], value.alias("v"), F.col(id_col)
+    ).select(
+        *keys,
+        "v",
+        F.row_number().over(w_rank).alias("_r"),
+        F.count(F.lit(1)).over(w_all).alias("_n"),
+    )
+    kexpr = (
+        (
+            F.col("_n") * F.lit(trim_permille)
+            - F.pmod(F.col("_n") * F.lit(trim_permille), F.lit(1000))
+        )
+        / 1000
+    ).cast("long")
+    kept = base.where(
+        (F.col("_r") > kexpr) & (F.col("_r") <= F.col("_n") - kexpr)
+    )
+    agg = kept.groupBy(*[F.col(k) for k in keys]).agg(
+        F.max("_n").cast("long").alias("n"),
+        F.max(kexpr).cast("long").alias("n_trimmed_per_side"),
+        F.count(F.lit(1)).cast("long").alias("_nk"),
+        F.sum(F.col("v").cast(d38)).cast(d38).alias("_s"),
+    )
+    num = (F.col("_s") * F.lit(1000)).cast(d38)
+    mean_milli = (
+        (num - F.pmod(num, F.col("_nk"))) / F.col("_nk")
+    ).cast("long")
+    return agg.select(
+        *keys,
+        "n",
+        "n_trimmed_per_side",
+        F.when(F.col("_nk") > 0, mean_milli).alias("trimmed_mean_milli"),
+    )
+
+
+def theil_sen_trend(
+    df: DataFrame,
+    ts_col: str = "ts",
+    step_s: int = 86400,
+) -> DataFrame:
+    """Theil-Sen robust trend of the event-count series (Theil 1950 /
+    Sen 1968): the MEDIAN of pairwise slopes between time buckets —
+    breakdown point ~29%, where the OLS slope (grouped_linreg) is
+    hostage to a single outage day. The pairwise fan-out is safe
+    because it runs over the BUCKET frame (timespan/step rows, with
+    real zeros — never the events), so B buckets cost B^2/2 slope
+    rows, bounded by the calendar.
+
+    Returns ONE row: (n_buckets, n_pairs, slope_milli_per_bucket) —
+    each pairwise slope enters as the exact subtract-mod floored
+    milli integer, and the median is the exact lower median of those
+    integers ((n+1)//2-th by rank) — fully engine-portable.
+    """
+    grain = df.groupBy(
+        (
+            F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(step_s)).cast(
+                "long"
+            )
+        ).alias("b")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    span = grain.agg(F.min("b").alias("_mn"), F.max("b").alias("_mx"))
+    dense = (
+        span.select(
+            F.explode(F.sequence(F.col("_mn"), F.col("_mx"))).alias("b")
+        )
+        .join(grain, "b", "left")
+        .select("b", F.coalesce("cnt", F.lit(0)).alias("cnt"))
+    )
+    a = dense.select(F.col("b").alias("b1"), F.col("cnt").alias("y1"))
+    c = dense.select(F.col("b").alias("b2"), F.col("cnt").alias("y2"))
+    pairs = a.join(c, F.col("b1") < F.col("b2"))
+    dy = (F.col("y2") - F.col("y1")) * F.lit(1000)
+    dx = F.col("b2") - F.col("b1")
+    slope = ((dy - F.pmod(dy, dx)) / dx).cast("long")
+    slopes = pairs.select(slope.alias("s"))
+    w_rank = Window.orderBy("s")
+    ranked = slopes.select(
+        "s",
+        F.row_number().over(w_rank).alias("_r"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("_np"),
+    )
+    med = ranked.where(
+        F.col("_r") == ((F.col("_np") + 1) - F.pmod(F.col("_np") + 1, 2)) / 2
+    )
+    nb = dense.agg(F.count(F.lit(1)).alias("n_buckets"))
+    return (
+        med.select(
+            F.col("_np").cast("long").alias("n_pairs"),
+            F.col("s").alias("slope_milli_per_bucket"),
+        )
+        .crossJoin(F.broadcast(nb))
+        .select(
+            F.col("n_buckets").cast("long"),
+            "n_pairs",
+            "slope_milli_per_bucket",
+        )
+    )

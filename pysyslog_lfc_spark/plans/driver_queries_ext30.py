@@ -1,0 +1,118 @@
+"""Driver-query registrations, round-3 batch 23 (robust statistics).
+
+Imported by :mod:`pysyslog_lfc_spark.plans.driver_queries` (bottom of
+file). Per-group symmetric trimmed mean (the robust location between
+mean and median) and the Theil-Sen median-of-slopes trend (the robust
+alternative to the OLS fit over the daily series).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pysyslog_lfc_spark.plans.driver_queries import _t, query
+
+
+_TRIM_ORACLE = """
+WITH base AS (
+  SELECT event_type,
+         CAST(round(value * 100) AS BIGINT) AS v, event_id,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY CAST(round(value * 100) AS BIGINT), event_id) AS r,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+k AS (
+  SELECT *, CAST((n * 100 - (n * 100) % 1000) / 1000 AS BIGINT) AS kk
+  FROM base
+),
+kept AS (
+  SELECT event_type, v, n, kk FROM k WHERE r > kk AND r <= n - kk
+),
+agg AS (
+  SELECT event_type,
+         CAST(max(n) AS BIGINT) AS n,
+         CAST(max(kk) AS BIGINT) AS n_trimmed_per_side,
+         count(*)::BIGINT AS nk,
+         CAST(sum(v) AS BIGINT) AS s
+  FROM kept GROUP BY event_type
+)
+SELECT event_type, n, n_trimmed_per_side,
+       CASE WHEN nk > 0 THEN
+         CAST((s * 1000 - (s * 1000) % nk) / nk AS BIGINT)
+       END AS trimmed_mean_milli
+FROM agg
+"""
+
+
+@query("trimmed_mean_value_by_type", _TRIM_ORACLE)
+def trimmed_mean_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type 10% symmetric trimmed mean of event value cents
+    (functions/stats.py::trimmed_mean) — the robust location estimate
+    between the outlier-hostage mean and the everything-discarding
+    median; ONE group-key exchange serves the rank window, the count
+    window, and the closing aggregate."""
+    from pysyslog_lfc_spark.functions.stats import trimmed_mean
+
+    ev = _t(spark, sf_dir, "events")
+    return trimmed_mean(
+        ev.select(
+            "event_type",
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+            "event_id",
+        ),
+        ["event_type"],
+        F.col("cents"),
+        "event_id",
+        trim_permille=100,
+    )
+
+
+_THEIL_ORACLE = """
+WITH grain AS (
+  SELECT epoch_us(ts) // 1000000 // 86400 AS b, count(*)::BIGINT AS cnt
+  FROM events GROUP BY 1
+),
+span AS (SELECT min(b) AS mn, max(b) AS mx FROM grain),
+dense AS (
+  SELECT g.b, coalesce(grain.cnt, 0) AS cnt
+  FROM (SELECT unnest(generate_series(mn, mx)) AS b FROM span) g
+  LEFT JOIN grain ON grain.b = g.b
+),
+pairs AS (
+  SELECT a.b AS b1, a.cnt AS y1, c.b AS b2, c.cnt AS y2
+  FROM dense a JOIN dense c ON a.b < c.b
+),
+slopes AS (
+  SELECT CAST(((y2 - y1) * 1000 - ((y2 - y1) * 1000 % (b2 - b1)
+               + (b2 - b1)) % (b2 - b1)) / (b2 - b1) AS BIGINT) AS s
+  FROM pairs
+),
+ranked AS (
+  SELECT s, row_number() OVER (ORDER BY s) AS r, count(*) OVER () AS np
+  FROM slopes
+),
+med AS (
+  SELECT CAST(np AS BIGINT) AS n_pairs, s AS slope_milli_per_bucket
+  FROM ranked WHERE r = (np + 1 - (np + 1) % 2) / 2
+),
+nb AS (SELECT count(*)::BIGINT AS n_buckets FROM dense)
+SELECT nb.n_buckets, med.n_pairs, med.slope_milli_per_bucket
+FROM med, nb
+"""
+
+
+@query("theil_sen_event_trend", _THEIL_ORACLE)
+def theil_sen_event_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of the daily event-count series
+    (functions/stats.py::theil_sen_trend): the exact lower median of
+    pairwise bucket slopes — breakdown point ~29% where the OLS fit is
+    hostage to one outage day. The quadratic pair fan-out runs over
+    the CALENDAR-bounded bucket frame (with real zeros), never the
+    events; every slope is a subtract-mod floored milli integer."""
+    from pysyslog_lfc_spark.functions.stats import theil_sen_trend
+
+    ev = _t(spark, sf_dir, "events")
+    return theil_sen_trend(ev, "ts", step_s=86400)

@@ -1,0 +1,68 @@
+"""Round-3 batch 23: trimmed mean and Theil-Sen trend."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import Row, functions as F
+
+
+class TestTrimmedMean:
+    def test_outlier_clipped(self, spark):
+        from pysyslog_lfc_spark.functions.stats import trimmed_mean
+
+        # 10 values: one huge outlier; 10% trim drops 1 per side
+        vals = [10, 11, 12, 13, 14, 15, 16, 17, 18, 100000]
+        df = spark.createDataFrame(
+            [Row(g="a", v=v, i=i) for i, v in enumerate(vals)]
+        )
+        r = trimmed_mean(
+            df, ["g"], F.col("v"), "i", trim_permille=100
+        ).collect()[0]
+        assert r.n == 10 and r.n_trimmed_per_side == 1
+        kept = sorted(vals)[1:-1]
+        assert r.trimmed_mean_milli == (sum(kept) * 1000) // len(kept)
+
+    def test_tiny_group_all_trimmed_is_null(self, spark):
+        from pysyslog_lfc_spark.functions.stats import trimmed_mean
+
+        df = spark.createDataFrame([Row(g="a", v=1, i=1), Row(g="a", v=9, i=2)])
+        r = trimmed_mean(
+            df, ["g"], F.col("v"), "i", trim_permille=500
+        ).collect()
+        # k = floor(2*500/1000) = 1 per side -> nothing survives
+        assert r == [] or r[0].trimmed_mean_milli is None
+
+
+class TestTheilSen:
+    def test_linear_series_recovers_slope(self, spark):
+        from pysyslog_lfc_spark.functions.stats import theil_sen_trend
+
+        t0 = datetime.datetime(2024, 1, 1)
+        rows, eid = [], 0
+        # day d gets 5 + 2*d events: slope 2/bucket
+        for d in range(8):
+            for _ in range(5 + 2 * d):
+                rows.append(Row(ts=t0 + datetime.timedelta(days=d), e=eid))
+                eid += 1
+        r = theil_sen_trend(
+            spark.createDataFrame(rows), "ts", step_s=86400
+        ).collect()[0]
+        assert r.n_buckets == 8 and r.n_pairs == 28
+        assert r.slope_milli_per_bucket == 2000
+
+    def test_outlier_day_resisted(self, spark):
+        from pysyslog_lfc_spark.functions.stats import theil_sen_trend
+
+        t0 = datetime.datetime(2024, 1, 1)
+        rows, eid = [], 0
+        counts = [10, 10, 10, 500, 10, 10, 10]  # one outage-spike day
+        for d, c in enumerate(counts):
+            for _ in range(c):
+                rows.append(Row(ts=t0 + datetime.timedelta(days=d), e=eid))
+                eid += 1
+        r = theil_sen_trend(
+            spark.createDataFrame(rows), "ts", step_s=86400
+        ).collect()[0]
+        # robust slope stays 0 despite the spike
+        assert r.slope_milli_per_bucket == 0

@@ -226,6 +226,8 @@ AUDIT_QUERIES = [
     "injection_marker_scan",
     "rocchio_label_eval",
     "markov_next_event_eval",
+    "trimmed_mean_value_by_type",
+    "theil_sen_event_trend",
 ]
 
 
