@@ -296,6 +296,10 @@ def main() -> None:
             trial_secs.append(time.time() - t0)
             shutil.rmtree(wh, ignore_errors=True)
         pipeline_sec = min(trial_secs)
+        # median-of-N beside min-of-N: the min measures the engine on a
+        # quiet bus, the median carries the warmup/contention spread so
+        # round-over-round deltas aren't warmup artifacts
+        pipeline_sec_median = sorted(trial_secs)[len(trial_secs) // 2]
     finally:
         shutil.rmtree(work, ignore_errors=True)
     seq_per_sec = PIPELINE_ROWS / pipeline_sec
@@ -319,6 +323,8 @@ def main() -> None:
         "sf": sf,
         "pipeline_rows": PIPELINE_ROWS,
         "pipeline_sec": round(pipeline_sec, 3),
+        "pipeline_sec_median": round(pipeline_sec_median, 3),
+        "seq_per_sec_median": round(PIPELINE_ROWS / pipeline_sec_median, 1),
         "pipeline_trials_sec": [round(s, 3) for s in trial_secs],
         "cpus": int(cpus),
     }

@@ -26,11 +26,15 @@ from pysyslog_lfc_spark.functions.text import tokenize
 
 def _bigrams(df: DataFrame, text_col: str, keep_cols: list[str]) -> DataFrame:
     """(keep_cols..., w1, w2) — one row per consecutive word pair.
-    Non-overlapping slices + arrays_zip: codegen-planned, O(n_words)."""
+    Non-overlapping slices + arrays_zip: codegen-planned, O(n_words).
+    Slice lengths clamp at 0 so zero-token docs (empty/whitespace-only
+    text, routine in web corpora) yield no pairs instead of raising
+    INVALID_PARAMETER_VALUE.LENGTH."""
     ws = tokenize(F.col(text_col))
+    n1 = F.greatest(F.lit(0), F.size(ws) - 1)
     z = F.arrays_zip(
-        F.slice(ws, 1, F.size(ws) - 1).alias("w1"),
-        F.slice(ws, 2, F.size(ws) - 1).alias("w2"),
+        F.slice(ws, 1, n1).alias("w1"),
+        F.slice(ws, 2, n1).alias("w2"),
     )
     return df.select(*keep_cols, F.explode(z).alias("_bg")).select(
         *keep_cols, F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2")
@@ -215,9 +219,13 @@ def token_surprisal_windows(
     )
 
     ws = tokenize(F.col(text_col))
+    # greatest(0, ...) clamp: a zero-token doc would otherwise pass a
+    # -1 slice length and throw INVALID_PARAMETER_VALUE.LENGTH,
+    # killing the job (the docstring promises null for < 2 tokens)
+    n1 = F.greatest(F.lit(0), F.size(ws) - 1)
     z = F.arrays_zip(
-        F.slice(ws, 1, F.size(ws) - 1).alias("w1"),
-        F.slice(ws, 2, F.size(ws) - 1).alias("w2"),
+        F.slice(ws, 1, n1).alias("w1"),
+        F.slice(ws, 2, n1).alias("w2"),
     )
     db = df.select(F.col(id_col), F.posexplode(z).alias("_i0", "_bg")).select(
         F.col(id_col),
@@ -444,9 +452,13 @@ def min_k_prob(
         bi, uni = F.broadcast(bi), F.broadcast(uni)
 
     ws = tokenize(F.col(text_col))
+    # greatest(0, ...) clamp: a zero-token doc would otherwise pass a
+    # -1 slice length and throw INVALID_PARAMETER_VALUE.LENGTH,
+    # killing the job (the docstring promises null for < 2 tokens)
+    n1 = F.greatest(F.lit(0), F.size(ws) - 1)
     z = F.arrays_zip(
-        F.slice(ws, 1, F.size(ws) - 1).alias("w1"),
-        F.slice(ws, 2, F.size(ws) - 1).alias("w2"),
+        F.slice(ws, 1, n1).alias("w1"),
+        F.slice(ws, 2, n1).alias("w2"),
     )
     db = df.select(
         F.col(id_col), F.posexplode(z).alias("pos", "_bg")

@@ -164,10 +164,13 @@ def _png_unfilter(raw, h: int, stride: int, bpp: int):
     Per-line cost: none/up are whole-line numpy ops; sub — the filter
     real encoders emit most — is a per-lane modular cumsum (vectorized:
     rec[x] = cur[x] + rec[x-bpp] telescopes to a running sum mod 256);
-    average/paeth carry a true sequential dependence, so they scan
-    per PIXEL (bpp-wide numpy lanes), not per byte. Very large
-    average/paeth-heavy images remain the slow path — that bound is
-    inherent to the filter recurrences without a C codec."""
+    average/paeth carry a TRUE sequential dependence (paeth's predictor
+    branches on already-reconstructed neighbors), so no closed-form
+    numpy recurrence exists — they run a per-byte scalar loop over
+    bytes/bytearray (plain-int arithmetic; ~10x the per-pixel
+    tiny-numpy-array version this replaced, which paid ~10 array
+    allocations per pixel). :func:`decode_png` bounds total decoded
+    pixels so the scalar path is capped, not open-ended."""
     import numpy as np
 
     out = np.zeros((h, stride), dtype=np.uint8)
@@ -176,43 +179,62 @@ def _png_unfilter(raw, h: int, stride: int, bpp: int):
         ftype = raw[pos]
         line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1)
         pos += 1 + stride
-        cur = line.astype(np.int32)
-        prev = out[y - 1].astype(np.int32) if y > 0 else np.zeros(stride, np.int32)
         if ftype == 0:
-            rec = cur
+            rec = line.copy()
         elif ftype == 1:  # sub: per-lane cumulative sum mod 256
-            lanes = cur.reshape(stride // bpp, bpp)
-            rec = (np.cumsum(lanes, axis=0, dtype=np.int64) & 0xFF).reshape(stride)
+            lanes = line.astype(np.int64).reshape(stride // bpp, bpp)
+            rec = (
+                (np.cumsum(lanes, axis=0, dtype=np.int64) & 0xFF)
+                .reshape(stride)
+                .astype(np.uint8)
+            )
         elif ftype == 2:  # up
-            rec = (cur + prev) & 0xFF
-        elif ftype in (3, 4):  # average / paeth: left-to-right per pixel
-            rec = np.zeros(stride, np.int32)
-            a = np.zeros(bpp, np.int32)  # reconstructed left pixel
-            c = np.zeros(bpp, np.int32)  # upper-left pixel
-            for x0 in range(0, stride, bpp):
-                b = prev[x0 : x0 + bpp]
-                if ftype == 3:
-                    pred = (a + b) >> 1
-                else:
-                    pa = np.abs(b - c)
-                    pb = np.abs(a - c)
-                    pc = np.abs(a + b - 2 * c)
-                    pred = np.where(
-                        (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
-                    )
-                rec[x0 : x0 + bpp] = (cur[x0 : x0 + bpp] + pred) & 0xFF
-                a = rec[x0 : x0 + bpp]
-                c = b
+            prev = out[y - 1].astype(np.int32) if y > 0 else 0
+            rec = ((line.astype(np.int32) + prev) & 0xFF).astype(np.uint8)
+        elif ftype in (3, 4):  # average / paeth: scalar-int byte loop
+            cur_b = raw[pos - stride : pos]  # bytes: int indexing
+            prev_b = out[y - 1].tobytes() if y > 0 else b"\x00" * stride
+            rec_b = bytearray(stride)
+            if ftype == 3:
+                for x in range(stride):
+                    a = rec_b[x - bpp] if x >= bpp else 0
+                    rec_b[x] = (cur_b[x] + ((a + prev_b[x]) >> 1)) & 0xFF
+            else:
+                for x in range(stride):
+                    if x >= bpp:
+                        a = rec_b[x - bpp]
+                        c = prev_b[x - bpp]
+                    else:
+                        a = c = 0
+                    b = prev_b[x]
+                    pa = abs(b - c)
+                    pb = abs(a - c)
+                    pc = abs(a + b - 2 * c)
+                    if pa <= pb and pa <= pc:
+                        pred = a
+                    elif pb <= pc:
+                        pred = b
+                    else:
+                        pred = c
+                    rec_b[x] = (cur_b[x] + pred) & 0xFF
+            rec = np.frombuffer(bytes(rec_b), dtype=np.uint8)
         else:
             raise ValueError(f"unknown PNG filter type {ftype}")
-        out[y] = rec.astype(np.uint8)
+        out[y] = rec
     return out
 
 
-def decode_png(payload: bytes):
+def decode_png(payload: bytes, max_pixels: int = 1 << 24):
     """Parse an 8-bit non-interlaced truecolor PNG (color type 2 RGB or
     6 RGBA) to an (h, w, 3|4) uint8 array — stdlib zlib + numpy, no
-    codec library. Palette/interlaced/16-bit variants raise."""
+    codec library. Palette/interlaced/16-bit variants raise.
+
+    ``max_pixels`` (default 16.7M = one 4096x4096 frame) bounds the
+    decoded raster BEFORE decompression: the average/paeth unfilter
+    paths are scalar loops (see :func:`_png_unfilter`), and a
+    decompression-bomb header must not commit an executor to an
+    unbounded one. Oversized images raise ValueError — route them to
+    the quarantine sink, don't decode them inline."""
     import struct
     import zlib
 
@@ -240,6 +262,10 @@ def decode_png(payload: bytes):
     if depth != 8 or color not in (2, 6) or interlace != 0:
         raise ValueError(
             f"unsupported PNG (depth={depth}, color={color}, interlace={interlace})"
+        )
+    if w * h > max_pixels:
+        raise ValueError(
+            f"PNG raster {w}x{h} exceeds max_pixels={max_pixels}"
         )
     ch = 3 if color == 2 else 4
     raw = zlib.decompress(b"".join(idat))

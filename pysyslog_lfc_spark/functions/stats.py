@@ -31,6 +31,115 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 _D38 = "decimal(38,0)"
 
 
+def _ordered_prefix(
+    df: DataFrame,
+    order_col: str,
+    sum_cols: list[str],
+    inclusive: bool = False,
+    prefix: str = "cum_",
+    n_blocks: int = 4096,
+) -> DataFrame:
+    """Exact prefix sums of ``sum_cols`` under ``ORDER BY order_col``
+    WITHOUT an unpartitioned corpus window (a ``WindowExec: No
+    Partition Defined`` plan moves the whole frame to one task — the
+    one shape that cannot survive 100 TB). Two-level decomposition,
+    the cumulative-sum sibling of
+    :func:`pysyslog_lfc_spark.functions.curriculum.global_rank`:
+
+      1. a DETERMINISTIC block key — ``n_blocks`` equal-width value
+         blocks between the broadcast min/max of ``order_col``. The
+         mapping is a pure monotone function of the value (floor of a
+         monotone double chain — FP rounding can only move a boundary,
+         never break monotonicity or split equal keys), so the two
+         plan branches below agree on every row's block even though
+         Spark evaluates them independently. (``repartitionByRange`` +
+         ``spark_partition_id`` would NOT: its sampled boundaries
+         differ per evaluation, and AQE materializes the two branches
+         as separate stages — measured, it corrupts the offsets.)
+      2. within-block running sum (window partitioned by block);
+      3. per-block totals — ≤ ``n_blocks`` rows, bounded by a
+         constant, never by the data — collapsed into ONE sorted
+         array row whose prefix sums are higher-order ``aggregate``
+         calls (no window at all on this path: a ``lit(0)`` partition
+         key would be folded away by ``EliminateWindowPartitions``
+         and re-trigger the single-task warning), then broadcast back
+         as offsets.
+
+    ``inclusive=False`` is the strictly-before prefix
+    (rowsBetween(unboundedPreceding, -1)), which equals the
+    strictly-smaller-value prefix when ``order_col`` is distinct per
+    row (the distinct-value-frame convention of every caller here).
+
+    Skew note: blocks are equal-width in VALUE, so a distribution
+    whose distinct values concentrate in a narrow band of a wide span
+    concentrates rows in few blocks; for the integer-grid metrics
+    these callers feed (cents, milli scores, slopes) the block width
+    tracks the data. ``order_col`` must be numeric.
+    """
+    mm = df.agg(
+        F.min(order_col).alias("_mn"), F.max(order_col).alias("_mx")
+    )
+    width_ok = F.col("_mx") > F.col("_mn")
+    blk = F.when(
+        width_ok,
+        (
+            (F.col(order_col) - F.col("_mn")).cast("double")
+            * F.lit(float(n_blocks))
+            / (F.col("_mx") - F.col("_mn") + F.lit(1)).cast("double")
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    part = (
+        df.crossJoin(F.broadcast(mm))
+        .withColumn("_blk", blk)
+        .drop("_mn", "_mx")
+    )
+    hi = 0 if inclusive else -1
+    w_in = (
+        Window.partitionBy("_blk")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, hi)
+    )
+    tot = part.groupBy("_blk").agg(
+        *[F.sum(c).alias(f"_pt_{c}") for c in sum_cols]
+    )
+    # constant-bounded frame → one sorted array row; element i's
+    # offset = sum of the i elements before it (slice + aggregate,
+    # pure codegen, ≤ n_blocks² ≈ 16M adds worst case)
+    packed = tot.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("_blk"),
+                    *[F.col(f"_pt_{c}") for c in sum_cols],
+                )
+            )
+        ).alias("_a")
+    )
+    def _prefix_of(c: str):
+        return F.aggregate(
+            F.slice(F.col("_a"), 1, F.col("_i")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.coalesce(x[f"_pt_{c}"], F.lit(0)),
+        ).alias(f"_off_{c}")
+
+    off = (
+        packed.select(
+            F.col("_a"), F.posexplode("_a").alias("_i", "_e")
+        )
+        .select(
+            F.col("_e._blk").alias("_blk"),
+            *[_prefix_of(c) for c in sum_cols],
+        )
+    )
+    out = part.join(F.broadcast(off), "_blk")
+    for c in sum_cols:
+        out = out.withColumn(
+            f"{prefix}{c}",
+            F.coalesce(F.sum(c).over(w_in), F.lit(0)) + F.col(f"_off_{c}"),
+        )
+    return out.drop("_blk", *[f"_off_{c}" for c in sum_cols])
+
+
 def grouped_linreg(
     df: DataFrame,
     keys: list[str],
@@ -1063,10 +1172,12 @@ def mann_whitney_u(
     z_milli is NULL when either arm is empty or all values tie.
 
     Scale shape: the corpus collapses to the distinct-value frame in
-    ONE map-side-partial hash aggregate; the cumulative-count window
-    runs over that frame only (the global_rank convention — for
-    continuous metrics pre-floor to a bounded grid), and the closing
-    scalar chain runs on a 1-row frame.
+    ONE map-side-partial hash aggregate; the cumulative count is a
+    DISTRIBUTED two-level prefix (:func:`_ordered_prefix` — range
+    repartition + per-partition running sums + a config-bounded offset
+    frame), so even a raw continuous metric with ~n distinct values
+    never lands in a single-task window; the closing scalar chain runs
+    on a 1-row frame.
     """
     cells = (
         df.where(F.col(group_col).isin([arm_a, arm_b]))
@@ -1080,14 +1191,14 @@ def mann_whitney_u(
             ).alias("nb"),
         )
     )
-    w_prev = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
     t = F.col("na") + F.col("nb")
-    stepped = cells.select(
-        "na",
-        "nb",
-        t.alias("t"),
-        F.coalesce(F.sum(t).over(w_prev), F.lit(0)).alias("cum_before"),
-    )
+    # distributed strictly-before prefix over the distinct-value frame
+    # (two-level range decomposition — never a single-task window,
+    # even when `value` is a raw continuous metric with ~n distinct
+    # values; see _ordered_prefix)
+    stepped = _ordered_prefix(
+        cells.select("v", "na", "nb", t.alias("t")), "v", ["t"]
+    ).withColumnRenamed("cum_t", "cum_before")
     agg = stepped.agg(
         F.sum("na").cast("long").alias("n_a"),
         F.sum("nb").cast("long").alias("n_b"),
@@ -1190,9 +1301,14 @@ def ks_test(
     values (1.358 at alpha=.05). NULL when either arm is empty.
 
     Scale shape: the corpus collapses to the distinct-value frame in
-    ONE hash aggregate; both cumulative windows run over that frame
-    (the global_rank convention — pre-floor continuous metrics to a
-    bounded grid); the close is a 1-row scalar chain.
+    ONE hash aggregate; both cumulative counts are a DISTRIBUTED
+    two-level prefix (:func:`_ordered_prefix` — range repartition +
+    per-partition running sums + a config-bounded offset frame), so a
+    raw continuous metric never lands in a single-task window; arm
+    totals are a broadcast 1-row aggregate; the close is a 1-row
+    scalar chain. The cross-multiplied numerator and the 1e6 scaling
+    are carried as DECIMAL(38,0) — exact past the int64 ceiling that
+    n_a*n_b ≈ 9.2e12 would otherwise hit.
     """
     cells = (
         df.where(F.col(group_col).isin([arm_a, arm_b]))
@@ -1206,31 +1322,29 @@ def ks_test(
             ).alias("nb"),
         )
     )
-    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    w_all = Window.partitionBy()
-    stepped = cells.select(
-        F.sum("na").over(w_cum).alias("ca"),
-        F.sum("nb").over(w_cum).alias("cb"),
-        F.sum("na").over(w_all).alias("ta"),
-        F.sum("nb").over(w_all).alias("tb"),
+    stepped = _ordered_prefix(cells, "v", ["na", "nb"], inclusive=True)
+    tots = cells.agg(
+        F.sum("na").cast("long").alias("ta"),
+        F.sum("nb").cast("long").alias("tb"),
     )
-    agg = stepped.agg(
+    agg = stepped.crossJoin(F.broadcast(tots)).agg(
         F.max("ta").cast("long").alias("n_a"),
         F.max("tb").cast("long").alias("n_b"),
+        # cum*total products in decimal(38,0): exact where int64 would
+        # overflow once cum*t_other passes ~9.2e18
         F.max(
-            F.abs(F.col("ca") * F.col("tb") - F.col("cb") * F.col("ta"))
+            F.abs(
+                F.col("cum_na").cast(_D38) * F.col("tb").cast(_D38)
+                - F.col("cum_nb").cast(_D38) * F.col("ta").cast(_D38)
+            )
         )
-        .cast("long")
+        .cast(_D38)
         .alias("_dnum"),
     )
-    den = F.col("n_a") * F.col("n_b")
-    d_micro = (
-        (F.col("_dnum") * F.lit(1000000) - F.pmod(
-            F.col("_dnum") * F.lit(1000000), den
-        ))
-        / den
-    ).cast("long")
-    d = F.col("_dnum") / den.cast("double")
+    den = (F.col("n_a") * F.col("n_b")).cast(_D38)
+    dnum6 = F.col("_dnum") * F.lit(1000000).cast(_D38)
+    d_micro = ((dnum6 - F.pmod(dnum6, den)) / den).cast("long")
+    d = F.col("_dnum").cast("double") / den.cast("double")
     stat = F.floor(
         F.sqrt(
             den.cast("double") / (F.col("n_a") + F.col("n_b"))
@@ -1310,14 +1424,16 @@ def trimmed_mean(
     exactly. ``value`` MUST be integer-valued (the house contract).
 
     Trim counts use the subtract-mod floor (k = floor(n * p / 1000)
-    per side; a group with n <= 2k returns NULL), ranks are
-    (value, id)-tiebroken, and the surviving sum is an exact
+    per side; a group with n <= 2k RETURNS A ROW with NULL
+    ``trimmed_mean_milli`` — degenerate groups do not silently vanish),
+    ranks are (value, id)-tiebroken, and the surviving sum is an exact
     DECIMAL(38,0) — output ``trimmed_mean_milli`` is the pmod-floored
     integer milli mean. Returns (keys..., n, n_trimmed_per_side,
     trimmed_mean_milli).
 
     Scale shape: ONE group-key exchange serves the rank window, the
-    group-count window, and the closing aggregate.
+    group-count window, and both closing aggregates; the final left
+    join runs over two groups-sized frames.
     """
     d38 = "decimal(38,0)"
     w_rank = Window.partitionBy(*keys).orderBy("v", id_col)
@@ -1337,20 +1453,24 @@ def trimmed_mean(
         )
         / 1000
     ).cast("long")
+    # every group anchors a row here, even when the trim empties it
+    keyed = base.groupBy(*[F.col(k) for k in keys]).agg(
+        F.max("_n").cast("long").alias("n"),
+        F.max(kexpr).cast("long").alias("n_trimmed_per_side"),
+    )
     kept = base.where(
         (F.col("_r") > kexpr) & (F.col("_r") <= F.col("_n") - kexpr)
     )
     agg = kept.groupBy(*[F.col(k) for k in keys]).agg(
-        F.max("_n").cast("long").alias("n"),
-        F.max(kexpr).cast("long").alias("n_trimmed_per_side"),
         F.count(F.lit(1)).cast("long").alias("_nk"),
         F.sum(F.col("v").cast(d38)).cast(d38).alias("_s"),
     )
+    joined = keyed.join(agg, list(keys), "left")
     num = (F.col("_s") * F.lit(1000)).cast(d38)
     mean_milli = (
         (num - F.pmod(num, F.col("_nk"))) / F.col("_nk")
     ).cast("long")
-    return agg.select(
+    return joined.select(
         *keys,
         "n",
         "n_trimmed_per_side",
@@ -1362,19 +1482,26 @@ def theil_sen_trend(
     df: DataFrame,
     ts_col: str = "ts",
     step_s: int = 86400,
+    max_buckets: int = 20000,
 ) -> DataFrame:
     """Theil-Sen robust trend of the event-count series (Theil 1950 /
     Sen 1968): the MEDIAN of pairwise slopes between time buckets —
     breakdown point ~29%, where the OLS slope (grouped_linreg) is
-    hostage to a single outage day. The pairwise fan-out is safe
-    because it runs over the BUCKET frame (timespan/step rows, with
-    real zeros — never the events), so B buckets cost B^2/2 slope
-    rows, bounded by the calendar.
+    hostage to a single outage day. The pairwise fan-out runs over the
+    BUCKET frame (timespan/step rows, with real zeros — never the
+    events), so B buckets cost B^2/2 slope rows — and B is ENFORCED
+    ≤ ``max_buckets`` (default 20k ⇒ ≤ 2e8 pairs): a span wider than
+    that raises at execution time with a coarsen-``step_s`` message
+    instead of silently fanning out 10^9+ rows. The median rank is a
+    distributed two-level prefix (:func:`_ordered_prefix`), never a
+    single-task global window.
 
-    Returns ONE row: (n_buckets, n_pairs, slope_milli_per_bucket) —
-    each pairwise slope enters as the exact subtract-mod floored
-    milli integer, and the median is the exact lower median of those
-    integers ((n+1)//2-th by rank) — fully engine-portable.
+    Returns ONE row even for degenerate series: (n_buckets, n_pairs,
+    slope_milli_per_bucket) — with fewer than 2 buckets the row is
+    (n_buckets, 0, NULL). Each pairwise slope enters as the exact
+    subtract-mod floored milli integer, and the median is the exact
+    lower median of those integers ((n+1)//2-th by rank) — fully
+    engine-portable.
     """
     grain = df.groupBy(
         (
@@ -1384,6 +1511,22 @@ def theil_sen_trend(
         ).alias("b")
     ).agg(F.count(F.lit(1)).alias("cnt"))
     span = grain.agg(F.min("b").alias("_mn"), F.max("b").alias("_mx"))
+    # execution-time guard BEFORE the quadratic fan-out: assert_true
+    # returns NULL on pass (the filter keeps the row) and raises on a
+    # span wider than max_buckets — an un-prunable gate on the 1-row
+    # span frame
+    guard = F.assert_true(
+        F.coalesce(
+            (F.col("_mx") - F.col("_mn") + F.lit(1))
+            <= F.lit(max_buckets),
+            F.lit(True),
+        ),
+        F.lit(
+            "theil_sen_trend: bucket span exceeds max_buckets="
+            f"{max_buckets}; coarsen step_s or raise max_buckets"
+        ),
+    )
+    span = span.where(guard.isNull())
     dense = (
         span.select(
             F.explode(F.sequence(F.col("_mn"), F.col("_mx"))).alias("b")
@@ -1397,26 +1540,29 @@ def theil_sen_trend(
     dy = (F.col("y2") - F.col("y1")) * F.lit(1000)
     dx = F.col("b2") - F.col("b1")
     slope = ((dy - F.pmod(dy, dx)) / dx).cast("long")
-    slopes = pairs.select(slope.alias("s"))
-    w_rank = Window.orderBy("s")
-    ranked = slopes.select(
-        "s",
-        F.row_number().over(w_rank).alias("_r"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("_np"),
-    )
-    med = ranked.where(
-        F.col("_r") == ((F.col("_np") + 1) - F.pmod(F.col("_np") + 1, 2)) / 2
-    )
-    nb = dense.agg(F.count(F.lit(1)).alias("n_buckets"))
-    return (
-        med.select(
-            F.col("_np").cast("long").alias("n_pairs"),
+    slopes = pairs.select(slope.alias("s"), F.lit(1).alias("_one"))
+    # distributed rank: inclusive prefix count under ORDER BY s —
+    # ranks are distinct per row, so exactly one row carries the
+    # lower-median rank (ties in s order arbitrarily WITHIN a rank
+    # block, but the selected VALUE is the well-defined k-th smallest)
+    ranked = _ordered_prefix(slopes, "s", ["_one"], inclusive=True)
+    np_agg = slopes.agg(F.count(F.lit(1)).cast("long").alias("_np"))
+    med = (
+        ranked.crossJoin(F.broadcast(np_agg))
+        .where(
+            F.col("cum__one")
+            == ((F.col("_np") + 1) - F.pmod(F.col("_np") + 1, 2)) / 2
+        )
+        .select(
+            F.col("_np").alias("n_pairs"),
             F.col("s").alias("slope_milli_per_bucket"),
         )
-        .crossJoin(F.broadcast(nb))
-        .select(
-            F.col("n_buckets").cast("long"),
-            "n_pairs",
-            "slope_milli_per_bucket",
-        )
+    )
+    nb = dense.agg(F.count(F.lit(1)).cast("long").alias("n_buckets"))
+    # left-anchor on the always-1-row bucket count: a single-bucket
+    # series yields (n_buckets, 0, NULL) instead of an empty frame
+    return nb.join(med, F.lit(True), "left").select(
+        F.col("n_buckets"),
+        F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long").alias("n_pairs"),
+        "slope_milli_per_bucket",
     )

@@ -1212,7 +1212,10 @@ def script_mix(
         .alias(f"{n}_permille")
         for n in SCRIPT_PATTERNS
     ]
-    # dominant = alphabetically first name achieving the max count
+    # dominant = alphabetically first name achieving the max count,
+    # gated on best > 0: a doc whose characters match none of the
+    # script classes (Greek, Hebrew, Thai, pure punctuation) must not
+    # report the alphabetically-first family as dominant
     names = sorted(SCRIPT_PATTERNS)
     best = F.greatest(*[F.col(n) for n in names])
     dominant = F.when(F.col(names[0]) == best, F.lit(names[0]))
@@ -1221,7 +1224,7 @@ def script_mix(
     return base.select(
         "*",
         *shares,
-        F.when(F.col("n_chars") > 0, dominant)
+        F.when((F.col("n_chars") > 0) & (best > 0), dominant)
         .otherwise(F.lit("none"))
         .alias("dominant"),
     )

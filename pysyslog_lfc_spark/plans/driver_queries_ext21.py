@@ -69,6 +69,7 @@ SELECT doc_id, n_chars, latin, cyrillic, cjk, arabic, digit,
        THEN CAST((digit*1000 - (digit*1000) % n_chars) / n_chars AS BIGINT)
        ELSE 0 END AS digit_permille,
   CASE WHEN n_chars = 0 THEN 'none'
+       WHEN greatest(arabic, cjk, cyrillic, digit, latin) = 0 THEN 'none'
        WHEN arabic = greatest(arabic, cjk, cyrillic, digit, latin)
             THEN 'arabic'
        WHEN cjk = greatest(arabic, cjk, cyrillic, digit, latin) THEN 'cjk'

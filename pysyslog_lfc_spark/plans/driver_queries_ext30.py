@@ -28,22 +28,26 @@ k AS (
   SELECT *, CAST((n * 100 - (n * 100) % 1000) / 1000 AS BIGINT) AS kk
   FROM base
 ),
+keyed AS (
+  SELECT event_type,
+         CAST(max(n) AS BIGINT) AS n,
+         CAST(max(kk) AS BIGINT) AS n_trimmed_per_side
+  FROM k GROUP BY event_type
+),
 kept AS (
-  SELECT event_type, v, n, kk FROM k WHERE r > kk AND r <= n - kk
+  SELECT event_type, v FROM k WHERE r > kk AND r <= n - kk
 ),
 agg AS (
   SELECT event_type,
-         CAST(max(n) AS BIGINT) AS n,
-         CAST(max(kk) AS BIGINT) AS n_trimmed_per_side,
          count(*)::BIGINT AS nk,
          CAST(sum(v) AS BIGINT) AS s
   FROM kept GROUP BY event_type
 )
-SELECT event_type, n, n_trimmed_per_side,
+SELECT keyed.event_type, keyed.n, keyed.n_trimmed_per_side,
        CASE WHEN nk > 0 THEN
          CAST((s * 1000 - (s * 1000) % nk) / nk AS BIGINT)
        END AS trimmed_mean_milli
-FROM agg
+FROM keyed LEFT JOIN agg ON keyed.event_type = agg.event_type
 """
 
 
@@ -99,8 +103,10 @@ med AS (
   FROM ranked WHERE r = (np + 1 - (np + 1) % 2) / 2
 ),
 nb AS (SELECT count(*)::BIGINT AS n_buckets FROM dense)
-SELECT nb.n_buckets, med.n_pairs, med.slope_milli_per_bucket
-FROM med, nb
+SELECT nb.n_buckets,
+       CAST(coalesce(med.n_pairs, 0) AS BIGINT) AS n_pairs,
+       med.slope_milli_per_bucket
+FROM nb LEFT JOIN med ON TRUE
 """
 
 

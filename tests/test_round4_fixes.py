@@ -1,0 +1,191 @@
+"""Round-4 hardening tests: the ADVICE.md fixes and the two
+scale-shape directives (bounded rank-stat windows, Theil-Sen bucket
+cap) — each pinned by a behavior test so the contract is enforced by
+code, not prose."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+
+# -------------------------------------------------- rank-stat windows
+
+
+def test_ordered_prefix_matches_single_partition_reference(spark):
+    """The two-level block prefix must equal the naive global-window
+    prefix, deterministically, including duplicate order values on the
+    inclusive path."""
+    from pysyslog_lfc_spark.functions.stats import _ordered_prefix
+
+    rows = [Row(v=(i * 37) % 101 - 50, t=i % 7 + 1) for i in range(500)]
+    df = spark.createDataFrame(rows).groupBy("v").agg(F.sum("t").alias("t"))
+    ref = {
+        r["v"]: r["cb"]
+        for r in df.join(
+            df.select(F.col("v").alias("v2"), F.col("t").alias("t2")),
+            F.col("v2") < F.col("v"),
+            "left",
+        )
+        .groupBy("v")
+        .agg(F.coalesce(F.sum("t2"), F.lit(0)).alias("cb"))
+        .collect()
+    }
+    for _ in range(2):  # determinism across evaluations
+        got = {
+            r["v"]: r["cum_t"]
+            for r in _ordered_prefix(df, "v", ["t"]).collect()
+        }
+        assert got == ref
+
+
+def test_mann_whitney_no_single_task_window_on_continuous(spark):
+    """Raw continuous double metric: the plan must contain no Window
+    with an empty partition spec (the `No Partition Defined` shape)."""
+    from pysyslog_lfc_spark.functions.stats import mann_whitney_u
+
+    df = spark.createDataFrame(
+        [Row(arm="a" if i % 2 else "b", v=i * 0.731) for i in range(100)]
+    )
+    out = mann_whitney_u(df, "arm", F.col("v"), "a", "b")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            # partition spec list precedes the order spec: an empty
+            # one renders as `], []` around the frame arguments
+            assert "windowspecdefinition(" in line
+            spec = line.split("windowspecdefinition(", 1)[1]
+            assert not spec.startswith("ASC") and ", specifiedwindowframe" in spec
+            # the partition column must be present (``_blk`` or a key)
+            assert spec.split(",")[0].strip() != ""
+    r = out.collect()[0]
+    assert r["n_a"] == 50 and r["n_b"] == 50
+
+
+def test_ks_test_decimal_numerator_and_result(spark):
+    from pysyslog_lfc_spark.functions.stats import ks_test
+
+    # arm a ~ uniform 0..99, arm b ~ uniform 50..149 => D = 0.5
+    rows = [Row(arm="a", v=i) for i in range(100)] + [
+        Row(arm="b", v=50 + i) for i in range(100)
+    ]
+    r = ks_test(
+        spark.createDataFrame(rows), "arm", F.col("v"), "a", "b"
+    ).collect()[0]
+    assert r["n_a"] == 100 and r["n_b"] == 100
+    assert r["d_micro"] == 500000
+
+
+def test_theil_sen_bucket_cap_raises(spark):
+    from pysyslog_lfc_spark.functions.stats import theil_sen_trend
+
+    df = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.to_timestamp(F.lit("2024-01-01")),
+                F.to_timestamp(F.lit("2024-01-02")),
+                F.expr("interval 6 hours"),
+            )
+        ).alias("ts")
+    )
+    # span of ~5 buckets with max_buckets=2 must raise at execution
+    with pytest.raises(Exception, match="max_buckets"):
+        theil_sen_trend(df, "ts", step_s=21600, max_buckets=2).collect()
+
+
+def test_theil_sen_single_bucket_row(spark):
+    from pysyslog_lfc_spark.functions.stats import theil_sen_trend
+
+    df = spark.createDataFrame(
+        [Row(ts="2024-01-01 10:00:00"), Row(ts="2024-01-01 11:00:00")]
+    ).select(F.to_timestamp("ts").alias("ts"))
+    rows = theil_sen_trend(df, "ts", step_s=86400).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_buckets"] == 1
+    assert r["n_pairs"] == 0
+    assert r["slope_milli_per_bucket"] is None
+
+
+def test_trimmed_mean_degenerate_group_emits_null_row(spark):
+    from pysyslog_lfc_spark.functions.stats import trimmed_mean
+
+    rows = [Row(g="big", v=i, i=i) for i in range(10)] + [
+        Row(g="tiny", v=100, i=100),
+        Row(g="tiny", v=200, i=101),
+    ]
+    out = {
+        r["g"]: r
+        for r in trimmed_mean(
+            spark.createDataFrame(rows),
+            ["g"],
+            F.col("v"),
+            "i",
+            trim_permille=500,
+        ).collect()
+    }
+    # trim 50% per side: big keeps nothing? k = floor(10*500/1000)=5,
+    # keeps ranks (5, 5] => empty; both groups must still emit rows
+    assert set(out) == {"big", "tiny"}
+    assert out["big"]["trimmed_mean_milli"] is None
+    assert out["tiny"]["n"] == 2
+    assert out["tiny"]["trimmed_mean_milli"] is None  # 2 <= 2k
+
+
+# ---------------------------------------------------------- ADVICE fixes
+
+
+def test_min_k_prob_zero_token_doc_survives(spark):
+    from pysyslog_lfc_spark.functions import lm
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the cat sat on the mat"),
+            Row(doc_id=2, text=""),
+            Row(doc_id=3, text="   "),
+            Row(doc_id=4, text="single"),
+        ]
+    )
+    out = {r["doc_id"]: r for r in lm.min_k_prob(docs).collect()}
+    assert out[1]["min_k_permille"] is not None
+    for did in (2, 3, 4):
+        assert did not in out or out[did]["min_k_permille"] is None
+
+
+def test_bigram_lm_score_zero_token_doc_survives(spark):
+    from pysyslog_lfc_spark.functions import lm
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="a b a b a"), Row(doc_id=2, text="")]
+    )
+    lm.bigram_lm_score(docs).collect()  # must not raise
+
+
+def test_script_mix_unmatched_script_dominant_none(spark):
+    from pysyslog_lfc_spark.functions.text import script_mix
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="Ελληνικά κείμενο"),  # Greek: no class
+            Row(doc_id=2, text="!!! ??? ..."),  # punctuation only
+            Row(doc_id=3, text="hello world"),  # latin
+            Row(doc_id=4, text=""),  # empty
+        ]
+    )
+    out = {r["doc_id"]: r["dominant"] for r in script_mix(docs).collect()}
+    assert out[1] == "none"
+    assert out[2] == "none"
+    assert out[3] == "latin"
+    assert out[4] == "none"
+
+
+def test_decode_png_max_pixels_cap():
+    import numpy as np
+
+    from pysyslog_lfc_spark.functions import multimodal as MM
+
+    arr = np.arange(12 * 10 * 3, dtype=np.uint8).reshape(12, 10, 3)
+    png = MM.encode_png(arr)
+    assert np.array_equal(MM.decode_png(png), arr)
+    with pytest.raises(ValueError, match="max_pixels"):
+        MM.decode_png(png, max_pixels=100)

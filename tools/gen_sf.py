@@ -1,0 +1,112 @@
+"""Deterministic scale-up generator: build an sfN.N-shaped dataset as
+K deterministic key-remapped copies of /root/testdata/sf0.1.
+
+The driver ships sf{0.001,0.01,0.1}; the judge's round-3 directive asks
+for ONE measured decade of scaling (sf1.0 vs sf0.1) so every "would it
+survive 100x" claim rests on a number, not a plan shape. No external
+data, no wall-clock, no RNG: copy k of a table is the original with
+
+  * every integer KEY shifted by k * stride (stride >> max key), so
+    referential integrity holds within a copy and the distinct-key
+    count scales by K exactly like a larger scale factor would;
+  * fixed dims (region, nation) left alone — TPC-H keeps 25 nations
+    at every SF, so per-nation groups deepen by K;
+  * ``documents.text`` re-worded per copy (every word suffixed with
+    the copy digit for k>0) — intra-copy duplicate/near-duplicate
+    structure is preserved EXACTLY (the same rewrite hits both members
+    of a pair) while cross-copy shingle overlap drops to ~0, so dedup
+    candidate generation scales linearly instead of super-linearly the
+    way naive 10x duplication would distort it;
+  * ``embeddings.embedding`` circularly rotated by k*(dim//K) lanes —
+    a permutation preserves every intra-copy inner product exactly and
+    decorrelates copies, same rationale.
+
+Usage: python tools/gen_sf.py <out_dir> [copies=10] [src=/root/testdata/sf0.1]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+STRIDE = 100_000_000
+
+# table -> columns that are integer keys to shift per copy
+KEY_COLS = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+FIXED = ["region", "nation"]
+
+
+def _copy(df: DataFrame, table: str, k: int) -> DataFrame:
+    out = df
+    for c in KEY_COLS.get(table, []):
+        dt = dict(df.dtypes)[c]
+        out = out.withColumn(c, (F.col(c) + F.lit(k * STRIDE)).cast(dt))
+    if table == "documents" and k > 0:
+        reworded = F.array_join(
+            F.transform(
+                F.split(F.col("text"), " "),
+                lambda w: F.concat(w, F.lit(str(k % 10))),
+            ),
+            " ",
+        )
+        out = out.withColumn("text", reworded).withColumn(
+            "n_chars", F.length("text").cast("long")
+        )
+    if table == "embeddings" and k > 0:
+        dim = F.size("embedding")
+        shift = (F.lit(k) * (dim / F.lit(10)).cast("int")) % dim
+        rolled = F.concat(
+            F.expr("slice(embedding, int(_shift) + 1, size(embedding) - int(_shift))"),
+            F.expr("slice(embedding, 1, int(_shift))"),
+        )
+        out = (
+            out.withColumn("_shift", shift)
+            .withColumn("embedding", rolled)
+            .drop("_shift")
+        )
+    return out
+
+
+def generate(spark: SparkSession, out_dir: str, copies: int, src: str) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    for t in FIXED:
+        spark.read.parquet(f"{src}/{t}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/{t}.parquet")
+    for t in KEY_COLS:
+        base = spark.read.parquet(f"{src}/{t}.parquet")
+        parts = [_copy(base, t, k) for k in range(copies)]
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        df.repartition(32).write.mode("overwrite").parquet(
+            f"{out_dir}/{t}.parquet"
+        )
+        print(f"  {t}: x{copies}", flush=True)
+
+
+def main() -> None:
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/dev/shm/sf1.0"
+    copies = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    src = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from pysyslog_lfc_spark.session import get_spark
+
+    spark = get_spark("gen_sf", master="local[32]")
+    generate(spark, out_dir, copies, src)
+    print(f"wrote {out_dir}")
+
+
+if __name__ == "__main__":
+    main()
