@@ -1,0 +1,123 @@
+"""One measured decade of scaling: every bench query timed at sf0.1
+AND at a deterministic 10x scale-up (sf1.0), with the per-query
+sf1/sf0.1 ratio — the round-3 top directive. Turns every "would it
+survive 100x" plan-shape claim into a number and flags any
+super-linear query.
+
+The sf1.0 input is built by tools/gen_sf.py (10 key-remapped copies of
+the driver's sf0.1; intra-copy duplicate structure preserved exactly,
+cross-copy decorrelated — see its docstring). Protocol: one warm
+session at local[32]; per query, sf0.1 first then sf1.0 back-to-back
+(adjacent in time, so the shared-bus drift documented in BASELINE.md
+hits both sides of the ratio roughly equally); one trial each — the
+RATIO is the signal, not the absolute seconds.
+
+Linear-scaling expectation at 10x rows is ratio ~<= 10 plus fixed
+per-query overhead (planning + task launch at this tiny absolute
+scale, ~0.1-0.5 s, which DEFLATES ratios of sub-second queries: a
+0.2 s query with 0.15 s overhead can 10x its real work and still show
+ratio ~3). Iterative graph/dedup ops may exceed 10 for algorithmic
+reasons (more rounds to converge at deeper data) — those get a written
+attribution in SF1_SCALING.md rather than a silent pass.
+
+Usage: python BENCH/run_sf1.py [sf1_dir] [sf01_dir]
+Writes BENCH/sf1_scaling.json + BENCH/SF1_SCALING.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def main() -> None:
+    sf1_dir = sys.argv[1] if len(sys.argv) > 1 else "/dev/shm/sf1.0"
+    sf01_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+
+    if not os.path.isdir(sf1_dir):
+        from pysyslog_lfc_spark.session import get_spark as _gs
+        from tools.gen_sf import generate
+
+        generate(_gs("gen_sf", master="local[32]"), sf1_dir, 10, sf01_dir)
+
+    from bench import BENCH_QUERIES
+    from pysyslog_lfc_spark.plans import driver_queries as DQ
+    from pysyslog_lfc_spark.session import get_spark
+
+    spark = get_spark("sf1_scaling", master="local[32]")
+    queries = DQ.all_queries()
+
+    results: dict[str, dict] = {}
+    for i, name in enumerate(BENCH_QUERIES):
+        fn = queries[name]
+        row: dict = {}
+        for key, d in (("sf01_sec", sf01_dir), ("sf1_sec", sf1_dir)):
+            t0 = time.time()
+            try:
+                n = fn(spark, d).count()
+                row[key] = round(time.time() - t0, 3)
+                row[key.replace("_sec", "_rows")] = n
+            except Exception as e:  # noqa: BLE001 — record, keep sweeping
+                row[key] = None
+                row[key.replace("_sec", "_err")] = str(e)[:200]
+        if row.get("sf01_sec") and row.get("sf1_sec"):
+            row["ratio"] = round(row["sf1_sec"] / row["sf01_sec"], 2)
+        results[name] = row
+        print(
+            f"[{i + 1}/{len(BENCH_QUERIES)}] {name}: "
+            f"{row.get('sf01_sec')}s -> {row.get('sf1_sec')}s "
+            f"(x{row.get('ratio')})",
+            flush=True,
+        )
+
+    ratios = sorted(
+        r["ratio"] for r in results.values() if r.get("ratio") is not None
+    )
+    med = ratios[len(ratios) // 2] if ratios else None
+    payload = {
+        "sf1_dir": sf1_dir,
+        "sf01_dir": sf01_dir,
+        "n_queries": len(results),
+        "median_ratio": med,
+        "p90_ratio": ratios[int(len(ratios) * 0.9)] if ratios else None,
+        "max_ratio": ratios[-1] if ratios else None,
+        "queries": results,
+    }
+    with open(REPO / "BENCH" / "sf1_scaling.json", "w") as f:
+        json.dump(payload, f, indent=1)
+
+    lines = [
+        "# SF1.0 scaling — per-query sf1/sf0.1 ratios",
+        "",
+        f"Input: 10x deterministic scale-up of sf0.1 (`tools/gen_sf.py`)",
+        f"at `{sf1_dir}`; one warm local[32] session, per-query",
+        "back-to-back trials (sf0.1 then sf1.0), single trial each —",
+        "the ratio is the signal. Linear expectation ~<=10 (fixed",
+        "planning/launch overhead deflates sub-second queries' ratios).",
+        "",
+        f"**{len(ratios)} queries timed; median ratio {med}, p90 "
+        f"{payload['p90_ratio']}, max {payload['max_ratio']}.**",
+        "",
+        "| query | sf0.1 s | sf1.0 s | ratio |",
+        "|---|---|---|---|",
+    ]
+    for name, r in sorted(
+        results.items(), key=lambda kv: -(kv[1].get("ratio") or 0)
+    ):
+        lines.append(
+            f"| {name} | {r.get('sf01_sec')} | {r.get('sf1_sec')} | "
+            f"{r.get('ratio')} |"
+        )
+    with open(REPO / "BENCH" / "SF1_SCALING.md", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(json.dumps({k: v for k, v in payload.items() if k != "queries"}))
+
+
+if __name__ == "__main__":
+    main()
