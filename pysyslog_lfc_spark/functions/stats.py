@@ -1566,3 +1566,164 @@ def theil_sen_trend(
         F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long").alias("n_pairs"),
         "slope_milli_per_bucket",
     )
+
+
+def mann_kendall_trend(
+    df: DataFrame,
+    ts_col: str = "ts",
+    step_s: int = 86400,
+    max_buckets: int = 20000,
+) -> DataFrame:
+    """Mann-Kendall monotonic-trend test (Mann 1945 / Kendall 1975) —
+    the SIGNIFICANCE companion to :func:`theil_sen_trend`'s magnitude
+    (the standard pairing in environmental/telemetry trend reporting):
+
+        S = sum over bucket pairs i<j of sign(cnt_j - cnt_i)
+        Var(S) = [n(n-1)(2n+5) - sum_ties t(t-1)(2t+5)] / 18
+        z = (S -/+ 1) / sqrt(Var(S))   (continuity-corrected; 0 if S=0)
+
+    over the dense per-``step_s`` event-count series (real zeros for
+    silent buckets). S and 18*Var(S) are exact BIGINTs — integer
+    counts, integer tie groups — and only the closing z runs in
+    correctly-rounded double, the module's cross-engine contract.
+
+    Returns ONE row: (n_buckets, s_stat, var18, z_milli); z_milli is
+    NULL when n_buckets < 2 or the variance is zero (all ties). The
+    B^2/2 pair fan-out is bounded by the same enforced
+    ``max_buckets`` gate as theil_sen_trend (assert before the
+    quadratic join), and no unpartitioned corpus window appears —
+    pairs are aggregated, never ranked.
+    """
+    grain = df.groupBy(
+        (
+            F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(step_s)).cast(
+                "long"
+            )
+        ).alias("b")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    span = grain.agg(F.min("b").alias("_mn"), F.max("b").alias("_mx"))
+    guard = F.assert_true(
+        F.coalesce(
+            (F.col("_mx") - F.col("_mn") + F.lit(1))
+            <= F.lit(max_buckets),
+            F.lit(True),
+        ),
+        F.lit(
+            "mann_kendall_trend: bucket span exceeds max_buckets="
+            f"{max_buckets}; coarsen step_s or raise max_buckets"
+        ),
+    )
+    span = span.where(guard.isNull())
+    dense = (
+        span.select(
+            F.explode(F.sequence(F.col("_mn"), F.col("_mx"))).alias("b")
+        )
+        .join(grain, "b", "left")
+        .select("b", F.coalesce("cnt", F.lit(0)).alias("cnt"))
+    )
+    a = dense.select(F.col("b").alias("b1"), F.col("cnt").alias("y1"))
+    c = dense.select(F.col("b").alias("b2"), F.col("cnt").alias("y2"))
+    s_agg = (
+        a.join(c, F.col("b1") < F.col("b2"))
+        .agg(
+            F.sum(F.signum(F.col("y2") - F.col("y1")).cast("long"))
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    # tie groups over the COUNT values of the dense frame
+    ties = (
+        dense.groupBy("cnt")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .agg(
+            F.sum(
+                F.col("t")
+                * (F.col("t") - 1)
+                * (F.lit(2) * F.col("t") + 5)
+            )
+            .cast("long")
+            .alias("_tie_sum")
+        )
+    )
+    nb = dense.agg(F.count(F.lit(1)).cast("long").alias("n_buckets"))
+    n = F.col("n_buckets")
+    var18 = (
+        n * (n - 1) * (F.lit(2) * n + 5) - F.col("_tie_sum")
+    ).cast("long")
+    joined = (
+        nb.crossJoin(F.broadcast(s_agg))
+        .crossJoin(F.broadcast(ties))
+        .select("n_buckets", "s_stat", var18.alias("var18"))
+    )
+    sd = F.sqrt(F.col("var18").cast("double") / F.lit(18.0))
+    z = (
+        F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1) / sd)
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1) / sd)
+        .otherwise(F.lit(0.0))
+    )
+    ok = (F.col("n_buckets") > 1) & (F.col("var18") > 0)
+    return joined.select(
+        "n_buckets",
+        F.coalesce("s_stat", F.lit(0)).alias("s_stat"),
+        "var18",
+        F.when(ok, F.floor(z * 1000)).cast("long").alias("z_milli"),
+    )
+
+
+def fdr_bh(
+    df: DataFrame,
+    key_cols: list[str],
+    p_micro_col: str,
+    alpha_permille: int = 50,
+) -> DataFrame:
+    """Benjamini-Hochberg step-up FDR control (Benjamini & Hochberg
+    1995) — the multiple-comparison gate every many-metric A/B sweep
+    needs (testing 200 metrics at alpha=.05 yields ~10 false alarms;
+    BH bounds the false-discovery RATE instead): sort p ascending,
+    find k* = max{k : p_(k) * m <= k * alpha}, reject hypotheses with
+    rank <= k*.
+
+    ``p_micro_col`` carries integer micro p-values (floor(1e6*p), the
+    house grid). The comparison is exact integer cross-multiplication:
+    p_micro * m * 1000 <= k * alpha_permille * 1e6 — no division, no
+    doubles, so the reject set is bit-identical in any engine.
+    Ties cannot straddle the cut (if rank k satisfies at p, rank k+1
+    at the same p satisfies a fortiori), so arbitrary tie order never
+    changes ``rejected``.
+
+    Returns (keys..., p_micro, rejected, k_star, m) sorted-agnostic.
+
+    Scale shape: ranking is the distributed two-level prefix
+    (:func:`_ordered_prefix`) over the metric frame; k* is one
+    aggregate broadcast back — no unpartitioned window even for a
+    million-metric sweep.
+    """
+    base = df.select(
+        *key_cols,
+        F.col(p_micro_col).cast("long").alias("p_micro"),
+        F.lit(1).alias("_one"),
+    )
+    ranked = _ordered_prefix(base, "p_micro", ["_one"], inclusive=True)
+    m_agg = base.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    with_m = ranked.crossJoin(F.broadcast(m_agg))
+    ok = (
+        F.col("p_micro") * F.col("m") * F.lit(1000)
+        <= F.col("cum__one") * F.lit(alpha_permille) * F.lit(1000000)
+    )
+    kstar = with_m.agg(
+        F.coalesce(
+            F.max(F.when(ok, F.col("cum__one"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("k_star")
+    )
+    return (
+        with_m.crossJoin(F.broadcast(kstar))
+        .select(
+            *key_cols,
+            "p_micro",
+            (F.col("cum__one") <= F.col("k_star")).alias("rejected"),
+            "k_star",
+            "m",
+        )
+    )

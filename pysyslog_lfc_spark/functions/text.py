@@ -1376,3 +1376,56 @@ def injection_marker_scan(
         *[c.alias(f"flag_{name}") for name, c in flags.items()],
         n.cast("int").alias("n_families"),
     )
+
+
+# contiguous 13-19 digit runs: the PAN length range (ISO/IEC 7812).
+# Deliberately separator-free — both engines' \b semantics agree on
+# plain digit runs, and the Luhn check then kills false positives that
+# a bare regex scan would report (phone numbers, timestamps, ids).
+CARD_CANDIDATE_RE = r"\b[0-9]{13,19}\b"
+
+
+def luhn_card_scan(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Credit-card PII scan with Luhn verification (ISO/IEC 7812
+    mod-10): extract 13-19 digit candidate runs, then keep only runs
+    whose Luhn checksum is 0 — the verification step that separates a
+    payment-card leak from the digit noise regex-only PII scanners
+    drown in (a 16-digit order id passes the regex ~100% of the time
+    and the checksum 10% of the time).
+
+    Returns (id, n_candidates, n_luhn_valid). Pure higher-order
+    codegen expressions (regexp_extract_all -> transform ->
+    aggregate over digit positions) — zero shuffles, zero Python;
+    extends the :func:`pii_counts`/:func:`redact_pii` family.
+    """
+
+    def _checksum(s):
+        rev = F.reverse(s)
+        digits = F.split(rev, "")
+
+        def _term(i):
+            d = F.element_at(digits, i).cast("int")
+            dbl = d * 2
+            return F.when(
+                F.pmod(i, F.lit(2)) == 1, d
+            ).otherwise(dbl - F.when(dbl > 9, F.lit(9)).otherwise(F.lit(0)))
+
+        return F.aggregate(
+            F.sequence(F.lit(1), F.length(s)),
+            F.lit(0),
+            lambda acc, i: acc + _term(i),
+        )
+
+    cands = F.regexp_extract_all(
+        F.col(text_col), F.lit(CARD_CANDIDATE_RE), 0
+    )
+    valid = F.filter(cands, lambda s: F.pmod(_checksum(s), F.lit(10)) == 0)
+    return df.select(
+        F.col(id_col),
+        F.size(cands).cast("long").alias("n_candidates"),
+        F.size(valid).cast("long").alias("n_luhn_valid"),
+    )

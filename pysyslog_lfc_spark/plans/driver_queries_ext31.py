@@ -1,0 +1,195 @@
+"""Driver-query registrations, round-4 batch 1: the Mann-Kendall
+monotonic-trend significance test (the standard companion to the
+Theil-Sen slope), Benjamini-Hochberg FDR control over a many-metric
+sweep, and Luhn-verified payment-card PII scanning.
+
+Imported by :mod:`pysyslog_lfc_spark.plans.driver_queries` (bottom of
+file).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pysyslog_lfc_spark.plans.driver_queries import _t, query
+
+
+# ------------------------------------------------------- Mann-Kendall
+
+_MK_ORACLE = """
+WITH grain AS (
+  SELECT epoch_us(ts) // 1000000 // 86400 AS b, count(*)::BIGINT AS cnt
+  FROM events GROUP BY 1
+),
+span AS (SELECT min(b) AS mn, max(b) AS mx FROM grain),
+dense AS (
+  SELECT g.b, coalesce(grain.cnt, 0) AS cnt
+  FROM (SELECT unnest(generate_series(mn, mx)) AS b FROM span) g
+  LEFT JOIN grain ON grain.b = g.b
+),
+s AS (
+  SELECT CAST(coalesce(sum(
+           CASE WHEN c.cnt > a.cnt THEN 1
+                WHEN c.cnt < a.cnt THEN -1 ELSE 0 END), 0) AS BIGINT)
+         AS s_stat
+  FROM dense a JOIN dense c ON a.b < c.b
+),
+ties AS (
+  SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+         AS tie_sum
+  FROM (SELECT count(*)::BIGINT AS t FROM dense GROUP BY cnt)
+),
+nb AS (SELECT count(*)::BIGINT AS n FROM dense)
+SELECT n AS n_buckets, s_stat,
+  CAST(n * (n - 1) * (2 * n + 5) - tie_sum AS BIGINT) AS var18,
+  CASE WHEN n > 1 AND (n * (n - 1) * (2 * n + 5) - tie_sum) > 0 THEN
+    CAST(floor(
+      CASE WHEN s_stat > 0 THEN (s_stat - 1)
+                / sqrt((n * (n - 1) * (2 * n + 5) - tie_sum) / 18.0)
+           WHEN s_stat < 0 THEN (s_stat + 1)
+                / sqrt((n * (n - 1) * (2 * n + 5) - tie_sum) / 18.0)
+           ELSE 0.0 END * 1000) AS BIGINT)
+  END AS z_milli
+FROM nb, s, ties
+"""
+
+
+@query("mann_kendall_event_trend", _MK_ORACLE)
+def mann_kendall_event_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotonic-trend significance over the daily event
+    series (functions/stats.py::mann_kendall_trend) — the standard
+    companion to theil_sen_event_trend's slope: exact BIGINT S and
+    18*Var(S) with the full tie correction, one continuity-corrected
+    double z at the close. Pair fan-out over the calendar-bounded
+    bucket frame, gated by the enforced max_buckets."""
+    from pysyslog_lfc_spark.functions.stats import mann_kendall_trend
+
+    ev = _t(spark, sf_dir, "events")
+    return mann_kendall_trend(ev, "ts", step_s=86400)
+
+
+# --------------------------------------------------- Benjamini-Hochberg
+
+_BH_ORACLE = """
+WITH met AS (
+  SELECT DISTINCT event_type,
+         CAST(extract(hour FROM ts) AS INT) AS hour
+  FROM events
+),
+p AS (
+  SELECT event_type, hour,
+         CAST(('0x' || substr(md5(event_type || '|' ||
+               CAST(hour AS VARCHAR)), 1, 15))::BIGINT % 1000000
+              AS BIGINT) AS p_micro
+  FROM met
+),
+r AS (
+  SELECT *, row_number() OVER (ORDER BY p_micro) AS k,
+         count(*) OVER () AS m
+  FROM p
+),
+ks AS (
+  SELECT coalesce(max(CASE WHEN p_micro * m * 1000
+                                <= k * 50 * 1000000 THEN k END), 0)
+         AS k_star
+  FROM r
+)
+SELECT event_type, hour, p_micro, (k <= k_star) AS rejected,
+       CAST(k_star AS BIGINT) AS k_star, CAST(m AS BIGINT) AS m
+FROM r, ks
+"""
+
+
+@query("fdr_bh_event_hours", _BH_ORACLE)
+def fdr_bh_event_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg step-up FDR control
+    (functions/stats.py::fdr_bh) over a (event_type x hour) metric
+    sweep with deterministic portable-hash p-values — the
+    multiple-comparison gate for many-metric A/B reports. The reject
+    decision is exact integer cross-multiplication (no doubles), the
+    rank is the distributed two-level prefix."""
+    from pysyslog_lfc_spark.functions.stats import fdr_bh
+    from pysyslog_lfc_spark.functions.text import portable_hash60
+
+    ev = _t(spark, sf_dir, "events")
+    met = ev.select(
+        "event_type", F.hour("ts").cast("int").alias("hour")
+    ).distinct()
+    p = met.select(
+        "event_type",
+        "hour",
+        F.pmod(
+            portable_hash60(
+                F.concat(
+                    F.col("event_type"),
+                    F.lit("|"),
+                    F.col("hour").cast("string"),
+                )
+            ),
+            F.lit(1000000),
+        )
+        .cast("long")
+        .alias("p_micro"),
+    )
+    return fdr_bh(p, ["event_type", "hour"], "p_micro", alpha_permille=50)
+
+
+# --------------------------------------------------------- Luhn scan
+
+_VALID_CARD = "4532015112830366"  # Luhn checksum 0
+_INVALID_CARD = "4532015112830367"  # fails the checksum
+
+_LUHN_ORACLE = f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 5 = 0
+                      THEN ' {_VALID_CARD}' ELSE '' END
+              || CASE WHEN doc_id % 7 = 0
+                      THEN ' {_INVALID_CARD}' ELSE '' END AS text
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '\\b[0-9]{{13,19}}\\b') AS cands
+  FROM aug
+)
+SELECT doc_id,
+  CAST(len(cands) AS BIGINT) AS n_candidates,
+  CAST(len(list_filter(cands, s ->
+    list_sum(list_transform(range(1, length(s) + 1), i ->
+      CASE WHEN i % 2 = 1
+           THEN CAST(substring(reverse(s), i, 1) AS INT)
+           ELSE CASE WHEN CAST(substring(reverse(s), i, 1) AS INT) * 2 > 9
+                     THEN CAST(substring(reverse(s), i, 1) AS INT) * 2 - 9
+                     ELSE CAST(substring(reverse(s), i, 1) AS INT) * 2
+                END
+      END)) % 10 = 0)) AS BIGINT) AS n_luhn_valid
+FROM c
+"""
+
+
+@query("luhn_card_scan_docs", _LUHN_ORACLE)
+def luhn_card_scan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payment-card PII scan with Luhn mod-10 verification
+    (functions/text.py::luhn_card_scan): planted valid/invalid PANs
+    (doc_id mod 5 / mod 7) give the gate real positives AND real
+    checksum rejects — the step that separates a card leak from the
+    16-digit order-id noise regex-only scanners report. Pure
+    higher-order codegen, zero shuffles."""
+    from pysyslog_lfc_spark.functions.text import luhn_card_scan
+
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0, F.lit(" " + _VALID_CARD)
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 7 == 0, F.lit(" " + _INVALID_CARD)
+            ).otherwise(""),
+        ).alias("text"),
+    )
+    return luhn_card_scan(aug)

@@ -189,3 +189,81 @@ def test_decode_png_max_pixels_cap():
     assert np.array_equal(MM.decode_png(png), arr)
     with pytest.raises(ValueError, match="max_pixels"):
         MM.decode_png(png, max_pixels=100)
+
+
+# ------------------------------------------------- round-4 new operators
+
+
+def test_mann_kendall_known_series(spark):
+    """Strictly increasing counts: S = n(n-1)/2, z > 0; hand-checked
+    variance with no ties."""
+    from pysyslog_lfc_spark.functions.stats import mann_kendall_trend
+
+    # 1,2,3,4,5 events on five consecutive days -> strictly increasing
+    rows = []
+    for d in range(5):
+        for i in range(d + 1):
+            rows.append(Row(ts=f"2024-03-0{d + 1} 12:0{i}:00"))
+    df = spark.createDataFrame(rows).select(F.to_timestamp("ts").alias("ts"))
+    r = mann_kendall_trend(df, "ts", step_s=86400).collect()[0]
+    assert r["n_buckets"] == 5
+    assert r["s_stat"] == 10  # all 10 pairs increasing
+    # no ties: var18 = n(n-1)(2n+5) = 5*4*15 = 300 -> Var = 16.667
+    assert r["var18"] == 300
+    # z = (10-1)/sqrt(300/18) = 9/4.0825 = 2.2045 -> 2204 milli
+    assert r["z_milli"] == 2204
+
+
+def test_mann_kendall_bucket_cap(spark):
+    from pysyslog_lfc_spark.functions.stats import mann_kendall_trend
+
+    df = spark.createDataFrame(
+        [Row(ts="2024-01-01 00:00:00"), Row(ts="2024-03-01 00:00:00")]
+    ).select(F.to_timestamp("ts").alias("ts"))
+    with pytest.raises(Exception, match="max_buckets"):
+        mann_kendall_trend(df, "ts", step_s=86400, max_buckets=10).collect()
+
+
+def test_fdr_bh_step_up(spark):
+    """Textbook BH: m=5, alpha=0.05; p = [.001, .008, .039, .041, .9].
+    p*m vs k*alpha: k=1: .005<=.05 T; k=2: .04<=.1 T; k=3: .195<=.15 F;
+    k=4: .205<=.2 F; k=5: 4.5 F -> k*=2, reject the two smallest."""
+    from pysyslog_lfc_spark.functions.stats import fdr_bh
+
+    rows = [
+        Row(metric="a", p_micro=1000),
+        Row(metric="b", p_micro=8000),
+        Row(metric="c", p_micro=39000),
+        Row(metric="d", p_micro=41000),
+        Row(metric="e", p_micro=900000),
+    ]
+    out = {
+        r["metric"]: r
+        for r in fdr_bh(
+            spark.createDataFrame(rows), ["metric"], "p_micro",
+            alpha_permille=50,
+        ).collect()
+    }
+    assert out["a"]["rejected"] and out["b"]["rejected"]
+    assert not any(out[m]["rejected"] for m in ("c", "d", "e"))
+    assert out["a"]["k_star"] == 2 and out["a"]["m"] == 5
+
+
+def test_luhn_card_scan(spark):
+    from pysyslog_lfc_spark.functions.text import luhn_card_scan
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="pay 4532015112830366 now"),  # valid
+            Row(doc_id=2, text="id 4532015112830367 here"),  # invalid
+            Row(doc_id=3, text="order 1234567890123"),  # 13-digit invalid
+            Row(doc_id=4, text="short 123456 run"),  # no candidate
+            Row(doc_id=5, text="two 4532015112830366 4111111111111111"),
+        ]
+    )
+    out = {r["doc_id"]: r for r in luhn_card_scan(docs).collect()}
+    assert (out[1]["n_candidates"], out[1]["n_luhn_valid"]) == (1, 1)
+    assert (out[2]["n_candidates"], out[2]["n_luhn_valid"]) == (1, 0)
+    assert (out[3]["n_candidates"], out[3]["n_luhn_valid"]) == (1, 0)
+    assert (out[4]["n_candidates"], out[4]["n_luhn_valid"]) == (0, 0)
+    assert (out[5]["n_candidates"], out[5]["n_luhn_valid"]) == (2, 2)
