@@ -141,7 +141,11 @@ def main() -> int:
                 "sec": round(time.time() - t0, 2),
             }
 
-    if not only:  # full run: persist the auditable round artifact
+    # full run persists SELFCHECK.json; a filtered run persists a
+    # sample artifact when SELFCHECK_OUT names one (e.g. the heaviest-
+    # query re-check at the bench scale factor -> SELFCHECK_SAMPLE.json)
+    out_name = "SELFCHECK.json" if not only else os.environ.get("SELFCHECK_OUT")
+    if out_name:
         summary = {
             "sf_dir": sf_dir,
             "n_queries": len(verdicts),
@@ -153,7 +157,7 @@ def main() -> int:
             "failures": failures,
             "verdicts": verdicts,
         }
-        out_path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SELFCHECK.json")
+        out_path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), out_name)
         with open(out_path, "w") as f:
             json.dump(summary, f, indent=1)
         print(f"\nwrote {out_path}")
