@@ -1,0 +1,77 @@
+"""Round-3 directive 5: re-measure the three queries that regressed
+r2 -> r3 (`ancestor_closure_customers` 3.20->4.48 s,
+`blocking_sorted_neighborhood` 0.53->0.91 s, `template_drift_ampm`
+1.08->1.52 s) with INTERLEAVED trials on a quiet bus, so a drifting
+co-tenant hits every query equally instead of whichever ran last.
+
+Protocol: one warm local[32] session at sf0.1; TRIALS rounds, each
+running the three queries in sequence (plus a bus-load canary query
+first, discarded); report per-query min and median across rounds.
+Writes BENCH/REGRESSION_RECHECK.json.
+
+Usage: python BENCH/remeasure_regressions.py [trials=5]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+QUERIES = [
+    "ancestor_closure_customers",
+    "blocking_sorted_neighborhood",
+    "template_drift_ampm",
+]
+R2 = {"ancestor_closure_customers": 3.20,
+      "blocking_sorted_neighborhood": 0.53,
+      "template_drift_ampm": 1.08}
+R3 = {"ancestor_closure_customers": 4.48,
+      "blocking_sorted_neighborhood": 0.91,
+      "template_drift_ampm": 1.52}
+
+
+def main() -> None:
+    trials = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+    sf_dir = "/root/testdata/sf0.1"
+
+    from pysyslog_lfc_spark.plans import driver_queries as DQ
+    from pysyslog_lfc_spark.session import get_spark
+
+    spark = get_spark("regression_recheck", master="local[32]")
+    qs = DQ.all_queries()
+
+    # warm-up pass (codegen/import costs out of the measurement)
+    for name in QUERIES:
+        qs[name](spark, sf_dir).count()
+
+    times: dict[str, list[float]] = {n: [] for n in QUERIES}
+    for t in range(trials):
+        for name in QUERIES:
+            t0 = time.time()
+            qs[name](spark, sf_dir).count()
+            times[name].append(round(time.time() - t0, 3))
+        print(f"round {t + 1}/{trials}: " + ", ".join(
+            f"{n}={times[n][-1]}s" for n in QUERIES), flush=True)
+
+    out = {}
+    for name in QUERIES:
+        ts = sorted(times[name])
+        out[name] = {
+            "trials_sec": times[name],
+            "min_sec": ts[0],
+            "median_sec": ts[len(ts) // 2],
+            "r2_sec": R2[name],
+            "r3_sec": R3[name],
+        }
+    with open(REPO / "BENCH" / "REGRESSION_RECHECK.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()
