@@ -358,3 +358,37 @@ def unimax_allocations(
             F.floor(alloc * 1000 / F.col("n_tokens")),
         ).otherwise(F.lit(0)).cast("long").alias("epochs_milli"),
     )
+
+
+def kfold_stratified(
+    df: DataFrame,
+    stratum_cols: list[str],
+    id_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Deterministic stratified k-fold assignment — the CV-split step
+    of every tuning/eval pipeline, with per-stratum balance EXACT by
+    construction (fold sizes within a stratum differ by at most 1),
+    where independent hash-mod assignment only balances in expectation:
+    rank rows within each stratum by a portable 60-bit hash of the id
+    (a seeded shuffle both engines replay bit-identically), then
+    fold = (rank - 1) mod k.
+
+    Returns the input's (stratum..., id) plus ``fold`` (0-based).
+
+    Scale shape: ONE stratum-key exchange for the rank window (strata
+    are the parallelism axis; a stratum is never wider than its own
+    rows). For unstratified splits at corpus scale pass a coarse
+    bucket column as the stratum to keep windows bounded.
+    """
+    h = portable_hash60(F.col(id_col).cast("string"))
+    w = Window.partitionBy(
+        *[F.col(c) for c in stratum_cols]
+    ).orderBy(h, F.col(id_col))
+    return df.select(
+        *stratum_cols,
+        F.col(id_col),
+        F.pmod(F.row_number().over(w) - 1, F.lit(k))
+        .cast("int")
+        .alias("fold"),
+    )

@@ -1727,3 +1727,273 @@ def fdr_bh(
             "m",
         )
     )
+
+
+def mi_feature_rank(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Mutual information between two categorical columns — the
+    feature-relevance score chi-squared can't give directly (MI is the
+    KL divergence between the joint and the independence product, in
+    nats; the standard filter-method feature ranking):
+
+        MI = sum_cells (c_xy / n) * ln(c_xy * n / (c_x * c_y))
+
+    Each OBSERVED cell's term enters as floor(1e6 * term) — exact
+    integer counts through one correctly-rounded double chain — so the
+    total is aggregation-order-free (zero cells contribute 0 and are
+    correctly absent). Returns one row per observed cell:
+    (x, y, n_xy, term_micro, mi_micro) with the corpus ``mi_micro``
+    repeated per row (the :func:`psi_drift` reporting convention).
+
+    Scale shape: ONE corpus hash aggregate to the cell frame; row and
+    column marginals are tiny re-aggregates of that frame joined back
+    (the :func:`chi2_cells` pattern); no window at all.
+    """
+    cells = df.groupBy(
+        F.col(x_col).alias("x"), F.col(y_col).alias("y")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_xy"))
+    rowm = cells.groupBy("x").agg(F.sum("n_xy").cast("long").alias("_cx"))
+    colm = cells.groupBy("y").agg(F.sum("n_xy").cast("long").alias("_cy"))
+    tot = cells.agg(F.sum("n_xy").cast("long").alias("_n"))
+    j = (
+        cells.join(rowm, "x")
+        .join(colm, "y")
+        .crossJoin(F.broadcast(tot))
+    )
+    term = F.floor(
+        (F.col("n_xy") / F.col("_n"))
+        * F.log(
+            F.col("n_xy").cast("double")
+            * F.col("_n")
+            / (F.col("_cx").cast("double") * F.col("_cy"))
+        )
+        * F.lit(1000000.0)
+    ).cast("long")
+    with_terms = j.select("x", "y", "n_xy", term.alias("term_micro"))
+    total_mi = with_terms.agg(
+        F.sum("term_micro").cast("long").alias("mi_micro")
+    )
+    return with_terms.crossJoin(F.broadcast(total_mi))
+
+
+def randomization_test_diff(
+    df: DataFrame,
+    group_col: str,
+    value: Column,
+    id_col: str,
+    arm_a: str,
+    arm_b: str,
+    n_perm: int = 199,
+) -> DataFrame:
+    """Monte-Carlo randomization test for the difference of arm means
+    (Fisher 1935 family; the assumption-free significance check behind
+    welch_t/mann_whitney when neither normality nor rank semantics is
+    wanted). Deterministic — no RNG: replica r relabels each row by the
+    parity of a portable 60-bit hash of (id, r), preserving the arm
+    proportion in expectation (Bernoulli relabeling, the standard
+    Monte-Carlo approximation of the exact permutation null — sizes
+    vary binomially per replica; documented, identical in the oracle).
+
+        p = (1 + #{r : |diff_r| >= |diff_obs|}) / (n_perm + 1)
+
+    ``value`` MUST be integer-valued (house contract): every replica
+    statistic is an exact integer cross-multiplication —
+    |sum_a * n_b - sum_b * n_a| compared on the common denominator via
+    DECIMAL(38,0) products — so the replica count is bit-identical in
+    any engine. Returns ONE row:
+    (n_a, n_b, diff_milli, n_perm, n_ge, p_milli).
+
+    Scale shape: the n_perm replicas explode map-side (sequence +
+    explode, no shuffle) into ONE keyed aggregate by replica; the
+    replica frame (n_perm rows) closes with a broadcast-joined scalar
+    comparison. Total work O(n * n_perm) flat map + one exchange.
+    """
+    from pysyslog_lfc_spark.functions.text import portable_hash60
+
+    d38 = "decimal(38,0)"
+    base = (
+        df.where(F.col(group_col).isin([arm_a, arm_b]))
+        .select(
+            F.col(id_col).cast("string").alias("_id"),
+            (F.col(group_col) == arm_a).alias("_is_a"),
+            value.cast("long").alias("_v"),
+        )
+    )
+    obs = base.agg(
+        F.sum(F.when(F.col("_is_a"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(~F.col("_is_a"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+        F.sum(F.when(F.col("_is_a"), F.col("_v")).otherwise(0))
+        .cast(d38)
+        .alias("_sa"),
+        F.sum(F.when(~F.col("_is_a"), F.col("_v")).otherwise(0))
+        .cast(d38)
+        .alias("_sb"),
+    )
+    reps = base.select(
+        "_id",
+        "_v",
+        F.explode(F.sequence(F.lit(1), F.lit(n_perm))).alias("_r"),
+    ).select(
+        "_r",
+        "_v",
+        (
+            F.pmod(
+                portable_hash60(
+                    F.concat(F.col("_id"), F.lit("#"), F.col("_r"))
+                ),
+                F.lit(2),
+            )
+            == 0
+        ).alias("_ra"),
+    )
+    rstats = reps.groupBy("_r").agg(
+        F.sum(F.when(F.col("_ra"), 1).otherwise(0))
+        .cast("long")
+        .alias("_na"),
+        F.sum(F.when(~F.col("_ra"), 1).otherwise(0))
+        .cast("long")
+        .alias("_nb"),
+        F.sum(F.when(F.col("_ra"), F.col("_v")).otherwise(0))
+        .cast(d38)
+        .alias("_ra_sum"),
+        F.sum(F.when(~F.col("_ra"), F.col("_v")).otherwise(0))
+        .cast(d38)
+        .alias("_rb_sum"),
+    )
+    # |sum_a/n_a - sum_b/n_b| >= |SA/NA - SB/NB|, exactly, via cross-
+    # multiplication onto the common positive denominator
+    # n_a*n_b*NA*NB (decimal products; replicas with an empty arm are
+    # conservatively counted as extreme, matching the oracle)
+    joined = rstats.crossJoin(F.broadcast(obs))
+    lhs = F.abs(
+        F.col("_ra_sum") * F.col("_nb").cast(d38)
+        - F.col("_rb_sum") * F.col("_na").cast(d38)
+    ) * (F.col("n_a") * F.col("n_b")).cast(d38)
+    rhs = F.abs(
+        F.col("_sa") * F.col("n_b").cast(d38)
+        - F.col("_sb") * F.col("n_a").cast(d38)
+    ) * (F.col("_na") * F.col("_nb")).cast(d38)
+    extreme = (
+        (F.col("_na") == 0) | (F.col("_nb") == 0) | (lhs >= rhs)
+    )
+    tail = joined.agg(
+        F.sum(F.when(extreme, 1).otherwise(0)).cast("long").alias("n_ge")
+    )
+    diff_milli = F.floor(
+        (
+            F.col("_sa").cast("double") / F.col("n_a")
+            - F.col("_sb").cast("double") / F.col("n_b")
+        )
+        * 1000
+    ).cast("long")
+    p_milli = (
+        ((F.lit(1) + F.col("n_ge")) * F.lit(1000))
+        / F.lit(n_perm + 1)
+    ).cast("long")
+    return (
+        obs.crossJoin(F.broadcast(tail))
+        .select(
+            "n_a",
+            "n_b",
+            F.when((F.col("n_a") > 0) & (F.col("n_b") > 0), diff_milli)
+            .alias("diff_milli"),
+            F.lit(n_perm).cast("long").alias("n_perm"),
+            "n_ge",
+            F.when((F.col("n_a") > 0) & (F.col("n_b") > 0), p_milli)
+            .alias("p_milli"),
+        )
+    )
+
+
+def calibration_ece(
+    df: DataFrame,
+    prob_milli_col: str,
+    outcome_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Expected Calibration Error over equal-width confidence bins
+    (Naeini et al. 2015's binned ECE — the standard "is this model's
+    confidence honest" report beside the Brier score):
+
+        ECE = sum_b (n_b / N) * |acc_b - conf_b|
+
+    With probabilities on the integer milli grid the whole sum is
+    exact: per bin |acc - conf| * n_b = |1000 * sum(outcome) -
+    sum(p_milli)| / 1000, so ece_micro = floor(1e6 * sum_b |...| /
+    (1000 * N)) comes from one integer chain. Returns one row per
+    non-empty bin: (bin, n, n_pos, mean_conf_milli, acc_milli,
+    gap_abs_num, ece_micro) with the corpus ``ece_micro`` repeated.
+
+    Scale shape: ONE corpus hash aggregate to the <= n_bins frame;
+    everything downstream is scalar math on that frame.
+    """
+    d38 = "decimal(38,0)"
+    p = F.col(prob_milli_col).cast("long")
+    bin_id = F.least(
+        F.floor(p * n_bins / 1000).cast("int"), F.lit(n_bins - 1)
+    )
+    cells = df.select(
+        bin_id.alias("bin"),
+        p.alias("_p"),
+        F.col(outcome_col).cast("long").alias("_o"),
+    ).groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_o").cast("long").alias("n_pos"),
+        F.sum("_p").cast(d38).alias("_sp"),
+    )
+    tot = cells.agg(F.sum("n").cast("long").alias("_N"))
+    gap = F.abs(
+        F.col("n_pos").cast(d38) * F.lit(1000) - F.col("_sp")
+    ).cast("long")
+    mean_conf = (
+        (F.col("_sp") - F.pmod(F.col("_sp"), F.col("n"))) / F.col("n")
+    ).cast("long")
+    acc = (
+        (
+            F.col("n_pos") * 1000
+            - F.pmod(F.col("n_pos") * 1000, F.col("n"))
+        )
+        / F.col("n")
+    ).cast("long")
+    per_bin = cells.select(
+        "bin",
+        "n",
+        "n_pos",
+        mean_conf.alias("mean_conf_milli"),
+        acc.alias("acc_milli"),
+        gap.alias("gap_abs_num"),
+    )
+    total = per_bin.agg(
+        F.sum("gap_abs_num").cast(d38).alias("_gapsum")
+    )
+    return (
+        per_bin.crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            "mean_conf_milli",
+            "acc_milli",
+            "gap_abs_num",
+            (
+                (
+                    F.col("_gapsum") * F.lit(1000000)
+                    - F.pmod(
+                        F.col("_gapsum") * F.lit(1000000),
+                        (F.col("_N") * F.lit(1000)).cast(d38),
+                    )
+                )
+                / (F.col("_N") * F.lit(1000)).cast(d38)
+            )
+            .cast("long")
+            .alias("ece_micro"),
+        )
+    )

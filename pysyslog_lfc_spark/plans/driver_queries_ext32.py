@@ -1,0 +1,221 @@
+"""Driver-query registrations, round-4 batch 2: stratified k-fold CV
+assignment, mutual-information feature ranking, the deterministic
+Monte-Carlo randomization test, and binned calibration ECE.
+
+Imported by :mod:`pysyslog_lfc_spark.plans.driver_queries` (bottom of
+file).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pysyslog_lfc_spark.plans.driver_queries import _t, query
+
+
+# ------------------------------------------------------ stratified k-fold
+
+_KFOLD_ORACLE = """
+SELECT lang, doc_id,
+  CAST((row_number() OVER (
+          PARTITION BY lang
+          ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                     ::BIGINT, doc_id) - 1) % 5 AS INT) AS fold
+FROM documents
+"""
+
+
+@query("kfold_stratified_docs", _KFOLD_ORACLE)
+def kfold_stratified_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified 5-fold CV assignment by language
+    (functions/mixing.py::kfold_stratified): portable-hash shuffle
+    rank within stratum, fold = rank mod k — per-stratum fold sizes
+    exact to ±1 where independent hash-mod only balances in
+    expectation. One stratum-key exchange."""
+    from pysyslog_lfc_spark.functions.mixing import kfold_stratified
+
+    docs = _t(spark, sf_dir, "documents")
+    return kfold_stratified(docs, ["lang"], "doc_id", k=5)
+
+
+# ------------------------------------------------------ mutual information
+
+_MI_ORACLE = """
+WITH cells AS (
+  SELECT event_type AS x, CAST(extract(hour FROM ts) AS INT) AS y,
+         count(*)::BIGINT AS n_xy
+  FROM events GROUP BY 1, 2
+),
+rowm AS (SELECT x, sum(n_xy)::BIGINT AS cx FROM cells GROUP BY x),
+colm AS (SELECT y, sum(n_xy)::BIGINT AS cy FROM cells GROUP BY y),
+tot AS (SELECT sum(n_xy)::BIGINT AS n FROM cells),
+terms AS (
+  SELECT c.x, c.y, c.n_xy,
+    CAST(floor((c.n_xy / CAST(n AS DOUBLE))
+         * ln(CAST(c.n_xy AS DOUBLE) * n / (CAST(cx AS DOUBLE) * cy))
+         * 1000000) AS BIGINT) AS term_micro
+  FROM cells c JOIN rowm USING (x) JOIN colm USING (y), tot
+)
+SELECT x, y, n_xy, term_micro,
+       (SELECT CAST(sum(term_micro) AS BIGINT) FROM terms) AS mi_micro
+FROM terms
+"""
+
+
+@query("mi_event_type_hour", _MI_ORACLE)
+def mi_event_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event type and hour-of-day
+    (functions/stats.py::mi_feature_rank) — the filter-method feature
+    relevance score (KL divergence of the joint from independence);
+    exact integer cell counts, one floor-micro double chain per cell,
+    marginals as tiny re-aggregates of the cell frame."""
+    from pysyslog_lfc_spark.functions.stats import mi_feature_rank
+
+    ev = _t(spark, sf_dir, "events")
+    return mi_feature_rank(
+        ev.select(
+            "event_type", F.hour("ts").cast("int").alias("hour")
+        ),
+        "event_type",
+        "hour",
+    )
+
+
+# ------------------------------------------------- randomization test
+
+_PERM_ORACLE = """
+WITH u AS (
+  SELECT CAST(o_orderkey AS VARCHAR) AS id,
+         (o_custkey % 2 = 0) AS is_a,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders
+),
+obs AS (
+  SELECT sum(CASE WHEN is_a THEN 1 ELSE 0 END)::BIGINT AS n_a,
+         sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END)::BIGINT AS n_b,
+         CAST(sum(CASE WHEN is_a THEN v ELSE 0 END)
+              AS DECIMAL(38,0)) AS sa,
+         CAST(sum(CASE WHEN NOT is_a THEN v ELSE 0 END)
+              AS DECIMAL(38,0)) AS sb
+  FROM u
+),
+reps AS (
+  SELECT r, v,
+         (('0x' || substr(md5(id || '#' || CAST(r AS VARCHAR)), 1, 15))
+            ::BIGINT % 2 = 0) AS ra
+  FROM u, (SELECT unnest(generate_series(1, 99)) AS r)
+),
+rstats AS (
+  SELECT r,
+         sum(CASE WHEN ra THEN 1 ELSE 0 END)::BIGINT AS na,
+         sum(CASE WHEN NOT ra THEN 1 ELSE 0 END)::BIGINT AS nb,
+         CAST(sum(CASE WHEN ra THEN v ELSE 0 END)
+              AS DECIMAL(38,0)) AS ras,
+         CAST(sum(CASE WHEN NOT ra THEN v ELSE 0 END)
+              AS DECIMAL(38,0)) AS rbs
+  FROM reps GROUP BY r
+),
+tail AS (
+  SELECT sum(CASE WHEN na = 0 OR nb = 0 OR
+               abs(ras * nb - rbs * na) * (n_a * n_b)
+                 >= abs(sa * n_b - sb * n_a) * (na * nb)
+             THEN 1 ELSE 0 END)::BIGINT AS n_ge
+  FROM rstats, obs
+)
+SELECT n_a, n_b,
+  CASE WHEN n_a > 0 AND n_b > 0 THEN
+    CAST(floor((CAST(sa AS DOUBLE) / n_a
+                - CAST(sb AS DOUBLE) / n_b) * 1000) AS BIGINT)
+  END AS diff_milli,
+  CAST(99 AS BIGINT) AS n_perm, n_ge,
+  CASE WHEN n_a > 0 AND n_b > 0 THEN
+    CAST(floor(((1 + n_ge) * 1000) / 100.0) AS BIGINT)
+  END AS p_milli
+FROM obs, tail
+"""
+
+
+@query("randomization_test_order_value", _PERM_ORACLE)
+def randomization_test_order_value(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Deterministic Monte-Carlo randomization test
+    (functions/stats.py::randomization_test_diff) for the even/odd
+    customer-arm difference in mean order cents: 99 hash-relabeled
+    replicas, exact decimal cross-multiplied tail comparison — the
+    assumption-free significance companion to welch_t /
+    mann_whitney."""
+    from pysyslog_lfc_spark.functions.stats import randomization_test_diff
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.pmod(F.col("o_custkey"), F.lit(2)) == 0, F.lit("even"))
+        .otherwise(F.lit("odd"))
+        .alias("arm"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    return randomization_test_diff(
+        orders, "arm", F.col("cents"), "o_orderkey", "even", "odd",
+        n_perm=99,
+    )
+
+
+# ---------------------------------------------------- calibration ECE
+
+_ECE_ORACLE = """
+WITH base AS (
+  SELECT ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
+           ::BIGINT % 1001 AS p_milli,
+         CASE WHEN ('0x' || substr(md5(CAST(event_id AS VARCHAR)
+                 || 'o'), 1, 15))::BIGINT % 1000
+              < ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
+                  ::BIGINT % 1001
+              THEN 1 ELSE 0 END AS outcome
+  FROM events
+),
+cells AS (
+  SELECT least(CAST(floor(p_milli * 10 / 1000) AS INT), 9) AS bin,
+         count(*)::BIGINT AS n,
+         sum(outcome)::BIGINT AS n_pos,
+         sum(p_milli)::BIGINT AS sp
+  FROM base GROUP BY 1
+),
+tot AS (SELECT sum(n)::BIGINT AS nn FROM cells),
+per_bin AS (
+  SELECT bin, n, n_pos,
+         CAST((sp - sp % n) / n AS BIGINT) AS mean_conf_milli,
+         CAST((n_pos * 1000 - (n_pos * 1000) % n) / n AS BIGINT)
+           AS acc_milli,
+         CAST(abs(n_pos * 1000 - sp) AS BIGINT) AS gap_abs_num
+  FROM cells
+),
+total AS (SELECT sum(gap_abs_num)::BIGINT AS gapsum FROM per_bin)
+SELECT bin, n, n_pos, mean_conf_milli, acc_milli, gap_abs_num,
+  CAST((gapsum * 1000000 - (gapsum * 1000000) % (nn * 1000))
+       / (nn * 1000) AS BIGINT) AS ece_micro
+FROM per_bin, total, tot
+"""
+
+
+@query("calibration_ece_events", _ECE_ORACLE)
+def calibration_ece_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned Expected Calibration Error
+    (functions/stats.py::calibration_ece) over a deterministic
+    hash-synthesized well-calibrated predictor (outcome drawn by a
+    second independent hash under the first hash's probability) — the
+    'is the confidence honest' report beside the Brier score; every
+    bin statistic an exact integer."""
+    from pysyslog_lfc_spark.functions.stats import calibration_ece
+    from pysyslog_lfc_spark.functions.text import portable_hash60
+
+    ev = _t(spark, sf_dir, "events")
+    eid = F.col("event_id").cast("string")
+    p = F.pmod(portable_hash60(eid), F.lit(1001))
+    o = (
+        F.pmod(portable_hash60(F.concat(eid, F.lit("o"))), F.lit(1000)) < p
+    )
+    base = ev.select(
+        p.cast("long").alias("p_milli"), o.cast("long").alias("outcome")
+    )
+    return calibration_ece(base, "p_milli", "outcome", n_bins=10)

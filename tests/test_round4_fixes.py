@@ -267,3 +267,79 @@ def test_luhn_card_scan(spark):
     assert (out[3]["n_candidates"], out[3]["n_luhn_valid"]) == (1, 0)
     assert (out[4]["n_candidates"], out[4]["n_luhn_valid"]) == (0, 0)
     assert (out[5]["n_candidates"], out[5]["n_luhn_valid"]) == (2, 2)
+
+
+def test_kfold_stratified_exact_balance(spark):
+    from pysyslog_lfc_spark.functions.mixing import kfold_stratified
+
+    rows = [Row(g="a", i=i) for i in range(17)] + [
+        Row(g="b", i=100 + i) for i in range(5)
+    ]
+    out = kfold_stratified(
+        spark.createDataFrame(rows), ["g"], "i", k=5
+    ).collect()
+    from collections import Counter
+
+    for g, n in (("a", 17), ("b", 5)):
+        c = Counter(r["fold"] for r in out if r["g"] == g)
+        assert sum(c.values()) == n
+        assert max(c.values()) - min(c.values()) <= 1  # exact balance
+    # determinism
+    out2 = kfold_stratified(
+        spark.createDataFrame(rows), ["g"], "i", k=5
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_mi_feature_rank_perfect_dependence(spark):
+    from pysyslog_lfc_spark.functions.stats import mi_feature_rank
+
+    # x == y, two equally likely values -> MI = ln 2 = 0.693147 nats
+    rows = [Row(x="p", y="p")] * 50 + [Row(x="q", y="q")] * 50
+    r = mi_feature_rank(spark.createDataFrame(rows), "x", "y").collect()
+    mi = r[0]["mi_micro"]
+    # two cells, each floor(0.5 * ln2 * 1e6) = 346573
+    assert mi == 693146
+    # independence -> every term ~0
+    rows2 = [
+        Row(x=a, y=b) for a in ("p", "q") for b in ("u", "v")
+    ] * 25
+    r2 = mi_feature_rank(spark.createDataFrame(rows2), "x", "y").collect()
+    assert all(abs(row["term_micro"]) <= 1 for row in r2)
+
+
+def test_randomization_test_extremes(spark):
+    from pysyslog_lfc_spark.functions.stats import randomization_test_diff
+
+    # arm a values hugely larger: observed diff more extreme than any
+    # hash relabeling -> minimal p = floor(1000 / (n_perm + 1))
+    rows = [Row(i=i, arm="a", v=10_000 + i) for i in range(40)] + [
+        Row(i=100 + i, arm="b", v=i) for i in range(40)
+    ]
+    r = randomization_test_diff(
+        spark.createDataFrame(rows), "arm", F.col("v"), "i", "a", "b",
+        n_perm=19,
+    ).collect()[0]
+    assert (r["n_a"], r["n_b"], r["n_perm"]) == (40, 40, 19)
+    assert r["n_ge"] == 0
+    assert r["p_milli"] == 50  # (1+0)*1000 // 20
+    assert r["diff_milli"] == 10_000_000 + 19500 - 19500  # 10000.0 diff
+
+
+def test_calibration_ece_perfect_and_off(spark):
+    from pysyslog_lfc_spark.functions.stats import calibration_ece
+
+    # perfectly calibrated bin: conf 500, half positives -> gap 0
+    rows = [Row(p=500, o=1), Row(p=500, o=0)] * 10
+    r = calibration_ece(
+        spark.createDataFrame(rows), "p", "o", n_bins=10
+    ).collect()
+    assert len(r) == 1 and r[0]["ece_micro"] == 0
+    assert r[0]["mean_conf_milli"] == 500 and r[0]["acc_milli"] == 500
+    # maximally off: conf 1000 (bin 9 via least-clamp), all negatives
+    rows2 = [Row(p=1000, o=0)] * 4
+    r2 = calibration_ece(
+        spark.createDataFrame(rows2), "p", "o", n_bins=10
+    ).collect()
+    assert r2[0]["bin"] == 9
+    assert r2[0]["ece_micro"] == 1_000_000  # |0 - 1.0| over the corpus
