@@ -1679,3 +1679,55 @@ def cluster_quality_report(
             F.when(F.col("n_edges") > 0, mean_j).alias("mean_jac_e4"),
         )
     )
+
+
+def boundary_overlap_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Shard-stitch detection: find ordered pairs (a, b) where document
+    a's LAST ``k`` tokens equal document b's FIRST ``k`` tokens — the
+    crawl artifact pagination/sharding leaves behind (one logical page
+    split across fetches duplicates its boundary region; concatenating
+    such docs at training time double-counts the seam). Neither an
+    exact- nor a near-dup operator catches it: the docs are different,
+    only their boundaries chain.
+
+    Candidate generation is a pure equi-join on the 60-bit portable
+    hash of the boundary token window (suffix-hash = prefix-hash);
+    the join verifies the actual token strings, so hash collisions
+    cannot produce false pairs. Returns (id_a, id_b, boundary_text).
+
+    Scale shape: two narrow per-doc projections (first-k / last-k
+    token windows, pure codegen), ONE hash equi-join on the window
+    key — never an all-pairs comparison; docs with < k tokens emit no
+    keys.
+    """
+    from pysyslog_lfc_spark.functions.text import portable_hash60, tokenize
+
+    ws = tokenize(F.col(text_col))
+    n = F.size(ws)
+    first_k = F.array_join(F.slice(ws, 1, k), " ")
+    last_k = F.array_join(
+        F.slice(ws, F.greatest(n - F.lit(k) + 1, F.lit(1)), k), " "
+    )
+    heads = df.where(n >= k).select(
+        F.col(id_col).alias("id_b"),
+        first_k.alias("_head"),
+        portable_hash60(first_k).alias("_hk"),
+    )
+    tails = df.where(n >= k).select(
+        F.col(id_col).alias("id_a"),
+        last_k.alias("_tail"),
+        portable_hash60(last_k).alias("_hk"),
+    )
+    return (
+        tails.join(heads, "_hk")
+        .where(
+            (F.col("id_a") != F.col("id_b"))
+            & (F.col("_tail") == F.col("_head"))
+        )
+        .select("id_a", "id_b", F.col("_tail").alias("boundary_text"))
+    )

@@ -1,0 +1,130 @@
+"""Driver-query registrations, round-4 batch 3: crawl shard-stitch
+boundary-overlap detection and exact 2-hop graph reach.
+
+Imported by :mod:`pysyslog_lfc_spark.plans.driver_queries` (bottom of
+file).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pysyslog_lfc_spark.plans.driver_queries import _t, query
+
+
+# ------------------------------------------------- boundary overlap
+
+_BOUNDARY_ORACLE = r"""
+WITH nexts AS (
+  SELECT doc_id - 1 AS prev_id,
+         array_to_string(
+           (list_filter(string_split_regex(text, '\s+'),
+                        w -> w != ''))[1:5], ' ') AS head5,
+         len(list_filter(string_split_regex(text, '\s+'),
+                         w -> w != '')) AS n
+  FROM documents
+),
+aug AS (
+  SELECT b.doc_id,
+         CASE WHEN b.doc_id % 10 = 0 AND nx.prev_id IS NOT NULL
+                   AND nx.n >= 5
+              THEN b.text || ' ' || nx.head5 ELSE b.text END AS text
+  FROM documents b LEFT JOIN nexts nx ON nx.prev_id = b.doc_id
+),
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), w -> w != '') AS ws
+  FROM aug
+),
+heads AS (
+  SELECT doc_id AS id_b, array_to_string(ws[1:5], ' ') AS head
+  FROM toks WHERE len(ws) >= 5
+),
+tails AS (
+  SELECT doc_id AS id_a,
+         array_to_string(ws[len(ws)-4:len(ws)], ' ') AS tail
+  FROM toks WHERE len(ws) >= 5
+)
+SELECT id_a, id_b, tail AS boundary_text
+FROM tails JOIN heads ON tail = head AND id_a <> id_b
+"""
+
+
+@query("boundary_overlap_docs", _BOUNDARY_ORACLE)
+def boundary_overlap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl shard-stitch detection
+    (functions/dedup.py::boundary_overlap_pairs): ordered doc pairs
+    whose 5-token boundary windows chain (a's suffix = b's prefix) —
+    the pagination artifact exact- and near-dup both miss. Planted
+    seams (every 10th doc gains the next doc's first five words) give
+    the gate real positives; candidate generation is one hash
+    equi-join with string verification, never all-pairs."""
+    from pysyslog_lfc_spark.functions.dedup import boundary_overlap_pairs
+    from pysyslog_lfc_spark.functions.text import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    ws = tokenize(F.col("text"))
+    nexts = docs.select(
+        (F.col("doc_id") - 1).alias("prev_id"),
+        F.array_join(F.slice(ws, 1, 5), " ").alias("head5"),
+        F.size(ws).alias("n"),
+    )
+    aug = (
+        docs.join(nexts, docs["doc_id"] == nexts["prev_id"], "left")
+        .select(
+            docs["doc_id"],
+            F.when(
+                (docs["doc_id"] % 10 == 0)
+                & nexts["prev_id"].isNotNull()
+                & (nexts["n"] >= 5),
+                F.concat(docs["text"], F.lit(" "), nexts["head5"]),
+            )
+            .otherwise(docs["text"])
+            .alias("text"),
+        )
+    )
+    return boundary_overlap_pairs(aug, k=5)
+
+
+# ------------------------------------------------------ two-hop reach
+
+_TWOHOP_ORACLE = """
+WITH e0 AS (
+  SELECT DISTINCT l_suppkey AS u, l_partkey + 1000000 AS v FROM lineitem
+),
+sym AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+deg AS (SELECT u, count(*) AS d FROM sym GROUP BY u),
+keep AS (SELECT u FROM deg WHERE d <= 500),
+symf AS (
+  SELECT s.u, s.v FROM sym s
+  JOIN keep k1 ON s.u = k1.u JOIN keep k2 ON s.v = k2.u
+),
+pairs AS (
+  SELECT DISTINCT s, r FROM (
+    SELECT u AS s, v AS r FROM symf
+    UNION ALL
+    SELECT a.u AS s, b.v AS r FROM symf a JOIN symf b ON a.v = b.u
+  ) WHERE s <> r
+)
+SELECT s AS node, count(*)::BIGINT AS reach_2hop FROM pairs GROUP BY s
+"""
+
+
+@query("two_hop_reach_supplier_part", _TWOHOP_ORACLE)
+def two_hop_reach_supplier_part(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact distinct 2-hop reach (functions/graph.py::two_hop_reach)
+    over the supplier-part bipartite graph (partkeys offset into their
+    own namespace): the friend-of-friend audience size behind
+    influence/spam-ring triage. One expansion join bounded by the
+    hub-cap (max_degree=500); cost sum deg^2, never a closure."""
+    from pysyslog_lfc_spark.functions.graph import two_hop_reach
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").alias("u"),
+        (F.col("l_partkey") + 1000000).alias("v"),
+    ).distinct()
+    return two_hop_reach(edges, max_degree=500)

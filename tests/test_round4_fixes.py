@@ -343,3 +343,47 @@ def test_calibration_ece_perfect_and_off(spark):
     ).collect()
     assert r2[0]["bin"] == 9
     assert r2[0]["ece_micro"] == 1_000_000  # |0 - 1.0| over the corpus
+
+
+def test_boundary_overlap_pairs(spark):
+    from pysyslog_lfc_spark.functions.dedup import boundary_overlap_pairs
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha beta gamma delta epsilon zeta eta"),
+            # doc 2 starts with doc 1's last five tokens -> seam (1, 2)
+            Row(doc_id=2, text="gamma delta epsilon zeta eta more text here"),
+            Row(doc_id=3, text="totally unrelated words in this document"),
+            Row(doc_id=4, text="too short"),
+        ]
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in boundary_overlap_pairs(docs, k=5).collect()
+    }
+    assert pairs == {(1, 2)}
+
+
+def test_two_hop_reach_path_graph(spark):
+    from pysyslog_lfc_spark.functions.graph import two_hop_reach
+
+    # path 1-2-3-4-5: reach2(1)={2,3}, reach2(3)={1,2,4,5}
+    edges = spark.createDataFrame(
+        [Row(u=1, v=2), Row(u=2, v=3), Row(u=3, v=4), Row(u=4, v=5)]
+    )
+    r = {x["node"]: x["reach_2hop"] for x in two_hop_reach(edges).collect()}
+    assert r == {1: 2, 2: 3, 3: 4, 4: 3, 5: 2}
+
+
+def test_two_hop_reach_hub_cap(spark):
+    from pysyslog_lfc_spark.functions.graph import two_hop_reach
+
+    # star: hub 0 to 1..9 plus a 2-path 100-101; cap kills the hub
+    edges = spark.createDataFrame(
+        [Row(u=0, v=i) for i in range(1, 10)]
+        + [Row(u=100, v=101)]
+    )
+    r = {x["node"]: x["reach_2hop"]
+         for x in two_hop_reach(edges, max_degree=5).collect()}
+    # hub (deg 9) dropped with all its edges; only the 2-path remains
+    assert r == {100: 1, 101: 1}
