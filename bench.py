@@ -267,6 +267,8 @@ BENCH_QUERIES = [
     "mi_event_type_hour",
     "randomization_test_order_value",
     "calibration_ece_events",
+    "boundary_overlap_docs",
+    "two_hop_reach_supplier_part",
 ]
 
 
