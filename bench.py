@@ -268,7 +268,7 @@ BENCH_QUERIES = [
     "randomization_test_order_value",
     "calibration_ece_events",
     "boundary_overlap_docs",
-    "two_hop_reach_supplier_part",
+    "two_hop_reach_order_part",
 ]
 
 

@@ -91,7 +91,8 @@ def boundary_overlap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TWOHOP_ORACLE = """
 WITH e0 AS (
-  SELECT DISTINCT l_suppkey AS u, l_partkey + 1000000 AS v FROM lineitem
+  SELECT DISTINCT l_orderkey AS u, l_partkey + 1000000000 AS v
+  FROM lineitem
 ),
 sym AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
 deg AS (SELECT u, count(*) AS d FROM sym GROUP BY u),
@@ -111,20 +112,21 @@ SELECT s AS node, count(*)::BIGINT AS reach_2hop FROM pairs GROUP BY s
 """
 
 
-@query("two_hop_reach_supplier_part", _TWOHOP_ORACLE)
-def two_hop_reach_supplier_part(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
+@query("two_hop_reach_order_part", _TWOHOP_ORACLE)
+def two_hop_reach_order_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct 2-hop reach (functions/graph.py::two_hop_reach)
-    over the supplier-part bipartite graph (partkeys offset into their
+    over the order-part bipartite graph (partkeys offset into their
     own namespace): the friend-of-friend audience size behind
-    influence/spam-ring triage. One expansion join bounded by the
-    hub-cap (max_degree=500); cost sum deg^2, never a closure."""
+    influence/spam-ring triage. Degrees on this graph are
+    SCALE-INVARIANT (lineitems per order ~4, orders per part ~30 at
+    every sf — both sides of TPC-H scale linearly), so the sum-deg^2
+    expansion grows linearly with the corpus and the hub cap
+    (max_degree=500) is a true guard, not an active filter."""
     from pysyslog_lfc_spark.functions.graph import two_hop_reach
 
     li = _t(spark, sf_dir, "lineitem")
     edges = li.select(
-        F.col("l_suppkey").alias("u"),
-        (F.col("l_partkey") + 1000000).alias("v"),
+        F.col("l_orderkey").alias("u"),
+        (F.col("l_partkey") + 1000000000).alias("v"),
     ).distinct()
     return two_hop_reach(edges, max_degree=500)
