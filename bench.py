@@ -269,6 +269,7 @@ BENCH_QUERIES = [
     "calibration_ece_events",
     "boundary_overlap_docs",
     "two_hop_reach_order_part",
+    "winnow_overlap_docs",
 ]
 
 

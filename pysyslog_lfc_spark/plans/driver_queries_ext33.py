@@ -130,3 +130,50 @@ def two_hop_reach_order_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_partkey") + 1000000000).alias("v"),
     ).distinct()
     return two_hop_reach(edges, max_degree=500)
+
+
+# ---------------------------------------------------------- winnowing
+
+_WINNOW_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x != '') AS ws
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         list_transform(range(1, len(ws) - 5 + 2),
+           i -> ('0x' || substr(md5(array_to_string(ws[i:i+4], ' ')),
+                 1, 15))::BIGINT) AS fps,
+         len(ws) - 5 + 1 AS m
+  FROM toks
+),
+sel AS (
+  SELECT doc_id,
+         CASE WHEN m - 4 + 1 >= 1 THEN
+           list_distinct(list_transform(range(1, m - 4 + 2),
+             j -> list_min(fps[j:j+3])))
+         WHEN m >= 1 THEN [list_min(fps)]
+         ELSE [] END AS sfps
+  FROM grams
+),
+flat AS (SELECT doc_id, unnest(sfps) AS fp FROM sel)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_shared
+FROM flat a JOIN flat b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 3
+"""
+
+
+@query("winnow_overlap_docs", _WINNOW_ORACLE)
+def winnow_overlap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS winnowing match (functions/dedup.py::winnow_overlap_pairs,
+    Schleimer et al. 2003): doc pairs sharing >= 3 winnowed
+    fingerprints (k=5 token grams, w=4 selection windows) — the
+    guarantee-backed sketch that stores ~2/(w+1) of the grams yet
+    catches every shared run of w+k-1 tokens. Portable md5 hashes let
+    the oracle replay the min-selection bit-identically."""
+    from pysyslog_lfc_spark.functions.dedup import winnow_overlap_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnow_overlap_pairs(docs, k=5, w=4, min_shared=3)

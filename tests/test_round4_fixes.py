@@ -387,3 +387,36 @@ def test_two_hop_reach_hub_cap(spark):
          for x in two_hop_reach(edges, max_degree=5).collect()}
     # hub (deg 9) dropped with all its edges; only the 2-path remains
     assert r == {100: 1, 101: 1}
+
+
+def test_winnowing_guarantee_and_selection(spark):
+    """Schleimer guarantee: docs sharing a run of >= w+k-1 tokens share
+    at least one selected fingerprint; selection is far sparser than
+    the full gram set."""
+    from pysyslog_lfc_spark.functions.dedup import (
+        winnow_overlap_pairs,
+        winnowed_fingerprints,
+    )
+
+    shared = "one two three four five six seven eight nine ten"  # 10 tokens
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="prefix words here " + shared + " tail a b c"),
+            Row(doc_id=2, text="totally different start " + shared),
+            Row(doc_id=3, text="no overlap with anything else at all ok"),
+            Row(doc_id=4, text="tiny doc"),  # fewer tokens than k
+        ]
+    )
+    fps = winnowed_fingerprints(docs, k=5, w=4)
+    rows = fps.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    # shared 10-token run >= w+k-1 = 8 -> docs 1 and 2 must share a fp
+    assert by_doc[1] & by_doc[2]
+    assert 4 not in by_doc  # sub-k doc contributes nothing
+    # density: selected fps strictly fewer than total grams
+    n_grams_doc1 = len(docs.collect()[0]["text"].split()) - 4
+    assert len(by_doc[1]) < n_grams_doc1
+    pairs = winnow_overlap_pairs(docs, k=5, w=4, min_shared=1).collect()
+    assert {(p["id_a"], p["id_b"]) for p in pairs} == {(1, 2)}
