@@ -228,6 +228,16 @@ AUDIT_QUERIES = [
     "markov_next_event_eval",
     "trimmed_mean_value_by_type",
     "theil_sen_event_trend",
+    "mann_kendall_event_trend",
+    "fdr_bh_event_hours",
+    "luhn_card_scan_docs",
+    "kfold_stratified_docs",
+    "mi_event_type_hour",
+    "randomization_test_order_value",
+    "calibration_ece_events",
+    "boundary_overlap_docs",
+    "two_hop_reach_order_part",
+    "winnow_overlap_docs",
 ]
 
 
