@@ -279,9 +279,13 @@ def roc_auc(
             (F.count(F.lit(1)) - F.sum("_y")).cast(dec).alias("_neg"),
         )
     )
-    below = Window.orderBy("_s").rowsBetween(Window.unboundedPreceding, -1)
-    cum = hist.withColumn(
-        "_nb", F.coalesce(F.sum("_neg").over(below), F.lit(0).cast(dec))
+    # distributed strictly-before prefix over the distinct-score frame
+    # (stats._ordered_prefix): a raw continuous score with ~n distinct
+    # values never lands in a single-task window (round-4 upgrade)
+    from pysyslog_lfc_spark.functions.stats import _ordered_prefix
+
+    cum = _ordered_prefix(hist, "_s", ["_neg"]).withColumn(
+        "_nb", F.col("cum__neg").cast(dec)
     )
     tot = cum.agg(
         F.sum("_pos").cast("long").alias("n_pos"),

@@ -51,15 +51,14 @@ def global_rank(
     # from max(row_number) instead would force a second full-row window
     # shuffle of the corpus
     counts = scored.groupBy(out_score).agg(F.count(F.lit(1)).alias("__n"))
-    # tiny frame: one row per distinct score — the unpartitioned cumsum
-    # window here is over that frame, never over the corpus
-    w_cum = (
-        Window.orderBy(out_score)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = counts.select(
-        out_score,
-        F.coalesce(F.sum("__n").over(w_cum), F.lit(0)).alias("__off"),
+    # the per-score offset is a DISTRIBUTED two-level prefix
+    # (stats._ordered_prefix): even a continuous score whose distinct
+    # frame approaches corpus size never lands in a single-task window
+    # (round-4 upgrade; previously an unpartitioned tiny-frame cumsum)
+    from pysyslog_lfc_spark.functions.stats import _ordered_prefix
+
+    offsets = _ordered_prefix(counts, out_score, ["__n"]).select(
+        out_score, F.col("cum___n").alias("__off")
     )
     return (
         ranked.join(F.broadcast(offsets), out_score)

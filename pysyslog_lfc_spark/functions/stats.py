@@ -70,29 +70,39 @@ def _ordered_prefix(
     strictly-smaller-value prefix when ``order_col`` is distinct per
     row (the distinct-value-frame convention of every caller here).
 
-    Skew note: blocks are equal-width in VALUE, so a distribution
-    whose distinct values concentrate in a narrow band of a wide span
-    concentrates rows in few blocks; for the integer-grid metrics
-    these callers feed (cents, milli scores, slopes) the block width
-    tracks the data. ``order_col`` must be numeric.
+    Skew note: blocks are equal-width in VALUE (numeric order column)
+    or common-prefix groups (string order column, monotone under
+    Spark's binary string collation), so a distribution whose distinct
+    values concentrate in a narrow band / shared prefix concentrates
+    rows in few blocks; for the integer-grid metrics and short
+    blocking keys the callers feed, block width tracks the data.
     """
-    mm = df.agg(
-        F.min(order_col).alias("_mn"), F.max(order_col).alias("_mx")
-    )
-    width_ok = F.col("_mx") > F.col("_mn")
-    blk = F.when(
-        width_ok,
-        (
-            (F.col(order_col) - F.col("_mn")).cast("double")
-            * F.lit(float(n_blocks))
-            / (F.col("_mx") - F.col("_mn") + F.lit(1)).cast("double")
-        ).cast("long"),
-    ).otherwise(F.lit(0))
-    part = (
-        df.crossJoin(F.broadcast(mm))
-        .withColumn("_blk", blk)
-        .drop("_mn", "_mx")
-    )
+    dt = df.schema[order_col].dataType.simpleString()
+    if dt == "string":
+        # order-preserving block key: the 4-char prefix (lexicographic
+        # byte order => v1 <= v2 implies prefix(v1) <= prefix(v2), and
+        # equal keys share a block)
+        part = df.withColumn(
+            "_blk", F.substring(F.col(order_col), 1, 4)
+        )
+    else:
+        mm = df.agg(
+            F.min(order_col).alias("_mn"), F.max(order_col).alias("_mx")
+        )
+        width_ok = F.col("_mx") > F.col("_mn")
+        blk = F.when(
+            width_ok,
+            (
+                (F.col(order_col) - F.col("_mn")).cast("double")
+                * F.lit(float(n_blocks))
+                / (F.col("_mx") - F.col("_mn") + F.lit(1)).cast("double")
+            ).cast("long"),
+        ).otherwise(F.lit(0))
+        part = (
+            df.crossJoin(F.broadcast(mm))
+            .withColumn("_blk", blk)
+            .drop("_mn", "_mx")
+        )
     hi = 0 if inclusive else -1
     w_in = (
         Window.partitionBy("_blk")
@@ -115,11 +125,17 @@ def _ordered_prefix(
             )
         ).alias("_a")
     )
+    # the fold's zero must carry each sum column's own type (callers
+    # feed long AND decimal(38,0) sums; a long zero would fix the
+    # accumulator type and break decimal widening)
+    tot_types = {f.name: f.dataType.simpleString() for f in tot.schema.fields}
+
     def _prefix_of(c: str):
+        zero = F.lit(0).cast(tot_types[f"_pt_{c}"])
         return F.aggregate(
             F.slice(F.col("_a"), 1, F.col("_i")),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + F.coalesce(x[f"_pt_{c}"], F.lit(0)),
+            zero,
+            lambda acc, x: acc + F.coalesce(x[f"_pt_{c}"], zero),
         ).alias(f"_off_{c}")
 
     off = (
