@@ -420,3 +420,39 @@ def test_winnowing_guarantee_and_selection(spark):
     assert len(by_doc[1]) < n_grams_doc1
     pairs = winnow_overlap_pairs(docs, k=5, w=4, min_shared=1).collect()
     assert {(p["id_a"], p["id_b"]) for p in pairs} == {(1, 2)}
+
+
+def test_ordered_prefix_string_and_decimal_paths(spark):
+    """The two round-4 helper extensions: string order columns block by
+    4-char prefix (order-preserving), and decimal sum columns keep an
+    exact decimal fold."""
+    from pyspark.sql.types import (
+        DecimalType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from pysyslog_lfc_spark.functions.stats import _ordered_prefix
+
+    import decimal
+
+    schema = StructType(
+        [
+            StructField("k", StringType()),
+            StructField("x", DecimalType(38, 0)),
+        ]
+    )
+    rows = [
+        (f"key{i:03d}suffix", decimal.Decimal(10**15 + i))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, schema)
+    got = {
+        r["k"]: int(r["cum_x"])
+        for r in _ordered_prefix(df, "k", ["x"]).collect()
+    }
+    run = 0
+    for i in range(200):  # keys sort in index order by construction
+        assert got[f"key{i:03d}suffix"] == run
+        run += 10**15 + i
