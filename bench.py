@@ -270,6 +270,7 @@ BENCH_QUERIES = [
     "boundary_overlap_docs",
     "two_hop_reach_order_part",
     "winnow_overlap_docs",
+    "cohens_kappa_event_raters",
 ]
 
 

@@ -2013,3 +2013,81 @@ def calibration_ece(
             .alias("ece_micro"),
         )
     )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Cohen's kappa inter-rater agreement (Cohen 1960) — the
+    chance-corrected score behind every labeling-quality audit (two
+    annotators, a model vs a gold set, two dedup policies): raw
+    agreement alone rewards majority-class guessing; kappa subtracts
+    the agreement two independent raters with these marginals would
+    reach by chance:
+
+        kappa = (p_o - p_e) / (1 - p_e)
+        p_o = sum_i c_ii / n,  p_e = sum_i (row_i * col_i) / n^2
+
+    Exact integer form: po_num = n * sum c_ii, pe_num = sum row*col,
+    kappa = (po_num - pe_num) / (n^2 - pe_num) — every moment an exact
+    BIGINT/DECIMAL(38,0) from cell counts, one closing floor-milli
+    double. Returns ONE row: (n, n_agree, po_milli, pe_milli,
+    kappa_milli); kappa_milli is NULL when pe = 1 (a single shared
+    label — agreement is degenerate).
+
+    Scale shape: ONE corpus hash aggregate to the label-pair cell
+    frame (bounded by |labels|^2, a config-class bound); marginals are
+    tiny re-aggregates of that frame; the close is a 1-row scalar
+    chain — the :func:`chi2_cells` pattern.
+    """
+    d38 = "decimal(38,0)"
+    cells = df.groupBy(
+        F.col(a_col).alias("_a"), F.col(b_col).alias("_b")
+    ).agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    rowm = cells.groupBy("_a").agg(F.sum("_c").cast("long").alias("_ra"))
+    colm = cells.groupBy("_b").agg(F.sum("_c").cast("long").alias("_cb"))
+    pe_num = (
+        rowm.join(colm, rowm["_a"] == colm["_b"])
+        .agg(
+            F.coalesce(
+                F.sum((F.col("_ra").cast(d38) * F.col("_cb").cast(d38))),
+                F.lit(0).cast(d38),
+            ).alias("_pe_num")
+        )
+    )
+    tot = cells.agg(
+        F.sum("_c").cast("long").alias("n"),
+        F.coalesce(
+            F.sum(F.when(F.col("_a") == F.col("_b"), F.col("_c"))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_agree"),
+    )
+    j = tot.crossJoin(F.broadcast(pe_num))
+    n2 = (F.col("n").cast(d38) * F.col("n").cast(d38))
+    po_num = (F.col("n").cast(d38) * F.col("n_agree").cast(d38))
+    # subtract-mod floors (house convention): exact integer division,
+    # immune to decimal-division rounding at any scale
+    ag1000 = (F.col("n_agree").cast(d38) * F.lit(1000)).cast(d38)
+    po_milli = (
+        (ag1000 - F.pmod(ag1000, F.col("n").cast(d38)))
+        / F.col("n").cast(d38)
+    ).cast("long")
+    pe1000 = (F.col("_pe_num") * F.lit(1000)).cast(d38)
+    pe_milli = ((pe1000 - F.pmod(pe1000, n2)) / n2).cast("long")
+    denom = (n2 - F.col("_pe_num")).cast(d38)
+    kappa = (
+        (po_num - F.col("_pe_num")).cast("double")
+        / denom.cast("double")
+    )
+    ok = (F.col("n") > 0) & (denom > 0)
+    return j.select(
+        "n",
+        "n_agree",
+        F.when(F.col("n") > 0, po_milli).alias("po_milli"),
+        F.when(F.col("n") > 0, pe_milli).alias("pe_milli"),
+        F.when(ok, F.floor(kappa * 1000)).cast("long").alias("kappa_milli"),
+    )

@@ -1,0 +1,85 @@
+"""Driver-query registrations, round-4 batch 5: Cohen's kappa
+inter-rater agreement.
+
+Imported by :mod:`pysyslog_lfc_spark.plans.driver_queries` (bottom of
+file).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pysyslog_lfc_spark.plans.driver_queries import _t, query
+
+
+_KAPPA_ORACLE = """
+WITH pairs AS (
+  SELECT event_type AS a,
+         CASE WHEN ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
+                   ::BIGINT % 5 = 0
+              THEN 'error' ELSE event_type END AS b
+  FROM events
+),
+cells AS (
+  SELECT a, b, count(*)::BIGINT AS c FROM pairs GROUP BY a, b
+),
+rowm AS (SELECT a, sum(c)::BIGINT AS ra FROM cells GROUP BY a),
+colm AS (SELECT b, sum(c)::BIGINT AS cb FROM cells GROUP BY b),
+pe AS (
+  SELECT CAST(coalesce(sum(CAST(ra AS DECIMAL(38,0))
+                           * CAST(cb AS DECIMAL(38,0))), 0)
+              AS DECIMAL(38,0)) AS pe_num
+  FROM rowm JOIN colm ON rowm.a = colm.b
+),
+tot AS (
+  SELECT sum(c)::BIGINT AS n,
+         CAST(coalesce(sum(CASE WHEN a = b THEN c END), 0) AS BIGINT)
+           AS n_agree
+  FROM cells
+)
+SELECT n, n_agree,
+  CASE WHEN n > 0 THEN
+    CAST((n_agree * 1000 - (n_agree * 1000) % n) / n AS BIGINT)
+  END AS po_milli,
+  CASE WHEN n > 0 THEN
+    CAST((pe_num * 1000 - (pe_num * 1000)
+          % (CAST(n AS DECIMAL(38,0)) * n))
+         / (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)
+  END AS pe_milli,
+  CASE WHEN n > 0 AND CAST(n AS DECIMAL(38,0)) * n - pe_num > 0 THEN
+    CAST(floor(CAST(CAST(n AS DECIMAL(38,0)) * n_agree - pe_num
+                    AS DOUBLE)
+               / CAST(CAST(n AS DECIMAL(38,0)) * n - pe_num AS DOUBLE)
+               * 1000) AS BIGINT)
+  END AS kappa_milli
+FROM tot, pe
+"""
+
+
+@query("cohens_kappa_event_raters", _KAPPA_ORACLE)
+def cohens_kappa_event_raters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa inter-rater agreement
+    (functions/stats.py::cohens_kappa): rater A = event type, rater B
+    = the same labels with a deterministic hash-chosen fifth of rows
+    flipped to 'error' — real disagreement structure for the
+    chance-corrected score. Exact BIGINT/DECIMAL moments from the
+    label-pair cell frame, one closing floor-milli double."""
+    from pysyslog_lfc_spark.functions.stats import cohens_kappa
+    from pysyslog_lfc_spark.functions.text import portable_hash60
+
+    ev = _t(spark, sf_dir, "events")
+    pairs = ev.select(
+        F.col("event_type").alias("a"),
+        F.when(
+            F.pmod(
+                portable_hash60(F.col("event_id").cast("string")),
+                F.lit(5),
+            )
+            == 0,
+            F.lit("error"),
+        )
+        .otherwise(F.col("event_type"))
+        .alias("b"),
+    )
+    return cohens_kappa(pairs, "a", "b")

@@ -456,3 +456,26 @@ def test_ordered_prefix_string_and_decimal_paths(spark):
     for i in range(200):  # keys sort in index order by construction
         assert got[f"key{i:03d}suffix"] == run
         run += 10**15 + i
+
+
+def test_cohens_kappa_known_values(spark):
+    """Textbook 2x2: a=[20 yes-yes, 5 yes-no, 10 no-yes, 15 no-no]:
+    po = 35/50 = 0.7; pe = (25*30 + 25*20)/2500 = 0.5; kappa = 0.4."""
+    from pysyslog_lfc_spark.functions.stats import cohens_kappa
+
+    rows = (
+        [Row(a="y", b="y")] * 20
+        + [Row(a="y", b="n")] * 5
+        + [Row(a="n", b="y")] * 10
+        + [Row(a="n", b="n")] * 15
+    )
+    r = cohens_kappa(spark.createDataFrame(rows), "a", "b").collect()[0]
+    assert (r["n"], r["n_agree"]) == (50, 35)
+    assert r["po_milli"] == 700
+    assert r["pe_milli"] == 500
+    assert r["kappa_milli"] == 400
+    # degenerate: one shared label -> pe = 1 -> NULL kappa
+    r2 = cohens_kappa(
+        spark.createDataFrame([Row(a="x", b="x")] * 9), "a", "b"
+    ).collect()[0]
+    assert r2["kappa_milli"] is None and r2["po_milli"] == 1000
