@@ -271,6 +271,7 @@ BENCH_QUERIES = [
     "two_hop_reach_order_part",
     "winnow_overlap_docs",
     "cohens_kappa_event_raters",
+    "kendall_tau_order_year_price",
 ]
 
 

@@ -2091,3 +2091,113 @@ def cohens_kappa(
         F.when(F.col("n") > 0, pe_milli).alias("pe_milli"),
         F.when(ok, F.floor(kappa * 1000)).cast("long").alias("kappa_milli"),
     )
+
+
+def kendall_tau_b(
+    df: DataFrame,
+    x: Column,
+    y: Column,
+    max_cells: int = 4000,
+) -> DataFrame:
+    """Kendall's tau-b rank correlation (Kendall 1938, tie-corrected
+    tau-b form) — the concordance companion to
+    :func:`spearman_grouped` (tau has a direct probabilistic reading:
+    P(concordant) - P(discordant), and better small-sample behavior):
+
+        tau_b = (C - D) / sqrt((n0 - n1) * (n0 - n2))
+        n0 = n(n-1)/2,  n1 = sum_x tx(tx-1)/2,  n2 = sum_y ty(ty-1)/2
+
+    ``x`` and ``y`` MUST be integer-valued (the house grid contract).
+    The corpus collapses to the (x, y) CELL frame in one hash
+    aggregate; C and D come from one cell-pair self-join — |cells|^2
+    work, ENFORCED ≤ ``max_cells``^2 by an execution-time assert
+    before the join (wider grids must be pre-bucketed, same contract
+    as theil_sen_trend). Every count is an exact BIGINT/DECIMAL(38,0);
+    one closing double sqrt chain. Returns ONE row:
+    (n, n_cells, conc, disc, tau_b_milli) — NULL tau when either
+    variable is constant.
+    """
+    d38 = "decimal(38,0)"
+    cells = df.groupBy(x.alias("_x"), y.alias("_y")).agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    ncells = cells.agg(F.count(F.lit(1)).cast("long").alias("_nc"))
+    guard = F.assert_true(
+        F.coalesce(F.col("_nc") <= F.lit(max_cells), F.lit(True)),
+        F.lit(
+            f"kendall_tau_b: cell frame exceeds max_cells={max_cells}; "
+            "pre-bucket the variables to a coarser grid"
+        ),
+    )
+    gated = ncells.where(guard.isNull())
+    a = cells.select(
+        F.col("_x").alias("x1"), F.col("_y").alias("y1"),
+        F.col("_c").alias("c1"),
+    ).crossJoin(F.broadcast(gated))
+    b = cells.select(
+        F.col("_x").alias("x2"), F.col("_y").alias("y2"),
+        F.col("_c").alias("c2"),
+    )
+    # each unordered cell pair counted once: (x1,y1) < (x2,y2) lexico
+    pair_cond = (F.col("x1") < F.col("x2")) | (
+        (F.col("x1") == F.col("x2")) & (F.col("y1") < F.col("y2"))
+    )
+    prod = (F.col("c1").cast(d38) * F.col("c2").cast(d38)).cast(d38)
+    sgn = F.signum(
+        (F.col("x2") - F.col("x1")).cast("double")
+        * (F.col("y2") - F.col("y1")).cast("double")
+    )
+    cd = a.join(b, pair_cond).agg(
+        F.coalesce(
+            F.sum(F.when(sgn > 0, prod)), F.lit(0).cast(d38)
+        ).alias("_conc"),
+        F.coalesce(
+            F.sum(F.when(sgn < 0, prod)), F.lit(0).cast(d38)
+        ).alias("_disc"),
+    )
+    tx = (
+        cells.groupBy("_x").agg(F.sum("_c").cast(d38).alias("_t"))
+        .agg(
+            F.coalesce(
+                F.sum((F.col("_t") * (F.col("_t") - 1)).cast(d38)),
+                F.lit(0).cast(d38),
+            ).alias("_n1x2")
+        )
+    )
+    ty = (
+        cells.groupBy("_y").agg(F.sum("_c").cast(d38).alias("_t"))
+        .agg(
+            F.coalesce(
+                F.sum((F.col("_t") * (F.col("_t") - 1)).cast(d38)),
+                F.lit(0).cast(d38),
+            ).alias("_n2x2")
+        )
+    )
+    tot = cells.agg(
+        F.sum("_c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+    )
+    j = (
+        tot.crossJoin(F.broadcast(cd))
+        .crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+    )
+    n0x2 = (F.col("n").cast(d38) * (F.col("n") - 1).cast(d38)).cast(d38)
+    denx = (n0x2 - F.col("_n1x2")).cast("double")
+    deny = (n0x2 - F.col("_n2x2")).cast("double")
+    # denx/deny carry DOUBLED counts (n(n-1) and sum t(t-1), not the
+    # /2 forms), so sqrt(denx*deny) = 2*sqrt((n0-n1)(n0-n2)): the 2x
+    # numerator restores the textbook tau-b
+    tau = (
+        (F.col("_conc") - F.col("_disc")).cast("double")
+        * F.lit(2.0)
+        / F.sqrt(denx * deny)
+    )
+    ok = (F.col("n") > 1) & (denx > 0) & (deny > 0)
+    return j.select(
+        "n",
+        "n_cells",
+        F.col("_conc").cast("long").alias("conc"),
+        F.col("_disc").cast("long").alias("disc"),
+        F.when(ok, F.floor(tau * 1000)).cast("long").alias("tau_b_milli"),
+    )

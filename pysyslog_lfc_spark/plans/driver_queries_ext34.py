@@ -83,3 +83,66 @@ def cohens_kappa_event_raters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("b"),
     )
     return cohens_kappa(pairs, "a", "b")
+
+
+_TAU_ORACLE = """
+WITH base AS (
+  SELECT CAST(extract(year FROM o_orderdate) AS BIGINT) AS x,
+         CAST(floor(o_totalprice / 10000) AS BIGINT) AS y
+  FROM orders
+),
+cells AS (SELECT x, y, count(*)::BIGINT AS c FROM base GROUP BY x, y),
+cd AS (
+  SELECT
+    CAST(coalesce(sum(CASE WHEN (b.x - a.x) * (b.y - a.y) > 0
+          THEN CAST(a.c AS DECIMAL(38,0)) * b.c END), 0)
+         AS DECIMAL(38,0)) AS conc,
+    CAST(coalesce(sum(CASE WHEN (b.x - a.x) * (b.y - a.y) < 0
+          THEN CAST(a.c AS DECIMAL(38,0)) * b.c END), 0)
+         AS DECIMAL(38,0)) AS disc
+  FROM cells a JOIN cells b
+    ON (a.x < b.x) OR (a.x = b.x AND a.y < b.y)
+),
+tx AS (
+  SELECT CAST(coalesce(sum(t * (t - 1)), 0) AS DECIMAL(38,0)) AS n1x2
+  FROM (SELECT sum(c)::BIGINT AS t FROM cells GROUP BY x)
+),
+ty AS (
+  SELECT CAST(coalesce(sum(t * (t - 1)), 0) AS DECIMAL(38,0)) AS n2x2
+  FROM (SELECT sum(c)::BIGINT AS t FROM cells GROUP BY y)
+),
+tot AS (
+  SELECT sum(c)::BIGINT AS n, count(*)::BIGINT AS n_cells FROM cells
+)
+SELECT n, n_cells,
+  CAST(conc AS BIGINT) AS conc, CAST(disc AS BIGINT) AS disc,
+  CASE WHEN n > 1
+        AND CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) - n1x2 AS DOUBLE) > 0
+        AND CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) - n2x2 AS DOUBLE) > 0
+  THEN
+    CAST(floor(CAST(conc - disc AS DOUBLE) * 2
+      / sqrt(CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) - n1x2 AS DOUBLE)
+           * CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) - n2x2 AS DOUBLE))
+      * 1000) AS BIGINT)
+  END AS tau_b_milli
+FROM tot, cd, tx, ty
+"""
+
+
+@query("kendall_tau_order_year_price", _TAU_ORACLE)
+def kendall_tau_order_year_price(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Kendall's tau-b (functions/stats.py::kendall_tau_b) between
+    order year and 10k-price bucket — the concordance companion to
+    Spearman with the tie-corrected denominator; corpus collapses to
+    the (year x bucket) cell frame, C/D from one assert-bounded
+    cell-pair join, exact integer moments throughout."""
+    from pysyslog_lfc_spark.functions.stats import kendall_tau_b
+
+    orders = _t(spark, sf_dir, "orders")
+    return kendall_tau_b(
+        orders,
+        F.year("o_orderdate").cast("long"),
+        F.floor(F.col("o_totalprice") / 10000).cast("long"),
+    )

@@ -479,3 +479,22 @@ def test_cohens_kappa_known_values(spark):
         spark.createDataFrame([Row(a="x", b="x")] * 9), "a", "b"
     ).collect()[0]
     assert r2["kappa_milli"] is None and r2["po_milli"] == 1000
+
+
+def test_kendall_tau_b_known_values(spark):
+    """Perfect concordance -> tau_b = 1.0; perfect discordance -> -1;
+    cap raises on too many cells."""
+    from pysyslog_lfc_spark.functions.stats import kendall_tau_b
+
+    up = spark.createDataFrame([Row(x=i, y=i * 2) for i in range(10)])
+    r = kendall_tau_b(up, F.col("x"), F.col("y")).collect()[0]
+    assert (r["conc"], r["disc"]) == (45, 0)
+    assert r["tau_b_milli"] == 1000
+    down = spark.createDataFrame([Row(x=i, y=-i) for i in range(10)])
+    r2 = kendall_tau_b(down, F.col("x"), F.col("y")).collect()[0]
+    assert r2["tau_b_milli"] == -1000
+    const = spark.createDataFrame([Row(x=i, y=7) for i in range(5)])
+    r3 = kendall_tau_b(const, F.col("x"), F.col("y")).collect()[0]
+    assert r3["tau_b_milli"] is None  # y constant -> undefined
+    with pytest.raises(Exception, match="max_cells"):
+        kendall_tau_b(up, F.col("x"), F.col("y"), max_cells=3).collect()
