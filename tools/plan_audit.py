@@ -238,6 +238,8 @@ AUDIT_QUERIES = [
     "boundary_overlap_docs",
     "two_hop_reach_order_part",
     "winnow_overlap_docs",
+    "cohens_kappa_event_raters",
+    "kendall_tau_order_year_price",
 ]
 
 
