@@ -2015,14 +2015,17 @@ def calibration_ece(
     )
 
 
-def cohens_kappa(
+def cohens_kappa_multiclass(
     df: DataFrame,
     a_col: str,
     b_col: str,
 ) -> DataFrame:
-    """Cohen's kappa inter-rater agreement (Cohen 1960) — the
-    chance-corrected score behind every labeling-quality audit (two
-    annotators, a model vs a gold set, two dedup policies): raw
+    """Cohen's kappa over an ARBITRARY label alphabet — the k-category
+    generalization of the binary
+    :func:`pysyslog_lfc_spark.functions.classifier.cohens_kappa`
+    (which collapses 0/1 raters to four scalars; this one works from
+    the k x k label-pair cell frame, so multi-class annotator audits
+    and taxonomy comparisons get the same chance-corrected score): raw
     agreement alone rewards majority-class guessing; kappa subtracts
     the agreement two independent raters with these marginals would
     reach by chance:

@@ -60,12 +60,15 @@ FROM tot, pe
 @query("cohens_kappa_event_raters", _KAPPA_ORACLE)
 def cohens_kappa_event_raters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohen's kappa inter-rater agreement
-    (functions/stats.py::cohens_kappa): rater A = event type, rater B
+    (functions/stats.py::cohens_kappa_multiclass — the k-category
+    generalization of classifier.py's binary kappa): rater A = event type, rater B
     = the same labels with a deterministic hash-chosen fifth of rows
     flipped to 'error' — real disagreement structure for the
     chance-corrected score. Exact BIGINT/DECIMAL moments from the
     label-pair cell frame, one closing floor-milli double."""
-    from pysyslog_lfc_spark.functions.stats import cohens_kappa
+    from pysyslog_lfc_spark.functions.stats import (
+        cohens_kappa_multiclass,
+    )
     from pysyslog_lfc_spark.functions.text import portable_hash60
 
     ev = _t(spark, sf_dir, "events")
@@ -82,7 +85,7 @@ def cohens_kappa_event_raters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("event_type"))
         .alias("b"),
     )
-    return cohens_kappa(pairs, "a", "b")
+    return cohens_kappa_multiclass(pairs, "a", "b")
 
 
 _TAU_ORACLE = """

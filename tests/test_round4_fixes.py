@@ -461,7 +461,9 @@ def test_ordered_prefix_string_and_decimal_paths(spark):
 def test_cohens_kappa_known_values(spark):
     """Textbook 2x2: a=[20 yes-yes, 5 yes-no, 10 no-yes, 15 no-no]:
     po = 35/50 = 0.7; pe = (25*30 + 25*20)/2500 = 0.5; kappa = 0.4."""
-    from pysyslog_lfc_spark.functions.stats import cohens_kappa
+    from pysyslog_lfc_spark.functions.stats import (
+        cohens_kappa_multiclass as cohens_kappa,
+    )
 
     rows = (
         [Row(a="y", b="y")] * 20
