@@ -266,12 +266,13 @@ BENCH_QUERIES = [
     "kfold_stratified_docs",
     "mi_event_type_hour",
     "randomization_test_order_value",
-    "calibration_ece_events",
     "boundary_overlap_docs",
     "two_hop_reach_order_part",
     "winnow_overlap_docs",
     "cohens_kappa_event_raters",
     "kendall_tau_order_year_price",
+    "pr_curve_quality_vs_en",
+    "confusion_quality_vs_en",
 ]
 
 

@@ -467,3 +467,149 @@ def brier_score(
         .cast("long")
         .alias("brier_micro"),
     )
+
+
+def pr_curve(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Precision-recall curve at every distinct score threshold
+    (predict positive when score >= t, sweeping t over the observed
+    scores) — the imbalanced-data companion to :func:`roc_auc` (under
+    1:1000 class skew the ROC can look excellent while precision is
+    garbage; the PR view is what a curation gate actually operates
+    on). ``score_col`` MUST be integer-valued (the house grid).
+
+    Returns one row per distinct score:
+    (threshold, n_pred, tp, precision_milli, recall_milli, f1_milli)
+    — all exact subtract-mod floors from exact cumulative counts;
+    F1 = 2*tp / (n_pred + P) in its division-free form.
+
+    Scale shape: ONE hash aggregate to the distinct-score frame; the
+    descending cumulatives are the distributed two-level prefix
+    (stats._ordered_prefix over the negated score), so a raw
+    continuous-score sweep never lands in a single-task window; total
+    positives are one broadcast scalar.
+    """
+    from pysyslog_lfc_spark.functions.stats import _ordered_prefix
+
+    cells = (
+        df.select(
+            F.col(score_col).cast("long").alias("_s"),
+            F.col(label_col).cast("long").alias("_y"),
+        )
+        .groupBy("_s")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            F.sum("_y").cast("long").alias("_pos"),
+        )
+        .withColumn("_negs", -F.col("_s"))
+    )
+    stepped = _ordered_prefix(cells, "_negs", ["_n", "_pos"], inclusive=True)
+    tot = cells.agg(F.sum("_pos").cast("long").alias("_P"))
+    j = stepped.crossJoin(F.broadcast(tot))
+    tp = F.col("cum__pos")
+    npred = F.col("cum__n")
+    prec = ((tp * 1000 - F.pmod(tp * 1000, npred)) / npred).cast("long")
+    rec = F.when(
+        F.col("_P") > 0,
+        ((tp * 1000 - F.pmod(tp * 1000, F.col("_P"))) / F.col("_P")).cast(
+            "long"
+        ),
+    )
+    f1den = npred + F.col("_P")
+    f1 = (
+        (tp * 2000 - F.pmod(tp * 2000, f1den)) / f1den
+    ).cast("long")
+    return j.select(
+        F.col("_s").alias("threshold"),
+        npred.cast("long").alias("n_pred"),
+        tp.cast("long").alias("tp"),
+        prec.alias("precision_milli"),
+        rec.alias("recall_milli"),
+        f1.alias("f1_milli"),
+    )
+
+
+def confusion_report(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    threshold: int,
+) -> DataFrame:
+    """Full confusion-matrix report at one decision threshold
+    (predict positive when score >= threshold): counts plus the
+    standard derived scores, including Matthews correlation (Matthews
+    1975) — the single-number summary that stays honest under class
+    skew where accuracy and F1 both inflate:
+
+        MCC = (tp*tn - fp*fn) / sqrt((tp+fp)(tp+fn)(tn+fp)(tn+fn))
+
+    Returns ONE row: (tp, fp, tn, fn, accuracy_milli, precision_milli,
+    recall_milli, f1_milli, mcc_milli) — count ratios are exact
+    subtract-mod floors; MCC runs its one product chain in
+    DECIMAL(38,0) then a correctly-rounded double sqrt. NULL scores
+    where the denominator is empty (e.g. no predicted positives).
+
+    Scale shape: ONE map-side-partial aggregate to a 1-row frame.
+    """
+    dec = "decimal(38,0)"
+    pred = (F.col(score_col).cast("long") >= F.lit(threshold)).cast("long")
+    y = F.col(label_col).cast("long")
+    t = df.select(pred.alias("_p"), y.alias("_y")).agg(
+        F.sum(F.when((F.col("_p") == 1) & (F.col("_y") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+        F.sum(F.when((F.col("_p") == 1) & (F.col("_y") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("fp"),
+        F.sum(F.when((F.col("_p") == 0) & (F.col("_y") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("tn"),
+        F.sum(F.when((F.col("_p") == 0) & (F.col("_y") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("fn"),
+    )
+
+    def _ratio_milli(num, den):
+        n1000 = num * 1000
+        return F.when(
+            den > 0, ((n1000 - F.pmod(n1000, den)) / den).cast("long")
+        )
+
+    n = F.col("tp") + F.col("fp") + F.col("tn") + F.col("fn")
+    acc = _ratio_milli(F.col("tp") + F.col("tn"), n)
+    prec = _ratio_milli(F.col("tp"), F.col("tp") + F.col("fp"))
+    rec = _ratio_milli(F.col("tp"), F.col("tp") + F.col("fn"))
+    f1 = _ratio_milli(
+        F.col("tp") * 2,
+        F.col("tp") * 2 + F.col("fp") + F.col("fn"),
+    )
+    mnum = (
+        F.col("tp").cast(dec) * F.col("tn").cast(dec)
+        - F.col("fp").cast(dec) * F.col("fn").cast(dec)
+    )
+    mden = (
+        (F.col("tp") + F.col("fp")).cast(dec)
+        * (F.col("tp") + F.col("fn")).cast(dec)
+        * (F.col("tn") + F.col("fp")).cast(dec)
+        * (F.col("tn") + F.col("fn")).cast(dec)
+    )
+    mcc = F.when(
+        mden > 0,
+        F.floor(
+            mnum.cast("double") / F.sqrt(mden.cast("double")) * 1000
+        ).cast("long"),
+    )
+    return t.select(
+        "tp",
+        "fp",
+        "tn",
+        "fn",
+        acc.alias("accuracy_milli"),
+        prec.alias("precision_milli"),
+        rec.alias("recall_milli"),
+        f1.alias("f1_milli"),
+        mcc.alias("mcc_milli"),
+    )

@@ -1926,95 +1926,6 @@ def randomization_test_diff(
             .alias("p_milli"),
         )
     )
-
-
-def calibration_ece(
-    df: DataFrame,
-    prob_milli_col: str,
-    outcome_col: str,
-    n_bins: int = 10,
-) -> DataFrame:
-    """Expected Calibration Error over equal-width confidence bins
-    (Naeini et al. 2015's binned ECE — the standard "is this model's
-    confidence honest" report beside the Brier score):
-
-        ECE = sum_b (n_b / N) * |acc_b - conf_b|
-
-    With probabilities on the integer milli grid the whole sum is
-    exact: per bin |acc - conf| * n_b = |1000 * sum(outcome) -
-    sum(p_milli)| / 1000, so ece_micro = floor(1e6 * sum_b |...| /
-    (1000 * N)) comes from one integer chain. Returns one row per
-    non-empty bin: (bin, n, n_pos, mean_conf_milli, acc_milli,
-    gap_abs_num, ece_micro) with the corpus ``ece_micro`` repeated.
-
-    Scale shape: ONE corpus hash aggregate to the <= n_bins frame;
-    everything downstream is scalar math on that frame.
-    """
-    d38 = "decimal(38,0)"
-    p = F.col(prob_milli_col).cast("long")
-    bin_id = F.least(
-        F.floor(p * n_bins / 1000).cast("int"), F.lit(n_bins - 1)
-    )
-    cells = df.select(
-        bin_id.alias("bin"),
-        p.alias("_p"),
-        F.col(outcome_col).cast("long").alias("_o"),
-    ).groupBy("bin").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("_o").cast("long").alias("n_pos"),
-        F.sum("_p").cast(d38).alias("_sp"),
-    )
-    tot = cells.agg(F.sum("n").cast("long").alias("_N"))
-    gap = F.abs(
-        F.col("n_pos").cast(d38) * F.lit(1000) - F.col("_sp")
-    ).cast("long")
-    mean_conf = (
-        (F.col("_sp") - F.pmod(F.col("_sp"), F.col("n"))) / F.col("n")
-    ).cast("long")
-    acc = (
-        (
-            F.col("n_pos") * 1000
-            - F.pmod(F.col("n_pos") * 1000, F.col("n"))
-        )
-        / F.col("n")
-    ).cast("long")
-    per_bin = cells.select(
-        "bin",
-        "n",
-        "n_pos",
-        mean_conf.alias("mean_conf_milli"),
-        acc.alias("acc_milli"),
-        gap.alias("gap_abs_num"),
-    )
-    total = per_bin.agg(
-        F.sum("gap_abs_num").cast(d38).alias("_gapsum")
-    )
-    return (
-        per_bin.crossJoin(F.broadcast(total))
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "bin",
-            "n",
-            "n_pos",
-            "mean_conf_milli",
-            "acc_milli",
-            "gap_abs_num",
-            (
-                (
-                    F.col("_gapsum") * F.lit(1000000)
-                    - F.pmod(
-                        F.col("_gapsum") * F.lit(1000000),
-                        (F.col("_N") * F.lit(1000)).cast(d38),
-                    )
-                )
-                / (F.col("_N") * F.lit(1000)).cast(d38)
-            )
-            .cast("long")
-            .alias("ece_micro"),
-        )
-    )
-
-
 def cohens_kappa_multiclass(
     df: DataFrame,
     a_col: str,

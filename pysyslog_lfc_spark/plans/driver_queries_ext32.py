@@ -1,6 +1,6 @@
 """Driver-query registrations, round-4 batch 2: stratified k-fold CV
-assignment, mutual-information feature ranking, the deterministic
-Monte-Carlo randomization test, and binned calibration ECE.
+assignment, mutual-information feature ranking, and the
+deterministic Monte-Carlo randomization test.
 
 Imported by :mod:`pysyslog_lfc_spark.plans.driver_queries` (bottom of
 file).
@@ -159,63 +159,3 @@ def randomization_test_order_value(
         orders, "arm", F.col("cents"), "o_orderkey", "even", "odd",
         n_perm=99,
     )
-
-
-# ---------------------------------------------------- calibration ECE
-
-_ECE_ORACLE = """
-WITH base AS (
-  SELECT ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
-           ::BIGINT % 1001 AS p_milli,
-         CASE WHEN ('0x' || substr(md5(CAST(event_id AS VARCHAR)
-                 || 'o'), 1, 15))::BIGINT % 1000
-              < ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
-                  ::BIGINT % 1001
-              THEN 1 ELSE 0 END AS outcome
-  FROM events
-),
-cells AS (
-  SELECT least(CAST(floor(p_milli * 10 / 1000) AS INT), 9) AS bin,
-         count(*)::BIGINT AS n,
-         sum(outcome)::BIGINT AS n_pos,
-         sum(p_milli)::BIGINT AS sp
-  FROM base GROUP BY 1
-),
-tot AS (SELECT sum(n)::BIGINT AS nn FROM cells),
-per_bin AS (
-  SELECT bin, n, n_pos,
-         CAST((sp - sp % n) / n AS BIGINT) AS mean_conf_milli,
-         CAST((n_pos * 1000 - (n_pos * 1000) % n) / n AS BIGINT)
-           AS acc_milli,
-         CAST(abs(n_pos * 1000 - sp) AS BIGINT) AS gap_abs_num
-  FROM cells
-),
-total AS (SELECT sum(gap_abs_num)::BIGINT AS gapsum FROM per_bin)
-SELECT bin, n, n_pos, mean_conf_milli, acc_milli, gap_abs_num,
-  CAST((gapsum * 1000000 - (gapsum * 1000000) % (nn * 1000))
-       / (nn * 1000) AS BIGINT) AS ece_micro
-FROM per_bin, total, tot
-"""
-
-
-@query("calibration_ece_events", _ECE_ORACLE)
-def calibration_ece_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binned Expected Calibration Error
-    (functions/stats.py::calibration_ece) over a deterministic
-    hash-synthesized well-calibrated predictor (outcome drawn by a
-    second independent hash under the first hash's probability) — the
-    'is the confidence honest' report beside the Brier score; every
-    bin statistic an exact integer."""
-    from pysyslog_lfc_spark.functions.stats import calibration_ece
-    from pysyslog_lfc_spark.functions.text import portable_hash60
-
-    ev = _t(spark, sf_dir, "events")
-    eid = F.col("event_id").cast("string")
-    p = F.pmod(portable_hash60(eid), F.lit(1001))
-    o = (
-        F.pmod(portable_hash60(F.concat(eid, F.lit("o"))), F.lit(1000)) < p
-    )
-    base = ev.select(
-        p.cast("long").alias("p_milli"), o.cast("long").alias("outcome")
-    )
-    return calibration_ece(base, "p_milli", "outcome", n_bins=10)

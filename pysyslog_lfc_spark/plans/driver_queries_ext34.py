@@ -149,3 +149,126 @@ def kendall_tau_order_year_price(
         F.year("o_orderdate").cast("long"),
         F.floor(F.col("o_totalprice") / 10000).cast("long"),
     )
+
+
+# scored CTE shared by the PR-curve and confusion-report oracles —
+# byte-identical quality-permille reconstruction to ext8's
+# calibration oracle (same IEEE op sequence as text.quality_features)
+_SCORED_CTE = r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(text, '\s+'), w -> w != '') AS ws
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, lang,
+         CAST(len(ws) AS INTEGER) AS n_words,
+         coalesce(list_sum(list_transform(ws, w -> length(w))), 0)
+           / greatest(len(ws), 1) AS raw_avg,
+         len(list_filter(ws, w -> list_contains(
+           ['the','a','of','and','to','in'], lower(w))))
+           / greatest(len(ws), 1) AS raw_stop
+  FROM toks
+),
+scored AS (
+  SELECT CAST(floor((least(n_words / 100e0, 1e0) * 5e-1
+                     + least(raw_stop * 5e0, 1e0) * 3e-1
+                     + least(raw_avg / 8e0, 1e0) * 2e-1) * 1000)
+              AS BIGINT) AS s,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM feat
+)
+"""
+
+_PR_ORACLE = _SCORED_CTE + r""",
+cells AS (
+  SELECT s, count(*)::BIGINT AS n, sum(y)::BIGINT AS pos
+  FROM scored GROUP BY s
+),
+cum AS (
+  SELECT s,
+         sum(n) OVER (ORDER BY s DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_pred,
+         sum(pos) OVER (ORDER BY s DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp
+  FROM cells
+),
+tot AS (SELECT sum(pos)::BIGINT AS p FROM cells)
+SELECT s AS threshold,
+  CAST(n_pred AS BIGINT) AS n_pred, CAST(tp AS BIGINT) AS tp,
+  CAST((tp * 1000 - (tp * 1000) % n_pred) / n_pred AS BIGINT)
+    AS precision_milli,
+  CASE WHEN p > 0 THEN
+    CAST((tp * 1000 - (tp * 1000) % p) / p AS BIGINT) END AS recall_milli,
+  CAST((tp * 2000 - (tp * 2000) % (n_pred + p)) / (n_pred + p) AS BIGINT)
+    AS f1_milli
+FROM cum, tot
+"""
+
+
+@query("pr_curve_quality_vs_en", _PR_ORACLE)
+def pr_curve_quality_vs_en(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision-recall curve (functions/classifier.py::pr_curve) of
+    the quality permille score against the lang=='en' label — the
+    imbalanced-data companion to roc_auc; descending cumulatives via
+    the distributed two-level prefix, every column an exact
+    subtract-mod floor."""
+    from pysyslog_lfc_spark.functions.classifier import pr_curve
+    from pysyslog_lfc_spark.functions import text as TX
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = TX.quality_features(docs).select(
+        F.col("quality_permille").alias("s"),
+        (F.col("lang") == "en").cast("long").alias("y"),
+    )
+    return pr_curve(feats, "s", "y")
+
+
+_CONF_ORACLE = _SCORED_CTE + r""",
+conf AS (
+  SELECT
+    sum(CASE WHEN s >= 500 AND y = 1 THEN 1 ELSE 0 END)::BIGINT AS tp,
+    sum(CASE WHEN s >= 500 AND y = 0 THEN 1 ELSE 0 END)::BIGINT AS fp,
+    sum(CASE WHEN s < 500 AND y = 0 THEN 1 ELSE 0 END)::BIGINT AS tn,
+    sum(CASE WHEN s < 500 AND y = 1 THEN 1 ELSE 0 END)::BIGINT AS fn
+  FROM scored
+)
+SELECT tp, fp, tn, fn,
+  CASE WHEN tp + fp + tn + fn > 0 THEN
+    CAST(((tp + tn) * 1000 - ((tp + tn) * 1000) % (tp + fp + tn + fn))
+         / (tp + fp + tn + fn) AS BIGINT) END AS accuracy_milli,
+  CASE WHEN tp + fp > 0 THEN
+    CAST((tp * 1000 - (tp * 1000) % (tp + fp)) / (tp + fp) AS BIGINT)
+  END AS precision_milli,
+  CASE WHEN tp + fn > 0 THEN
+    CAST((tp * 1000 - (tp * 1000) % (tp + fn)) / (tp + fn) AS BIGINT)
+  END AS recall_milli,
+  CASE WHEN tp * 2 + fp + fn > 0 THEN
+    CAST((tp * 2000 - (tp * 2000) % (tp * 2 + fp + fn))
+         / (tp * 2 + fp + fn) AS BIGINT) END AS f1_milli,
+  CASE WHEN (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn) > 0 THEN
+    CAST(floor(CAST(CAST(tp AS DECIMAL(38,0)) * tn
+                    - CAST(fp AS DECIMAL(38,0)) * fn AS DOUBLE)
+      / sqrt(CAST(CAST(tp + fp AS DECIMAL(38,0)) * (tp + fn)
+                  * (tn + fp) * (tn + fn) AS DOUBLE))
+      * 1000) AS BIGINT) END AS mcc_milli
+FROM conf
+"""
+
+
+@query("confusion_quality_vs_en", _CONF_ORACLE)
+def confusion_quality_vs_en(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion-matrix report with Matthews correlation
+    (functions/classifier.py::confusion_report) for the quality gate
+    at threshold 500 against lang=='en' — MCC is the skew-honest
+    single number beside accuracy/precision/recall/F1; exact decimal
+    product chain, one double sqrt."""
+    from pysyslog_lfc_spark.functions.classifier import confusion_report
+    from pysyslog_lfc_spark.functions import text as TX
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = TX.quality_features(docs).select(
+        F.col("quality_permille").alias("s"),
+        (F.col("lang") == "en").cast("long").alias("y"),
+    )
+    return confusion_report(feats, "s", "y", threshold=500)

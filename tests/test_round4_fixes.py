@@ -324,27 +324,6 @@ def test_randomization_test_extremes(spark):
     assert r["n_ge"] == 0
     assert r["p_milli"] == 50  # (1+0)*1000 // 20
     assert r["diff_milli"] == 10_000_000 + 19500 - 19500  # 10000.0 diff
-
-
-def test_calibration_ece_perfect_and_off(spark):
-    from pysyslog_lfc_spark.functions.stats import calibration_ece
-
-    # perfectly calibrated bin: conf 500, half positives -> gap 0
-    rows = [Row(p=500, o=1), Row(p=500, o=0)] * 10
-    r = calibration_ece(
-        spark.createDataFrame(rows), "p", "o", n_bins=10
-    ).collect()
-    assert len(r) == 1 and r[0]["ece_micro"] == 0
-    assert r[0]["mean_conf_milli"] == 500 and r[0]["acc_milli"] == 500
-    # maximally off: conf 1000 (bin 9 via least-clamp), all negatives
-    rows2 = [Row(p=1000, o=0)] * 4
-    r2 = calibration_ece(
-        spark.createDataFrame(rows2), "p", "o", n_bins=10
-    ).collect()
-    assert r2[0]["bin"] == 9
-    assert r2[0]["ece_micro"] == 1_000_000  # |0 - 1.0| over the corpus
-
-
 def test_boundary_overlap_pairs(spark):
     from pysyslog_lfc_spark.functions.dedup import boundary_overlap_pairs
 
@@ -500,3 +479,31 @@ def test_kendall_tau_b_known_values(spark):
     assert r3["tau_b_milli"] is None  # y constant -> undefined
     with pytest.raises(Exception, match="max_cells"):
         kendall_tau_b(up, F.col("x"), F.col("y"), max_cells=3).collect()
+
+
+def test_pr_curve_and_confusion_known_values(spark):
+    from pysyslog_lfc_spark.functions.classifier import (
+        confusion_report,
+        pr_curve,
+    )
+
+    # scores 1..4, positives at 3 and 4
+    rows = [
+        Row(s=4, y=1), Row(s=3, y=1), Row(s=2, y=0), Row(s=1, y=0),
+    ]
+    df = spark.createDataFrame(rows)
+    pr = {r["threshold"]: r for r in pr_curve(df, "s", "y").collect()}
+    assert pr[4]["precision_milli"] == 1000 and pr[4]["recall_milli"] == 500
+    assert pr[3]["precision_milli"] == 1000 and pr[3]["recall_milli"] == 1000
+    assert pr[2]["precision_milli"] == 666  # 2 tp of 3 predicted
+    assert pr[3]["f1_milli"] == 1000
+    c = confusion_report(df, "s", "y", threshold=3).collect()[0]
+    assert (c["tp"], c["fp"], c["tn"], c["fn"]) == (2, 0, 2, 0)
+    assert c["accuracy_milli"] == 1000 and c["mcc_milli"] == 1000
+    # skewed: always-positive predictor on 1:3 imbalance
+    rows2 = [Row(s=9, y=1)] + [Row(s=9, y=0)] * 3
+    c2 = confusion_report(
+        spark.createDataFrame(rows2), "s", "y", threshold=0
+    ).collect()[0]
+    assert c2["accuracy_milli"] == 250
+    assert c2["mcc_milli"] is None  # tn+fn = 0 -> undefined
