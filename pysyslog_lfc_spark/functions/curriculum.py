@@ -113,21 +113,31 @@ def pareto_skyline(
     1. per distinct ``x``: ``max(y)`` — a map-side-partial groupBy, the
        only corpus-sized exchange, moving 2 columns;
     2. over the |distinct x| staircase frame, the running max of that
-       ``max(y)`` from strictly-higher ``x`` (one window, same
-       tiny-frame convention as :func:`global_rank`'s offset cumsum —
-       at |distinct x| ~ corpus scale, range-bucket the staircase the
-       same two-level way);
+       ``max(y)`` from strictly-higher ``x``. The staircase is
+       |distinct x|-sized — CORPUS-sized for a continuous x — so the
+       running max is NOT a global window: it runs through
+       :func:`pysyslog_lfc_spark.functions.stats._ordered_prefix`
+       (``fold="max", descending=True``) — value-blocked partitions,
+       per-block running max, and a config-bounded (≤ ``n_blocks``)
+       offset fold, the same two-level shape as every rank statistic
+       here;
     3. an ``x`` survives iff its ``max(y)`` beats every higher-``x``
        max; surviving (x, max_y) pairs broadcast back, keeping rows
        with ``y == max(y)`` (ties on both axes are mutually
        non-dominating and all kept).
     """
+    from pysyslog_lfc_spark.functions.stats import _ordered_prefix
+
     ymax = df.groupBy(x_col).agg(F.max(y_col).alias("__ymax"))
-    w = (
-        Window.orderBy(F.col(x_col).desc())
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    stair = ymax.withColumn("__prec", F.max("__ymax").over(w))
+    stair = _ordered_prefix(
+        ymax,
+        x_col,
+        ["__ymax"],
+        inclusive=False,
+        prefix="__prec_",
+        fold="max",
+        descending=True,
+    ).withColumnRenamed("__prec___ymax", "__prec")
     frontier = stair.where(
         F.col("__prec").isNull() | (F.col("__ymax") > F.col("__prec"))
     ).select(x_col, "__ymax")

@@ -1818,14 +1818,32 @@ def winnow_overlap_pairs(
     k: int = 5,
     w: int = 4,
     min_shared: int = 3,
+    max_fp_freq: int | None = 64,
 ) -> DataFrame:
     """MOSS-style document-pair matching over winnowed fingerprints:
     unordered pairs sharing at least ``min_shared`` selected
     fingerprints, with the shared count. The join key is the winnowed
     fingerprint — corpus cost tracks the SELECTED density (~2/(w+1) of
     grams), not all windows. Returns (id_a, id_b, n_shared).
+
+    ``max_fp_freq`` is the hot-fingerprint fan-out bound (the same
+    knob as :func:`_cap_band_freq` for MinHash/SimHash bands): a
+    fingerprint shared by F documents — boilerplate headers are
+    routine in web corpora — emits F²/2 candidate pairs BEFORE the
+    ``min_shared`` filter can see them, so fingerprints appearing in
+    more than ``max_fp_freq`` documents are dropped before the
+    self-join. Dropping over-common fingerprints is standard MOSS
+    practice (Schleimer et al. 2003 §5 discard frequent hashes as
+    uninformative); the cost is bounded false negatives on pairs whose
+    ONLY shared material is that boilerplate. ``None`` = exact
+    (test-scale only).
     """
     fps = winnowed_fingerprints(df, text_col, id_col, k=k, w=w)
+    if max_fp_freq is not None:
+        freq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_f"))
+        fps = fps.join(
+            freq.where(F.col("_f") <= max_fp_freq).select("fp"), "fp"
+        )
     a = fps.select(F.col(id_col).alias("id_a"), "fp")
     b = fps.select(F.col(id_col).alias("id_b"), "fp")
     return (

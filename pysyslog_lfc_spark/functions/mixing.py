@@ -282,6 +282,7 @@ def unimax_allocations(
     max_epochs: int = 4,
     text_col: str = "text",
     source_col: str = "source",
+    max_sources: int = 100_000,
 ) -> DataFrame:
     """UniMax sampling allocations (Chung et al. 2023, "UniMax: Fairer
     and More Effective Language Sampling for Large-Scale Multilingual
@@ -302,9 +303,16 @@ def unimax_allocations(
     cap_tokens, alloc_tokens, epochs_milli)``.
 
     Scale shape: the corpus collapses to |sources| rows in the first
-    aggregation; every window below runs on that dimension-bounded
-    frame (comment-proof: |sources| is a catalog, not data). All
-    arithmetic is BIGINT, so the DuckDB oracle matches exactly.
+    aggregation; every window below runs on that frame. "Sources are
+    a catalog, not data" holds for language/dataset mixing (~10³) but
+    NOT for per-domain mixing over a web crawl (10⁷+ registrable
+    domains), so the bound is ENFORCED, not assumed: an
+    execution-time ``assert_true`` fails the job when |sources| >
+    ``max_sources`` (default 100k — ~MBs in one window task) instead
+    of silently single-tasking a data-sized frame. Past the bound,
+    pre-bucket sources (e.g. to registrable-domain groups) or raise
+    the knob deliberately. All arithmetic is BIGINT, so the DuckDB
+    oracle matches exactly.
     """
     from pyspark.sql import Window
 
@@ -316,6 +324,16 @@ def unimax_allocations(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("_nt").cast("long").alias("n_tokens"),
     ).withColumn("cap_tokens", (F.col("n_tokens") * max_epochs).cast("long"))
+    nsrc = per.agg(F.count(F.lit(1)).cast("long").alias("_ns"))
+    guard = F.assert_true(
+        F.coalesce(F.col("_ns") <= F.lit(int(max_sources)), F.lit(True)),
+        F.lit(
+            f"unimax_allocations: |sources| exceeds max_sources={max_sources}; "
+            "pre-bucket the source column or raise max_sources"
+        ),
+    )
+    gate = nsrc.where(guard.isNull()).select(F.lit(1).alias("_gate"))
+    per = per.crossJoin(F.broadcast(gate)).drop("_gate")
     w = Window.orderBy("cap_tokens", source_col)
     wall = Window.orderBy(F.lit(1)).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing

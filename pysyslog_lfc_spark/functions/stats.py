@@ -38,6 +38,8 @@ def _ordered_prefix(
     inclusive: bool = False,
     prefix: str = "cum_",
     n_blocks: int = 4096,
+    fold: str = "sum",
+    descending: bool = False,
 ) -> DataFrame:
     """Exact prefix sums of ``sum_cols`` under ``ORDER BY order_col``
     WITHOUT an unpartitioned corpus window (a ``WindowExec: No
@@ -70,51 +72,107 @@ def _ordered_prefix(
     strictly-smaller-value prefix when ``order_col`` is distinct per
     row (the distinct-value-frame convention of every caller here).
 
+    ``fold`` selects the associative combine: ``"sum"`` (prefix sums,
+    the default) or ``"max"`` (prefix running-max — the staircase fold
+    :func:`pysyslog_lfc_spark.functions.curriculum.pareto_skyline`
+    needs). ``descending=True`` folds under ``ORDER BY order_col
+    DESC`` instead (strictly-before = strictly-greater values for the
+    distinct-value frames callers feed). For ``fold="max"`` an empty
+    prefix yields NULL (there is no identity element for max over an
+    arbitrary ordered type), mirroring a window max over an empty
+    frame.
+
+    Non-finite doubles: NaN/±Inf cannot go through the equal-width
+    cast (ANSI CAST_OVERFLOW kills the job). They are routed to
+    dedicated end blocks matching Spark's total order
+    (-Inf < finite < +Inf < NaN), and the min/max that scale the
+    finite blocks ignore them.
+
+    String order columns: the block key is the first 7 BYTES of the
+    value read as a big-endian integer (monotone under the binary
+    collation both Spark and DuckDB compare strings with), then
+    equal-width blocks over THAT — so the block count is bounded by
+    ``n_blocks`` regardless of key cardinality (a raw prefix key
+    would make the offset frame O(|distinct prefixes|) and the packed
+    fold O(B²) on one task).
+
     Skew note: blocks are equal-width in VALUE (numeric order column)
-    or common-prefix groups (string order column, monotone under
-    Spark's binary string collation), so a distribution whose distinct
-    values concentrate in a narrow band / shared prefix concentrates
-    rows in few blocks; for the integer-grid metrics and short
-    blocking keys the callers feed, block width tracks the data.
+    or in 7-byte-prefix space (string order column), so a distribution
+    whose distinct values concentrate in a narrow band / shared prefix
+    concentrates rows in few blocks; for the integer-grid metrics and
+    short blocking keys the callers feed, block width tracks the data.
     """
+    if fold not in ("sum", "max"):
+        raise ValueError(f"_ordered_prefix: unknown fold {fold!r}")
     dt = df.schema[order_col].dataType.simpleString()
     if dt == "string":
-        # order-preserving block key: the 4-char prefix (lexicographic
-        # byte order => v1 <= v2 implies prefix(v1) <= prefix(v2), and
-        # equal keys share a block)
-        part = df.withColumn(
-            "_blk", F.substring(F.col(order_col), 1, 4)
+        # monotone numeric surrogate: first 7 bytes as a big-endian
+        # integer (hex() is byte-hex of the UTF-8 encoding; fixed-width
+        # right-zero-padding preserves prefix order; 56 bits fit long)
+        surr = F.conv(
+            F.rpad(F.substring(F.hex(F.col(order_col)), 1, 14), 14, "0"),
+            16,
+            10,
+        ).cast("long")
+        keyed = df.withColumn("_srg", surr)
+        key = "_srg"
+    else:
+        keyed = df
+        key = order_col
+    v = F.col(key)
+    is_fp = dt in ("float", "double")
+    finite = (
+        ~(F.isnan(v) | (v == F.lit(float("inf"))) | (v == F.lit(float("-inf"))))
+        if is_fp
+        else F.lit(True)
+    )
+    mm = keyed.agg(
+        F.min(F.when(finite, v)).alias("_mn"),
+        F.max(F.when(finite, v)).alias("_mx"),
+    )
+    width_ok = F.col("_mx") > F.col("_mn")
+    blk_finite = F.when(
+        width_ok,
+        (
+            (v - F.col("_mn")).cast("double")
+            * F.lit(float(n_blocks))
+            / (F.col("_mx") - F.col("_mn") + F.lit(1)).cast("double")
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    if is_fp:
+        # deterministic end blocks in Spark's double total order
+        # (-Inf < finite < +Inf < NaN); finite blocks live in
+        # [0, n_blocks), so n_blocks / n_blocks+1 cannot collide
+        blk = (
+            F.when(F.isnan(v), F.lit(n_blocks + 1).cast("long"))
+            .when(v == F.lit(float("inf")), F.lit(n_blocks).cast("long"))
+            .when(v == F.lit(float("-inf")), F.lit(-1).cast("long"))
+            .otherwise(blk_finite)
         )
     else:
-        mm = df.agg(
-            F.min(order_col).alias("_mn"), F.max(order_col).alias("_mx")
-        )
-        width_ok = F.col("_mx") > F.col("_mn")
-        blk = F.when(
-            width_ok,
-            (
-                (F.col(order_col) - F.col("_mn")).cast("double")
-                * F.lit(float(n_blocks))
-                / (F.col("_mx") - F.col("_mn") + F.lit(1)).cast("double")
-            ).cast("long"),
-        ).otherwise(F.lit(0))
-        part = (
-            df.crossJoin(F.broadcast(mm))
-            .withColumn("_blk", blk)
-            .drop("_mn", "_mx")
-        )
+        blk = blk_finite
+    part = (
+        keyed.crossJoin(F.broadcast(mm))
+        .withColumn("_blk", blk)
+        .drop("_mn", "_mx")
+    )
+    if key == "_srg":
+        part = part.drop("_srg")
     hi = 0 if inclusive else -1
+    order_expr = F.col(order_col).desc() if descending else F.col(order_col)
     w_in = (
         Window.partitionBy("_blk")
-        .orderBy(order_col)
+        .orderBy(order_expr)
         .rowsBetween(Window.unboundedPreceding, hi)
     )
+    agg_fn = F.sum if fold == "sum" else F.max
     tot = part.groupBy("_blk").agg(
-        *[F.sum(c).alias(f"_pt_{c}") for c in sum_cols]
+        *[agg_fn(c).alias(f"_pt_{c}") for c in sum_cols]
     )
     # constant-bounded frame → one sorted array row; element i's
-    # offset = sum of the i elements before it (slice + aggregate,
-    # pure codegen, ≤ n_blocks² ≈ 16M adds worst case)
+    # offset = fold of the i elements before it (slice + aggregate,
+    # pure codegen, ≤ n_blocks² ≈ 16M combines worst case). Sorted
+    # descending when the prefix runs under ORDER BY ... DESC.
     packed = tot.agg(
         F.sort_array(
             F.collect_list(
@@ -122,7 +180,8 @@ def _ordered_prefix(
                     F.col("_blk"),
                     *[F.col(f"_pt_{c}") for c in sum_cols],
                 )
-            )
+            ),
+            asc=not descending,
         ).alias("_a")
     )
     # the fold's zero must carry each sum column's own type (callers
@@ -131,11 +190,19 @@ def _ordered_prefix(
     tot_types = {f.name: f.dataType.simpleString() for f in tot.schema.fields}
 
     def _prefix_of(c: str):
-        zero = F.lit(0).cast(tot_types[f"_pt_{c}"])
+        typ = tot_types[f"_pt_{c}"]
+        if fold == "sum":
+            zero = F.lit(0).cast(typ)
+            return F.aggregate(
+                F.slice(F.col("_a"), 1, F.col("_i")),
+                zero,
+                lambda acc, x: acc + F.coalesce(x[f"_pt_{c}"], zero),
+            ).alias(f"_off_{c}")
+        # max fold: NULL identity; greatest() skips NULLs
         return F.aggregate(
             F.slice(F.col("_a"), 1, F.col("_i")),
-            zero,
-            lambda acc, x: acc + F.coalesce(x[f"_pt_{c}"], zero),
+            F.lit(None).cast(typ),
+            lambda acc, x: F.greatest(acc, x[f"_pt_{c}"]),
         ).alias(f"_off_{c}")
 
     off = (
@@ -149,10 +216,11 @@ def _ordered_prefix(
     )
     out = part.join(F.broadcast(off), "_blk")
     for c in sum_cols:
-        out = out.withColumn(
-            f"{prefix}{c}",
-            F.coalesce(F.sum(c).over(w_in), F.lit(0)) + F.col(f"_off_{c}"),
-        )
+        if fold == "sum":
+            cum = F.coalesce(F.sum(c).over(w_in), F.lit(0)) + F.col(f"_off_{c}")
+        else:
+            cum = F.greatest(F.max(c).over(w_in), F.col(f"_off_{c}"))
+        out = out.withColumn(f"{prefix}{c}", cum)
     return out.drop("_blk", *[f"_off_{c}" for c in sum_cols])
 
 
@@ -1231,9 +1299,11 @@ def mann_whitney_u(
     n = F.col("n_a") + F.col("n_b")
     u2a = F.col("_r2a") - F.col("n_a") * (F.col("n_a") + 1)
     var_term = (n + 1) - F.col("_T") / (n * (n - 1))
-    z = (u2a - F.col("n_a") * F.col("n_b")) / (
-        F.lit(2.0)
-        * F.sqrt(F.col("n_a") * F.col("n_b") / F.lit(12.0) * var_term)
+    # the z chain is double anyway — cast the factors BEFORE the
+    # multiply so the n_a*n_b product cannot overflow BIGINT first
+    nab_d = F.col("n_a").cast("double") * F.col("n_b").cast("double")
+    z = (u2a - nab_d) / (
+        F.lit(2.0) * F.sqrt(nab_d / F.lit(12.0) * var_term)
     )
     ok = (F.col("n_a") > 0) & (F.col("n_b") > 0) & (n > 1) & (
         F.col("_T") < n * n * n - n
@@ -1357,7 +1427,9 @@ def ks_test(
         .cast(_D38)
         .alias("_dnum"),
     )
-    den = (F.col("n_a") * F.col("n_b")).cast(_D38)
+    # cast each factor BEFORE the multiply: a BIGINT product wraps or
+    # raises past ~9.2e18 (~3e9 rows per arm) before the cast can save it
+    den = (F.col("n_a").cast(_D38) * F.col("n_b").cast(_D38)).cast(_D38)
     dnum6 = F.col("_dnum") * F.lit(1000000).cast(_D38)
     d_micro = ((dnum6 - F.pmod(dnum6, den)) / den).cast("long")
     d = F.col("_dnum").cast("double") / den.cast("double")
@@ -1891,11 +1963,11 @@ def randomization_test_diff(
     lhs = F.abs(
         F.col("_ra_sum") * F.col("_nb").cast(d38)
         - F.col("_rb_sum") * F.col("_na").cast(d38)
-    ) * (F.col("n_a") * F.col("n_b")).cast(d38)
+    ) * (F.col("n_a").cast(d38) * F.col("n_b").cast(d38)).cast(d38)
     rhs = F.abs(
         F.col("_sa") * F.col("n_b").cast(d38)
         - F.col("_sb") * F.col("n_a").cast(d38)
-    ) * (F.col("_na") * F.col("_nb")).cast(d38)
+    ) * (F.col("_na").cast(d38) * F.col("_nb").cast(d38)).cast(d38)
     extreme = (
         (F.col("_na") == 0) | (F.col("_nb") == 0) | (lhs >= rhs)
     )

@@ -157,9 +157,11 @@ sel AS (
          ELSE [] END AS sfps
   FROM grams
 ),
-flat AS (SELECT doc_id, unnest(sfps) AS fp FROM sel)
+flat AS (SELECT doc_id, unnest(sfps) AS fp FROM sel),
+cool AS (SELECT fp FROM flat GROUP BY fp HAVING count(*) <= 64),
+flatc AS (SELECT f.doc_id, f.fp FROM flat f JOIN cool USING (fp))
 SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_shared
-FROM flat a JOIN flat b ON a.fp = b.fp AND a.doc_id < b.doc_id
+FROM flatc a JOIN flatc b ON a.fp = b.fp AND a.doc_id < b.doc_id
 GROUP BY 1, 2
 HAVING count(*) >= 3
 """
@@ -172,8 +174,13 @@ def winnow_overlap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprints (k=5 token grams, w=4 selection windows) — the
     guarantee-backed sketch that stores ~2/(w+1) of the grams yet
     catches every shared run of w+k-1 tokens. Portable md5 hashes let
-    the oracle replay the min-selection bit-identically."""
+    the oracle replay the min-selection bit-identically. The
+    ``max_fp_freq`` hot-fingerprint cap (mirrored in the oracle's
+    ``cool`` CTE) bounds the self-join fan-out of boilerplate
+    fingerprints to F ≤ 64 docs — standard MOSS frequent-hash
+    discard, and the same knob as MinHash/SimHash's
+    ``_cap_band_freq``."""
     from pysyslog_lfc_spark.functions.dedup import winnow_overlap_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    return winnow_overlap_pairs(docs, k=5, w=4, min_shared=3)
+    return winnow_overlap_pairs(docs, k=5, w=4, min_shared=3, max_fp_freq=64)

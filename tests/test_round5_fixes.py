@@ -1,0 +1,271 @@
+"""Round-5 hardening tests: the ADVICE.md fixes (non-finite doubles
+through the block prefix, bounded string blocks, decimal-safe n_a*n_b
+products, gen_sf copies>10 decorrelation) and the two VERDICT
+scale-shape directives (pareto_skyline's distributed staircase max,
+winnowing's hot-fingerprint cap) plus the unimax source-cardinality
+gate — each pinned by a behavior test."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+
+# ----------------------------------------------- _ordered_prefix paths
+
+
+def _no_unpartitioned_window(df) -> None:
+    """Assert no windowspecdefinition in the executed plan has an
+    empty partition spec (the single-task `No Partition Defined`
+    shape)."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "windowspecdefinition(" not in line:
+            continue
+        spec = line.split("windowspecdefinition(", 1)[1]
+        first = spec.split(",")[0].strip()
+        assert first and not first.endswith(("ASC NULLS FIRST", "DESC NULLS LAST")), (
+            "unpartitioned window in plan line: " + line
+        )
+
+
+def test_ordered_prefix_nonfinite_doubles(spark):
+    """NaN and ±Inf in a double order column must not raise (ANSI
+    CAST_OVERFLOW through the block-key cast was the round-4 bug) and
+    must land in end blocks matching Spark's total order
+    -Inf < finite < +Inf < NaN."""
+    from pysyslog_lfc_spark.functions.stats import _ordered_prefix
+
+    vals = [float(v) for v in range(-5, 6)] + [
+        float("nan"),
+        float("inf"),
+        float("-inf"),
+    ]
+    df = spark.createDataFrame(
+        [Row(v=v, t=1) for v in vals]
+    )
+    got = _ordered_prefix(df, "v", ["t"]).collect()
+    by_key = {}
+    for r in got:
+        k = (
+            "nan"
+            if math.isnan(r["v"])
+            else ("+inf" if r["v"] == float("inf") else ("-inf" if r["v"] == float("-inf") else r["v"]))
+        )
+        by_key[k] = r["cum_t"]
+    # strictly-before counts under -Inf < -5 < ... < 5 < +Inf < NaN
+    assert by_key["-inf"] == 0
+    assert by_key[-5.0] == 1
+    assert by_key[5.0] == 11
+    assert by_key["+inf"] == 12
+    assert by_key["nan"] == 13
+
+
+def test_mann_whitney_nan_metric_succeeds(spark):
+    """The ADVICE repro: mann_whitney_u on a double metric containing
+    NaN must run (it raised CAST_OVERFLOW in round 4) with NaN ranked
+    last, matching window/order semantics in both engines."""
+    from pysyslog_lfc_spark.functions.stats import mann_whitney_u
+
+    rows = [Row(arm="a" if i % 2 else "b", v=i * 0.731) for i in range(40)]
+    rows.append(Row(arm="a", v=float("nan")))
+    r = mann_whitney_u(
+        spark.createDataFrame(rows), "arm", F.col("v"), "a", "b"
+    ).collect()[0]
+    assert r["n_a"] == 21 and r["n_b"] == 20
+    # NaN is arm a's largest value: it contributes rank n (=41) to R_A.
+    # Cross-check u2_a against a driver-side replay.
+    import itertools
+
+    vals = sorted(
+        ((row["v"], row["arm"]) for row in rows),
+        key=lambda t: (math.isnan(t[0]), t[0]),
+    )
+    r_a = sum(i + 1 for i, (_, arm) in enumerate(vals) if arm == "a")
+    assert r["u2_a"] == 2 * r_a - 21 * 22
+
+
+def test_ordered_prefix_high_cardinality_strings(spark):
+    """String order columns beyond n_blocks distinct prefixes: the
+    surrogate block key must stay bounded (no O(B^2) single-task fold)
+    while the prefix stays exact. 5000 distinct keys with distinct
+    4-char prefixes would have built 5000 blocks on the old path; the
+    new path is capped at n_blocks=64 here."""
+    from pysyslog_lfc_spark.functions.stats import _ordered_prefix
+
+    rows = [Row(k=f"{i:05d}x", t=1) for i in range(5000)]
+    df = spark.createDataFrame(rows)
+    got = {
+        r["k"]: r["cum_t"]
+        for r in _ordered_prefix(df, "k", ["t"], n_blocks=64).collect()
+    }
+    for i in range(0, 5000, 97):
+        assert got[f"{i:05d}x"] == i
+
+
+def test_ordered_prefix_string_shared_long_prefix(spark):
+    """Keys identical through the 7-byte surrogate (differing only
+    past byte 7) collapse into one block; within-block ordering must
+    still produce the exact prefix."""
+    from pysyslog_lfc_spark.functions.stats import _ordered_prefix
+
+    rows = [Row(k=f"sameprefix{i:04d}", t=i + 1) for i in range(50)]
+    df = spark.createDataFrame(rows)
+    got = {
+        r["k"]: r["cum_t"]
+        for r in _ordered_prefix(df, "k", ["t"]).collect()
+    }
+    run = 0
+    for i in range(50):
+        assert got[f"sameprefix{i:04d}"] == run
+        run += i + 1
+
+
+def test_ordered_prefix_max_fold_descending(spark):
+    """fold='max', descending=True is the pareto staircase: prefix
+    running-max over strictly-greater order values, NULL for the
+    first (no-predecessor) row."""
+    from pysyslog_lfc_spark.functions.stats import _ordered_prefix
+
+    rows = [Row(x=i, y=(i * 43) % 97) for i in range(200)]
+    df = spark.createDataFrame(rows)
+    got = {
+        r["x"]: r["pm_y"]
+        for r in _ordered_prefix(
+            df, "x", ["y"], fold="max", descending=True, prefix="pm_"
+        ).collect()
+    }
+    ys = {r.x: r.y for r in rows}
+    for x in range(200):
+        higher = [ys[j] for j in range(x + 1, 200)]
+        assert got[x] == (max(higher) if higher else None)
+
+
+# ------------------------------------------------------ pareto skyline
+
+
+def test_pareto_skyline_distributed_staircase(spark):
+    """The staircase running-max must not be a corpus-sized
+    unpartitioned window (round-4 VERDICT item 1), and the frontier
+    must still match the O(n^2) dominance definition."""
+    from pysyslog_lfc_spark.functions.curriculum import pareto_skyline
+
+    rows = [
+        Row(id=i, x=float((i * 37) % 211), y=float((i * 113) % 197))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows)
+    out = pareto_skyline(df, "x", "y")
+    _no_unpartitioned_window(out)
+    got = {(r["x"], r["y"]) for r in out.collect()}
+    pts = [(r.x, r.y) for r in rows]
+    ref = {
+        (x, y)
+        for (x, y) in pts
+        if not any(
+            (x2 >= x and y2 >= y and (x2 > x or y2 > y))
+            for (x2, y2) in pts
+        )
+    }
+    assert got == ref
+
+
+# ------------------------------------------------- winnowing fp cap
+
+
+def test_winnow_hot_fingerprint_cap(spark):
+    """A boilerplate run shared by many docs must not fan out F^2
+    pairs: with max_fp_freq below the planted frequency the
+    boilerplate-only pairs disappear, while pairs sharing genuinely
+    rare material survive."""
+    from pysyslog_lfc_spark.functions.dedup import winnow_overlap_pairs
+
+    boiler = "copyright header lorem ipsum dolor sit amet consectetur"
+    docs = [
+        Row(doc_id=i, text=f"{boiler} unique{i}a unique{i}b unique{i}c")
+        for i in range(1, 21)
+    ]
+    # two docs sharing a long rare run beyond the boilerplate
+    shared = "rare shared passage alpha beta gamma delta epsilon zeta eta"
+    docs += [
+        Row(doc_id=100, text=f"{shared} tail100x tail100y"),
+        Row(doc_id=101, text=f"{shared} tail101x tail101y"),
+    ]
+    df = spark.createDataFrame(docs)
+    uncapped = winnow_overlap_pairs(
+        df, k=5, w=4, min_shared=1, max_fp_freq=None
+    ).collect()
+    capped = winnow_overlap_pairs(
+        df, k=5, w=4, min_shared=1, max_fp_freq=10
+    ).collect()
+    unc_pairs = {(r["id_a"], r["id_b"]) for r in uncapped}
+    cap_pairs = {(r["id_a"], r["id_b"]) for r in capped}
+    # the 20 boilerplate docs pair all-to-all uncapped (190 pairs)
+    assert (1, 2) in unc_pairs and len(unc_pairs) >= 190
+    # capped: boilerplate fingerprints (freq 20 > 10) dropped;
+    # the rare-run pair (freq 2) survives
+    assert (100, 101) in cap_pairs
+    assert (1, 2) not in cap_pairs
+
+
+# ---------------------------------------------------- unimax gate
+
+
+def test_unimax_max_sources_gate(spark):
+    from pysyslog_lfc_spark.functions.mixing import unimax_allocations
+
+    df = spark.createDataFrame(
+        [Row(source=f"s{i % 7}", text="a b c d") for i in range(70)]
+    )
+    ok = unimax_allocations(df, budget_tokens=100, max_sources=10).collect()
+    assert len(ok) == 7
+    assert sum(r["alloc_tokens"] for r in ok) == 100
+    with pytest.raises(Exception) as ei:
+        unimax_allocations(df, budget_tokens=100, max_sources=3).collect()
+    assert "max_sources" in str(ei.value)
+
+
+# ---------------------------------------------------- gen_sf copies
+
+
+def test_gen_sf_copies_beyond_ten_decorrelate(spark):
+    """copies > 10 must not reuse rewording suffixes or embedding
+    rotations across copies (ADVICE item 4)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from tools.gen_sf import _copy
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="alpha beta", n_chars=10)]
+    )
+    t5 = _copy(docs, "documents", 5, 20).collect()[0]["text"]
+    t15 = _copy(docs, "documents", 15, 20).collect()[0]["text"]
+    assert t5 == "alpha5 beta5" and t15 == "alpha15 beta15"
+    emb = spark.createDataFrame(
+        [Row(vec_id=1, embedding=[float(i) for i in range(40)])]
+    )
+    e5 = _copy(emb, "embeddings", 5, 20).collect()[0]["embedding"]
+    e15 = _copy(emb, "embeddings", 15, 20).collect()[0]["embedding"]
+    assert e5 != e15  # distinct rotations (dim//20 = 2 lanes apart)
+    base = [float(i) for i in range(40)]
+    assert sorted(e5) == base and sorted(e15) == base  # permutations
+
+
+# ------------------------------------------- ks_test decimal factors
+
+
+def test_ks_test_still_exact_after_factor_cast(spark):
+    from pysyslog_lfc_spark.functions.stats import ks_test
+
+    rows = [Row(arm="a", v=i) for i in range(50)] + [
+        Row(arm="b", v=25 + i) for i in range(50)
+    ]
+    r = ks_test(
+        spark.createDataFrame(rows), "arm", F.col("v"), "a", "b"
+    ).collect()[0]
+    assert r["n_a"] == 50 and r["n_b"] == 50
+    assert r["d_micro"] == 500000

@@ -12,7 +12,7 @@ data, no wall-clock, no RNG: copy k of a table is the original with
   * fixed dims (region, nation) left alone — TPC-H keeps 25 nations
     at every SF, so per-nation groups deepen by K;
   * ``documents.text`` re-worded per copy (every word suffixed with
-    the copy digit for k>0) — intra-copy duplicate/near-duplicate
+    the full copy index for k>0) — intra-copy duplicate/near-duplicate
     structure is preserved EXACTLY (the same rewrite hits both members
     of a pair) while cross-copy shingle overlap drops to ~0, so dedup
     candidate generation scales linearly instead of super-linearly the
@@ -47,16 +47,19 @@ KEY_COLS = {
 FIXED = ["region", "nation"]
 
 
-def _copy(df: DataFrame, table: str, k: int) -> DataFrame:
+def _copy(df: DataFrame, table: str, k: int, copies: int) -> DataFrame:
     out = df
     for c in KEY_COLS.get(table, []):
         dt = dict(df.dtypes)[c]
         out = out.withColumn(c, (F.col(c) + F.lit(k * STRIDE)).cast(dt))
     if table == "documents" and k > 0:
+        # suffix carries the FULL copy index (not k % 10): copies > 10
+        # must not silently reuse suffixes across copies, or cross-copy
+        # shingle overlap returns and dedup scaling goes super-linear
         reworded = F.array_join(
             F.transform(
                 F.split(F.col("text"), " "),
-                lambda w: F.concat(w, F.lit(str(k % 10))),
+                lambda w: F.concat(w, F.lit(str(k))),
             ),
             " ",
         )
@@ -64,8 +67,12 @@ def _copy(df: DataFrame, table: str, k: int) -> DataFrame:
             "n_chars", F.length("text").cast("long")
         )
     if table == "embeddings" and k > 0:
+        # rotate by k*(dim//copies) so the `copies` rotations are
+        # distinct lanes; guard the degenerate dim < copies case where
+        # dim//copies = 0 would make every copy the identity rotation
         dim = F.size("embedding")
-        shift = (F.lit(k) * (dim / F.lit(10)).cast("int")) % dim
+        lanes = F.greatest((dim / F.lit(copies)).cast("int"), F.lit(1))
+        shift = (F.lit(k) * lanes) % dim
         rolled = F.concat(
             F.expr("slice(embedding, int(_shift) + 1, size(embedding) - int(_shift))"),
             F.expr("slice(embedding, 1, int(_shift))"),
@@ -86,7 +93,7 @@ def generate(spark: SparkSession, out_dir: str, copies: int, src: str) -> None:
         ).parquet(f"{out_dir}/{t}.parquet")
     for t in KEY_COLS:
         base = spark.read.parquet(f"{src}/{t}.parquet")
-        parts = [_copy(base, t, k) for k in range(copies)]
+        parts = [_copy(base, t, k, copies) for k in range(copies)]
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
