@@ -269,3 +269,32 @@ def test_ks_test_still_exact_after_factor_cast(spark):
     ).collect()[0]
     assert r["n_a"] == 50 and r["n_b"] == 50
     assert r["d_micro"] == 500000
+
+
+# ------------------------------------------------- plan audit gate
+
+
+def test_plan_audit_detects_unpartitioned_windows(spark):
+    """The audit's detector must flag a global ORDER BY window and
+    must NOT flag a partitioned one — this is the regression gate
+    that would have caught pareto_skyline's staircase in round 3."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from plan_audit import plan_of, unpartitioned_windows
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame([Row(g=i % 3, v=i) for i in range(20)])
+    flagged = df.withColumn(
+        "r", F.sum("v").over(Window.orderBy("v"))
+    )
+    clean = df.withColumn(
+        "r", F.sum("v").over(Window.partitionBy("g").orderBy("v"))
+    )
+    assert unpartitioned_windows(plan_of(flagged)) == 1
+    assert unpartitioned_windows(plan_of(clean)) == 0
+    desc = df.withColumn(
+        "r", F.sum("v").over(Window.orderBy(F.col("v").desc()))
+    )
+    assert unpartitioned_windows(plan_of(desc)) == 1

@@ -244,6 +244,64 @@ AUDIT_QUERIES = [
 ]
 
 
+# Queries allowed to contain an unpartitioned windowspecdefinition,
+# each with the reason the frame is BOUNDED (dimension/config-sized,
+# never corpus-sized). Any query NOT listed here whose plan contains
+# one fails the audit (exit 1) — the round-4 lesson: pareto_skyline's
+# data-sized staircase window landed silently because nothing gated
+# the pattern.
+UNPARTITIONED_WINDOW_ALLOWLIST: dict[str, str] = {
+    "kmv_set_algebra": "frames over the k-minimum-values sketch rows: <= k (config, 1024) rows per side, never the corpus",
+    "dsir_select": "grand-total window over the hashed model frame: <= n_buckets (4096) rows on the broadcast build side",
+    "cumulative_new_users": "cumulative window over per-day new-entity counts: calendar-bounded (|days with data| rows)",
+    "chi2_event_hour": "marginal windows over the contingency-cell frame: |event types| x 24 rows, dimension-bounded",
+    "cramers_v_event_hour": "same cell frame as chi2_event_hour: |event types| x 24 rows",
+    "template_drift_ampm": "share window over mined template shapes: masked-vocabulary-bounded (Drain-lite shape count), not row count",
+    "benford_totalprice": "window over the 9 leading-digit cells",
+    "calibration_quality_vs_en": "window over the config-bounded calibration-bin frame (<= n_bins rows)",
+    "neyman_alloc_docs": "allocation windows over the stratum frame: |strata| is a partition catalog, not data",
+    "xcorr_error_purchase": "lag windows over the time-bucket frame: calendar-bounded hourly buckets",
+    "gains_quality_vs_en": "cumulative window over the decile frame: <= n_deciles (config) rows",
+    "token_prefix_artifacts": "boundary-exchange window over per-partition FIRST rows: |partitions| rows (parallelism-bounded, tokens.py)",
+    "unimax_source_budget": "waterfill windows over the source frame: enforced <= max_sources by execution-time assert (mixing.py)",
+    "vocab_growth_heaps": "growth-curve window over sampled checkpoints: <= n_checkpoints (config) rows",
+    "heaps_fit": "same checkpoint frame as vocab_growth_heaps",
+    "acf_event_counts": "lag windows over the time-bucket series: calendar-bounded buckets, lags <= max_lag (config)",
+    "psi_event_drift": "bin-share windows over the PSI bin frame: <= n_bins (config) rows per side",
+}
+
+
+def _first_toplevel_arg(s: str) -> str:
+    """Text up to the first comma outside parens/brackets."""
+    depth = 0
+    for i, ch in enumerate(s):
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+            if depth < 0:
+                return s[:i]
+        elif ch == "," and depth == 0:
+            return s[:i]
+    return s
+
+
+def unpartitioned_windows(plan: str) -> int:
+    """Count windowspecdefinition occurrences with an EMPTY partition
+    spec. In rendered plans partition keys are plain attribute refs;
+    order keys carry a sort direction — so the window is unpartitioned
+    iff the first top-level argument is an ordering spec (ends with a
+    sort direction) or the frame itself."""
+    n = 0
+    for m in re.finditer(r"windowspecdefinition\(", plan):
+        arg = _first_toplevel_arg(plan[m.end():]).strip()
+        if arg.startswith("specifiedwindowframe") or re.search(
+            r"(ASC|DESC) NULLS (FIRST|LAST)$", arg
+        ):
+            n += 1
+    return n
+
+
 def plan_of(df) -> str:
     buf = io.StringIO()
     stdout = sys.stdout
@@ -292,10 +350,12 @@ def main() -> None:
     print("ReadSchema), small sides broadcast, Python appears only where the")
     print("operator is deliberately Arrow-batched, shuffles move narrow rows.")
     print()
+    violations: dict[str, int] = {}
     for name in AUDIT_QUERIES:
         df = queries[name](spark, sf_dir)
         plan = plan_of(df)
         s = summarize(plan)
+        n_upw = unpartitioned_windows(plan)
         print(f"## {name}")
         print()
         print(f"- shuffle exchanges: **{s['exchanges']}**, "
@@ -304,6 +364,15 @@ def main() -> None:
               f"sort-merge joins: **{s['sortmerge_joins']}**")
         print(f"- whole-stage-codegen spans: **{s['codegen_spans']}**, "
               f"Arrow/Python stages: **{s['python_stages']}**")
+        if n_upw:
+            why = UNPARTITIONED_WINDOW_ALLOWLIST.get(name)
+            if why is None:
+                violations[name] = n_upw
+                print(f"- **AUDIT FAIL**: {n_upw} unpartitioned window(s) "
+                      "NOT on the bounded-frame allowlist")
+            else:
+                print(f"- unpartitioned windows: {n_upw}, allowlisted "
+                      f"(bounded frame): {why}")
         for rs in s["read_schemas"]:
             print(f"- ReadSchema: `{rs.strip()}`")
         for pf in s["pushed_filters"]:
@@ -314,6 +383,16 @@ def main() -> None:
         print(plan.rstrip())
         print("```")
         print()
+    if violations:
+        print(
+            "plan_audit: UNPARTITIONED WINDOW(S) outside the allowlist "
+            f"(single-task at scale): {violations}\n"
+            "Either fix the plan (two-level decomposition, see "
+            "stats._ordered_prefix) or add an explicit bounded-frame "
+            "justification to UNPARTITIONED_WINDOW_ALLOWLIST.",
+            file=sys.stderr,
+        )
+        sys.exit(1)
 
 
 if __name__ == "__main__":
