@@ -394,17 +394,24 @@ def kcore(
     Iterative peeling: drop nodes with degree < k, recompute degrees,
     repeat to fixpoint — deletions cascade, so one pass is not enough.
     Each round is one map-side-partial degree aggregate plus two keyed
-    LEFT SEMI joins filtering the edge list (never a closure, never a
-    node-set broadcast requirement — the survivor frame stays
-    distributed and AQE broadcasts it only when it is actually small).
-    The edge frame is ``localCheckpoint``-pinned per round (the same
-    lineage-cut rationale as :func:`connected_components`) and the
-    loop exits when the surviving-edge count stops changing; deletion
-    is monotone, so an unchanged count proves an unchanged edge set.
-    The checkpoint is LAZY and the count() right after it is the one
-    materializing action — ONE driver action per round, not a separate
-    checkpoint job plus a count job. The fixpoint is unique (the
-    k-core is), so convergence order does not matter. Rounds needed =
+    LEFT ANTI joins against the DROPPED node set — the cascade frame,
+    which after the first round is the handful of nodes whose degree
+    just fell below ``k``, so AQE broadcasts it and the edge list is
+    filtered map-side without a shuffle (the round-4 shape
+    semi-joined the SURVIVOR set, which is nearly the whole node set
+    every round and forced two edge-sized shuffle joins; measured at
+    sf1.0 that was the 9.09x residual). The first round's drop frame
+    CAN be data-sized (every low-degree node at once) — no broadcast
+    hint is forced, AQE picks the join side by size. Convergence is
+    ``n_drop == 0``: no node below ``k`` means the current frame IS
+    the k-core, no edge-count comparison needed — and the count runs
+    on the cascade frame, not the full edge set. The edge frame is
+    ``localCheckpoint``-pinned every second round (lineage-cut
+    rationale as :func:`connected_components`; intermediate rounds
+    stack two cheap anti-joins and re-read the prior round's shuffle
+    files via exchange reuse instead of paying a full edge-set
+    materialization per round). The fixpoint is unique (the k-core
+    is), so convergence order does not matter. Rounds needed =
     longest deletion cascade; ``max_iter`` bounds pathological chains.
     """
     e = (
@@ -417,19 +424,18 @@ def kcore(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    prev = sym.count()  # materializes the checkpoint: one action
-    for _ in range(max(1, max_iter)):
+    for r in range(max(1, max_iter)):
         deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("__d"))
-        keep = deg.where(F.col("__d") >= k).select("u")
-        sym = (
-            sym.join(keep, "u", "left_semi")
-            .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
-            .localCheckpoint(eager=False)
-        )
-        cur = sym.count()  # materializes this round's checkpoint too
-        if cur == prev:
+        drop = deg.where(F.col("__d") < k).select("u")
+        # the ONE action per round: counts the cascade frame and, by
+        # scanning sym, materializes any pending lazy checkpoint
+        if drop.count() == 0:
             break
-        prev = cur
+        sym = sym.join(drop, "u", "left_anti").join(
+            drop.select(F.col("u").alias("v")), "v", "left_anti"
+        )
+        if r % 2 == 1:
+            sym = sym.localCheckpoint(eager=False)
     else:
         # still peeling when the budget ran out — the survivors are NOT
         # the k-core (nodes below k remain); refuse rather than return
