@@ -273,6 +273,12 @@ BENCH_QUERIES = [
     "kendall_tau_order_year_price",
     "pr_curve_quality_vs_en",
     "confusion_quality_vs_en",
+    # round-5 additions (lexical statistics)
+    "vocab_richness_docs",
+    "vocab_simpson_by_source",
+    "source_vocab_jaccard",
+    "mattr_docs",
+    "burrows_delta_sources",
 ]
 
 

@@ -1,0 +1,331 @@
+"""Corpus lexical statistics: Good-Turing unseen mass, Chao1 richness,
+moving-average type-token ratio (MATTR), per-source Simpson
+concentration, cross-source vocabulary Jaccard, and Burrows' Delta
+stylometric distance — the "how big / how diverse / how alike is this
+corpus's vocabulary" panel a training-data curation pipeline reads
+before fixing a tokenizer vocabulary or a source mix.
+
+The reference engine has no lexical surface; these extend the
+``output.metrics`` family (reference docs/configuration/outputs/
+metrics.md) the same way the drift/stats operators do.
+
+Cross-engine exactness: same contract as
+:mod:`pysyslog_lfc_spark.functions.stats` — every aggregate is an
+integer (BIGINT / DECIMAL(38,0)) sum, outputs are floored
+milli/ppm/ppb integers via exact integer division (``x - x % y``
+before the divide), and the only IEEE-double step is a final
+correctly-rounded per-row chain (one sqrt for Delta's z-scores), so a
+DuckDB oracle replays every value bit-identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from pysyslog_lfc_spark.functions.text import tokenize
+
+_D38 = "decimal(38,0)"
+
+
+def _floordiv(num: Column, den: Column) -> Column:
+    """Exact floor division for non-negative integer-valued columns
+    (the engine-portable ``(x - x % y) / y`` idiom)."""
+    return ((num - F.pmod(num, den)) / den).cast("long")
+
+
+def _token_counts(df: DataFrame, text_col: str, *extra: Column) -> DataFrame:
+    """(extra..., token, c): per-token occurrence counts — ONE
+    map-side-partial hash aggregate over the exploded corpus, the
+    shared first stage of every operator here. Tokens lowercased
+    (type statistics are case-folded by convention)."""
+    return (
+        df.select(*extra, F.explode(tokenize(F.lower(F.col(text_col)))).alias("token"))
+        .groupBy(*[c for c in df.select(*extra).columns], "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+
+
+def vocab_richness(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Vocabulary-richness panel in ONE row: token/type totals, hapax
+    and dis legomena, the Good-Turing unseen-species mass
+    p0 = n1/N (Good 1953 — the probability the NEXT token is an
+    unseen type; the quantity that says whether a tokenizer vocabulary
+    has converged), and the bias-corrected Chao1 richness floor
+    D + n1(n1-1)/(2(n2+1)) (Chao 1984 — a lower bound on the true
+    type count including unseen types).
+
+    Returns (n_tokens, n_types, n_hapax, n_dis, p0_ppm, chao1).
+
+    Scale shape: one corpus hash aggregate to the per-token count
+    frame (vocabulary-sized), one tiny re-aggregate to a single row;
+    no window, no join. Integer math throughout (DECIMAL(38,0) for
+    the ppm product so 10^12-token corpora cannot overflow).
+    """
+    counts = _token_counts(df, text_col)
+    agg = counts.agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long").alias("n_hapax"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).cast("long").alias("n_dis"),
+    )
+    p0 = _floordiv(
+        F.col("n_hapax").cast(_D38) * F.lit(1_000_000).cast(_D38),
+        F.col("n_tokens").cast(_D38),
+    )
+    chao1 = F.col("n_types") + _floordiv(
+        F.col("n_hapax").cast(_D38) * (F.col("n_hapax") - 1).cast(_D38),
+        (F.lit(2) * (F.col("n_dis") + 1)).cast(_D38),
+    )
+    return agg.select(
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        "n_dis",
+        F.when(F.col("n_tokens") > 0, p0).alias("p0_ppm"),
+        F.when(F.col("n_tokens") > 0, chao1).alias("chao1"),
+    )
+
+
+def simpson_by_source(
+    df: DataFrame, text_col: str = "text", source_col: str = "source"
+) -> DataFrame:
+    """Per-source Simpson concentration λ = Σ c(c-1) / (T(T-1)) — the
+    probability two tokens drawn without replacement from the source
+    are the SAME type (Simpson 1949). High λ = repetitive/templated
+    vocabulary; the complement of the entropy view, exact in integers
+    where entropy needs logs. Returns
+    (source, n_tokens, n_types, simpson_ppm).
+
+    Scale shape: one (source, token) hash aggregate, one per-source
+    re-aggregate; all sums DECIMAL(38,0)-exact.
+    """
+    counts = _token_counts(df, text_col, F.col(source_col))
+    per = counts.groupBy(source_col).agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum((F.col("c").cast(_D38) * (F.col("c") - 1).cast(_D38))).alias("_ss"),
+    )
+    den = F.col("n_tokens").cast(_D38) * (F.col("n_tokens") - 1).cast(_D38)
+    lam = _floordiv(F.col("_ss") * F.lit(1_000_000).cast(_D38), den)
+    return per.select(
+        source_col,
+        "n_tokens",
+        "n_types",
+        F.when(F.col("n_tokens") > 1, lam).alias("simpson_ppm"),
+    )
+
+
+def source_vocab_jaccard(
+    df: DataFrame, text_col: str = "text", source_col: str = "source"
+) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources: |Va ∩ Vb| /
+    |Va ∪ Vb| over distinct lowercased token TYPES — the
+    source-similarity matrix behind mixing decisions (two near-
+    identical crawls should not both get full weight). Returns one
+    row per co-occurring unordered source pair:
+    (source_a, source_b, inter, vocab_a, vocab_b, jaccard_milli);
+    pairs sharing zero types are absent (their Jaccard is 0).
+
+    Scale shape: distinct (source, token) — one corpus exchange —
+    then a self-equi-join ON TOKEN whose fan-out per token is bounded
+    by |sources|² (sources are a catalog, not data; c.f. the
+    enforced bound in mixing.unimax_allocations), collapsing
+    immediately to the |S|² pair frame.
+    """
+    v = (
+        df.select(
+            F.col(source_col).alias("s"),
+            F.explode(tokenize(F.lower(F.col(text_col)))).alias("token"),
+        )
+        .distinct()
+    )
+    sizes = v.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("vocab"))
+    inter = (
+        v.select(F.col("s").alias("source_a"), "token")
+        .join(v.select(F.col("s").alias("source_b"), "token"), "token")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    out = (
+        inter.join(
+            F.broadcast(sizes.select(F.col("s").alias("source_a"), F.col("vocab").alias("vocab_a"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("s").alias("source_b"), F.col("vocab").alias("vocab_b"))),
+            "source_b",
+        )
+    )
+    union = F.col("vocab_a") + F.col("vocab_b") - F.col("inter")
+    return out.select(
+        "source_a",
+        "source_b",
+        "inter",
+        "vocab_a",
+        "vocab_b",
+        _floordiv(F.col("inter") * 1000, union).alias("jaccard_milli"),
+    )
+
+
+def mattr(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 25,
+) -> DataFrame:
+    """Moving-Average Type-Token Ratio (Covington & McFall 2010) —
+    the length-robust lexical-diversity score (plain TTR shrinks with
+    document length, so it cannot rank documents of different sizes):
+    average, over every length-``window`` token span, of the span's
+    distinct-type count / ``window``. Documents shorter than the
+    window fall back to their plain TTR. Returns
+    (id, n_tokens, mattr_milli):
+    floor(1000 · Σ distinct(span) / (n_spans · window)).
+
+    Scale shape: pure per-document codegen over the token array
+    (higher-order ``aggregate`` over span starts, O(len·window²)
+    worst case with the stock ``array_distinct``) — zero shuffles,
+    zero joins; embarrassingly parallel over documents.
+    """
+    ws = tokenize(F.lower(F.col(text_col)))
+    n = F.size(ws)
+    m = n - F.lit(window) + 1  # number of full windows
+    # greatest(m, 1): `when` does not short-circuit expression
+    # evaluation, and sequence(1, m<=0) would step BACKWARD into an
+    # invalid slice start; the guarded branch's value is unused for
+    # short docs
+    span_sum = F.aggregate(
+        F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + F.size(F.array_distinct(F.slice(ws, i, window))).cast("long"),
+    )
+    long_milli = _floordiv(span_sum * 1000, m.cast("long") * window)
+    short_milli = _floordiv(
+        F.size(F.array_distinct(ws)).cast("long") * 1000, n.cast("long")
+    )
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        F.when(n >= window, long_milli)
+        .when(n > 0, short_milli)
+        .alias("mattr_milli"),
+    )
+
+
+def burrows_delta(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    top_k: int = 50,
+) -> DataFrame:
+    """Burrows' Delta (Burrows 2002) — the standard stylometric
+    distance between text collections: over the corpus's ``top_k``
+    most frequent word types, z-score each source's relative word
+    frequency across sources, then Delta(a,b) = mean |z_a - z_b|.
+    Near-zero Delta between two "different" sources is the
+    same-upstream-crawl signal. Returns
+    (source_a, source_b, delta_milli) for every unordered pair.
+
+    Exactness: relative frequencies are floored ppb integers
+    (DECIMAL(38,0) product, exact at 10^12 tokens); per-word
+    mean/variance across sources are integer sums of those; the ONE
+    double step is z_milli = floor(1000·(f·S - Σf)/sqrt(S·Σf² -
+    (Σf)²)) per (word, source) — a correctly-rounded chain both
+    engines replay bit-identically — and Delta re-enters exact
+    integer math (sum of |z_milli| differences, floor-divided by the
+    word count). Constant words (zero variance) contribute z = 0.
+
+    Scale shape: ONE (source, token) corpus aggregate; the global
+    top-k (count desc, token asc — total order, deterministic under
+    ties) broadcasts; everything downstream lives on |S|·top_k and
+    |S|² frames. The dense (source × word) grid is built explicitly
+    so absent words count as frequency 0, as Delta requires.
+    """
+    sc = _token_counts(df, text_col, F.col(source_col)).withColumnRenamed(
+        source_col, "_s"
+    )
+    totals = sc.groupBy("_s").agg(F.sum("c").cast("long").alias("_T"))
+    top = (
+        sc.groupBy("token")
+        .agg(F.sum("c").cast("long").alias("_g"))
+        .orderBy(F.col("_g").desc(), F.col("token").asc())
+        .limit(top_k)
+        .select("token")
+    )
+    grid = totals.crossJoin(F.broadcast(top))
+    # renamed join keys: grid/totals/top all derive from sc, and a
+    # by-name self-join over groupBy-derived lineage trips Spark's
+    # AMBIGUOUS_REFERENCE resolution
+    sc2 = sc.select(
+        F.col("_s").alias("_s2"), F.col("token").alias("_t2"), "c"
+    )
+    f = (
+        grid.join(
+            sc2,
+            (F.col("_s") == F.col("_s2")) & (F.col("token") == F.col("_t2")),
+            "left",
+        )
+        .select(
+            "_s",
+            "token",
+            _floordiv(
+                F.coalesce(F.col("c"), F.lit(0)).cast(_D38)
+                * F.lit(1_000_000_000).cast(_D38),
+                F.col("_T").cast(_D38),
+            ).alias("_f"),
+        )
+    )
+    stats = f.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("_ns"),
+        F.sum("_f").cast(_D38).alias("_sf"),
+        F.sum(F.col("_f").cast(_D38) * F.col("_f").cast(_D38)).alias("_sf2"),
+    )
+    z = f.join(F.broadcast(stats), "token").select(
+        "_s",
+        "token",
+        F.when(
+            (F.col("_ns").cast(_D38) * F.col("_sf2") - F.col("_sf") * F.col("_sf"))
+            > 0,
+            F.floor(
+                F.lit(1000.0)
+                * (
+                    F.col("_f").cast("double") * F.col("_ns").cast("double")
+                    - F.col("_sf").cast("double")
+                )
+                / F.sqrt(
+                    (
+                        F.col("_ns").cast(_D38) * F.col("_sf2")
+                        - F.col("_sf") * F.col("_sf")
+                    ).cast("double")
+                )
+            ).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("_z"),
+    )
+    za = z.select(
+        F.col("_s").alias("source_a"),
+        F.col("token").alias("_ta"),
+        F.col("_z").alias("_za"),
+    )
+    zb = z.select(
+        F.col("_s").alias("source_b"),
+        F.col("token").alias("_tb"),
+        F.col("_z").alias("_zb"),
+    )
+    pairs = (
+        za.join(zb, F.col("_ta") == F.col("_tb"))
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.sum(F.abs(F.col("_za") - F.col("_zb"))).cast("long").alias("_d"),
+            F.count(F.lit(1)).cast("long").alias("_k"),
+        )
+    )
+    return pairs.select(
+        "source_a",
+        "source_b",
+        _floordiv(F.col("_d"), F.col("_k")).alias("delta_milli"),
+    )

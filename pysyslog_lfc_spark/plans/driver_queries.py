@@ -4002,3 +4002,4 @@ from pysyslog_lfc_spark.plans import driver_queries_ext31  # noqa: E402,F401
 from pysyslog_lfc_spark.plans import driver_queries_ext32  # noqa: E402,F401
 from pysyslog_lfc_spark.plans import driver_queries_ext33  # noqa: E402,F401
 from pysyslog_lfc_spark.plans import driver_queries_ext34  # noqa: E402,F401
+from pysyslog_lfc_spark.plans import driver_queries_ext35  # noqa: E402,F401

@@ -1,0 +1,194 @@
+"""Driver-query registrations, round-5 batch: corpus lexical
+statistics (functions/lexstats.py) — Good-Turing/Chao1 richness,
+Simpson concentration, cross-source vocabulary Jaccard, MATTR
+lexical diversity, and Burrows' Delta stylometric distance.
+
+Imported by :mod:`pysyslog_lfc_spark.plans.driver_queries` (bottom of
+file).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pysyslog_lfc_spark.plans.driver_queries import _t, query
+
+
+_TOKS = r"list_filter(string_split_regex(lower(text), '\s+'), w -> w != '')"
+
+
+_RICHNESS_ORACLE = rf"""
+WITH toks AS (SELECT unnest({_TOKS}) AS token FROM documents),
+cnt AS (SELECT token, count(*)::BIGINT AS c FROM toks GROUP BY token),
+agg AS (
+  SELECT sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_types,
+         sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax,
+         sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)::BIGINT AS n_dis
+  FROM cnt
+)
+SELECT n_tokens, n_types, n_hapax, n_dis,
+       CASE WHEN n_tokens > 0
+            THEN CAST((n_hapax * 1000000) // n_tokens AS BIGINT) END AS p0_ppm,
+       CASE WHEN n_tokens > 0
+            THEN n_types + CAST((n_hapax * (n_hapax - 1))
+                                // (2 * (n_dis + 1)) AS BIGINT) END AS chao1
+FROM agg
+"""
+
+
+@query("vocab_richness_docs", _RICHNESS_ORACLE)
+def vocab_richness_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-richness panel (functions/lexstats.py::
+    vocab_richness): token/type totals, hapax/dis legomena, the
+    Good-Turing unseen-type mass p0 = n1/N, and the bias-corrected
+    Chao1 richness floor — the has-the-vocabulary-converged gate run
+    before freezing a tokenizer. One corpus hash aggregate, one tiny
+    re-aggregate, integer math end to end."""
+    from pysyslog_lfc_spark.functions.lexstats import vocab_richness
+
+    return vocab_richness(_t(spark, sf_dir, "documents"))
+
+
+_SIMPSON_ORACLE = rf"""
+WITH toks AS (SELECT source, unnest({_TOKS}) AS token FROM documents),
+cnt AS (SELECT source, token, count(*)::BIGINT AS c FROM toks GROUP BY 1, 2),
+per AS (
+  SELECT source, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_types,
+         sum(c * (c - 1))::BIGINT AS ss
+  FROM cnt GROUP BY source
+)
+SELECT source, n_tokens, n_types,
+       CASE WHEN n_tokens > 1
+            THEN CAST((ss * 1000000) // (n_tokens * (n_tokens - 1))
+                 AS BIGINT) END AS simpson_ppm
+FROM per
+"""
+
+
+@query("vocab_simpson_by_source", _SIMPSON_ORACLE)
+def vocab_simpson_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Simpson vocabulary concentration (functions/
+    lexstats.py::simpson_by_source): the probability two tokens from
+    the source are the same type — the integer-exact complement of
+    the entropy view; high values flag templated/boilerplate
+    sources before they skew a mix."""
+    from pysyslog_lfc_spark.functions.lexstats import simpson_by_source
+
+    return simpson_by_source(_t(spark, sf_dir, "documents"))
+
+
+_VJACCARD_ORACLE = rf"""
+WITH tok AS (SELECT source AS s, unnest({_TOKS}) AS token FROM documents),
+v AS (SELECT DISTINCT s, token FROM tok),
+sizes AS (SELECT s, count(*)::BIGINT AS vocab FROM v GROUP BY s),
+inter AS (
+  SELECT a.s AS source_a, b.s AS source_b, count(*)::BIGINT AS inter
+  FROM v a JOIN v b ON a.token = b.token AND a.s < b.s
+  GROUP BY 1, 2
+)
+SELECT i.source_a, i.source_b, i.inter,
+       sa.vocab AS vocab_a, sb.vocab AS vocab_b,
+       CAST((i.inter * 1000) // (sa.vocab + sb.vocab - i.inter)
+            AS BIGINT) AS jaccard_milli
+FROM inter i
+JOIN sizes sa ON sa.s = i.source_a
+JOIN sizes sb ON sb.s = i.source_b
+"""
+
+
+@query("source_vocab_jaccard", _VJACCARD_ORACLE)
+def source_vocab_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources (functions/
+    lexstats.py::source_vocab_jaccard) — the two-crawls-of-the-same-
+    site detector behind mixing weights. Distinct (source, token)
+    frame, token equi-join with |sources|²-bounded fan-out, |S|²
+    output."""
+    from pysyslog_lfc_spark.functions.lexstats import source_vocab_jaccard
+
+    return source_vocab_jaccard(_t(spark, sf_dir, "documents"))
+
+
+_MATTR_ORACLE = rf"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS ws FROM documents),
+base AS (SELECT doc_id, len(ws)::BIGINT AS n, ws FROM toks)
+SELECT doc_id, n AS n_tokens,
+       CASE WHEN n >= 25 THEN
+         CAST((CAST(list_sum(list_transform(range(1, CAST(n - 25 + 2 AS INT)),
+                i -> len(list_distinct(ws[i:i+24])))) AS BIGINT) * 1000)
+              // ((n - 25 + 1) * 25) AS BIGINT)
+       WHEN n > 0 THEN
+         CAST((len(list_distinct(ws)) * 1000) // n AS BIGINT)
+       END AS mattr_milli
+FROM base
+"""
+
+
+@query("mattr_docs", _MATTR_ORACLE)
+def mattr_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving-average type-token ratio (functions/lexstats.py::mattr,
+    window 25) — the length-robust per-document lexical-diversity
+    score (plain TTR shrinks with length). Pure per-document codegen
+    over the token array: zero shuffles; the oracle replays every
+    25-token span's distinct count with DuckDB list lambdas."""
+    from pysyslog_lfc_spark.functions.lexstats import mattr
+
+    return mattr(_t(spark, sf_dir, "documents"), window=25)
+
+
+_DELTA_ORACLE = rf"""
+WITH tok AS (SELECT source AS s, unnest({_TOKS}) AS token FROM documents),
+sc AS (SELECT s, token, count(*)::BIGINT AS c FROM tok GROUP BY 1, 2),
+totals AS (SELECT s, sum(c)::BIGINT AS T FROM sc GROUP BY s),
+top AS (
+  SELECT token FROM (
+    SELECT token, sum(c) AS g FROM sc GROUP BY token
+    ORDER BY g DESC, token ASC LIMIT 50
+  )
+),
+grid AS (SELECT t.s, t.T, p.token FROM totals t CROSS JOIN top p),
+f AS (
+  SELECT g.s, g.token,
+         CAST((coalesce(sc.c, 0) * 1000000000) // g.T AS BIGINT) AS f
+  FROM grid g LEFT JOIN sc ON sc.s = g.s AND sc.token = g.token
+),
+st AS (
+  SELECT token, count(*)::BIGINT AS S, sum(f)::BIGINT AS sf,
+         sum(f::HUGEINT * f::HUGEINT) AS sf2
+  FROM f GROUP BY token
+),
+z AS (
+  SELECT f.s, f.token,
+         CASE WHEN (st.S::HUGEINT * st.sf2
+                    - st.sf::HUGEINT * st.sf::HUGEINT) > 0 THEN
+           CAST(floor(1000.0
+                * (f.f::DOUBLE * st.S::DOUBLE - st.sf::DOUBLE)
+                / sqrt(CAST(st.S::HUGEINT * st.sf2
+                            - st.sf::HUGEINT * st.sf::HUGEINT AS DOUBLE)))
+                AS BIGINT)
+         ELSE 0 END AS z
+  FROM f JOIN st USING (token)
+),
+pairs AS (
+  SELECT a.s AS source_a, b.s AS source_b,
+         sum(abs(a.z - b.z))::BIGINT AS d, count(*)::BIGINT AS k
+  FROM z a JOIN z b ON a.token = b.token AND a.s < b.s
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, CAST(d // k AS BIGINT) AS delta_milli
+FROM pairs
+"""
+
+
+@query("burrows_delta_sources", _DELTA_ORACLE)
+def burrows_delta_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta stylometric distance between sources
+    (functions/lexstats.py::burrows_delta, top-50 words): z-scored
+    relative frequencies of the corpus's most frequent words, mean
+    absolute z-difference per source pair — near-zero Delta between
+    two sources is the same-upstream-crawl signal. Integer ppb
+    frequencies and moment sums; the single double step (one
+    floor(1000·num/sqrt(den)) per cell) is replayed bit-identically
+    by the oracle."""
+    from pysyslog_lfc_spark.functions.lexstats import burrows_delta
+
+    return burrows_delta(_t(spark, sf_dir, "documents"), top_k=50)

@@ -1,0 +1,100 @@
+"""Unit tests for functions/lexstats.py — known-value checks for the
+round-5 lexical-statistics batch (Good-Turing/Chao1, Simpson, vocab
+Jaccard, MATTR, Burrows' Delta)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+
+def test_vocab_richness_known_values(spark):
+    """Corpus 'a a a b b c d': N=7, D=4, n1=2 (c,d), n2=1 (b),
+    p0 = 2/7 -> 285714 ppm; chao1 = 4 + floor(2*1/(2*2)) = 4."""
+    from pysyslog_lfc_spark.functions.lexstats import vocab_richness
+
+    df = spark.createDataFrame([Row(text="a a a b"), Row(text="b c d")])
+    r = vocab_richness(df).collect()[0]
+    assert (r["n_tokens"], r["n_types"]) == (7, 4)
+    assert (r["n_hapax"], r["n_dis"]) == (2, 1)
+    assert r["p0_ppm"] == 285714
+    assert r["chao1"] == 4
+
+
+def test_simpson_by_source_known_values(spark):
+    """Source s1 = 'a a b' (T=3): sum c(c-1) = 2; λ = 2/6 = 1/3 ->
+    333333 ppm. Source s2 all-same 'x x x x': λ = 1."""
+    from pysyslog_lfc_spark.functions.lexstats import simpson_by_source
+
+    df = spark.createDataFrame(
+        [Row(source="s1", text="a a b"), Row(source="s2", text="x x x x")]
+    )
+    got = {r["source"]: r for r in simpson_by_source(df).collect()}
+    assert got["s1"]["simpson_ppm"] == 333333
+    assert got["s2"]["simpson_ppm"] == 1000000
+    assert got["s2"]["n_types"] == 1
+
+
+def test_source_vocab_jaccard_known_values(spark):
+    """V(s1)={a,b,c}, V(s2)={b,c,d}: inter=2, union=4, jaccard=500;
+    s3 shares nothing -> no row with s3."""
+    from pysyslog_lfc_spark.functions.lexstats import source_vocab_jaccard
+
+    df = spark.createDataFrame(
+        [
+            Row(source="s1", text="a b c"),
+            Row(source="s2", text="b c d"),
+            Row(source="s3", text="zzz"),
+        ]
+    )
+    rows = source_vocab_jaccard(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["source_a"], r["source_b"]) == ("s1", "s2")
+    assert (r["inter"], r["vocab_a"], r["vocab_b"]) == (2, 3, 3)
+    assert r["jaccard_milli"] == 500
+
+
+def test_mattr_short_and_long(spark):
+    """Short doc (n < window): plain TTR. Long doc of all-distinct
+    tokens: every span fully distinct -> mattr = 1000. Long doc of one
+    repeated token -> each span has 1 type -> floor(1000/w)."""
+    from pysyslog_lfc_spark.functions.lexstats import mattr
+
+    distinct_doc = " ".join(f"w{i}" for i in range(40))
+    same_doc = " ".join(["x"] * 40)
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a a b"),
+            Row(doc_id=2, text=distinct_doc),
+            Row(doc_id=3, text=same_doc),
+            Row(doc_id=4, text=""),
+        ]
+    )
+    got = {r["doc_id"]: r for r in mattr(df, window=25).collect()}
+    assert got[1]["mattr_milli"] == 666  # 2 types / 3 tokens
+    assert got[2]["mattr_milli"] == 1000
+    assert got[3]["mattr_milli"] == 40  # floor(1000/25)
+    assert got[4]["mattr_milli"] is None
+
+
+def test_burrows_delta_identical_sources_zero(spark):
+    """Two sources with identical token distributions have identical
+    relative frequencies, hence |z_a - z_b| = 0 for every word; a
+    third, different source has positive Delta to both."""
+    from pysyslog_lfc_spark.functions.lexstats import burrows_delta
+
+    twin = "the quick brown fox jumps over the lazy dog the end"
+    df = spark.createDataFrame(
+        [
+            Row(source="s1", text=twin),
+            Row(source="s2", text=twin),
+            Row(source="s3", text="lorem ipsum dolor sit amet the the"),
+        ]
+    )
+    got = {
+        (r["source_a"], r["source_b"]): r["delta_milli"]
+        for r in burrows_delta(df, top_k=8).collect()
+    }
+    assert got[("s1", "s2")] == 0
+    assert got[("s1", "s3")] > 0
+    assert got[("s1", "s3")] == got[("s2", "s3")]
