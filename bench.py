@@ -279,6 +279,8 @@ BENCH_QUERIES = [
     "source_vocab_jaccard",
     "mattr_docs",
     "burrows_delta_sources",
+    "watermark_zscore_docs",
+    "median_of_means_price",
 ]
 
 

@@ -2187,3 +2187,76 @@ def kendall_tau_b(
         F.col("_disc").cast("long").alias("disc"),
         F.when(ok, F.floor(tau * 1000)).cast("long").alias("tau_b_milli"),
     )
+
+
+def median_of_means(
+    df: DataFrame,
+    group_cols: list[str],
+    value: Column,
+    bucket_key: Column,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Median-of-means robust mean estimator (Nemirovsky & Yudin
+    1983; the standard heavy-tail-safe mean): hash rows into
+    ``n_buckets`` deterministic buckets, take each bucket's mean, and
+    report the median of those means — a single adversarial outlier
+    can move at most one bucket, so the estimate has sub-Gaussian
+    deviation even when the plain mean is dominated by one extreme
+    row. The robust sibling of ``trimmed_mean``/``median+MAD`` that
+    needs NO sort of the data, only of the bucket frame.
+
+    ``value`` must be a NON-NEGATIVE integer-valued expression (cast
+    your units: cents, millis); ``bucket_key`` is any deterministic
+    column (hashed portably, so the DuckDB oracle replays the exact
+    bucketing). Returns one row per group:
+
+      (group..., n, n_buckets_used, mean_micro, mom_micro)
+
+    where both means are exact floored micro units and the median of
+    an even bucket count is the LOWER median (element ⌈b/2⌉ of the
+    ascending bucket-mean list — deterministic, no averaging step).
+
+    Scale shape: ONE map-side-partial hash aggregate to the
+    (group × bucket) frame (≤ ``n_buckets`` rows per group, a
+    config-bounded fan-out), then a per-group collapse whose
+    collect_list is bounded by ``n_buckets`` — never data-sized.
+    """
+    from pysyslog_lfc_spark.functions.text import portable_hash60
+
+    base = df.select(
+        *group_cols,
+        value.cast("long").alias("_v"),
+        F.pmod(
+            portable_hash60(bucket_key.cast("string")), F.lit(n_buckets)
+        ).alias("_b"),
+    )
+    per = base.groupBy(*group_cols, "_b").agg(
+        F.sum(F.col("_v").cast(_D38)).alias("_s"),
+        F.count(F.lit(1)).cast("long").alias("_c"),
+    )
+    num = F.col("_s") * F.lit(1_000_000).cast(_D38)
+    mean_b = ((num - F.pmod(num, F.col("_c").cast(_D38))) / F.col("_c").cast(_D38)).cast(
+        "long"
+    )
+    g = per.select(*group_cols, "_s", "_c", mean_b.alias("_m")).groupBy(
+        *group_cols
+    ).agg(
+        F.sum("_c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets_used"),
+        F.sum("_s").alias("_ts"),
+        F.sort_array(F.collect_list("_m")).alias("_ms"),
+    )
+    tnum = F.col("_ts") * F.lit(1_000_000).cast(_D38)
+    mean_all = (
+        (tnum - F.pmod(tnum, F.col("n").cast(_D38))) / F.col("n").cast(_D38)
+    ).cast("long")
+    lower_median = F.element_at(
+        F.col("_ms"), ((F.col("n_buckets_used") + 1) / 2).cast("int")
+    )
+    return g.select(
+        *group_cols,
+        "n",
+        "n_buckets_used",
+        mean_all.alias("mean_micro"),
+        lower_median.alias("mom_micro"),
+    )

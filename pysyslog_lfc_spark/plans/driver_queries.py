@@ -4003,3 +4003,4 @@ from pysyslog_lfc_spark.plans import driver_queries_ext32  # noqa: E402,F401
 from pysyslog_lfc_spark.plans import driver_queries_ext33  # noqa: E402,F401
 from pysyslog_lfc_spark.plans import driver_queries_ext34  # noqa: E402,F401
 from pysyslog_lfc_spark.plans import driver_queries_ext35  # noqa: E402,F401
+from pysyslog_lfc_spark.plans import driver_queries_ext36  # noqa: E402,F401

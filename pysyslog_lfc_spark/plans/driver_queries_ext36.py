@@ -1,0 +1,111 @@
+"""Driver-query registrations, round-5 batch 2: green-list watermark
+detection (functions/lm.py::watermark_zscore) and the median-of-means
+robust mean (functions/stats.py::median_of_means).
+
+Imported by :mod:`pysyslog_lfc_spark.plans.driver_queries` (bottom of
+file).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pysyslog_lfc_spark.plans.driver_queries import _t, query
+
+
+_WATERMARK_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), w -> w != '') AS ws
+  FROM documents
+),
+base AS (SELECT doc_id, ws, len(ws)::BIGINT AS n FROM toks),
+sc AS (
+  SELECT doc_id, n,
+         CASE WHEN n >= 2 THEN
+           CAST(list_sum(list_transform(range(2, CAST(n + 1 AS INT)),
+             i -> CASE WHEN (('0x' || substr(md5(ws[i-1] || chr(1) || ws[i]),
+                              1, 15))::BIGINT % 1000) < 250
+                  THEN 1 ELSE 0 END)) AS BIGINT)
+         ELSE 0 END AS g
+  FROM base
+)
+SELECT doc_id,
+       CASE WHEN n >= 2 THEN n - 1 ELSE 0 END AS t_scored,
+       g AS n_green,
+       CASE WHEN n >= 2 THEN
+         CAST(floor(1000.0 * (g - (n - 1) * 0.25)
+                    / sqrt((n - 1) * 0.1875)) AS BIGINT) END AS z_milli,
+       CASE WHEN n >= 2 THEN
+         CAST(floor(1000.0 * (g - (n - 1) * 0.25)
+                    / sqrt((n - 1) * 0.1875)) AS BIGINT) >= 4000
+       ELSE false END AS watermarked
+FROM sc
+"""
+
+
+@query("watermark_zscore_docs", _WATERMARK_ORACLE)
+def watermark_zscore_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Green-list watermark detection (functions/lm.py::
+    watermark_zscore, after Kirchenbauer et al. 2023): per-document
+    z-test of the green-token count against the γ=0.25 null, green
+    decided by the portable md5 hash of each (prev, cur) token pair —
+    the model-free machine-generated-text triage. Pure per-document
+    codegen, zero shuffles; the oracle replays hash, count, and the
+    one double z chain bit-identically."""
+    from pysyslog_lfc_spark.functions.lm import watermark_zscore
+
+    return watermark_zscore(
+        _t(spark, sf_dir, "documents"), gamma_permille=250, z_flag_milli=4000
+    )
+
+
+_MOM_ORACLE = r"""
+WITH u AS (
+  SELECT o_orderpriority AS grp,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+         ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT
+           % 16 AS b
+  FROM orders
+),
+per AS (
+  SELECT grp, b, sum(v)::BIGINT AS s, count(*)::BIGINT AS c
+  FROM u GROUP BY 1, 2
+),
+m AS (SELECT grp, b, CAST((s * 1000000) // c AS BIGINT) AS mb, s, c FROM per),
+g AS (
+  SELECT grp, sum(c)::BIGINT AS n, count(*)::BIGINT AS nb,
+         sum(s)::BIGINT AS ts
+  FROM m GROUP BY grp
+),
+med AS (
+  SELECT grp, mb, row_number() OVER (PARTITION BY grp ORDER BY mb) AS rn
+  FROM m
+)
+SELECT g.grp AS o_orderpriority, g.n, g.nb AS n_buckets_used,
+       CAST((g.ts * 1000000) // g.n AS BIGINT) AS mean_micro,
+       med.mb AS mom_micro
+FROM g JOIN med ON med.grp = g.grp AND med.rn = (g.nb + 1) // 2
+"""
+
+
+@query("median_of_means_price", _MOM_ORACLE)
+def median_of_means_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-of-means robust mean (functions/stats.py::
+    median_of_means): order value cents per priority class, 16
+    portable hash buckets on the order key — the heavy-tail-safe mean
+    whose bucket frame (|groups| × 16) is config-bounded, contrasted
+    against the plain mean in the same row. The oracle replays the
+    bucketing hash, floored micro bucket means, and the lower-median
+    pick exactly."""
+    from pysyslog_lfc_spark.functions.stats import median_of_means
+
+    orders = _t(spark, sf_dir, "orders")
+    return median_of_means(
+        orders,
+        ["o_orderpriority"],
+        F.round(F.col("o_totalprice") * 100, 0).cast("long"),
+        F.col("o_orderkey"),
+        n_buckets=16,
+    )

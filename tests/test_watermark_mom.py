@@ -1,0 +1,72 @@
+"""Unit tests for round-5 batch 2: watermark_zscore (planted
+green-list watermark must be detected, clean text must not trip the
+z >= 4 flag) and median_of_means (robust to a planted outlier)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Row
+
+
+def _green(prev: str, cur: str, gamma_permille: int = 250) -> bool:
+    h = int(hashlib.md5(f"{prev}\x01{cur}".encode()).hexdigest()[:15], 16)
+    return h % 1000 < gamma_permille
+
+
+def test_watermark_planted_vs_clean(spark):
+    from pysyslog_lfc_spark.functions.lm import watermark_zscore
+
+    vocab = [f"tok{i}" for i in range(50)]
+    # watermarked doc: greedily pick a green successor at every step
+    words = ["tok0"]
+    for _ in range(120):
+        nxt = next(w for w in vocab if _green(words[-1], w))
+        words.append(nxt)
+    planted = " ".join(words)
+    # clean doc: fixed pseudo-arbitrary walk, no green selection
+    clean = " ".join(vocab[(7 * i) % 50] for i in range(121))
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=planted),
+            Row(doc_id=2, text=clean),
+            Row(doc_id=3, text="solo"),
+            Row(doc_id=4, text=""),
+        ]
+    )
+    got = {r["doc_id"]: r for r in watermark_zscore(df).collect()}
+    assert got[1]["t_scored"] == 120 and got[1]["n_green"] == 120
+    # z = (120 - 30)/sqrt(120*0.1875) = 18.97... -> flagged
+    assert got[1]["watermarked"] is True and got[1]["z_milli"] > 10000
+    assert got[2]["watermarked"] is False
+    # driver-side replay of the clean doc's green count
+    cw = clean.split()
+    g_ref = sum(_green(cw[i - 1], cw[i]) for i in range(1, len(cw)))
+    assert got[2]["n_green"] == g_ref
+    for d in (3, 4):
+        assert got[d]["t_scored"] == 0 and got[d]["z_milli"] is None
+        assert got[d]["watermarked"] is False
+
+
+def test_median_of_means_outlier_robust(spark):
+    from pyspark.sql import functions as F
+
+    from pysyslog_lfc_spark.functions.stats import median_of_means
+
+    rows = [Row(g="a", k=i, v=100) for i in range(160)]
+    rows.append(Row(g="a", k=999, v=10_000_000))
+    rows += [Row(g="b", k=i, v=7) for i in range(32)]
+    df = spark.createDataFrame(rows)
+    got = {
+        r["g"]: r
+        for r in median_of_means(
+            df, ["g"], F.col("v"), F.col("k"), n_buckets=16
+        ).collect()
+    }
+    a = got["a"]
+    assert a["n"] == 161 and a["n_buckets_used"] == 16
+    # plain mean dragged to ~62k units; MoM stays at the clean 100
+    assert a["mean_micro"] > 50_000 * 1_000_000
+    assert a["mom_micro"] == 100 * 1_000_000
+    b = got["b"]
+    assert b["mean_micro"] == 7 * 1_000_000 and b["mom_micro"] == 7 * 1_000_000

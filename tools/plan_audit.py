@@ -247,6 +247,8 @@ AUDIT_QUERIES = [
     "source_vocab_jaccard",
     "mattr_docs",
     "burrows_delta_sources",
+    "watermark_zscore_docs",
+    "median_of_means_price",
 ]
 
 
