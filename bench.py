@@ -281,6 +281,9 @@ BENCH_QUERIES = [
     "burrows_delta_sources",
     "watermark_zscore_docs",
     "median_of_means_price",
+    "wasserstein_value_by_cohort",
+    "cliffs_delta_value_by_cohort",
+    "rbo_length_vs_vocab",
 ]
 
 

@@ -613,3 +613,76 @@ def confusion_report(
         f1.alias("f1_milli"),
         mcc.alias("mcc_milli"),
     )
+
+
+def rank_biased_overlap(
+    df: DataFrame,
+    id_col: str,
+    score_a: Column,
+    score_b: Column,
+    k: int = 100,
+    p: float = 0.9,
+) -> DataFrame:
+    """Rank-Biased Overlap between the two scorers' top-``k`` rankings
+    (Webber, Moffat & Zobel 2010) — the standard top-weighted
+    agreement measure for comparing two quality scorers / retrieval
+    runs, where Kendall/Spearman over-weight the irrelevant tail:
+
+        RBO_k = (1 − p) · Σ_{d=1..k} p^{d−1} · |A_{1..d} ∩ B_{1..d}| / d
+
+    (the truncated prefix form; ``p = 0.9`` puts ~86% of the weight on
+    the top 10). Rankings are DESCENDING by score with ascending
+    ``id_col`` tie-break — a total order, so both engines build the
+    identical lists. Returns ONE row:
+    (k, overlap_at_k, rbo_micro = floor(10⁶·RBO_k)).
+
+    Exactness: the p-powers are PRECOMPUTED double literals inlined
+    into the plan (a runtime pow() is not correctly-rounded-guaranteed
+    across engines; literals round-trip exactly), and the weighted sum
+    is a SEQUENTIAL left fold over d = 1..k — the same operation order
+    in Spark's ``aggregate`` and the oracle's ``list_reduce``, so the
+    double result is bit-identical.
+
+    Scale shape: two distributed top-k selections (TakeOrdered — no
+    global sort), then everything lives on two k-element arrays in a
+    1-row frame; k is config, never data.
+    """
+    pw = [p ** d for d in range(k)]  # p^0 .. p^(k-1), plan literals
+
+    def _top(score: Column, name: str):
+        return (
+            df.select(F.col(id_col).alias("_id"), score.alias("_s"))
+            .orderBy(F.col("_s").desc(), F.col("_id").asc())
+            .limit(k)
+            .agg(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct((-F.col("_s")).alias("_n"), F.col("_id")))
+                    ),
+                    lambda x: x["_id"],
+                ).alias(name)
+            )
+        )
+
+    a = _top(score_a, "_a")
+    b = _top(score_b, "_b")
+    pwarr = F.array(*[F.lit(x) for x in pw])
+    depth_overlap = lambda d: F.size(  # noqa: E731
+        F.array_intersect(
+            F.slice(F.col("_a"), 1, d), F.slice(F.col("_b"), 1, d)
+        )
+    )
+    s = F.aggregate(
+        F.sequence(F.lit(1), F.lit(k)),
+        F.lit(0.0),
+        lambda acc, d: acc
+        + F.get(pwarr, d - 1)
+        * depth_overlap(d).cast("double")
+        / d.cast("double"),
+    )
+    rbo = F.lit(1.0 - p) * s
+    return a.crossJoin(b).select(
+        F.lit(k).alias("k"),
+        depth_overlap(F.lit(k)).cast("long").alias("overlap_at_k"),
+        F.floor(rbo * F.lit(1_000_000.0)).cast("long").alias("rbo_micro"),
+    )

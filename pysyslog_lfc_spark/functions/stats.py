@@ -2260,3 +2260,169 @@ def median_of_means(
         mean_all.alias("mean_micro"),
         lower_median.alias("mom_micro"),
     )
+
+
+def _ordered_lead(
+    df: DataFrame,
+    order_col: str,
+    n_blocks: int = 4096,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Next-strictly-greater value of ``order_col`` (the LEAD of the
+    distinct-value frame) WITHOUT an unpartitioned corpus window — the
+    lead sibling of :func:`_ordered_prefix`. Caller contract: one row
+    per distinct ``order_col`` value, numeric type, no NULL/NaN (the
+    aggregated-cell frames of the drift statistics).
+
+    Two-level shape: the same deterministic equal-width value blocks
+    as ``_ordered_prefix``; within a block, a PARTITIONED lead window;
+    each block's LAST row takes the minimum of the next non-empty
+    block, computed from the per-block-min frame (≤ ``n_blocks`` rows,
+    config-bounded) packed into one sorted array and re-exploded with
+    its successor. Blocks are value ranges, so block k's successor
+    value is exactly the next non-empty block's minimum. The global
+    maximum's lead is NULL.
+    """
+    out = out_col or f"_lead_{order_col}"
+    v = F.col(order_col)
+    mm = df.agg(F.min(order_col).alias("_mn"), F.max(order_col).alias("_mx"))
+    width_ok = F.col("_mx") > F.col("_mn")
+    blk = F.when(
+        width_ok,
+        (
+            (v - F.col("_mn")).cast("double")
+            * F.lit(float(n_blocks))
+            / (F.col("_mx") - F.col("_mn") + F.lit(1)).cast("double")
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    part = (
+        df.crossJoin(F.broadcast(mm)).withColumn("_blk", blk).drop("_mn", "_mx")
+    )
+    w = Window.partitionBy("_blk").orderBy(order_col)
+    mins = part.groupBy("_blk").agg(F.min(order_col).alias("_bmin"))
+    packed = mins.agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("_blk"), F.col("_bmin")))
+        ).alias("_a")
+    )
+    nxt = (
+        packed.select(F.posexplode("_a").alias("_i", "_e"), F.col("_a"))
+        .select(
+            F.col("_e._blk").alias("_blk"),
+            # F.get (0-based) is NULL-safe past the end — element_at
+            # raises under ANSI for the last block's missing successor
+            F.get(F.col("_a"), F.col("_i") + 1)["_bmin"].alias("_nmin"),
+        )
+    )
+    led = (
+        part.join(F.broadcast(nxt), "_blk")
+        .withColumn(out, F.coalesce(F.lead(order_col).over(w), F.col("_nmin")))
+        .drop("_blk", "_nmin")
+    )
+    return led
+
+
+def wasserstein_1(
+    df: DataFrame,
+    group_col: str,
+    value: Column,
+    arm_a: str,
+    arm_b: str,
+) -> DataFrame:
+    """Exact 1-Wasserstein (earth mover's) distance between two arms'
+    empirical distributions of an INTEGER-valued metric — the
+    drift magnitude the KS statistic (max CDF gap) cannot express:
+    W1 = ∫|F_a(x) − F_b(x)| dx, the area between the CDFs, in metric
+    units. The standard "how far did the distribution move" number
+    for feature/score drift monitoring.
+
+    Same distributed skeleton as :func:`ks_test`: ONE hash aggregate
+    to the distinct-value cell frame, cumulative counts via the
+    two-level :func:`_ordered_prefix`, the value gap to the next cell
+    via the two-level :func:`_ordered_lead` — no corpus-sized window
+    anywhere. Cross-multiplied DECIMAL(38,0) keeps every contribution
+    |cum_a·t_b − cum_b·t_a|·gap exact; the close is a two-stage
+    integer floor division (quotient then remainder re-division) so
+    the ×10⁶ scaling cannot overflow 38 digits even at 10¹²-row arms.
+    Returns ONE row: (n_a, n_b, w1_micro) with
+    ``w1_micro = floor(10⁶·W1)``; NULL when either arm is empty.
+    """
+    cells = (
+        df.where(F.col(group_col).isin([arm_a, arm_b]))
+        .groupBy(value.alias("v"))
+        .agg(
+            F.sum(F.when(F.col(group_col) == arm_a, 1).otherwise(0)).alias("na"),
+            F.sum(F.when(F.col(group_col) == arm_b, 1).otherwise(0)).alias("nb"),
+        )
+    )
+    stepped = _ordered_prefix(cells, "v", ["na", "nb"], inclusive=True)
+    led = _ordered_lead(stepped, "v")
+    tots = cells.agg(
+        F.sum("na").cast("long").alias("ta"),
+        F.sum("nb").cast("long").alias("tb"),
+    )
+    gap = (F.col("_lead_v") - F.col("v")).cast(_D38)
+    contrib = (
+        F.abs(
+            F.col("cum_na").cast(_D38) * F.col("tb").cast(_D38)
+            - F.col("cum_nb").cast(_D38) * F.col("ta").cast(_D38)
+        )
+        * gap
+    )
+    agg = led.crossJoin(F.broadcast(tots)).agg(
+        F.max("ta").cast("long").alias("n_a"),
+        F.max("tb").cast("long").alias("n_b"),
+        F.sum(F.when(F.col("_lead_v").isNotNull(), contrib).otherwise(0)).alias(
+            "_s"
+        ),
+    )
+    den = (F.col("n_a").cast(_D38) * F.col("n_b").cast(_D38)).cast(_D38)
+    s = F.col("_s").cast(_D38)
+    # two-stage exact floor(s * 1e6 / den): the direct product can
+    # exceed 38 digits at corpus scale
+    q = ((s - F.pmod(s, den)) / den).cast(_D38)
+    r = (s - q * den).cast(_D38)
+    r6 = r * F.lit(1_000_000).cast(_D38)
+    w1_micro = (
+        q.cast("long") * F.lit(1_000_000).cast("long")
+        + ((r6 - F.pmod(r6, den)) / den).cast("long")
+    )
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    return agg.select(
+        "n_a", "n_b", F.when(ok, w1_micro).alias("w1_micro")
+    )
+
+
+def cliffs_delta(
+    df: DataFrame,
+    group_col: str,
+    value: Column,
+    arm_a: str,
+    arm_b: str,
+) -> DataFrame:
+    """Cliff's delta ordinal effect size (Cliff 1993):
+    δ = (#(a>b) − #(a<b)) / (n_a·n_b) in [−1, 1] — the
+    distribution-free "how often does arm a exceed arm b" companion
+    to the Mann-Whitney TEST (δ answers "how big", the U test answers
+    "is it real"; Romano et al. 2006 thresholds: |δ| < 0.147
+    negligible, < 0.33 small, < 0.474 medium). With midranks,
+    δ = (2U_A − n_a·n_b)/(n_a·n_b) exactly, so this composes
+    :func:`mann_whitney_u`'s integer rank machinery (two-level
+    distributed prefix, no corpus window) and adds one exact floored
+    milli division — negative-safe (pmod floor). Returns ONE row:
+    (n_a, n_b, u2_a, delta_milli); NULL δ when either arm is empty.
+    """
+    mw = mann_whitney_u(df, group_col, value, arm_a, arm_b)
+    d38 = _D38
+    den = (F.col("n_a").cast(d38) * F.col("n_b").cast(d38)).cast(d38)
+    num = (
+        (F.col("u2_a").cast(d38) - den) * F.lit(1000).cast(d38)
+    ).cast(d38)
+    delta_milli = ((num - F.pmod(num, den)) / den).cast("long")
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    return mw.select(
+        "n_a",
+        "n_b",
+        "u2_a",
+        F.when(ok, delta_milli).alias("delta_milli"),
+    )

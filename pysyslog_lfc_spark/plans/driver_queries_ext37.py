@@ -1,0 +1,183 @@
+"""Driver-query registrations, round-5 batch 3: exact 1-Wasserstein
+drift distance (two-level prefix + two-level lead), Cliff's delta
+ordinal effect size, and rank-biased overlap between two scorers.
+
+Imported by :mod:`pysyslog_lfc_spark.plans.driver_queries` (bottom of
+file).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pysyslog_lfc_spark.plans.driver_queries import _t, query
+
+
+_W1_ORACLE = """
+WITH u AS (
+  SELECT CASE WHEN o_custkey % 2 = 0 THEN 'even' ELSE 'odd' END AS arm,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders
+),
+cells AS (
+  SELECT v,
+         CAST(sum(CASE WHEN arm = 'even' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(sum(CASE WHEN arm = 'odd' THEN 1 ELSE 0 END) AS BIGINT) AS nb
+  FROM u GROUP BY v
+),
+stepped AS (
+  SELECT v,
+         sum(na) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+         sum(nb) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+         sum(na) OVER () AS ta,
+         sum(nb) OVER () AS tb,
+         lead(v) OVER (ORDER BY v) AS nv
+  FROM cells
+),
+agg AS (
+  SELECT CAST(max(ta) AS BIGINT) AS n_a,
+         CAST(max(tb) AS BIGINT) AS n_b,
+         sum(CASE WHEN nv IS NOT NULL THEN
+               abs(ca::HUGEINT * tb - cb::HUGEINT * ta) * (nv - v)::HUGEINT
+             ELSE 0::HUGEINT END) AS s
+  FROM stepped
+)
+SELECT n_a, n_b,
+       CASE WHEN n_a > 0 AND n_b > 0 THEN
+         CAST((s * 1000000) // (n_a::HUGEINT * n_b::HUGEINT) AS BIGINT)
+       END AS w1_micro
+FROM agg
+"""
+
+
+@query("wasserstein_value_by_cohort", _W1_ORACLE)
+def wasserstein_value_by_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1-Wasserstein (earth mover's) drift distance
+    (functions/stats.py::wasserstein_1) between even/odd customer-key
+    arms over order value cents — the AREA between the CDFs, the
+    magnitude companion to ks_value_by_cohort's max gap. Both the
+    cumulative counts (two-level _ordered_prefix) and the
+    next-distinct-value gap (two-level _ordered_lead) run distributed;
+    the oracle is the single-window textbook form."""
+    from pysyslog_lfc_spark.functions.stats import wasserstein_1
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.when(F.pmod(F.col("o_custkey"), F.lit(2)) == 0, F.lit("even"))
+        .otherwise(F.lit("odd"))
+        .alias("arm"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    return wasserstein_1(orders, "arm", F.col("cents"), "even", "odd")
+
+
+_CLIFF_ORACLE = """
+WITH u AS (
+  SELECT CASE WHEN o_custkey % 2 = 0 THEN 'even' ELSE 'odd' END AS arm,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders
+),
+cells AS (
+  SELECT v,
+         CAST(sum(CASE WHEN arm = 'even' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(sum(CASE WHEN arm = 'odd' THEN 1 ELSE 0 END) AS BIGINT) AS nb
+  FROM u GROUP BY v
+),
+stepped AS (
+  SELECT na, nb, na + nb AS t,
+         coalesce(sum(na + nb) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+  FROM cells
+),
+agg AS (
+  SELECT CAST(sum(na) AS BIGINT) AS n_a,
+         CAST(sum(nb) AS BIGINT) AS n_b,
+         CAST(sum(na * (2 * cum_before + t + 1)) AS BIGINT) AS r2a
+  FROM stepped
+),
+fin AS (
+  SELECT n_a, n_b, r2a - n_a * (n_a + 1) AS u2_a, n_a * n_b AS d
+  FROM agg
+)
+SELECT n_a, n_b, u2_a,
+       CASE WHEN n_a > 0 AND n_b > 0 THEN
+         CAST((((u2_a - d) * 1000)
+               - ((((u2_a - d) * 1000) % d + d) % d)) // d AS BIGINT)
+       END AS delta_milli
+FROM fin
+"""
+
+
+@query("cliffs_delta_value_by_cohort", _CLIFF_ORACLE)
+def cliffs_delta_value_by_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta ordinal effect size (functions/stats.py::
+    cliffs_delta): how often the even arm's order value exceeds the
+    odd arm's, in [-1000, 1000] milli — the "how big" companion to
+    ab_mann_whitney's "is it real", sharing its exact doubled-midrank
+    machinery. The floor division is negative-safe on both engines
+    (explicit pmod identity in the oracle; DuckDB // truncates)."""
+    from pysyslog_lfc_spark.functions.stats import cliffs_delta
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.when(F.pmod(F.col("o_custkey"), F.lit(2)) == 0, F.lit("even"))
+        .otherwise(F.lit("odd"))
+        .alias("arm"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    return cliffs_delta(orders, "arm", F.col("cents"), "even", "odd")
+
+
+_RBO_K = 100
+_RBO_P = 0.9
+_PW_LIST = "[" + ", ".join(repr(_RBO_P**d) for d in range(_RBO_K)) + "]"
+
+_RBO_ORACLE = rf"""
+WITH s AS (
+  SELECT doc_id, n_chars::BIGINT AS sa,
+         len(list_distinct(list_filter(
+           string_split_regex(lower(text), '\s+'), w -> w != '')))::BIGINT AS sb
+  FROM documents
+),
+ta AS (SELECT list(doc_id ORDER BY sa DESC, doc_id ASC)[: {_RBO_K}] AS a FROM s),
+tb AS (SELECT list(doc_id ORDER BY sb DESC, doc_id ASC)[: {_RBO_K}] AS b FROM s),
+j AS (SELECT a, b, {_PW_LIST} AS pw FROM ta, tb),
+fold AS (
+  SELECT a, b,
+         list_reduce(list_transform(range(1, {_RBO_K} + 1),
+           d -> pw[d] * CAST(len(list_intersect(a[:d], b[:d])) AS DOUBLE)
+                / CAST(d AS DOUBLE)),
+           (x, y) -> x + y) AS ssum
+  FROM j
+)
+SELECT CAST({_RBO_K} AS BIGINT) AS k,
+       CAST(len(list_intersect(a, b)) AS BIGINT) AS overlap_at_k,
+       CAST(floor({repr(1.0 - _RBO_P)} * ssum * 1000000.0) AS BIGINT)
+         AS rbo_micro
+FROM fold
+"""
+
+
+@query("rbo_length_vs_vocab", _RBO_ORACLE)
+def rbo_length_vs_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (functions/classifier.py::
+    rank_biased_overlap, Webber et al. 2010) between two document
+    scorers — raw length (n_chars) vs vocabulary size (distinct
+    tokens) — at k=100, p=0.9: the top-weighted ranking-agreement
+    measure for comparing quality scorers. The p-power weights are
+    inlined literals and the weighted sum a sequential fold, so both
+    engines produce the identical double before the one floor."""
+    from pysyslog_lfc_spark.functions.classifier import rank_biased_overlap
+    from pysyslog_lfc_spark.functions.text import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    return rank_biased_overlap(
+        docs,
+        "doc_id",
+        F.col("n_chars").cast("long"),
+        F.size(F.array_distinct(tokenize(F.lower(F.col("text"))))).cast("long"),
+        k=_RBO_K,
+        p=_RBO_P,
+    )

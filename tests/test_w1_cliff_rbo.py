@@ -1,0 +1,103 @@
+"""Unit tests for round-5 batch 3: wasserstein_1 (hand-computed EMD),
+cliffs_delta (sign and extremes), _ordered_lead (cross-block
+successor), rank_biased_overlap (identical/disjoint rankings)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row, functions as F
+
+
+def test_wasserstein_known_value(spark):
+    """a = {0,0,1}, b = {1,2}: CDF gap 2/3 over [0,1) + 1/2 over
+    [1,2) => W1 = 7/6 => 1166666 micro."""
+    from pysyslog_lfc_spark.functions.stats import wasserstein_1
+
+    rows = [Row(arm="a", v=0), Row(arm="a", v=0), Row(arm="a", v=1),
+            Row(arm="b", v=1), Row(arm="b", v=2)]
+    r = wasserstein_1(
+        spark.createDataFrame(rows), "arm", F.col("v"), "a", "b"
+    ).collect()[0]
+    assert (r["n_a"], r["n_b"]) == (3, 2)
+    assert r["w1_micro"] == 1166666
+
+
+def test_wasserstein_identical_arms_zero(spark):
+    from pysyslog_lfc_spark.functions.stats import wasserstein_1
+
+    rows = [Row(arm=a, v=v) for a in ("a", "b") for v in (3, 7, 7, 50)]
+    r = wasserstein_1(
+        spark.createDataFrame(rows), "arm", F.col("v"), "a", "b"
+    ).collect()[0]
+    assert r["w1_micro"] == 0
+
+
+def test_cliffs_delta_extremes_and_sign(spark):
+    from pysyslog_lfc_spark.functions.stats import cliffs_delta
+
+    mk = lambda pairs: spark.createDataFrame(  # noqa: E731
+        [Row(arm=a, v=v) for a, v in pairs]
+    )
+    # complete dominance: delta = +1
+    r = cliffs_delta(
+        mk([("a", 5), ("a", 6), ("b", 1), ("b", 2)]),
+        "arm", F.col("v"), "a", "b",
+    ).collect()[0]
+    assert r["delta_milli"] == 1000
+    # complete reverse dominance: delta = -1 (negative-safe floor)
+    r = cliffs_delta(
+        mk([("a", 1), ("b", 5), ("b", 6)]), "arm", F.col("v"), "a", "b"
+    ).collect()[0]
+    assert r["delta_milli"] == -1000
+    # symmetric ties: delta = 0
+    r = cliffs_delta(
+        mk([("a", 1), ("a", 3), ("b", 1), ("b", 3)]),
+        "arm", F.col("v"), "a", "b",
+    ).collect()[0]
+    assert r["delta_milli"] == 0
+
+
+def test_ordered_lead_matches_next_distinct(spark):
+    """Sparse distinct values across few blocks: lead must be the next
+    strictly-greater value even across block boundaries; NULL at the
+    global max; no unpartitioned window in the plan."""
+    from pysyslog_lfc_spark.functions.stats import _ordered_lead
+
+    vals = sorted({(i * i * 7) % 9973 for i in range(60)})
+    df = spark.createDataFrame([Row(v=v) for v in vals])
+    out = _ordered_lead(df, "v", n_blocks=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "windowspecdefinition(" in line:
+            spec = line.split("windowspecdefinition(", 1)[1]
+            assert not spec.split(",")[0].strip().endswith("NULLS FIRST")
+    got = {r["v"]: r["_lead_v"] for r in out.collect()}
+    for i, v in enumerate(vals):
+        assert got[v] == (vals[i + 1] if i + 1 < len(vals) else None)
+
+
+def test_rbo_identical_and_disjoint(spark):
+    from pysyslog_lfc_spark.functions.classifier import rank_biased_overlap
+
+    # identical rankings: RBO = (1-p) * sum p^(d-1) = 1 - p^k;
+    # replicate the engine's exact fold driver-side
+    rows = [Row(id=i, s=1000 - i) for i in range(150)]
+    df = spark.createDataFrame(rows)
+    r = rank_biased_overlap(
+        df, "id", F.col("s"), F.col("s"), k=100, p=0.9
+    ).collect()[0]
+    acc = 0.0
+    for d in range(1, 101):
+        acc += (0.9 ** (d - 1)) * float(d) / float(d)
+    import math
+
+    expect = math.floor((1.0 - 0.9) * acc * 1_000_000.0)
+    assert r["overlap_at_k"] == 100
+    assert r["rbo_micro"] == expect
+    # anti-correlated scorers: top-100 sets are disjoint halves
+    df2 = spark.createDataFrame(
+        [Row(id=i, s=1000 - i, t=i) for i in range(300)]
+    )
+    r2 = rank_biased_overlap(
+        df2, "id", F.col("s"), F.col("t"), k=100, p=0.9
+    ).collect()[0]
+    assert r2["overlap_at_k"] == 0 and r2["rbo_micro"] == 0
