@@ -284,6 +284,8 @@ BENCH_QUERIES = [
     "wasserstein_value_by_cohort",
     "cliffs_delta_value_by_cohort",
     "rbo_length_vs_vocab",
+    "wilcoxon_user_halfyear",
+    "mcnemar_length_vs_vocab",
 ]
 
 

@@ -2426,3 +2426,111 @@ def cliffs_delta(
         "u2_a",
         F.when(ok, delta_milli).alias("delta_milli"),
     )
+
+
+def wilcoxon_signed_rank(
+    df: DataFrame,
+    a: Column,
+    b: Column,
+) -> DataFrame:
+    """Wilcoxon signed-rank test (Wilcoxon 1945) — the PAIRED sibling
+    of :func:`mann_whitney_u`: for per-entity (before, after) integer
+    measurements, rank the nonzero absolute differences (midranks on
+    ties), sum the ranks of the positive differences (W+), and z-test
+    against the no-shift null with the tie-corrected variance:
+
+        E[W+] = n(n+1)/4
+        Var[W+] = n(n+1)(2n+1)/24 − Σ(t³−t)/48
+
+    The A/B-on-the-same-users significance test the unpaired U test
+    answers incorrectly when pairing exists. Zero differences are
+    dropped (the standard Wilcoxon convention). Returns ONE row:
+    (n_pairs, w2_plus = 2·W+ exact, z_milli); NULL z when n < 1 or
+    the variance degenerates (all differences tied at one value).
+
+    Same scale skeleton as the U test: one hash aggregate to the
+    distinct-|d| cell frame, doubled midranks via the two-level
+    :func:`_ordered_prefix` (never a corpus window), exact BIGINT /
+    DECIMAL(38,0) moments, one double close.
+    """
+    d = (a.cast("long") - b.cast("long")).alias("_d")
+    nz = df.select(d).where(F.col("_d") != 0)
+    cells = nz.groupBy(F.abs(F.col("_d")).alias("_ad")).agg(
+        F.count(F.lit(1)).cast("long").alias("t"),
+        F.sum(F.when(F.col("_d") > 0, 1).otherwise(0)).cast("long").alias("p"),
+    )
+    stepped = _ordered_prefix(cells, "_ad", ["t"], inclusive=False)
+    # doubled midrank of a tie group starting after cum_t prior rows:
+    # 2*mid = 2*cum_t + t + 1
+    agg = stepped.agg(
+        F.sum("t").cast("long").alias("n_pairs"),
+        F.sum(
+            F.col("p").cast(_D38)
+            * (F.lit(2).cast(_D38) * F.col("cum_t").cast(_D38)
+               + F.col("t").cast(_D38) + F.lit(1).cast(_D38))
+        ).alias("_w2"),
+        F.sum(
+            F.col("t").cast(_D38) * F.col("t").cast(_D38) * F.col("t").cast(_D38)
+            - F.col("t").cast(_D38)
+        ).alias("_tt"),
+    )
+    n = F.col("n_pairs").cast("double")
+    w2 = F.col("_w2").cast("double")
+    # z on the doubled scale: 2W+ - n(n+1)/2 over 2*sqrt(Var)
+    var = n * (n + 1) * (2 * n + 1) / F.lit(24.0) - F.col("_tt").cast(
+        "double"
+    ) / F.lit(48.0)
+    z_milli = F.floor(
+        F.lit(1000.0)
+        * (w2 - n * (n + 1) / F.lit(2.0))
+        / (F.lit(2.0) * F.sqrt(var))
+    ).cast("long")
+    ok = (F.col("n_pairs") > 0) & (var > 0)
+    return agg.select(
+        "n_pairs",
+        F.col("_w2").cast("long").alias("w2_plus"),
+        F.when(ok, z_milli).alias("z_milli"),
+    )
+
+
+def mcnemar_test(
+    df: DataFrame,
+    correct_a: Column,
+    correct_b: Column,
+) -> DataFrame:
+    """McNemar's test (McNemar 1947) — the PAIRED comparison of two
+    classifiers evaluated on the SAME examples, the test the
+    field-standard "compare two quality filters" question actually
+    requires (two accuracy numbers on shared data are not independent
+    samples): only the discordant pairs carry information,
+    b = A-right/B-wrong, c = A-wrong/B-right, and the
+    continuity-corrected statistic is
+
+        χ² = (|b − c| − 1)² / (b + c)
+
+    Integer-exact end to end: returns ONE row
+    (n, b_only_a, c_only_b, chi2_milli) with
+    ``chi2_milli = floor(1000·(|b−c|−1)²/(b+c))`` (0 when b = c
+    after correction floors at 0); NULL when b + c = 0 (no
+    discordant pairs — the test is undefined). One map-side-partial
+    aggregate over the corpus; no join, no window.
+    """
+    ca = correct_a.cast("boolean")
+    cb = correct_b.cast("boolean")
+    agg = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(ca & ~cb, 1).otherwise(0)).cast("long").alias("b_only_a"),
+        F.sum(F.when(~ca & cb, 1).otherwise(0)).cast("long").alias("c_only_b"),
+    )
+    bc = F.col("b_only_a") + F.col("c_only_b")
+    corr = F.greatest(
+        F.abs(F.col("b_only_a") - F.col("c_only_b")) - 1, F.lit(0).cast("long")
+    )
+    num = (corr.cast(_D38) * corr.cast(_D38) * F.lit(1000).cast(_D38)).cast(_D38)
+    chi2 = ((num - F.pmod(num, bc.cast(_D38))) / bc.cast(_D38)).cast("long")
+    return agg.select(
+        "n",
+        "b_only_a",
+        "c_only_b",
+        F.when(bc > 0, chi2).alias("chi2_milli"),
+    )

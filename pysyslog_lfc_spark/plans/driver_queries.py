@@ -4005,3 +4005,4 @@ from pysyslog_lfc_spark.plans import driver_queries_ext34  # noqa: E402,F401
 from pysyslog_lfc_spark.plans import driver_queries_ext35  # noqa: E402,F401
 from pysyslog_lfc_spark.plans import driver_queries_ext36  # noqa: E402,F401
 from pysyslog_lfc_spark.plans import driver_queries_ext37  # noqa: E402,F401
+from pysyslog_lfc_spark.plans import driver_queries_ext38  # noqa: E402,F401

@@ -1,0 +1,129 @@
+"""Driver-query registrations, round-5 batch 4: the paired-evaluation
+family — Wilcoxon signed-rank (paired shift test) and McNemar's test
+(paired classifier comparison).
+
+Imported by :mod:`pysyslog_lfc_spark.plans.driver_queries` (bottom of
+file).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pysyslog_lfc_spark.plans.driver_queries import _t, query
+
+
+_WILCOXON_ORACLE = """
+WITH pairs AS (
+  SELECT user_id,
+         sum(CASE WHEN month(ts) <= 6
+                  THEN CAST(round(value * 100) AS BIGINT) END) AS a,
+         sum(CASE WHEN month(ts) > 6
+                  THEN CAST(round(value * 100) AS BIGINT) END) AS b
+  FROM events GROUP BY user_id
+),
+d AS (
+  SELECT a - b AS d FROM pairs
+  WHERE a IS NOT NULL AND b IS NOT NULL AND a - b <> 0
+),
+cells AS (
+  SELECT abs(d) AS ad, count(*)::BIGINT AS t,
+         sum(CASE WHEN d > 0 THEN 1 ELSE 0 END)::BIGINT AS p
+  FROM d GROUP BY abs(d)
+),
+stepped AS (
+  SELECT t, p,
+         coalesce(sum(t) OVER (ORDER BY ad
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM cells
+),
+agg AS (
+  SELECT sum(t)::BIGINT AS n_pairs,
+         sum(p * (2 * cum + t + 1))::BIGINT AS w2,
+         sum(t * t * t - t)::BIGINT AS tt
+  FROM stepped
+)
+SELECT n_pairs, w2 AS w2_plus,
+       CASE WHEN n_pairs > 0
+                 AND (n_pairs * (n_pairs + 1.0) * (2 * n_pairs + 1.0) / 24.0
+                      - tt / 48.0) > 0 THEN
+         CAST(floor(1000.0 * (w2 - n_pairs * (n_pairs + 1.0) / 2.0)
+              / (2.0 * sqrt(n_pairs * (n_pairs + 1.0)
+                            * (2 * n_pairs + 1.0) / 24.0 - tt / 48.0)))
+              AS BIGINT)
+       END AS z_milli
+FROM agg
+"""
+
+
+@query("wilcoxon_user_halfyear", _WILCOXON_ORACLE)
+def wilcoxon_user_halfyear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test (functions/stats.py::
+    wilcoxon_signed_rank): per-user event-value totals in the first vs
+    second half-year, PAIRED — the did-per-user-spend-shift question
+    the unpaired U test answers wrongly when the same users appear in
+    both arms. Doubled midranks over the distinct-|difference| frame
+    via the two-level prefix; tie-corrected variance; z replayed
+    bit-identically by the oracle."""
+    from pysyslog_lfc_spark.functions.stats import wilcoxon_signed_rank
+
+    ev = _t(spark, sf_dir, "events")
+    pairs = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.month("ts") <= 6,
+                F.round(F.col("value") * 100, 0).cast("long"),
+            )
+        ).alias("h1"),
+        F.sum(
+            F.when(
+                F.month("ts") > 6,
+                F.round(F.col("value") * 100, 0).cast("long"),
+            )
+        ).alias("h2"),
+    ).where(F.col("h1").isNotNull() & F.col("h2").isNotNull())
+    return wilcoxon_signed_rank(pairs, F.col("h1"), F.col("h2"))
+
+
+_MCNEMAR_ORACLE = r"""
+WITH t AS (
+  SELECT (lang = 'en') AS y,
+         n_chars >= 300 AS pa,
+         len(list_distinct(list_filter(
+           string_split_regex(lower(text), '\s+'), w -> w != ''))) >= 40 AS pb
+  FROM documents
+),
+c AS (SELECT (pa = y) AS ca, (pb = y) AS cb FROM t),
+agg AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(CASE WHEN ca AND NOT cb THEN 1 ELSE 0 END)::BIGINT AS b,
+         sum(CASE WHEN NOT ca AND cb THEN 1 ELSE 0 END)::BIGINT AS c
+  FROM c
+)
+SELECT n, b AS b_only_a, c AS c_only_b,
+       CASE WHEN b + c > 0 THEN
+         CAST(greatest(abs(b - c) - 1, 0) * greatest(abs(b - c) - 1, 0)
+              * 1000 // (b + c) AS BIGINT)
+       END AS chi2_milli
+FROM agg
+"""
+
+
+@query("mcnemar_length_vs_vocab", _MCNEMAR_ORACLE)
+def mcnemar_length_vs_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test (functions/stats.py::mcnemar_test): two
+    cheap en-detectors — length >= 300 chars vs vocabulary >= 40
+    distinct tokens — scored against the lang label on the SAME
+    documents; only the discordant counts carry information.
+    Continuity-corrected, integer-exact. The
+    compare-two-quality-filters test two independent accuracy numbers
+    cannot legitimately answer."""
+    from pysyslog_lfc_spark.functions.stats import mcnemar_test
+    from pysyslog_lfc_spark.functions.text import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    y = F.col("lang") == "en"
+    pa = F.col("n_chars") >= 300
+    pb = F.size(F.array_distinct(tokenize(F.lower(F.col("text"))))) >= 40
+    return mcnemar_test(docs, pa == y, pb == y)

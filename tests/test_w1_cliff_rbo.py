@@ -101,3 +101,58 @@ def test_rbo_identical_and_disjoint(spark):
         df2, "id", F.col("s"), F.col("t"), k=100, p=0.9
     ).collect()[0]
     assert r2["overlap_at_k"] == 0 and r2["rbo_micro"] == 0
+
+
+def test_wilcoxon_known_values(spark):
+    """Pairs with differences +1,+2,+3,-4: |d| ranks 1,2,3,4;
+    W+ = 1+2+3 = 6 (w2=12); n=4, E[W+]=5, Var=7.5;
+    z = (6-5)/sqrt(7.5) = 0.3651.. -> 365 milli."""
+    from pysyslog_lfc_spark.functions.stats import wilcoxon_signed_rank
+
+    rows = [Row(a=11, b=10), Row(a=12, b=10), Row(a=13, b=10),
+            Row(a=6, b=10), Row(a=5, b=5)]  # zero diff dropped
+    r = wilcoxon_signed_rank(
+        spark.createDataFrame(rows), F.col("a"), F.col("b")
+    ).collect()[0]
+    assert r["n_pairs"] == 4
+    assert r["w2_plus"] == 12
+    assert r["z_milli"] == 365
+
+
+def test_wilcoxon_ties_midranks(spark):
+    """Differences +1,+1,-1,-1: one tie group t=4, all |d|=1;
+    2*mid = 5 per element, W2+ = 2*5 = 10 = n(n+1)/2 -> z = 0
+    numerator; tie correction kills the variance entirely
+    (tt = 60 = n(n+1)(2n+1)/... check: var = 4*5*9/24 - 60/48 =
+    7.5 - 1.25 = 6.25 > 0) -> z = 0."""
+    from pysyslog_lfc_spark.functions.stats import wilcoxon_signed_rank
+
+    rows = [Row(a=2, b=1), Row(a=3, b=2), Row(a=1, b=2), Row(a=2, b=3)]
+    r = wilcoxon_signed_rank(
+        spark.createDataFrame(rows), F.col("a"), F.col("b")
+    ).collect()[0]
+    assert r["n_pairs"] == 4 and r["w2_plus"] == 10
+    assert r["z_milli"] == 0
+
+
+def test_mcnemar_known_values(spark):
+    """b=10, c=4: chi2 = (|10-4|-1)^2/14 = 25/14 = 1.785.. -> 1785."""
+    from pysyslog_lfc_spark.functions.stats import mcnemar_test
+
+    rows = (
+        [Row(ca=True, cb=False)] * 10
+        + [Row(ca=False, cb=True)] * 4
+        + [Row(ca=True, cb=True)] * 20
+        + [Row(ca=False, cb=False)] * 6
+    )
+    r = mcnemar_test(
+        spark.createDataFrame(rows), F.col("ca"), F.col("cb")
+    ).collect()[0]
+    assert (r["n"], r["b_only_a"], r["c_only_b"]) == (40, 10, 4)
+    assert r["chi2_milli"] == 1785
+    # no discordant pairs -> NULL
+    r2 = mcnemar_test(
+        spark.createDataFrame([Row(ca=True, cb=True)] * 5),
+        F.col("ca"), F.col("cb"),
+    ).collect()[0]
+    assert r2["chi2_milli"] is None
